@@ -1,0 +1,329 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Scalar-function surface (SURVEY.md §2.2 "Scalar function library")
+  * plus the event-time windowing family demonstrated as batch queries
+  * over `events` (tumbling / sliding / session — the same transforms
+  * run under Structured Streaming in graft.streaming.EventStream).
+  *
+  * Everything here is `org.apache.spark.sql.functions._` — codegen'd,
+  * no UDFs — so the whole query stays inside WholeStageCodegen.
+  */
+object Functions {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---------- String functions ----------
+
+  def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        lower(col("c_name")).as("lo"),
+        upper(col("c_mktsegment")).as("up"),
+        substring(col("c_name"), 10, 8).as("sub"),
+        concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("joined"),
+        regexp_extract(col("c_name"), "([0-9]+)$", 1).as("digits"),
+        length(col("c_name")).as("len"),
+        trim(lit("  pad  ")).as("trimmed"),
+        regexp_replace(col("c_name"), "0+", "0").as("squeezed"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev"))
+      .orderBy("c_custkey")
+
+  val qStringFuncsOracle: String =
+    """SELECT c_custkey,
+      |  lower(c_name) AS lo,
+      |  upper(c_mktsegment) AS up,
+      |  substring(c_name, 10, 8) AS sub,
+      |  concat_ws('-', c_mktsegment, c_custkey) AS joined,
+      |  regexp_extract(c_name, '([0-9]+)$', 1) AS digits,
+      |  length(c_name) AS len,
+      |  trim('  pad  ') AS trimmed,
+      |  regexp_replace(c_name, '0+', '0', 'g') AS squeezed,
+      |  levenshtein(c_mktsegment, 'BUILDING') AS lev
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ---------- Date / time functions ----------
+
+  def qDateFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        datediff(lit("2002-01-01").cast("date"),
+          col("o_orderdate").cast("date")).as("days_to_2002"),
+        add_months(col("o_orderdate").cast("date"), 3).as("plus3mo"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .orderBy("o_orderkey")
+
+  val qDateFuncsOracle: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(month(o_orderdate) AS INT) AS mo,
+      |  CAST(day(o_orderdate) AS INT) AS dom,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE),
+      |                 DATE '2002-01-01') AS INT) AS days_to_2002,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+      |  strftime(o_orderdate, '%Y-%m') AS ym
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------- Math functions ----------
+
+  def qMathFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        round(col("p_retailprice"), 1).as("rounded"),
+        abs(col("p_size") - 25).as("absdiff"),
+        ceil(col("p_retailprice")).as("ceiled"),
+        floor(col("p_retailprice")).as("floored"),
+        round(pow(col("p_size"), 2), 1).as("sized2"),
+        round(log(col("p_retailprice")), 6).as("ln_price"),
+        round(sqrt(col("p_retailprice")), 6).as("sqrt_price"),
+        pmod(col("p_partkey"), lit(7)).as("m7"),
+        signum(col("p_size") - 25).cast("int").as("sgn"))
+      .orderBy("p_partkey")
+
+  val qMathFuncsOracle: String =
+    """SELECT p_partkey,
+      |  round(p_retailprice, 1) AS rounded,
+      |  abs(p_size - 25) AS absdiff,
+      |  CAST(ceil(p_retailprice) AS BIGINT) AS ceiled,
+      |  CAST(floor(p_retailprice) AS BIGINT) AS floored,
+      |  round(pow(p_size, 2), 1) AS sized2,
+      |  round(ln(p_retailprice), 6) AS ln_price,
+      |  round(sqrt(p_retailprice), 6) AS sqrt_price,
+      |  p_partkey % 7 AS m7,
+      |  CAST(sign(p_size - 25) AS INT) AS sgn
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------- Array functions (ints/strings — no float formatting) ----------
+
+  def qArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("words")).as("n_words"),
+        size(array_distinct(col("words"))).as("n_unique"),
+        array_contains(col("words"), "spark").as("has_spark"),
+        element_at(col("words"), 1).as("first_word"),
+        element_at(col("words"), -1).as("last_word"),
+        array_join(slice(sort_array(array_distinct(col("words"))), 1, 3), ",")
+          .as("first3_sorted"),
+        size(filter(col("words"), w => length(w) > 4)).as("n_long"),
+        aggregate(col("words"), lit(0),
+          (acc, w) => acc + length(w)).as("total_chars"))
+      .orderBy("doc_id")
+
+  val qArrayFuncsOracle: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique,
+      |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+      |  string_split(text, ' ')[1] AS first_word,
+      |  string_split(text, ' ')[-1] AS last_word,
+      |  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3],
+      |                  ',') AS first3_sorted,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |                       w -> length(w) > 4)) AS INT) AS n_long,
+      |  CAST(list_sum(list_transform(string_split(text, ' '),
+      |                               w -> length(w))) AS INT) AS total_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------- JSON functions ----------
+
+  def qJsonFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_value"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+          .getField("k").as("k_struct"),
+        (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"))
+      .orderBy("event_id")
+
+  val qJsonFuncsOracle: String =
+    """SELECT event_id,
+      |  CAST(props->>'$.k' AS BIGINT) AS k_value,
+      |  CAST(props->>'$.k' AS BIGINT) AS k_struct,
+      |  CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------- Conditional / null-handling ----------
+
+  def qConditional(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "F", "finished")
+          .when(col("o_orderstatus") === "O", "open")
+          .otherwise("pending").as("status_name"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("was_p"))
+          .as("nullif_demo"),
+        greatest(col("o_totalprice"), lit(100000.0)).as("floor_price"),
+        least(col("o_totalprice"), lit(200000.0)).as("cap_price"),
+        (col("o_totalprice") > 150000).as("is_big"))
+      .orderBy("o_orderkey")
+
+  val qConditionalOracle: String =
+    """SELECT o_orderkey,
+      |  CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open'
+      |       ELSE 'pending' END AS status_name,
+      |  coalesce(nullif(o_orderstatus, 'P'), 'was_p') AS nullif_demo,
+      |  greatest(o_totalprice, 100000.0) AS floor_price,
+      |  least(o_totalprice, 200000.0) AS cap_price,
+      |  o_totalprice > 150000 AS is_big
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------- Timestamp coercion (ref E2) ----------
+
+  /** `try_to_timestamp`: invalid input → NULL, the reference's
+    * `pd.to_datetime(errors='coerce')` semantics
+    * (songs-etl `cf_transform/main.py:171`). Every 10th key is
+    * corrupted to prove the null path. */
+  def qTimestampCoerce(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("raw",
+        when(col("o_orderkey") % 10 === 0, lit("not-a-timestamp"))
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")))
+      .select(
+        col("o_orderkey"),
+        unix_timestamp(try_to_timestamp(col("raw"))).as("parsed_epoch"),
+        try_to_timestamp(col("raw")).isNull.as("failed"))
+      .orderBy("o_orderkey")
+
+  val qTimestampCoerceOracle: String =
+    """SELECT o_orderkey,
+      |  CAST(floor(extract(epoch FROM try_cast(raw AS TIMESTAMP))) AS BIGINT)
+      |    AS parsed_epoch,
+      |  try_cast(raw AS TIMESTAMP) IS NULL AS failed
+      |FROM (SELECT o_orderkey,
+      |        CASE WHEN o_orderkey % 10 = 0 THEN 'not-a-timestamp'
+      |             ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS raw
+      |      FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------- Event-time windows (batch form) ----------
+
+  /** Tumbling 10-minute windows (Structured Streaming's `window()`,
+    * run in batch: identical semantics, G2-analog). */
+  def qTumblingWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(unix_timestamp(col("w.start")).as("w_start"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("w_start", "event_type")
+
+  val qTumblingWindowOracle: String =
+    """SELECT CAST(floor(extract(epoch FROM ts) / 600) * 600 AS BIGINT)
+      |         AS w_start,
+      |       event_type, count(*) AS n, round(sum(value), 2) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  /** Sliding windows: 10-minute window every 5 minutes — each event
+    * lands in 2 buckets (Spark plans this as an explode over window
+    * instances, not a self-join). */
+  def qSlidingWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      // avg via round(sum,2)/n: raw avg() can land on a round(…,4)
+      // half-way boundary where FP summation order flips the last
+      // digit between engines; rounding the sum first is stable.
+      .agg(count(lit(1)).as("n"),
+        round(round(sum(col("value")), 2) / count(lit(1)), 4).as("avg_value"))
+      .select(unix_timestamp(col("w.start")).as("w_start"), col("n"),
+        col("avg_value"))
+      .orderBy("w_start")
+
+  val qSlidingWindowOracle: String =
+    """SELECT w_start, count(*) AS n,
+      |       round(round(sum(value), 2) / count(*), 4) AS avg_value
+      |FROM (
+      |  SELECT CAST(floor((extract(epoch FROM ts) - i * 300) / 600) * 600
+      |              + i * 300 AS BIGINT) AS w_start, value
+      |  FROM events, unnest([0, 1]) AS t(i))
+      |GROUP BY w_start ORDER BY w_start""".stripMargin
+
+  /** Session windows (30-minute inactivity gap) per user, computed with
+    * the gaps-and-islands idiom so the batch form is oracle-checkable;
+    * the streaming form uses session_window() in EventStream. */
+  def qSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapped = t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800)
+          .cast("int"))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    gapped.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_timestamp(min(col("ts"))).as("session_start"),
+        round(sum(col("value")), 2).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val qSessionWindowOracle: String =
+    """WITH gapped AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR floor(extract(epoch FROM ts))
+      |              - floor(extract(epoch FROM lag(ts) OVER w)) > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM gapped)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  CAST(floor(extract(epoch FROM min(ts))) AS BIGINT) AS session_start,
+      |  round(sum(value), 2) AS session_value
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // ---------- Registry ----------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_string_funcs" -> qStringFuncs,
+    "q_date_funcs" -> qDateFuncs,
+    "q_math_funcs" -> qMathFuncs,
+    "q_array_funcs" -> qArrayFuncs,
+    "q_json_funcs" -> qJsonFuncs,
+    "q_conditional" -> qConditional,
+    "q_timestamp_coerce" -> qTimestampCoerce,
+    "q_tumbling_window" -> qTumblingWindow,
+    "q_sliding_window" -> qSlidingWindow,
+    "q_session_window" -> qSessionWindow,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_string_funcs" -> qStringFuncsOracle,
+    "q_date_funcs" -> qDateFuncsOracle,
+    "q_math_funcs" -> qMathFuncsOracle,
+    "q_array_funcs" -> qArrayFuncsOracle,
+    "q_json_funcs" -> qJsonFuncsOracle,
+    "q_conditional" -> qConditionalOracle,
+    "q_timestamp_coerce" -> qTimestampCoerceOracle,
+    "q_tumbling_window" -> qTumblingWindowOracle,
+    "q_sliding_window" -> qSlidingWindowOracle,
+    "q_session_window" -> qSessionWindowOracle,
+  )
+}

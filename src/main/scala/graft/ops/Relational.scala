@@ -1,0 +1,521 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Relational operator inventory (SURVEY.md §2.2): aggregations,
+  * window functions, sorts/limits/top-k, set ops, and every join
+  * algorithm/type. The reference exercises none of these (its only
+  * aggregation-like op is `drop_duplicates`); they're required engine
+  * surface per BASELINE.json's north star.
+  *
+  * Scale discipline: every groupBy is a partial+final hash aggregate
+  * (map-side combine free), small sides of joins are broadcast
+  * explicitly, non-equi self-joins carry an equi conjunct so Catalyst
+  * plans hash/sort-merge instead of nested-loop, and top-k compiles to
+  * TakeOrderedAndProject (no global sort materialization).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---------- Aggregations ----------
+
+  /** TPC-H Q1-style full aggregate battery over lineitem. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        // avg as round(sum,2)/n: immune to FP summation-order flips at
+        // the round(…,4) half-way boundary (see qSlidingWindow note).
+        round(round(sum(col("l_quantity")), 2) / count(lit(1)), 4)
+          .as("avg_qty"),
+        round(round(sum(col("l_discount")), 2) / count(lit(1)), 4)
+          .as("avg_disc"),
+        count(lit(1)).as("count_order"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1AggOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(round(sum(l_quantity), 2) / count(*), 4) AS avg_qty,
+      |  round(round(sum(l_discount), 2) / count(*), 4) AS avg_disc,
+      |  count(*) AS count_order,
+      |  round(min(l_extendedprice), 2) AS min_price,
+      |  round(max(l_extendedprice), 2) AS max_price
+      |FROM lineitem
+      |WHERE l_shipdate <= CAST('1998-09-02' AS DATE)
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Exact distinct-count aggregates (expand-based in Spark). */
+  def qCountDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val qCountDistinctOracle: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** HLL++ sketch count — algorithm-specific, so no DuckDB oracle
+    * (driver records the weaker rows-only check). At 100 TB this is
+    * the count-distinct you actually run: fixed-size sketch, no expand.
+    */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  /** ROLLUP hierarchy totals with grouping markers. */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("n"))
+      .orderBy("flag", "status")
+
+  val qRollupOracle: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |       coalesce(l_linestatus, 'ALL') AS status,
+      |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin
+
+  /** CUBE over two dims. */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  val qCubeOracle: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** GROUPING SETS via the SQL surface (exercises spark.sql + views). */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY flag, status""".stripMargin)
+  }
+
+  val qGroupingSetsOracle: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |       coalesce(l_linestatus, 'ALL') AS status,
+      |       count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY flag, status""".stripMargin
+
+  // ---------- Window functions ----------
+
+  /** row_number / rank / dense_rank / ntile per group. */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"))
+      .where(col("rn") <= 10)
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  val qWindowRankOracle: String =
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |    row_number() OVER w AS rn, rank() OVER w AS rnk,
+      |    dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority
+      |               ORDER BY o_totalprice DESC, o_orderkey)
+      |) WHERE rn <= 10 ORDER BY o_orderpriority, rn""".stripMargin
+
+  /** lag / lead with defaults over event time. */
+  def qWindowLagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(lag(col("value"), 1, 0.0).over(w), 2).as("prev_value"),
+        round(lead(col("value"), 1, -1.0).over(w), 2).as("next_value"),
+        round(col("value") - lag(col("value"), 1, 0.0).over(w), 2).as("delta"))
+      .orderBy("event_id")
+  }
+
+  val qWindowLagLeadOracle: String =
+    """SELECT event_id, user_id, value,
+      |  round(lag(value, 1, 0.0) OVER w, 2) AS prev_value,
+      |  round(lead(value, 1, -1.0) OVER w, 2) AS next_value,
+      |  round(value - lag(value, 1, 0.0) OVER w, 2) AS delta
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      |ORDER BY event_id""".stripMargin
+
+  /** Running aggregates: ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT. */
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w), 2).as("running_sum"),
+        count(lit(1)).over(w).as("running_n"),
+        round(max(col("value")).over(w), 2).as("running_max"))
+      .orderBy("event_id")
+  }
+
+  val qWindowRunningOracle: String =
+    """SELECT event_id, user_id,
+      |  round(sum(value) OVER w, 2) AS running_sum,
+      |  count(*) OVER w AS running_n,
+      |  round(max(value) OVER w, 2) AS running_max
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** Value-range frame: RANGE BETWEEN n PRECEDING AND CURRENT ROW. */
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice")).rangeBetween(-10000L, 0L)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_in_range"))
+      .orderBy("o_orderkey")
+  }
+
+  val qWindowRangeOracle: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+      |                 RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+      |    AS n_in_range
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Top-k per group via row_number — the scalable top-k idiom (no
+    * global sort; k rows per partition survive the shuffle). */
+  def qTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), row_number().over(w).as("rn"))
+      .where(col("rn") <= 3)
+      .orderBy("l_returnflag", "rn")
+  }
+
+  val qTopkPerGroupOracle: String =
+    """SELECT * FROM (
+      |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem) WHERE rn <= 3
+      |ORDER BY l_returnflag, rn""".stripMargin
+
+  // ---------- Sorts / limits ----------
+
+  /** Global ORDER BY + LIMIT — plans as TakeOrderedAndProject: each
+    * partition keeps k rows, driver merges; no full sort at any scale. */
+  def qSortLimit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .limit(25)
+
+  val qSortLimitOracle: String =
+    """SELECT o_orderkey, o_totalprice, o_orderpriority
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin
+
+  // ---------- Set operations ----------
+
+  def qUnionAll(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_name").as("name"), lit("customer").as("kind"))
+    val su = t(s, dir, "supplier")
+      .select(col("s_name").as("name"), lit("supplier").as("kind"))
+    c.unionByName(su).groupBy(col("kind")).agg(count(lit(1)).as("n"))
+      .orderBy("kind")
+  }
+
+  val qUnionAllOracle: String =
+    """SELECT kind, count(*) AS n FROM (
+      |  SELECT c_name AS name, 'customer' AS kind FROM customer
+      |  UNION ALL
+      |  SELECT s_name AS name, 'supplier' AS kind FROM supplier)
+      |GROUP BY kind ORDER BY kind""".stripMargin
+
+  def qIntersect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  val qIntersectOracle: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT s_nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  def qExcept(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  val qExceptOracle: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |EXCEPT
+      |SELECT s_nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  // ---------- Joins ----------
+
+  /** Large-large equi-join (lineitem ⋈ orders) + broadcast dim join,
+    * aggregated: the canonical star probe. orders side is too big to
+    * broadcast at real scale → sort-merge/shuffled-hash under AQE;
+    * nation is broadcast. */
+  def qJoinInner(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"), "inner")
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"), count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  val qJoinInnerOracle: String =
+    """SELECT c_mktsegment,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Left outer with genuinely unmatched rows (null padding). */
+  def qJoinLeft(s: SparkSession, dir: String): DataFrame = {
+    val bigOrders = t(s, dir, "orders").where(col("o_totalprice") > 150000)
+      .select(col("o_orderkey").as("big_orderkey"), col("o_totalprice"))
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(round(sum(col("l_quantity")), 2).as("qty"))
+      .join(bigOrders, col("l_orderkey") === col("big_orderkey"), "left")
+      .select(col("l_orderkey"), col("qty"),
+        coalesce(col("o_totalprice"), lit(0.0)).as("big_price"))
+      .orderBy("l_orderkey")
+  }
+
+  val qJoinLeftOracle: String =
+    """SELECT l_orderkey, qty, coalesce(o_totalprice, 0.0) AS big_price
+      |FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS qty
+      |      FROM lineitem GROUP BY l_orderkey) li
+      |LEFT JOIN (SELECT o_orderkey AS big_orderkey, o_totalprice
+      |           FROM orders WHERE o_totalprice > 150000) o
+      |  ON l_orderkey = big_orderkey
+      |ORDER BY l_orderkey""".stripMargin
+
+  /** Full outer of two aggregates on the same key. */
+  def qJoinFull(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val su = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(su, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  val qJoinFullOracle: String =
+    """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+      |       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+      |      FROM customer GROUP BY 1) c
+      |FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+      |           FROM supplier GROUP BY 1) s USING (nationkey)
+      |ORDER BY nationkey""".stripMargin
+
+  /** Left-semi: EXISTS without materializing the right side. */
+  def qJoinSemi(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem").where(col("l_discount") >= 0.09),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  val qJoinSemiOracle: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_discount >= 0.09)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Left-anti: NOT EXISTS. Parts never shipped. */
+  def qJoinAnti(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .join(t(s, dir, "lineitem"),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy("p_partkey")
+
+  val qJoinAntiOracle: String =
+    """SELECT p_partkey, p_name FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Cross join (small × small, explicit). */
+  def qJoinCross(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+      .select(col("r_name"), col("n_name"))
+      .orderBy("r_name", "n_name")
+
+  val qJoinCrossOracle: String =
+    """SELECT r_name, n_name FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Range (interval) join: event pairs of the same user within 10
+    * minutes. The user_id equi-conjunct keys the shuffle so this plans
+    * as a hash/sort-merge join with a range residual — NOT a
+    * cartesian; that's the property that survives 100×. */
+  def qJoinRange(s: SparkSession, dir: String): DataFrame = {
+    val e1 = t(s, dir, "events").select(
+      col("user_id"), col("event_id").as("eid_a"), col("ts").as("ts_a"))
+    val e2 = t(s, dir, "events").select(
+      col("user_id"), col("event_id").as("eid_b"), col("ts").as("ts_b"))
+    e1.join(e2,
+      e1("user_id") === e2("user_id") &&
+        col("eid_a") < col("eid_b") &&
+        col("ts_b") >= col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr("INTERVAL 10 MINUTES"))
+      .groupBy(e1("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  val qJoinRangeOracle: String =
+    """SELECT a.user_id, count(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+      |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
+
+  /** As-of join: each 'error' event picks the latest prior-or-same
+    * 'signup' of the same user. Implemented with the union+window
+    * idiom (one shuffle, no nested loop): carry signup timestamps down
+    * the event stream with last(_, ignoreNulls) over an ordered
+    * window. DuckDB oracle uses its native ASOF JOIN.
+    */
+  def qJoinAsof(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("signup_ts",
+        last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true)
+          .over(w))
+      .where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("error_epoch"),
+        unix_timestamp(col("signup_ts")).as("signup_epoch"))
+      .orderBy("event_id")
+  }
+
+  val qJoinAsofOracle: String =
+    """SELECT e.event_id, e.user_id,
+      |  CAST(floor(extract(epoch FROM e.ts)) AS BIGINT) AS error_epoch,
+      |  CAST(floor(extract(epoch FROM s.ts)) AS BIGINT) AS signup_epoch
+      |FROM (SELECT * FROM events WHERE event_type = 'error') e
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |  ON e.user_id = s.user_id AND e.ts >= s.ts
+      |ORDER BY e.event_id""".stripMargin
+
+  // ---------- Registry ----------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg,
+    "q_count_distinct" -> qCountDistinct,
+    "q_approx_distinct" -> qApproxDistinct,
+    "q_rollup" -> qRollup,
+    "q_cube" -> qCube,
+    "q_grouping_sets" -> qGroupingSets,
+    "q_window_rank" -> qWindowRank,
+    "q_window_lag_lead" -> qWindowLagLead,
+    "q_window_running" -> qWindowRunning,
+    "q_window_range" -> qWindowRange,
+    "q_topk_per_group" -> qTopkPerGroup,
+    "q_sort_limit" -> qSortLimit,
+    "q_union_all" -> qUnionAll,
+    "q_intersect" -> qIntersect,
+    "q_except" -> qExcept,
+    "q_join_inner" -> qJoinInner,
+    "q_join_left" -> qJoinLeft,
+    "q_join_full" -> qJoinFull,
+    "q_join_semi" -> qJoinSemi,
+    "q_join_anti" -> qJoinAnti,
+    "q_join_cross" -> qJoinCross,
+    "q_join_range" -> qJoinRange,
+    "q_join_asof" -> qJoinAsof,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggOracle,
+    "q_count_distinct" -> qCountDistinctOracle,
+    "q_rollup" -> qRollupOracle,
+    "q_cube" -> qCubeOracle,
+    "q_grouping_sets" -> qGroupingSetsOracle,
+    "q_window_rank" -> qWindowRankOracle,
+    "q_window_lag_lead" -> qWindowLagLeadOracle,
+    "q_window_running" -> qWindowRunningOracle,
+    "q_window_range" -> qWindowRangeOracle,
+    "q_topk_per_group" -> qTopkPerGroupOracle,
+    "q_sort_limit" -> qSortLimitOracle,
+    "q_union_all" -> qUnionAllOracle,
+    "q_intersect" -> qIntersectOracle,
+    "q_except" -> qExceptOracle,
+    "q_join_inner" -> qJoinInnerOracle,
+    "q_join_left" -> qJoinLeftOracle,
+    "q_join_full" -> qJoinFullOracle,
+    "q_join_semi" -> qJoinSemiOracle,
+    "q_join_anti" -> qJoinAntiOracle,
+    "q_join_cross" -> qJoinCrossOracle,
+    "q_join_range" -> qJoinRangeOracle,
+    "q_join_asof" -> qJoinAsofOracle,
+  )
+}

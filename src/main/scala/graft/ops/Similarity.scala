@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Similarity search over the `embeddings` table (vec_id BIGINT,
+  * embedding ARRAY<FLOAT>, label INT) — the ANN surface of the
+  * LLM-data-pipeline north star. The reference has no vector ops at
+  * all; this is new engine surface per BASELINE.json.
+  *
+  * All vector math is built-in higher-order functions (`zip_with` +
+  * `aggregate`), fully codegen-friendly — no UDFs, no collect.
+  *
+  * Scale design (100 TB): the brute-force queries are the correctness
+  * ground truth (oracle-checkable, and fine while the *query set* is
+  * small — broadcast the queries, stream the corpus). The LSH variant
+  * is the scale path: bucket candidates by random-hyperplane signature
+  * so candidate generation shuffles on the bucket key and never goes
+  * all-pairs; at a real corpus size you'd add multi-probe + IVF
+  * centroids, same plan shape.
+  */
+object Similarity {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** embeddings with a double-cast vector and its L2 norm. Casting
+    * float→double up front makes every product bit-identical to the
+    * DuckDB oracle (float→double widening is exact). */
+  private def withNorm(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  // ---------- Brute-force cosine top-k (ground truth) ----------
+
+  /** Top-5 cosine neighbors for each query vector (vec_id % 100 = 0).
+    * The query side is tiny by construction → `broadcast` it; the
+    * corpus side streams through in place with no shuffle at all —
+    * the one-pass shape that scales to an arbitrarily large corpus.
+    * Ranking uses the 4-dp rounded cosine so FP summation order can
+    * never flip a rank between engines.
+    */
+  def simCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(t(s, dir, "embeddings"))
+    val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"))
+      .where(col("qid") % 100 === 0)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 4)
+          .as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .orderBy("qid", "rn")
+  }
+
+  val simCosineTopkOracle: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe
+      |           FROM embeddings WHERE vec_id % 100 = 0),
+      |z AS (SELECT qid, e.vec_id AS vid, unnest(qe) AS x,
+      |             unnest(e.embedding) AS y
+      |      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> qid),
+      |d AS (SELECT qid, vid,
+      |             sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+      |      FROM z GROUP BY 1, 2),
+      |n AS (SELECT vec_id,
+      |             sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      |      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+      |      GROUP BY 1),
+      |c AS (SELECT qid, vid AS neighbor_id,
+      |             round(dot / (nq.nrm * nv.nrm), 4) AS cosine
+      |      FROM d JOIN n nq ON nq.vec_id = qid
+      |             JOIN n nv ON nv.vec_id = vid)
+      |SELECT qid, neighbor_id, cosine, rn FROM (
+      |  SELECT qid, neighbor_id, cosine,
+      |    CAST(row_number() OVER (PARTITION BY qid
+      |         ORDER BY cosine DESC, neighbor_id) AS INT) AS rn
+      |  FROM c)
+      |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
+  // ---------- Embedding-cosine near-dup pairs (ground truth) ----------
+
+  /** All vector pairs with cosine ≥ 0.25 — the embedding-space
+    * near-duplicate detector. Exact all-pairs is O(n²) and exists as
+    * the oracle ground truth; [[simAnnLsh]] is the same semantics on
+    * the LSH-bucketed plan that survives scale-up. */
+  def simNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(t(s, dir, "embeddings"))
+    val a = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+      col("nrm").as("nrm_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
+      col("nrm").as("nrm_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")),
+          4).as("cosine"))
+      .where(col("cosine") >= 0.25)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val simNeardupOracle: String =
+    """WITH z AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |                  unnest(a.embedding) AS x, unnest(b.embedding) AS y
+      |            FROM embeddings a JOIN embeddings b
+      |              ON a.vec_id < b.vec_id),
+      |d AS (SELECT vec_a, vec_b,
+      |             sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+      |      FROM z GROUP BY 1, 2),
+      |n AS (SELECT vec_id,
+      |             sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      |      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+      |      GROUP BY 1)
+      |SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+      |FROM d JOIN n na ON na.vec_id = vec_a
+      |       JOIN n nb ON nb.vec_id = vec_b
+      |WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.25
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---------- LSH-bucketed ANN (the scale path) ----------
+
+  private val Planes = 8
+
+  /** Random-hyperplane LSH: signature bit h = sign(v · r_h) with
+    * r_h ∈ {−1, +1}^dim derived deterministically from xxhash64(h, j)
+    * — dim-agnostic, seedless, reproducible across runs and engines.
+    * Vectors sharing all 8 bits land in one of 256 buckets; candidates
+    * are generated by an equi-join on the bucket key (shuffle on
+    * bucket — linear, never all-pairs), then verified with exact
+    * cosine and top-k'd per query. Approximate by design (a true
+    * neighbor in another bucket is missed) → no DuckDB oracle;
+    * SimilaritySpec asserts recall against the brute-force truth. */
+  def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(t(s, dir, "embeddings"))
+    val signs = (h: Int) => transform(
+      sequence(lit(0), size(col("emb")) - 1),
+      j => when(pmod(xxhash64(lit(h), j), lit(2)) === 0, 1.0).otherwise(-1.0))
+    val bucket = (0 until Planes).map(h =>
+      when(dot(col("emb"), signs(h)) > 0, 1L << h).otherwise(0L))
+      .reduce(_ + _)
+    val hashed = e.withColumn("bucket", bucket)
+    val q = hashed.select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"), col("bucket"))
+      .where(col("qid") % 100 === 0)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    hashed.join(broadcast(q), Seq("bucket"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 4)
+          .as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .orderBy("qid", "rn")
+  }
+
+  // ---------- Registry ----------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cosine_topk" -> simCosineTopk,
+    "sim_neardup" -> simNeardup,
+    "sim_ann_lsh" -> simAnnLsh,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "sim_cosine_topk" -> simCosineTopkOracle,
+    "sim_neardup" -> simNeardupOracle,
+    // sim_ann_lsh: approximate + xxhash64-based → rows-only check;
+    // recall vs sim_cosine_topk asserted in SimilaritySpec.
+  )
+}

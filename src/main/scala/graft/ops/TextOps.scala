@@ -1,0 +1,350 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Text-analysis + deduplication operators over `documents` — the
+  * LLM-training-data-pipeline surface (BASELINE.json north star; the
+  * reference has nothing comparable, its only dedup is pandas
+  * `drop_duplicates`, songs-etl `cf_transform/main.py:153`).
+  *
+  * Scale design: every dedup here is formulated as shuffle-on-key
+  * (shingle / band / simhash-band), never as an all-pairs cross join.
+  * MinHash-LSH and SimHash banding make candidate generation linear in
+  * corpus size; exact-Jaccard verification only touches candidate
+  * pairs. That's the shape that survives 100 TB; the exact
+  * n-gram-Jaccard query keeps a full inverted-index self-join for the
+  * oracle-checkable ground truth.
+  */
+object TextOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val ws: Column = lit(" ")
+
+  /** words array for a text column. */
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Distinct (doc_id, 3-gram shingle) pairs — the shared substrate of
+    * the Jaccard/MinHash family. Pure higher-order functions, no UDFs:
+    * shingle_i = words[i] ++ words[i+1] ++ words[i+2].
+    */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", words(col("text")))
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("ws")) - 3),
+          i => concat_ws(" ",
+            element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2),
+            element_at(col("ws"), i + 3)))).as("shingle"))
+      .distinct()
+
+  // ---------- Token counting ----------
+
+  def qTextTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(words(col("text"))).as("n_ws_tokens"),
+        // BPE-ish: letter runs, single digits, single punctuation
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
+        length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+
+  val qTextTokensOracle: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]'))
+      |       AS INT) AS n_bpe_tokens,
+      |  CAST(length(text) AS INT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------- Quality scoring ----------
+
+  private val stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+
+  def qTextQuality(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val nWords = size(w).cast("double")
+    val stopArr = array(stopwords.map(lit): _*)
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(w).as("n_words"),
+        round(length(regexp_replace(col("text"), "[a-z\\s]", ""))
+          / length(col("text")).cast("double"), 4).as("punct_ratio"),
+        round(size(filter(w, x => array_contains(stopArr, x))) / nWords, 4)
+          .as("stopword_ratio"),
+        round((length(col("text")) - size(w) + 1) / nWords, 4)
+          .as("avg_word_len"),
+        round(size(array_distinct(w)) / nWords, 4).as("ttr"))
+      .orderBy("doc_id")
+  }
+
+  val qTextQualityOracle: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS INT) AS n_chars,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+      |  round(length(regexp_replace(text, '[a-z\s]', '', 'g'))
+      |        / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+      |  round(len(list_filter(string_split(text, ' '),
+      |          x -> list_contains(['the','a','an','and','of','to','in','is'], x)))
+      |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+      |    AS stopword_ratio,
+      |  round((length(text) - len(string_split(text, ' ')) + 1)
+      |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+      |    AS avg_word_len,
+      |  round(len(list_distinct(string_split(text, ' ')))
+      |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS ttr
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------- Language ID (deterministic n-gram/stopword heuristic) ----------
+
+  def qLangId(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val enMarkers = array(Seq("the", "a", "is", "of").map(lit): _*)
+    t(s, dir, "documents")
+      .withColumn("en_hits",
+        size(filter(w, x => array_contains(enMarkers, x))))
+      .withColumn("n_words", size(w))
+      .select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        when(col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
+          .when(col("en_hits").cast("double") / col("n_words") >= 0.05, "en")
+          .otherwise("other").as("predicted_lang"))
+      .orderBy("doc_id")
+  }
+
+  val qLangIdOracle: String =
+    """SELECT doc_id, lang AS labeled_lang,
+      |  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+      |       WHEN CAST(len(list_filter(string_split(text, ' '),
+      |              x -> list_contains(['the','a','is','of'], x))) AS DOUBLE)
+      |            / len(string_split(text, ' ')) >= 0.05 THEN 'en'
+      |       ELSE 'other' END AS predicted_lang
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------- Document fingerprinting ----------
+
+  /** Content-hash fingerprint over normalized text (md5 — identical
+    * across engines), plus a winnowing-style rolling min-hash that is
+    * Spark-side only (xxhash64 isn't portable → rows-only check covers
+    * it in dedup_minhash_lsh instead; here the oracle checks md5). */
+  def qDocFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp_md5"),
+        substring(md5(col("text")), 1, 8).as("fp_short"))
+      .orderBy("doc_id")
+
+  val qDocFingerprintOracle: String =
+    """SELECT doc_id,
+      |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_md5,
+      |  substring(md5(text), 1, 8) AS fp_short
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------- Exact dedup ----------
+
+  /** Exact dedup via hash-groupBy on normalized content: canonical =
+    * min doc_id per distinct text; every doc flagged keep/drop. One
+    * shuffle on the content hash — the 100 TB formulation (group on
+    * md5, not on the full text bytes). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text")))
+    t(s, dir, "documents")
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val dedupExactOracle: String =
+    """SELECT doc_id,
+      |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+      |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------- Near-dup: exact n-gram Jaccard (ground truth) ----------
+
+  /** All pairs with 3-gram-shingle Jaccard ≥ 0.2, via inverted-index
+    * self-join on the shingle (shuffle key = shingle; candidate pairs
+    * only materialize where shingles collide — no cross join). */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(t(s, dir, "documents"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        Seq("doc_b"))
+      .withColumn("jaccard", round(col("n_common")
+        / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4))
+      .where(col("jaccard") >= 0.2)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupNgramJaccardOracle: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |        i -> string_split(text,' ')[i] || ' ' ||
+      |             string_split(text,' ')[i+1] || ' ' ||
+      |             string_split(text,' ')[i+2])) AS sh
+      |    FROM documents WHERE len(string_split(text,' ')) >= 3)),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 4)
+      |    AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------- Near-dup: MinHash + LSH (the scale path) ----------
+
+  private val MinhashPerms = 16
+  private val BandSize = 4 // → 4 bands of 4
+
+  /** MinHash signatures (16 perms via seeded xxhash64) → LSH banding
+    * (4 bands × 4 rows) → bucket join for candidates → exact-Jaccard
+    * verification of candidates only. Candidate generation is
+    * linear-ish: shuffle on (band_idx, band_hash). xxhash64 isn't
+    * available in DuckDB, so the driver records the rows-only check;
+    * MinhashLshSpec asserts recall against dedupNgramJaccard instead.
+    */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(t(s, dir, "documents"))
+
+    // signature: sig_i = min over shingles of xxhash64(i, shingle)
+    val sigCols = (0 until MinhashPerms).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"sig_$i"))
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+
+    // bands: hash 4 consecutive sig values per band
+    val bandStructs = (0 until MinhashPerms / BandSize).map { b =>
+      val cols = (0 until BandSize).map(r => col(s"sig_${b * BandSize + r}"))
+      struct(lit(b).as("band_idx"), xxhash64(cols: _*).as("band_hash"))
+    }
+    val banded = sigs.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+        col("band.band_hash").as("band_hash"))
+
+    val cands = banded.alias("x")
+      .join(banded.alias("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    // verify candidates with exact Jaccard (candidates only — cheap)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"),
+        col("shingle").as("sh_b")), Seq("doc_b"))
+      .where(col("shingle") === col("sh_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        Seq("doc_b"))
+      .withColumn("jaccard", round(col("n_common")
+        / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4))
+      .where(col("jaccard") >= 0.2)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------- Near-dup: SimHash ----------
+
+  /** 64-bit SimHash over word hashes; near-dups = pairs at Hamming
+    * distance ≤ 3. Pair generation uses 4×16-bit banding (pigeonhole:
+    * d ≤ 3 ⇒ at least one of 4 bands equal), so the join shuffles on
+    * (band, band_bits) — never all-pairs. Spark-side only (xxhash64).
+    */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val wordRows = docs
+      .select(col("doc_id"), explode(array_distinct(words(col("text"))))
+        .as("word"))
+      .withColumn("h", xxhash64(col("word")))
+
+    // simhash bit b = 1 iff sum over words of (bit set ? +1 : -1) > 0
+    val bitSums = (0 until 64).map(b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1))
+        .as(s"s_$b"))
+    val sums = wordRows.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = sums.select(col("doc_id"),
+      (0 until 64).map(b =>
+        when(col(s"s_$b") > 0, lit(1L << b)).otherwise(0L))
+        .reduce(_.bitwiseOR(_)).as("simhash"))
+
+    val banded = sim.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(i => struct(lit(i).as("band"),
+        col("simhash").bitwiseAND(lit(0xFFFFL << (16 * i))).as("bits"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"),
+        col("bb.bits").as("bits"))
+
+    banded.alias("x").join(banded.alias("y"),
+      col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------- Registry ----------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokens" -> qTextTokens,
+    "q_text_quality" -> qTextQuality,
+    "q_lang_id" -> qLangId,
+    "q_doc_fingerprint" -> qDocFingerprint,
+    "dedup_exact" -> dedupExact,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_simhash" -> dedupSimhash,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_text_tokens" -> qTextTokensOracle,
+    "q_text_quality" -> qTextQualityOracle,
+    "q_lang_id" -> qLangIdOracle,
+    "q_doc_fingerprint" -> qDocFingerprintOracle,
+    "dedup_exact" -> dedupExactOracle,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
+    // dedup_minhash_lsh / dedup_simhash: xxhash64-based, not DuckDB-
+    // expressible → rows-only check; recall asserted in ScalaTest.
+  )
+}

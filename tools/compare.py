@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB differential check.
+
+Usage: compare.py <sfDir> <verifyOutDir>
+
+For each query directory under verifyOutDir, loads the Spark result
+parquet, runs the matching oracle SQL (oracle_sql.json) in DuckDB with
+every testdata table registered as a view, sorts columns by name, and
+compares row counts + cell values (floats to 1e-9). Queries without an
+oracle get a rows-only check.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+
+import os
+fails = []
+for name in sorted(os.listdir(outdir)):
+    d = os.path.join(outdir, name)
+    if not os.path.isdir(d):
+        continue
+    spark = con.sql(f"SELECT * FROM '{d}/*.parquet'")
+    scols = sorted(spark.columns)
+    sdf = spark.df()[scols]
+    if name not in oracles:
+        print(f"{name:24s} rows-only: {len(sdf)} rows "
+              f"{'OK' if len(sdf) > 0 else 'EMPTY!'}")
+        if len(sdf) == 0:
+            fails.append(name)
+        continue
+    try:
+        oracle = con.sql(oracles[name])
+        ocols = sorted(oracle.columns)
+        odf = oracle.df()[ocols]
+    except Exception as e:
+        print(f"{name:24s} ORACLE ERROR: {e}")
+        fails.append(name)
+        continue
+    ok = True
+    if scols != ocols:
+        print(f"{name:24s} COLUMN MISMATCH spark={scols} oracle={ocols}")
+        ok = False
+    elif len(sdf) != len(odf):
+        print(f"{name:24s} ROWCOUNT spark={len(sdf)} oracle={len(odf)}")
+        ok = False
+    else:
+        for c in scols:
+            a, b = sdf[c].tolist(), odf[c].tolist()
+            for i, (x, y) in enumerate(zip(a, b)):
+                same = (x == y or (x is None and y is None)
+                        or (isinstance(x, float) and isinstance(y, float)
+                            and (math.isnan(x) and math.isnan(y)
+                                 or abs(x - y) < 1e-9))
+                        or str(x) == str(y))
+                if not same:
+                    print(f"{name:24s} VALUE row {i} col {c}: "
+                          f"spark={x!r} oracle={y!r}")
+                    ok = False
+                    break
+            if not ok:
+                break
+    if ok:
+        print(f"{name:24s} OK ({len(sdf)} rows)")
+    else:
+        fails.append(name)
+
+print(f"\n{'ALL OK' if not fails else 'FAILURES: ' + ', '.join(fails)}")
+sys.exit(1 if fails else 0)
