@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Near-dup pipeline invariants that the DuckDB oracle can't check
+  * (MinHash/SimHash use xxhash64, not portable to the oracle). */
+class DedupSpec extends SparkSpec {
+
+  test("minhash-LSH candidates are verified: every emitted pair meets " +
+    "the exact-Jaccard threshold (no false positives)") {
+    val truth = TextOps.dedupNgramJaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = TextOps.dedupMinhashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (pair, j) =>
+      assert(truth.contains(pair), s"LSH pair $pair not in ground truth")
+      assert(math.abs(truth(pair) - j) < 1e-9)
+    }
+  }
+
+  test("minhash-LSH recall vs exact n-gram Jaccard at j>=0.5") {
+    // 16 perms / 4 bands: P(candidate) = 1-(1-j^4)^4 ≈ 0.22 at j=0.5,
+    // ≈ 0.93 at j=0.8. Planted near-dups in the testdata sit high, so
+    // recall on the j≥0.5 slice should be strong.
+    val truth = TextOps.dedupNgramJaccard(spark, sf)
+      .where(org.apache.spark.sql.functions.col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextOps.dedupMinhashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "testdata should contain strong near-dups")
+    val recall = truth.count(lsh.contains).toDouble / truth.size
+    assert(recall >= 0.8, s"recall $recall < 0.8 on ${truth.size} pairs")
+  }
+
+  test("simhash pairs are at Hamming distance <= 3 and symmetric-free") {
+    val rows = TextOps.dedupSimhash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1)) // canonical orientation
+      assert(r.getInt(2) <= 3)
+    }
+  }
+
+  test("exact dedup: canonical_id is the min doc_id of its text group") {
+    val rows = TextOps.dedupExact(spark, sf).collect()
+    val byCanon = rows.groupBy(_.getLong(1))
+    byCanon.foreach { case (canon, grp) =>
+      assert(grp.map(_.getLong(0)).min == canon)
+      assert(grp.count(_.getBoolean(2)) == 1) // exactly one keeper
+    }
+  }
+}

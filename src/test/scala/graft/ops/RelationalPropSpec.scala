@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** ScalaCheck-generated property tests over tiny frames (SURVEY.md
+  * §5.2-3): algebraic laws the engine must preserve at any scale.
+  * Sampling is driven manually (fixed seeds, 5 cases per law) — the
+  * scalatest↔scalacheck bridge isn't on the offline classpath, and
+  * Spark jobs are slow enough that few-but-deterministic beats many.
+  */
+class RelationalPropSpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int = 5): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val rowsGen: Gen[List[(Int, Long)]] = Gen.listOfN(30,
+    Gen.zip(Gen.choose(0, 5), Gen.choose(0L, 20L)))
+
+  test("dropDuplicates is idempotent") {
+    for (data <- samples(rowsGen)) {
+      import spark.implicits._
+      val once = data.toDF("k", "v").dropDuplicates()
+      assert(once.count() == once.dropDuplicates().count())
+    }
+  }
+
+  test("explode row count == sum of array sizes") {
+    for (arrs <- samples(Gen.listOfN(10, Gen.listOf(Gen.choose(0, 9))))) {
+      import spark.implicits._
+      val exploded = arrs.toDF("arr").select(explode(col("arr"))).count()
+      assert(exploded == arrs.map(_.size).sum)
+    }
+  }
+
+  test("unionAll count is additive; except removes all matches") {
+    for ((a, b) <- samples(Gen.zip(rowsGen, rowsGen))) {
+      import spark.implicits._
+      val da = a.toDF("k", "v")
+      val db = b.toDF("k", "v")
+      assert(da.union(db).count() == a.size + b.size)
+      val ex = da.distinct().except(db).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(ex == (a.toSet -- b.toSet))
+    }
+  }
+
+  test("inner join cardinality == sum over keys of |A_k|*|B_k|") {
+    for ((a, b) <- samples(Gen.zip(rowsGen, rowsGen))) {
+      import spark.implicits._
+      val joined = a.toDF("k", "va").join(b.toDF("k", "vb"), "k").count()
+      val expected = a.groupBy(_._1).map { case (k, as) =>
+        as.size.toLong * b.count(_._1 == k) }.sum
+      assert(joined == expected)
+    }
+  }
+
+  test("left join preserves left cardinality when right is unique-keyed") {
+    for (a <- samples(rowsGen)) {
+      import spark.implicits._
+      val dim = (0 to 5).map(k => (k, s"name$k")).toDF("k", "name")
+      assert(a.toDF("k", "v").join(dim, Seq("k"), "left").count() == a.size)
+    }
+  }
+}

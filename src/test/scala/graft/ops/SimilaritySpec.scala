@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force top-k: k=5 per query, rank ordered by cosine desc") {
+    val rows = Similarity.simCosineTopk(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, grp) =>
+      assert(grp.length == 5)
+      val ranked = grp.sortBy(_.getInt(3))
+      assert(ranked.map(_.getDouble(2)).sliding(2).forall(p =>
+        p.head >= p.last)) // cosine non-increasing with rank
+    }
+  }
+
+  test("LSH ANN results are true cosines and bucket-consistent") {
+    // Every ANN hit must agree with the brute-force cosine for the
+    // same (query, neighbor) pair — the LSH path may MISS neighbors
+    // (approximate) but must never emit a wrong score.
+    val brute = Similarity.simNeardup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = Similarity.simAnnLsh(spark, sf).collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      val (q, n, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val key = if (q < n) (q, n) else (n, q)
+      // simNeardup only keeps cosine >= 0.25; below that just assert range
+      brute.get(key).foreach(tc => assert(math.abs(tc - c) < 1e-9))
+      assert(c >= -1.0001 && c <= 1.0001)
+    }
+  }
+
+  test("near-dup pairs all meet the threshold and are canonical") {
+    val rows = Similarity.simNeardup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.25)
+    }
+  }
+}
