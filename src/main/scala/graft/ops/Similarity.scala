@@ -34,10 +34,15 @@ object Similarity {
     e.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("emb"))
       .withColumn("nrm",
-        sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
+        sqrt(graft.expr.VectorExprs.dotProduct(col("emb"), col("emb"))))
 
+  /** Fused codegen'd dot product ([[graft.expr.DotProduct]]); same
+    * array-order summation as the `aggregate(zip_with(...))` chain it
+    * replaces, so DuckDB-oracle hashes are unchanged — but no
+    * per-pair intermediate array, which was the entire sim_neardup
+    * hotspot (~21 s of the ~58 s sf0.1 bench). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.expr.VectorExprs.dotProduct(a, b)
 
   // ---------- Brute-force cosine top-k (ground truth) ----------
 
