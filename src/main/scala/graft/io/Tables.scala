@@ -28,17 +28,26 @@ object Tables {
     * every oracle only compares at second granularity, so truncation
     * is invisible to the hash compare.
     */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df0 = {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-    }
-    if (name == "events")
-      df0.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df0
-  }
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((spark, dir, name), {
+      val df0 = {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$dir/$name.parquet")
+      }
+      if (name == "events")
+        df0.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      else df0
+    })
+
+  // DataFrames are immutable plans, so handing the same instance to
+  // every query is safe and lets Spark reuse the resolved relation
+  // (file index + parquet footer schema) instead of re-listing the
+  // path once per query — measurable across a 46-query bench run.
+  private val cache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, String), DataFrame]
 
   /** Register every testdata table as a temp view so `spark.sql` works
     * (ref A6: arbitrary SQL pushed to the warehouse). */

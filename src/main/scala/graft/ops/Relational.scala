@@ -411,19 +411,30 @@ object Relational {
       |ORDER BY r_name, n_name""".stripMargin
 
   /** Range (interval) join: event pairs of the same user within 10
-    * minutes. The user_id equi-conjunct keys the shuffle so this plans
-    * as a hash/sort-merge join with a range residual — NOT a
-    * cartesian; that's the property that survives 100×. */
+    * minutes, via the classic bucketed range join: quantize time into
+    * interval-width bins and equi-join on (user_id, bin), with the
+    * left side exploded to {bin_a, bin_a+1} (any b in [a, a+10min]
+    * lands in exactly one of those two bins, so no pair duplicates).
+    * Candidates drop from all same-user pairs to same-user-same-bin
+    * pairs — that's what keeps this linear at 100× — and the residual
+    * is three long comparisons instead of per-pair timestamp INTERVAL
+    * arithmetic. */
   def qJoinRange(s: SparkSession, dir: String): DataFrame = {
-    val e1 = t(s, dir, "events").select(
-      col("user_id"), col("event_id").as("eid_a"), col("ts").as("ts_a"))
-    val e2 = t(s, dir, "events").select(
-      col("user_id"), col("event_id").as("eid_b"), col("ts").as("ts_b"))
+    val binUs = 600000000L // 10 minutes in microseconds
+    val ev = t(s, dir, "events").select(col("user_id"),
+      col("event_id"), unix_micros(col("ts")).as("us"))
+    val e1 = ev.select(col("user_id"), col("event_id").as("eid_a"),
+        col("us").as("us_a"),
+        explode(array(floor(col("us") / binUs).cast("long"),
+          floor(col("us") / binUs).cast("long") + 1)).as("bin"))
+    val e2 = ev.select(col("user_id").as("uid_b"),
+      col("event_id").as("eid_b"), col("us").as("us_b"),
+      floor(col("us") / binUs).cast("long").as("bin"))
     e1.join(e2,
-      e1("user_id") === e2("user_id") &&
+      e1("user_id") === col("uid_b") && e1("bin") === e2("bin") &&
         col("eid_a") < col("eid_b") &&
-        col("ts_b") >= col("ts_a") &&
-        col("ts_b") <= col("ts_a") + expr("INTERVAL 10 MINUTES"))
+        col("us_b") >= col("us_a") &&
+        col("us_b") <= col("us_a") + binUs)
       .groupBy(e1("user_id"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("user_id")

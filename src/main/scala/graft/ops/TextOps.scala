@@ -295,15 +295,11 @@ object TextOps {
         .as("word"))
       .withColumn("h", xxhash64(col("word")))
 
-    // simhash bit b = 1 iff sum over words of (bit set ? +1 : -1) > 0
-    val bitSums = (0 until 64).map(b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1))
-        .as(s"s_$b"))
-    val sums = wordRows.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sim = sums.select(col("doc_id"),
-      (0 until 64).map(b =>
-        when(col(s"s_$b") > 0, lit(1L << b)).otherwise(0L))
-        .reduce(_.bitwiseOR(_)).as("simhash"))
+    // simhash bit b = 1 iff sum over words of (bit set ? +1 : -1) > 0;
+    // one custom TypedImperativeAggregate instead of 64 sum(when(...))
+    // columns — see graft.expr.SimHashAgg for why.
+    val sim = wordRows.groupBy(col("doc_id"))
+      .agg(graft.expr.SimHashAgg.simhash(col("h")).as("simhash"))
 
     val banded = sim.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(i => struct(lit(i).as("band"),
