@@ -24,7 +24,8 @@ object SparkEntry {
       "etl_fact_build" -> StarSchema.factBuild,
       "etl_dim_build" -> StarSchema.dimBuild,
     ) ++ ops.Relational.queries ++ ops.Functions.queries ++
-      ops.TextOps.queries ++ ops.Similarity.queries
+      ops.TextOps.queries ++ ops.Similarity.queries ++
+      ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       "etl_fact_build" -> StarSchema.factBuildOracle,
       "etl_dim_build" -> StarSchema.dimBuildOracle,
     ) ++ ops.Relational.oracles ++ ops.Functions.oracles ++
-      ops.TextOps.oracles ++ ops.Similarity.oracles
+      ops.TextOps.oracles ++ ops.Similarity.oracles ++
+      ops.Multimodal.oracles
 }

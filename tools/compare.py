@@ -25,6 +25,14 @@ oracles = json.load(open(f"{outdir}/oracle_sql.json"))
 
 import os
 fails = []
+declared = []
+manifest = os.path.join(outdir, "queries.json")
+if os.path.exists(manifest):
+    declared = json.load(open(manifest))
+for name in declared:
+    if not os.path.isdir(os.path.join(outdir, name)):
+        print(f"{name:24s} MISSING OUTPUT (query threw?)")
+        fails.append(name)
 for name in sorted(os.listdir(outdir)):
     d = os.path.join(outdir, name)
     if not os.path.isdir(d):
