@@ -1,0 +1,137 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference is strictly daily snapshot batch (cron →
+  * WRITE_TRUNCATE, songs-etl `terraform/cloud-scheduler.tf:4-5`,
+  * `cf_transform/main.py:72-75`) — there are no streaming semantics to
+  * match, so this module is engine capability beyond the reference
+  * (SURVEY.md §2.2): the same transformations the batch window queries
+  * run (`q_tumbling_window` / `q_session_window`), phrased so ONE
+  * definition serves both `spark.read` and `spark.readStream` inputs —
+  * which is the entire point of Structured Streaming's unified model.
+  *
+  * Scale design: watermarks bound state (no unbounded buffers), all
+  * aggregations are keyed (shuffle on group key, partial aggregation
+  * intact), and the custom-state op uses typed
+  * `flatMapGroupsWithState` with event-time timeouts so state size is
+  * O(active keys), not O(stream length).
+  */
+object StreamOps {
+
+  /** events schema (TESTDATA.md), for file-stream sources where schema
+    * inference is unavailable. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over a directory of event parquet files. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(dir)
+
+  // ---------- Transforms (batch- and stream-applicable) ----------
+
+  /** Tumbling 10-minute counts per event type; 10-minute watermark
+    * bounds state and drops late data deterministically. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Session windows (10-minute gap) per user — value totals per
+    * session. */
+  def sessionized(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Streaming exact dedup on event_id, state bounded by the
+    * watermark — the streaming face of the batch `dedup_exact`. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ---------- Custom state: flatMapGroupsWithState ----------
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class UserState(nEvents: Long, totalValue: Double)
+
+  final case class UserUpdate(
+      user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-user running aggregate with explicit state — the
+    * mapGroupsWithState surface. Emits one update per user per
+    * micro-batch; state times out 30 minutes (event time) after the
+    * user goes quiet, so state is O(active users). */
+  def userRunningTotals(events: Dataset[Event]): Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[UserState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+            var n = prev.nEvents
+            var tot = prev.totalValue
+            var maxTs = 0L
+            rows.foreach { e =>
+              n += 1; tot += e.value
+              if (e.ts.getTime > maxTs) maxTs = e.ts.getTime
+            }
+            state.update(UserState(n, tot))
+            // Timeout 30 min of event time after this user's latest
+            // event (NOT from the current watermark — on the first
+            // batch the watermark is still epoch 0 and the state would
+            // expire immediately).
+            state.setTimeoutTimestamp(maxTs + 30 * 60 * 1000)
+            Iterator.single(
+              UserUpdate(uid, n, math.floor(tot * 100 + 0.5) / 100))
+          }
+      }
+  }
+
+  // ---------- Sinks ----------
+
+  /** Run a streaming query to completion over currently-available
+    * input (Trigger.AvailableNow semantics via processAllAvailable)
+    * into an in-memory table; returns the table name. */
+  def runToMemory(df: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Append): String = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    name
+  }
+}

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.StreamOps._
+
+/** Streaming semantics under MemoryStream: watermark-driven late-data
+  * handling, windowed aggregation parity with the batch engine,
+  * bounded-state dedup, and custom flatMapGroupsWithState state. */
+class StreamOpsSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  private def ev(id: Long, minute: Int, uid: Long, typ: String,
+                 v: Double): Event = Event(id, ts(minute), uid, typ, v)
+
+  test("windowed counts aggregate into tumbling windows; late row beyond watermark is dropped") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = windowedCounts(in.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wc").start()
+
+    in.addData(ev(1, 1, 1, "click", 1.0), ev(2, 5, 1, "click", 2.0),
+      ev(3, 12, 2, "view", 3.0))
+    q.processAllAvailable()
+    // advance watermark far past the 10:00 window...
+    in.addData(ev(4, 40, 2, "view", 4.0))
+    q.processAllAvailable()
+    // ...then a late event for the closed 10:00 window: must be dropped
+    in.addData(ev(5, 2, 1, "click", 100.0))
+    q.processAllAvailable()
+    in.addData(ev(6, 55, 2, "view", 5.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wc")
+      .select(date_format(col("w_start"), "HH:mm").as("w"), col("event_type"),
+        col("n"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // 10:00 window emitted once with the on-time rows only
+    assert(rows.contains(("10:00", "click", 2L, 3.0)))
+    assert(rows.contains(("10:10", "view", 1L, 3.0)))
+    assert(!rows.exists { case (w, t, _, v) => w == "10:00" && v > 3.0 })
+  }
+
+  test("streaming windowed counts match the batch engine on the same data") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val data = Seq(ev(1, 1, 1, "click", 1.5), ev(2, 5, 1, "click", 2.0),
+      ev(3, 12, 2, "view", 3.0), ev(4, 15, 3, "click", 0.5))
+
+    val in = MemoryStream[Event]
+    val q = windowedCounts(in.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("wc2").start()
+    in.addData(data: _*)
+    q.processAllAvailable()
+    // watermark flush so all windows emit
+    in.addData(ev(99, 59, 9, "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("wc2")
+      .where(col("event_type") =!= "flush")
+      .collect().map(_.toSeq).toSet
+    val batch = windowedCounts(data.toDF())
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups repeated event_ids") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = dedupStream(in.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("dd").start()
+    in.addData(ev(1, 1, 1, "click", 1.0), ev(1, 2, 1, "click", 1.0),
+      ev(2, 3, 1, "view", 2.0), ev(1, 3, 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dd").select("event_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L))
+  }
+
+  test("flatMapGroupsWithState accumulates per-user running totals across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = userRunningTotals(in.toDS()).toDF().writeStream
+      .outputMode("append").format("memory").queryName("urt").start()
+    in.addData(ev(1, 1, 7, "click", 1.25), ev(2, 2, 7, "view", 2.0))
+    q.processAllAvailable()
+    in.addData(ev(3, 10, 7, "click", 0.75))
+    q.processAllAvailable()
+    q.stop()
+    val updates = spark.table("urt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // one update per micro-batch: (2 events, 3.25) then (3 events, 4.0)
+    assert(updates.contains((7L, 2L, 3.25)))
+    assert(updates.contains((7L, 3L, 4.0)))
+  }
+
+  test("file-stream source reads the events table with the declared schema") {
+    // FileStreamSource needs a directory: stage the events parquet
+    // into a temp landing dir, stream it, compare count with batch.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-landing").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val streamed = StreamOps.readEvents(spark, dir)
+    assert(streamed.isStreaming)
+    val name = StreamOps.runToMemory(
+      streamed.groupBy(col("event_type")).count(),
+      "evcount", org.apache.spark.sql.streaming.OutputMode.Complete())
+    val total = spark.table(name).agg(sum("count")).head().getLong(0)
+    val batchTotal = spark.read.schema(eventsSchema).parquet(dir).count()
+    assert(total == batchTotal)
+  }
+}
