@@ -168,12 +168,66 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  // ---------- IVF-bucketed ANN (coarse quantization) ----------
+
+  private val IvfProbes = 4
+
+  /** IVF-flat: centroids = a deterministic 1-in-53 sample of the
+    * corpus (a stand-in for k-means — same plan shape, reproducible
+    * across engines); every vector is assigned to its nearest centroid
+    * (argmin over a broadcast centroid table — linear in corpus size);
+    * each query probes its [[IvfProbes]] nearest cells and only those
+    * cells' members get exact-cosine scored. At 100 TB the corpus side
+    * stays partitioned by cell (a real deployment would write it
+    * bucketed by cell_id) and only |probes|/|cells| of it is touched
+    * per query. Approximate by design → rows-only driver check;
+    * SimilaritySpec asserts recall against the brute-force truth. */
+  def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(t(s, dir, "embeddings"))
+    val cents = e.where(pmod(col("vec_id"), lit(53)) === 7)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cemb"),
+        col("nrm").as("cnrm"))
+
+    // rank cells per vector by cosine-to-centroid
+    def ranked(v: DataFrame, vid: String): DataFrame = {
+      val w = Window.partitionBy(col(vid))
+        .orderBy(col("ccos").desc, col("cent_id"))
+      v.crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
+        .withColumn("crn", row_number().over(w))
+    }
+
+    val assigned = ranked(e, "vec_id").where(col("crn") === 1)
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        col("cent_id").as("cell"))
+
+    val qBase = e.where(col("vec_id") % 100 === 0)
+    val probes = ranked(qBase, "vec_id")
+      .where(col("crn") <= IvfProbes)
+      .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
+      .join(qBase.select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm")), "qid")
+
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 4)
+          .as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .orderBy("qid", "rn")
+  }
+
   // ---------- Registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> simCosineTopk,
     "sim_neardup" -> simNeardup,
     "sim_ann_lsh" -> simAnnLsh,
+    "sim_ann_ivf" -> simAnnIvf,
   )
 
   def oracles: Map[String, String] = Map(

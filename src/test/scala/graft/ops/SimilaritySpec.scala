@@ -33,6 +33,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN: exact scores, k<=5 per query, and recall@5 over 40% vs brute force") {
+    val brute = Similarity.simCosineTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.simAnnIvf(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    val byQ = ivf.groupBy(_.getLong(0))
+    byQ.foreach { case (_, grp) => assert(grp.length <= 5) }
+    val hits = ivf.count(r => brute.contains((r.getLong(0), r.getLong(1))))
+    // nprobe=4 over ~n/53 cells on random vectors: recall is modest by
+    // design; the floor pins that probing works at all (random pairing
+    // would give ~recall 4/53 ≈ 8%).
+    assert(hits.toDouble / brute.size > 0.4,
+      s"IVF recall@5 too low: $hits/${brute.size}")
+  }
+
   test("near-dup pairs all meet the threshold and are canonical") {
     val rows = Similarity.simNeardup(spark, sf).collect()
     assert(rows.nonEmpty)
