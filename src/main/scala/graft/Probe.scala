@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql._
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Scratch timing probe (not part of the driver contract). */
 object Probe {
@@ -20,34 +21,41 @@ object Probe {
 
     val docs = graft.io.Tables.load(spark, dir, "documents")
     def words(c: Column) = split(c, " ")
-    val wordRows = docs.select(col("doc_id"),
-      explode(array_distinct(words(col("text")))).as("word"))
-      .withColumn("h", xxhash64(col("word")))
-    tm("wordRows")(wordRows.count())
-    val bitSums = (0 until 64).map(b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"s_$b"))
-    val sums = wordRows.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    tm("sums64")(sums.count())
-    val sim = sums.select(col("doc_id"),
-      (0 until 64).map(b => when(col(s"s_$b") > 0, lit(1L << b)).otherwise(0L))
-        .reduce(_.bitwiseOR(_)).as("simhash"))
-    tm("sim")(sim.count())
-    val banded = sim.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(i => struct(lit(i).as("band"),
-        col("simhash").bitwiseAND(lit(0xFFFFL << (16 * i))).as("bits"))): _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"),
-        col("bb.bits").as("bits"))
-    val joined = banded.alias("x").join(banded.alias("y"),
-      col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
-        col("x.doc_id") < col("y.doc_id"))
-    tm("band_join_raw")(joined.count())
-    val dist = joined
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+    def shingles(d: DataFrame): DataFrame = d
+      .withColumn("ws", words(col("text")))
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("ws")) - 3),
+          i => concat_ws(" ",
+            element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2),
+            element_at(col("ws"), i + 3)))).as("shingle"))
       .distinct()
-    tm("after_distinct")(dist.count())
-    tm("full")(graft.ops.TextOps.dedupSimhash(spark, dir).count())
-    tm("full_again")(graft.ops.TextOps.dedupSimhash(spark, dir).count())
+
+    def jacc(sh: DataFrame): DataFrame = {
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+      a.join(b, Seq("shingle"))
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+        .withColumn("jaccard", round(col("n_common")
+          / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4))
+        .where(col("jaccard") >= 0.2)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }
+
+    // warm
+    tm("warm_asis")(jacc(shingles(docs)).count())
+    tm("asis")(jacc(shingles(docs)).count())
+    val persisted = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    tm("persisted_1st")(jacc(persisted).count())
+    tm("persisted_2nd")(jacc(persisted).count())
+    persisted.unpersist()
     spark.stop()
   }
 }
