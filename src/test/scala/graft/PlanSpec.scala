@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Physical-plan assertions — the properties that decide whether a
+  * query survives a 100× scale-up, pinned so a refactor can't silently
+  * regress them:
+  *   - predicate pushdown reaches the parquet scan (PushedFilters)
+  *   - column pruning reaches the scan (ReadSchema)
+  *   - dimension joins broadcast (no shuffle of the fact side)
+  *   - whole-stage codegen covers the hot path
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planString(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def formatted(df: DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("filters push down to the parquet scan") {
+    val df = Tables.load(spark, sf, "lineitem")
+      .where(col("l_quantity") > 40 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_quantity")
+    val plan = formatted(df)
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("GreaterThan(l_quantity,40"),
+      s"missing quantity pushdown in:\n$plan")
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      s"missing returnflag pushdown in:\n$plan")
+  }
+
+  test("column pruning: a 2-column projection reads a 2-column schema") {
+    val df = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val plan = formatted(df)
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+    assert(!read.contains("l_extendedprice") && !read.contains("l_comment"),
+      s"scan reads more than the projection: $read")
+  }
+
+  test("fact-to-dim joins in the flagship plan are broadcast, not shuffled") {
+    val df = etl.StarSchema.factBuild(spark, sf)
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast joins in:\n$plan")
+    // the only allowed exchanges: broadcasts + the final sort's range
+    // partitioning + dedup's hash partitioning
+    val shuffles = plan.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      .size
+    assert(shuffles <= 3, s"too many shuffles ($shuffles) in:\n$plan")
+  }
+
+  test("whole-stage codegen covers the aggregation hot path") {
+    val df = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+    df.collect()
+    val exec = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p: SparkPlan => p
+    }
+    // codegen'd operators render with a "*(stageId)" prefix
+    assert(exec.toString.contains("*(1)"),
+      s"no codegen span in:\n$exec")
+  }
+
+  test("partition-count knob: shuffle partitions follow the session config") {
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
+    val parts = Tables.load(spark, sf, "events")
+      .groupBy("user_id").count()
+      .rdd.getNumPartitions
+    assert(parts <= 4, s"agg produced $parts partitions")
+  }
+}
