@@ -477,6 +477,92 @@ object Relational {
       |  ON e.user_id = s.user_id AND e.ts >= s.ts
       |ORDER BY e.event_id""".stripMargin
 
+  // ---------- Pivot ----------
+
+  /** Pivot (wide aggregation): return-flag columns per line status.
+    * Values enumerated explicitly — at scale, an unenumerated pivot
+    * needs a driver-side distinct pass first; declaring them keeps the
+    * plan a single aggregate. */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum("l_quantity"), 2))
+      .orderBy("l_linestatus")
+
+  val qPivotOracle: String =
+    """SELECT l_linestatus,
+      |  round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+      |  round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+      |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // ---------- Statistical aggregates ----------
+
+  /** Moments + correlation per group: the statistical-aggregate
+    * surface (stddev/variance/corr/covar). */
+  def qStatsAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+          .as("covar_qty_price"))
+      .orderBy("l_returnflag")
+
+  val qStatsAggOracle: String =
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  round(var_samp(l_quantity), 4) AS var_qty,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |  round(covar_samp(l_quantity, l_extendedprice), 2)
+      |    AS covar_qty_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------- Exact percentiles ----------
+
+  /** Exact linear-interpolated percentiles per group (Spark
+    * `percentile` == DuckDB `quantile_cont`). `approx_percentile`
+    * (t-digest-style sketch) is the 100 TB path; the exact form is the
+    * oracle-checkable one. */
+  def qPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.95)"), 4).as("p95"))
+      .orderBy("l_returnflag")
+
+  val qPercentileOracle: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_quantity, 0.95), 4) AS p95
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------- SQL entry point (A6) ----------
+
+  /** Arbitrary SQL via spark.sql over registered views — the engine's
+    * analog of the reference shipping SQL to BigQuery
+    * (`cf_transform/main.py:86-92`). The oracle is the same statement,
+    * which is the point: the SQL surface is ANSI. */
+  def qSqlEntry(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  }
+
+  val qSqlEntryOracle: String =
+    """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   // ---------- Registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -503,6 +589,10 @@ object Relational {
     "q_join_cross" -> qJoinCross,
     "q_join_range" -> qJoinRange,
     "q_join_asof" -> qJoinAsof,
+    "q_pivot" -> qPivot,
+    "q_stats_agg" -> qStatsAgg,
+    "q_percentile" -> qPercentile,
+    "q_sql_entry" -> qSqlEntry,
   )
 
   def oracles: Map[String, String] = Map(
@@ -528,5 +618,9 @@ object Relational {
     "q_join_cross" -> qJoinCrossOracle,
     "q_join_range" -> qJoinRangeOracle,
     "q_join_asof" -> qJoinAsofOracle,
+    "q_pivot" -> qPivotOracle,
+    "q_stats_agg" -> qStatsAggOracle,
+    "q_percentile" -> qPercentileOracle,
+    "q_sql_entry" -> qSqlEntryOracle,
   )
 }
