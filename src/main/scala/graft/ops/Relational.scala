@@ -563,6 +563,33 @@ object Relational {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ---------- Subqueries (planner rewrite surface) ----------
+
+  /** Correlated EXISTS + scalar subquery via spark.sql: Catalyst
+    * rewrites EXISTS into a left-semi join and the scalar subquery
+    * into a broadcast aggregate — the subquery-decorrelation surface
+    * that turns nested SQL into shuffle-friendly joins. */
+  def qSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_totalprice > (SELECT avg(o_totalprice)
+        |                                    FROM orders))
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val qSubqueryOracle: String =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey
+      |                AND o_totalprice > (SELECT avg(o_totalprice)
+      |                                    FROM orders))
+      |ORDER BY c_custkey""".stripMargin
+
   // ---------- Registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -593,6 +620,7 @@ object Relational {
     "q_stats_agg" -> qStatsAgg,
     "q_percentile" -> qPercentile,
     "q_sql_entry" -> qSqlEntry,
+    "q_subquery" -> qSubquery,
   )
 
   def oracles: Map[String, String] = Map(
@@ -622,5 +650,6 @@ object Relational {
     "q_stats_agg" -> qStatsAggOracle,
     "q_percentile" -> qPercentileOracle,
     "q_sql_entry" -> qSqlEntryOracle,
+    "q_subquery" -> qSubqueryOracle,
   )
 }
