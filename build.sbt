@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: a bench session executes every query twice (warm-up
+  // + measured) and accumulated broadcast relations plus shuffle
+  // buffers GC-thrash an 8g heap (observed as 3-8x swings on the
+  // shingle-join queries). The box has 128g.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

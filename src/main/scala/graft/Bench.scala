@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,9 +24,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val warmDir = "/root/testdata/sf0.001"
-    ordered.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    // sf0.01, twice: C2 JIT compilation of the string/codegen hot
+    // paths needs execution TIME, not just one pass — the shingle
+    // queries run ~6x slower until then (measured: three ~10 s runs
+    // before steady-state 1.6 s). Two sf0.01 passes reach steady
+    // state; sf0.001 once did not.
+    val warmDir = "/root/testdata/sf0.01"
+    (1 to 2).foreach { _ =>
+      ordered.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
     }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
