@@ -49,6 +49,31 @@ object Tables {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, String), DataFrame]
 
+  /** Snapshot-partitioned write (ref E4: the daily `{date}.json`
+    * landing key becomes a real partition column). A filter on the
+    * partition column then prunes whole directories at plan time —
+    * at 100 TB this is the difference between scanning one day and
+    * scanning ten years. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Bucketed managed table: rows are hash-bucketed by `bucketCols`
+    * at write time, so two tables bucketed the same way join WITHOUT
+    * a shuffle — the co-located-join layout for repeated large-large
+    * joins (the engine analog of the reference's BigQuery clustering,
+    * bigquery.tf:13, which only sorts). Requires saveAsTable (bucket
+    * metadata lives in the catalog). */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    bucketCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Register every testdata table as a temp view so `spark.sql` works
     * (ref A6: arbitrary SQL pushed to the warehouse). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -1,0 +1,75 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Physical-layout techniques that carry the engine at 100 TB:
+  * partition pruning on a partitioned write, and shuffle-free joins
+  * between co-bucketed tables. Asserted at the plan level — the row
+  * counts would pass either way; the PLAN is the deliverable. */
+class LayoutSpec extends SparkSpec {
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("partitioned write + partition-column filter prunes at plan time") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val li = Tables.load(spark, sf, "lineitem")
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+    Tables.writePartitioned(li, s"$out/li", Seq("ship_month"))
+
+    val months = spark.read.parquet(s"$out/li")
+      .select("ship_month").distinct().count()
+    assert(months > 1, "need multiple partitions for a pruning test")
+
+    val pruned = spark.read.parquet(s"$out/li")
+      .where(col("ship_month") === "1995-01")
+    val plan = formatted(pruned)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("ship_month"),
+      s"partition filter not pushed to PartitionFilters: $pf")
+    // the partition predicate must NOT appear as a data filter
+    assert(!plan.contains("PushedFilters: [IsNotNull(ship_month)"),
+      "partition column leaked into data filters")
+    assert(pruned.count() ==
+      li.where(col("ship_month") === "1995-01").count())
+  }
+
+  test("co-bucketed tables join without a shuffle") {
+    // DROP alone is not enough: a fresh metastore doesn't know the
+    // table, so a stale spark-warehouse/<name> dir from a previous
+    // JVM raises LOCATION_ALREADY_EXISTS. Remove the location too.
+    Seq("li_b", "ord_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    Tables.writeBucketed(
+      Tables.load(spark, sf, "lineitem")
+        .select("l_orderkey", "l_quantity"),
+      "li_b", buckets = 8, bucketCols = Seq("l_orderkey"))
+    Tables.writeBucketed(
+      Tables.load(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice"),
+      "ord_b", buckets = 8, bucketCols = Seq("o_orderkey"))
+
+    val joined = spark.table("li_b").join(spark.table("ord_b"),
+      col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    // and it computes the same thing as the shuffled join
+    val expected = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(joined.count() == expected)
+  }
+}
