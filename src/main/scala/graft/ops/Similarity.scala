@@ -54,7 +54,11 @@ object Similarity {
     * never flip a rank between engines.
     */
   def simCosineTopk(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(t(s, dir, "embeddings"))
+    // The corpus parquet is one small file = ONE input split, which
+    // would serialize the whole O(|corpus|·|queries|) scoring loop on
+    // a single task. Spread the corpus across the session's shuffle
+    // partitions first — a sub-MB shuffle buys full-width parallelism.
+    val e = withNorm(t(s, dir, "embeddings")).repartition(col("vec_id"))
     val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"),
         col("nrm").as("qnrm"))
       .where(col("qid") % 100 === 0)
@@ -101,8 +105,12 @@ object Similarity {
     * the LSH-bucketed plan that survives scale-up. */
   def simNeardup(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(t(s, dir, "embeddings"))
-    val a = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
-      col("nrm").as("nrm_a"))
+    // one-file corpus = one input split; repartition the streaming
+    // side so the O(n²) pair scoring runs on every core (see
+    // simCosineTopk note)
+    val a = e.repartition(col("vec_id"))
+      .select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+        col("nrm").as("nrm_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
       col("nrm").as("nrm_b"))
     a.join(b, col("vec_a") < col("vec_b"))
