@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -301,6 +301,66 @@ object Functions {
 
   // ---------- Registry ----------
 
+  // ---------- UDF / typed-Aggregator surface ----------
+
+  /** Scala UDF registered into the session and invoked from SQL — the
+    * escape hatch for non-expressible logic (SURVEY §2.2 UDF row).
+    * This one is deliberately SQL-expressible so the oracle can check
+    * the plumbing; real uses are things built-ins can't say. UDFs are
+    * codegen black boxes (no pushdown through them) — prefer built-ins
+    * or custom Expressions (graft.expr.*) on hot paths. */
+  def qUdfSurface(s: SparkSession, dir: String): DataFrame = {
+    graft.io.Tables.registerAll(s, dir)
+    s.udf.register("slugify", (name: String) =>
+      if (name == null) null
+      else name.trim.toLowerCase.replaceAll("[^a-z0-9]+", "-"))
+    s.sql(
+      """SELECT c_custkey, slugify(c_name) AS slug
+        |FROM customer WHERE c_custkey <= 200
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val qUdfSurfaceOracle: String =
+    """SELECT c_custkey,
+      |  regexp_replace(lower(trim(c_name)), '[^a-z0-9]+', '-', 'g') AS slug
+      |FROM customer WHERE c_custkey <= 200
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Typed Aggregator[IN, BUF, OUT] (the custom-UDAF surface): a
+    * numerically-careful mean via (sum, count) buffer with an explicit
+    * merge — the same partial/final shape Spark's own aggregates use,
+    * so map-side combine still applies. */
+  def qTypedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val meanAgg = new org.apache.spark.sql.expressions
+    .Aggregator[(String, Double), (Double, Long), Double] {
+      def zero: (Double, Long) = (0.0, 0L)
+      def reduce(b: (Double, Long), x: (String, Double)): (Double, Long) =
+        (b._1 + x._2, b._2 + 1)
+      def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+        (a._1 + b._1, a._2 + b._2)
+      def finish(b: (Double, Long)): Double =
+        if (b._2 == 0) 0.0
+        else math.floor((math.floor(b._1 * 100 + 0.5) / 100) / b._2 * 10000
+          + 0.5) / 10000 // round(round(sum,2)/n, 4), FP-flip-safe
+      def bufferEncoder = Encoders.tuple(Encoders.scalaDouble,
+        Encoders.scalaLong)
+      def outputEncoder = Encoders.scalaDouble
+    }
+    graft.io.Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .agg(meanAgg.toColumn.name("avg_qty"))
+      .toDF("l_returnflag", "avg_qty")
+      .orderBy("l_returnflag")
+  }
+
+  val qTypedAggOracle: String =
+    """SELECT l_returnflag,
+      |  round(round(sum(l_quantity), 2) / count(*), 4) AS avg_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_string_funcs" -> qStringFuncs,
     "q_date_funcs" -> qDateFuncs,
@@ -312,6 +372,8 @@ object Functions {
     "q_tumbling_window" -> qTumblingWindow,
     "q_sliding_window" -> qSlidingWindow,
     "q_session_window" -> qSessionWindow,
+    "q_udf_surface" -> qUdfSurface,
+    "q_typed_agg" -> qTypedAgg,
   )
 
   def oracles: Map[String, String] = Map(
@@ -325,5 +387,7 @@ object Functions {
     "q_tumbling_window" -> qTumblingWindowOracle,
     "q_sliding_window" -> qSlidingWindowOracle,
     "q_session_window" -> qSessionWindowOracle,
+    "q_udf_surface" -> qUdfSurfaceOracle,
+    "q_typed_agg" -> qTypedAggOracle,
   )
 }
