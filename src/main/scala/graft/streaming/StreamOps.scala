@@ -71,6 +71,31 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  // ---------- Stream-stream join ----------
+
+  /** Watermarked stream-stream interval join: each click joins the
+    * impressions of the same user from the preceding 10 minutes.
+    * Both sides carry watermarks and the join condition bounds event
+    * time in BOTH directions, so Spark can expire buffered state —
+    * the two requirements that make a stream-stream join runnable
+    * forever instead of growing without bound. */
+  def clickImpressionJoin(impressions: DataFrame, clicks: DataFrame): DataFrame = {
+    val imp = impressions
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("imp_id"), col("user_id").as("imp_user"),
+        col("ts").as("imp_ts"))
+    val clk = clicks
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    clk.join(imp,
+      col("user_id") === col("imp_user") &&
+        col("imp_ts") <= col("click_ts") &&
+        col("imp_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("click_id"), col("imp_id"), col("user_id"),
+        col("click_ts"), col("imp_ts"))
+  }
+
   // ---------- Custom state: flatMapGroupsWithState ----------
 
   final case class Event(

@@ -107,6 +107,35 @@ class StreamOpsSpec extends SparkSpec {
     assert(updates.contains((7L, 3L, 4.0)))
   }
 
+  test("stream-stream interval join matches the batch join on the same data") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val impData = Seq(ev(10, 1, 1, "impression", 0), ev(11, 5, 1, "impression", 0),
+      ev(12, 30, 2, "impression", 0))
+    val clkData = Seq(ev(20, 8, 1, "click", 0), // joins imps at 10:01,10:05
+      ev(21, 35, 2, "click", 0), // joins imp at 10:30
+      ev(22, 55, 1, "click", 0)) // no imp within 10 min → no row
+
+    val imp = MemoryStream[Event]
+    val clk = MemoryStream[Event]
+    val q = clickImpressionJoin(imp.toDF(), clk.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("ssj").start()
+    imp.addData(impData: _*)
+    clk.addData(clkData: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("ssj")
+      .select("click_id", "imp_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == Set((20L, 10L), (20L, 11L), (21L, 12L)))
+
+    val batch = clickImpressionJoin(impData.toDF(), clkData.toDF())
+      .select("click_id", "imp_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
+
   test("file-stream source reads the events table with the declared schema") {
     // FileStreamSource needs a directory: stage the events parquet
     // into a temp landing dir, stream it, compare count with batch.
