@@ -65,10 +65,14 @@ for name in sorted(os.listdir(outdir)):
         for c in scols:
             a, b = sdf[c].tolist(), odf[c].tolist()
             for i, (x, y) in enumerate(zip(a, b)):
+                # EXACT float equality: the driver hash-compares
+                # values, so a 1e-12 float drift that a tolerance
+                # would forgive still fails the real gate. Every
+                # oracle-facing float must be round()ed identically
+                # on both sides (verified bit-exact 2026-08-12).
                 same = (x == y or (x is None and y is None)
                         or (isinstance(x, float) and isinstance(y, float)
-                            and (math.isnan(x) and math.isnan(y)
-                                 or abs(x - y) < 1e-9))
+                            and math.isnan(x) and math.isnan(y))
                         or str(x) == str(y))
                 if not same:
                     print(f"{name:24s} VALUE row {i} col {c}: "
