@@ -193,6 +193,50 @@ object Multimodal {
       |  CAST(length(text) AS INT) AS n_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------- Feature extraction (bytes -> embedding) ----------
+
+  final case class Embedded(
+      doc_id: Long,
+      h0: Double, h1: Double, h2: Double, h3: Double,
+      h4: Double, h5: Double, h6: Double, h7: Double)
+
+  /** Feature-extract: an 8-bin byte histogram per payload, normalized
+    * to frequencies — the embedding step of a multimodal pipeline
+    * (a real model would emit a learned vector; the histogram is the
+    * deterministic stand-in with the same shape: binary in, fixed-dim
+    * vector out). Runs in the same batched mapPartitions harness as
+    * [[decodeBatches]]; emitted as scalar columns so the DuckDB
+    * differential can hash it. */
+  def mmEmbed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    media(s, dir).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.map {
+        case (id, bytes) =>
+          val bins = new Array[Long](8)
+          var i = 0
+          while (i < bytes.length) {
+            val b = bytes(i) & 0xff
+            if (b < 128) bins(b >> 4) += 1
+            i += 1
+          }
+          val n = math.max(1, bytes.length).toDouble
+          def f(b: Int): Double = math.floor(bins(b) / n * 10000 + 0.5) / 10000
+          Embedded(id, f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+      }))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val mmEmbedOracle: String = {
+    val bins = (0 until 8).map(b =>
+      s"""  round(len(list_filter(list_transform(range(1, length(text) + 1),
+         |    i -> ord(substring(text, i, 1))), o -> o // 16 = $b))
+         |    / CAST(length(text) AS DOUBLE), 4) AS h$b""".stripMargin)
+      .mkString(",\n")
+    s"SELECT doc_id,\n$bins\nFROM documents ORDER BY doc_id"
+  }
+
   // ---------- Registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -200,6 +244,7 @@ object Multimodal {
     "mm_resize" -> mmResize,
     "mm_frame_sample" -> mmFrameSample,
     "mm_decode" -> mmDecode,
+    "mm_embed" -> mmEmbed,
   )
 
   def oracles: Map[String, String] = Map(
@@ -207,5 +252,6 @@ object Multimodal {
     "mm_resize" -> mmResizeOracle,
     "mm_frame_sample" -> mmFrameSampleOracle,
     "mm_decode" -> mmDecodeOracle,
+    "mm_embed" -> mmEmbedOracle,
   )
 }

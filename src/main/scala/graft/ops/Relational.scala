@@ -590,6 +590,17 @@ object Relational {
       |                                    FROM orders))
       |ORDER BY c_custkey""".stripMargin
 
+  /** t-digest-style sketch percentiles — the 100 TB percentile path
+    * (fixed-size sketch, mergeable). Sketch-specific results -> no
+    * DuckDB oracle; driver records the rows-only check and q_percentile
+    * carries the exact ground truth. */
+  def qApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.95), 1000)")
+        .as("p_sketch"))
+      .orderBy("l_returnflag")
+
   // ---------- Registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -621,6 +632,7 @@ object Relational {
     "q_percentile" -> qPercentile,
     "q_sql_entry" -> qSqlEntry,
     "q_subquery" -> qSubquery,
+    "q_approx_percentile" -> qApproxPercentile,
   )
 
   def oracles: Map[String, String] = Map(
