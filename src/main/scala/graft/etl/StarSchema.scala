@@ -80,6 +80,12 @@ object StarSchema {
       .where(col("p_brand").isNotNull) // B3
       .select(col("p_brand").as("name"))
       .dropDuplicates("name") // D2 (intended semantics)
+      // Unpartitioned window = single-partition execution, which is
+      // intentional HERE ONLY: it runs on the post-dedup dimension
+      // (~25 brands; dimensions stay KB-sized at any fact scale, the
+      // premise the whole star schema rests on). Never rank an
+      // unbounded table this way — for fact-sized data use
+      // zipWithIndex-style (partition offsets + local rank).
       .withColumn("dim_id",
         dense_rank().over(Window.orderBy(col("name"))).cast("long"))
       .select(col("dim_id"), col("name"))
