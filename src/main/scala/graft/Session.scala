@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's tuned defaults — the one place
+  * that encodes how a graft session should be configured, for the
+  * driver mains and for library users alike.
+  *
+  * - `local[N]` with shuffle partitions = N: on a single box, more
+  *   shuffle partitions than cores only adds task overhead. On a real
+  *   cluster, set shuffle partitions ≈ 2-3× total executor cores (or
+  *   rely on AQE coalescing, which is on by default in Spark 4).
+  * - UTC session timezone: every timestamp oracle comparison assumes
+  *   it.
+  * - `nanosAsLong`: the events table is parquet TIMESTAMP(NANOS),
+  *   which Spark has no native type for (SPARK-40819); reads surface
+  *   it as long nanos and graft.io.Tables truncates to micros.
+  */
+object Session {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def local(appName: String = "graft"): SparkSession = {
+    val s = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
