@@ -145,6 +145,24 @@ object StreamOps {
 
   // ---------- Sinks ----------
 
+  /** foreachBatch sink: every micro-batch snapshot-overwrites a
+    * parquet target — the reference's WRITE_TRUNCATE semantics (G3,
+    * songs-etl `cf_transform/main.py:72-75`) driven by a stream. Used
+    * with Complete-mode aggregations this keeps the target a current
+    * materialized view of the running aggregate; foreachBatch is also
+    * the escape hatch for any sink Spark lacks a native connector
+    * for. */
+  def runToParquetSnapshot(df: DataFrame, path: String): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Complete)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(path)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Run a streaming query to completion over currently-available
     * input (Trigger.AvailableNow semantics via processAllAvailable)
     * into an in-memory table; returns the table name. */

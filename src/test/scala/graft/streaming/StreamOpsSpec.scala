@@ -107,6 +107,21 @@ class StreamOpsSpec extends SparkSpec {
     assert(updates.contains((7L, 3L, 4.0)))
   }
 
+  test("foreachBatch sink truncate-loads a parquet snapshot per micro-batch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-snap")
+      .toString + "/counts"
+    val in = MemoryStream[Event]
+    in.addData(ev(1, 1, 1, "click", 1.0), ev(2, 2, 2, "view", 1.0),
+      ev(3, 3, 1, "click", 1.0))
+    runToParquetSnapshot(
+      in.toDF().groupBy("event_type").count(), out)
+    val snap = spark.read.parquet(out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(snap == Map("click" -> 2L, "view" -> 1L))
+  }
+
   test("stream-stream interval join matches the batch join on the same data") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
