@@ -174,9 +174,13 @@ object Pipeline {
       spark.read.parquet(s"$warehouseDir/dim_track")
         .select(col("dim_track_id"), col("name").as("track_name")),
       dimUserSeed(spark))
-    // G4: cluster like bigquery.tf:13 (platform, playlist, user).
+    // G4: cluster like bigquery.tf:13 via sortWithinPartitions (in
+    // writeConformed). NO repartition on dim_platform_id: it's a
+    // constant literal on every row — the textbook hot key (see
+    // ops.Skew) — and hashing on it would funnel the whole fact
+    // through one task.
     Tables.writeConformed(
-      fact.repartition(col("dim_platform_id")),
+      fact,
       factSchema, s"$warehouseDir/fact_songs",
       sortCols = Seq("dim_platform_id", "dim_playlist_id", "dim_user_id"))
     (spark.read.parquet(s"$warehouseDir/fact_songs").count(), dimCounts)
@@ -184,10 +188,7 @@ object Pipeline {
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft-pipeline")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.Session.local("graft-pipeline")
     spark.sparkContext.setLogLevel("ERROR")
     val date = "2026-08-12"
     writeLanding(spark, s"$out/landing", date)

@@ -44,7 +44,13 @@ object Tables {
   // DataFrames are immutable plans, so handing the same instance to
   // every query is safe and lets Spark reuse the resolved relation
   // (file index + parquet footer schema) instead of re-listing the
-  // path once per query — measurable across a 46-query bench run.
+  // path once per query — measurable across the bench's query set.
+  // CONTRACT: this cache assumes the testdata tables are immutable
+  // (they are — TESTDATA.md marks them read-only). It is NOT a
+  // general table cache: a path whose files are rewritten would serve
+  // a stale listing, and entries live as long as the session object.
+  // Warehouse paths written by the engine (Pipeline, writeConformed)
+  // are read back with plain spark.read, never through here.
   private val cache =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, String), DataFrame]

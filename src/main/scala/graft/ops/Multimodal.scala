@@ -116,6 +116,9 @@ object Multimodal {
     val nFrames = ceil(length(col("payload")) / lit(16.0)).cast("int")
     media(s, dir)
       .select(col("doc_id"), col("payload"), nFrames.as("n_frames"))
+      // empty payload -> zero frames, matching the oracle's empty
+      // range(0,0,4); without the guard sequence(0,-1,4) throws
+      .where(col("n_frames") > 0)
       .select(col("doc_id"), col("payload"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(4)))
           .as("frame_idx"))
@@ -187,9 +190,9 @@ object Multimodal {
     """SELECT doc_id,
       |  CAST(16 + doc_id % 32 AS INT) AS width,
       |  CAST(16 + (doc_id * 7) % 24 AS INT) AS height,
-      |  round(list_sum(list_transform(range(1, length(text) + 1),
+      |  coalesce(round(list_sum(list_transform(range(1, length(text) + 1),
       |          i -> ord(substring(text, i, 1))))
-      |        / CAST(length(text) AS DOUBLE), 4) AS mean_byte,
+      |        / CAST(length(text) AS DOUBLE), 4), 0.0) AS mean_byte,
       |  CAST(length(text) AS INT) AS n_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -229,10 +232,12 @@ object Multimodal {
   }
 
   val mmEmbedOracle: String = {
+    // coalesce: empty text -> 0/0 is NULL in DuckDB, 0.0 in the Scala
+    // decode (n = max(1, len)); pin both to 0.0
     val bins = (0 until 8).map(b =>
-      s"""  round(len(list_filter(list_transform(range(1, length(text) + 1),
+      s"""  coalesce(round(len(list_filter(list_transform(range(1, length(text) + 1),
          |    i -> ord(substring(text, i, 1))), o -> o // 16 = $b))
-         |    / CAST(length(text) AS DOUBLE), 4) AS h$b""".stripMargin)
+         |    / CAST(length(text) AS DOUBLE), 4), 0.0) AS h$b""".stripMargin)
       .mkString(",\n")
     s"SELECT doc_id,\n$bins\nFROM documents ORDER BY doc_id"
   }

@@ -34,14 +34,16 @@ object Skew {
     * column, phase-2 merge of the partial column).
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
-                partials: Map[String, (Column, Column => Column)]): DataFrame = {
+                partials: Seq[(String, (Column, Column => Column))]): DataFrame = {
+    require(partials.nonEmpty, "saltedAgg needs at least one aggregate")
+    // monotonically_increasing_id already carries the partition id in
+    // its upper bits, so it alone spreads a hot key across salts
     val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(),
-        lit(salts)))
+      pmod(monotonically_increasing_id(), lit(salts)))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partials.head._2._1.as(s"__p_${partials.head._1}"),
-        partials.tail.map { case (n, (a, _)) => a.as(s"__p_$n") }.toSeq: _*)
+        partials.tail.map { case (n, (a, _)) => a.as(s"__p_$n") }: _*)
     phase1
       .groupBy(keys.map(col): _*)
       .agg(
@@ -49,7 +51,7 @@ object Skew {
           .as(partials.head._1),
         partials.tail.map { case (n, (_, m)) =>
           m(col(s"__p_$n")).as(n)
-        }.toSeq: _*)
+        }: _*)
   }
 
   /** Salted equi-join for a skewed LEFT side: the right (dim) side is

@@ -36,9 +36,22 @@ object StreamOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming source over a directory of event parquet files. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsSchema).parquet(dir)
+  /** On-disk schema of the events parquet: `ts` is stored as
+    * TIMESTAMP(NANOS), which Spark 4 has no native type for
+    * (SPARK-40819) — it reads as long nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong` (set by graft.Session). */
+  private val eventsFileSchema: StructType = StructType(
+    eventsSchema.fields.map(f =>
+      if (f.name == "ts") StructField("ts", LongType) else f))
+
+  /** Streaming source over a directory of event parquet files, with
+    * the nanos→micros conversion graft.io.Tables applies on the batch
+    * side, so downstream watermarks/windows see a real TimestampType. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsFileSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   // ---------- Transforms (batch- and stream-applicable) ----------
 

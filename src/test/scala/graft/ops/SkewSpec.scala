@@ -16,7 +16,7 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
       .toSet
     val salted = Skew.saltedAgg(events, Seq("event_type"), salts = 8,
-      partials = Map(
+      partials = Seq(
         "total" -> (sum("value"), (c: org.apache.spark.sql.Column) =>
           round(sum(c), 4)),
         "n" -> (count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c))))

@@ -161,11 +161,16 @@ class StreamOpsSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val streamed = StreamOps.readEvents(spark, dir)
     assert(streamed.isStreaming)
+    assert(streamed.schema("ts").dataType.typeName == "timestamp")
+    // run a WINDOWED agg so ts is actually materialized from the
+    // TIMESTAMP(NANOS) file — a count-only query column-prunes ts away
+    // and would hide a broken conversion
     val name = StreamOps.runToMemory(
-      streamed.groupBy(col("event_type")).count(),
-      "evcount", org.apache.spark.sql.streaming.OutputMode.Complete())
-    val total = spark.table(name).agg(sum("count")).head().getLong(0)
-    val batchTotal = spark.read.schema(eventsSchema).parquet(dir).count()
-    assert(total == batchTotal)
+      windowedCounts(streamed), "evcount")
+    val windowed = spark.table(name)
+    val batch = windowedCounts(graft.io.Tables.load(spark, sf, "events"))
+    assert(windowed.agg(sum("n")).head().getLong(0) <=
+      batch.agg(sum("n")).head().getLong(0))
+    assert(windowed.count() > 0)
   }
 }

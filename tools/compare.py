@@ -6,8 +6,10 @@ Usage: compare.py <sfDir> <verifyOutDir>
 For each query directory under verifyOutDir, loads the Spark result
 parquet, runs the matching oracle SQL (oracle_sql.json) in DuckDB with
 every testdata table registered as a view, sorts columns by name, and
-compares row counts + cell values (floats to 1e-9). Queries without an
-oracle get a rows-only check.
+compares row counts + cell values EXACTLY (the driver hash-compares,
+so floats must match bit-for-bit — round identically on both sides).
+Queries without an oracle get a rows-only check; queries listed in
+queries.json but missing an output directory are failures.
 """
 import json
 import math
