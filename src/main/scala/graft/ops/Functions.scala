@@ -301,6 +301,41 @@ object Functions {
 
   // ---------- Registry ----------
 
+  // ---------- Map functions ----------
+
+  /** MapType surface: construct, cardinality, lookup, key listing,
+    * concat, missing-key probe. `try_element_at` because Spark 4 runs
+    * ANSI mode (plain element_at throws on a missing map key; DuckDB's
+    * `m['zzz'][1]` yields NULL — try_ matches that). */
+  def qMapFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        map(lit("type"), col("event_type"),
+          lit("uid"), col("user_id").cast("string")).as("m"))
+      .select(
+        col("event_id"),
+        size(col("m")).as("n_entries"),
+        element_at(col("m"), "type").as("type_val"),
+        array_join(sort_array(map_keys(col("m"))), ",").as("keys_sorted"),
+        try_element_at(col("m"), lit("missing")).as("absent"),
+        element_at(
+          map_concat(col("m"), map(lit("extra"), lit("1"))), "extra")
+          .as("concat_val"))
+      .orderBy("event_id")
+
+  val qMapFuncsOracle: String =
+    """WITH src AS (
+      |  SELECT event_id,
+      |    MAP(['type','uid'], [event_type, CAST(user_id AS VARCHAR)]) AS m
+      |  FROM events)
+      |SELECT event_id,
+      |  CAST(cardinality(m) AS INT) AS n_entries,
+      |  m['type'][1] AS type_val,
+      |  array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted,
+      |  m['missing'][1] AS absent,
+      |  '1' AS concat_val
+      |FROM src ORDER BY event_id""".stripMargin
+
   // ---------- UDF / typed-Aggregator surface ----------
 
   /** Scala UDF registered into the session and invoked from SQL — the
@@ -372,6 +407,7 @@ object Functions {
     "q_tumbling_window" -> qTumblingWindow,
     "q_sliding_window" -> qSlidingWindow,
     "q_session_window" -> qSessionWindow,
+    "q_map_funcs" -> qMapFuncs,
     "q_udf_surface" -> qUdfSurface,
     "q_typed_agg" -> qTypedAgg,
   )
@@ -387,6 +423,7 @@ object Functions {
     "q_tumbling_window" -> qTumblingWindowOracle,
     "q_sliding_window" -> qSlidingWindowOracle,
     "q_session_window" -> qSessionWindowOracle,
+    "q_map_funcs" -> qMapFuncsOracle,
     "q_udf_surface" -> qUdfSurfaceOracle,
     "q_typed_agg" -> qTypedAggOracle,
   )
