@@ -139,9 +139,7 @@ object Pipeline {
       // "intended dedup on name" (D4) can't give it the resolvable
       // FK its own schema declares (bigquery.tf:22-24).
       "dim_playlist" -> (() => (
-        landingPlaylists.select(explode(col("playlists")).as("p"))
-          .select(col("p.id").as("playlist_id"), col("p.name").as("name"))
-          .dropDuplicates("playlist_id")
+        SongsEtl.playlistDim(landingPlaylists)
           .withColumn("dim_playlist_id", Cuid.cuid()),
         dimPlaylistSchema, "dim_playlist_id")),
       "dim_artist" -> (() => (

@@ -82,12 +82,17 @@ object SongsEtl {
 
   // ---- Dimension builds (EP2) ----
 
-  /** dim_playlist: 1-level unnest (F1) → dedup on name (D4 intended). */
+  /** dim_playlist rows: 1-level unnest (F1) → dedup on the NATURAL
+    * key, keeping (playlist_id, name) — the shape [[factSongs]]'s
+    * dimPlaylist contract needs (its C1 join is by playlist id; the
+    * reference's intended dedup-on-name, SURVEY §2.1 D4, cannot
+    * produce a resolvable FK when names collide — see
+    * Pipeline.run's dim_playlist note). Callers add the surrogate. */
   def playlistDim(landingPlaylists: DataFrame): DataFrame =
     landingPlaylists
       .select(explode(col("playlists")).as("p"))
-      .select(col("p.name").as("name"))
-      .dropDuplicates("name")
+      .select(col("p.id").as("playlist_id"), col("p.name").as("name"))
+      .dropDuplicates("playlist_id")
 
   /** dim_artist: 2-level unnest (F2) + null-key filter (B3) → dedup (D2). */
   def artistDim(landingTracks: DataFrame): DataFrame =

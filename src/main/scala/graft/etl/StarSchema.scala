@@ -49,8 +49,12 @@ object StarSchema {
       // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
       // (planted dupes feed the dedup path) — order over every
       // distinguishing output column for a deterministic total order.
-      .orderBy("l_orderkey", "l_linenumber", "p_name", "s_name",
-        "l_quantity", "l_extendedprice", "ship_date")
+      // asc_nulls_last on the left-join columns: Spark defaults to
+      // NULLS FIRST ascending, DuckDB's oracle ORDER BY to NULLS
+      // LAST — an orphan key would sort to opposite ends.
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("p_name").asc_nulls_last, col("s_name").asc_nulls_last,
+        col("l_quantity"), col("l_extendedprice"), col("ship_date"))
   }
 
   val factBuildOracle: String =

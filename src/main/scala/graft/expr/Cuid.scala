@@ -43,7 +43,17 @@ case class Cuid(length: Int, seed: Long)
 }
 
 object Cuid {
-  /** Column API: `df.withColumn("dim_id", Cuid.cuid())`. */
-  def cuid(length: Int = 10, seed: Long = 42L): Column =
+  /** Column API: `df.withColumn("dim_id", Cuid.cuid())`.
+    *
+    * The default seed is drawn fresh on the driver per call site, so
+    * two cuid() columns (or the three dimension builds) never emit
+    * the same key stream — with a shared constant seed, row i of
+    * partition p would receive IDENTICAL surrogates in every
+    * dimension. Pass an explicit seed only when a run must be
+    * reproducible, and then a distinct one per expression. */
+  def cuid(length: Int = 10): Column =
+    graft.expr.Columns.of(Cuid(length, scala.util.Random.nextLong()))
+
+  def cuid(length: Int, seed: Long): Column =
     graft.expr.Columns.of(Cuid(length, seed))
 }

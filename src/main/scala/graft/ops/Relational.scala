@@ -307,15 +307,18 @@ object Relational {
 
   // ---------- Joins ----------
 
-  /** Large-large equi-join (lineitem ⋈ orders) + broadcast dim join,
-    * aggregated: the canonical star probe. orders side is too big to
-    * broadcast at real scale → sort-merge/shuffled-hash under AQE;
-    * nation is broadcast. */
+  /** Large-large equi-join chain (lineitem ⋈ orders ⋈ customer),
+    * aggregated: the canonical star probe. NO broadcast hints here —
+    * every side scales with SF (customer is 150k×SF rows), so forcing
+    * a broadcast would OOM at warehouse scale; AQE picks
+    * broadcast-hash at test SF and sort-merge when sides grow.
+    * Explicit broadcast() is reserved for provably-bounded dims
+    * (nation/region/platform — see etl.StarSchema). */
   def qJoinInner(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .join(t(s, dir, "orders"),
         col("l_orderkey") === col("o_orderkey"), "inner")
-      .join(broadcast(t(s, dir, "customer")),
+      .join(t(s, dir, "customer"),
         col("o_custkey") === col("c_custkey"), "inner")
       .groupBy(col("c_mktsegment"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
@@ -454,8 +457,15 @@ object Relational {
     * window. DuckDB oracle uses its native ASOF JOIN.
     */
   def qJoinAsof(s: SparkSession, dir: String): DataFrame = {
+    // signups sort BEFORE other events at an equal timestamp: ASOF
+    // semantics ("latest signup with s.ts <= e.ts") must see a signup
+    // that shares the error's timestamp even when the signup has a
+    // larger event_id — ordering by (ts, event_id) alone would leave
+    // it outside the error's frame
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("ts"),
+        when(col("event_type") === "signup", 0).otherwise(1),
+        col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "events")
       .withColumn("signup_ts",

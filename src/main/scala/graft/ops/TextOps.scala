@@ -24,8 +24,6 @@ object TextOps {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  private val ws: Column = lit(" ")
-
   /** words array for a text column. */
   private def words(c: Column): Column = split(c, " ")
 
@@ -154,10 +152,12 @@ object TextOps {
 
   // ---------- Exact dedup ----------
 
-  /** Exact dedup via hash-groupBy on normalized content: canonical =
-    * min doc_id per distinct text; every doc flagged keep/drop. One
-    * shuffle on the content hash — the 100 TB formulation (group on
-    * md5, not on the full text bytes). */
+  /** Exact dedup via hash-groupBy on the EXACT content hash (byte-
+    * identical text; for whitespace/case-insensitive matching use the
+    * normalized fingerprint from qDocFingerprint as the key instead):
+    * canonical = min doc_id per distinct text; every doc flagged
+    * keep/drop. One shuffle on the content hash — the 100 TB
+    * formulation (group on md5, not on the full text bytes). */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(md5(col("text")))
     t(s, dir, "documents")
@@ -191,9 +191,14 @@ object TextOps {
         Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
         Seq("doc_b"))
+      // threshold on the RAW ratio (like the oracle's WHERE) — a raw
+      // value in [0.19995, 0.2) rounds UP to the rounded output's 0.2
+      // and filtering on the rounded column would keep what the
+      // oracle drops
+      .where(col("n_common")
+        / (col("n_a") + col("n_b") - col("n_common")).cast("double") >= 0.2)
       .withColumn("jaccard", round(col("n_common")
         / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4))
-      .where(col("jaccard") >= 0.2)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
@@ -274,9 +279,13 @@ object TextOps {
         Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
         Seq("doc_b"))
+      // raw-ratio threshold, same boundary reasoning as
+      // dedupNgramJaccard (and it keeps the LSH verify consistent
+      // with the exact ground truth it's measured against)
+      .where(col("n_common")
+        / (col("n_a") + col("n_b") - col("n_common")).cast("double") >= 0.2)
       .withColumn("jaccard", round(col("n_common")
         / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4))
-      .where(col("jaccard") >= 0.2)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
