@@ -20,14 +20,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Summation is in array order, exactly like the HOF chain, so every
   * DuckDB-oracle comparison is unchanged.
   *
-  * Null handling: null input array → null result; null *elements* are
-  * treated as 0 (embeddings never carry null elements; documented
-  * contract).
+  * Null handling: null input array → null result; MISMATCHED lengths →
+  * null (the HOF chain null-pads the shorter side, nullifying the
+  * aggregate — a silent partial dot over min(length) would pollute
+  * top-k results undetectably if mixed-dimension embeddings ever land
+  * in one table); null *elements* are treated as 0 (embeddings never
+  * carry null elements; documented contract).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
@@ -40,7 +44,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -57,14 +62,18 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |      $s += $a.getDouble($i) * $b.getDouble($i);
+         |    }
          |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

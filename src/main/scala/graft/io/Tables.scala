@@ -48,7 +48,7 @@ object Tables {
   // CONTRACT: this cache assumes the testdata tables are immutable
   // (they are — TESTDATA.md marks them read-only). It is NOT a
   // general table cache: a path whose files are rewritten would serve
-  // a stale listing, and entries live as long as the session object.
+  // a stale listing, and entries live for the JVM (the map strongly references sessions and plans; fine for the driver mains, wrong for a service that cycles sessions).
   // Warehouse paths written by the engine (Pipeline, writeConformed)
   // are read back with plain spark.read, never through here.
   private val cache =
@@ -73,12 +73,14 @@ object Tables {
     * bigquery.tf:13, which only sorts). Requires saveAsTable (bucket
     * metadata lives in the catalog). */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-                    bucketCols: Seq[String]): Unit =
+                    bucketCols: Seq[String]): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed needs >= 1 bucket column")
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Register every testdata table as a temp view so `spark.sql` works
     * (ref A6: arbitrary SQL pushed to the warehouse). */

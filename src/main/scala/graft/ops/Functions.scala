@@ -279,9 +279,13 @@ object Functions {
       .orderBy("user_id", "session_id")
   }
 
+  // event_id is carried into the sessions CTE so the running-sum
+  // window can tie-break on it like the Spark side — ordered by ts
+  // alone, two same-ts events straddling a session boundary would be
+  // assigned nondeterministically
   val qSessionWindowOracle: String =
     """WITH gapped AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, ts, event_id, value,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR floor(extract(epoch FROM ts))
       |              - floor(extract(epoch FROM lag(ts) OVER w)) > 1800
@@ -290,7 +294,7 @@ object Functions {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sessions AS (
       |  SELECT user_id, ts, value,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM gapped)
       |SELECT user_id, session_id, count(*) AS n_events,
@@ -298,8 +302,6 @@ object Functions {
       |  round(sum(value), 2) AS session_value
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
-
-  // ---------- Registry ----------
 
   // ---------- Map functions ----------
 
@@ -348,7 +350,11 @@ object Functions {
     graft.io.Tables.registerAll(s, dir)
     s.udf.register("slugify", (name: String) =>
       if (name == null) null
-      else name.trim.toLowerCase.replaceAll("[^a-z0-9]+", "-"))
+      // Locale.ROOT: locale-sensitive toLowerCase diverges from the
+      // oracle's lower() under e.g. a Turkish default locale ('I' ->
+      // dotless 'i')
+      else name.trim.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("[^a-z0-9]+", "-"))
     s.sql(
       """SELECT c_custkey, slugify(c_name) AS slug
         |FROM customer WHERE c_custkey <= 200
@@ -395,6 +401,8 @@ object Functions {
     """SELECT l_returnflag,
       |  round(round(sum(l_quantity), 2) / count(*), 4) AS avg_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------- Registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_string_funcs" -> qStringFuncs,

@@ -35,6 +35,10 @@ object Similarity {
         transform(col("embedding"), x => x.cast("double")).as("emb"))
       .withColumn("nrm",
         sqrt(graft.expr.VectorExprs.dotProduct(col("emb"), col("emb"))))
+      // a zero-norm vector has no defined cosine; without this guard
+      // its 0/0 = NaN would sort ABOVE every real cosine (Spark ranks
+      // NaN greatest) and make it the rank-1 "neighbor" of every query
+      .where(col("nrm") > 0)
 
   /** Fused codegen'd dot product ([[graft.expr.DotProduct]]); same
     * array-order summation as the `aggregate(zip_with(...))` chain it
@@ -85,7 +89,8 @@ object Similarity {
       |n AS (SELECT vec_id,
       |             sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
       |      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
-      |      GROUP BY 1),
+      |      GROUP BY 1
+      |      HAVING sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) > 0),
       |c AS (SELECT qid, vid AS neighbor_id,
       |             round(dot / (nq.nrm * nv.nrm), 4) AS cosine
       |      FROM d JOIN n nq ON nq.vec_id = qid
@@ -132,7 +137,8 @@ object Similarity {
       |n AS (SELECT vec_id,
       |             sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
       |      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
-      |      GROUP BY 1)
+      |      GROUP BY 1
+      |      HAVING sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) > 0)
       |SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
       |FROM d JOIN n na ON na.vec_id = vec_a
       |       JOIN n nb ON nb.vec_id = vec_b
@@ -153,7 +159,11 @@ object Similarity {
     * neighbor in another bucket is missed) → no DuckDB oracle;
     * SimilaritySpec asserts recall against the brute-force truth. */
   def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(t(s, dir, "embeddings"))
+    // repartition: one-file corpus = one input split, and everything
+    // up to the candidate join is narrow — without this the whole
+    // exact-cosine verify stage runs on a single task (same fix as
+    // simCosineTopk/simNeardup)
+    val e = withNorm(t(s, dir, "embeddings")).repartition(col("vec_id"))
     val signs = (h: Int) => transform(
       sequence(lit(0), size(col("emb")) - 1),
       j => when(pmod(xxhash64(lit(h), j), lit(2)) === 0, 1.0).otherwise(-1.0))
@@ -191,7 +201,10 @@ object Similarity {
     * per query. Approximate by design → rows-only driver check;
     * SimilaritySpec asserts recall against the brute-force truth. */
   def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(t(s, dir, "embeddings"))
+    // repartition before ranked(): the corpus-to-centroid assignment
+    // (the dominant O(n·ncells) stage) otherwise runs entirely in the
+    // one-file scan's single partition
+    val e = withNorm(t(s, dir, "embeddings")).repartition(col("vec_id"))
     val cents = e.where(pmod(col("vec_id"), lit(53)) === 7)
       .select(col("vec_id").as("cent_id"), col("emb").as("cemb"),
         col("nrm").as("cnrm"))

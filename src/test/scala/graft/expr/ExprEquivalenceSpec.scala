@@ -37,16 +37,18 @@ class ExprEquivalenceSpec extends SparkSpec {
     }
   }
 
-  test("DotProduct: null array -> null; unequal lengths use the shorter") {
+  test("DotProduct: null array -> null; mismatched lengths -> null (like the HOF chain)") {
     import spark.implicits._
     val df = Seq(
       (Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]]),
       (Some(Seq(1.0, 2.0, 5.0)), Some(Seq(3.0, 4.0))),
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),
     ).toDF("a", "b")
       .select(VectorExprs.dotProduct(col("a"), col("b")).as("d"))
     val rows = df.collect()
     assert(rows(0).isNullAt(0))
-    assert(rows(1).getDouble(0) == 11.0)
+    assert(rows(1).isNullAt(0)) // a silent partial dot would be worse
+    assert(rows(2).getDouble(0) == 11.0)
   }
 
   test("SimHashAgg == the 64-column sum(when) formulation on random hash groups") {
