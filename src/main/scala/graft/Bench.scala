@@ -36,6 +36,11 @@ object Bench {
       }
     }
     val results = ordered.map { case (name, fn) =>
+      // JMH-style: collect garbage from the PREVIOUS query before
+      // timing this one, so one query's garbage doesn't bill a GC
+      // pause to whichever query runs next (observed as 5x swings on
+      // otherwise sub-second queries)
+      System.gc()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
