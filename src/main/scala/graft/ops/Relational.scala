@@ -573,6 +573,57 @@ object Relational {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ---------- Generators with ordinality ----------
+
+  /** posexplode: unnest WITH ORDINALITY — the generator variant that
+    * keeps element positions (frame indexes, token offsets). Spark
+    * positions are 0-based, DuckDB ordinality 1-based; normalized in
+    * the oracle. */
+  def qPosexplode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .where(col("vec_id") < 5)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"),
+        round(col("col").cast("double"), 4).as("val"))
+      .orderBy("vec_id", "pos")
+
+  // DuckDB 1.0 has no WITH ORDINALITY — unnest a position range and
+  // index the array instead
+  val qPosexplodeOracle: String =
+    """WITH p AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(unnest(range(0, len(embedding))) AS INT) AS pos
+      |  FROM embeddings WHERE vec_id < 5)
+      |SELECT vec_id, pos,
+      |  round(CAST(embedding[pos + 1] AS DOUBLE), 4) AS val
+      |FROM p ORDER BY vec_id, pos""".stripMargin
+
+  // ---------- Union by name (schema evolution) ----------
+
+  /** unionByName with allowMissingColumns — the set op a snapshot
+    * pipeline needs when a new field appears mid-history: older
+    * snapshots contribute NULL for columns they predate, and columns
+    * align by NAME, not position. */
+  def qUnionByName(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val oldSnap = ord.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val newSnap = ord.where(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"),
+        col("o_orderpriority"), // new field, and a different order
+        col("o_orderstatus"))
+    oldSnap.unionByName(newSnap, allowMissingColumns = true)
+      .orderBy("o_orderkey")
+  }
+
+  val qUnionByNameOracle: String =
+    """SELECT o_orderkey, o_orderstatus, NULL AS o_orderpriority
+      |FROM orders WHERE o_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, o_orderpriority
+      |FROM orders WHERE o_orderkey % 2 = 1
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---------- Subqueries (planner rewrite surface) ----------
 
   /** Correlated EXISTS + scalar subquery via spark.sql: Catalyst
@@ -643,6 +694,8 @@ object Relational {
     "q_sql_entry" -> qSqlEntry,
     "q_subquery" -> qSubquery,
     "q_approx_percentile" -> qApproxPercentile,
+    "q_posexplode" -> qPosexplode,
+    "q_union_by_name" -> qUnionByName,
   )
 
   def oracles: Map[String, String] = Map(
@@ -673,5 +726,7 @@ object Relational {
     "q_percentile" -> qPercentileOracle,
     "q_sql_entry" -> qSqlEntryOracle,
     "q_subquery" -> qSubqueryOracle,
+    "q_posexplode" -> qPosexplodeOracle,
+    "q_union_by_name" -> qUnionByNameOracle,
   )
 }
