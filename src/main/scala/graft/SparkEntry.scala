@@ -25,7 +25,7 @@ object SparkEntry {
       "etl_dim_build" -> StarSchema.dimBuild,
     ) ++ ops.Relational.queries ++ ops.Functions.queries ++
       ops.TextOps.queries ++ ops.Similarity.queries ++
-      ops.Multimodal.queries
+      ops.Multimodal.queries ++ ops.ScaleOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +35,5 @@ object SparkEntry {
       "etl_dim_build" -> StarSchema.dimBuildOracle,
     ) ++ ops.Relational.oracles ++ ops.Functions.oracles ++
       ops.TextOps.oracles ++ ops.Similarity.oracles ++
-      ops.Multimodal.oracles
+      ops.Multimodal.oracles ++ ops.ScaleOps.oracles
 }

@@ -75,6 +75,16 @@ object Tables {
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
                     bucketCols: Seq[String]): Unit = {
     require(bucketCols.nonEmpty, "writeBucketed needs >= 1 bucket column")
+    val spark = df.sparkSession
+    // True overwrite: a FRESH metastore (new JVM) doesn't know the
+    // table, so SaveMode.Overwrite alone hits LOCATION_ALREADY_EXISTS
+    // when a previous JVM left the warehouse dir behind. Drop both the
+    // catalog entry and the location.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)

@@ -294,8 +294,13 @@ object Functions {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sessions AS (
       |  SELECT user_id, ts, value,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    -- DuckDB's windowed sum over INT returns HUGEINT, which pandas
+      |    -- widens to float64; Spark emits BIGINT. CAST so the driver's
+      |    -- dtype-sensitive hash gate sees int64 on both sides.
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
       |  FROM gapped)
       |SELECT user_id, session_id, count(*) AS n_events,
       |  CAST(floor(extract(epoch FROM min(ts))) AS BIGINT) AS session_start,

@@ -443,11 +443,20 @@ object Relational {
       .orderBy("user_id")
   }
 
+  // compares at MICROsecond precision (epoch_us of the us-truncated
+  // timestamp) to mirror the Spark side, where Tables.load truncates
+  // the file's TIMESTAMP(NANOS) to micros — full-ns interval
+  // arithmetic here could flip boundary pairs on genuinely
+  // ns-precision data even though the current testdata happens to be
+  // micro-aligned
   val qJoinRangeOracle: String =
     """SELECT a.user_id, count(*) AS n_pairs
       |FROM events a JOIN events b
       |  ON a.user_id = b.user_id AND a.event_id < b.event_id
-      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+      | AND epoch_us(CAST(b.ts AS TIMESTAMP))
+      |     >= epoch_us(CAST(a.ts AS TIMESTAMP))
+      | AND epoch_us(CAST(b.ts AS TIMESTAMP))
+      |     <= epoch_us(CAST(a.ts AS TIMESTAMP)) + 600000000
       |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
 
   /** As-of join: each 'error' event picks the latest prior-or-same
@@ -654,13 +663,17 @@ object Relational {
   /** t-digest-style sketch percentiles — the 100 TB percentile path
     * (fixed-size sketch, mergeable). Sketch-specific results -> no
     * DuckDB oracle; driver records the rows-only check and q_percentile
-    * carries the exact ground truth. */
+    * carries the exact ground truth. The sketch array is posexploded to
+    * scalar (l_returnflag, pct_idx, p_value) rows: the driver's
+    * comparator sorts/hashes cells and cannot handle array columns. */
   def qApproxPercentile(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.95), 1000)")
         .as("p_sketch"))
-      .orderBy("l_returnflag")
+      .select(col("l_returnflag"),
+        posexplode(col("p_sketch")).as(Seq("pct_idx", "p_value")))
+      .orderBy("l_returnflag", "pct_idx")
 
   // ---------- Registry ----------
 

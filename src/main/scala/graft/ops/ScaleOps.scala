@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Scale-technique operators surfaced as driver-gated queries: salted
+  * aggregation, co-bucketed shuffle-free joins, and dynamic partition
+  * overwrite. The techniques themselves live in [[Skew]] and
+  * [[Tables]]; these queries put them behind the correctness gate so
+  * the 100 TB mechanisms are oracle-checked, not just spec'd.
+  *
+  * (The reference's analog surface: BigQuery clustering, bigquery.tf:13,
+  * and WRITE_TRUNCATE reloads, songs-etl cf_transform/main.py:66-84 —
+  * it has no incremental or skew story at all; this is engine-new.)
+  */
+object ScaleOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---------- Salted two-phase aggregation ----------
+
+  /** Aggregation over `events.event_type` — 3 values across every row,
+    * i.e. every key is a planted hot key — via [[Skew.saltedAgg]]'s
+    * two-phase plan: groupBy(key, salt) partials spread ONE key's
+    * state across 8 reducers, then a tiny merge. Results are identical
+    * to the direct groupBy (all aggregates decomposable), so the DuckDB
+    * oracle checks the rewrite end-to-end. */
+  def qSkewAgg(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedAgg(t(s, dir, "events"), Seq("event_type"), salts = 8, Seq(
+      "n" -> (count(lit(1)), (c: Column) => sum(c)),
+      // round only after the final merge — the partial sums must stay
+      // full-precision or the two-phase result diverges from a flat sum
+      "total" -> (sum(col("value")), (c: Column) => round(sum(c), 2)),
+      "vmin" -> (min(col("value")), (c: Column) => min(c)),
+      "vmax" -> (max(col("value")), (c: Column) => max(c))))
+      .orderBy("event_type")
+
+  val qSkewAggOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
+      |       min(value) AS vmin, max(value) AS vmax
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------- Co-bucketed shuffle-free join ----------
+
+  private val JoinBuckets = 8
+
+  /** orders ⋈ customer on custkey with BOTH sides written bucketed on
+    * the join key ([[Tables.writeBucketed]]): the join and the
+    * follow-on per-customer aggregate reuse the bucket partitioning,
+    * so neither needs a shuffle — the repeated-large-large-join layout
+    * for 100 TB. LayoutSpec asserts the zero-Exchange plan (with
+    * broadcast disabled so the test can't pass by broadcasting);
+    * here the oracle checks the co-located plan returns exactly the
+    * shuffled plan's answer. */
+  def qJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    Tables.writeBucketed(
+      t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+      "graft_bkt_orders", JoinBuckets, Seq("o_custkey"))
+    Tables.writeBucketed(
+      t(s, dir, "customer").select("c_custkey", "c_name"),
+      "graft_bkt_customer", JoinBuckets, Seq("c_custkey"))
+    s.table("graft_bkt_orders")
+      .join(s.table("graft_bkt_customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy("c_custkey")
+  }
+
+  val qJoinBucketedOracle: String =
+    """SELECT c_custkey, c_name, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
+
+  // ---------- Dynamic partition overwrite (incremental snapshot) ----------
+
+  /** Incremental-snapshot surface the reference lacks (it only
+    * truncate-loads, G3): a snapshot_date-partitioned table gets ONE
+    * partition rewritten in place via dynamic partition overwrite
+    * (`replaceWhere`-equivalent), leaving every other partition's
+    * files untouched (LayoutSpec proves the file-level claim). The
+    * query loads events partitioned by day, overwrites the EARLIEST
+    * day with only its 'click' events, reads the table back and
+    * aggregates per day — so the oracle sees exactly which partition
+    * changed and that the rest did not. */
+  def qPartitionOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-po").toString
+    val ev = t(s, dir, "events")
+      .withColumn("snapshot_date", to_date(col("ts")))
+    Tables.writePartitioned(ev, out, Seq("snapshot_date"))
+    // one-row scalar pull to pick the target partition — not a data loop
+    val target = ev.agg(min(col("snapshot_date"))).head().getDate(0)
+    val prevMode =
+      s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      ev.where(col("snapshot_date") === lit(target) &&
+          col("event_type") === "click")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("snapshot_date").parquet(out)
+    } finally {
+      prevMode match {
+        case Some(m) => s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    s.read.parquet(out)
+      .groupBy(col("snapshot_date"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy("snapshot_date")
+  }
+
+  val qPartitionOverwriteOracle: String =
+    """WITH ev AS (
+      |  SELECT CAST(ts AS DATE) AS snapshot_date, event_type, value
+      |  FROM events)
+      |SELECT snapshot_date, count(*) AS n, round(sum(value), 2) AS total
+      |FROM ev
+      |WHERE snapshot_date <> (SELECT min(snapshot_date) FROM ev)
+      |   OR event_type = 'click'
+      |GROUP BY snapshot_date ORDER BY snapshot_date""".stripMargin
+
+  // ---------- Registry ----------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_agg" -> qSkewAgg,
+    "q_join_bucketed" -> qJoinBucketed,
+    "q_partition_overwrite" -> qPartitionOverwrite,
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_skew_agg" -> qSkewAggOracle,
+    "q_join_bucketed" -> qJoinBucketedOracle,
+    "q_partition_overwrite" -> qPartitionOverwriteOracle,
+  )
+}

@@ -31,7 +31,7 @@ object TextOps {
     * the Jaccard/MinHash family. Pure higher-order functions, no UDFs:
     * shingle_i = words[i] ++ words[i+1] ++ words[i+2].
     */
-  private def shingles(docs: DataFrame): DataFrame =
+  private[ops] def shingles(docs: DataFrame): DataFrame =
     docs
       .withColumn("ws", words(col("text")))
       .where(size(col("ws")) >= 3)
@@ -226,6 +226,127 @@ object TextOps {
       |WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.2
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------- Near-dup: DF-capped Jaccard (the scale candidate path) ----------
+
+  /** Shingles with document frequency above this are dropped before
+    * candidate generation: a stop-shingle shared by k docs yields
+    * k(k−1)/2 candidate pairs on its own, the one quadratic blow-up in
+    * the inverted-index formulation. The cap bounds per-shingle fanout,
+    * so candidate volume is ≤ df_cap × n_shingles — linear in corpus
+    * size. Verification still uses the FULL shingle sets, so emitted
+    * Jaccard values are exact; only pairs whose every common shingle is
+    * hot can be missed (for near-dups at j ≥ 0.2 that requires the docs
+    * to be built almost entirely of corpus-wide boilerplate). */
+  private val ShingleDfCap = 100
+
+  /** Shingle set with hot shingles (df > dfCap) dropped. The hot set
+    * is identified with one groupBy(shingle) — the same shuffle key
+    * the downstream join needs — and removed with a left-anti join. */
+  def prunedShingles(sh: DataFrame, dfCap: Int): DataFrame = {
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .where(col("df") > dfCap).select(col("shingle"))
+    sh.join(hot, Seq("shingle"), "left_anti")
+  }
+
+  /** Inverted-index candidate pairs over the DF-capped shingle space —
+    * exposed for DedupSpec's planted-stop-shingle volume test. */
+  def jaccardCandidates(sh: DataFrame, dfCap: Int): DataFrame = {
+    val pruned = prunedShingles(sh, dfCap)
+    pruned.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(pruned.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the full
+    * shingle sets (candidates only — never all-pairs), thresholded at
+    * ≥ 0.2 on the raw ratio (see dedupNgramJaccard's boundary note). */
+  private def verifiedJaccard(cands: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"),
+        col("shingle").as("sh_b")), Seq("doc_b"))
+      .where(col("shingle") === col("sh_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        Seq("doc_b"))
+      .where(col("n_common")
+        / (col("n_a") + col("n_b") - col("n_common")).cast("double") >= 0.2)
+      .withColumn("jaccard", round(col("n_common")
+        / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** [[dedupNgramJaccard]] on the DF-capped shingle space — the
+    * 100 TB formulation of the inverted-index join. Both the candidate
+    * join AND the Jaccard itself (n_common, set sizes) are computed
+    * over the pruned shingle set: corpus-wide boilerplate shingles
+    * carry no dedup signal, so dropping them from the FEATURE SPACE
+    * (not just candidate generation) is the production semantics —
+    * and it keeps the whole query ONE inverted-index self-join, same
+    * plan as the ground truth, instead of a per-pair re-verify whose
+    * cost is Σ n_sh_a × n_sh_b over candidates. Deterministic (no
+    * hashing) → fully oracle-checkable: the DuckDB oracle mirrors the
+    * same cap, so any divergence in WHICH pairs the cap admits is
+    * caught by the hash gate, not just row counts. On the driver
+    * testdata no shingle exceeds the cap (max df 25 at sf0.1), so the
+    * result provably equals [[dedupNgramJaccard]] — DedupSpec pins
+    * that equality plus the planted-stop-shingle volume collapse. */
+  def dedupJaccardCapped(s: SparkSession, dir: String): DataFrame = {
+    val pruned = prunedShingles(shingles(t(s, dir, "documents")), ShingleDfCap)
+    val sizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    pruned.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(pruned.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        Seq("doc_b"))
+      .where(col("n_common")
+        / (col("n_a") + col("n_b") - col("n_common")).cast("double") >= 0.2)
+      .withColumn("jaccard", round(col("n_common")
+        / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupJaccardCappedOracle: String =
+    s"""WITH sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |        i -> string_split(text,' ')[i] || ' ' ||
+      |             string_split(text,' ')[i+1] || ' ' ||
+      |             string_split(text,' ')[i+2])) AS sh
+      |    FROM documents WHERE len(string_split(text,' ')) >= 3)),
+      |hot AS (SELECT sh FROM sh GROUP BY sh
+      |        HAVING count(*) > $ShingleDfCap),
+      |pruned AS (SELECT doc_id, sh FROM sh
+      |           WHERE sh NOT IN (SELECT sh FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM pruned GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 4)
+      |    AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---------- Near-dup: MinHash + LSH (the scale path) ----------
 
   private val MinhashPerms = 16
@@ -265,29 +386,10 @@ object TextOps {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    // verify candidates with exact Jaccard (candidates only — cheap)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"),
-        col("shingle").as("sh_b")), Seq("doc_b"))
-      .where(col("shingle") === col("sh_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
-        Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
-        Seq("doc_b"))
-      // raw-ratio threshold, same boundary reasoning as
-      // dedupNgramJaccard (and it keeps the LSH verify consistent
-      // with the exact ground truth it's measured against)
-      .where(col("n_common")
-        / (col("n_a") + col("n_b") - col("n_common")).cast("double") >= 0.2)
-      .withColumn("jaccard", round(col("n_common")
-        / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4))
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    // verify candidates with exact Jaccard (candidates only — cheap);
+    // shared verifier keeps the LSH path consistent with the exact
+    // ground truth it's measured against
+    verifiedJaccard(cands, sh)
   }
 
   // ---------- Near-dup: SimHash ----------
@@ -338,6 +440,7 @@ object TextOps {
     "q_doc_fingerprint" -> qDocFingerprint,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_jaccard_capped" -> dedupJaccardCapped,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
   )
@@ -349,6 +452,7 @@ object TextOps {
     "q_doc_fingerprint" -> qDocFingerprintOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
+    "dedup_jaccard_capped" -> dedupJaccardCappedOracle,
     // dedup_minhash_lsh / dedup_simhash: xxhash64-based, not DuckDB-
     // expressible → rows-only check; recall asserted in ScalaTest.
   )

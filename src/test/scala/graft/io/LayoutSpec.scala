@@ -39,11 +39,11 @@ class LayoutSpec extends SparkSpec {
       li.where(col("ship_month") === "1995-01").count())
   }
 
-  test("co-bucketed tables join without a shuffle") {
-    // DROP alone is not enough: a fresh metastore doesn't know the
-    // table, so a stale spark-warehouse/<name> dir from a previous
-    // JVM raises LOCATION_ALREADY_EXISTS. Remove the location too.
-    Seq("li_b", "ord_b").foreach { t =>
+  // DROP alone is not enough: a fresh metastore doesn't know the
+  // table, so a stale spark-warehouse/<name> dir from a previous
+  // JVM raises LOCATION_ALREADY_EXISTS. Remove the location too.
+  private def dropBucketTables(tables: String*): Unit =
+    tables.foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = java.nio.file.Paths.get("spark-warehouse", t)
       if (java.nio.file.Files.exists(loc)) {
@@ -52,6 +52,9 @@ class LayoutSpec extends SparkSpec {
           .foreach(java.nio.file.Files.delete)
       }
     }
+
+  test("co-bucketed tables join without a shuffle") {
+    dropBucketTables("li_b", "ord_b")
     Tables.writeBucketed(
       Tables.load(spark, sf, "lineitem")
         .select("l_orderkey", "l_quantity"),
@@ -71,5 +74,78 @@ class LayoutSpec extends SparkSpec {
       .join(Tables.load(spark, sf, "orders"),
         col("l_orderkey") === col("o_orderkey")).count()
     assert(joined.count() == expected)
+  }
+
+  test("q_join_bucketed: join AND follow-on aggregate reuse bucket " +
+    "partitioning — zero hash exchanges") {
+    dropBucketTables("graft_bkt_orders", "graft_bkt_customer")
+    // disable broadcast so the zero-Exchange claim can't be satisfied
+    // by a BroadcastHashJoin — the bucketed layout must do the work
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.ops.ScaleOps.qJoinBucketed(spark, sf)
+      assert(df.count() > 0)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join+agg still hash-shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("dynamic partition overwrite rewrites ONLY the target partition") {
+    val out = java.nio.file.Files.createTempDirectory("graft-dpo").toString
+    val ev = Tables.load(spark, sf, "events")
+      .withColumn("snapshot_date", to_date(col("ts")))
+    Tables.writePartitioned(ev, out, Seq("snapshot_date"))
+
+    // snapshot every data file (partition-dir -> file -> mtime)
+    def snapshot(): Map[String, Map[String, Long]] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+        .iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .toSeq
+        .groupBy(_.getParent.getFileName.toString)
+        .map { case (part, fs) =>
+          part -> fs.map(p =>
+            p.toString ->
+              java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+        }
+    }
+    val before = snapshot()
+    assert(before.size > 1, "need multiple partitions for this test")
+
+    val target = ev.agg(min(col("snapshot_date"))).head().getDate(0)
+    val targetDir = s"snapshot_date=$target"
+    val prevMode =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      ev.where(col("snapshot_date") === lit(target) &&
+          col("event_type") === "click")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("snapshot_date").parquet(out)
+    } finally {
+      prevMode match {
+        case Some(m) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    val after = snapshot()
+    // target partition: fully replaced (no surviving old file)
+    assert(before(targetDir).keySet.intersect(after(targetDir).keySet).isEmpty,
+      "target partition kept stale files")
+    // every other partition: byte-for-byte untouched (same files, mtimes)
+    (before.keySet - targetDir).foreach { part =>
+      assert(after(part) == before(part), s"partition $part was rewritten")
+    }
+    // and the rewritten table holds exactly the expected rows
+    val n = spark.read.parquet(out)
+      .where(col("snapshot_date") === lit(target)).count()
+    val expected = ev.where(col("snapshot_date") === lit(target) &&
+      col("event_type") === "click").count()
+    assert(n == expected)
   }
 }

@@ -42,6 +42,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("df cap keeps candidate volume linear under a planted stop-shingle") {
+    import spark.implicits._
+    // k docs all share one boilerplate shingle; everything else unique.
+    // Uncapped, that single hot shingle alone yields k(k-1)/2 candidate
+    // pairs (the quadratic blow-up); with df cap < k the hot shingle is
+    // dropped and candidate volume collapses to the true near-dups (0).
+    val k = 40
+    val docs = (0 until k).map(i =>
+      (i.toLong, s"common boiler plate u$i a$i b$i c$i d$i"))
+      .toDF("doc_id", "text")
+    val sh = TextOps.shingles(docs)
+    val uncapped = TextOps.jaccardCandidates(sh, Int.MaxValue).count()
+    val capped = TextOps.jaccardCandidates(sh, 10).count()
+    assert(uncapped == k.toLong * (k - 1) / 2,
+      s"planted stop-shingle should go quadratic uncapped: $uncapped")
+    assert(capped == 0, s"df cap should drop hot-shingle candidates: $capped")
+  }
+
+  test("capped Jaccard equals the exact ground truth when no shingle is hot") {
+    // testdata has no shingle above the df cap (max df 25 at sf0.1),
+    // so the capped feature space IS the full space and the results
+    // must be identical — the cap's effect is pinned separately by the
+    // planted-stop-shingle test above
+    val truth = TextOps.dedupNgramJaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = TextOps.dedupJaccardCapped(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped.nonEmpty)
+    assert(capped == truth,
+      s"capped=${capped.size} truth=${truth.size} — results must match exactly")
+  }
+
   test("exact dedup: canonical_id is the min doc_id of its text group") {
     val rows = TextOps.dedupExact(spark, sf).collect()
     val byCanon = rows.groupBy(_.getLong(1))

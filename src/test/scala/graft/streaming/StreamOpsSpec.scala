@@ -75,6 +75,63 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming session_window matches the batch gaps-and-islands formulation") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // user 1: two sessions (10:01,10:05 | 10:30,10:35); user 2: two
+    // singleton sessions (10:02 | 10:50) — exercises merge + gap split
+    val data = Seq(
+      ev(1, 1, 1, "click", 1.0), ev(2, 5, 1, "view", 2.5),
+      ev(5, 2, 2, "click", 3.0),
+      ev(3, 30, 1, "click", 1.5), ev(4, 35, 1, "view", 0.5),
+      ev(6, 50, 2, "view", 1.0))
+
+    val in = MemoryStream[Event]
+    val q = sessionized(in.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("sess").start()
+    // split across micro-batches (respecting the watermark) so the
+    // streaming side actually merges session state across batches
+    in.addData(data.take(3): _*)
+    q.processAllAvailable()
+    in.addData(data.drop(3): _*)
+    q.processAllAvailable()
+    // flush: watermark past every session end so append mode emits all
+    in.addData(Event(99, Timestamp.valueOf("2026-01-01 12:00:00"), 9,
+      "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sess").where(col("user_id") =!= 9)
+      .select(col("user_id"), unix_timestamp(col("s_start")).as("s_start"),
+        unix_timestamp(col("s_end")).as("s_end"),
+        col("n_events"), col("session_value"))
+      .collect().map(_.toSeq).toSet
+
+    // batch formulation: gaps-and-islands with the SAME 10-minute gap.
+    // session_window treats windows as [start, end): an event exactly
+    // gap seconds after its predecessor starts a NEW session — hence
+    // `>= 600`, not `> 600`.
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val batch = data.toDF()
+      .withColumn("prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("ns", (col("prev").isNull ||
+        col("ts").cast("long") - col("prev").cast("long") >= 600).cast("int"))
+      .withColumn("sid", sum(col("ns")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts").cast("long")).as("s_start"),
+        (max(col("ts").cast("long")) + 600).as("s_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select("user_id", "s_start", "s_end", "n_events", "session_value")
+      .collect().map(_.toSeq).toSet
+
+    assert(streamed == batch,
+      s"stream/batch session mismatch:\n$streamed\nvs\n$batch")
+  }
+
   test("dropDuplicatesWithinWatermark dedups repeated event_ids") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

@@ -64,7 +64,21 @@ for name in sorted(os.listdir(outdir)):
         print(f"{name:24s} ROWCOUNT spark={len(sdf)} oracle={len(odf)}")
         ok = False
     else:
+        import numpy as np
         for c in scols:
+            # the driver's hash gate is dtype-sensitive: int64 vs
+            # float64 (e.g. DuckDB HUGEINT -> pandas float64) hashes
+            # differently even when values compare ==, so mismatched
+            # numeric kinds must fail HERE too, not just on the driver
+            sd, od = sdf[c].dtype, odf[c].dtype
+            s_num = np.issubdtype(sd, np.number)
+            o_num = np.issubdtype(od, np.number)
+            if s_num != o_num or (s_num and o_num and
+                    np.issubdtype(sd, np.floating)
+                    != np.issubdtype(od, np.floating)):
+                print(f"{name:24s} DTYPE col {c}: spark={sd} oracle={od}")
+                ok = False
+                break
             a, b = sdf[c].tolist(), odf[c].tolist()
             for i, (x, y) in enumerate(zip(a, b)):
                 # EXACT float equality: the driver hash-compares
@@ -72,10 +86,13 @@ for name in sorted(os.listdir(outdir)):
                 # would forgive still fails the real gate. Every
                 # oracle-facing float must be round()ed identically
                 # on both sides (verified bit-exact 2026-08-12).
+                # str() fallback only for NON-numeric cells (dates,
+                # decimals) — for numerics it would mask int/float
+                # representation drift the driver catches.
                 same = (x == y or (x is None and y is None)
                         or (isinstance(x, float) and isinstance(y, float)
                             and math.isnan(x) and math.isnan(y))
-                        or str(x) == str(y))
+                        or (not s_num and str(x) == str(y)))
                 if not same:
                     print(f"{name:24s} VALUE row {i} col {c}: "
                           f"spark={x!r} oracle={y!r}")
