@@ -172,6 +172,29 @@ object Relational {
       |               ORDER BY o_totalprice DESC, o_orderkey)
       |) WHERE rn <= 10 ORDER BY o_orderpriority, rn""".stripMargin
 
+  /** Distribution window functions: percent_rank / cume_dist (ntile is
+    * in qWindowRank). The (n-1)/(rank-1)-style divisions are integer-
+    * derived and bit-identical across engines — no rounding needed for
+    * the hash gate, but round(6) guards future testdata anyway. */
+  def qWindowDistribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cum_dist"))
+      .orderBy("o_orderkey")
+  }
+
+  val qWindowDistributionOracle: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cum_dist
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus
+      |             ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** lag / lead with defaults over event time. */
   def qWindowLagLead(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
@@ -688,6 +711,7 @@ object Relational {
     "q_window_lag_lead" -> qWindowLagLead,
     "q_window_running" -> qWindowRunning,
     "q_window_range" -> qWindowRange,
+    "q_window_distribution" -> qWindowDistribution,
     "q_topk_per_group" -> qTopkPerGroup,
     "q_sort_limit" -> qSortLimit,
     "q_union_all" -> qUnionAll,
@@ -721,6 +745,7 @@ object Relational {
     "q_window_lag_lead" -> qWindowLagLeadOracle,
     "q_window_running" -> qWindowRunningOracle,
     "q_window_range" -> qWindowRangeOracle,
+    "q_window_distribution" -> qWindowDistributionOracle,
     "q_topk_per_group" -> qTopkPerGroupOracle,
     "q_sort_limit" -> qSortLimitOracle,
     "q_union_all" -> qUnionAllOracle,

@@ -91,8 +91,14 @@ object StreamOps {
     * Both sides carry watermarks and the join condition bounds event
     * time in BOTH directions, so Spark can expire buffered state —
     * the two requirements that make a stream-stream join runnable
-    * forever instead of growing without bound. */
-  def clickImpressionJoin(impressions: DataFrame, clicks: DataFrame): DataFrame = {
+    * forever instead of growing without bound.
+    *
+    * `joinType` "leftOuter" additionally emits unmatched clicks with
+    * NULL impression columns — but only once the watermark passes the
+    * click's join window, when "no match yet" provably means "no match
+    * ever" (outer results are necessarily watermark-delayed). */
+  def clickImpressionJoin(impressions: DataFrame, clicks: DataFrame,
+                          joinType: String = "inner"): DataFrame = {
     val imp = impressions
       .withWatermark("ts", "10 minutes")
       .select(col("event_id").as("imp_id"), col("user_id").as("imp_user"),
@@ -104,7 +110,8 @@ object StreamOps {
     clk.join(imp,
       col("user_id") === col("imp_user") &&
         col("imp_ts") <= col("click_ts") &&
-        col("imp_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES"))
+        col("imp_ts") >= col("click_ts") - expr("INTERVAL 10 MINUTES"),
+      joinType)
       .select(col("click_id"), col("imp_id"), col("user_id"),
         col("click_ts"), col("imp_ts"))
   }

@@ -208,6 +208,40 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched clicks with nulls " +
+    "after the watermark closes their window") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val imp = MemoryStream[Event]
+    val clk = MemoryStream[Event]
+    val q = clickImpressionJoin(imp.toDF(), clk.toDF(), "leftOuter")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssjlo").start()
+    imp.addData(ev(10, 1, 1, "impression", 0))
+    clk.addData(ev(20, 8, 1, "click", 0), // matches imp 10
+      ev(22, 55, 2, "click", 0)) // no impression → NULL row, once closable
+    q.processAllAvailable()
+    // watermark still at the data's edge: the unmatched click must NOT
+    // have been emitted yet (a premature NULL would be retracted later
+    // if a match arrived — append mode can't do that)
+    val early = spark.table("ssjlo").where(col("click_id") === 22).count()
+    assert(early == 0, "outer result emitted before the watermark closed")
+    // push both watermarks far past click 22's window (10:55 + the
+    // 10-minute watermark delay) → NULL row emits. The global
+    // watermark is the MIN across both streams, so both need the flush.
+    val flushTs = Timestamp.valueOf("2026-01-01 11:30:00")
+    imp.addData(Event(98, flushTs, 9, "flush", 0))
+    clk.addData(Event(99, flushTs, 9, "flush", 0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssjlo")
+      .select("click_id", "imp_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+    assert(rows.contains((20L, Some(10L))))
+    assert(rows.contains((22L, None)), s"unmatched click missing: $rows")
+  }
+
   test("file-stream source reads the events table with the declared schema") {
     // FileStreamSource needs a directory: stage the events parquet
     // into a temp landing dir, stream it, compare count with batch.
