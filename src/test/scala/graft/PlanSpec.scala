@@ -75,6 +75,39 @@ class PlanSpec extends SparkSpec {
       s"no codegen span in:\n$exec")
   }
 
+  test("salted aggregation plans two phases: partials keyed by (key, salt)") {
+    val df = ops.ScaleOps.qSkewAgg(spark, sf)
+    val plan = planString(df)
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    // phase 1 shuffles on (key, salt) — a hot key spreads over salts;
+    // phase 2 shuffles the tiny partials on the key alone
+    assert(exchanges.exists(_.contains("__salt")),
+      s"no salted exchange in:\n$plan")
+    assert(exchanges.exists(l =>
+      l.contains("event_type") && !l.contains("__salt")),
+      s"no final merge exchange in:\n$plan")
+  }
+
+  test("banded/bucketed candidate generation never plans a cartesian or " +
+    "nested-loop join") {
+    // the exact ground truths (sim_neardup, sim_cosine_topk) are ALLOWED
+    // to nested-loop — these are the scale paths, which must not
+    Seq(
+      "sim_ann_lsh" -> ops.Similarity.simAnnLsh(spark, sf),
+      "sim_neardup_lsh" -> ops.Similarity.simNeardupLsh(spark, sf),
+      "dedup_jaccard_capped" -> ops.TextOps.dedupJaccardCapped(spark, sf),
+      "dedup_minhash_lsh" -> ops.TextOps.dedupMinhashLsh(spark, sf),
+      "q_join_range" -> ops.Relational.qJoinRange(spark, sf)
+    ).foreach { case (name, df) =>
+      val plan = planString(df)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested-loop join:\n$plan")
+    }
+  }
+
   test("partition-count knob: shuffle partitions follow the session config") {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
     val parts = Tables.load(spark, sf, "events")
