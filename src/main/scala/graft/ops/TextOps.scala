@@ -431,6 +431,140 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---------- End-to-end corpus cleaning (the pipeline, composed) ----------
+
+  /** The training-data pipeline as ONE query: every doc gets a verdict
+    * with first-failing-rule precedence —
+    *   short     : fewer than 5 words
+    *   lang      : predicted language is neither en nor zh (same
+    *               heuristic as qLangId)
+    *   exact_dup : not the min doc_id of its byte-identical text group
+    *               (among length/lang survivors)
+    *   near_dup  : shares a DF-capped-Jaccard ≥ 0.5 pair with a LOWER
+    *               surviving doc_id (greedy-by-id, one pass — the
+    *               partner's own near-dup status is NOT consulted,
+    *               keeping the rule deterministic and shuffle-friendly;
+    *               candidate pairs are computed among survivors only,
+    *               so earlier stages shrink the expensive stage's input
+    *               — the pipeline-ordering point)
+    *   kept      : everything else
+    * All stages are deterministic → the DuckDB oracle replays the whole
+    * pipeline and the hash gate checks every verdict, not just counts.
+    * Scale shape: two narrow projections, one md5 groupBy, one capped
+    * inverted-index join — the same primitives as the standalone
+    * queries, composed. */
+  def pipelineCorpusClean(s: SparkSession, dir: String): DataFrame =
+    corpusCleanVerdicts(t(s, dir, "documents"))
+
+  /** Core of [[pipelineCorpusClean]] over any (doc_id, text) frame —
+    * split out so the spec can drive every verdict class with planted
+    * docs (the real testdata exercises only kept/lang/near_dup). */
+  private[ops] def corpusCleanVerdicts(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val enMarkers = array(Seq("the", "a", "is", "of").map(lit): _*)
+    val scored = docs.select(col("doc_id"), col("text"),
+      size(w).as("n_words"),
+      when(col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
+        .when(size(filter(w, x => array_contains(enMarkers, x)))
+          .cast("double") / size(w) >= 0.05, "en")
+        .otherwise("other").as("lang"))
+    val short = col("n_words") < 5
+    val badLang = col("lang") === "other"
+    val canon = Window.partitionBy(md5(col("text")))
+    val staged = scored
+      .withColumn("is_short", short)
+      .withColumn("is_bad_lang", !short && badLang)
+      .withColumn("survives_filters", !short && !badLang)
+      // exact dedup among filter survivors only: a dropped doc must not
+      // claim canonicalship of a surviving duplicate
+      .withColumn("canonical_id",
+        min(when(col("survives_filters"), col("doc_id"))).over(canon))
+      .withColumn("is_exact_dup",
+        col("survives_filters") && col("doc_id") =!= col("canonical_id"))
+    val survivors = staged
+      .where(col("survives_filters") && !col("is_exact_dup"))
+      .select(col("doc_id"), col("text"))
+    val pruned = prunedShingles(shingles(survivors), ShingleDfCap)
+    val sizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val nearDupIds = pruned
+      .select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(pruned.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        Seq("doc_b"))
+      .where(col("n_common")
+        / (col("n_a") + col("n_b") - col("n_common")).cast("double") >= 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_near_dup", lit(true))
+    staged.join(nearDupIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_short"), "short")
+          .when(col("is_bad_lang"), "lang")
+          .when(col("is_exact_dup"), "exact_dup")
+          .when(coalesce(col("is_near_dup"), lit(false)), "near_dup")
+          .otherwise("kept").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  val pipelineCorpusCleanOracle: String =
+    s"""WITH scored AS (
+      |  SELECT doc_id, text, len(string_split(text, ' ')) AS n_words,
+      |    CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+      |         WHEN CAST(len(list_filter(string_split(text, ' '),
+      |                x -> list_contains(['the','a','is','of'], x)))
+      |              AS DOUBLE)
+      |              / len(string_split(text, ' ')) >= 0.05 THEN 'en'
+      |         ELSE 'other' END AS lang
+      |  FROM documents),
+      |staged AS (
+      |  SELECT doc_id, text, n_words < 5 AS is_short,
+      |    n_words >= 5 AND lang = 'other' AS is_bad_lang,
+      |    n_words >= 5 AND lang <> 'other' AS survives_filters,
+      |    min(CASE WHEN n_words >= 5 AND lang <> 'other' THEN doc_id END)
+      |      OVER (PARTITION BY md5(text)) AS canonical_id
+      |  FROM scored),
+      |staged2 AS (
+      |  SELECT *, survives_filters AND doc_id <> canonical_id AS is_exact_dup
+      |  FROM staged),
+      |survivors AS (
+      |  SELECT doc_id, text FROM staged2
+      |  WHERE survives_filters AND NOT is_exact_dup),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |        i -> string_split(text,' ')[i] || ' ' ||
+      |             string_split(text,' ')[i+1] || ' ' ||
+      |             string_split(text,' ')[i+2])) AS sh
+      |    FROM survivors WHERE len(string_split(text,' ')) >= 3)),
+      |hot AS (SELECT sh FROM sh0 GROUP BY sh
+      |        HAVING count(*) > $ShingleDfCap),
+      |pruned AS (SELECT doc_id, sh FROM sh0
+      |           WHERE sh NOT IN (SELECT sh FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM pruned GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |neardup AS (
+      |  SELECT DISTINCT doc_b AS doc_id FROM pairs
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5)
+      |SELECT s.doc_id,
+      |  CASE WHEN is_short THEN 'short'
+      |       WHEN is_bad_lang THEN 'lang'
+      |       WHEN is_exact_dup THEN 'exact_dup'
+      |       WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+      |       ELSE 'kept' END AS verdict
+      |FROM staged2 s LEFT JOIN neardup n ON n.doc_id = s.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
   // ---------- Registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -443,6 +577,7 @@ object TextOps {
     "dedup_jaccard_capped" -> dedupJaccardCapped,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
+    "pipeline_corpus_clean" -> pipelineCorpusClean,
   )
 
   def oracles: Map[String, String] = Map(
@@ -453,6 +588,7 @@ object TextOps {
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "dedup_jaccard_capped" -> dedupJaccardCappedOracle,
+    "pipeline_corpus_clean" -> pipelineCorpusCleanOracle,
     // dedup_minhash_lsh / dedup_simhash: xxhash64-based, not DuckDB-
     // expressible → rows-only check; recall asserted in ScalaTest.
   )

@@ -74,6 +74,24 @@ class DedupSpec extends SparkSpec {
       s"capped=${capped.size} truth=${truth.size} — results must match exactly")
   }
 
+  test("corpus-clean pipeline: every verdict class fires with correct precedence") {
+    import spark.implicits._
+    val en = "the cat sat on the mat and then the dog ran far away today"
+    val docs = Seq(
+      (0L, "one two"), // short (< 5 words)
+      (1L, "xyz qqq www rrr ttt uuu vvv"), // lang: no en markers, no zh
+      (2L, en), // kept — canonical of the exact-dup group
+      (3L, en), // exact_dup of 2
+      (4L, en + " extra tail words here"), // near_dup of 2 (j >= 0.5)
+      (5L, "the sun is bright and the sky is blue over the hills now")
+      // 5: kept — en, unique
+    ).toDF("doc_id", "text")
+    val verdicts = TextOps.corpusCleanVerdicts(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verdicts == Map(0L -> "short", 1L -> "lang", 2L -> "kept",
+      3L -> "exact_dup", 4L -> "near_dup", 5L -> "kept"), s"got $verdicts")
+  }
+
   test("exact dedup: canonical_id is the min doc_id of its text group") {
     val rows = TextOps.dedupExact(spark, sf).collect()
     val byCanon = rows.groupBy(_.getLong(1))
