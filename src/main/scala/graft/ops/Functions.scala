@@ -239,18 +239,23 @@ object Functions {
   def qSlidingWindow(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
-      // avg via round(sum,2)/n: raw avg() can land on a round(…,4)
-      // half-way boundary where FP summation order flips the last
-      // digit between engines; rounding the sum first is stable.
+      // avg via round(sum,2)/n (summation-order-stable numerator),
+      // rounded with the explicit floor(x*1e4+0.5)/1e4 double formula
+      // the oracle mirrors: engine-native round() diverges when the
+      // quotient sits within 1 ulp of a half-boundary (observed at
+      // sf0.1: 1334.37/24 → Spark 55.5987 vs DuckDB 55.5988); the
+      // shared formula runs the same IEEE ops on both sides.
       .agg(count(lit(1)).as("n"),
-        round(round(sum(col("value")), 2) / count(lit(1)), 4).as("avg_value"))
+        (floor(round(sum(col("value")), 2) / count(lit(1)) * 10000 + 0.5)
+          / 10000).as("avg_value"))
       .select(unix_timestamp(col("w.start")).as("w_start"), col("n"),
         col("avg_value"))
       .orderBy("w_start")
 
   val qSlidingWindowOracle: String =
     """SELECT w_start, count(*) AS n,
-      |       round(round(sum(value), 2) / count(*), 4) AS avg_value
+      |       floor(round(sum(value), 2) / count(*) * 10000 + 0.5) / 10000
+      |         AS avg_value
       |FROM (
       |  SELECT CAST(floor((extract(epoch FROM ts) - i * 300) / 600) * 600
       |              + i * 300 AS BIGINT) AS w_start, value

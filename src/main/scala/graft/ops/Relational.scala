@@ -35,12 +35,17 @@ object Relational {
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("sum_disc_price"),
-        // avg as round(sum,2)/n: immune to FP summation-order flips at
-        // the round(…,4) half-way boundary (see qSlidingWindow note).
-        round(round(sum(col("l_quantity")), 2) / count(lit(1)), 4)
-          .as("avg_qty"),
-        round(round(sum(col("l_discount")), 2) / count(lit(1)), 4)
-          .as("avg_disc"),
+        // avg via round(sum,2)/n, then rounded with the explicit
+        // floor(x*1e4+0.5)/1e4 double formula that the oracle mirrors
+        // verbatim: engine-native round() diverges when the quotient
+        // sits within 1 ulp of a half-boundary (Spark's BigDecimal
+        // sees the exact binary value, DuckDB multiplies first —
+        // observed at sf0.1 on q_sliding_window); the shared formula
+        // makes both sides run the same IEEE ops bit-for-bit.
+        (floor(round(sum(col("l_quantity")), 2) / count(lit(1)) * 10000
+          + 0.5) / 10000).as("avg_qty"),
+        (floor(round(sum(col("l_discount")), 2) / count(lit(1)) * 10000
+          + 0.5) / 10000).as("avg_disc"),
         count(lit(1)).as("count_order"),
         round(min(col("l_extendedprice")), 2).as("min_price"),
         round(max(col("l_extendedprice")), 2).as("max_price"))
@@ -51,8 +56,10 @@ object Relational {
       |  round(sum(l_quantity), 2) AS sum_qty,
       |  round(sum(l_extendedprice), 2) AS sum_base_price,
       |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(round(sum(l_quantity), 2) / count(*), 4) AS avg_qty,
-      |  round(round(sum(l_discount), 2) / count(*), 4) AS avg_disc,
+      |  floor(round(sum(l_quantity), 2) / count(*) * 10000 + 0.5) / 10000
+      |    AS avg_qty,
+      |  floor(round(sum(l_discount), 2) / count(*) * 10000 + 0.5) / 10000
+      |    AS avg_disc,
       |  count(*) AS count_order,
       |  round(min(l_extendedprice), 2) AS min_price,
       |  round(max(l_extendedprice), 2) AS max_price
@@ -77,6 +84,29 @@ object Relational {
       |  count(DISTINCT l_suppkey) AS n_supps,
       |  count(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Mergeable-sketch re-aggregation — the 100 TB distinct-count
+    * WORKFLOW, not just the function: build one Datasketches HLL
+    * sketch per (event_type, day) — the granularity you'd materialize
+    * in a daily rollup table — then hll_union the per-day sketches up
+    * to per-type totals WITHOUT touching raw data again. That
+    * re-aggregability (union of daily sketches == sketch of the union)
+    * is what makes sketch rollups composable at scale; RelationalProp-
+    * Spec asserts the unioned estimate matches the single-pass sketch
+    * exactly and tracks the exact distinct count within HLL error.
+    * Sketch internals aren't DuckDB-portable → rows-only driver check.
+    */
+  def qSketchReagg(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("day_sketch"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("day_sketch")))
+          .as("approx_users"))
+      .orderBy("event_type")
+  }
 
   /** HLL++ sketch count — algorithm-specific, so no DuckDB oracle
     * (driver records the weaker rows-only check). At 100 TB this is
@@ -704,6 +734,7 @@ object Relational {
     "q1_agg" -> q1Agg,
     "q_count_distinct" -> qCountDistinct,
     "q_approx_distinct" -> qApproxDistinct,
+    "q_sketch_reagg" -> qSketchReagg,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,
     "q_grouping_sets" -> qGroupingSets,

@@ -65,4 +65,26 @@ class RelationalPropSpec extends SparkSpec {
       assert(a.toDF("k", "v").join(dim, Seq("k"), "left").count() == a.size)
     }
   }
+
+  test("HLL sketch re-aggregation: union of daily sketches == single-pass " +
+    "sketch, and tracks the exact count within HLL error") {
+    val t = graft.io.Tables.load(spark, sf, "events")
+    val reagg = Relational.qSketchReagg(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val single = t.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = t.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reagg.keySet == exact.keySet)
+    reagg.foreach { case (k, est) =>
+      // re-aggregability: daily-union estimate == one-shot estimate,
+      // EXACTLY (same sketch state, just merged in a different order)
+      assert(est == single(k), s"$k: union=$est single=${single(k)}")
+      // default lgConfigK=12 -> relative error ~1.6%; allow 5%
+      assert(math.abs(est - exact(k)).toDouble / exact(k) <= 0.05,
+        s"$k: est=$est exact=${exact(k)}")
+    }
+  }
 }
