@@ -246,8 +246,8 @@ object Functions {
       // sf0.1: 1334.37/24 → Spark 55.5987 vs DuckDB 55.5988); the
       // shared formula runs the same IEEE ops on both sides.
       .agg(count(lit(1)).as("n"),
-        (floor(round(sum(col("value")), 2) / count(lit(1)) * 10000 + 0.5)
-          / 10000).as("avg_value"))
+        graft.expr.Columns.roundQ(
+          round(sum(col("value")), 2) / count(lit(1)), 4).as("avg_value"))
       .select(unix_timestamp(col("w.start")).as("w_start"), col("n"),
         col("avg_value"))
       .orderBy("w_start")

@@ -42,10 +42,10 @@ object Relational {
         // sees the exact binary value, DuckDB multiplies first —
         // observed at sf0.1 on q_sliding_window); the shared formula
         // makes both sides run the same IEEE ops bit-for-bit.
-        (floor(round(sum(col("l_quantity")), 2) / count(lit(1)) * 10000
-          + 0.5) / 10000).as("avg_qty"),
-        (floor(round(sum(col("l_discount")), 2) / count(lit(1)) * 10000
-          + 0.5) / 10000).as("avg_disc"),
+        graft.expr.Columns.roundQ(
+          round(sum(col("l_quantity")), 2) / count(lit(1)), 4).as("avg_qty"),
+        graft.expr.Columns.roundQ(
+          round(sum(col("l_discount")), 2) / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"),
         round(min(col("l_extendedprice")), 2).as("min_price"),
         round(max(col("l_extendedprice")), 2).as("max_price"))
@@ -203,23 +203,24 @@ object Relational {
       |) WHERE rn <= 10 ORDER BY o_orderpriority, rn""".stripMargin
 
   /** Distribution window functions: percent_rank / cume_dist (ntile is
-    * in qWindowRank). The (n-1)/(rank-1)-style divisions are integer-
-    * derived and bit-identical across engines — no rounding needed for
-    * the hash gate, but round(6) guards future testdata anyway. */
+    * in qWindowRank). The (rank-1)/(n-1)-style quotients are identical
+    * doubles on both engines, but a value landing on a 6dp
+    * half-boundary would still round differently — use the bit-stable
+    * formula (Columns.roundQ), mirrored in the oracle. */
   def qWindowDistribution(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderstatus"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
     t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cum_dist"))
+        graft.expr.Columns.roundQ(percent_rank().over(w), 6).as("pct_rank"),
+        graft.expr.Columns.roundQ(cume_dist().over(w), 6).as("cum_dist"))
       .orderBy("o_orderkey")
   }
 
   val qWindowDistributionOracle: String =
     """SELECT o_orderkey, o_orderstatus,
-      |  round(percent_rank() OVER w, 6) AS pct_rank,
-      |  round(cume_dist() OVER w, 6) AS cum_dist
+      |  floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+      |  floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cum_dist
       |FROM orders
       |WINDOW w AS (PARTITION BY o_orderstatus
       |             ORDER BY o_totalprice, o_orderkey)

@@ -70,7 +70,8 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("neighbor_id"),
-        round(dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 4)
+        graft.expr.Columns.roundQ(
+          dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 4)
           .as("cosine"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 5)
@@ -92,7 +93,8 @@ object Similarity {
       |      GROUP BY 1
       |      HAVING sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) > 0),
       |c AS (SELECT qid, vid AS neighbor_id,
-      |             round(dot / (nq.nrm * nv.nrm), 4) AS cosine
+      |             floor(dot / (nq.nrm * nv.nrm) * 10000 + 0.5) / 10000
+      |               AS cosine
       |      FROM d JOIN n nq ON nq.vec_id = qid
       |             JOIN n nv ON nv.vec_id = vid)
       |SELECT qid, neighbor_id, cosine, rn FROM (
@@ -120,8 +122,9 @@ object Similarity {
       col("nrm").as("nrm_b"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")),
-          4).as("cosine"))
+        graft.expr.Columns.roundQ(
+          dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 4)
+          .as("cosine"))
       .where(col("cosine") >= 0.25)
       .orderBy("vec_a", "vec_b")
   }
@@ -139,10 +142,11 @@ object Similarity {
       |      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
       |      GROUP BY 1
       |      HAVING sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) > 0)
-      |SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+      |SELECT vec_a, vec_b,
+      |  floor(dot / (na.nrm * nb.nrm) * 10000 + 0.5) / 10000 AS cosine
       |FROM d JOIN n na ON na.vec_id = vec_a
       |       JOIN n nb ON nb.vec_id = vec_b
-      |WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.25
+      |WHERE floor(dot / (na.nrm * nb.nrm) * 10000 + 0.5) / 10000 >= 0.25
       |ORDER BY vec_a, vec_b""".stripMargin
 
   // ---------- LSH-bucketed ANN (the scale path) ----------
@@ -212,7 +216,8 @@ object Similarity {
     corpus.join(broadcast(probes), Seq("tbl", "bucket"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("neighbor_id"),
-        round(dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 4)
+        graft.expr.Columns.roundQ(
+          dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 4)
           .as("cosine"))
       .distinct() // same candidate via several tables/probes → one row
       .withColumn("rn", row_number().over(w))
@@ -254,8 +259,9 @@ object Similarity {
     a.join(b, Seq("tbl", "bucket"))
       .where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")),
-          4).as("cosine"))
+        graft.expr.Columns.roundQ(
+          dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 4)
+          .as("cosine"))
       .where(col("cosine") >= 0.25)
       .distinct() // same pair via several tables → one row
       .orderBy("vec_a", "vec_b")
@@ -310,7 +316,8 @@ object Similarity {
     assigned.join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("neighbor_id"),
-        round(dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 4)
+        graft.expr.Columns.roundQ(
+          dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 4)
           .as("cosine"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 5)

@@ -72,18 +72,24 @@ object TextOps {
     val w = words(col("text"))
     val nWords = size(w).cast("double")
     val stopArr = array(stopwords.map(lit): _*)
+    // ratio rounding via the bit-stable floor formula (Columns.roundQ,
+    // mirrored in the oracle): int/int quotients whose exact value
+    // lands ON a 4dp half-boundary with a non-binary-representable
+    // denominator (e.g. k/160) would otherwise round differently
+    // between engines — same class as the observed avg divergence
+    def r4(c: Column): Column = graft.expr.Columns.roundQ(c, 4)
     t(s, dir, "documents")
       .select(
         col("doc_id"),
         length(col("text")).as("n_chars"),
         size(w).as("n_words"),
-        round(length(regexp_replace(col("text"), "[a-z\\s]", ""))
-          / length(col("text")).cast("double"), 4).as("punct_ratio"),
-        round(size(filter(w, x => array_contains(stopArr, x))) / nWords, 4)
+        r4(length(regexp_replace(col("text"), "[a-z\\s]", ""))
+          / length(col("text")).cast("double")).as("punct_ratio"),
+        r4(size(filter(w, x => array_contains(stopArr, x))) / nWords)
           .as("stopword_ratio"),
-        round((length(col("text")) - size(w) + 1) / nWords, 4)
+        r4((length(col("text")) - size(w) + 1) / nWords)
           .as("avg_word_len"),
-        round(size(array_distinct(w)) / nWords, 4).as("ttr"))
+        r4(size(array_distinct(w)) / nWords).as("ttr"))
       .orderBy("doc_id")
   }
 
@@ -91,17 +97,19 @@ object TextOps {
     """SELECT doc_id,
       |  CAST(length(text) AS INT) AS n_chars,
       |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
-      |  round(length(regexp_replace(text, '[a-z\s]', '', 'g'))
-      |        / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
-      |  round(len(list_filter(string_split(text, ' '),
+      |  floor(length(regexp_replace(text, '[a-z\s]', '', 'g'))
+      |        / CAST(length(text) AS DOUBLE) * 10000 + 0.5) / 10000
+      |    AS punct_ratio,
+      |  floor(len(list_filter(string_split(text, ' '),
       |          x -> list_contains(['the','a','an','and','of','to','in','is'], x)))
-      |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
-      |    AS stopword_ratio,
-      |  round((length(text) - len(string_split(text, ' ')) + 1)
-      |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
-      |    AS avg_word_len,
-      |  round(len(list_distinct(string_split(text, ' ')))
-      |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS ttr
+      |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 10000 + 0.5)
+      |    / 10000 AS stopword_ratio,
+      |  floor((length(text) - len(string_split(text, ' ')) + 1)
+      |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 10000 + 0.5)
+      |    / 10000 AS avg_word_len,
+      |  floor(len(list_distinct(string_split(text, ' ')))
+      |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 10000 + 0.5)
+      |    / 10000 AS ttr
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------- Language ID (deterministic n-gram/stopword heuristic) ----------
@@ -175,33 +183,48 @@ object TextOps {
 
   // ---------- Near-dup: exact n-gram Jaccard (ground truth) ----------
 
-  /** All pairs with 3-gram-shingle Jaccard ≥ 0.2, via inverted-index
-    * self-join on the shingle (shuffle key = shingle; candidate pairs
-    * only materialize where shingles collide — no cross join). */
-  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(t(s, dir, "documents"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
+  /** Per-doc shingle-set sizes. */
+  private def shingleSizes(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+
+  /** (doc_a, doc_b, n_common) from the inverted-index self-join —
+    * shuffle key = shingle; pairs only materialize where shingles
+    * collide, never a cross join. */
+  private def pairCommonCounts(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("shingle"))
       .where(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
+
+  /** Shared Jaccard tail: join sizes, threshold on the RAW ratio (a
+    * raw value in [threshold−5e-5, threshold) rounds UP into the
+    * rounded output and filtering on the rounded column would keep
+    * what the oracle drops), emit the bit-stable rounded ratio. */
+  private def jaccardFromCounts(common: DataFrame, sizes: DataFrame,
+                                threshold: Double): DataFrame = {
+    val ratio = col("n_common") /
+      (col("n_a") + col("n_b") - col("n_common")).cast("double")
+    common
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
         Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
         Seq("doc_b"))
-      // threshold on the RAW ratio (like the oracle's WHERE) — a raw
-      // value in [0.19995, 0.2) rounds UP to the rounded output's 0.2
-      // and filtering on the rounded column would keep what the
-      // oracle drops
-      .where(col("n_common")
-        / (col("n_a") + col("n_b") - col("n_common")).cast("double") >= 0.2)
-      .withColumn("jaccard", round(col("n_common")
-        / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4))
+      .where(ratio >= threshold)
+      .withColumn("jaccard", graft.expr.Columns.roundQ(ratio, 4))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** Inverted-index Jaccard over a shingle set (unordered). */
+  private def jaccardJoin(sh: DataFrame, threshold: Double): DataFrame =
+    jaccardFromCounts(pairCommonCounts(sh), shingleSizes(sh), threshold)
+
+  /** All pairs with 3-gram-shingle Jaccard ≥ 0.2 — the exact ground
+    * truth. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardJoin(shingles(t(s, dir, "documents")), 0.2)
+      .orderBy("doc_a", "doc_b")
 
   val dedupNgramJaccardOracle: String =
     """WITH sh AS (
@@ -218,8 +241,8 @@ object TextOps {
       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b,
-      |  round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 4)
-      |    AS jaccard
+      |  floor(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
+      |        * 10000 + 0.5) / 10000 AS jaccard
       |FROM pairs
       |JOIN sizes sa ON sa.doc_id = doc_a
       |JOIN sizes sb ON sb.doc_id = doc_b
@@ -228,15 +251,14 @@ object TextOps {
 
   // ---------- Near-dup: DF-capped Jaccard (the scale candidate path) ----------
 
-  /** Shingles with document frequency above this are dropped before
-    * candidate generation: a stop-shingle shared by k docs yields
-    * k(k−1)/2 candidate pairs on its own, the one quadratic blow-up in
-    * the inverted-index formulation. The cap bounds per-shingle fanout,
-    * so candidate volume is ≤ df_cap × n_shingles — linear in corpus
-    * size. Verification still uses the FULL shingle sets, so emitted
-    * Jaccard values are exact; only pairs whose every common shingle is
-    * hot can be missed (for near-dups at j ≥ 0.2 that requires the docs
-    * to be built almost entirely of corpus-wide boilerplate). */
+  /** Shingles with document frequency above this are dropped from the
+    * feature space: a stop-shingle shared by k docs yields k(k−1)/2
+    * candidate pairs on its own, the one quadratic blow-up in the
+    * inverted-index formulation. The cap bounds per-shingle fanout, so
+    * candidate volume is ≤ df_cap × n_shingles — linear in corpus
+    * size; corpus-wide boilerplate carries no dedup signal, so the
+    * capped Jaccard is the production semantics (see
+    * dedupJaccardCapped). */
   private val ShingleDfCap = 100
 
   /** Shingle set with hot shingles (df > dfCap) dropped. The hot set
@@ -262,25 +284,17 @@ object TextOps {
 
   /** Exact-Jaccard verification of candidate pairs against the full
     * shingle sets (candidates only — never all-pairs), thresholded at
-    * ≥ 0.2 on the raw ratio (see dedupNgramJaccard's boundary note). */
+    * ≥ 0.2 on the raw ratio; shares the Jaccard tail with the
+    * inverted-index family. */
   private def verifiedJaccard(cands: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    cands
+    val common = cands
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"),
         col("shingle").as("sh_b")), Seq("doc_b"))
       .where(col("shingle") === col("sh_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
-        Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
-        Seq("doc_b"))
-      .where(col("n_common")
-        / (col("n_a") + col("n_b") - col("n_common")).cast("double") >= 0.2)
-      .withColumn("jaccard", round(col("n_common")
-        / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4))
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    jaccardFromCounts(common, shingleSizes(sh), 0.2)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -299,26 +313,10 @@ object TextOps {
     * testdata no shingle exceeds the cap (max df 25 at sf0.1), so the
     * result provably equals [[dedupNgramJaccard]] — DedupSpec pins
     * that equality plus the planted-stop-shingle volume collapse. */
-  def dedupJaccardCapped(s: SparkSession, dir: String): DataFrame = {
-    val pruned = prunedShingles(shingles(t(s, dir, "documents")), ShingleDfCap)
-    val sizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    pruned.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(pruned.select(col("doc_id").as("doc_b"), col("shingle")),
-        Seq("shingle"))
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
-        Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
-        Seq("doc_b"))
-      .where(col("n_common")
-        / (col("n_a") + col("n_b") - col("n_common")).cast("double") >= 0.2)
-      .withColumn("jaccard", round(col("n_common")
-        / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4))
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  def dedupJaccardCapped(s: SparkSession, dir: String): DataFrame =
+    jaccardJoin(
+      prunedShingles(shingles(t(s, dir, "documents")), ShingleDfCap), 0.2)
       .orderBy("doc_a", "doc_b")
-  }
 
   val dedupJaccardCappedOracle: String =
     s"""WITH sh AS (
@@ -339,8 +337,8 @@ object TextOps {
       |  FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b,
-      |  round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 4)
-      |    AS jaccard
+      |  floor(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
+      |        * 10000 + 0.5) / 10000 AS jaccard
       |FROM pairs
       |JOIN sizes sa ON sa.doc_id = doc_a
       |JOIN sizes sb ON sb.doc_id = doc_b
@@ -484,23 +482,10 @@ object TextOps {
     val survivors = staged
       .where(col("survives_filters") && !col("is_exact_dup"))
       .select(col("doc_id"), col("text"))
-    val pruned = prunedShingles(shingles(survivors), ShingleDfCap)
-    val sizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val nearDupIds = pruned
-      .select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(pruned.select(col("doc_id").as("doc_b"), col("shingle")),
-        Seq("shingle"))
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
-        Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
-        Seq("doc_b"))
-      .where(col("n_common")
-        / (col("n_a") + col("n_b") - col("n_common")).cast("double") >= 0.5)
-      .select(col("doc_b").as("doc_id")).distinct()
-      .withColumn("is_near_dup", lit(true))
+    val nearDupIds =
+      jaccardJoin(prunedShingles(shingles(survivors), ShingleDfCap), 0.5)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("is_near_dup", lit(true))
     staged.join(nearDupIds, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("is_short"), "short")

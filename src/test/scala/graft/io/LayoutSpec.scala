@@ -39,22 +39,10 @@ class LayoutSpec extends SparkSpec {
       li.where(col("ship_month") === "1995-01").count())
   }
 
-  // DROP alone is not enough: a fresh metastore doesn't know the
-  // table, so a stale spark-warehouse/<name> dir from a previous
-  // JVM raises LOCATION_ALREADY_EXISTS. Remove the location too.
-  private def dropBucketTables(tables: String*): Unit =
-    tables.foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = java.nio.file.Paths.get("spark-warehouse", t)
-      if (java.nio.file.Files.exists(loc)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
-    }
-
   test("co-bucketed tables join without a shuffle") {
-    dropBucketTables("li_b", "ord_b")
+    // stale-location cleanup (fresh metastore + leftover
+    // spark-warehouse dir from a previous JVM) lives inside
+    // Tables.writeBucketed — no test-side cleanup needed
     Tables.writeBucketed(
       Tables.load(spark, sf, "lineitem")
         .select("l_orderkey", "l_quantity"),
@@ -78,7 +66,6 @@ class LayoutSpec extends SparkSpec {
 
   test("q_join_bucketed: join AND follow-on aggregate reuse bucket " +
     "partitioning — zero hash exchanges") {
-    dropBucketTables("graft_bkt_orders", "graft_bkt_customer")
     // disable broadcast so the zero-Exchange claim can't be satisfied
     // by a BroadcastHashJoin — the bucketed layout must do the work
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -115,7 +102,11 @@ class LayoutSpec extends SparkSpec {
     val before = snapshot()
     assert(before.size > 1, "need multiple partitions for this test")
 
-    val target = ev.agg(min(col("snapshot_date"))).head().getDate(0)
+    // earliest day WITH clicks — an all-non-click day would make the
+    // overwrite frame empty and dynamic mode would rewrite nothing
+    // (same guard as ScaleOps.qPartitionOverwrite)
+    val target = ev.where(col("event_type") === "click")
+      .agg(min(col("snapshot_date"))).head().getDate(0)
     val targetDir = s"snapshot_date=$target"
     val prevMode =
       spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")

@@ -35,7 +35,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("LSH ANN recall@5 at least 60% vs brute force") {
     // Round-1 single-table LSH returned <=28% recall@5; OR-construction
-    // (4 tables) + multi-probe (Hamming-1) must clear a real floor.
+    // (6 tables) + multi-probe (Hamming-1) must clear a real floor.
     val brute = Similarity.simCosineTopk(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ann = Similarity.simAnnLsh(spark, sf).collect()
