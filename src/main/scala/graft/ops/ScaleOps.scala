@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
@@ -136,17 +137,95 @@ object ScaleOps {
       |   OR event_type = 'click'
       |GROUP BY snapshot_date ORDER BY snapshot_date""".stripMargin
 
+  // ---------- Deterministic hash sampling ----------
+
+  /** Reproducible sampling via content hash instead of rand():
+    * keep rows whose md5(key) ends in one of 2/16 hex digits — a
+    * 12.5% sample that is identical across runs, retries, partition
+    * layouts and engines (rand()-based sampling is none of those; at
+    * 100 TB a retried task with rand() silently changes the sample).
+    * Deterministic → fully oracle-checkable. */
+  def qSampleHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(substring(
+        md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))), 32, 1)
+        .isin("0", "1"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("l_returnflag")
+
+  val qSampleHashOracle: String =
+    """SELECT l_returnflag, count(*) AS n_sampled
+      |FROM lineitem
+      |WHERE substring(md5(concat_ws('|', l_orderkey, l_linenumber)), 32, 1)
+      |      IN ('0', '1')
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------- Merge / upsert snapshot ----------
+
+  private lazy val UpsertDir: String =
+    java.nio.file.Files.createTempDirectory("graft-upsert").toString
+
+  /** Keyed merge (upsert) — the missing middle between the reference's
+    * truncate-load (G3) and the partition overwrite above: a base
+    * snapshot receives a batch of updates+inserts, latest-wins per key
+    * (incoming beats base via a priority window, ≤2 rows/key so the
+    * order is total), and the merged snapshot is rewritten and read
+    * back. One shuffle on the merge key; at 100 TB the base would be
+    * bucketed by key so the window reuses the layout. Base = orders
+    * with key % 3 != 0, incoming = key % 2 == 0 re-priced — giving
+    * untouched rows, updated rows and fresh inserts in one result. */
+  def qUpsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val base = orders.where(col("o_orderkey") % 3 =!= 0)
+      .withColumn("src", lit("base"))
+    val incoming = orders.where(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice",
+        graft.expr.Columns.roundQ(col("o_totalprice") * 1.1, 2))
+      .withColumn("src", lit("update"))
+    val w = Window.partitionBy(col("o_orderkey"))
+      .orderBy(when(col("src") === "update", 0).otherwise(1))
+    val merged = base.unionByName(incoming)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(UpsertDir)
+    s.read.parquet(UpsertDir)
+      .orderBy("o_orderkey")
+  }
+
+  val qUpsertMergeOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'base' AS src
+      |  FROM orders WHERE o_orderkey % 3 <> 0),
+      |incoming AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    floor(o_totalprice * 1.1 * 100 + 0.5) / 100 AS o_totalprice,
+      |    'update' AS src
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |unioned AS (SELECT * FROM base UNION ALL SELECT * FROM incoming)
+      |SELECT o_orderkey, o_orderstatus, o_totalprice, src FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+      |    ORDER BY CASE WHEN src = 'update' THEN 0 ELSE 1 END) AS rn
+      |  FROM unioned)
+      |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin
+
   // ---------- Registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_agg" -> qSkewAgg,
     "q_join_bucketed" -> qJoinBucketed,
     "q_partition_overwrite" -> qPartitionOverwrite,
+    "q_sample_hash" -> qSampleHash,
+    "q_upsert_merge" -> qUpsertMerge,
   )
 
   def oracles: Map[String, String] = Map(
     "q_skew_agg" -> qSkewAggOracle,
     "q_join_bucketed" -> qJoinBucketedOracle,
     "q_partition_overwrite" -> qPartitionOverwriteOracle,
+    "q_sample_hash" -> qSampleHashOracle,
+    "q_upsert_merge" -> qUpsertMergeOracle,
   )
 }
