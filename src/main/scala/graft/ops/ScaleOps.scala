@@ -80,6 +80,30 @@ object ScaleOps {
 
   // ---------- Dynamic partition overwrite (incremental snapshot) ----------
 
+  /** Per-JVM scratch for snapshot-writing queries, one live numbered
+    * subdir at a time: each invocation gets a fresh subdir and the
+    * previous one is deleted, so (a) repeated bench/verify runs leave
+    * at most one copy on disk instead of accumulating, and (b) a
+    * DataFrame returned by an EARLIER invocation fails loudly
+    * (missing path) rather than silently re-reading a newer
+    * snapshot if evaluated after a later call. */
+  private final class SnapshotDir(prefix: String) {
+    private val base = java.nio.file.Files.createTempDirectory(prefix)
+    private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    def next(): String = {
+      val i = n.incrementAndGet()
+      val prev = base.resolve((i - 1).toString)
+      if (java.nio.file.Files.exists(prev)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(prev).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      base.resolve(i.toString).toString
+    }
+  }
+
+  private val partitionOverwriteDirs = new SnapshotDir("graft-po")
+
   /** Incremental-snapshot surface the reference lacks (it only
     * truncate-loads, G3): a snapshot_date-partitioned table gets ONE
     * partition rewritten in place via dynamic partition overwrite
@@ -89,16 +113,11 @@ object ScaleOps {
     * day THAT HAS CLICKS with only its 'click' events, reads the table back and
     * aggregates per day — so the oracle sees exactly which partition
     * changed and that the rest did not. */
-  // one temp dir per JVM, reused (and overwritten) across invocations:
-  // bench warm-ups + measured runs would otherwise leave a full parquet
-  // copy of events behind per call
-  private lazy val PartitionOverwriteDir: String =
-    java.nio.file.Files.createTempDirectory("graft-po").toString
-
   def qPartitionOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val out = partitionOverwriteDirs.next()
     val ev = t(s, dir, "events")
       .withColumn("snapshot_date", to_date(col("ts")))
-    Tables.writePartitioned(ev, PartitionOverwriteDir, Seq("snapshot_date"))
+    Tables.writePartitioned(ev, out, Seq("snapshot_date"))
     // one-row scalar pull to pick the target partition — not a data
     // loop. The target must be the earliest day that HAS clicks: a
     // dynamic overwrite with an empty incoming frame rewrites NOTHING
@@ -113,14 +132,14 @@ object ScaleOps {
       ev.where(col("snapshot_date") === lit(target) &&
           col("event_type") === "click")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("snapshot_date").parquet(PartitionOverwriteDir)
+        .partitionBy("snapshot_date").parquet(out)
     } finally {
       prevMode match {
         case Some(m) => s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
         case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
-    s.read.parquet(PartitionOverwriteDir)
+    s.read.parquet(out)
       .groupBy(col("snapshot_date"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .orderBy("snapshot_date")
@@ -163,8 +182,7 @@ object ScaleOps {
 
   // ---------- Merge / upsert snapshot ----------
 
-  private lazy val UpsertDir: String =
-    java.nio.file.Files.createTempDirectory("graft-upsert").toString
+  private val upsertDirs = new SnapshotDir("graft-upsert")
 
   /** Keyed merge (upsert) — the missing middle between the reference's
     * truncate-load (G3) and the partition overwrite above: a base
@@ -189,9 +207,10 @@ object ScaleOps {
     val merged = base.unionByName(incoming)
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1).drop("rn")
+    val out = upsertDirs.next()
     merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(UpsertDir)
-    s.read.parquet(UpsertDir)
+      .parquet(out)
+    s.read.parquet(out)
       .orderBy("o_orderkey")
   }
 
