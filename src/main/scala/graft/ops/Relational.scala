@@ -305,6 +305,29 @@ object Relational {
       |  FROM lineitem) WHERE rn <= 3
       |ORDER BY l_returnflag, rn""".stripMargin
 
+  /** Same result as [[qTopkPerGroup]] on the bounded-heap plan: a
+    * custom [[graft.expr.TopKAgg]] TypedImperativeAggregate keeps the
+    * k best rows per group under ObjectHashAggregate with MAP-SIDE
+    * partial aggregation, so only k rows per (group × partition) cross
+    * the shuffle and no group is ever sorted — the windowed-rank idiom
+    * shuffles and sorts every row. Same oracle as q_topk_per_group
+    * (identical semantics, different physical plan); PlanSpec asserts
+    * Window-free + ObjectHashAggregate, TopKAggSpec asserts row-level
+    * equality with the windowed formulation. */
+  def qTopkHeap(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(graft.expr.TopKAgg.topK(3, col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber").cast("long")).as("top"))
+      .select(col("l_returnflag"),
+        posexplode(col("top")).as(Seq("pos", "row")))
+      .select(col("l_returnflag"),
+        col("row.tie1").as("l_orderkey"),
+        col("row.tie2").cast("int").as("l_linenumber"),
+        col("row.score").as("l_extendedprice"),
+        (col("pos") + 1).cast("int").as("rn"))
+      .orderBy("l_returnflag", "rn")
+
   // ---------- Sorts / limits ----------
 
   /** Global ORDER BY + LIMIT — plans as TakeOrderedAndProject: each
@@ -745,6 +768,7 @@ object Relational {
     "q_window_range" -> qWindowRange,
     "q_window_distribution" -> qWindowDistribution,
     "q_topk_per_group" -> qTopkPerGroup,
+    "q_topk_heap" -> qTopkHeap,
     "q_sort_limit" -> qSortLimit,
     "q_union_all" -> qUnionAll,
     "q_intersect" -> qIntersect,
@@ -779,6 +803,8 @@ object Relational {
     "q_window_range" -> qWindowRangeOracle,
     "q_window_distribution" -> qWindowDistributionOracle,
     "q_topk_per_group" -> qTopkPerGroupOracle,
+    // identical semantics -> the windowed formulation's oracle
+    "q_topk_heap" -> qTopkPerGroupOracle,
     "q_sort_limit" -> qSortLimitOracle,
     "q_union_all" -> qUnionAllOracle,
     "q_intersect" -> qIntersectOracle,

@@ -108,6 +108,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("heap top-k plans as a partial-aggregating ObjectHashAggregate, " +
+    "not a windowed sort") {
+    val df = ops.Relational.qTopkHeap(spark, sf)
+    val plan = planString(df)
+    assert(!plan.contains("Window"),
+      s"heap top-k still plans a window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected ObjectHashAggregate in:\n$plan")
+    assert(plan.contains("partial_topk_agg"),
+      s"map-side partial aggregation missing:\n$plan")
+  }
+
   test("partition-count knob: shuffle partitions follow the session config") {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
     val parts = Tables.load(spark, sf, "events")
