@@ -38,6 +38,19 @@ case class TopKAgg(
 
   override def children: Seq[Expression] = score :: tie1 :: tie2 :: Nil
   override def nullable: Boolean = false
+
+  // fail at analysis time, not with a runtime ClassCastException in
+  // update(), when a caller binds the wrong column types
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (score.dataType == DoubleType && tie1.dataType == LongType &&
+        tie2.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"topk_agg expects (double, bigint, bigint) inputs, got " +
+        s"(${score.dataType.simpleString}, ${tie1.dataType.simpleString}, " +
+        s"${tie2.dataType.simpleString})")
+  }
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType, nullable = false),
     StructField("tie1", LongType, nullable = false),
