@@ -24,6 +24,14 @@ import org.apache.spark.sql.types._
   * `TakeOrderedAndProject` the right global top-k. State is a k-entry
   * sorted array (k is small by definition of top-k), so update is a
   * short-circuited linear insert and merge is k inserts.
+  *
+  * Null handling follows AGGREGATE semantics (like min/max): rows with
+  * a null score or tie key are ignored. The windowed row_number()
+  * formulation instead ranks null scores NULLS LAST — so row-for-row
+  * equivalence with it holds on null-free input (which the driver
+  * fixtures are); on nullable input, filter nulls upstream or expect
+  * groups with fewer than k non-null rows to emit fewer rows here.
+  * NaN scores rank GREATEST, matching Spark's sort order.
   */
 case class TopKAgg(
     k: Int,
@@ -57,10 +65,16 @@ case class TopKAgg(
     StructField("tie2", LongType, nullable = false))), containsNull = false)
   override def prettyName: String = "topk_agg"
 
-  /** a strictly beats b in (score DESC, tie1 ASC, tie2 ASC) order. */
-  private def beats(a: (Double, Long, Long), b: (Double, Long, Long)): Boolean =
-    a._1 > b._1 ||
-      (a._1 == b._1 && (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3)))
+  /** a strictly beats b in (score DESC, tie1 ASC, tie2 ASC) order.
+    * Scores compare via java.lang.Double.compare so NaN sorts GREATEST
+    * — matching Spark's sort order for the windowed formulation;
+    * primitive > would make NaN inclusion arrival-order-dependent
+    * (both > and == are false for NaN). -0.0 is normalized to 0.0 at
+    * insert time, so Double.compare's -0.0 < 0.0 never surfaces. */
+  private def beats(a: (Double, Long, Long), b: (Double, Long, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3)))
+  }
 
   override def createAggregationBuffer(): ArrayBuffer[(Double, Long, Long)] =
     new ArrayBuffer[(Double, Long, Long)](k + 1)
@@ -79,9 +93,12 @@ case class TopKAgg(
     val s = score.eval(input)
     val t1 = tie1.eval(input)
     val t2 = tie2.eval(input)
-    if (s != null && t1 != null && t2 != null)
-      insert(buf, (s.asInstanceOf[Double],
+    if (s != null && t1 != null && t2 != null) {
+      val sc = s.asInstanceOf[Double]
+      // fold -0.0 into 0.0 (Spark normalizes floats before comparisons)
+      insert(buf, (if (sc == 0.0) 0.0 else sc,
         t1.asInstanceOf[Long], t2.asInstanceOf[Long]))
+    }
     buf
   }
 

@@ -88,7 +88,9 @@ object ScaleOps {
     * (missing path) rather than silently re-reading a newer
     * snapshot if evaluated after a later call. */
   private final class SnapshotDir(prefix: String) {
-    private val base = java.nio.file.Files.createTempDirectory(prefix)
+    // lazy: touching the ScaleOps object (PlanSpec, Smoke on other
+    // queries) must not create temp dirs that no snapshot query uses
+    private lazy val base = java.nio.file.Files.createTempDirectory(prefix)
     private val n = new java.util.concurrent.atomic.AtomicInteger(0)
     def next(): String = {
       val i = n.incrementAndGet()

@@ -42,6 +42,28 @@ class TopKAggSpec extends SparkSpec {
       ("b", 1, 2.0, 1L, 1L)))
   }
 
+  test("NaN scores rank greatest regardless of arrival order; " +
+    "null-score rows are ignored (aggregate null semantics)") {
+    import spark.implicits._
+    val df = Seq[(String, java.lang.Double, Long, Long)](
+      // NaN arrives LAST, after the buffer is already full at k=2 —
+      // a primitive > comparison would drop it here
+      ("a", 9.0, 1L, 1L), ("a", 8.0, 2L, 2L), ("a", Double.NaN, 3L, 3L),
+      // null score is skipped, leaving a single-row group
+      ("b", null, 1L, 1L), ("b", 4.0, 2L, 2L)
+    ).toDF("g", "score", "t1", "t2")
+    val rows = df.groupBy(col("g"))
+      .agg(TopKAgg.topK(2, col("score"), col("t1"), col("t2")).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("g"), col("pos"), col("r.score"), col("r.tie1"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .toList
+    assert(rows.filter(_._1 == "a").map(r => (r._4, r._3.isNaN)) ==
+      List((3L, true), (1L, false)), s"NaN must rank first: $rows")
+    assert(rows.filter(_._1 == "b") == List(("b", 0, 4.0, 2L)))
+  }
+
   test("serialize/deserialize round-trips and merge respects the bound") {
     val agg = TopKAgg(2, null, null, null)
     val a = agg.createAggregationBuffer()
