@@ -33,7 +33,12 @@ object ScaleOps {
     Skew.saltedAgg(t(s, dir, "events"), Seq("event_type"), salts = 8, Seq(
       "n" -> (count(lit(1)), (c: Column) => sum(c)),
       // round only after the final merge — the partial sums must stay
-      // full-precision or the two-phase result diverges from a flat sum
+      // full-precision or the two-phase result diverges from a flat sum.
+      // Known risk class (same as q1_agg's round(sum, 2)): the two-phase
+      // sum groups FP additions differently from the oracle's single-pass
+      // sum, and no rounding formula can mask a half-boundary landing —
+      // if this row ever hash-mismatches by one final digit, suspect the
+      // summation ORDER, not the salting rewrite.
       "total" -> (sum(col("value")), (c: Column) => round(sum(c), 2)),
       "vmin" -> (min(col("value")), (c: Column) => min(c)),
       "vmax" -> (max(col("value")), (c: Column) => max(c))))
@@ -43,6 +48,45 @@ object ScaleOps {
     """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
       |       min(value) AS vmin, max(value) AS vmax
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------- Salted skewed join ----------
+
+  /** Skewed JOIN via [[Skew.saltedJoin]]: `events` carries only 3
+    * distinct `event_type` values across every row — each key is a
+    * planted hot key (the exact shape of the reference's
+    * `dim_platform_id='spotify'` literal, songs-etl
+    * `cf_transform/main.py:148`, where ONE dim key matches the whole
+    * fact table). The dim side is derived from the data itself
+    * (distinct event_type + a computed weight) so the oracle can
+    * rebuild it; `shuffle_hash` pins the shuffled-join plan the
+    * technique exists for — broadcasting a 3-row dim would sidestep
+    * the skew rather than survive it (at 100 TB the dim that matters
+    * is the one too big to broadcast). The salt spreads each hot key
+    * over 8 reducers (PlanSpec asserts the `__salt` join key and the
+    * non-broadcast join); results are identical to a flat join, so
+    * the DuckDB flat-join oracle checks the rewrite end-to-end. */
+  def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("type_weight", length(col("event_type")))
+      .hint("shuffle_hash")
+    Skew.saltedJoin(ev, dim, "event_type", salts = 8)
+      .groupBy(col("event_type"), col("type_weight"))
+      .agg(count(lit(1)).as("n"),
+        // same accepted summation-order risk class as qSkewAgg above
+        round(sum(col("value")), 2).as("total"))
+      .orderBy("event_type")
+  }
+
+  val qSkewJoinOracle: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT event_type,
+      |         CAST(length(event_type) AS INT) AS type_weight
+      |  FROM events)
+      |SELECT e.event_type, d.type_weight, count(*) AS n,
+      |       round(sum(e.value), 2) AS total
+      |FROM events e JOIN dim d ON e.event_type = d.event_type
+      |GROUP BY 1, 2 ORDER BY e.event_type""".stripMargin
 
   // ---------- Co-bucketed shuffle-free join ----------
 
@@ -127,6 +171,11 @@ object ScaleOps {
     // oracle on data whose earliest day has no click events.
     val target = ev.where(col("event_type") === "click")
       .agg(min(col("snapshot_date"))).head().getDate(0)
+    // a dataset with NO clicks would give target = null: the overwrite
+    // filter (=== null) rewrites nothing while the oracle's NULL
+    // subquery keeps only clicks — fail loudly instead of silently
+    // diverging from the oracle
+    require(target != null, "events has no 'click' rows")
     val prevMode =
       s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     try {
@@ -232,21 +281,136 @@ object ScaleOps {
       |  FROM unioned)
       |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin
 
+  // ---------- SCD2 / snapshot-diff change history ----------
+
+  /** Type-2 history from a union of dimension snapshots — the change
+    * surface the reference destroys nightly with WRITE_TRUNCATE
+    * (songs-etl `cf_transform/main.py:72-75`): each key's attribute
+    * timeline becomes versioned rows with effective_from/effective_to/
+    * is_current.
+    *
+    * Input contract: `snaps` has `snapshot_date` (date), `key`, the
+    * tracked `attrs`, and `alive` (1 = present in that snapshot,
+    * 0 = synthesized tombstone for a key that vanished). Change
+    * detection and version closing are two windows over the SAME
+    * (key, snapshot_date) ordering, so the plan shuffles once on the
+    * key and reuses the sort — N snapshots at 100 TB cost one shuffle,
+    * not one per snapshot.
+    *
+    *   - keep a row iff it's the key's first, an attribute changed
+    *     (null-safe `<=>` per column — no fragile string-concat hash),
+    *     or liveness flipped;
+    *   - effective_to = the NEXT kept row's date (lead over the
+    *     filtered set); tombstones close the prior version and are
+    *     then dropped;
+    *   - is_current = still open and alive.
+    */
+  def scd2History(snaps: DataFrame, key: String,
+                  attrs: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("snapshot_date"))
+    snaps
+      .withColumn("__changed",
+        lag(col("alive"), 1).over(w).isNull ||
+          attrs.map(a => !(col(a) <=> lag(col(a), 1).over(w)))
+            .reduce(_ || _) ||
+          col("alive") =!= lag(col("alive"), 1).over(w))
+      .where(col("__changed"))
+      .withColumn("effective_from", col("snapshot_date"))
+      .withColumn("effective_to", lead(col("snapshot_date"), 1).over(w))
+      .where(col("alive") === 1)
+      .withColumn("is_current", col("effective_to").isNull)
+      .select((key +: attrs).map(col) ++
+        Seq(col("effective_from"), col("effective_to"), col("is_current")): _*)
+  }
+
+  /** SCD2 over two deterministic customer snapshots, exercising all
+    * four change classes at once: keys in both with identical attrs
+    * (one open row), keys re-priced in snapshot 2 (closed + open row),
+    * keys only in snapshot 1 (closed row — delete), keys only in
+    * snapshot 2 (open row — insert). Fully deterministic → the DuckDB
+    * oracle replays the identical window logic. */
+  def qScd2Dims(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val attrs = Seq("c_name", "c_acctbal", "c_mktsegment")
+    val d1 = to_date(lit("2024-01-01"))
+    val d2 = to_date(lit("2024-02-01"))
+    val s1 = c.where(col("c_custkey") % 7 =!= 0)
+      .select(Seq(d1.as("snapshot_date"), col("c_custkey")) ++
+        attrs.map(col) :+ lit(1).as("alive"): _*)
+    val s2 = c.where(col("c_custkey") % 5 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 3 === 0, col("c_acctbal") + 100)
+          .otherwise(col("c_acctbal")))
+      .select(Seq(d2.as("snapshot_date"), col("c_custkey")) ++
+        attrs.map(col) :+ lit(1).as("alive"): _*)
+    val tomb = s1.select("c_custkey")
+      .join(s2.select("c_custkey"), Seq("c_custkey"), "left_anti")
+      .select(Seq(d2.as("snapshot_date"), col("c_custkey")) ++
+        attrs.map(a => lit(null).cast(
+          if (a == "c_acctbal") "double" else "string").as(a)) :+
+        lit(0).as("alive"): _*)
+    scd2History(s1.unionByName(s2).unionByName(tomb), "c_custkey", attrs)
+      .orderBy("c_custkey", "effective_from")
+  }
+
+  val qScd2DimsOracle: String =
+    """WITH s1 AS (
+      |  SELECT DATE '2024-01-01' AS snapshot_date, c_custkey, c_name,
+      |         c_acctbal, c_mktsegment, 1 AS alive
+      |  FROM customer WHERE c_custkey % 7 <> 0),
+      |s2 AS (
+      |  SELECT DATE '2024-02-01' AS snapshot_date, c_custkey, c_name,
+      |         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100
+      |              ELSE c_acctbal END AS c_acctbal,
+      |         c_mktsegment, 1 AS alive
+      |  FROM customer WHERE c_custkey % 5 <> 0),
+      |tomb AS (
+      |  SELECT DATE '2024-02-01' AS snapshot_date, c_custkey,
+      |         CAST(NULL AS VARCHAR) AS c_name,
+      |         CAST(NULL AS DOUBLE) AS c_acctbal,
+      |         CAST(NULL AS VARCHAR) AS c_mktsegment, 0 AS alive
+      |  FROM s1 WHERE c_custkey NOT IN (SELECT c_custkey FROM s2)),
+      |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      |      UNION ALL SELECT * FROM tomb),
+      |ch AS (
+      |  SELECT *,
+      |    (lag(alive) OVER w IS NULL
+      |     OR c_name IS DISTINCT FROM lag(c_name) OVER w
+      |     OR c_acctbal IS DISTINCT FROM lag(c_acctbal) OVER w
+      |     OR c_mktsegment IS DISTINCT FROM lag(c_mktsegment) OVER w
+      |     OR alive <> lag(alive) OVER w) AS changed
+      |  FROM u WINDOW w AS (PARTITION BY c_custkey ORDER BY snapshot_date)),
+      |v AS (
+      |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment, alive,
+      |         snapshot_date AS effective_from,
+      |         lead(snapshot_date) OVER (PARTITION BY c_custkey
+      |           ORDER BY snapshot_date) AS effective_to
+      |  FROM ch WHERE changed)
+      |SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+      |       effective_from, effective_to,
+      |       effective_to IS NULL AS is_current
+      |FROM v WHERE alive = 1
+      |ORDER BY c_custkey, effective_from""".stripMargin
+
   // ---------- Registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_agg" -> qSkewAgg,
+    "q_skew_join" -> qSkewJoin,
     "q_join_bucketed" -> qJoinBucketed,
     "q_partition_overwrite" -> qPartitionOverwrite,
     "q_sample_hash" -> qSampleHash,
     "q_upsert_merge" -> qUpsertMerge,
+    "q_scd2_dims" -> qScd2Dims,
   )
 
   def oracles: Map[String, String] = Map(
     "q_skew_agg" -> qSkewAggOracle,
+    "q_skew_join" -> qSkewJoinOracle,
     "q_join_bucketed" -> qJoinBucketedOracle,
     "q_partition_overwrite" -> qPartitionOverwriteOracle,
     "q_sample_hash" -> qSampleHashOracle,
     "q_upsert_merge" -> qUpsertMergeOracle,
+    "q_scd2_dims" -> qScd2DimsOracle,
   )
 }

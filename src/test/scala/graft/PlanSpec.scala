@@ -89,6 +89,24 @@ class PlanSpec extends SparkSpec {
       s"no final merge exchange in:\n$plan")
   }
 
+  test("salted join: hot key joins on (key, salt) through a shuffled " +
+    "(non-broadcast) join") {
+    val df = ops.ScaleOps.qSkewJoin(spark, sf)
+    val plan = planString(df)
+    // the join key must carry the salt — that's what spreads one hot
+    // key's rows over `salts` reducers instead of one straggler
+    val joinLines = plan.linesIterator
+      .filter(l => l.contains("Join") && l.contains("event_type")).toSeq
+    assert(joinLines.exists(_.contains("__salt")),
+      s"join does not key on the salt:\n$plan")
+    // and it must be a genuinely shuffled join — a broadcast would
+    // sidestep the skew instead of surviving it (the hint pins this)
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected a shuffled hash join in:\n$plan")
+    assert(!joinLines.exists(_.contains("BroadcastHashJoin")),
+      s"dim side was broadcast — salting is moot:\n$plan")
+  }
+
   test("banded/bucketed candidate generation never plans a cartesian or " +
     "nested-loop join") {
     // the exact ground truths (sim_neardup, sim_cosine_topk) are ALLOWED

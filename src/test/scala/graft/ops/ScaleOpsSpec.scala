@@ -41,6 +41,74 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("scd2History: insert, update, delete and unchanged keys each get " +
+    "the right version rows") {
+    import spark.implicits._
+    // key 1 unchanged, key 2 updated, key 3 deleted (tombstone at t2),
+    // key 4 inserted at t2
+    val snaps = Seq(
+      ("2024-01-01", 1L, Some("a"), 1),
+      ("2024-02-01", 1L, Some("a"), 1),
+      ("2024-01-01", 2L, Some("x"), 1),
+      ("2024-02-01", 2L, Some("y"), 1),
+      ("2024-01-01", 3L, Some("z"), 1),
+      ("2024-02-01", 3L, None, 0),
+      ("2024-02-01", 4L, Some("n"), 1),
+    ).toDF("sd", "k", "attr", "alive")
+      .select(to_date(col("sd")).as("snapshot_date"), col("k"),
+        col("attr"), col("alive"))
+    val got = ScaleOps.scd2History(snaps, "k", Seq("attr"))
+      .orderBy("k", "effective_from").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getDate(2).toString,
+        Option(r.getDate(3)).map(_.toString), r.getBoolean(4)))
+      .toSeq
+    assert(got == Seq(
+      (1L, "a", "2024-01-01", None, true), // unchanged: one open row
+      (2L, "x", "2024-01-01", Some("2024-02-01"), false), // closed
+      (2L, "y", "2024-02-01", None, true), // reopened with new attr
+      (3L, "z", "2024-01-01", Some("2024-02-01"), false), // deleted
+      (4L, "n", "2024-02-01", None, true), // inserted
+    ), s"unexpected history: ${got.mkString("\n")}")
+  }
+
+  test("q_scd2_dims covers all four change classes on the real dim") {
+    val rows = ScaleOps.qScd2Dims(spark, sf).collect()
+    val byKey = rows.groupBy(_.getLong(0))
+    // updated keys (in both snaps, % 3 == 0 → re-priced) have 2 versions
+    val updated = byKey.filter { case (k, _) =>
+      k % 7 != 0 && k % 5 != 0 && k % 3 == 0 }
+    assert(updated.nonEmpty, "no updated keys in testdata")
+    updated.foreach { case (k, vs) =>
+      assert(vs.length == 2, s"updated key $k has ${vs.length} versions")
+      assert(vs.count(_.getBoolean(6)) == 1,
+        s"updated key $k should have exactly one current version")
+    }
+    // unchanged keys: one open current version
+    val unchanged = byKey.filter { case (k, _) =>
+      k % 7 != 0 && k % 5 != 0 && k % 3 != 0 }
+    assert(unchanged.nonEmpty)
+    unchanged.foreach { case (k, vs) =>
+      assert(vs.length == 1 && vs.head.getBoolean(6), s"key $k not 1 open row")
+    }
+    // deleted keys (snap1 only): one closed, nothing current
+    val deleted = byKey.filter { case (k, _) => k % 7 != 0 && k % 5 == 0 }
+    assert(deleted.nonEmpty)
+    deleted.foreach { case (k, vs) =>
+      assert(vs.length == 1 && !vs.head.getBoolean(6),
+        s"deleted key $k should have one closed version")
+      assert(vs.head.getDate(5) != null, s"deleted key $k version not closed")
+    }
+    // inserted keys (snap2 only): one open version starting at d2
+    val inserted = byKey.filter { case (k, _) => k % 7 == 0 && k % 5 != 0 }
+    assert(inserted.nonEmpty)
+    inserted.foreach { case (k, vs) =>
+      assert(vs.length == 1 && vs.head.getBoolean(6) &&
+        vs.head.getDate(4).toString == "2024-02-01",
+        s"inserted key $k wrong: ${vs.toSeq}")
+    }
+  }
+
   test("hash sampling is deterministic and lands near the 2/16 rate") {
     val a = ScaleOps.qSampleHash(spark, sf).collect().map(_.toSeq).toSeq
     val b = ScaleOps.qSampleHash(spark, sf).collect().map(_.toSeq).toSeq

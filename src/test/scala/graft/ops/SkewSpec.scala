@@ -42,6 +42,23 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("q_skew_join (salted, shuffle-hash) equals the flat broadcast join") {
+    val flat = {
+      val dim = events.select(col("event_type")).distinct()
+        .withColumn("type_weight", length(col("event_type")))
+      events.join(dim, "event_type")
+        .groupBy("event_type", "type_weight")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    }
+    val salted = ScaleOps.qSkewJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(salted == flat)
+  }
+
   test("salted join spreads a hot key over multiple partitions") {
     import spark.implicits._
     // one hot key: every row the same value
