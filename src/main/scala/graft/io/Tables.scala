@@ -93,6 +93,69 @@ object Tables {
       .saveAsTable(table)
   }
 
+  /** Per-partition result of a [[compactPartitions]] pass. */
+  final case class CompactStats(bytesBefore: Long, filesBefore: Int,
+                                filesAfter: Int)
+
+  /** Bin-packing small-file compaction for a partitioned parquet table
+    * — the operational cure for what incremental writes (e.g. repeated
+    * dynamic partition overwrites, `writePartitioned` appends from
+    * many tasks) accumulate: thousands of tiny files per partition,
+    * each costing a listing call, an open, a footer read and a
+    * scheduler slot at scan time. At 100 TB the file count, not the
+    * byte count, becomes the scan bottleneck.
+    *
+    * For each `col=value` partition directory: if it holds more files
+    * than ⌈bytes/targetBytes⌉, rewrite it to exactly that many
+    * (repartition(n) → n writer tasks → n files), atomically swapping
+    * the directory via a hidden temp dir (names starting with `.` are
+    * invisible to Spark's file listing, so a concurrent reader sees
+    * either the old files or the new ones, never both). Partitions
+    * already at or under the target are untouched — a second pass is
+    * a no-op, which is what makes the job safe to run on a schedule.
+    *
+    * The driver-side loop is over PARTITION METADATA (one FS listing +
+    * one Spark job per oversized partition), not over rows — the same
+    * shape as a production OPTIMIZE/compaction service; at real scale
+    * the per-partition jobs would be submitted concurrently.
+    *
+    * Returns per-partition stats so callers (LayoutSpec) can prove the
+    * file-count claim. */
+  def compactPartitions(spark: SparkSession, path: String,
+                        targetBytes: Long): Map[String, CompactStats] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partDirs = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    try partDirs.map { pd =>
+      val dataFiles = fs.listStatus(pd.getPath).toSeq.filter { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith(".") && !n.startsWith("_")
+      }
+      val bytes = dataFiles.map(_.getLen).sum
+      val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val after =
+        if (dataFiles.size <= target || dataFiles.isEmpty) dataFiles.size
+        else {
+          val tmp = new org.apache.hadoop.fs.Path(root,
+            s".compact_tmp/${pd.getPath.getName}")
+          spark.read.parquet(pd.getPath.toString)
+            .repartition(target)
+            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          // drop the marker so the swapped-in dir holds only data files
+          fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
+          fs.delete(pd.getPath, true)
+          require(fs.rename(tmp, pd.getPath),
+            s"compaction swap failed for ${pd.getPath}")
+          target
+        }
+      pd.getPath.getName -> CompactStats(bytes, dataFiles.size, after)
+    }.toMap
+    finally // scratch cleanup, success or not
+      fs.delete(new org.apache.hadoop.fs.Path(root, ".compact_tmp"), true)
+  }
+
   /** Register every testdata table as a temp view so `spark.sql` works
     * (ref A6: arbitrary SQL pushed to the warehouse). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -281,6 +281,41 @@ object ScaleOps {
       |  FROM unioned)
       |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin
 
+  // ---------- Small-file compaction ----------
+
+  private val compactDirs = new SnapshotDir("graft-compact")
+
+  /** Small-file compaction behind the correctness gate: write events
+    * day-partitioned but deliberately fragmented (a wide repartition
+    * before the write puts ~16 task-files in every day directory — the
+    * layout repeated incremental writes produce), bin-pack each
+    * partition back to ⌈bytes/target⌉ files with
+    * [[Tables.compactPartitions]], then aggregate the READ-BACK table
+    * per day. The oracle computes the same aggregate straight from
+    * `events`, so a compaction that loses, duplicates or corrupts any
+    * row hash-mismatches; LayoutSpec separately proves the file-count
+    * drop and idempotence. */
+  def qCompactFiles(s: SparkSession, dir: String): DataFrame = {
+    val out = compactDirs.next()
+    val ev = t(s, dir, "events")
+      .withColumn("snapshot_date", to_date(col("ts")))
+    ev.repartition(16)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("snapshot_date").parquet(out)
+    // 4 MiB/file target: far above any sf's per-day bytes, so every
+    // fragmented day collapses to ONE file — the worst-case rewrite
+    Tables.compactPartitions(s, out, targetBytes = 4L << 20)
+    s.read.parquet(out)
+      .groupBy(col("snapshot_date"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy("snapshot_date")
+  }
+
+  val qCompactFilesOracle: String =
+    """SELECT CAST(ts AS DATE) AS snapshot_date, count(*) AS n,
+      |       round(sum(value), 2) AS total
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------- SCD2 / snapshot-diff change history ----------
 
   /** Type-2 history from a union of dimension snapshots — the change
@@ -402,6 +437,7 @@ object ScaleOps {
     "q_sample_hash" -> qSampleHash,
     "q_upsert_merge" -> qUpsertMerge,
     "q_scd2_dims" -> qScd2Dims,
+    "q_compact_files" -> qCompactFiles,
   )
 
   def oracles: Map[String, String] = Map(
@@ -412,5 +448,6 @@ object ScaleOps {
     "q_sample_hash" -> qSampleHashOracle,
     "q_upsert_merge" -> qUpsertMergeOracle,
     "q_scd2_dims" -> qScd2DimsOracle,
+    "q_compact_files" -> qCompactFilesOracle,
   )
 }

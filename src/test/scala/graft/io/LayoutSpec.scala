@@ -79,6 +79,65 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("compaction bin-packs each partition to ceil(bytes/target) files, " +
+    "preserves every row, and is idempotent") {
+    val out = java.nio.file.Files.createTempDirectory("graft-cpt").toString
+    val ev = Tables.load(spark, sf, "events")
+      .withColumn("snapshot_date", to_date(col("ts")))
+    // fragment: 16 writer tasks → ~16 small files per day directory
+    ev.repartition(16).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("snapshot_date").parquet(out)
+
+    val before = spark.read.parquet(out).collect()
+      .map(_.toSeq).sortBy(_.toString)
+
+    // target sized from the real data so at least one partition needs
+    // >1 output file — proves bin-packing, not just collapse-to-one
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val maxPartBytes = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(_.isDirectory)
+      .map(d => fs.listStatus(d.getPath)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .map(_.getLen).sum)
+      .max
+    val target = maxPartBytes / 2 + 1 // biggest partition → exactly 2 files
+
+    val stats = Tables.compactPartitions(spark, out, target)
+    assert(stats.nonEmpty)
+    stats.foreach { case (part, st) =>
+      val expected = math.max(1L,
+        (st.bytesBefore + target - 1) / target).toInt
+      assert(st.filesAfter == math.min(st.filesBefore, expected),
+        s"$part: ${st.filesBefore} files → ${st.filesAfter}, " +
+          s"expected $expected (bytes=${st.bytesBefore}, target=$target)")
+      assert(st.filesAfter < st.filesBefore,
+        s"$part was not compacted (${st.filesBefore} files)")
+    }
+    assert(stats.values.exists(_.filesAfter >= 2),
+      "target should force at least one multi-file partition")
+
+    // read-back data identical — compaction moved bytes, not rows
+    val after = spark.read.parquet(out).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(after.sameElements(before), "compaction changed the data")
+
+    // idempotence: collapse everything to one file (recompression can
+    // shift byte counts, so the same fractional target could legally
+    // re-pack — a target above every partition's size cannot), then a
+    // re-run must touch nothing
+    val collapsed = Tables.compactPartitions(spark, out, 4L << 20)
+    assert(collapsed.values.forall(_.filesAfter == 1))
+    val again = Tables.compactPartitions(spark, out, 4L << 20)
+    again.foreach { case (part, st) =>
+      assert(st.filesBefore == 1 && st.filesAfter == 1,
+        s"$part rewritten on an idempotent re-run")
+    }
+    val finalData = spark.read.parquet(out).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(finalData.sameElements(before), "collapse pass changed the data")
+  }
+
   test("dynamic partition overwrite rewrites ONLY the target partition") {
     val out = java.nio.file.Files.createTempDirectory("graft-dpo").toString
     val ev = Tables.load(spark, sf, "events")
