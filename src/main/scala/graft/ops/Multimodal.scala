@@ -11,13 +11,16 @@ import graft.io.Tables
   * analog is the pruned `album.images` URL structs, songs-etl
   * `cf_extract/main.py:265-271`).
   *
-  * The container has no image/audio codecs, so the *decode* step is a
-  * clearly-marked deterministic stub (a fake "header parse" computed
-  * from doc_id arithmetic), while everything around it — BinaryType
-  * payload column, typed metadata struct, batched mapPartitions decode
-  * with an explicit batch shape, binary slicing for frame sampling,
-  * md5 content addressing — is real Spark plumbing, tested and
-  * DuckDB-differential-checked.
+  * The *image* path is real end-to-end: `mediaPng` synthesizes genuine
+  * PNG containers with the JRE's `javax.imageio` encoder and
+  * `mmDecode` parses them back to pixels (no external codec needed for
+  * PNG/BMP); audio/video decode would slot into the same batched
+  * `mapPartitions` harness with a codec binding. Everything else —
+  * BinaryType payload column, typed metadata struct, binary slicing
+  * for frame sampling, md5 content addressing — is likewise real Spark
+  * plumbing, tested and DuckDB-differential-checked (the oracle
+  * recomputes the pixel-generation formulas, so a broken encode or
+  * decode hash-mismatches).
   *
   * Payloads derive deterministically from `documents.text` (UTF-8
   * bytes of ASCII text), which is what makes every query below
@@ -37,9 +40,10 @@ object Multimodal {
     Tables.load(s, dir, n)
 
   /** The media table: binary payload + typed metadata struct.
-    * format/width/height model a parsed container header — the
-    * deterministic stub (no codecs in the container); n_bytes and the
-    * md5 content address are computed from the real bytes. */
+    * format/width/height model a parsed container header via doc_id
+    * arithmetic (cheap, shared by several queries' oracles); n_bytes
+    * and the md5 content address are computed from the real bytes.
+    * For the REAL container round trip see [[mediaPng]]/[[mmDecode]]. */
   def media(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       col("doc_id"),
@@ -140,16 +144,7 @@ object Multimodal {
       |  md5(substring(text, frame_idx * 16 + 1, 16)) AS frame_md5
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
-  // ---------- Batched decode (mapPartitions, the mapInPandas shape) ----------
-
-  /** One decoded media item: stubbed header fields + genuinely
-    * computed byte statistics. */
-  final case class Decoded(
-      doc_id: Long, width: Int, height: Int,
-      mean_byte: Double, n_bytes: Int)
-
-  final case class MediaRow(
-      doc_id: Long, payload: Array[Byte], width: Int, height: Int)
+  // ---------- Batched PNG decode (mapPartitions, the mapInPandas shape) ----------
 
   /** Batch size for the vectorized-decode model. Real codec bindings
     * amortize per-call overhead over a batch; the iterator is grouped
@@ -158,43 +153,117 @@ object Multimodal {
     * is what production code would run. */
   val DecodeBatchSize = 64
 
-  /** Decode stub over batches: the Scala analog of `mapInPandas` —
-    * `mapPartitions` with an explicit batch shape. Header fields pass
-    * through from metadata (the stub); `mean_byte` is real arithmetic
-    * over the payload bytes, which gives the DuckDB oracle something
-    * content-derived to check. */
-  def decodeBatches(media: DataFrame)(implicit s: SparkSession): Dataset[Decoded] = {
+  /** One decoded image: header fields and channel means all read back
+    * from REAL pixels via `javax.imageio`. */
+  final case class PngDecoded(
+      doc_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Deterministic per-pixel channel values for the synthesized PNGs —
+    * the single source of truth shared by the encoder below and the
+    * DuckDB oracle (which recomputes the same formulas in SQL): the
+    * decoded statistics are only hash-green if encode → PNG bytes →
+    * decode round-trips the exact pixels. */
+  @inline private def pxR(id: Long, x: Int): Int = ((x + id) % 256).toInt
+  @inline private def pxG(id: Long, y: Int): Int = ((2L * y + id) % 256).toInt
+  @inline private def pxB(id: Long, x: Int, y: Int): Int =
+    ((x + y + id) % 256).toInt
+
+  /** Synthesized REAL PNG payloads (`javax.imageio` encoder, TYPE_INT_RGB,
+    * dimensions from the metadata arithmetic) in the same batched
+    * `mapPartitions` harness as the decode — binary in flight is a
+    * genuine compressed image container, not text bytes. */
+  def mediaPng(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    media.select(col("doc_id"), col("payload"),
-        col("meta.width").as("width"), col("meta.height").as("height"))
-      .as[MediaRow]
-      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.map { m =>
-        var sum = 0L
-        var i = 0
-        while (i < m.payload.length) { sum += m.payload(i) & 0xff; i += 1 }
-        val mean =
-          if (m.payload.length == 0) 0.0
-          else sum.toDouble / m.payload.length
-        // half-away-from-zero to match DuckDB/Spark round() (mean >= 0)
-        Decoded(m.doc_id, m.width, m.height,
-          math.floor(mean * 10000 + 0.5) / 10000, m.payload.length)
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        (lit(16) + pmod(col("doc_id"), lit(32))).cast("int").as("width"),
+        (lit(16) + pmod(col("doc_id") * 7, lit(24))).cast("int").as("height"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.map {
+        case (id, w, h) =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y,
+                (pxR(id, x) << 16) | (pxG(id, y) << 8) | pxB(id, x, y))
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img, "png", out),
+            "no PNG writer available in this JRE")
+          (id, out.toByteArray)
+      }))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Real image decode over batches — the Scala analog of `mapInPandas`:
+    * `mapPartitions` with an explicit batch shape, `javax.imageio`
+    * parsing each PNG payload back to pixels. Width/height come from
+    * the DECODED image (not passed-through metadata), channel means
+    * from the decoded samples; integer pixel sums make the means exact,
+    * so the floor-rounding matches the oracle bit-for-bit. */
+  def decodePngBatches(png: DataFrame)(implicit s: SparkSession): Dataset[PngDecoded] = {
+    import s.implicits._
+    png.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.map {
+        case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"doc $id: payload is not a decodable image")
+          val w = img.getWidth
+          val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toDouble
+          def mean(sum: Long): Double =
+            math.floor(sum / n * 10000 + 0.5) / 10000
+          PngDecoded(id, w, h, mean(sr), mean(sg), mean(sb))
       }))
   }
 
   def mmDecode(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
-    decodeBatches(media(s, dir)).toDF().orderBy("doc_id")
+    decodePngBatches(mediaPng(s, dir)).toDF().orderBy("doc_id")
   }
 
+  /** The oracle recomputes the pixel formulas directly — agreement
+    * proves the full encode→decode round trip, since the Spark side
+    * only ever sees pixels that survived PNG compression. Channel
+    * means reduce to 1-D averages (R varies only with x, G only with
+    * y); B needs the full x+y grid. */
   val mmDecodeOracle: String =
-    """SELECT doc_id,
-      |  CAST(16 + doc_id % 32 AS INT) AS width,
-      |  CAST(16 + (doc_id * 7) % 24 AS INT) AS height,
-      |  coalesce(round(list_sum(list_transform(range(1, length(text) + 1),
-      |          i -> ord(substring(text, i, 1))))
-      |        / CAST(length(text) AS DOUBLE), 4), 0.0) AS mean_byte,
-      |  CAST(length(text) AS INT) AS n_bytes
-      |FROM documents ORDER BY doc_id""".stripMargin
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(16 + doc_id % 32 AS INT) AS width,
+      |    CAST(16 + (doc_id * 7) % 24 AS INT) AS height
+      |  FROM documents)
+      |SELECT doc_id, width, height,
+      |  floor(list_avg(list_transform(range(0, width),
+      |      x -> CAST((x + doc_id) % 256 AS DOUBLE))) * 10000 + 0.5) / 10000
+      |    AS mean_r,
+      |  floor(list_avg(list_transform(range(0, height),
+      |      y -> CAST((2 * y + doc_id) % 256 AS DOUBLE))) * 10000 + 0.5) / 10000
+      |    AS mean_g,
+      |  floor(list_avg(list_transform(range(0, width * height),
+      |      i -> CAST((i % width + i // width + doc_id) % 256 AS DOUBLE)))
+      |    * 10000 + 0.5) / 10000 AS mean_b
+      |FROM m ORDER BY doc_id""".stripMargin
 
   // ---------- Feature extraction (bytes -> embedding) ----------
 

@@ -151,27 +151,47 @@ object Similarity {
 
   // ---------- LSH-bucketed ANN (the scale path) ----------
 
-  // 2^Planes buckets per table; planes sized for the testdata corpus
-  // (500-2k vectors, top-neighbor cosines ≈ 0.3 → per-plane agreement
-  // p ≈ 0.6). At a real corpus size planes grow ~log2(n/bucket_target)
-  // and tables/probes are retuned against a sampled recall harness —
-  // the plan shape (explode → equi-join on (table, bucket) → verify)
-  // is invariant. Parameters validated by simulation: recall@5 ≈ 0.8
-  // for the ANN query, pair recall ≈ 0.78 for the near-dup variant.
-  private val Planes = 6
   private val LshTables = 6 // OR-construction: independent hash tables
+
+  /** Target corpus vectors per LSH bucket. The signature width is
+    * derived from it, not hard-coded: planes = log2(n / TargetBucket).
+    * 32/bucket keeps candidate generation ≈ n·32·tables pair scorings
+    * (linear in n with a constant the verify stage absorbs) while
+    * buckets stay fine enough to discriminate — per-plane agreement on
+    * this corpus profile is only ~0.6 (top-neighbor cosines ≈ 0.3), so
+    * wider signatures shed recall fast and narrower ones go quadratic
+    * inside cells. */
+  private val TargetBucket = 32
+
+  /** Adaptive signature width: the ~log2(n/bucket) scaling law, now
+    * computed from the corpus size instead of stated in a comment —
+    * 500 vectors → 4 planes, 2 000 → 6, 10⁹ → 16 (clamp). Clamped to
+    * [4, 16]: below 4 a table is one undiscriminating cell; 16 planes
+    * already target 2^16 × TargetBucket ≈ 2M vectors per table, and
+    * beyond that bucket-count growth buys nothing a higher TargetBucket
+    * (more verify work per candidate, still linear) doesn't do more
+    * robustly. Recall holds across sizes WITHOUT retuning because the
+    * expected bucket occupancy — what multi-probe recall actually
+    * depends on — is pinned at TargetBucket; SimilaritySpec asserts
+    * the same floor at 500 (sf0.001) and 2 000 (sf0.1) vectors. */
+  private[ops] def planesFor(n: Long): Int = {
+    require(n > 0, "empty corpus")
+    val raw = math.round(
+      math.log(n.toDouble / TargetBucket) / math.log(2)).toInt
+    math.max(4, math.min(16, raw))
+  }
 
   /** Random-hyperplane LSH signature for table `tbl`: bit h =
     * sign(v · r) with r ∈ {−1, +1}^dim derived deterministically from
-    * xxhash64(tbl·Planes + h, j) — dim-agnostic, seedless,
+    * xxhash64(tbl·planes + h, j) — dim-agnostic, seedless,
     * reproducible across runs and engines. Vectors sharing all
-    * [[Planes]] bits of a table land in one of 2^Planes buckets. */
-  private def lshBucket(tbl: Int): Column = {
+    * `planes` bits of a table land in one of 2^planes buckets. */
+  private def lshBucket(tbl: Int, planes: Int): Column = {
     val signs = (h: Int) => transform(
       sequence(lit(0), size(col("emb")) - 1),
-      j => when(pmod(xxhash64(lit(tbl * Planes + h), j), lit(2)) === 0, 1.0)
+      j => when(pmod(xxhash64(lit(tbl * planes + h), j), lit(2)) === 0, 1.0)
         .otherwise(-1.0))
-    (0 until Planes).map(h =>
+    (0 until planes).map(h =>
       when(dot(col("emb"), signs(h)) > 0, 1L << h).otherwise(0L))
       .reduce(_ + _)
   }
@@ -183,9 +203,9 @@ object Similarity {
     * recall@5 in round 1):
     *   - OR-construction: [[LshTables]] independent hyperplane tables;
     *     a candidate surfaces if it collides in ANY table.
-    *   - Multi-probe: each query also probes the [[Planes]] buckets at
+    *   - Multi-probe: each query also probes the `planes` buckets at
     *     Hamming distance 1 from its home bucket in every table
-    *     (1 + Planes probes/table), catching neighbors that disagree
+    *     (1 + planes probes/table), catching neighbors that disagree
     *     on exactly one plane.
     * The corpus side posts exactly [[LshTables]] rows per vector; the
     * probe side is query-only (tiny, broadcast). Duplicate candidates
@@ -195,13 +215,17 @@ object Similarity {
     * DuckDB oracle; SimilaritySpec asserts a recall@5 floor against
     * the brute-force truth. */
   def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    // one metadata-cheap count sizes the signature to THIS corpus —
+    // the "retune at every scale" knob the round-2 hard-coding left to
+    // the operator
+    val planes = planesFor(t(s, dir, "embeddings").count())
     // repartition: one-file corpus = one input split, and everything
     // up to the candidate join is narrow — without this the whole
     // exact-cosine verify stage runs on a single task (same fix as
     // simCosineTopk/simNeardup)
     val e = withNorm(t(s, dir, "embeddings")).repartition(col("vec_id"))
     val hashed = e.withColumn("buckets",
-      array((0 until LshTables).map(lshBucket): _*))
+      array((0 until LshTables).map(lshBucket(_, planes)): _*))
     val corpus = hashed.select(col("vec_id"), col("emb"), col("nrm"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val probes = hashed.where(col("vec_id") % 100 === 0)
@@ -209,7 +233,7 @@ object Similarity {
         col("nrm").as("qnrm"),
         posexplode(col("buckets")).as(Seq("tbl", "home")))
       .select(col("qid"), col("qemb"), col("qnrm"), col("tbl"),
-        explode(array(col("home") +: (0 until Planes).map(h =>
+        explode(array(col("home") +: (0 until planes).map(h =>
           col("home").bitwiseXOR(lit(1L << h))): _*)).as("bucket"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -232,24 +256,25 @@ object Similarity {
     * with exact cosine. With the OR-construction of [[LshTables]]
     * independent tables a pair is caught if it collides in ANY table;
     * duplicate hits across tables fold under distinct(). Expected
-    * candidate volume is Σ_cells |cell|², i.e. ~n²/2^Planes per table
+    * candidate volume is Σ_cells |cell|², i.e. ~n²/2^planes per table
     * under a uniform hash — linear-ish with enough planes — vs
     * [[simNeardup]]'s unconditional n²/2. Approximate by design → no
     * DuckDB oracle; SimilaritySpec asserts pair recall against the
     * exact ground truth. */
   def simNeardupLsh(s: SparkSession, dir: String): DataFrame = {
+    val planes = planesFor(t(s, dir, "embeddings").count())
     val e = withNorm(t(s, dir, "embeddings")).repartition(col("vec_id"))
     val hashed = e.select(col("vec_id"), col("emb"), col("nrm"),
-      posexplode(array((0 until LshTables).map(lshBucket): _*))
+      posexplode(array((0 until LshTables).map(lshBucket(_, planes)): _*))
         .as(Seq("tbl", "bucket")))
     // asymmetric Hamming-1 probing: side a posts its home bucket AND
     // every single-bit flip, side b only its home bucket — a pair at
     // Hamming distance ≤ 1 in ANY table collides (XOR is symmetric,
     // so one probed side suffices; probing both would double cost for
-    // zero extra pairs). Fanout: (1+Planes)·LshTables rows per vector
+    // zero extra pairs). Fanout: (1+planes)·LshTables rows per vector
     // on side a, LshTables on side b — still linear in corpus size.
     val a = hashed.select(col("tbl"),
-      explode(array(col("bucket") +: (0 until Planes).map(h =>
+      explode(array(col("bucket") +: (0 until planes).map(h =>
         col("bucket").bitwiseXOR(lit(1L << h))): _*)).as("bucket"),
       col("vec_id").as("vec_a"), col("emb").as("emb_a"),
       col("nrm").as("nrm_a"))

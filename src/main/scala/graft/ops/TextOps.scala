@@ -550,6 +550,63 @@ object TextOps {
       |FROM staged2 s LEFT JOIN neardup n ON n.doc_id = s.doc_id
       |ORDER BY s.doc_id""".stripMargin
 
+  // ---------- Corpus vocabulary → quality composition ----------
+
+  /** Global top-`k` tokens by document frequency, heap-based: the
+    * `orderBy(...).limit(k)` pair plans as `TakeOrderedAndProject` —
+    * every partition keeps a bounded k-row heap and only those heaps
+    * travel — NEVER as a global sort (PlanSpec pins this). Ties at the
+    * df boundary break on the token itself so the vocab is
+    * deterministic across engines. This is the daily corpus-stats job
+    * of a training pipeline: at 100 TB the token df aggregate is one
+    * shuffle on token, and k rows cross the final wire. */
+  private[graft] def vocabTopk(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .distinct() // document frequency, not term frequency
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(k)
+
+  /** The corpus-stats→quality-scorer composition: yesterday's global
+    * top-100 vocabulary (from [[vocabTopk]]) replaces
+    * [[qTextQuality]]'s static stopword list — each document is scored
+    * by how much of it is vocabulary tokens. The tiny vocab broadcasts
+    * to the per-doc hit count; zero-hit docs survive via the left
+    * join. */
+  def qVocabTopk(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = vocabTopk(docs, 100).select("token")
+    val tok = docs.select(col("doc_id"),
+      explode(words(col("text"))).as("token"))
+    val hits = tok.join(broadcast(vocab), "token")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+    docs.select(col("doc_id"), size(words(col("text"))).as("n_words"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("vocab_ratio", graft.expr.Columns.roundQ(
+        col("n_hits") / col("n_words").cast("double"), 4))
+      .select("doc_id", "n_words", "n_hits", "vocab_ratio")
+      .orderBy("doc_id")
+  }
+
+  val qVocabTopkOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |df AS (SELECT token, count(DISTINCT doc_id) AS df
+      |       FROM tok GROUP BY 1),
+      |vocab AS (SELECT token FROM df ORDER BY df DESC, token LIMIT 100),
+      |hits AS (SELECT t.doc_id, count(*) AS hits
+      |         FROM tok t JOIN vocab v ON t.token = v.token GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(len(string_split(d.text, ' ')) AS INT) AS n_words,
+      |  CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hits,
+      |  floor(coalesce(h.hits, 0)
+      |        / CAST(len(string_split(d.text, ' ')) AS DOUBLE)
+      |        * 10000 + 0.5) / 10000 AS vocab_ratio
+      |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---------- Registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -563,6 +620,7 @@ object TextOps {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "pipeline_corpus_clean" -> pipelineCorpusClean,
+    "q_vocab_topk" -> qVocabTopk,
   )
 
   def oracles: Map[String, String] = Map(
@@ -574,6 +632,7 @@ object TextOps {
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "dedup_jaccard_capped" -> dedupJaccardCappedOracle,
     "pipeline_corpus_clean" -> pipelineCorpusCleanOracle,
+    "q_vocab_topk" -> qVocabTopkOracle,
     // dedup_minhash_lsh / dedup_simhash: xxhash64-based, not DuckDB-
     // expressible → rows-only check; recall asserted in ScalaTest.
   )

@@ -138,6 +138,17 @@ class PlanSpec extends SparkSpec {
       s"map-side partial aggregation missing:\n$plan")
   }
 
+  test("global vocab top-k plans a bounded heap (TakeOrderedAndProject), " +
+    "never a global sort") {
+    val vocab = ops.TextOps.vocabTopk(
+      Tables.load(spark, sf, "documents"), 100)
+    val plan = planString(vocab)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected a heap-based top-k in:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"vocab top-k plans a global sort:\n$plan")
+  }
+
   test("partition-count knob: shuffle partitions follow the session config") {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
     val parts = Tables.load(spark, sf, "events")

@@ -31,18 +31,34 @@ class MultimodalSpec extends SparkSpec {
     assert(md5Row.getAs[String]("content_md5") == expected)
   }
 
-  test("decode computes the true mean byte value, schema intact") {
+  test("PNG payloads are real containers; decode round-trips the exact " +
+    "pixels through javax.imageio") {
     implicit val s = spark
-    val decoded = Multimodal.decodeBatches(Multimodal.media(spark, dir))
-    assert(decoded.schema.fieldNames.toSeq ==
-      Seq("doc_id", "width", "height", "mean_byte", "n_bytes"))
-    val d = decoded.orderBy("doc_id").head()
-    val text = graft.io.Tables.load(spark, dir, "documents")
-      .orderBy("doc_id").select("text").as[String](spark.implicits.newStringEncoder).head()
-    val bytes = text.getBytes(StandardCharsets.UTF_8)
-    val mean = bytes.map(_ & 0xff).sum.toDouble / bytes.length
-    assert(d.n_bytes == bytes.length)
-    assert(math.abs(d.mean_byte - math.floor(mean * 10000 + 0.5) / 10000) < 1e-12)
+    val png = Multimodal.mediaPng(spark, dir).orderBy("doc_id").head()
+    val id = png.getLong(0)
+    val bytes = png.getAs[Array[Byte]]("payload")
+    // a genuine PNG container: magic bytes, independently decodable
+    assert(bytes.take(4).sameElements(
+      Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "payload did not decode as an image")
+    val (w, h) = ((16 + id % 32).toInt, (16 + id * 7 % 24).toInt)
+    assert(img.getWidth == w && img.getHeight == h)
+    // spot-check pixels against the generating formulas (lossless)
+    assert((img.getRGB(3, 5) & 0xffffff) ==
+      ((((3 + id) % 256).toInt << 16) | (((10 + id) % 256).toInt << 8) |
+        ((8 + id) % 256).toInt))
+
+    val d = Multimodal.mmDecode(spark, dir).orderBy("doc_id").head()
+    assert(d.getInt(1) == w && d.getInt(2) == h)
+    // decoded channel mean equals the formula mean (exact int sums)
+    val expectedR = {
+      val sum = (0 until w).map(x => ((x + id) % 256).toInt).sum.toLong * h
+      math.floor(sum / (w.toLong * h).toDouble * 10000 + 0.5) / 10000
+    }
+    assert(d.getDouble(3) == expectedR,
+      s"mean_r ${d.getDouble(3)} != $expectedR")
   }
 
   test("decode batch shape: partitions are processed in DecodeBatchSize groups") {

@@ -83,6 +83,30 @@ class SimilaritySpec extends SparkSpec {
       s"IVF recall@5 too low: $hits/${brute.size}")
   }
 
+  test("planesFor follows log2(n/bucket) and clamps at both ends") {
+    // 32 vectors/bucket target: 500 → 4 planes, 2000 → 6
+    assert(Similarity.planesFor(500) == 4)
+    assert(Similarity.planesFor(2000) == 6)
+    assert(Similarity.planesFor(128000) == 12)
+    assert(Similarity.planesFor(1) == 4, "small corpora clamp to 4")
+    assert(Similarity.planesFor(1000000000L) == 16, "clamps to 16")
+    intercept[IllegalArgumentException](Similarity.planesFor(0))
+  }
+
+  test("adaptive LSH holds the recall@5 floor at BOTH corpus sizes " +
+    "without retuning (500 and 2000 vectors)") {
+    // sf0.001 has 500 embeddings (→ 4 planes), sf0.1 has 2000 (→ 6);
+    // the sizing law, not a per-corpus constant, must carry the floor
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1").foreach { d =>
+      val brute = Similarity.simCosineTopk(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ann = Similarity.simAnnLsh(spark, d).collect()
+      val hits = ann.count(r => brute.contains((r.getLong(0), r.getLong(1))))
+      assert(hits.toDouble / brute.size >= 0.6,
+        s"$d: adaptive LSH recall@5 ${hits}/${brute.size} under the floor")
+    }
+  }
+
   test("near-dup pairs all meet the threshold and are canonical") {
     val rows = Similarity.simNeardup(spark, sf).collect()
     assert(rows.nonEmpty)
