@@ -3,14 +3,24 @@ package graft
 /** Driver bench contract: one JSON line, total seconds across all
   * queries at SPARK_GRAFT_SF_DIR.
   *
-  * Queries run in sorted name order (Map iteration order shuffled the
-  * run order between builds, moving JVM/codegen warm-up cost onto
-  * random queries), after TWO warm-up passes per query at the sibling
-  * sf0.01 directory: C2 JIT compilation of the string/codegen hot
-  * paths needs execution TIME, not just one pass — the shingle
-  * queries measured ~10 s for their first three sf0.1 runs and 1.6 s
-  * thereafter. Steady-state is the number that models a long-running
-  * cluster job, which is what the bench is for.
+  * Measurement discipline, IN CODE so every round's numbers are
+  * comparable by construction (it used to live in BENCH_NOTES):
+  *
+  *   - queries run in sorted name order (Map iteration order shuffled
+  *     the run order between builds, moving JVM/codegen warm-up cost
+  *     onto random queries);
+  *   - TWO warm-up passes per query at the sibling sf0.01 directory
+  *     first: C2 JIT compilation of the string/codegen hot paths needs
+  *     execution TIME, not just one pass — the shingle queries
+  *     measured ~10 s for their first three sf0.1 runs and 1.6 s
+  *     thereafter. Steady-state is the number that models a
+  *     long-running cluster job, which is what the bench is for;
+  *   - System.gc() before every timed run, so one query's garbage
+  *     doesn't bill a GC pause to whichever runs next (observed as
+  *     5× swings on sub-second queries);
+  *   - each query is timed THREE times and the MEDIAN reported —
+  *     scheduling/GC noise put ±30% on single runs; the median of 3
+  *     is robust to one bad draw in either direction.
   *
   * A failed query is reported with value -1 and listed under
   * "failed" — a broken query must never read as a fast success.
@@ -35,21 +45,24 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
+    val Runs = 3
     val results = ordered.map { case (name, fn) =>
-      // JMH-style: collect garbage from the PREVIOUS query before
-      // timing this one, so one query's garbage doesn't bill a GC
-      // pause to whichever query runs next (observed as 5x swings on
-      // otherwise sub-second queries)
-      System.gc()
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          name -> -1.0
-      }
+      // a first-run failure short-circuits: a throwing query throws
+      // every time, and two more attempts just delay the report
+      val times = Iterator.continually(()).take(Runs).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+        }
+      }.takeWhile(_ >= 0).toSeq
+      if (times.length < Runs) name -> -1.0
+      else name -> times.sorted.apply(Runs / 2)
     }
     val failed = results.filter(_._2 < 0).map(_._1)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

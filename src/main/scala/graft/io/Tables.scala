@@ -78,14 +78,29 @@ object Tables {
     val spark = df.sparkSession
     // True overwrite: a FRESH metastore (new JVM) doesn't know the
     // table, so SaveMode.Overwrite alone hits LOCATION_ALREADY_EXISTS
-    // when a previous JVM left the warehouse dir behind. Drop both the
-    // catalog entry and the location.
+    // when a previous JVM left the warehouse dir behind. Drop the
+    // catalog entry AND the on-disk location — but resolve the
+    // location from the CATALOG when the table is known (the computed
+    // warehouse path is wrong for non-default databases or a changed
+    // warehouse.dir), and never delete an EXTERNAL table's data.
+    val stale: Option[org.apache.hadoop.fs.Path] =
+      if (spark.catalog.tableExists(table)) {
+        val desc = spark.sql(s"DESCRIBE TABLE EXTENDED `$table`").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        if (desc.get("Type").contains("MANAGED"))
+          desc.get("Location").map(new org.apache.hadoop.fs.Path(_))
+        else None // EXTERNAL: dropping must not touch user data
+      } else
+        // fresh metastore, possibly-surviving managed dir from a
+        // previous JVM: only the computed default path can exist
+        Some(new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"),
+          table.toLowerCase(java.util.Locale.ROOT)))
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"),
-      table.toLowerCase(java.util.Locale.ROOT))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    stale.foreach { loc =>
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
