@@ -25,7 +25,8 @@ object SparkEntry {
       "etl_dim_build" -> StarSchema.dimBuild,
     ) ++ ops.Relational.queries ++ ops.Functions.queries ++
       ops.TextOps.queries ++ ops.Similarity.queries ++
-      ops.Multimodal.queries ++ ops.ScaleOps.queries
+      ops.Multimodal.queries ++ ops.ScaleOps.queries ++
+      ops.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       "etl_dim_build" -> StarSchema.dimBuildOracle,
     ) ++ ops.Relational.oracles ++ ops.Functions.oracles ++
       ops.TextOps.oracles ++ ops.Similarity.oracles ++
-      ops.Multimodal.oracles ++ ops.ScaleOps.oracles
+      ops.Multimodal.oracles ++ ops.ScaleOps.oracles ++
+      ops.Curation.oracles
 }

@@ -1,0 +1,399 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Training-data curation operators — the steps between "a corpus of
+  * documents" and "training batches": near-dup CLUSTERS (pairs alone
+  * don't dedup anything), benchmark decontamination, context-window
+  * chunking, sequence packing, stratified sampling, PII redaction.
+  * The reference has no comparable surface (its only dedup is pandas
+  * `drop_duplicates`, songs-etl `cf_transform/main.py:153`); this is
+  * the LLM-pipeline north star the engine adds on top.
+  *
+  * Scale design notes per operator are on each def; the common theme:
+  * per-doc work is narrow (zero shuffles), cross-doc work shuffles on
+  * small keys (shingle, label, stratum), and the one iterative
+  * algorithm (connected components) is bounded by the component
+  * DIAMETER, which for near-dup graphs is small — near-dup clusters
+  * are quasi-cliques (everything overlaps the template), not paths.
+  */
+object Curation {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private def words(c: Column): Column = split(c, " ")
+
+  // ---------- Connected components → dedup clusters ----------
+
+  /** Minimum-label propagation over an undirected edge list — Pregel
+    * shape on DataFrames: each vertex starts labeled with its own id;
+    * every round each vertex takes the min of its label and its
+    * neighbors' labels; stop when a round changes nothing. Converges
+    * in ≤ diameter rounds, each round one shuffle on the vertex id.
+    *
+    * The per-round `count()` is ITERATION CONTROL (the convergence
+    * test), not data movement — the same driver-side role as a Pregel
+    * superstep barrier. `localCheckpoint` truncates the lineage every
+    * round; without it the plan doubles per iteration and analysis
+    * time, not execution, becomes the bottleneck.
+    *
+    * For 100 TB corpora with adversarial (high-diameter) graphs the
+    * upgrade is alternating large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14), which
+    * converges in O(log n) rounds on any graph; near-dup graphs don't
+    * need it — dup clusters are quasi-cliques with diameter ~2 — so
+    * the simpler algorithm with a loud non-convergence failure is the
+    * honest default.
+    *
+    * @param vertices one column `id`
+    * @param edges    columns `src`, `dst`, either orientation
+    * @return (id, label) — label = min id of the component
+    */
+  private[ops] def connectedComponents(vertices: DataFrame,
+                                       edges: DataFrame,
+                                       maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var labels = vertices.select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"),
+          (col("nbr_min").isNotNull && col("nbr_min") < col("label"))
+            .as("chg"))
+        .localCheckpoint()
+      changed = next.where(col("chg")).count()
+      labels = next.drop("chg")
+      i += 1
+    }
+    // a silent partial labeling would look like a correct answer with
+    // too many clusters — refuse instead
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Near-dup pairs → dedup verdicts: cluster the exact-Jaccard pair
+    * graph (threshold 0.2, the [[TextOps.dedupNgramJaccard]] ground
+    * truth) with connected components, canonical doc = min doc_id of
+    * the cluster, keep = is-canonical. This is the step that turns the
+    * pair-emitting dedup family into an actual deduplicated corpus;
+    * every doc appears exactly once in the output (isolated docs are
+    * their own cluster of 1). Oracle: DuckDB recursive CTE reachability
+    * over the same symmetric edges.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val edges = TextOps.jaccardJoin(TextOps.shingles(docs), 0.2)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val cc = connectedComponents(docs.select(col("doc_id").as("id")), edges)
+    cc.select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("keep"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy("doc_id")
+  }
+
+  val dedupClustersOracle: String =
+    "WITH RECURSIVE " + TextOps.shinglePairsCte + ",\n" +
+      """edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
+        |        >= 0.2),
+        |sym AS (SELECT src, dst FROM edges
+        |        UNION SELECT dst, src FROM edges),
+        |reach AS (
+        |  SELECT doc_id AS node, doc_id AS lab FROM documents
+        |  UNION
+        |  SELECT s.dst AS node, r.lab FROM reach r
+        |  JOIN sym s ON s.src = r.node),
+        |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id
+        |       FROM reach GROUP BY node)
+        |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep,
+        |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM cc ORDER BY doc_id""".stripMargin
+
+  // ---------- Benchmark decontamination ----------
+
+  /** Decontamination: flag training docs whose shingle sets overlap a
+    * held-out benchmark set — the eval-leak check every training
+    * pipeline runs before a data release. Benchmark = doc_id % 97 == 0
+    * (a deterministic stand-in for the real eval suite); overlap =
+    * count of the train doc's distinct 3-gram shingles that appear in
+    * ANY benchmark doc; contaminated = overlap ratio ≥ 0.5 (thresholded
+    * on the RAW ratio on both sides, same discipline as the Jaccard
+    * family).
+    *
+    * Scale shape: the benchmark side is always ≪ the corpus — its
+    * distinct shingles are BROADCAST, so the corpus-side scan is
+    * shuffle-free up to the per-doc count aggregation (one shuffle on
+    * doc_id). Never a corpus self-join.
+    */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sh = TextOps.shingles(docs)
+    val benchSh = sh.where(col("doc_id") % 97 === 0)
+      .select(col("shingle")).distinct()
+    val overlap = sh.where(col("doc_id") % 97 =!= 0)
+      .join(broadcast(benchSh), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val ratio = col("n_overlap") / col("n_sh").cast("double")
+    docs.where(col("doc_id") % 97 =!= 0)
+      .join(sizes, Seq("doc_id"), "left")
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", coalesce(ratio >= 0.5, lit(false)))
+      .orderBy("doc_id")
+  }
+
+  val qDecontaminateOracle: String =
+    "WITH " + TextOps.shinglePairsCte + ",\n" +
+      """bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+        |ov AS (
+        |  SELECT t.doc_id, count(*) AS n_overlap
+        |  FROM sh t JOIN bench b ON t.sh = b.sh
+        |  WHERE t.doc_id % 97 <> 0 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(s.n_sh, 0) AS n_sh,
+        |  coalesce(o.n_overlap, 0) AS n_overlap,
+        |  coalesce(o.n_overlap / CAST(s.n_sh AS DOUBLE) >= 0.5, false)
+        |    AS contaminated
+        |FROM documents d
+        |LEFT JOIN sizes s ON s.doc_id = d.doc_id
+        |LEFT JOIN ov o ON o.doc_id = d.doc_id
+        |WHERE d.doc_id % 97 <> 0
+        |ORDER BY d.doc_id""".stripMargin
+
+  // ---------- Context-window chunking ----------
+
+  private val ChunkLen = 32
+  private val ChunkStride = 24 // 8-token overlap between chunks
+
+  /** Split documents into fixed-size overlapping token windows — the
+    * context-length chunking step that turns documents into training
+    * sequences. Chunk i covers words [i·stride, i·stride + len); the
+    * last chunk may be short; every word lands in ≥ 1 chunk.
+    *
+    * Purely narrow (explode of a computed sequence, zero shuffles);
+    * output grows by the overlap factor len/stride ≈ 1.33×, visible in
+    * the plan as a single Generate over the scan.
+    */
+  def qChunkDocs(s: SparkSession, dir: String): DataFrame = {
+    val n = size(col("ws"))
+    val nChunks = floor((n + lit(ChunkStride - 1)) / lit(ChunkStride))
+      .cast("int")
+    t(s, dir, "documents")
+      .withColumn("ws", words(col("text")))
+      .withColumn("chunk_id", explode(sequence(lit(0), nChunks - 1)))
+      // bigint AFTER the explode (a generator can't nest under a cast);
+      // matches the oracle's range()-produced BIGINT
+      .withColumn("chunk_id", col("chunk_id").cast("bigint"))
+      .withColumn("chunk",
+        slice(col("ws"), (col("chunk_id") * ChunkStride + 1).cast("int"),
+          lit(ChunkLen)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).as("n_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val qChunkDocsOracle: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |c AS (
+       |  SELECT doc_id, ws,
+       |    unnest(range(0, (len(ws) + ${ChunkStride - 1}) // $ChunkStride))
+       |      AS chunk_id
+       |  FROM w)
+       |SELECT doc_id, chunk_id,
+       |  CAST(len(list_slice(ws, chunk_id * $ChunkStride + 1,
+       |                      chunk_id * $ChunkStride + $ChunkLen)) AS INT)
+       |    AS n_tokens,
+       |  array_to_string(list_slice(ws, chunk_id * $ChunkStride + 1,
+       |                             chunk_id * $ChunkStride + $ChunkLen), ' ')
+       |    AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---------- Sequence packing (token-budget batching) ----------
+
+  private val PackShards = 8
+  private val PackBudget = 256L // tokens per batch
+
+  /** Pack documents into training batches under a token budget —
+    * streaming fill: within each shard, walk the docs in deterministic
+    * hash order and cut a new batch every time the running token count
+    * crosses the budget (batch = exclusive-prefix-sum ÷ budget). A doc
+    * longer than the budget owns its batch and pushes the boundary —
+    * the standard greedy behavior.
+    *
+    * Scale shape: a GLOBAL streaming fill is a single-partition window
+    * (the classic scale killer), so packing is SHARDED — docs hash
+    * into [[PackShards]] independent shards and the prefix-sum window
+    * partitions by shard, giving full parallelism at the price of
+    * at-most-one underfull final batch per shard. The hash order
+    * doubles as the shuffle every packing pipeline wants anyway
+    * (neighboring docs decorrelated). At 100 TB: shards = O(cluster
+    * parallelism), each shard's window is one sorted partition.
+    */
+  def qPackSequences(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("bigint").as("n_tokens"))
+      .withColumn("shard", col("doc_id") % PackShards)
+      .withColumn("ord", md5(col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("batch_id",
+        floor((col("cum_tokens") - col("n_tokens")) / lit(PackBudget))
+          .cast("bigint"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("batch_id"))
+      .orderBy("doc_id")
+  }
+
+  val qPackSequencesOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    doc_id % $PackShards AS shard,
+       |    md5(CAST(doc_id AS VARCHAR)) AS ord
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY shard
+       |      ORDER BY ord, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM d)
+       |SELECT doc_id, shard, n_tokens,
+       |  (cum_tokens - n_tokens) // $PackBudget AS batch_id
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---------- Stratified sampling ----------
+
+  private val StratumCap = 50
+
+  /** Exact per-stratum sampling: up to [[StratumCap]] docs per
+    * language, chosen in deterministic content-hash order — the
+    * class-balancing step of corpus curation (cap the dominant
+    * language instead of letting it dominate the mixture). Unlike
+    * `df.sampleBy`, the result is exact (≤ cap per stratum, no
+    * variance) and reproducible across runs/retries/partitionings —
+    * same rationale as `q_sample_hash`.
+    *
+    * One shuffle on the stratum key; the per-stratum sort is bounded
+    * by the largest stratum. At 100 TB with a skewed stratum the
+    * windowed rank would be replaced by [[graft.expr.TopKAgg]]
+    * (heap-based per-group top-k, `q_topk_heap`) — same composition,
+    * k = cap, ordering key = the hash.
+    */
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    t(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= StratumCap)
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy("lang", "rn")
+  }
+
+  val qSampleStratifiedOracle: String =
+    s"""SELECT doc_id, lang, rn FROM (
+       |  SELECT doc_id, lang,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rn
+       |  FROM documents)
+       |WHERE rn <= $StratumCap
+       |ORDER BY lang, rn""".stripMargin
+
+  // ---------- PII redaction ----------
+
+  private val EmailRe = "[a-z0-9.]+@[a-z0-9.]+"
+  private val PhoneRe = "555-[0-9]{4}"
+
+  /** Regex PII redaction — scrub emails/phone numbers before a corpus
+    * ships. The synthetic corpus contains no PII, so each doc is
+    * extended with DETERMINISTIC planted PII (one email, doc_id % 3
+    * phone numbers) and the operator counts and redacts it; the oracle
+    * replays the planting and the redaction, so the two regex engines
+    * (java.util.regex vs DuckDB's RE2) are pinned to agree on these
+    * pattern classes. Purely narrow — zero shuffles, the scan is the
+    * cost. */
+  def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com"),
+      repeat(concat(lit(" call 555-"),
+        lpad(col("doc_id").cast("string"), 4, "0")),
+        (col("doc_id") % 3).cast("int")))
+    val redacted = regexp_replace(
+      regexp_replace(planted, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(planted, lit(EmailRe), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(planted, lit(PhoneRe), lit(0)))
+          .as("n_phones"),
+        md5(redacted).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  val qPiiRedactOracle: String =
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@example.com' ||
+       |    repeat(' call 555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0'),
+       |           CAST(doc_id % 3 AS INT)) AS planted
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(planted, '$EmailRe')) AS INT)
+       |    AS n_emails,
+       |  CAST(len(regexp_extract_all(planted, '$PhoneRe')) AS INT)
+       |    AS n_phones,
+       |  md5(regexp_replace(regexp_replace(planted, '$EmailRe', '<EMAIL>',
+       |                                    'g'),
+       |                     '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+       |FROM p ORDER BY doc_id""".stripMargin
+
+  // ---------- Registry ----------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> dedupClusters,
+    "q_decontaminate" -> qDecontaminate,
+    "q_chunk_docs" -> qChunkDocs,
+    "q_pack_sequences" -> qPackSequences,
+    "q_sample_stratified" -> qSampleStratified,
+    "q_pii_redact" -> qPiiRedact)
+
+  def oracles: Map[String, String] = Map(
+    "dedup_clusters" -> dedupClustersOracle,
+    "q_decontaminate" -> qDecontaminateOracle,
+    "q_chunk_docs" -> qChunkDocsOracle,
+    "q_pack_sequences" -> qPackSequencesOracle,
+    "q_sample_stratified" -> qSampleStratifiedOracle,
+    "q_pii_redact" -> qPiiRedactOracle)
+}

@@ -710,6 +710,42 @@ object Relational {
       |FROM orders WHERE o_orderkey % 2 = 1
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Unpivot / melt (`Dataset.unpivot`, the inverse of `q_pivot`):
+    * three lineitem measure columns become (metric, val) rows, then a
+    * per-metric aggregate — the wide-to-long reshape feature stores
+    * and metric pipelines run constantly. Narrow until the final
+    * 3-group aggregate (Expand + partial agg, one shuffle of 3×n_part
+    * rows). */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        ids = Array(col("l_orderkey")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount")),
+        variableColumnName = "metric",
+        valueColumnName = "val")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("val")), 2).as("total"),
+        round(min(col("val")), 2).as("vmin"),
+        round(max(col("val")), 2).as("vmax"))
+      .orderBy("metric")
+
+  val qUnpivotOracle: String =
+    """WITH long AS (
+      |  SELECT l_orderkey, 'l_quantity' AS metric, l_quantity AS val
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, 'l_extendedprice', l_extendedprice
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, 'l_discount', l_discount FROM lineitem)
+      |SELECT metric, count(*) AS n, round(sum(val), 2) AS total,
+      |       round(min(val), 2) AS vmin, round(max(val), 2) AS vmax
+      |FROM long GROUP BY metric ORDER BY metric""".stripMargin
+
   // ---------- Subqueries (planner rewrite surface) ----------
 
   /** Correlated EXISTS + scalar subquery via spark.sql: Catalyst
@@ -789,6 +825,7 @@ object Relational {
     "q_approx_percentile" -> qApproxPercentile,
     "q_posexplode" -> qPosexplode,
     "q_union_by_name" -> qUnionByName,
+    "q_unpivot" -> qUnpivot,
   )
 
   def oracles: Map[String, String] = Map(
@@ -824,5 +861,6 @@ object Relational {
     "q_subquery" -> qSubqueryOracle,
     "q_posexplode" -> qPosexplodeOracle,
     "q_union_by_name" -> qUnionByNameOracle,
+    "q_unpivot" -> qUnpivotOracle,
   )
 }

@@ -217,7 +217,7 @@ object TextOps {
   }
 
   /** Inverted-index Jaccard over a shingle set (unordered). */
-  private def jaccardJoin(sh: DataFrame, threshold: Double): DataFrame =
+  private[ops] def jaccardJoin(sh: DataFrame, threshold: Double): DataFrame =
     jaccardFromCounts(pairCommonCounts(sh), shingleSizes(sh), threshold)
 
   /** All pairs with 3-gram-shingle Jaccard ≥ 0.2 — the exact ground
@@ -226,8 +226,13 @@ object TextOps {
     jaccardJoin(shingles(t(s, dir, "documents")), 0.2)
       .orderBy("doc_a", "doc_b")
 
-  val dedupNgramJaccardOracle: String =
-    """WITH sh AS (
+  /** DuckDB CTE chain for (doc_id, shingle) / per-doc sizes / pair
+    * common-counts — the oracle-side mirror of [[shingles]] +
+    * [[shingleSizes]] + [[pairCommonCounts]], shared (rather than
+    * re-typed) by every oracle that consumes shingle pairs so the two
+    * sides cannot drift apart. */
+  private[ops] val shinglePairsCte: String =
+    """sh AS (
       |  SELECT DISTINCT doc_id, sh FROM (
       |    SELECT doc_id,
       |      unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
@@ -239,8 +244,10 @@ object TextOps {
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b,
+      |  GROUP BY 1, 2)""".stripMargin
+
+  val dedupNgramJaccardOracle: String =
+    "WITH " + shinglePairsCte + "\n" + """SELECT doc_a, doc_b,
       |  floor(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
       |        * 10000 + 0.5) / 10000 AS jaccard
       |FROM pairs

@@ -149,6 +149,25 @@ class PlanSpec extends SparkSpec {
       s"vocab top-k plans a global sort:\n$plan")
   }
 
+  test("decontamination broadcasts the benchmark side — the corpus " +
+    "never shuffles for the overlap join") {
+    val plan = planString(ops.Curation.qDecontaminate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"benchmark shingles not broadcast:\n$plan")
+  }
+
+  test("sequence packing windows partition by shard — never a " +
+    "single-partition global window") {
+    val plan = planString(ops.Curation.qPackSequences(spark, sf))
+    // an empty PARTITION BY plans 'Window [...], []' with a
+    // SinglePartition exchange — the scale killer this test guards
+    assert(!plan.contains("SinglePartition"),
+      s"packing collapsed to one partition:\n$plan")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"expected a shard-keyed window exchange:\n$plan")
+  }
+
   test("partition-count knob: shuffle partitions follow the session config") {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
     val parts = Tables.load(spark, sf, "events")

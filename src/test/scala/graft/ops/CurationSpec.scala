@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Curation-surface invariants the row-level DuckDB oracle doesn't
+  * express: connected-components graph semantics on planted graphs,
+  * cluster/dedup verdict laws, decontamination sensitivity, chunk
+  * coverage, packing feasibility, stratified-sample exactness. */
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("connectedComponents labels a planted multi-component graph") {
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    // components: {1,2,3} (via 1-2, 2-3), {5,6}, singletons {4}, {7}
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val got = Curation.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("connectedComponents converges on a path graph (diameter > 1 " +
+    "iteration)") {
+    // 0-1-2-...-9: min label must walk the whole chain — exercises the
+    // iterate-until-fixpoint loop, not just one propagation round
+    val n = 10
+    val vertices = (0 until n).map(_.toLong).toDF("id")
+    val edges = (0 until n - 1).map(i => (i.toLong, i + 1L))
+      .toDF("src", "dst")
+    val got = Curation.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0 until n).map(_.toLong -> 0L).toMap)
+  }
+
+  test("connectedComponents refuses to return a partial labeling") {
+    val vertices = (0 until 10).map(_.toLong).toDF("id")
+    val edges = (0 until 9).map(i => (i.toLong, i + 1L)).toDF("src", "dst")
+    // the 10-chain needs 9 min-propagation rounds; 3 must fail LOUDLY
+    val e = intercept[IllegalArgumentException] {
+      Curation.connectedComponents(vertices, edges, maxIter = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("dedup_clusters verdicts: every doc exactly once, one keeper " +
+    "per cluster, cluster_id is the cluster min, sizes consistent") {
+    val rows = Curation.dedupClusters(spark, sf).collect()
+    val docs = rows.map(_.getLong(0))
+    assert(docs.length == docs.distinct.length, "a doc appeared twice")
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getLong(0)).min == cid,
+        s"cluster $cid is not its member min")
+      assert(members.count(_.getBoolean(2)) == 1,
+        s"cluster $cid must keep exactly one doc")
+      assert(members.forall(_.getLong(3) == members.length),
+        s"cluster $cid size column disagrees with membership")
+    }
+    // clustering must be consistent with the pair graph: every
+    // ground-truth near-dup pair lands in the same cluster
+    val label = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    TextOps.dedupNgramJaccard(spark, sf).collect().foreach { p =>
+      assert(label(p.getLong(0)) == label(p.getLong(1)),
+        s"near-dup pair ${p.getLong(0)},${p.getLong(1)} split " +
+          "across clusters")
+    }
+  }
+
+  test("decontamination flags a planted benchmark copy and clears " +
+    "disjoint text") {
+    // doc 97 is benchmark (97 % 97 == 0); doc 1 repeats its text →
+    // overlap ratio 1.0; doc 2 shares nothing → ratio 0. Planted via
+    // the same shingle substrate the query uses.
+    val docs = Seq(
+      (97L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val sh = TextOps.shingles(docs)
+    val bench = sh.where(col("doc_id") % 97 === 0)
+      .select(col("shingle")).distinct()
+    val overlap = sh.where(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(overlap(1L) == 4) // 6 words → 4 tri-gram shingles, all shared
+    assert(!overlap.contains(2L))
+  }
+
+  test("chunking covers every token and respects the stride/overlap " +
+    "contract") {
+    val rows = Curation.qChunkDocs(spark, sf)
+      .select("doc_id", "chunk_id", "n_tokens").collect()
+      .groupBy(_.getLong(0))
+    val nWords = graft.io.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    nWords.foreach { case (doc, n) =>
+      val chunks = rows(doc).sortBy(_.getLong(1))
+      assert(chunks.length == (n + 23) / 24, s"doc $doc chunk count")
+      // every chunk but the last is full-length OR ends at the doc end
+      chunks.dropRight(1).foreach(c => assert(c.getInt(2) == 32 ||
+        c.getLong(1) * 24 + c.getInt(2) == n))
+      val last = chunks.last
+      assert(last.getLong(1) * 24 + last.getInt(2) == n,
+        s"doc $doc last chunk must end at the last token")
+    }
+  }
+
+  test("sequence packing: no batch except per-shard stragglers starts " +
+    "over budget, batches are contiguous in hash order") {
+    val rows = Curation.qPackSequences(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(2))) // shard,batch,n
+    rows.groupBy { case (shard, batch, _) => (shard, batch) }
+      .foreach { case ((shard, batch), docs) =>
+        val total = docs.map(_._3).sum
+        val maxDoc = docs.map(_._3).max
+        // streaming fill: a batch exceeds the budget only by less than
+        // its own last doc (the doc that crossed the boundary)
+        assert(total < 256 + maxDoc,
+          s"shard $shard batch $batch holds $total tokens")
+      }
+    // batch ids are dense per shard (0..max with no gaps)
+    rows.groupBy(_._1).foreach { case (shard, docs) =>
+      val ids = docs.map(_._2).distinct.sorted.toSeq
+      assert(ids == (0L until ids.length.toLong),
+        s"shard $shard batch ids not dense: $ids")
+    }
+  }
+
+  test("stratified sample is exact: min(cap, stratum size) rows per " +
+    "lang, deterministic across runs") {
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val strata = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = Curation.qSampleStratified(spark, sf).collect()
+    val b = Curation.qSampleStratified(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "sample must be reproducible")
+    a.groupBy(_.getString(1)).foreach { case (lang, rows) =>
+      assert(rows.length == math.min(50L, strata(lang)),
+        s"lang $lang sampled ${rows.length} of ${strata(lang)}")
+    }
+  }
+
+  test("pii redaction scrubs every planted pattern") {
+    val out = Curation.qPiiRedact(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getInt(1) == 1, s"doc ${r.getLong(0)} email count")
+      assert(r.getInt(2) == (r.getLong(0) % 3).toInt,
+        s"doc ${r.getLong(0)} phone count")
+    }
+  }
+}
