@@ -57,9 +57,15 @@ object Curation {
   private[ops] def connectedComponents(vertices: DataFrame,
                                        edges: DataFrame,
                                        maxIter: Int = 25): DataFrame = {
+    // materialize the symmetric edge list ONCE: every round's join
+    // would otherwise re-run the whole upstream pair computation (the
+    // shingle self-join costs more than all CC rounds together —
+    // measured 4.5 s vs 1.7 s at sf0.1). At cluster scale this is the
+    // persist() every iterative graph job starts with.
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = vertices.select(col("id"), col("id").as("label"))
       .localCheckpoint()
     var changed = 1L

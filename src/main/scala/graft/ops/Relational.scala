@@ -710,6 +710,74 @@ object Relational {
       |FROM orders WHERE o_orderkey % 2 = 1
       |ORDER BY o_orderkey""".stripMargin
 
+  /** first/last/nth_value with IGNORE NULLS over an explicit
+    * whole-partition frame — the navigation-function corner the other
+    * window queries don't touch. NULLs are planted deterministically
+    * (`nullif(l_discount, 0)`), the frame is pinned to
+    * ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING on BOTH sides
+    * (the default frame makes last_value = current row, a classic
+    * silent-wrong-answer), and the ordering carries a unique
+    * tie-break. */
+  def qWindowFirstLast(s: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique (planted dupes) and the
+    // dupes differ in l_discount — l_discount in the ordering makes the
+    // key prefix determine the navigated value, so both engines agree
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_discount"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "lineitem")
+      .withColumn("d", nullif(col("l_discount"), lit(0.0)))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        first_value(col("d"), lit(true)).over(w)
+          .as("first_nonzero_disc"),
+        last_value(col("d"), lit(true)).over(w)
+          .as("last_nonzero_disc"),
+        nth_value(col("d"), 3, ignoreNulls = true).over(w)
+          .as("third_nonzero_disc"))
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag")
+  }
+
+  val qWindowFirstLastOracle: String =
+    """SELECT l_orderkey, l_linenumber, l_returnflag,
+      |  first_value(nullif(l_discount, 0) IGNORE NULLS) OVER w
+      |    AS first_nonzero_disc,
+      |  last_value(nullif(l_discount, 0) IGNORE NULLS) OVER w
+      |    AS last_nonzero_disc,
+      |  nth_value(nullif(l_discount, 0), 3 IGNORE NULLS) OVER w
+      |    AS third_nonzero_disc
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_returnflag
+      |             ORDER BY l_orderkey, l_linenumber, l_discount
+      |             ROWS BETWEEN UNBOUNDED PRECEDING
+      |                      AND UNBOUNDED FOLLOWING)
+      |ORDER BY l_orderkey, l_linenumber, l_returnflag""".stripMargin
+
+  /** Correlated LATERAL join — top-2 orders per customer via a
+    * correlated, limited subquery. Catalyst decorrelates the LATERAL
+    * into a ranked join (DecorrelateInnerQuery), the SQL-surface twin
+    * of `q_topk_per_group`: nested per-row SQL becomes one shuffle +
+    * window, never a per-customer probe loop. */
+  def qJoinLateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
+  }
+
+  val qJoinLateralOracle: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey
+      |         LIMIT 2) o
+      |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin
+
   /** Unpivot / melt (`Dataset.unpivot`, the inverse of `q_pivot`):
     * three lineitem measure columns become (metric, val) rows, then a
     * per-metric aggregate — the wide-to-long reshape feature stores
@@ -826,6 +894,8 @@ object Relational {
     "q_posexplode" -> qPosexplode,
     "q_union_by_name" -> qUnionByName,
     "q_unpivot" -> qUnpivot,
+    "q_window_first_last" -> qWindowFirstLast,
+    "q_join_lateral" -> qJoinLateral,
   )
 
   def oracles: Map[String, String] = Map(
@@ -862,5 +932,7 @@ object Relational {
     "q_posexplode" -> qPosexplodeOracle,
     "q_union_by_name" -> qUnionByNameOracle,
     "q_unpivot" -> qUnpivotOracle,
+    "q_window_first_last" -> qWindowFirstLastOracle,
+    "q_join_lateral" -> qJoinLateralOracle,
   )
 }

