@@ -204,11 +204,14 @@ object Curation {
     * output grows by the overlap factor len/stride ≈ 1.33×, visible in
     * the plan as a single Generate over the scan.
     */
-  def qChunkDocs(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, chunk_id, n_tokens, chunk_text) for a `doc_id, text`
+    * input — shared by the standalone chunking query and the composed
+    * training-prep pipeline. */
+  private def chunkify(docs: DataFrame): DataFrame = {
     val n = size(col("ws"))
     val nChunks = floor((n + lit(ChunkStride - 1)) / lit(ChunkStride))
       .cast("int")
-    t(s, dir, "documents")
+    docs
       .withColumn("ws", words(col("text")))
       .withColumn("chunk_id", explode(sequence(lit(0), nChunks - 1)))
       // bigint AFTER the explode (a generator can't nest under a cast);
@@ -220,8 +223,11 @@ object Curation {
       .select(col("doc_id"), col("chunk_id"),
         size(col("chunk")).as("n_tokens"),
         concat_ws(" ", col("chunk")).as("chunk_text"))
-      .orderBy("doc_id", "chunk_id")
   }
+
+  def qChunkDocs(s: SparkSession, dir: String): DataFrame =
+    chunkify(t(s, dir, "documents"))
+      .orderBy("doc_id", "chunk_id")
 
   val qChunkDocsOracle: String =
     s"""WITH w AS (
@@ -385,10 +391,113 @@ object Curation {
        |                     '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
        |FROM p ORDER BY doc_id""".stripMargin
 
+  // ---------- Composed training-prep pipeline ----------
+
+  /** The whole corpus→training-batches pipeline as ONE query —
+    * cluster-dedup, decontaminate, chunk, pack, composed end-to-end
+    * the way a data release actually runs them, and replayed whole by
+    * the DuckDB oracle so every stage interaction is hash-checked:
+    *
+    *   1. keep one doc per near-dup CLUSTER ([[dedupClusters]] keep);
+    *   2. drop benchmark docs and contaminated docs
+    *      ([[qDecontaminate]] verdicts);
+    *   3. chunk survivors into context windows ([[chunkify]]);
+    *   4. pack chunks into token-budget batches (sharded streaming
+    *      fill, ordered by a chunk-level content hash).
+    *
+    * Stage ORDER is the scale argument: dedup+decontamination run on
+    * documents (cheap keys), chunking multiplies rows only for
+    * SURVIVORS, and packing shuffles only chunk-size metadata — the
+    * same filters-shrink-the-expensive-stage point
+    * `pipeline_corpus_clean` measures for cleaning. */
+  def pipelineTrainPrep(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keepers = dedupClusters(s, dir)
+      .where(col("keep")).select("doc_id")
+    val clean = qDecontaminate(s, dir)
+      .where(!col("contaminated")).select("doc_id")
+    val survivors = docs.select("doc_id", "text")
+      .join(keepers, "doc_id").join(clean, "doc_id")
+    val chunks = chunkify(survivors)
+      .withColumn("shard", col("doc_id") % PackShards)
+      .withColumn("ord", md5(concat(col("doc_id").cast("string"),
+        lit("#"), col("chunk_id").cast("string"))))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("ord"), col("doc_id"), col("chunk_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("cum", sum(col("n_tokens").cast("bigint")).over(w))
+      .withColumn("batch_id",
+        floor((col("cum") - col("n_tokens")) / lit(PackBudget))
+          .cast("bigint"))
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        col("shard"), col("batch_id"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val pipelineTrainPrepOracle: String =
+    "WITH RECURSIVE " + TextOps.shinglePairsCte + ",\n" +
+      s"""edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
+         |        >= 0.2),
+         |sym AS (SELECT src, dst FROM edges
+         |        UNION SELECT dst, src FROM edges),
+         |reach AS (
+         |  SELECT doc_id AS node, doc_id AS lab FROM documents
+         |  UNION
+         |  SELECT s.dst AS node, r.lab FROM reach r
+         |  JOIN sym s ON s.src = r.node),
+         |keepers AS (
+         |  SELECT node AS doc_id FROM reach
+         |  GROUP BY node HAVING node = min(lab)),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+         |ov AS (
+         |  SELECT t.doc_id, count(*) AS n_overlap
+         |  FROM sh t JOIN bench b ON t.sh = b.sh
+         |  WHERE t.doc_id % 97 <> 0 GROUP BY 1),
+         |clean AS (
+         |  SELECT d.doc_id FROM documents d
+         |  LEFT JOIN sizes s ON s.doc_id = d.doc_id
+         |  LEFT JOIN ov o ON o.doc_id = d.doc_id
+         |  WHERE d.doc_id % 97 <> 0
+         |    AND NOT coalesce(
+         |          o.n_overlap / CAST(s.n_sh AS DOUBLE) >= 0.5, false)),
+         |surv AS (
+         |  SELECT d.doc_id, string_split(d.text, ' ') AS ws
+         |  FROM documents d
+         |  JOIN keepers k ON k.doc_id = d.doc_id
+         |  JOIN clean c ON c.doc_id = d.doc_id),
+         |ch AS (
+         |  SELECT doc_id, ws,
+         |    unnest(range(0, (len(ws) + ${ChunkStride - 1})
+         |                    // $ChunkStride)) AS chunk_id
+         |  FROM surv),
+         |sized AS (
+         |  SELECT doc_id, chunk_id,
+         |    CAST(len(list_slice(ws, chunk_id * $ChunkStride + 1,
+         |      chunk_id * $ChunkStride + $ChunkLen)) AS INT) AS n_tokens,
+         |    doc_id % $PackShards AS shard,
+         |    md5(doc_id || '#' || chunk_id) AS ord
+         |  FROM ch),
+         |cum AS (
+         |  SELECT doc_id, chunk_id, n_tokens, shard,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard
+         |      ORDER BY ord, doc_id, chunk_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM sized)
+         |SELECT doc_id, chunk_id, n_tokens, shard,
+         |  (cum - n_tokens) // $PackBudget AS batch_id
+         |FROM cum ORDER BY doc_id, chunk_id""".stripMargin
+
   // ---------- Registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> dedupClusters,
+    "pipeline_train_prep" -> pipelineTrainPrep,
     "q_decontaminate" -> qDecontaminate,
     "q_chunk_docs" -> qChunkDocs,
     "q_pack_sequences" -> qPackSequences,
@@ -397,6 +506,7 @@ object Curation {
 
   def oracles: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersOracle,
+    "pipeline_train_prep" -> pipelineTrainPrepOracle,
     "q_decontaminate" -> qDecontaminateOracle,
     "q_chunk_docs" -> qChunkDocsOracle,
     "q_pack_sequences" -> qPackSequencesOracle,

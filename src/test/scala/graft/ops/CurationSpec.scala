@@ -145,6 +145,32 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("train-prep pipeline composes its stages consistently: only " +
+    "kept+clean docs, all their chunks, feasible batches") {
+    val out = Curation.pipelineTrainPrep(spark, sf).collect()
+    val outDocs = out.map(_.getLong(0)).toSet
+    val keepers = Curation.dedupClusters(spark, sf).collect()
+      .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    val clean = Curation.qDecontaminate(spark, sf).collect()
+      .filterNot(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(outDocs == (keepers intersect clean),
+      "pipeline docs must be exactly the kept-and-clean set")
+    // all chunks of every survivor are present (none lost in packing)
+    val chunkCounts = Curation.qChunkDocs(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    out.groupBy(_.getLong(0)).foreach { case (doc, rows) =>
+      assert(rows.length == chunkCounts(doc), s"doc $doc lost chunks")
+    }
+    // batch feasibility: same streaming-fill law as qPackSequences
+    out.groupBy(r => (r.getLong(3), r.getLong(4))).foreach {
+      case ((shard, batch), rows) =>
+        val total = rows.map(_.getInt(2).toLong).sum
+        val maxChunk = rows.map(_.getInt(2).toLong).max
+        assert(total < 256 + maxChunk,
+          s"shard $shard batch $batch overfull: $total")
+    }
+  }
+
   test("pii redaction scrubs every planted pattern") {
     val out = Curation.qPiiRedact(spark, sf).collect()
     out.foreach { r =>
