@@ -710,6 +710,73 @@ object Relational {
       |FROM orders WHERE o_orderkey % 2 = 1
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Fixed-width histogram over a measure column — the profiling
+    * primitive under every data-quality dashboard. Bin =
+    * floor(x / width): both engines run the IDENTICAL IEEE double
+    * division + floor, so bins are bit-deterministic without any
+    * global min/max pass (which would cost an extra scan; a production
+    * profiler quantizes against a fixed grid for exactly that reason).
+    * One map-side-combining aggregation on ≤ ~25 bin keys. */
+  def qHistogram(s: SparkSession, dir: String): DataFrame = {
+    val width = 5000.0
+    t(s, dir, "lineitem")
+      .withColumn("bin", floor(col("l_extendedprice") / width).cast("bigint"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("l_extendedprice")), 2).as("lo"),
+        round(max(col("l_extendedprice")), 2).as("hi"))
+      .orderBy("bin")
+  }
+
+  val qHistogramOracle: String =
+    """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+      |  count(*) AS n,
+      |  round(min(l_extendedprice), 2) AS lo,
+      |  round(max(l_extendedprice), 2) AS hi
+      |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin
+
+  /** Per-column data profile — null count, distinct count, min/max —
+    * over the numeric columns of `orders`, one output row per column
+    * (long format so one query profiles any width). Each profile is a
+    * single-pass aggregate; the rows union. The reference has no
+    * profiling at all; a 100 TB pipeline runs this after every load. */
+  def qProfileStats(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def prof(c: String): DataFrame =
+      o.agg(
+        lit(c).as("col_name"),
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col(c))).as("n_null"),
+        count_distinct(col(c)).as("n_distinct"),
+        round(min(col(c).cast("double")), 2).as("vmin"),
+        round(max(col(c).cast("double")), 2).as("vmax"))
+    prof("o_orderkey")
+      .unionByName(prof("o_custkey"))
+      .unionByName(prof("o_totalprice"))
+      .orderBy("col_name")
+  }
+
+  val qProfileStatsOracle: String =
+    """WITH p AS (
+      |  SELECT 'o_orderkey' AS col_name, count(*) AS n,
+      |    count(*) - count(o_orderkey) AS n_null,
+      |    count(DISTINCT o_orderkey) AS n_distinct,
+      |    round(CAST(min(o_orderkey) AS DOUBLE), 2) AS vmin,
+      |    round(CAST(max(o_orderkey) AS DOUBLE), 2) AS vmax
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+      |    count(DISTINCT o_custkey),
+      |    round(CAST(min(o_custkey) AS DOUBLE), 2),
+      |    round(CAST(max(o_custkey) AS DOUBLE), 2)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+      |    count(DISTINCT o_totalprice),
+      |    round(min(o_totalprice), 2), round(max(o_totalprice), 2)
+      |  FROM orders)
+      |SELECT * FROM p ORDER BY col_name""".stripMargin
+
   /** first/last/nth_value with IGNORE NULLS over an explicit
     * whole-partition frame — the navigation-function corner the other
     * window queries don't touch. NULLs are planted deterministically
@@ -896,6 +963,8 @@ object Relational {
     "q_unpivot" -> qUnpivot,
     "q_window_first_last" -> qWindowFirstLast,
     "q_join_lateral" -> qJoinLateral,
+    "q_histogram" -> qHistogram,
+    "q_profile_stats" -> qProfileStats,
   )
 
   def oracles: Map[String, String] = Map(
@@ -934,5 +1003,7 @@ object Relational {
     "q_unpivot" -> qUnpivotOracle,
     "q_window_first_last" -> qWindowFirstLastOracle,
     "q_join_lateral" -> qJoinLateralOracle,
+    "q_histogram" -> qHistogramOracle,
+    "q_profile_stats" -> qProfileStatsOracle,
   )
 }

@@ -614,6 +614,49 @@ object TextOps {
       |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------- Distinctive-term extraction (keyterms) ----------
+
+  private val KeytermsPerDoc = 5
+
+  /** Top-5 distinctive terms per doc — tf-idf's job done with INTEGER
+    * ordering only: rank a doc's tokens by term frequency descending,
+    * then document frequency ascending (rarer wins), then token. The
+    * float tf·idf score would hit the cross-engine log()/last-ulp
+    * problem the oracle discipline forbids; (tf DESC, df ASC) is the
+    * same dominance order for fixed tf and keeps every compared value
+    * exact. Two shuffles (doc-term tf, term df) + one windowed rank
+    * over ≤ doc-vocabulary rows per doc. */
+  def qDocKeyterms(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("token"))
+    tf.join(df, "token")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= KeytermsPerDoc)
+      .select(col("doc_id"), col("rn"), col("token"), col("tf"), col("df"))
+      .orderBy("doc_id", "rn")
+  }
+
+  val qDocKeytermsOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf
+       |       FROM tok GROUP BY 1, 2),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+       |SELECT doc_id, rn, token, tf, df FROM (
+       |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+       |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY tf.tf DESC, df.df ASC, tf.token) AS INT) AS rn
+       |  FROM tf JOIN df ON tf.token = df.token)
+       |WHERE rn <= $KeytermsPerDoc
+       |ORDER BY doc_id, rn""".stripMargin
+
   // ---------- Registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -628,6 +671,7 @@ object TextOps {
     "dedup_simhash" -> dedupSimhash,
     "pipeline_corpus_clean" -> pipelineCorpusClean,
     "q_vocab_topk" -> qVocabTopk,
+    "q_doc_keyterms" -> qDocKeyterms,
   )
 
   def oracles: Map[String, String] = Map(
@@ -640,6 +684,7 @@ object TextOps {
     "dedup_jaccard_capped" -> dedupJaccardCappedOracle,
     "pipeline_corpus_clean" -> pipelineCorpusCleanOracle,
     "q_vocab_topk" -> qVocabTopkOracle,
+    "q_doc_keyterms" -> qDocKeytermsOracle,
     // dedup_minhash_lsh / dedup_simhash: xxhash64-based, not DuckDB-
     // expressible → rows-only check; recall asserted in ScalaTest.
   )

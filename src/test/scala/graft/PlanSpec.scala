@@ -168,6 +168,44 @@ class PlanSpec extends SparkSpec {
       s"expected a shard-keyed window exchange:\n$plan")
   }
 
+  test("runtime bloom filter: a selective dim filter is pushed to the " +
+    "fact scan as a semi-join reduction") {
+    // the 100 TB shape: dim carries a selective predicate, fact is too
+    // big to broadcast — Spark builds a bloom filter on the dim keys
+    // and applies might_contain at the fact side BEFORE the shuffle,
+    // so filtered-out fact rows never cross the network. Local-mode
+    // sizes are far below the production thresholds, so lower them for
+    // the assertion; the injected plan shape is the same.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" ->
+        spark.conf.get(
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter." +
+          "applicationSideScanSizeThreshold"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "1")
+      val orders = Tables.load(spark, sf, "orders")
+        .where(col("o_totalprice") > 400000) // selective dim side
+      val fact = Tables.load(spark, sf, "lineitem")
+      val joined = fact.join(orders,
+        col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") ||
+        plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("partition-count knob: shuffle partitions follow the session config") {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
     val parts = Tables.load(spark, sf, "events")
