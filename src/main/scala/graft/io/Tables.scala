@@ -122,12 +122,21 @@ object Tables {
     *
     * For each `col=value` partition directory: if it holds more files
     * than ⌈bytes/targetBytes⌉, rewrite it to exactly that many
-    * (repartition(n) → n writer tasks → n files), atomically swapping
-    * the directory via a hidden temp dir (names starting with `.` are
-    * invisible to Spark's file listing, so a concurrent reader sees
-    * either the old files or the new ones, never both). Partitions
-    * already at or under the target are untouched — a second pass is
-    * a no-op, which is what makes the job safe to run on a schedule.
+    * (repartition(n) → n writer tasks → n files) and swap it in via
+    * write-to-`.compact_tmp` → rename old aside to `.compact_old` →
+    * rename new into place → drop old. The old copy survives until the
+    * new one is live, so a crash at ANY point loses nothing: the next
+    * run's recovery preamble renames an orphaned `.compact_old` entry
+    * back for any partition that went missing mid-swap, then clears
+    * both scratch dirs. (The hidden `.`-prefixed names are invisible
+    * to Spark's file listing.) What this does NOT give is reader
+    * ISOLATION — a reader listing files in the instant between the two
+    * renames sees the partition empty; true snapshot isolation under
+    * concurrent compaction is what transactional table formats
+    * (Delta/Iceberg) exist for, and at 100 TB this routine would be
+    * their OPTIMIZE. Partitions already at or under the target are
+    * untouched — a second pass is a no-op, which is what makes the job
+    * safe to run on a schedule.
     *
     * The driver-side loop is over PARTITION METADATA (one FS listing +
     * one Spark job per oversized partition), not over rows — the same
@@ -137,8 +146,11 @@ object Tables {
     * run sequentially a 1 000-partition table pays 1 000 × job-launch
     * latency — measured 14.7 s for ~30 day-partitions at sf0.1,
     * vs ~2 s concurrent. Partitions are independent (disjoint
-    * directories, per-partition temp dirs), so the only shared state
-    * is the Spark scheduler, which is built for concurrent jobs.
+    * directories, per-partition scratch subdirs), so the only shared
+    * state is the Spark scheduler, which is built for concurrent jobs;
+    * scratch cleanup happens only after EVERY job has settled (lifted
+    * results, no exceptions in flight), so one partition's failure
+    * can never delete a sibling's in-progress swap source.
     *
     * Returns per-partition stats so callers (LayoutSpec) can prove the
     * file-count claim. */
@@ -147,8 +159,31 @@ object Tables {
     require(targetBytes > 0, "targetBytes must be positive")
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    import scala.util.{Failure, Success, Try}
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpRoot = new org.apache.hadoop.fs.Path(root, ".compact_tmp")
+    val oldRoot = new org.apache.hadoop.fs.Path(root, ".compact_old")
+
+    // recovery + scratch cleanup: a partition whose live dir vanished
+    // mid-swap still has its old copy aside — put it back BEFORE
+    // deleting .compact_old (a blind delete would destroy the only
+    // copy); .compact_tmp holds possibly-incomplete writes — discard.
+    // Runs at entry (previous crashed run) and in finally (this run's
+    // own failures).
+    def recoverAndClean(): Unit = {
+      if (fs.exists(oldRoot)) {
+        fs.listStatus(oldRoot).foreach { st =>
+          val live = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
+          if (!fs.exists(live)) require(fs.rename(st.getPath, live),
+            s"compaction recovery failed for $live")
+        }
+        fs.delete(oldRoot, true)
+      }
+      fs.delete(tmpRoot, true)
+    }
+    recoverAndClean()
+
     val partDirs = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -165,24 +200,31 @@ object Tables {
         val after =
           if (dataFiles.size <= target || dataFiles.isEmpty) dataFiles.size
           else {
-            val tmp = new org.apache.hadoop.fs.Path(root,
-              s".compact_tmp/${pd.getPath.getName}")
+            val name = pd.getPath.getName
+            val tmp = new org.apache.hadoop.fs.Path(tmpRoot, name)
+            val old = new org.apache.hadoop.fs.Path(oldRoot, name)
             spark.read.parquet(pd.getPath.toString)
               .repartition(target)
               .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
             // drop the marker so the swapped-in dir holds only data files
             fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
-            fs.delete(pd.getPath, true)
-            require(fs.rename(tmp, pd.getPath),
+            fs.mkdirs(oldRoot)
+            require(fs.rename(pd.getPath, old) && fs.rename(tmp, pd.getPath),
               s"compaction swap failed for ${pd.getPath}")
+            fs.delete(old, true)
             target
           }
         pd.getPath.getName -> CompactStats(bytes, dataFiles.size, after)
       }}
-      Await.result(Future.sequence(futures), Duration.Inf).toMap
-    } finally { // scratch cleanup, success or not
+      // lift: ALL jobs settle before anyone inspects results or touches
+      // shared scratch — a thrown future must not strand running ones
+      val settled = Await.result(
+        Future.sequence(futures.map(_.transform(Success(_)))), Duration.Inf)
+      settled.collectFirst { case Failure(e) => e }.foreach(throw _)
+      settled.collect { case Success(kv) => kv }.toMap
+    } finally { // after every job has settled: restore-then-clean
       pool.shutdown()
-      fs.delete(new org.apache.hadoop.fs.Path(root, ".compact_tmp"), true)
+      recoverAndClean()
     }
   }
 

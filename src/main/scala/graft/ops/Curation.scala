@@ -66,8 +66,9 @@ object Curation {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = vertices.select(col("id"), col("id").as("label"))
+    var checkpointed = vertices.select(col("id"), col("id").as("label"))
       .localCheckpoint()
+    var labels = checkpointed
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -83,9 +84,15 @@ object Curation {
             .as("chg"))
         .localCheckpoint()
       changed = next.where(col("chg")).count()
+      // the new checkpoint is materialized — the previous round's copy
+      // is dead; without this, maxIter full labelings pile up in the
+      // block manager for the duration of the job
+      checkpointed.unpersist()
+      checkpointed = next
       labels = next.drop("chg")
       i += 1
     }
+    sym.unpersist()
     // a silent partial labeling would look like a correct answer with
     // too many clusters — refuse instead
     require(changed == 0,
@@ -153,7 +160,12 @@ object Curation {
     */
   def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val sh = TextOps.shingles(docs)
+    // materialize the shingle substrate ONCE: its three consumers
+    // below carry different pushed-down filters, so Catalyst plans
+    // three separate scan+explode+distinct subtrees with no exchange
+    // reuse (verified in the formatted plan) — one corpus pass beats
+    // two extra ones at any scale. persist() in production.
+    val sh = TextOps.shingles(docs).localCheckpoint()
     val benchSh = sh.where(col("doc_id") % 97 === 0)
       .select(col("shingle")).distinct()
     val overlap = sh.where(col("doc_id") % 97 =!= 0)

@@ -105,12 +105,20 @@ object ScaleOps {
     * premise of pre-paying the shuffle at write time), so repeated
     * calls at the same dir (bench median-of-3, spec reuse) skip the
     * rewrite and the timed steady state is the JOIN, not the one-time
-    * table build. A different dir invalidates and rewrites. */
+    * table build. A different dir invalidates and rewrites, and the
+    * memo is only trusted if THIS session's catalog actually has the
+    * tables (the flag is process-global; the catalog is per-session —
+    * a fresh session in the same JVM must rewrite, not crash).
+    * Limitation, documented: data regenerated in place at the same dir
+    * within one JVM is not detected (the testdata contract is
+    * immutable dirs). */
   @volatile private var bucketedTablesFor: String = null
 
   def qJoinBucketed(s: SparkSession, dir: String): DataFrame = {
     synchronized {
-      if (bucketedTablesFor != dir) {
+      if (bucketedTablesFor != dir ||
+          !s.catalog.tableExists("graft_bkt_orders") ||
+          !s.catalog.tableExists("graft_bkt_customer")) {
         Tables.writeBucketed(
           t(s, dir, "orders")
             .select("o_orderkey", "o_custkey", "o_totalprice"),

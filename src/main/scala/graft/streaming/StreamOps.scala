@@ -196,33 +196,46 @@ object StreamOps {
     * The read-merge-rewrite is the parquet-only stand-in for a real
     * MERGE INTO (Delta/Iceberg at 100 TB — where the same foreachBatch
     * body would issue the transactional merge); the merge itself is
-    * one shuffle on the key, the same plan as `q_upsert_merge`. The
-    * swap goes through a temp dir + rename so a crash mid-write can't
-    * half-destroy the snapshot. */
+    * one shuffle on the key, the same plan as `q_upsert_merge`.
+    *
+    * Crash safety: the swap is write-tmp → rename live aside to `.old`
+    * → rename tmp live → drop `.old`, so SOME complete copy of the
+    * accumulated state exists on disk at every instant (a plain
+    * delete-then-rename has a window where a crash leaves only the
+    * orphaned tmp, and the next batch would silently restart from
+    * empty). The read side recovers: if the live dir is missing but
+    * `.old` survives, the merge reads `.old`. */
   def runUpsertSnapshot(updates: DataFrame, keyCol: String, tsCol: String,
                         path: String): Unit = {
     val q = updates.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val live = new org.apache.hadoop.fs.Path(path)
+        val old = new org.apache.hadoop.fs.Path(path + ".old")
+        val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val w = Window.partitionBy(col(keyCol))
           .orderBy(col(tsCol).desc, col("__pri"))
         val incoming = batch.withColumn("__pri", lit(0))
         val existing =
-          if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+          if (fs.exists(live))
             spark.read.parquet(path).withColumn("__pri", lit(1))
+          else if (fs.exists(old)) // crashed between the two renames
+            spark.read.parquet(old.toString).withColumn("__pri", lit(1))
           else incoming.limit(0)
         val merged = existing.unionByName(incoming)
           .withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1).drop("__rn", "__pri")
-        val tmp = path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        fs.delete(new org.apache.hadoop.fs.Path(path), true)
-        require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
-          new org.apache.hadoop.fs.Path(path)),
-          s"upsert snapshot swap failed for $path")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        // the merge (which read `existing`) is fully materialized in
+        // tmp — only now is it safe to move the live copy aside
+        fs.delete(old, true)
+        if (fs.exists(live))
+          require(fs.rename(live, old), s"upsert swap: aside failed $path")
+        require(fs.rename(tmp, live), s"upsert swap: commit failed $path")
+        fs.delete(old, true)
+        () // foreachBatch wants Unit, not delete()'s Boolean
       }
       .start()
     q.processAllAvailable()

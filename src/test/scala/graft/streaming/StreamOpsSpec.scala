@@ -186,16 +186,23 @@ class StreamOpsSpec extends SparkSpec {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-upsink")
       .toString + "/state"
-    val in = MemoryStream[Event]
+    // a FRESH MemoryStream per delivery: one stream would re-deliver
+    // all earlier events to each new query (no checkpoint), and a sink
+    // that ignored the existing snapshot entirely could still pass —
+    // separate streams make each batch genuinely omit the keys whose
+    // survival is being asserted
+    def deliver(events: Event*): Unit = {
+      val in = MemoryStream[Event]
+      in.addData(events: _*)
+      runUpsertSnapshot(in.toDF(), "user_id", "ts", out)
+    }
     // batch 1: users 1 and 2
-    in.addData(ev(1, 1, 1, "click", 10.0), ev(2, 2, 2, "view", 20.0))
-    runUpsertSnapshot(in.toDF(), "user_id", "ts", out)
-    // batch 2: update user 1 (later ts), insert user 3; user 2 untouched
-    in.addData(ev(3, 9, 1, "click", 11.0), ev(4, 5, 3, "view", 30.0))
-    runUpsertSnapshot(in.toDF(), "user_id", "ts", out)
+    deliver(ev(1, 1, 1, "click", 10.0), ev(2, 2, 2, "view", 20.0))
+    // batch 2: update user 1 (later ts), insert user 3; user 2 absent —
+    // its survival proves the merge reads the existing snapshot
+    deliver(ev(3, 9, 1, "click", 11.0), ev(4, 5, 3, "view", 30.0))
     // batch 3: a STALE update for user 2 (older ts) must NOT win
-    in.addData(ev(5, 1, 2, "view", 99.0))
-    runUpsertSnapshot(in.toDF(), "user_id", "ts", out)
+    deliver(ev(5, 1, 2, "view", 99.0))
 
     val snap = spark.read.parquet(out)
       .collect().map(r => r.getAs[Long]("user_id") ->
