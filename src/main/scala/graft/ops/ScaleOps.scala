@@ -338,6 +338,50 @@ object ScaleOps {
       |       round(sum(value), 2) AS total
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------- Z-order clustered layout ----------
+
+  private val zorderDirs = new SnapshotDir("graft-zorder")
+
+  /** Z-order layout behind the correctness gate: lineitem's
+    * (l_partkey, l_suppkey) are Morton-interleaved
+    * ([[Tables.zValue]]), range-partitioned into 8 z-sorted files,
+    * and the READ-BACK table answers a 2-D box query (both keys
+    * range-restricted) — the query pattern a single-column sort can't
+    * prune for. The oracle replays the box aggregate straight from
+    * `lineitem`, so a layout that loses, duplicates or corrupts rows
+    * hash-mismatches; `LayoutSpec` separately proves the clustering
+    * claim on a uniform grid (a second-dimension-only predicate skips
+    * ≥ half the z-ordered files and zero linearly-sorted ones) —
+    * min/max-stat file skipping is exactly what z-order buys at
+    * 100 TB. */
+  def qZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val out = zorderDirs.next()
+    Tables.writeZOrdered(
+      t(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"),
+      out, "l_partkey", "l_suppkey", bits = 16, numFiles = 8)
+    // box bounds chosen inside every SF's key domain (suppkey spans
+    // 0-9 / 0-99 / 0-999 across SFs) so the gated result is never
+    // vacuously empty
+    s.read.parquet(out)
+      .where(col("l_partkey").between(100, 1500) &&
+        col("l_suppkey").between(2, 7))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("qty"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy("l_suppkey")
+  }
+
+  val qZorderLayoutOracle: String =
+    """SELECT l_suppkey, count(*) AS n,
+      |       round(sum(l_quantity), 2) AS qty,
+      |       round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 100 AND 1500
+      |  AND l_suppkey BETWEEN 2 AND 7
+      |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
   // ---------- SCD2 / snapshot-diff change history ----------
 
   /** Type-2 history from a union of dimension snapshots — the change
@@ -460,6 +504,7 @@ object ScaleOps {
     "q_upsert_merge" -> qUpsertMerge,
     "q_scd2_dims" -> qScd2Dims,
     "q_compact_files" -> qCompactFiles,
+    "q_zorder_layout" -> qZorderLayout,
   )
 
   def oracles: Map[String, String] = Map(
@@ -471,5 +516,6 @@ object ScaleOps {
     "q_upsert_merge" -> qUpsertMergeOracle,
     "q_scd2_dims" -> qScd2DimsOracle,
     "q_compact_files" -> qCompactFilesOracle,
+    "q_zorder_layout" -> qZorderLayoutOracle,
   )
 }

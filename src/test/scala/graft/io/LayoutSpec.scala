@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** Physical-layout techniques that carry the engine at 100 TB:
-  * partition pruning on a partitioned write, and shuffle-free joins
-  * between co-bucketed tables. Asserted at the plan level — the row
-  * counts would pass either way; the PLAN is the deliverable. */
+  * partition pruning on a partitioned write, shuffle-free joins
+  * between co-bucketed tables, bin-packing compaction, and z-order
+  * clustering. Asserted at the plan/file level — the row counts would
+  * pass either way; the LAYOUT is the deliverable. */
 class LayoutSpec extends SparkSpec {
 
   private def formatted(df: org.apache.spark.sql.DataFrame): String = {
@@ -136,6 +137,54 @@ class LayoutSpec extends SparkSpec {
     val finalData = spark.read.parquet(out).collect()
       .map(_.toSeq).sortBy(_.toString)
     assert(finalData.sameElements(before), "collapse pass changed the data")
+  }
+
+  test("z-order layout: a second-dimension predicate prunes z-ordered " +
+    "files but not linearly-sorted ones, and the data round-trips " +
+    "intact") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-z").toString
+    // a uniform 256×256 grid: the shape where multi-dimensional
+    // clustering matters (lineitem's suppkey domain is 10 values —
+    // too flat to distinguish layouts). File skipping works off
+    // per-file min/max stats: a file is READ iff its bounding box
+    // intersects the query box.
+    val grid = (0 until 256 * 256)
+      .map(i => (i % 256, i / 256)).toDF("x", "y")
+    val nFiles = 8
+
+    Tables.writeZOrdered(grid, s"$base/z", "x", "y", bits = 8,
+      numFiles = nFiles)
+    // the single-column baseline every warehouse already has
+    grid.repartitionByRange(nFiles, col("x"))
+      .sortWithinPartitions("x")
+      .write.parquet(s"$base/linear")
+
+    // files whose (min,max) box intersects y ∈ [64, 95], x free —
+    // the query class a linear-on-x sort CANNOT prune
+    def filesHitByYStrip(path: String): (Long, Long) = {
+      val boxes = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("y").as("ylo"), max("y").as("yhi"))
+      (boxes.count(),
+        boxes.where(col("yhi") >= 64 && col("ylo") <= 95).count())
+    }
+    val (zFiles, zHit) = filesHitByYStrip(s"$base/z")
+    val (linFiles, linHit) = filesHitByYStrip(s"$base/linear")
+    assert(zFiles == nFiles && linFiles == nFiles)
+    // every linear file spans the whole y domain → zero skipped
+    assert(linHit == nFiles,
+      s"linear layout unexpectedly pruned: $linHit of $linFiles")
+    // z-order: files cover compact y-bands → at least half skipped
+    assert(zHit <= nFiles / 2,
+      s"z-order pruned too little: $zHit of $zFiles files intersect")
+
+    // layout changed, data didn't
+    val a = spark.read.parquet(s"$base/z")
+      .groupBy("y").agg(count(lit(1)), sum("x"))
+    val b = grid.groupBy("y").agg(count(lit(1)), sum("x"))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty,
+      "z-ordered round-trip changed the data")
   }
 
   test("dynamic partition overwrite rewrites ONLY the target partition") {
