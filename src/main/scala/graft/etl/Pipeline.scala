@@ -110,6 +110,33 @@ object Pipeline {
       .json(s"$landingDir/spotify/tracks/$snapshotDate")
   }
 
+  /** PERMISSIVE landing read with corrupt-record quarantine — the
+    * landing-zone contract the reference lacks entirely (a malformed
+    * API payload crashes `cf_transform/main.py` mid-load): rows that
+    * fail the declared schema land in a quarantine frame (raw line
+    * preserved for replay/debugging) instead of killing the batch or
+    * silently nulling out. Returns (clean, quarantine).
+    *
+    * The frame is cached before splitting: Spark refuses a query that
+    * projects ONLY the internal corrupt-record column from a lazy JSON
+    * scan (SPARK-21610), and the cache also makes clean/quarantine one
+    * parse pass instead of two — at 100 TB the double-parse, not the
+    * cache, is the thing to avoid. */
+  def readLandingQuarantined(spark: SparkSession, path: String,
+                             schema: StructType): (DataFrame, DataFrame) = {
+    val withCr = schema.add(StructField("_corrupt_record", StringType))
+    val raw = spark.read.schema(withCr)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache()
+    val clean = raw.where(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val quarantine = raw.where(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (clean, quarantine)
+  }
+
   /** Read-only seed dimension (the reference never writes dim_user —
     * SURVEY.md §1.2). */
   def dimUserSeed(spark: SparkSession, nUsers: Int = 20): DataFrame = {

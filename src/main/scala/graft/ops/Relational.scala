@@ -710,6 +710,34 @@ object Relational {
       |FROM orders WHERE o_orderkey % 2 = 1
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Equi-depth decile binning via ntile — the complement of
+    * `q_histogram`'s fixed-width bins: every bin holds the same ROW
+    * count and the bin edges trace the distribution. Ordering carries
+    * a unique tie-break (o_orderkey) because ntile's assignment at
+    * equal values is order-dependent. One total-order sort — at 100 TB
+    * the equi-depth edges would come from `approx_percentile` instead
+    * (sketch, no global sort); this is the exact formulation. */
+  def qQuantileBins(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy("decile")
+  }
+
+  val qQuantileBinsOracle: String =
+    """SELECT decile, count(*) AS n,
+      |  round(min(o_totalprice), 2) AS lo,
+      |  round(max(o_totalprice), 2) AS hi
+      |FROM (SELECT o_totalprice,
+      |        CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+      |             AS INT) AS decile
+      |      FROM orders)
+      |GROUP BY decile ORDER BY decile""".stripMargin
+
   /** Fixed-width histogram over a measure column — the profiling
     * primitive under every data-quality dashboard. Bin =
     * floor(x / width): both engines run the IDENTICAL IEEE double
@@ -965,6 +993,7 @@ object Relational {
     "q_join_lateral" -> qJoinLateral,
     "q_histogram" -> qHistogram,
     "q_profile_stats" -> qProfileStats,
+    "q_quantile_bins" -> qQuantileBins,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1005,5 +1034,6 @@ object Relational {
     "q_join_lateral" -> qJoinLateralOracle,
     "q_histogram" -> qHistogramOracle,
     "q_profile_stats" -> qProfileStatsOracle,
+    "q_quantile_bins" -> qQuantileBinsOracle,
   )
 }

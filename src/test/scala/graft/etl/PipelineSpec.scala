@@ -58,4 +58,29 @@ class PipelineSpec extends SparkSpec {
     assert(p.schema == SongsEtl.playlistsDocSchema)
     assert(p.count() == 20)
   }
+
+  test("permissive landing read quarantines malformed lines and keeps " +
+    "the batch alive") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-quar")
+    val lines = Seq(
+      """{"id": "a", "n": 1}""",
+      """{"id": "b", "n": 2}""",
+      """{"id": "c", "n": NOT_JSON}""", // malformed — must quarantine
+      """{"id": "d", "n": "not-a-number"}""", // schema-violating
+      """{"id": "e", "n": 3}""")
+    java.nio.file.Files.write(dir.resolve("part-0.json"),
+      String.join("\n", lines: _*).getBytes)
+    val schema = StructType(Seq(StructField("id", StringType),
+      StructField("n", LongType)))
+    val (clean, quarantine) =
+      Pipeline.readLandingQuarantined(spark, dir.toString, schema)
+    assert(clean.count() == 3)
+    assert(clean.collect().map(_.getString(0)).toSet == Set("a", "b", "e"))
+    val bad = quarantine.collect().map(_.getString(0))
+    assert(bad.length == 2, s"expected 2 quarantined lines: ${bad.toSeq}")
+    // the raw line survives verbatim for replay/debugging
+    assert(bad.exists(_.contains("NOT_JSON")))
+    assert(bad.exists(_.contains("not-a-number")))
+  }
 }
