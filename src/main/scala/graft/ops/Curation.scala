@@ -424,12 +424,29 @@ object Curation {
     * `pipeline_corpus_clean` measures for cleaning. */
   def pipelineTrainPrep(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val keepers = dedupClusters(s, dir)
-      .where(col("keep")).select("doc_id")
-    val clean = qDecontaminate(s, dir)
-      .where(!col("contaminated")).select("doc_id")
+    // ONE materialized shingle pass feeds BOTH signature stages
+    // (cluster edges and benchmark overlap) — calling dedupClusters +
+    // qDecontaminate as black boxes would shingle the corpus twice
+    // more; at 100 TB the corpus passes are the pipeline's cost.
+    val sh = TextOps.shingles(docs).localCheckpoint()
+    val edges = TextOps.jaccardJoin(sh, 0.2)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val keepers = connectedComponents(
+      docs.select(col("doc_id").as("id")), edges)
+      .where(col("id") === col("label")).select(col("id").as("doc_id"))
+    val benchSh = sh.where(col("doc_id") % 97 === 0)
+      .select(col("shingle")).distinct()
+    val contaminated = sh.where(col("doc_id") % 97 =!= 0)
+      .join(broadcast(benchSh), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      .join(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")),
+        "doc_id")
+      .where(col("n_overlap") / col("n_sh").cast("double") >= 0.5)
+      .select("doc_id")
     val survivors = docs.select("doc_id", "text")
-      .join(keepers, "doc_id").join(clean, "doc_id")
+      .where(col("doc_id") % 97 =!= 0) // benchmark docs never train
+      .join(keepers, "doc_id")
+      .join(contaminated, Seq("doc_id"), "left_anti")
     val chunks = chunkify(survivors)
       .withColumn("shard", col("doc_id") % PackShards)
       .withColumn("ord", md5(concat(col("doc_id").cast("string"),
