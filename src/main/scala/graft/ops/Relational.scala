@@ -382,6 +382,42 @@ object Relational {
       |SELECT s_nationkey FROM supplier
       |ORDER BY nationkey""".stripMargin
 
+  /** Multiset difference (EXCEPT ALL) — keeps multiplicity: a nation
+    * with 30 customers and 4 suppliers survives 26 times. The
+    * bag-semantics sibling of `q_except`; aggregated per key so the
+    * result is deterministic without ordering duplicate rows. */
+  def qExceptAll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .exceptAll(
+        t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n_surviving"))
+      .orderBy("nationkey")
+
+  val qExceptAllOracle: String =
+    """SELECT nationkey, count(*) AS n_surviving FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  EXCEPT ALL
+      |  SELECT s_nationkey FROM supplier)
+      |GROUP BY nationkey ORDER BY nationkey""".stripMargin
+
+  /** Multiset intersection (INTERSECT ALL) — min(multiplicity) per
+    * side, aggregated per key like the EXCEPT ALL sibling. */
+  def qIntersectAll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersectAll(
+        t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n_common"))
+      .orderBy("nationkey")
+
+  val qIntersectAllOracle: String =
+    """SELECT nationkey, count(*) AS n_common FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  INTERSECT ALL
+      |  SELECT s_nationkey FROM supplier)
+      |GROUP BY nationkey ORDER BY nationkey""".stripMargin
+
   // ---------- Joins ----------
 
   /** Large-large equi-join chain (lineitem ⋈ orders ⋈ customer),
@@ -994,6 +1030,8 @@ object Relational {
     "q_histogram" -> qHistogram,
     "q_profile_stats" -> qProfileStats,
     "q_quantile_bins" -> qQuantileBins,
+    "q_except_all" -> qExceptAll,
+    "q_intersect_all" -> qIntersectAll,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1035,5 +1073,7 @@ object Relational {
     "q_histogram" -> qHistogramOracle,
     "q_profile_stats" -> qProfileStatsOracle,
     "q_quantile_bins" -> qQuantileBinsOracle,
+    "q_except_all" -> qExceptAllOracle,
+    "q_intersect_all" -> qIntersectAllOracle,
   )
 }
