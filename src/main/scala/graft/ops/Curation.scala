@@ -111,7 +111,9 @@ object Curation {
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val edges = TextOps.jaccardJoin(TextOps.shingles(docs), 0.2)
+    // one materialized shingle pass — jaccardJoin consumes it thrice
+    val edges = TextOps.jaccardJoin(
+      TextOps.shingles(docs).localCheckpoint(), 0.2)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val cc = connectedComponents(docs.select(col("doc_id").as("id")), edges)
     cc.select(col("id").as("doc_id"), col("label").as("cluster_id"),

@@ -221,9 +221,12 @@ object TextOps {
     jaccardFromCounts(pairCommonCounts(sh), shingleSizes(sh), threshold)
 
   /** All pairs with 3-gram-shingle Jaccard ≥ 0.2 — the exact ground
-    * truth. */
+    * truth. The shingle substrate is materialized once: [[jaccardJoin]]
+    * references it three times (both self-join sides + sizes) with
+    * different projections, so Catalyst plans three separate
+    * scan+explode+distinct subtrees with no exchange reuse. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    jaccardJoin(shingles(t(s, dir, "documents")), 0.2)
+    jaccardJoin(shingles(t(s, dir, "documents")).localCheckpoint(), 0.2)
       .orderBy("doc_a", "doc_b")
 
   /** DuckDB CTE chain for (doc_id, shingle) / per-doc sizes / pair

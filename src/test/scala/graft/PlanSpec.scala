@@ -206,6 +206,17 @@ class PlanSpec extends SparkSpec {
     } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("train-prep pipeline: benchmark side broadcasts, no cartesian " +
+    "or nested-loop join anywhere in the composed plan") {
+    val plan = planString(ops.Curation.pipelineTrainPrep(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"benchmark shingles not broadcast in the pipeline:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pipeline plans an all-pairs join:\n$plan")
+  }
+
   test("partition-count knob: shuffle partitions follow the session config") {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
     val parts = Tables.load(spark, sf, "events")
