@@ -177,6 +177,39 @@ object Functions {
         (col("o_totalprice") > 150000).as("is_big"))
       .orderBy("o_orderkey")
 
+  /** Safe arithmetic under Spark 4's ANSI default: a plain division
+    * whose denominator hits zero ABORTS the job in ANSI mode (the
+    * silent-null pre-ANSI behavior is gone), and at 100 TB one bad row
+    * killing a 6-hour job is the production incident; `try_divide`
+    * yields NULL for exactly those rows and keeps the batch alive —
+    * the same quarantine philosophy as the landing read. Denominator
+    * `l_quantity - 25` passes through zero on real rows, so the NULL
+    * path is exercised, counted, and hash-checked (DuckDB's division
+    * NULLs via nullif on its side — identical semantics, different
+    * spelling). */
+  def qTryArithmetic(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        try_divide(col("l_extendedprice"), col("l_quantity") - 25)
+          .as("price_per_excess"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        count(col("price_per_excess")).as("n_defined"),
+        (count(lit(1)) - count(col("price_per_excess"))).as("n_divzero"),
+        graft.expr.Columns.roundQ(avg(col("price_per_excess")), 2)
+          .as("avg_defined"))
+      .orderBy("l_returnflag")
+
+  val qTryArithmeticOracle: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  count(l_extendedprice / nullif(l_quantity - 25, 0)) AS n_defined,
+      |  count(*) - count(l_extendedprice / nullif(l_quantity - 25, 0))
+      |    AS n_divzero,
+      |  floor(avg(l_extendedprice / nullif(l_quantity - 25, 0)) * 100
+      |        + 0.5) / 100 AS avg_defined
+      |FROM lineitem
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val qConditionalOracle: String =
     """SELECT o_orderkey,
       |  CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open'
@@ -421,6 +454,7 @@ object Functions {
     "q_array_funcs" -> qArrayFuncs,
     "q_json_funcs" -> qJsonFuncs,
     "q_conditional" -> qConditional,
+    "q_try_arithmetic" -> qTryArithmetic,
     "q_timestamp_coerce" -> qTimestampCoerce,
     "q_tumbling_window" -> qTumblingWindow,
     "q_sliding_window" -> qSlidingWindow,
@@ -437,6 +471,7 @@ object Functions {
     "q_array_funcs" -> qArrayFuncsOracle,
     "q_json_funcs" -> qJsonFuncsOracle,
     "q_conditional" -> qConditionalOracle,
+    "q_try_arithmetic" -> qTryArithmeticOracle,
     "q_timestamp_coerce" -> qTimestampCoerceOracle,
     "q_tumbling_window" -> qTumblingWindowOracle,
     "q_sliding_window" -> qSlidingWindowOracle,
