@@ -144,6 +144,92 @@ object Curation {
         |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM cc ORDER BY doc_id""".stripMargin
 
+  // ---------- Incremental (batch-vs-corpus) dedup ----------
+
+  /** Dedup a NEW batch against the EXISTING corpus — the daily shape
+    * at 100 TB: the corpus is the 100 TB side, today's batch is small,
+    * and candidate pairs are generated ONLY between batch and corpus
+    * shingles (an asymmetric inverted-index join), never
+    * corpus×corpus. Cost scales with the batch, not the archive —
+    * running the full pair query daily would re-pay the whole corpus
+    * self-join for a sliver of new pairs.
+    *
+    * Batch = doc_id % 10 == 0 (deterministic stand-in for today's
+    * arrivals). Per batch doc: how many corpus near-dups (Jaccard
+    * ≥ 0.2 over the shared shingle substrate), the best match and its
+    * similarity, and the keep/drop verdict. Ranking uses the ROUNDED
+    * jaccard (+ match id) so engine and oracle order identically. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sh = TextOps.shingles(docs).localCheckpoint()
+    val common = sh.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("b_id"), col("shingle"))
+      .join(sh.where(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("c_id"), col("shingle")), "shingle")
+      .groupBy(col("b_id"), col("c_id"))
+      .agg(count(lit(1)).as("n_common"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val ratio = col("n_common") /
+      (col("n_b") + col("n_c") - col("n_common")).cast("double")
+    val matches = common
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")),
+        "b_id")
+      .join(sizes.select(col("doc_id").as("c_id"), col("n_sh").as("n_c")),
+        "c_id")
+      .where(ratio >= 0.2)
+      .withColumn("jaccard", graft.expr.Columns.roundQ(ratio, 4))
+      .select(col("b_id"), col("c_id"), col("jaccard"))
+    val w = Window.partitionBy(col("b_id"))
+      .orderBy(col("jaccard").desc, col("c_id"))
+    val best = matches.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("b_id"), col("c_id").as("best_match_id"),
+        col("jaccard").as("best_jaccard"))
+    val counts = matches.groupBy(col("b_id"))
+      .agg(count(lit(1)).as("n_matches"))
+    docs.where(col("doc_id") % 10 === 0).select(col("doc_id"))
+      .join(counts.withColumnRenamed("b_id", "doc_id"),
+        Seq("doc_id"), "left")
+      .join(best.withColumnRenamed("b_id", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("is_dup"),
+        col("best_match_id"), col("best_jaccard"))
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalOracle: String =
+    "WITH " + TextOps.shinglePairsCte + ",\n" +
+      """bm AS (
+        |  SELECT b.doc_id AS b_id, c.doc_id AS c_id, count(*) AS n_common
+        |  FROM sh b JOIN sh c ON b.sh = c.sh
+        |  WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT b_id, c_id,
+        |    floor(n_common / CAST(sb.n_sh + sc.n_sh - n_common AS DOUBLE)
+        |          * 10000 + 0.5) / 10000 AS jaccard
+        |  FROM bm
+        |  JOIN sizes sb ON sb.doc_id = b_id
+        |  JOIN sizes sc ON sc.doc_id = c_id
+        |  WHERE n_common / CAST(sb.n_sh + sc.n_sh - n_common AS DOUBLE)
+        |        >= 0.2),
+        |best AS (
+        |  SELECT b_id, c_id, jaccard FROM (
+        |    SELECT m.*, row_number() OVER (PARTITION BY b_id
+        |      ORDER BY jaccard DESC, c_id) AS rn FROM m)
+        |  WHERE rn = 1),
+        |agg AS (SELECT b_id, count(*) AS n_matches FROM m GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.n_matches, 0) AS n_matches,
+        |  coalesce(a.n_matches, 0) > 0 AS is_dup,
+        |  b.c_id AS best_match_id, b.jaccard AS best_jaccard
+        |FROM documents d
+        |LEFT JOIN agg a ON a.b_id = d.doc_id
+        |LEFT JOIN best b ON b.b_id = d.doc_id
+        |WHERE d.doc_id % 10 = 0
+        |ORDER BY d.doc_id""".stripMargin
+
   // ---------- Benchmark decontamination ----------
 
   /** Decontamination: flag training docs whose shingle sets overlap a
@@ -528,6 +614,7 @@ object Curation {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> dedupClusters,
+    "dedup_incremental" -> dedupIncremental,
     "pipeline_train_prep" -> pipelineTrainPrep,
     "q_decontaminate" -> qDecontaminate,
     "q_chunk_docs" -> qChunkDocs,
@@ -537,6 +624,7 @@ object Curation {
 
   def oracles: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersOracle,
+    "dedup_incremental" -> dedupIncrementalOracle,
     "pipeline_train_prep" -> pipelineTrainPrepOracle,
     "q_decontaminate" -> qDecontaminateOracle,
     "q_chunk_docs" -> qChunkDocsOracle,
