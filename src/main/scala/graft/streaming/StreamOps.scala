@@ -2,10 +2,12 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface of the engine.
@@ -162,6 +164,43 @@ object StreamOps {
               UserUpdate(uid, n, math.floor(tot * 100 + 0.5) / 100))
           }
       }
+  }
+
+  final case class UserPeak(user_id: Long, n_events: Long,
+                            peak_value: Double)
+
+  /** Spark 4's arbitrary-stateful-processing v2
+    * (`transformWithState` + `StatefulProcessor`): per-user event
+    * count and running peak held in an explicit `ValueState`. This is
+    * the successor API to `flatMapGroupsWithState` (kept above as the
+    * v1 surface): typed named state cells, TTL config per cell, and a
+    * timer surface — and it REQUIRES the RocksDB state store, which is
+    * also the store that survives 100 TB state (changelog
+    * checkpointing, off-heap, incremental snapshots) where the default
+    * HDFS-backed map store holds everything on-heap. State is
+    * O(active keys) × a 16-byte cell. */
+  class PeakProcessor extends StatefulProcessor[Long, Event, UserPeak] {
+    @transient private var peak: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      peak = getHandle.getValueState[(Long, Double)]("peak",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[UserPeak] = {
+      var (n, p) =
+        if (peak.exists()) peak.get() else (0L, Double.NegativeInfinity)
+      rows.foreach { e => n += 1; p = math.max(p, e.value) }
+      peak.update((n, p))
+      Iterator.single(UserPeak(key, n, p))
+    }
+  }
+
+  /** One updated (count, peak) row per user per micro-batch. */
+  def userPeaks(events: Dataset[Event]): Dataset[UserPeak] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new PeakProcessor, TimeMode.None(),
+        OutputMode.Update())
   }
 
   // ---------- Sinks ----------

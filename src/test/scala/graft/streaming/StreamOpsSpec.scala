@@ -179,6 +179,38 @@ class StreamOpsSpec extends SparkSpec {
     assert(snap == Map("click" -> 2L, "view" -> 1L))
   }
 
+  test("transformWithState (v2 stateful API) accumulates per-user " +
+    "count+peak across micro-batches under the RocksDB store") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // transformWithState REQUIRES the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Event]
+      val q = userPeaks(in.toDS())
+        .writeStream.outputMode("update").format("memory")
+        .queryName("peaks").start()
+      in.addData(ev(1, 1, 1, "click", 5.0), ev(2, 2, 1, "click", 9.0),
+        ev(3, 3, 2, "view", 7.0))
+      q.processAllAvailable()
+      // batch 2: user 1's new value is LOWER — peak must persist;
+      // count must keep accumulating across batches
+      in.addData(ev(4, 4, 1, "click", 3.0))
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table("peaks").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+      assert(last(1L) == ((1L, 3L, 9.0)),
+        s"user 1 state wrong: ${last(1L)}")
+      assert(last(2L) == ((2L, 1L, 7.0)),
+        s"user 2 state wrong: ${last(2L)}")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("foreachBatch upsert sink keyed-merges micro-batches into a " +
     "current-state snapshot (latest ts wins, inserts land, others " +
     "survive)") {
