@@ -35,6 +35,32 @@ class CurationSpec extends SparkSpec {
     assert(got == (0 until n).map(_.toLong -> 0L).toMap)
   }
 
+  test("alternating (large-star/small-star) CC matches min-label " +
+    "propagation and converges in O(log n) rounds on a long path") {
+    // the adversarial case for min-label: a 60-node path needs 59
+    // propagation rounds; the alternating algorithm must land the
+    // same labels in ~log2(60) ≈ 6 rounds (allow slack to 12)
+    val n = 60
+    val vertices = (0 until n).map(_.toLong).toDF("id")
+    val edges = (0 until n - 1).map(i => (i.toLong, i + 1L))
+      .toDF("src", "dst")
+    val (labels, rounds) =
+      Curation.connectedComponentsAlternating(vertices, edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0 until n).map(_.toLong -> 0L).toMap)
+    assert(rounds <= 12,
+      s"alternating CC took $rounds rounds on a $n-path — not O(log n)")
+
+    // and on the multi-component graph, both algorithms agree exactly
+    val v2 = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    val e2 = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val (alt, _) = Curation.connectedComponentsAlternating(v2, e2)
+    val simple = Curation.connectedComponents(v2, e2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(alt.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == simple)
+  }
+
   test("connectedComponents refuses to return a partial labeling") {
     val vertices = (0 until 10).map(_.toLong).toDF("id")
     val edges = (0 until 9).map(i => (i.toLong, i + 1L)).toDF("src", "dst")
