@@ -338,6 +338,61 @@ object ScaleOps {
       |       round(sum(value), 2) AS total
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------- Scalable exact global rank / ntile ----------
+
+  /** Exact global ntile WITHOUT a single-partition window — the scale
+    * formulation of `q_quantile_bins`, checked against the SAME
+    * oracle (the twin pattern `q_topk_heap`/`q_topk_per_group` use):
+    *
+    *   1. range-partition by the (total) ordering key — each
+    *      partition holds a contiguous key range;
+    *   2. per-partition dense positions via a window keyed on
+    *      `spark_partition_id()` (windows over distinct partitions run
+    *      in PARALLEL — this is what the naive global window can't do);
+    *   3. per-partition row counts → exclusive prefix offsets (a
+    *      32-row frame, computed distributed and broadcast);
+    *   4. global rank = offset + local position, and
+    *      ntile(k) ≡ floor((rank−1)·k/N) + 1 (the SQL ntile remainder
+    *      rule — first N mod k buckets one larger — falls out of the
+    *      floor identity).
+    *
+    * Rank is a global property of the total order, so the result is
+    * identical whatever boundaries the range sampler picks. The global
+    * sort cost is the same as any orderBy; what this removes is the
+    * one-reducer window bottleneck. */
+  def qNtileScalable(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val ord = Seq(col("o_totalprice"), col("o_orderkey"))
+    val ranged = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .repartitionByRange(32, ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(ord: _*)
+    val local = ranged.withColumn("__rn", row_number().over(wLocal))
+    // 32-row METADATA frame: the single-partition windows below run
+    // over per-partition counts, not data — that's the whole trick
+    val offsets = local.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over(
+        Window.orderBy(col("__pid")).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__pid"), col("__off"), col("__n"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn("__rank", col("__off") + col("__rn"))
+      .withColumn("decile",
+        (floor((col("__rank") - 1) * k / col("__n")) + 1).cast("int"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy("decile")
+  }
+
   // ---------- Z-order clustered layout ----------
 
   private val zorderDirs = new SnapshotDir("graft-zorder")
@@ -505,6 +560,7 @@ object ScaleOps {
     "q_scd2_dims" -> qScd2Dims,
     "q_compact_files" -> qCompactFiles,
     "q_zorder_layout" -> qZorderLayout,
+    "q_ntile_scalable" -> qNtileScalable,
   )
 
   def oracles: Map[String, String] = Map(
@@ -517,5 +573,8 @@ object ScaleOps {
     "q_scd2_dims" -> qScd2DimsOracle,
     "q_compact_files" -> qCompactFilesOracle,
     "q_zorder_layout" -> qZorderLayoutOracle,
+    // the scalable twin runs against the SAME oracle as the global
+    // ntile anchor — identical results from a one-reducer-free plan
+    "q_ntile_scalable" -> Relational.qQuantileBinsOracle,
   )
 }

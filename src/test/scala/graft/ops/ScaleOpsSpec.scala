@@ -118,4 +118,14 @@ class ScaleOpsSpec extends SparkSpec {
     val rate = sampled / total
     assert(rate > 0.08 && rate < 0.17, s"sample rate $rate far from 2/16")
   }
+
+  test("scalable ntile equals the global-window anchor row for row") {
+    // same contract as the q_topk_heap/q_topk_per_group twin: the
+    // one-reducer-free formulation must be indistinguishable in output
+    val anchor = Relational.qQuantileBins(spark, sf)
+      .collect().map(_.toString).toSeq
+    val scalable = ScaleOps.qNtileScalable(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(scalable == anchor)
+  }
 }
