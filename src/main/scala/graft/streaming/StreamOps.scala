@@ -5,9 +5,9 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
-  ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface of the engine.
@@ -201,6 +201,55 @@ object StreamOps {
     events.groupByKey(_.user_id)
       .transformWithState(new PeakProcessor, TimeMode.None(),
         OutputMode.Update())
+  }
+
+  final case class ClosedSession(user_id: Long, n_events: Long,
+                                 closed_at_ms: Long)
+
+  /** Event-time TIMERS on the v2 API: each user keeps a running event
+    * count and (re)registers one timer at last-seen + gap; when the
+    * WATERMARK passes the timer, `handleExpiredTimer` fires and emits
+    * the closed session — push-based session expiry, the pattern
+    * `session_window` can't express when the close action has side
+    * effects (emit to an alert stream, finalize an aggregate). Timer
+    * state is one long per active key, dropped on fire. */
+  class SessionTimeoutProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, ClosedSession] {
+    @transient private var sess: ValueState[(Long, Long)] = _ // (n, lastMs)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long)]("sess",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues)
+        : Iterator[ClosedSession] = {
+      var (n, last) = if (sess.exists()) sess.get() else (0L, 0L)
+      rows.foreach { e => n += 1; last = math.max(last, e.ts.getTime) }
+      // one live timer per key: re-arm at the new deadline
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(last + gapMs)
+      sess.update((n, last))
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    info: ExpiredTimerInfo)
+        : Iterator[ClosedSession] = {
+      val (n, _) = sess.get()
+      sess.clear()
+      Iterator.single(ClosedSession(key, n, info.getExpiryTimeInMs))
+    }
+  }
+
+  /** Sessions closed by event-time timer expiry (watermark-driven). */
+  def sessionTimeouts(events: Dataset[Event],
+                      gapMinutes: Int = 10): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "0 seconds")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimeoutProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   // ---------- Sinks ----------

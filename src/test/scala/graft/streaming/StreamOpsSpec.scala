@@ -211,6 +211,41 @@ class StreamOpsSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("event-time timers close idle sessions when the watermark " +
+    "passes the registered expiry") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Event]
+      val q = sessionTimeouts(in.toDS(), gapMinutes = 10)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("closed").start()
+      // user 1: events at 10:01 and 10:03 (timer re-armed to 10:13);
+      // user 2: one event at 10:02 (timer 10:12)
+      in.addData(ev(1, 1, 1, "click", 1.0), ev(2, 3, 1, "click", 1.0),
+        ev(3, 2, 2, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("closed").count() == 0,
+        "no timer may fire before the watermark reaches it")
+      // 10:30 event advances the watermark past both timers; user 3's
+      // own timer (10:40) must stay pending
+      in.addData(ev(4, 30, 3, "view", 1.0))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("closed").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(rows.keySet == Set(1L, 2L), s"wrong sessions closed: $rows")
+      assert(rows(1L) == ((2L, ts(3).getTime + 600000L)),
+        s"user 1 session wrong: ${rows(1L)}")
+      assert(rows(2L) == ((1L, ts(2).getTime + 600000L)),
+        s"user 2 session wrong: ${rows(2L)}")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("foreachBatch upsert sink keyed-merges micro-batches into a " +
     "current-state snapshot (latest ts wins, inserts land, others " +
     "survive)") {
