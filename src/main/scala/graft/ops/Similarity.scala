@@ -393,33 +393,41 @@ object Similarity {
     val subIdx = explode(sequence(lit(0), lit(PqSubspaces - 1))).as("m")
     def subSlice(v: Column, m: Column): Column =
       slice(v, (m * PqSubLen + 1).cast("int"), lit(PqSubLen))
-    val l2 = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
+    // L2² via the dot identity |a|² + |b|² − 2a·b with the codegen'd
+    // DotProduct and precomputed squared norms: the zip_with+aggregate
+    // spelling allocated an intermediate array per (vector, centroid)
+    // pair — 2.5M allocations at sf0.1, measured 5.9 s for the whole
+    // query vs ~1.5 s with the fused form
+    def l2(a: Column, a2: Column, b: Column, b2: Column): Column =
+      a2 + b2 - lit(2.0) * dot(a, b)
 
     val codebook = e.where(pmod(col("vec_id"), lit(13)) === 5)
-      .select(col("vec_id").as("cent_id"), subIdx, col("emb"))
-      .withColumn("csub", subSlice(col("emb"), col("m")))
-      .select(col("cent_id"), col("m"), col("csub"))
+      .select(col("vec_id").as("cent_id"), subIdx, col("nemb"))
+      .withColumn("csub", subSlice(col("nemb"), col("m")))
+      .withColumn("c2", dot(col("csub"), col("csub")))
+      .select(col("cent_id"), col("m"), col("csub"), col("c2"))
 
-    // encode the corpus: argmin centroid per (vector, subspace)
-    val wCode = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d2"), col("cent_id"))
-    val codes = e.select(col("vec_id"), subIdx, col("emb"))
-      .withColumn("sub", subSlice(col("emb"), col("m")))
+    val corpusSub = e.select(col("vec_id"), subIdx, col("nemb"))
+      .withColumn("sub", subSlice(col("nemb"), col("m")))
+      .withColumn("s2", dot(col("sub"), col("sub")))
+
+    // encode the corpus: argmin centroid per (vector, subspace) as a
+    // min_by HASH aggregate — a windowed rank would sort every
+    // (vector, subspace) group just to take its minimum
+    val codes = corpusSub
       .join(broadcast(codebook), "m")
-      .withColumn("d2", l2(col("sub"), col("csub")))
-      .withColumn("rn", row_number().over(wCode))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("cent_id").as("code"))
+      .withColumn("d2",
+        l2(col("sub"), col("s2"), col("csub"), col("c2")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id")))
+        .as("code"))
 
     // per-query subspace distance tables (query side is tiny)
-    val qTables = e.where(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"), subIdx, col("emb"))
-      .withColumn("qsub", subSlice(col("emb"), col("m")))
+    val qTables = corpusSub.where(col("vec_id") % 100 === 0)
+      .withColumnRenamed("vec_id", "qid")
       .join(broadcast(codebook), "m")
       .select(col("qid"), col("m"), col("cent_id").as("code"),
-        l2(col("qsub"), col("csub")).as("qd2"))
+        l2(col("sub"), col("s2"), col("csub"), col("c2")).as("qd2"))
 
     // compressed-domain scan: Σ_m table lookups, grouped per pair
     val wApprox = Window.partitionBy(col("qid"))
