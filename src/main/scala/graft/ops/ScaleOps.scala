@@ -351,23 +351,28 @@ object ScaleOps {
     *      in PARALLEL — this is what the naive global window can't do);
     *   3. per-partition row counts → exclusive prefix offsets (a
     *      32-row frame, computed distributed and broadcast);
-    *   4. global rank = offset + local position, and
-    *      ntile(k) ≡ floor((rank−1)·k/N) + 1 (the SQL ntile remainder
-    *      rule — first N mod k buckets one larger — falls out of the
-    *      floor identity).
+    *   4. global rank = offset + local position, and ntile(k) from
+    *      rank via SQL's EXACT remainder rule: with base = N div k
+    *      and rem = N mod k, the first rem buckets hold base+1 rows —
+    *      bucket = ceil(rank/(base+1)) inside the first rem·(base+1)
+    *      ranks, rem + ceil((rank − rem·(base+1))/base) after. (The
+    *      tempting floor((rank−1)·k/N)+1 identity distributes the
+    *      remainder across the RANGE, not the first buckets — it
+    *      diverges from SQL ntile whenever N % k ≠ 0, which the
+    *      non-divisible-N spec pins.)
     *
     * Rank is a global property of the total order, so the result is
     * identical whatever boundaries the range sampler picks. The global
     * sort cost is the same as any orderBy; what this removes is the
     * one-reducer window bottleneck. */
-  def qNtileScalable(s: SparkSession, dir: String): DataFrame = {
-    val k = 10
-    val ord = Seq(col("o_totalprice"), col("o_orderkey"))
-    val ranged = t(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_totalprice"))
+  private[ops] def ntileScalable(df: DataFrame, ord: Seq[Column],
+                                 k: Int): DataFrame = {
+    val ranged = df
       .repartitionByRange(32, ord: _*)
-      .sortWithinPartitions(ord: _*)
       .withColumn("__pid", spark_partition_id())
+    // no sortWithinPartitions: the pid-keyed window below inserts its
+    // own (pid, ord) sort — a pre-sort would be discarded by the
+    // window's hash exchange and paid for nothing
     val wLocal = Window.partitionBy(col("__pid")).orderBy(ord: _*)
     val local = ranged.withColumn("__rn", row_number().over(wLocal))
     // 32-row METADATA frame: the single-partition windows below run
@@ -382,10 +387,25 @@ object ScaleOps {
         Window.orderBy(col("__pid")).rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col("__pid"), col("__off"), col("__n"))
+    val rank = col("__rank")
+    val base = floor(col("__n") / k) // N div k, as long
+    val rem = col("__n") % k
+    val cut = rem * (base + 1)
     local.join(broadcast(offsets), "__pid")
       .withColumn("__rank", col("__off") + col("__rn"))
-      .withColumn("decile",
-        (floor((col("__rank") - 1) * k / col("__n")) + 1).cast("int"))
+      .withColumn("ntile",
+        when(rank <= cut, floor((rank + base) / (base + 1)))
+          .otherwise(rem + floor((rank - cut + base - 1) / base))
+          .cast("int"))
+      .drop("__pid", "__rn", "__off", "__n", "__rank")
+  }
+
+  def qNtileScalable(s: SparkSession, dir: String): DataFrame = {
+    val ord = Seq(col("o_totalprice"), col("o_orderkey"))
+    ntileScalable(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+      ord, 10)
+      .withColumnRenamed("ntile", "decile")
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),
         round(min(col("o_totalprice")), 2).as("lo"),

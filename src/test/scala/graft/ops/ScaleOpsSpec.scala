@@ -128,4 +128,24 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(scalable == anchor)
   }
+
+  test("scalable ntile reproduces SQL's remainder rule when N % k != 0") {
+    // every gated SF has orders counts divisible by 10, so the gated
+    // query can't see the remainder path — a review caught the naive
+    // floor((rank-1)*k/N)+1 identity passing all gates while diverging
+    // from SQL ntile on any non-divisible N. Pin it per-row on N=1499.
+    import org.apache.spark.sql.functions._
+    val ord = Seq(col("o_totalprice"), col("o_orderkey"))
+    val orders = graft.io.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .where(col("o_orderkey") =!= 0)
+    assert(orders.count() % 10 != 0, "fixture must hit the remainder path")
+    val anchor = orders
+      .withColumn("ntile", ntile(10).over(
+        org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val scalable = ScaleOps.ntileScalable(orders, ord, 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(scalable == anchor)
+  }
 }

@@ -70,10 +70,9 @@ class SimilaritySpec extends SparkSpec {
 
   test("PQ ANN: exact reranked scores, k<=5 per query, recall@5 floor " +
     "vs brute force") {
-    val brute = Similarity.simCosineTopk(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
     val truthCos = Similarity.simCosineTopk(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = truthCos.keySet
     val pq = Similarity.simAnnPq(spark, sf).collect()
     assert(pq.nonEmpty)
     pq.groupBy(_.getLong(0)).foreach { case (_, g) =>
