@@ -489,9 +489,10 @@ object Similarity {
     withNorm(t(s, dir, "embeddings")).repartition(col("vec_id"))
       .withColumn("nemb", transform(col("emb"), x => x / col("nrm")))
 
-  private[ops] def trainedCents(s: SparkSession, dir: String): DataFrame = {
-    val arr = centMemo.computeIfAbsent(dir, _ => {
-      val (c, _, _) = trainCentroids(unitCorpus(s, dir))
+  private def memoCents(s: SparkSession, key: String,
+                        corpus: => DataFrame): DataFrame = {
+    val arr = centMemo.computeIfAbsent(key, _ => {
+      val (c, _, _) = trainCentroids(corpus)
       val out = c.collect().map(r =>
         (r.getLong(0), r.getSeq[Double](1).toArray))
       c.unpersist()
@@ -500,6 +501,9 @@ object Similarity {
     import s.implicits._
     arr.toSeq.toDF("cent_id", "cemb")
   }
+
+  private[ops] def trainedCents(s: SparkSession, dir: String): DataFrame =
+    memoCents(s, dir, unitCorpus(s, dir))
 
   /** IVF-flat over k-means-TRAINED centroids — same search, same
     * probe budget as [[simAnnIvf]], better cells: Lloyd's iterations
@@ -622,6 +626,193 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  // ---------- IVF-PQ (coarse cells + residual product codes) ----------
+
+  // Parameters picked by numpy simulation against the real vectors
+  // (same discipline as PQ/LSH): with 16 × 4-dim residual subspaces
+  // the PQ stage loses ~nothing vs the IVF-flat ceiling at the same
+  // probes (sf0.1: IVF-PQ 0.73 vs flat 0.74 at probes=12; M=8 × 8-dim
+  // measured 0.59 — residuals quantize better in narrower slices),
+  // and sf0.001 reaches 1.0 (12 probes ≥ its 10 cells → the IVF stage
+  // is exhaustive there and PQ is the only loss).
+  private val IvfPqM = 16 // 64 dims → 16 × 4-dim residual subvectors
+  private val IvfPqSub = 4
+  private val IvfPqProbes = 12
+  private val IvfPqCand = 100
+
+  private def pqSubIdx: Column =
+    explode(sequence(lit(0), lit(IvfPqM - 1)))
+  private def pqSubSlice(v: Column, m: Column): Column =
+    slice(v, (m * IvfPqSub + 1).cast("int"), lit(IvfPqSub))
+  // L2² via the dot identity with precomputed squared norms — the
+  // fused form from round 3's PQ rewrite (no per-pair arrays)
+  private def pqL2(a: Column, a2: Column, b: Column, b2: Column): Column =
+    a2 + b2 - lit(2.0) * dot(a, b)
+
+  /** (vec_id, cell, r): nearest-cell assignment of unit vectors plus
+    * the residual r = nemb − centroid(cell) — what IVF-PQ quantizes.
+    * One broadcast argmin pass (min_by hash-agg); the winning
+    * centroid rides along in the min_by struct so no re-join is
+    * needed to form the residual. */
+  private[ops] def residuals(e: DataFrame, cents: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("nemb")).crossJoin(broadcast(cents))
+      .withColumn("d", -dot(col("nemb"), col("cemb")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cent_id").as("cell"), col("cemb")),
+          struct(col("d"), col("cent_id"))).as("best"),
+        first(col("nemb")).as("nemb"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        zip_with(col("nemb"), col("best.cemb"),
+          (a, b) => a - b).as("r"))
+
+  /** Shared residual codebooks (cb_id, m, csub, c2): per subspace,
+    * the residual sub-slices of a deterministic 1-in-13 sample —
+    * shared across cells, the standard IVF-PQ layout (a per-cell
+    * codebook would need k× the training data for the same
+    * distortion). */
+  private[ops] def pqCodebook(resid: DataFrame): DataFrame =
+    resid.where(pmod(col("vec_id"), lit(13)) === 5)
+      .select(col("vec_id").as("cb_id"), pqSubIdx.as("m"), col("r"))
+      .withColumn("csub", pqSubSlice(col("r"), col("m")))
+      .withColumn("c2", dot(col("csub"), col("csub")))
+      .select(col("cb_id"), col("m"), col("csub"), col("c2"))
+
+  /** Encode residuals → product codes (vec_id, cell, m, code):
+    * argmin codebook entry per (vector, subspace) as a min_by
+    * hash-agg over a broadcast codebook — per-vector work only, the
+    * ingest-time step of a real index build. The inputs are the
+    * vectors being encoded and the BROADCAST artifacts, nothing else
+    * — which is what makes [[simAnnIncremental]]'s batch-only
+    * maintenance possible. */
+  private[ops] def encodeResiduals(resid: DataFrame,
+                                   codebook: DataFrame): DataFrame =
+    resid.select(col("vec_id"), col("cell"), pqSubIdx.as("m"), col("r"))
+      .withColumn("sub", pqSubSlice(col("r"), col("m")))
+      .withColumn("s2", dot(col("sub"), col("sub")))
+      .join(broadcast(codebook), "m")
+      .withColumn("d2", pqL2(col("sub"), col("s2"), col("csub"), col("c2")))
+      .groupBy(col("vec_id"), col("cell"), col("m"))
+      .agg(min_by(col("cb_id"), struct(col("d2"), col("cb_id"))).as("code"))
+
+  /** ADC query tail shared by [[simAnnIvfPq]] and
+    * [[simAnnIncremental]]: probe top cells, build per-(query, cell)
+    * residual distance tables over the broadcast codebook, scan the
+    * CODES of probed cells only (Σ_m table lookups — the corpus-side
+    * scan never touches a vector), shortlist [[IvfPqCand]], exact
+    * rerank. */
+  private def adcSearch(e: DataFrame, cents: DataFrame,
+                        codebook: DataFrame, codes: DataFrame): DataFrame = {
+    val centsN = cents
+      .withColumn("cnrm", sqrt(dot(col("cemb"), col("cemb"))))
+      .select(col("cent_id"), col("cemb"), col("cnrm"))
+    val qBase = e.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"))
+    // per-(query, probed cell) residual — ||qr − r_x||² in a probed
+    // cell is the true L2²(q, cell + r_x)
+    val probed = probeCells(qBase, centsN, IvfPqProbes)
+      .join(broadcast(centsN.select(col("cent_id").as("cell"),
+        col("cemb"))), "cell")
+      .select(col("qid"), col("cell"),
+        zip_with(transform(col("qemb"), x => x / col("qnrm")),
+          col("cemb"), (a, b) => a - b).as("qr"))
+    val qTables = probed
+      .select(col("qid"), col("cell"), pqSubIdx.as("m"), col("qr"))
+      .withColumn("qsub", pqSubSlice(col("qr"), col("m")))
+      .withColumn("q2", dot(col("qsub"), col("qsub")))
+      .join(broadcast(codebook), "m")
+      .select(col("qid"), col("cell"), col("m"),
+        col("cb_id").as("code"),
+        pqL2(col("qsub"), col("q2"), col("csub"), col("c2")).as("qd2"))
+    // compressed-domain scan: the (cell, m, code) equi-join admits
+    // only probed cells' code rows; every admitted (query, vector)
+    // pair matches exactly one table entry per subspace, so the sum
+    // spans all IvfPqM subspaces
+    val wCand = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_l2"), col("vec_id"))
+    val cands = codes
+      .join(broadcast(qTables), Seq("cell", "m", "code"))
+      .where(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qd2")).as("approx_l2"))
+      .withColumn("crn", row_number().over(wCand))
+      .where(col("crn") <= IvfPqCand)
+      .select(col("qid"), col("vec_id"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cands
+      .join(e.select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm")), "qid")
+      .join(e.select(col("vec_id"), col("emb"), col("nrm")), "vec_id")
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        graft.expr.Columns.roundQ(
+          dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 4)
+          .as("cosine"))
+      .withColumn("rn", row_number().over(wRank))
+      .where(col("rn") <= 5)
+      .orderBy("qid", "rn")
+  }
+
+  /** IVF-PQ: the composition that serves billion-vector corpora —
+    * k-means-trained coarse cells ([[trainedCents]]) + product
+    * quantization of the RESIDUAL inside each cell + ADC scan over
+    * probed cells' codes only + exact rerank of [[IvfPqCand]]
+    * candidates. Storage per vector: one cell id + [[IvfPqM]] codes
+    * (~17 bytes) instead of 512 for raw float64s; query cost:
+    * |probes|/|cells| of the CODE table + ~[[IvfPqCand]] full-vector
+    * fetches. Measured recall@5 (numpy, real vectors): 0.73 at sf0.1
+    * — within 0.01 of the IVF-flat ceiling at the same probes — and
+    * 1.0 at sf0.001. Approximate by design → rows-only driver check;
+    * SimilaritySpec asserts the recall floor at both corpus sizes
+    * and that candidates come only from probed cells. */
+  def simAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    // consumed by residuals, the query side and the rerank (×2)
+    val e = unitCorpus(s, dir).localCheckpoint()
+    val cents = trainedCents(s, dir)
+    // codebook + encode both consume the residual pass — materialize
+    // once (the same rule as the curation module's shingle pass)
+    val resid = residuals(e, cents).localCheckpoint()
+    val codebook = pqCodebook(resid)
+    val out = adcSearch(e, cents, codebook,
+      encodeResiduals(resid, codebook))
+    out
+  }
+
+  // ---------- Incremental index maintenance (batch-vs-index) ----------
+
+  /** The vector-side sibling of dedup_incremental: a NEW BATCH of
+    * vectors (vec_id % 17 = 3, ~6% of the corpus) arrives against an
+    * EXISTING IVF-PQ index whose artifacts — centroids trained on the
+    * old corpus only, codebook sampled from old residuals — are
+    * FROZEN. Maintenance encodes ONLY the batch (assignment +
+    * residual + codes against the broadcast artifacts; cost scales
+    * with the batch, never the corpus — [[encodeResiduals]] touches
+    * nothing but its input rows) and unions the new code rows into
+    * the code table; queries then see old and new vectors through one
+    * ADC scan. Encoding is a pure per-row function of the frozen
+    * artifacts, so the merged index is IDENTICAL to re-encoding the
+    * full corpus under the same artifacts — SimilaritySpec asserts
+    * that equality plus the recall floor (numpy: 0.77 at sf0.1, 1.0
+    * at sf0.001 — the 94%-trained centroids barely move it).
+    * Approximate by design → rows-only driver check. */
+  def simAnnIncremental(s: SparkSession, dir: String): DataFrame = {
+    val full = unitCorpus(s, dir).localCheckpoint()
+    val old = full.where(pmod(col("vec_id"), lit(17)) =!= 3)
+    val batch = full.where(pmod(col("vec_id"), lit(17)) === 3)
+    // frozen index artifacts (in production: read from the stored
+    // index; here rebuilt from the old corpus, memoized like
+    // trainedCents)
+    val cents = memoCents(s, dir + "#old",
+      unitCorpus(s, dir).where(pmod(col("vec_id"), lit(17)) =!= 3))
+    val residOld = residuals(old, cents).localCheckpoint()
+    val codebook = pqCodebook(residOld)
+    val codesOld = encodeResiduals(residOld, codebook)
+    // the incremental step: batch-only encode against the frozen
+    // broadcast artifacts, then a plain union into the code table
+    val codesBatch = encodeResiduals(residuals(batch, cents), codebook)
+    adcSearch(full, cents, codebook, codesOld.unionByName(codesBatch))
+  }
+
   // ---------- Per-class centroids (vector aggregation) ----------
 
   /** Per-label mean embedding — the vector aggregation under every
@@ -666,6 +857,8 @@ object Similarity {
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf,
     "sim_ann_ivf_trained" -> simAnnIvfTrained,
+    "sim_ann_ivfpq" -> simAnnIvfPq,
+    "sim_ann_incremental" -> simAnnIncremental,
     "sim_ann_pq" -> simAnnPq,
     "q_embed_centroids" -> qEmbedCentroids,
   )
