@@ -49,10 +49,24 @@ object StreamOps {
 
   /** Streaming source over a directory of event parquet files, with
     * the nanos→micros conversion graft.io.Tables applies on the batch
-    * side, so downstream watermarks/windows see a real TimestampType. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    * side, so downstream watermarks/windows see a real TimestampType.
+    *
+    * `maxFilesPerTrigger` is the file-source backpressure knob — the
+    * first thing a production deployment sets: without it, a restart
+    * after downtime (or an initial backfill) puts the ENTIRE backlog
+    * into micro-batch 0, whose state update/shuffle must then fit in
+    * memory all at once; with it, the backlog drains in bounded
+    * batches at k files each and checkpoint progress is made every
+    * trigger. Results are identical either way (same data, same
+    * transforms) — StreamOpsSpec asserts N staged files process in
+    * ⌈N/k⌉ micro-batches with batch-identical output. */
+  def readEvents(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsFileSchema).parquet(dir)
+    val reader = spark.readStream.schema(eventsFileSchema)
+    maxFilesPerTrigger.foreach(k =>
+      reader.option("maxFilesPerTrigger", k.toString))
+    reader.parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -201,6 +215,51 @@ object StreamOps {
     events.groupByKey(_.user_id)
       .transformWithState(new PeakProcessor, TimeMode.None(),
         OutputMode.Update())
+  }
+
+  final case class UserCount(user_id: Long, n_events: Long)
+
+  /** Per-user event count whose state cell carries a real
+    * PROCESSING-TIME TTL — the knob that bounds v2 state at 100 TB
+    * when no watermark applies (counters, feature caches, rate
+    * trackers keyed by an unbounded id space): a cell not updated for
+    * `ttl` reads as absent and its storage is reclaimed by the RocksDB
+    * store, so state is O(keys active within the TTL window), not
+    * O(keys ever seen). Every other cell in this module keeps
+    * `TTLConfig.NONE` deliberately — their lifetime is governed by
+    * watermarks or explicit timers; this processor is the gated,
+    * spec'd exercise of the TTL path (state survives re-read inside
+    * the TTL, is gone past it — StreamOpsSpec pins both sides). */
+  class TtlCountProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, Event, UserCount] {
+    @transient private var cnt: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong,
+        TTLConfig(ttl))
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[UserCount] = {
+      val n = (if (cnt.exists()) cnt.get() else 0L) + rows.size
+      cnt.update(n)
+      Iterator.single(UserCount(key, n))
+    }
+  }
+
+  /** One updated per-user count per micro-batch; the count RESTARTS
+    * from zero for a user whose state cell outlived its TTL.
+    *
+    * TTL state REQUIRES `TimeMode.ProcessingTime()` (Spark refuses it
+    * under EventTime/None), and under ProcessingTime the engine keeps
+    * planning micro-batches to advance the wall clock even with no new
+    * data — so callers must drive the query with a real trigger and
+    * poll/awaitTermination; `processAllAvailable` never returns
+    * (StreamOpsSpec documents the observed pathology and the polling
+    * harness). */
+  def userCountsTtl(events: Dataset[Event],
+                    ttl: java.time.Duration): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TtlCountProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
   final case class ClosedSession(user_id: Long, n_events: Long,

@@ -246,6 +246,112 @@ class StreamOpsSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  /** TTL tests run the query under `Trigger.ProcessingTime` and POLL
+    * the memory sink instead of calling `processAllAvailable`: TTL
+    * state requires `TimeMode.ProcessingTime()`, and in that mode the
+    * query keeps planning micro-batches to advance the wall clock, so
+    * `processAllAvailable` NEVER returns (observed: thousands of empty
+    * batches, 4 executor tasks pegged in the RocksDB commit path for
+    * 25 minutes). Changelog checkpointing — the production setting for
+    * large state anyway — keeps those continuous commits cheap. */
+  private def withTtlQuery(name: String, ttlSeconds: Long)
+      (body: (MemoryStream[Event],
+              ((Long, Long), Long) => Boolean) => Unit): Unit = {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val clog = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    spark.conf.set(clog, "true")
+    try {
+      val in = MemoryStream[Event]
+      val q = userCountsTtl(in.toDS(),
+          java.time.Duration.ofSeconds(ttlSeconds))
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("200 milliseconds"))
+        .start()
+      def pollFor(want: (Long, Long), timeoutMs: Long): Boolean = {
+        val t0 = System.currentTimeMillis()
+        while (System.currentTimeMillis() - t0 < timeoutMs) {
+          if (spark.table(name).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).contains(want))
+            return true
+          Thread.sleep(100)
+        }
+        false
+      }
+      try body(in, pollFor) finally q.stop()
+    } finally {
+      spark.conf.set(key, prev)
+      spark.conf.unset(clog)
+    }
+  }
+
+  test("TTL state survives re-read within its TTL (long TTL, " +
+    "immediate follow-up)") {
+    // 60 s TTL: generously above any scheduling delay between the two
+    // deliveries, so a false eviction can't flake
+    withTtlQuery("ttl_alive", ttlSeconds = 60) { (in, pollFor) =>
+      in.addData(ev(1, 1, 1, "click", 1.0), ev(2, 2, 1, "click", 1.0))
+      assert(pollFor((1L, 2L), 60000), "first delivery never surfaced")
+      in.addData(ev(3, 3, 1, "click", 1.0))
+      // the count must ACCUMULATE onto live state: 2 → 3
+      assert(pollFor((1L, 3L), 60000),
+        "state did not survive within TTL")
+    }
+  }
+
+  test("TTL state is evicted once the TTL passes: the count restarts " +
+    "from zero") {
+    withTtlQuery("ttl_evict", ttlSeconds = 1) { (in, pollFor) =>
+      in.addData(ev(1, 1, 1, "click", 1.0), ev(2, 2, 1, "click", 1.0))
+      assert(pollFor((1L, 2L), 60000), "first delivery never surfaced")
+      // sleep strictly past the TTL: the only timing assumption is in
+      // the SAFE direction (more delay = more certainly expired)
+      Thread.sleep(2500)
+      in.addData(ev(3, 3, 1, "click", 1.0))
+      // the 100 TB boundedness claim: the expired cell reads as
+      // ABSENT — the count restarts at 1, never reaching 3
+      assert(pollFor((1L, 1L), 60000), "state outlived its TTL")
+      assert(!spark.table("ttl_evict").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).contains((1L, 3L)),
+        "expired state was still read")
+    }
+  }
+
+  test("maxFilesPerTrigger drains a staged backlog in ceil(N/k) " +
+    "micro-batches with batch-identical totals") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ratelimit").toString
+    (1 to 6).foreach(i => java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events_$i.parquet")))
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = StreamOps.readEvents(spark, dir, maxFilesPerTrigger = Some(2))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val n = b.count()
+        seen.synchronized { seen += ((id, n)) }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val nonEmpty = seen.filter(_._2 > 0)
+    assert(nonEmpty.size == 3,
+      s"6 files at 2/trigger should make 3 micro-batches: $seen")
+    val perFile = graft.io.Tables.load(spark, sf, "events").count()
+    assert(nonEmpty.map(_._2).sum == 6 * perFile,
+      s"throttled stream lost/duplicated rows: $seen vs ${6 * perFile}")
+    // backpressure bounded every batch: no trigger saw the backlog
+    assert(nonEmpty.forall(_._2 == 2 * perFile),
+      s"a trigger exceeded its 2-file budget: $seen")
+  }
+
   test("foreachBatch upsert sink keyed-merges micro-batches into a " +
     "current-state snapshot (latest ts wins, inserts land, others " +
     "survive)") {
