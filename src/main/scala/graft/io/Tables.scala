@@ -171,10 +171,13 @@ object Tables {
     * both scratch dirs. (The hidden `.`-prefixed names are invisible
     * to Spark's file listing.) What this does NOT give is reader
     * ISOLATION — a reader listing files in the instant between the two
-    * renames sees the partition empty; true snapshot isolation under
-    * concurrent compaction is what transactional table formats
-    * (Delta/Iceberg) exist for, and at 100 TB this routine would be
-    * their OPTIMIZE. Partitions already at or under the target are
+    * renames sees the partition empty; [[compactManifested]] closes
+    * exactly that gap with a versioned-dir + manifest-pointer layout
+    * (the mechanism transactional table formats use), at the price of
+    * a vacuum step for superseded versions — this in-place variant
+    * remains for plain-layout tables a reader fleet isn't pointed at
+    * mid-compaction, and at 100 TB either routine is the OPTIMIZE
+    * job. Partitions already at or under the target are
     * untouched — a second pass is a no-op, which is what makes the job
     * safe to run on a schedule.
     *
@@ -266,6 +269,194 @@ object Tables {
       pool.shutdown()
       recoverAndClean()
     }
+  }
+
+  // ---------- Manifest-pointer table (reader-isolated compaction) ----------
+
+  /** The manifest-pointer layout closes the reader-isolation gap
+    * [[compactPartitions]] documents: data lives in VERSIONED
+    * partition directories (`data/v<K>/<col>=<val>/`), and the single
+    * source of truth for "what is the table right now" is the
+    * highest-numbered complete `_manifest-<K>` file at the table
+    * root, listing one `partition dir name → relative data dir` line
+    * per partition. Commits create a NEW manifest file (write to a
+    * hidden tmp name, then an atomic same-directory rename) and never
+    * touch an old one or any live data dir — so a reader at ANY
+    * instant resolves a manifest whose every referenced directory
+    * still exists, i.e. a complete snapshot, old or new, never a
+    * half-swapped partition. This is the pointer-file core of what
+    * transactional table formats do; superseded versions are
+    * reclaimed by [[vacuumManifested]], which a deployment runs after
+    * a grace period longer than its slowest reader (the one
+    * assumption the scheme makes). */
+  private def manifestName(v: Long): String = f"_manifest-$v%09d"
+
+  private def fsFor(spark: SparkSession,
+                    p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def commitManifest(fs: org.apache.hadoop.fs.FileSystem,
+                             root: org.apache.hadoop.fs.Path,
+                             version: Long,
+                             parts: Map[String, String]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(root, s".manifest_tmp_$version")
+    val out = fs.create(tmp, true)
+    try out.write(parts.toSeq.sorted
+      .map { case (p, d) => s"$p\t$d" }.mkString("\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+    // same-directory rename: atomic on HDFS and local — the manifest
+    // becomes visible complete or not at all
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(
+      root, manifestName(version))),
+      s"manifest commit failed for $root v$version")
+  }
+
+  /** Latest complete (version, partition → relative dir). */
+  private[graft] def resolveManifest(spark: SparkSession, path: String)
+      : (Long, Map[String, String]) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, root)
+    val manifests = fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith("_manifest-"))
+    require(manifests.nonEmpty, s"no manifest at $path")
+    val latest = manifests.maxBy(_.getPath.getName)
+    val v = latest.getPath.getName.stripPrefix("_manifest-").toLong
+    val in = fs.open(latest.getPath)
+    val body = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    val parts = body.split("\n").filter(_.nonEmpty).map { line =>
+      val Array(p, d) = line.split("\t", 2)
+      p -> d
+    }.toMap
+    (v, parts)
+  }
+
+  /** Initial manifested write: one `partitionBy` job into `data/v1`,
+    * then manifest v1 listing every partition directory. */
+  def writeManifested(df: DataFrame, path: String, partCol: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(df.sparkSession, root)
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(s"$path/data/v1")
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data/v1"))
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map(st => st.getPath.getName -> s"data/v1/${st.getPath.getName}")
+      .toMap
+    commitManifest(fs, root, 1L, parts)
+  }
+
+  /** Snapshot read through the pointer: resolve the latest manifest,
+    * group its directories by version (each version root is one
+    * `basePath`, so partition-column reconstruction works), union.
+    * Every directory a resolved manifest references is guaranteed
+    * live — commits never delete, only vacuum does. */
+  def readManifested(spark: SparkSession, path: String): DataFrame = {
+    val (_, parts) = resolveManifest(spark, path)
+    parts.values.groupBy(_.split("/").take(2).mkString("/")).toSeq
+      .sortBy(_._1)
+      .map { case (base, dirs) =>
+        spark.read.option("basePath", s"$path/$base")
+          .parquet(dirs.toSeq.sorted.map(d => s"$path/$d"): _*)
+      }
+      .reduce(_.unionByName(_))
+  }
+
+  /** Reader-isolated compaction: rewrite every oversized partition
+    * into `data/v<next>/<part>/`, then flip the pointer with ONE
+    * manifest commit. Old data dirs stay live until vacuum, so
+    * concurrent readers are never exposed to a partial partition —
+    * LayoutSpec hammers reads mid-compaction to pin exactly that.
+    * Rewrites run on the same bounded concurrent pool shape as
+    * [[compactPartitions]]; a partition already at its target is
+    * carried into the new manifest unchanged (and if NOTHING needs
+    * rewriting, no new manifest is written at all — idempotence). */
+  def compactManifested(spark: SparkSession, path: String,
+                        targetBytes: Long): Map[String, CompactStats] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    import scala.util.{Failure, Success}
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, root)
+    val (version, parts) = resolveManifest(spark, path)
+    val next = version + 1
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, parts.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = parts.toSeq.map { case (part, rel) => Future {
+        val dir = new org.apache.hadoop.fs.Path(s"$path/$rel")
+        val dataFiles = fs.listStatus(dir).toSeq.filter { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith(".") && !n.startsWith("_")
+        }
+        val bytes = dataFiles.map(_.getLen).sum
+        val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        if (dataFiles.size <= target || dataFiles.isEmpty)
+          (part, rel, CompactStats(bytes, dataFiles.size, dataFiles.size))
+        else {
+          val newRel = s"data/v$next/$part"
+          spark.read.parquet(dir.toString)
+            .repartition(target)
+            .write.mode(SaveMode.Overwrite).parquet(s"$path/$newRel")
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$path/$newRel/_SUCCESS"), false)
+          (part, newRel, CompactStats(bytes, dataFiles.size, target))
+        }
+      }}
+      val settled = Await.result(
+        Future.sequence(futures.map(_.transform(Success(_)))), Duration.Inf)
+      settled.collectFirst { case Failure(e) => e }.foreach(throw _)
+      val results = settled.collect { case Success(r) => r }
+      // ONE pointer flip, only if something was rewritten; until this
+      // line readers resolve the previous manifest over intact dirs
+      if (results.exists { case (p, rel, _) => parts(p) != rel })
+        commitManifest(fs, root, next,
+          results.map { case (p, rel, _) => p -> rel }.toMap)
+      results.map { case (p, _, st) => p -> st }.toMap
+    } finally pool.shutdown()
+  }
+
+  /** Reclaim superseded versions: keep the latest `keepManifests`
+    * manifest files, delete every `data/v*` partition dir none of
+    * them references (then empty version roots and dropped
+    * manifests). Run AFTER a grace period longer than the slowest
+    * reader's resolve-to-read window. */
+  def vacuumManifested(spark: SparkSession, path: String,
+                       keepManifests: Int = 1): Unit = {
+    require(keepManifests >= 1, "must keep at least the live manifest")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, root)
+    val manifests = fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith("_manifest-"))
+      .sortBy(_.getPath.getName).reverse
+    val (keep, drop) = manifests.splitAt(keepManifests)
+    val referenced: Set[String] = keep.flatMap { m =>
+      val in = fs.open(m.getPath)
+      val body = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        buf.toString("UTF-8")
+      } finally in.close()
+      body.split("\n").filter(_.nonEmpty).map(_.split("\t", 2)(1))
+    }.toSet
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$path/data")
+    if (fs.exists(dataRoot)) fs.listStatus(dataRoot)
+      .filter(_.getPath.getName.startsWith("v")).foreach { vd =>
+        fs.listStatus(vd.getPath)
+          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          .foreach { pd =>
+            val rel = s"data/${vd.getPath.getName}/${pd.getPath.getName}"
+            if (!referenced.contains(rel)) fs.delete(pd.getPath, true)
+          }
+        if (fs.listStatus(vd.getPath)
+          .forall(st => !st.isDirectory)) fs.delete(vd.getPath, true)
+      }
+    drop.foreach(m => fs.delete(m.getPath, false))
   }
 
   /** Register every testdata table as a temp view so `spark.sql` works

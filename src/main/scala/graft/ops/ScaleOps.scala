@@ -338,6 +338,29 @@ object ScaleOps {
       |       round(sum(value), 2) AS total
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val manifestDirs = new SnapshotDir("graft-manifest")
+
+  /** Reader-ISOLATED compaction behind the correctness gate: the same
+    * fragmented day-partitioned events layout as [[qCompactFiles]],
+    * but written/compacted/read through the manifest-pointer table
+    * ([[Tables.writeManifested]] → [[Tables.compactManifested]] →
+    * [[Tables.readManifested]]) whose versioned dirs + atomic pointer
+    * flip mean a concurrent reader NEVER sees a half-swapped
+    * partition (LayoutSpec hammers reads mid-compaction to prove it;
+    * this query proves the round-trip loses nothing, against the SAME
+    * oracle as the in-place variant). */
+  def qCompactManifested(s: SparkSession, dir: String): DataFrame = {
+    val out = manifestDirs.next()
+    val ev = t(s, dir, "events")
+      .withColumn("snapshot_date", to_date(col("ts")))
+    Tables.writeManifested(ev.repartition(16), out, "snapshot_date")
+    Tables.compactManifested(s, out, targetBytes = 4L << 20)
+    Tables.readManifested(s, out)
+      .groupBy(col("snapshot_date"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy("snapshot_date")
+  }
+
   // ---------- Scalable exact global rank / ntile ----------
 
   /** Exact global ntile WITHOUT a single-partition window — the scale
@@ -579,6 +602,7 @@ object ScaleOps {
     "q_upsert_merge" -> qUpsertMerge,
     "q_scd2_dims" -> qScd2Dims,
     "q_compact_files" -> qCompactFiles,
+    "q_compact_manifested" -> qCompactManifested,
     "q_zorder_layout" -> qZorderLayout,
     "q_ntile_scalable" -> qNtileScalable,
   )
@@ -592,6 +616,7 @@ object ScaleOps {
     "q_upsert_merge" -> qUpsertMergeOracle,
     "q_scd2_dims" -> qScd2DimsOracle,
     "q_compact_files" -> qCompactFilesOracle,
+    "q_compact_manifested" -> qCompactFilesOracle,
     "q_zorder_layout" -> qZorderLayoutOracle,
     // the scalable twin runs against the SAME oracle as the global
     // ntile anchor — identical results from a one-reducer-free plan

@@ -139,6 +139,65 @@ class LayoutSpec extends SparkSpec {
     assert(finalData.sameElements(before), "collapse pass changed the data")
   }
 
+  test("manifest compaction: mid-compaction readers always see a " +
+    "complete snapshot; pointer flip is idempotent; vacuum reclaims " +
+    "old versions") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mft")
+      .toString + "/table"
+    val ev = Tables.load(spark, sf, "events")
+      .withColumn("snapshot_date", to_date(col("ts")))
+    Tables.writeManifested(ev.repartition(16), out, "snapshot_date")
+    val expected = ev.count()
+    val before = Tables.readManifested(spark, out).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(before.length == expected)
+
+    // reader hammer: resolve + count in a tight loop WHILE compaction
+    // rewrites and flips the pointer — the in-place variant provably
+    // fails this (its swap has an empty-partition window); the
+    // manifest layout must never show a partial table
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        val n = Tables.readManifested(spark, out).count()
+        if (n != expected)
+          failures.add(s"mid-compaction reader saw $n rows, expected $expected")
+      }
+    })
+    reader.start()
+    val stats = try Tables.compactManifested(spark, out, 4L << 20)
+      finally { stop = true; reader.join() }
+    assert(failures.isEmpty, s"isolation violated: ${failures.peek()}")
+    assert(stats.values.forall(_.filesAfter == 1),
+      s"4 MiB target should collapse every day to one file: $stats")
+    assert(stats.values.exists(_.filesBefore > 1))
+
+    // data identical through the rewrite + pointer flip
+    val after = Tables.readManifested(spark, out).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(after.sameElements(before), "manifest compaction changed the data")
+
+    // idempotence: nothing left to rewrite → NO new manifest version
+    val (v2, _) = Tables.resolveManifest(spark, out)
+    Tables.compactManifested(spark, out, 4L << 20)
+    val (v3, _) = Tables.resolveManifest(spark, out)
+    assert(v2 == 2 && v3 == 2,
+      s"idempotent re-run advanced the pointer: v$v2 → v$v3")
+
+    // vacuum: v1 dirs + manifest reclaimed, reads still complete
+    Tables.vacuumManifested(spark, out)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/data/v1")),
+      "vacuum left the superseded version's data")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$out/${"_manifest-%09d".format(1)}")), "vacuum left the old manifest")
+    val afterVacuum = Tables.readManifested(spark, out).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(afterVacuum.sameElements(before), "vacuum broke the live table")
+  }
+
   test("z-order layout: a second-dimension predicate prunes z-ordered " +
     "files but not linearly-sorted ones, and the data round-trips " +
     "intact") {
