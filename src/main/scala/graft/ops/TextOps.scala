@@ -617,6 +617,131 @@ object TextOps {
       |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------- BM25 ranked retrieval ----------
+
+  private val Bm25TopK = 10
+
+  /** Fixed multi-term queries for the gated BM25 ranking — literal
+    * (qid, term) pairs the way a retrieval caller would pose them;
+    * every term exists at every SF (df checked 380-3 900). */
+  private val bm25QueryTerms: Seq[(Int, String)] = Seq(
+    1 -> "spark", 1 -> "join",
+    2 -> "window", 2 -> "hash", 2 -> "scan",
+    3 -> "vector", 3 -> "stream", 3 -> "filter")
+
+  /** Pre-rounding BM25 scores per (query, doc) — the float-log
+    * decision, documented: BM25's IDF needs ln(), and cross-engine
+    * ln() is only within-a-few-ulp identical, not bit-identical — the
+    * one operation this module's integer-dominance discipline
+    * (`qDocKeyterms`) exists to avoid. The gate still hashes because
+    * (a) every OTHER input to the score is bit-identical across
+    * engines (integer tf/df/dl exactly representable; +, −, ×, ÷ on
+    * identical doubles are IEEE-identical; constants written as the
+    * same literals `1.2`/`2.2`/`0.25`/`0.75` on both sides — never as
+    * folded arithmetic like `1.2 + 1`, whose rounding could differ
+    * from the literal), so engine scores differ by ≤ a few ulp of the
+    * ln() inputs (~1e-13 absolute); and (b) Bm25Spec PROVES on every
+    * SF's fixture that no (query, doc) score sits within 1e-6 of a
+    * 4-dp rounding boundary — five orders of margin — and that the
+    * scores match an independent in-JVM scalar BM25 to 1e-9. IDF uses
+    * the non-negative Lucene form ln(1 + (N − df + 0.5)/(df + 0.5))
+    * (plain Robertson IDF goes NEGATIVE for df > N/2, which these
+    * common synthetic terms all are).
+    *
+    * Plan shape at 100 TB: tf is one (doc, token) shuffle filtered to
+    * query terms first (the corpus-wide term index would be
+    * precomputed); df and corpus stats are tiny broadcast aggregates;
+    * scoring is a narrow pass over |q|·df(t) candidate rows; top-k is
+    * a per-query window over candidates, never the corpus. */
+  private[ops] def bm25Raw(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val qterms = {
+      import s.implicits._
+      bm25QueryTerms.toDF("qid", "token")
+    }
+    val tok = docs.select(col("doc_id"),
+      explode(words(col("text"))).as("token"))
+    // integer counts cast to double AFTER aggregation: exact
+    val tf = tok.join(broadcast(qterms.select("token").distinct()), "token")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tok.join(broadcast(qterms.select("token").distinct()), "token")
+      .select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val dl = docs.select(col("doc_id"),
+      size(words(col("text"))).cast("double").as("dl"))
+    // sum-of-integers-as-doubles is exact → avgdl bit-identical; spell
+    // it sum/count on BOTH sides (never avg(), whose accumulation
+    // strategy an engine may choose differently)
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfpart = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    broadcast(qterms).join(tf, "token")
+      .join(broadcast(dfreq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", idf * tfpart)
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("term_score")).as("raw"))
+  }
+
+  /** Top-10 docs per query by BM25 (k1 = 1.2, b = 0.75) — the
+    * standard ranked-retrieval scorer over the documents corpus; see
+    * [[bm25Raw]] for the cross-engine float discipline. */
+  def qBm25Topk(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    bm25Raw(s, dir)
+      .withColumn("score", graft.expr.Columns.roundQ(col("raw"), 4))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= Bm25TopK)
+      .select(col("qid"), col("doc_id"), col("score"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  val qBm25TopkOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |q(qid, token) AS (VALUES
+      |  (1, 'spark'), (1, 'join'),
+      |  (2, 'window'), (2, 'hash'), (2, 'scan'),
+      |  (3, 'vector'), (3, 'stream'), (3, 'filter')),
+      |tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+      |       FROM tok WHERE token IN (SELECT token FROM q)
+      |       GROUP BY 1, 2),
+      |dfreq AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+      |          FROM tok WHERE token IN (SELECT token FROM q)
+      |          GROUP BY 1),
+      |dl AS (SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+      |       FROM documents),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+      |                 sum(dl) / count(*) AS avgdl FROM dl),
+      |scored AS (
+      |  SELECT q.qid, tf.doc_id,
+      |    sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      |        * ((tf.tf * 2.2) /
+      |           (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)))) AS raw
+      |  FROM q JOIN tf ON tf.token = q.token
+      |         JOIN dfreq d ON d.token = q.token
+      |         JOIN dl ON dl.doc_id = tf.doc_id
+      |         CROSS JOIN stats s
+      |  GROUP BY 1, 2)
+      |SELECT qid, doc_id, score, rn FROM (
+      |  SELECT qid, doc_id,
+      |    floor(raw * 10000 + 0.5) / 10000 AS score,
+      |    CAST(row_number() OVER (PARTITION BY qid
+      |      ORDER BY floor(raw * 10000 + 0.5) / 10000 DESC, doc_id)
+      |      AS INT) AS rn
+      |  FROM scored)
+      |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+
   // ---------- Distinctive-term extraction (keyterms) ----------
 
   private val KeytermsPerDoc = 5
@@ -667,6 +792,7 @@ object TextOps {
     "q_text_quality" -> qTextQuality,
     "q_lang_id" -> qLangId,
     "q_doc_fingerprint" -> qDocFingerprint,
+    "q_bm25_topk" -> qBm25Topk,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_jaccard_capped" -> dedupJaccardCapped,
@@ -682,6 +808,7 @@ object TextOps {
     "q_text_quality" -> qTextQualityOracle,
     "q_lang_id" -> qLangIdOracle,
     "q_doc_fingerprint" -> qDocFingerprintOracle,
+    "q_bm25_topk" -> qBm25TopkOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "dedup_jaccard_capped" -> dedupJaccardCappedOracle,
