@@ -156,6 +156,38 @@ object Relational {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** CUBE with grouping_id()/grouping() markers — the disambiguator
+    * that makes multi-level aggregates machine-consumable: a real NULL
+    * key and a subtotal row are indistinguishable by value alone, and
+    * `coalesce(col, 'ALL')` (the other three grouping queries) only
+    * works when no real value collides with the sentinel. grouping_id
+    * is the bitmask (first grouping column = most significant bit —
+    * verified identical in DuckDB's GROUPING()), grouping(col) the
+    * per-column bit. Completes the grouping-sets story next to
+    * [[qRollup]]/[[qCube]]/[[qGroupingSets]]. */
+  def qGroupingId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        grouping_id().cast("int").as("gid"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("gid"), col("g_flag"), col("g_status"), col("n"))
+      .orderBy("gid", "flag", "status")
+
+  val qGroupingIdOracle: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |       coalesce(l_linestatus, 'ALL') AS status,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+      |       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      |       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, flag, status""".stripMargin
+
   /** GROUPING SETS via the SQL surface (exercises spark.sql + views). */
   def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(s, dir)
@@ -997,6 +1029,7 @@ object Relational {
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,
     "q_grouping_sets" -> qGroupingSets,
+    "q_grouping_id" -> qGroupingId,
     "q_window_rank" -> qWindowRank,
     "q_window_lag_lead" -> qWindowLagLead,
     "q_window_running" -> qWindowRunning,
@@ -1040,6 +1073,7 @@ object Relational {
     "q_rollup" -> qRollupOracle,
     "q_cube" -> qCubeOracle,
     "q_grouping_sets" -> qGroupingSetsOracle,
+    "q_grouping_id" -> qGroupingIdOracle,
     "q_window_rank" -> qWindowRankOracle,
     "q_window_lag_lead" -> qWindowLagLeadOracle,
     "q_window_running" -> qWindowRunningOracle,
