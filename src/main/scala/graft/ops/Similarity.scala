@@ -196,6 +196,19 @@ object Similarity {
       .reduce(_ + _)
   }
 
+  /** Corpus row count per data dir, memoized: an index build computes
+    * its sizing statistics once, not per query — the metadata-cheap
+    * count() that planesFor consumes was re-run on every invocation
+    * before. Plain collected value (session-safe), same memo
+    * discipline as [[trainedCents]]; the testdata contract is
+    * immutable dirs. */
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def corpusCount(s: SparkSession, dir: String): Long =
+    countMemo.computeIfAbsent(dir,
+      _ => java.lang.Long.valueOf(t(s, dir, "embeddings").count()))
+
   /** LSH-bucketed ANN with OR-construction + multi-probe. Candidates
     * are generated by an equi-join on (table, bucket) — shuffle on the
     * bucket key, linear in corpus size, never all-pairs. Two recall
@@ -218,7 +231,7 @@ object Similarity {
     // one metadata-cheap count sizes the signature to THIS corpus —
     // the "retune at every scale" knob the round-2 hard-coding left to
     // the operator
-    val planes = planesFor(t(s, dir, "embeddings").count())
+    val planes = planesFor(corpusCount(s, dir))
     // repartition: one-file corpus = one input split, and everything
     // up to the candidate join is narrow — without this the whole
     // exact-cosine verify stage runs on a single task (same fix as
@@ -262,7 +275,7 @@ object Similarity {
     * DuckDB oracle; SimilaritySpec asserts pair recall against the
     * exact ground truth. */
   def simNeardupLsh(s: SparkSession, dir: String): DataFrame = {
-    val planes = planesFor(t(s, dir, "embeddings").count())
+    val planes = planesFor(corpusCount(s, dir))
     val e = withNorm(t(s, dir, "embeddings")).repartition(col("vec_id"))
     val hashed = e.select(col("vec_id"), col("emb"), col("nrm"),
       posexplode(array((0 until LshTables).map(lshBucket(_, planes)): _*))

@@ -217,6 +217,29 @@ class PlanSpec extends SparkSpec {
       s"pipeline plans an all-pairs join:\n$plan")
   }
 
+  test("IVF-PQ family + BM25: artifact joins broadcast; no unbroadcast " +
+    "cartesian anywhere") {
+    // the corpus×centroids / corpus×stats crossJoins are deliberate
+    // broadcast nested loops against tiny artifact tables (linear in
+    // corpus size); what must NEVER appear is a non-broadcast
+    // CartesianProduct — that's the all-pairs failure mode
+    Seq(
+      "sim_ann_ivf_trained" -> (() =>
+        ops.Similarity.simAnnIvfTrained(spark, sf)),
+      "sim_ann_ivfpq" -> (() => ops.Similarity.simAnnIvfPq(spark, sf)),
+      "sim_ann_incremental" -> (() =>
+        ops.Similarity.simAnnIncremental(spark, sf)),
+      "q_bm25_topk" -> (() => ops.TextOps.qBm25Topk(spark, sf))
+    ).foreach { case (name, mk) =>
+      val plan = planString(mk())
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a non-broadcast cartesian:\n$plan")
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastExchange"),
+        s"$name does not broadcast its artifact tables:\n$plan")
+    }
+  }
+
   test("partition-count knob: shuffle partitions follow the session config") {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
     val parts = Tables.load(spark, sf, "events")

@@ -196,6 +196,19 @@ class LayoutSpec extends SparkSpec {
     val afterVacuum = Tables.readManifested(spark, out).collect()
       .map(_.toSeq).sortBy(_.toString)
     assert(afterVacuum.sameElements(before), "vacuum broke the live table")
+
+    // the pointer indirection must not cost partition pruning: a
+    // partition-column predicate still reaches the scan as a
+    // PartitionFilter (basePath reconstruction keeps snapshot_date a
+    // partition column)
+    val day = Tables.readManifested(spark, out)
+      .select(col("snapshot_date")).limit(1).collect()(0).getDate(0)
+    val prunedPlan = Tables.readManifested(spark, out)
+      .where(col("snapshot_date") === lit(day))
+      .queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("PartitionFilters: [") &&
+      prunedPlan.contains("snapshot_date"),
+      s"manifested read lost partition pruning:\n$prunedPlan")
   }
 
   test("z-order layout: a second-dimension predicate prunes z-ordered " +
