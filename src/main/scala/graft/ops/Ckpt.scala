@@ -1,0 +1,28 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** One LIVE set of eagerly-checkpointed inputs per query slot.
+  *
+  * `localCheckpoint()` is EAGER: the cached RDD exists from the call
+  * onward and must outlive the RETURNED plan (which references it), so
+  * a query can't unpersist its own checkpoints before returning.
+  * Left alone they accumulate — bench's median-of-3 × warm-ups leaked
+  * a corpus copy per invocation and the block-manager pressure showed
+  * up as a 1.3→1.9 s drift on the queries that ran after the leakers.
+  * The discipline here is [[graft.ops.ScaleOps]]'s SnapshotDir applied
+  * to cache: each invocation registers its checkpoints under a slot
+  * key and releases the PREVIOUS invocation's (dead by then — the
+  * driver executes gated queries sequentially). A DataFrame returned
+  * by an earlier invocation fails loudly on re-evaluation (its
+  * truncated lineage can't recompute), exactly like SnapshotDir's
+  * deleted directories — never silently recomputes stale data. */
+private[ops] object Ckpt {
+  private val prev =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFrame]]()
+
+  def track(key: String, dfs: DataFrame*): Unit = {
+    val old = prev.put(key, dfs)
+    if (old != null) old.foreach(_.unpersist())
+  }
+}

@@ -181,8 +181,9 @@ object Curation {
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     // one materialized shingle pass — jaccardJoin consumes it thrice
-    val edges = TextOps.jaccardJoin(
-      TextOps.shingles(docs).localCheckpoint(), 0.2)
+    val sh = TextOps.shingles(docs).localCheckpoint()
+    Ckpt.track("dedup_clusters", sh)
+    val edges = TextOps.jaccardJoin(sh, 0.2)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val cc = connectedComponents(docs.select(col("doc_id").as("id")), edges)
     cc.select(col("id").as("doc_id"), col("label").as("cluster_id"),
@@ -231,6 +232,7 @@ object Curation {
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val sh = TextOps.shingles(docs).localCheckpoint()
+    Ckpt.track("dedup_incremental", sh)
     val common = sh.where(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("b_id"), col("shingle"))
       .join(sh.where(col("doc_id") % 10 =!= 0)
@@ -323,6 +325,7 @@ object Curation {
     // reuse (verified in the formatted plan) — one corpus pass beats
     // two extra ones at any scale. persist() in production.
     val sh = TextOps.shingles(docs).localCheckpoint()
+    Ckpt.track("q_decontaminate", sh)
     val benchSh = sh.where(col("doc_id") % 97 === 0)
       .select(col("shingle")).distinct()
     val overlap = sh.where(col("doc_id") % 97 =!= 0)
@@ -586,6 +589,7 @@ object Curation {
     // qDecontaminate as black boxes would shingle the corpus twice
     // more; at 100 TB the corpus passes are the pipeline's cost.
     val sh = TextOps.shingles(docs).localCheckpoint()
+    Ckpt.track("pipeline_train_prep", sh)
     val edges = TextOps.jaccardJoin(sh, 0.2)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val keepers = connectedComponents(

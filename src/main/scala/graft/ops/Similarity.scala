@@ -572,6 +572,7 @@ object Similarity {
       // Rerank still uses the ORIGINAL vectors.
       .withColumn("nemb", transform(col("emb"), x => x / col("nrm")))
       .localCheckpoint() // consumed 4× below (codebooks/encode/query/rerank)
+    Ckpt.track("sim_ann_pq", e)
     val subIdx = explode(sequence(lit(0), lit(PqSubspaces - 1))).as("m")
     def subSlice(v: Column, m: Column): Column =
       slice(v, (m * PqSubLen + 1).cast("int"), lit(PqSubLen))
@@ -785,10 +786,9 @@ object Similarity {
     // codebook + encode both consume the residual pass — materialize
     // once (the same rule as the curation module's shingle pass)
     val resid = residuals(e, cents).localCheckpoint()
+    Ckpt.track("sim_ann_ivfpq", e, resid)
     val codebook = pqCodebook(resid)
-    val out = adcSearch(e, cents, codebook,
-      encodeResiduals(resid, codebook))
-    out
+    adcSearch(e, cents, codebook, encodeResiduals(resid, codebook))
   }
 
   // ---------- Incremental index maintenance (batch-vs-index) ----------
@@ -818,6 +818,7 @@ object Similarity {
     val cents = memoCents(s, dir + "#old",
       unitCorpus(s, dir).where(pmod(col("vec_id"), lit(17)) =!= 3))
     val residOld = residuals(old, cents).localCheckpoint()
+    Ckpt.track("sim_ann_incremental", full, residOld)
     val codebook = pqCodebook(residOld)
     val codesOld = encodeResiduals(residOld, codebook)
     // the incremental step: batch-only encode against the frozen

@@ -225,9 +225,11 @@ object TextOps {
     * references it three times (both self-join sides + sizes) with
     * different projections, so Catalyst plans three separate
     * scan+explode+distinct subtrees with no exchange reuse. */
-  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    jaccardJoin(shingles(t(s, dir, "documents")).localCheckpoint(), 0.2)
-      .orderBy("doc_a", "doc_b")
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(t(s, dir, "documents")).localCheckpoint()
+    Ckpt.track("dedup_ngram_jaccard", sh)
+    jaccardJoin(sh, 0.2).orderBy("doc_a", "doc_b")
+  }
 
   /** DuckDB CTE chain for (doc_id, shingle) / per-doc sizes / pair
     * common-counts — the oracle-side mirror of [[shingles]] +

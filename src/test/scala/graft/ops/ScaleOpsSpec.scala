@@ -129,6 +129,69 @@ class ScaleOpsSpec extends SparkSpec {
     assert(scalable == anchor)
   }
 
+  test("AQE splits a skewed join partition at runtime — the automatic " +
+    "sibling of the salted join") {
+    // q_skew_join is the MANUAL skew treatment (salting); AQE's
+    // skew-join is the runtime one — a planted-hot-key shuffled join
+    // under aggressive skew thresholds must come back with an
+    // AQEShuffleRead marked `skewed=`, and the result must equal the
+    // untreated join (AQE may only re-plan, never change semantics)
+    // 80% of rows under ONE key → that key's shuffle partition is ~8×
+    // the median, unambiguously past factor=1. sf0.1 (15k events):
+    // skew detection reads COMPRESSED shuffle bytes, and a 1 500-row
+    // run-length-friendly partition can dip under any sane threshold
+    val ev = graft.io.Tables.load(spark, "/root/testdata/sf0.1", "events")
+      .withColumn("k", when(pmod(col("user_id"), lit(10)) < 8, lit("hot"))
+        .otherwise(concat(lit("cold_"), pmod(col("user_id"), lit(10)))))
+    // literal dim: OptimizeSkewedJoin pattern-matches
+    // SMJ(sort(shuffle), sort(shuffle)) EXACTLY — a distinct()-built
+    // dim leaves its aggregate inside the join stage and the rule
+    // bails; so would an agg keyed on k above the join (it would
+    // REQUIRE the join's partitioning)
+    val dim = {
+      import spark.implicits._
+      Seq("hot", "cold_8", "cold_9").toDF("k")
+        .withColumn("w", length(col("k")))
+    }
+    // sort-merge (broadcast disabled below): SMJ streams BOTH sides,
+    // so the skewed one is splittable — a shuffled-hash join with the
+    // fact as build side would be ineligible (build can't split)
+    // repartition(8) first: a skewed reduce partition is split at
+    // MAPPER-output boundaries, and the one-file events scan is a
+    // single map task — with one mapper there is nothing to split
+    // (the same one-file trap the similarity module documents)
+    def run(): org.apache.spark.sql.DataFrame =
+      ev.select(col("k"), col("event_id")).repartition(8)
+        .hint("merge").join(dim, "k")
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100b",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "100b",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      // coalescing merges the small partitions FIRST and masks the
+      // skew decision — turn it off so the split is observable
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = run()
+      // collect THIS df (a separate count() would execute its own
+      // plan and leave df's AQE un-finalized); inner join against the
+      // complete key dim keeps every row — AQE re-planning must not
+      // change the result
+      val got = df.collect().length
+      assert(got == ev.count(), s"AQE changed the join result: $got")
+      val finalPlan = df.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("AQEShuffleRead skewed") &&
+        finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("scalable ntile reproduces SQL's remainder rule when N % k != 0") {
     // every gated SF has orders counts divisible by 10, so the gated
     // query can't see the remainder path — a review caught the naive

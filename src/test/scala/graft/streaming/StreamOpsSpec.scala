@@ -352,6 +352,28 @@ class StreamOpsSpec extends SparkSpec {
       s"a trigger exceeded its 2-file budget: $seen")
   }
 
+  test("Trigger.AvailableNow drains the backlog rate-limited and " +
+    "terminates on its own") {
+    // the batch-drain trigger production backfills use: processes
+    // everything available (respecting maxFilesPerTrigger), then
+    // STOPS — no processAllAvailable/stop choreography
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-avnow").toString
+    (1 to 4).foreach(i => java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events_$i.parquet")))
+    val q = StreamOps.readEvents(spark, dir, maxFilesPerTrigger = Some(2))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("avnow")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000),
+      "AvailableNow query did not self-terminate")
+    val perFile = graft.io.Tables.load(spark, sf, "events").count()
+    assert(spark.table("avnow").count() == 4 * perFile,
+      "AvailableNow drain lost or duplicated rows")
+  }
+
   test("foreachBatch upsert sink keyed-merges micro-batches into a " +
     "current-state snapshot (latest ts wins, inserts land, others " +
     "survive)") {
