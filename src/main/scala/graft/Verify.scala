@@ -4,11 +4,17 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir, rest @ _*) = args
+    // optional 3rd arg: comma-separated query names — run only those
+    // (local iteration aid; the driver always runs the full set)
+    val only: Set[String] = rest.headOption
+      .map(_.split(",").toSet).getOrElse(Set.empty)
     val spark = Session.local()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -34,7 +40,9 @@ object Verify {
     // query that threw (and therefore wrote no output dir) instead of
     // silently skipping it.
     Files.writeString(Paths.get(s"$outDir/queries.json"),
-      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      SparkEntry.queries.keys.toSeq
+        .filter(k => only.isEmpty || only(k))
+        .sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

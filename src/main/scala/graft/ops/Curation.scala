@@ -513,6 +513,79 @@ object Curation {
        |WHERE rn <= $StratumCap
        |ORDER BY lang, rn""".stripMargin
 
+  // ---------- Domain mixture (token-budget resampling) ----------
+
+  /** Domain-weighted mixture resampling (the DoReMi/Pile recipe): give
+    * every source domain a TOKEN budget proportional to its mixture
+    * weight, then fill each budget in deterministic hash order until
+    * the first doc that crosses it (that doc is kept — standard greedy
+    * fill, so every non-empty budget is met, never undershot). The
+    * weights here are a deterministic function of the source id
+    * (1 + src_index % 4) standing in for a learned mixture; the global
+    * budget is 1/4 of the corpus tokens. All sizing stays in BIGINT
+    * with integral division (`DIV` / `//`) — no float boundary to
+    * straddle — and the fill order is the portable md5 order
+    * [[qSampleStratified]] established.
+    *
+    * Scale shape: one shuffle on source for the per-domain prefix-sum
+    * window, and a broadcast of the per-source budget table (|sources|
+    * rows). A pathologically hot domain would shard its window exactly
+    * like [[qPackSequences]]; at 100 TB the budget table stays tiny, so
+    * the corpus never shuffles twice. */
+  def qDomainMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("bigint").as("n_tokens"))
+    val weights = docs.select(col("source")).distinct()
+      .withColumn("weight",
+        lit(1L) + substring(col("source"), 4, 10).cast("bigint") % 4)
+    val wsum = weights.agg(sum(col("weight")).as("w_sum"))
+    val total = docs.agg(sum(col("n_tokens")).as("t_total"))
+    val budgets = weights
+      .crossJoin(broadcast(wsum)).crossJoin(broadcast(total))
+      .withColumn("budget", expr("(t_total * weight) DIV (w_sum * 4)"))
+      .select(col("source"), col("weight"), col("budget"))
+    val ord = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val cumw = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(cumw))
+      .withColumn("rn", row_number().over(ord))
+      .join(broadcast(budgets), "source")
+      .where(col("cum_tokens") - col("n_tokens") < col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("weight"), col("budget"), col("rn"))
+      .orderBy("doc_id")
+  }
+
+  val qDomainMixOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |w AS (
+      |  SELECT source,
+      |    1 + CAST(substring(source, 4) AS BIGINT) % 4 AS weight
+      |  FROM (SELECT DISTINCT source FROM d)),
+      |b AS (
+      |  SELECT source, weight,
+      |    CAST(((SELECT sum(n_tokens) FROM d) * weight)
+      |      // ((SELECT sum(weight) FROM w) * 4) AS BIGINT) AS budget
+      |  FROM w),
+      |c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    CAST(sum(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rn
+      |  FROM d)
+      |SELECT c.doc_id, c.source, c.n_tokens, b.weight, b.budget, c.rn
+      |FROM c JOIN b USING (source)
+      |WHERE c.cum - c.n_tokens < b.budget
+      |ORDER BY c.doc_id""".stripMargin
+
   // ---------- PII redaction ----------
 
   private val EmailRe = "[a-z0-9.]+@[a-z0-9.]+"
@@ -693,6 +766,7 @@ object Curation {
     "q_chunk_docs" -> qChunkDocs,
     "q_pack_sequences" -> qPackSequences,
     "q_sample_stratified" -> qSampleStratified,
+    "q_domain_mix" -> qDomainMix,
     "q_pii_redact" -> qPiiRedact)
 
   def oracles: Map[String, String] = Map(
@@ -703,5 +777,6 @@ object Curation {
     "q_chunk_docs" -> qChunkDocsOracle,
     "q_pack_sequences" -> qPackSequencesOracle,
     "q_sample_stratified" -> qSampleStratifiedOracle,
+    "q_domain_mix" -> qDomainMixOracle,
     "q_pii_redact" -> qPiiRedactOracle)
 }

@@ -253,6 +253,61 @@ object ScaleOps {
       |      IN ('0', '1')
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------- Bloom-pruned shuffle join ----------
+
+  /** Explicit bloom-filter join pruning — Spark's InjectRuntimeFilter
+    * shape surfaced as an operator (the config-driven rule is pinned in
+    * PlanSpec; this query puts the technique itself behind the
+    * correctness gate). The SELECTIVE side's join keys are aggregated
+    * into a bloom filter (`BloomFilterAggregate` over xxhash64 — the
+    * exact expressions the optimizer rule plants), and the fact side is
+    * filtered with `might_contain` BEFORE its shuffle, so rows that
+    * cannot join never cross the network. False positives are
+    * harmless: the exact join after the filter removes them, so the
+    * result is bit-identical to the unpruned join — which is what the
+    * DuckDB oracle runs.
+    *
+    * The one-row `head()` materializes the ~100 KB bloom on the
+    * driver; that is not data-on-the-driver but the same physical step
+    * as the optimizer rule's scalar subquery (the bloom must reach
+    * every probe task somehow, and it travels as a literal exactly
+    * like a subquery result would). At 100 TB: build side scans once
+    * to a few-hundred-KB bloom, probe side drops ~80% of its rows at
+    * the scan, and the join is a merge join over the survivors — the
+    * standard semi-join reduction when the build side is too big to
+    * broadcast but its KEY SET fits a bloom. */
+  def qJoinBloom(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    import graft.expr.Columns
+    val urgent = t(s, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+    val bfBytes = urgent
+      .select(Columns.of(new BloomFilterAggregate(
+          Columns.expr(xxhash64(col("o_orderkey"))), 100000L)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val pruned = t(s, dir, "lineitem")
+      .where(Columns.of(BloomFilterMightContain(
+        Literal(bfBytes, BinaryType),
+        Columns.expr(xxhash64(col("l_orderkey"))))))
+    pruned
+      .join(urgent.hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_linenumber")).as("sum_lines"))
+      .orderBy("l_returnflag")
+  }
+
+  val qJoinBloomOracle: String =
+    """SELECT l.l_returnflag, count(*) AS n,
+      |  CAST(sum(l.l_linenumber) AS BIGINT) AS sum_lines
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------- Merge / upsert snapshot ----------
 
   private val upsertDirs = new SnapshotDir("graft-upsert")
@@ -597,6 +652,7 @@ object ScaleOps {
     "q_skew_agg" -> qSkewAgg,
     "q_skew_join" -> qSkewJoin,
     "q_join_bucketed" -> qJoinBucketed,
+    "q_join_bloom" -> qJoinBloom,
     "q_partition_overwrite" -> qPartitionOverwrite,
     "q_sample_hash" -> qSampleHash,
     "q_upsert_merge" -> qUpsertMerge,
@@ -611,6 +667,7 @@ object ScaleOps {
     "q_skew_agg" -> qSkewAggOracle,
     "q_skew_join" -> qSkewJoinOracle,
     "q_join_bucketed" -> qJoinBucketedOracle,
+    "q_join_bloom" -> qJoinBloomOracle,
     "q_partition_overwrite" -> qPartitionOverwriteOracle,
     "q_sample_hash" -> qSampleHashOracle,
     "q_upsert_merge" -> qUpsertMergeOracle,

@@ -112,6 +112,100 @@ object TextOps {
       |    / 10000 AS ttr
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------- Repetition filtering (Gopher-style) ----------
+
+  /** Gopher-style repetition signals (Rae et al. 2021, appendix A1.1):
+    * the share of DUPLICATE word 2-grams and the character mass of the
+    * single most frequent 2-gram. Heavily repetitive documents are
+    * boilerplate/spam/template debris and get dropped before training;
+    * this is the standard third leg of the quality triad next to
+    * [[qTextQuality]]'s surface ratios and [[qLangId]].
+    *
+    * Oracle discipline: every count is an integer; the two fractions
+    * are single int/int divisions rounded with the bit-stable roundQ
+    * formula, and the keep flag compares the ROUNDED values against
+    * shared literals — both engines compare identical doubles. The
+    * top 2-gram tie-break is total (count DESC, gram ASC).
+    *
+    * Scale shape: one narrow explode, one (doc_id, gram) hash
+    * aggregate with map-side combine, a per-doc windowed top-1 over
+    * each doc's DISTINCT grams (bounded by doc vocabulary, never
+    * corpus-wide), and a doc_id join back — all shuffles are on
+    * doc_id/(doc_id, gram), so the plan scales linearly with corpus
+    * size and survives 100 TB unchanged. */
+  def qRepetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column): Column = graft.expr.Columns.roundQ(c, 4)
+    val docs = t(s, dir, "documents")
+      .where(size(words(col("text"))) >= 2)
+    val grams = docs
+      .withColumn("ws", words(col("text")))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat_ws(" ",
+            element_at(col("ws"), i),
+            element_at(col("ws"), i + 1)))).as("gram"))
+    val counts = grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cnt").desc, col("gram"))
+    val top = counts
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("gram").as("top_2gram"),
+        col("cnt").as("top_cnt"))
+    val agg = counts.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_2grams"),
+        count(lit(1)).as("n_distinct_2grams"))
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(agg, "doc_id")
+      .join(top, "doc_id")
+      .withColumn("dup_2gram_frac",
+        r4((col("n_2grams") - col("n_distinct_2grams"))
+          / col("n_2grams").cast("double")))
+      .withColumn("top_2gram_frac",
+        r4(col("top_cnt") * length(col("top_2gram"))
+          / col("n_chars").cast("double")))
+      .select(col("doc_id"), col("n_2grams"), col("n_distinct_2grams"),
+        col("dup_2gram_frac"), col("top_2gram"), col("top_2gram_frac"),
+        (col("dup_2gram_frac") <= lit(0.35) &&
+          col("top_2gram_frac") <= lit(0.08)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val qRepetitionFilterOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars, string_split(text, ' ') AS w
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w)),
+      |      i -> w[i] || ' ' || w[i + 1])) AS gram
+      |  FROM d),
+      |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+      |top AS (
+      |  SELECT doc_id, gram AS top_2gram, cnt AS top_cnt FROM (
+      |    SELECT doc_id, gram, cnt,
+      |      row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY cnt DESC, gram) AS rn
+      |    FROM c) WHERE rn = 1),
+      |a AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_2grams,
+      |    count(*) AS n_distinct_2grams
+      |  FROM c GROUP BY 1),
+      |j AS (
+      |  SELECT d.doc_id, a.n_2grams, a.n_distinct_2grams,
+      |    floor((a.n_2grams - a.n_distinct_2grams)
+      |      / CAST(a.n_2grams AS DOUBLE) * 10000 + 0.5) / 10000
+      |      AS dup_2gram_frac,
+      |    top.top_2gram,
+      |    floor(top.top_cnt * length(top.top_2gram)
+      |      / CAST(d.n_chars AS DOUBLE) * 10000 + 0.5) / 10000
+      |      AS top_2gram_frac
+      |  FROM d JOIN a USING (doc_id) JOIN top USING (doc_id))
+      |SELECT *,
+      |  dup_2gram_frac <= 0.35 AND top_2gram_frac <= 0.08 AS keep
+      |FROM j ORDER BY doc_id""".stripMargin
+
   // ---------- Language ID (deterministic n-gram/stopword heuristic) ----------
 
   def qLangId(s: SparkSession, dir: String): DataFrame = {
@@ -792,6 +886,7 @@ object TextOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokens" -> qTextTokens,
     "q_text_quality" -> qTextQuality,
+    "q_repetition_filter" -> qRepetitionFilter,
     "q_lang_id" -> qLangId,
     "q_doc_fingerprint" -> qDocFingerprint,
     "q_bm25_topk" -> qBm25Topk,
@@ -808,6 +903,7 @@ object TextOps {
   def oracles: Map[String, String] = Map(
     "q_text_tokens" -> qTextTokensOracle,
     "q_text_quality" -> qTextQualityOracle,
+    "q_repetition_filter" -> qRepetitionFilterOracle,
     "q_lang_id" -> qLangIdOracle,
     "q_doc_fingerprint" -> qDocFingerprintOracle,
     "q_bm25_topk" -> qBm25TopkOracle,

@@ -206,6 +206,18 @@ class PlanSpec extends SparkSpec {
     } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("explicit bloom join: might_contain prunes the fact side of a " +
+    "shuffled join") {
+    val plan = planString(ops.ScaleOps.qJoinBloom(spark, sf))
+    assert(plan.contains("might_contain"),
+      s"fact side not bloom-pruned:\n$plan")
+    // the join itself must be shuffled (merge-hinted) — the bloom
+    // exists precisely because the build side would NOT broadcast
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"bloom join did not plan a shuffled join:\n$plan")
+  }
+
   test("train-prep pipeline: benchmark side broadcasts, no cartesian " +
     "or nested-loop join anywhere in the composed plan") {
     val plan = planString(ops.Curation.pipelineTrainPrep(spark, sf))

@@ -197,6 +197,33 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("domain mix: greedy fill meets every source's token budget " +
+    "exactly at the crossing doc, or exhausts the source") {
+    val rows = Curation.qDomainMix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val perSourceDocs = graft.io.Tables.load(spark, sf, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val budget = rs.head.getAs[Long]("budget")
+      val weight = rs.head.getAs[Long]("weight")
+      assert(weight >= 1L && weight <= 4L, s"$src weight $weight")
+      val total = rs.map(_.getAs[Long]("n_tokens")).sum
+      val exhausted = rs.length.toLong == perSourceDocs(src)
+      // budget met (greedy crossing) unless the source ran dry
+      assert(total >= budget || exhausted,
+        s"$src undershot: $total < $budget with docs left")
+      // minimality: dropping the LAST-TAKEN doc must undershoot —
+      // i.e. the fill stopped at the first crossing, not beyond it
+      val last = rs.maxBy(_.getAs[Int]("rn"))
+      assert(total - last.getAs[Long]("n_tokens") < budget,
+        s"$src took a doc past the crossing")
+      // take order is gap-free from 1
+      assert(rs.map(_.getAs[Int]("rn")).sorted.toSeq ==
+        (1 to rs.length).toSeq, s"$src rn sequence has gaps")
+    }
+  }
+
   test("pii redaction scrubs every planted pattern") {
     val out = Curation.qPiiRedact(spark, sf).collect()
     out.foreach { r =>
