@@ -791,6 +791,62 @@ object Similarity {
     adcSearch(e, cents, codebook, encodeResiduals(resid, codebook))
   }
 
+  // ---------- Index persistence (build once, serve many) ----------
+
+  /** One persisted index per corpus dir for the JVM lifetime (same
+    * driver-main-only caveat as [[graft.io.Tables]]'s plan cache). */
+  private val indexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build the IVF-PQ index ONCE and persist its three artifact
+    * tables as parquet under a temp index dir: `centroids` (cent_id,
+    * cemb), the shared residual `codebook` (cb_id, m, csub, c2), and
+    * the `codes` table PARTITIONED BY cell — the on-disk layout a
+    * serving fleet reads. Partitioning codes by cell is the point:
+    * the ADC scan probes a handful of cells, and a cell-partitioned
+    * code table lets Spark's dynamic partition pruning skip every
+    * unprobed cell's files at SCAN time (pinned in SimilaritySpec).
+    * At 100 TB the build is the one-time expensive pass (train,
+    * encode, write ~17 bytes/vector); everything downstream reads
+    * artifacts. */
+  private[ops] def buildIndex(s: SparkSession, dir: String): String =
+    indexMemo.computeIfAbsent(dir, _ => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-index").toString
+      val e = unitCorpus(s, dir).localCheckpoint()
+      val cents = trainedCents(s, dir)
+      val resid = residuals(e, cents).localCheckpoint()
+      cents.write.mode("overwrite").parquet(s"$idx/centroids")
+      val codebook = pqCodebook(resid)
+      codebook.write.mode("overwrite").parquet(s"$idx/codebook")
+      encodeResiduals(resid, codebook).write.mode("overwrite")
+        .partitionBy("cell").parquet(s"$idx/codes")
+      // build-only checkpoints: nothing returned references them,
+      // so release immediately instead of via Ckpt slots
+      e.unpersist(); resid.unpersist()
+      idx
+    })
+
+  /** Serve ANN queries from the PERSISTED index — the steady-state
+    * path of a real deployment (build amortizes over every query that
+    * follows; the first invocation pays it once per JVM, like
+    * q_join_bucketed's table build). Identical results to
+    * [[simAnnIvfPq]] by construction: parquet round-trips doubles
+    * bit-exactly and the ADC tail is shared code — SimilaritySpec
+    * asserts row-for-row equality. The serve plan never touches the
+    * training stages: centroids/codebook arrive as broadcast artifact
+    * scans and the code scan is pruned to probed cells by dynamic
+    * partition pruning. Approximate by design → rows-only driver
+    * check. */
+  def simAnnServed(s: SparkSession, dir: String): DataFrame = {
+    val idx = buildIndex(s, dir)
+    val e = withNorm(t(s, dir, "embeddings")).repartition(col("vec_id"))
+    adcSearch(e,
+      s.read.parquet(s"$idx/centroids"),
+      s.read.parquet(s"$idx/codebook"),
+      s.read.parquet(s"$idx/codes"))
+  }
+
   // ---------- Incremental index maintenance (batch-vs-index) ----------
 
   /** The vector-side sibling of dedup_incremental: a NEW BATCH of
@@ -873,6 +929,7 @@ object Similarity {
     "sim_ann_ivf_trained" -> simAnnIvfTrained,
     "sim_ann_ivfpq" -> simAnnIvfPq,
     "sim_ann_incremental" -> simAnnIncremental,
+    "sim_ann_served" -> simAnnServed,
     "sim_ann_pq" -> simAnnPq,
     "q_embed_centroids" -> qEmbedCentroids,
   )

@@ -256,6 +256,21 @@ class SimilaritySpec extends SparkSpec {
       s"batch code rows ${incr.size} != |batch|×16")
   }
 
+  test("served index: row-for-row identical to the fresh IVF-PQ " +
+    "build, and the code scan is dynamically pruned to probed cells") {
+    val served = Similarity.simAnnServed(spark, sf)
+    val fresh = Similarity.simAnnIvfPq(spark, sf)
+    // parquet round-trips doubles bit-exactly and the ADC tail is
+    // shared code, so equality must be EXACT, not approximate
+    assert(served.collect().toSeq == fresh.collect().toSeq,
+      "serving from persisted artifacts diverged from the fresh build")
+    // the scale property of the cell-partitioned code table: only
+    // probed cells' partitions are scanned (DPP, not a full scan)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"code scan is not partition-pruned to probed cells:\n$plan")
+  }
+
   test("planesFor follows log2(n/bucket) and clamps at both ends") {
     // 32 vectors/bucket target: 500 → 4 planes, 2000 → 6
     assert(Similarity.planesFor(500) == 4)
