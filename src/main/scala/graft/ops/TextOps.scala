@@ -133,9 +133,17 @@ object TextOps {
     * corpus-wide), and a doc_id join back — all shuffles are on
     * doc_id/(doc_id, gram), so the plan scales linearly with corpus
     * size and survives 100 TB unchanged. */
-  def qRepetitionFilter(s: SparkSession, dir: String): DataFrame = {
+  def qRepetitionFilter(s: SparkSession, dir: String): DataFrame =
+    repetitionSignals(t(s, dir, "documents")).orderBy("doc_id")
+
+  /** The signal computation behind [[qRepetitionFilter]], factored
+    * over any documents DataFrame (doc_id, text, n_chars, …) so the
+    * streaming ingest path ([[graft.streaming.StreamOps]]) applies
+    * the IDENTICAL filter per micro-batch. Docs under 2 words carry
+    * no 2-gram signal and are dropped (too short to train on). */
+  private[graft] def repetitionSignals(docsIn: DataFrame): DataFrame = {
     def r4(c: Column): Column = graft.expr.Columns.roundQ(c, 4)
-    val docs = t(s, dir, "documents")
+    val docs = docsIn
       .where(size(words(col("text"))) >= 2)
     val grams = docs
       .withColumn("ws", words(col("text")))
@@ -169,7 +177,6 @@ object TextOps {
         col("dup_2gram_frac"), col("top_2gram"), col("top_2gram_frac"),
         (col("dup_2gram_frac") <= lit(0.35) &&
           col("top_2gram_frac") <= lit(0.08)).as("keep"))
-      .orderBy("doc_id")
   }
 
   val qRepetitionFilterOracle: String =

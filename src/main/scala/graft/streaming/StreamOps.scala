@@ -70,6 +70,90 @@ object StreamOps {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** documents schema (TESTDATA.md), for file-stream sources where
+    * schema inference is unavailable. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming source over a directory of document parquet files —
+    * the crawl-drop landing zone of a training-data pipeline. Same
+    * backpressure knob as [[readEvents]]. */
+  def readDocuments(spark: SparkSession, dir: String,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(documentsSchema)
+    maxFilesPerTrigger.foreach(k =>
+      reader.option("maxFilesPerTrigger", k.toString))
+    reader.parquet(dir)
+  }
+
+  // ---------- Streaming corpus ingest (curation front door) ----------
+
+  /** One micro-batch of corpus ingest — exposed separately from
+    * [[runCorpusIngest]] so the replay-idempotence law is directly
+    * testable. Per batch:
+    *   1. quality gate: [[graft.ops.TextOps.repetitionSignals]]'s keep
+    *      flag — the IDENTICAL filter the batch query runs;
+    *   2. in-batch exact dedup: min doc_id per content hash;
+    *   3. corpus dedup: LEFT ANTI against the hashes already landed
+    *      (the batch-vs-corpus shape of dedup_incremental — cost
+    *      scales with the batch; at 100 TB the probe is a broadcast
+    *      of the BATCH hashes against the bucketed corpus table);
+    *   4. land survivors under `ingest_epoch=<epoch>` via DYNAMIC
+    *      partition overwrite — a replayed epoch rewrites exactly its
+    *      own partition, so crash-replay is idempotent.
+    * The corpus read EXCLUDES the current epoch's partition: on
+    * replay, the epoch's own previous (possibly partial) output must
+    * not anti-join the batch against itself — without the exclusion a
+    * replay would land an EMPTY partition and silently lose the
+    * epoch's docs. */
+  def ingestBatch(batch: DataFrame, epoch: Long, corpusPath: String): Unit = {
+    val spark = batch.sparkSession
+    val keep = graft.ops.TextOps.repetitionSignals(batch)
+      .where(col("keep")).select(col("doc_id"))
+    val withFp = batch.join(keep, "doc_id")
+      .withColumn("fp", md5(col("text")))
+    val wb = Window.partitionBy(col("fp"))
+    val batchUnique = withFp
+      .withColumn("__canon", min(col("doc_id")).over(wb))
+      .where(col("doc_id") === col("__canon")).drop("__canon")
+    val live = new org.apache.hadoop.fs.Path(corpusPath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (fs.exists(live)) {
+        val landed = spark.read.parquet(corpusPath)
+          .where(col("ingest_epoch") =!= epoch)
+        batchUnique.join(landed.select(col("fp")), Seq("fp"), "left_anti")
+      } else batchUnique
+    fresh.withColumn("ingest_epoch", lit(epoch))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_epoch")
+      .parquet(corpusPath)
+  }
+
+  /** Run the streaming corpus ingest over the currently-available
+    * files: filter → dedup-in-batch → dedup-vs-corpus → land, one
+    * epoch per micro-batch (see [[ingestBatch]]). With
+    * `maxFilesPerTrigger` set on the source, a backlog drains in
+    * bounded epochs; the checkpoint makes a restart resume after the
+    * last committed epoch and a crashed epoch replay cleanly. */
+  def runCorpusIngest(docs: DataFrame, corpusPath: String,
+                      checkpoint: String): Unit = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        ingestBatch(batch, epoch, corpusPath)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   // ---------- Transforms (batch- and stream-applicable) ----------
 
   /** Tumbling 10-minute counts per event type; 10-minute watermark

@@ -492,6 +492,60 @@ class StreamOpsSpec extends SparkSpec {
     assert(windowed.count() > 0)
   }
 
+  test("streaming corpus ingest: quality-filters, dedups within batch " +
+    "and against the corpus, and a crashed-epoch replay is idempotent") {
+    import spark.implicits._
+    // long varied-vocab docs pass the repetition gate; the spam doc
+    // (2 distinct words × 50) trips both signals and must be dropped
+    def mk(p: String) = (0 until 60).map(i => s"$p$i").mkString(" ")
+    val (ta, tb, tc, td) = (mk("a"), mk("b"), mk("c"), mk("d"))
+    val spam = Seq.fill(50)("spam ham").mkString(" ")
+    def doc(id: Long, text: String) =
+      (id, text, "en", "srcS", text.length.toLong)
+
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest")
+    val stage = root.resolve("stage").toString
+    val corpus = root.resolve("corpus").toString
+    val ckpt = root.resolve("ckpt").toString
+    new java.io.File(stage).mkdirs()
+    def land(name: String,
+             rows: Seq[(Long, String, String, String, Long)]): Unit = {
+      val tmp = root.resolve(s"tmp-$name").toString
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/$name.parquet"))
+    }
+    val file3 = Seq(doc(6, ta), doc(7, td), doc(8, td))
+    land("f1", Seq(doc(1, ta), doc(2, tb)))
+    land("f2", Seq(doc(3, tb), doc(4, tc), doc(5, spam)))
+    land("f3", file3) // cross-batch dup of A, in-batch dup pair of D
+
+    runCorpusIngest(readDocuments(spark, stage, Some(1)), corpus, ckpt)
+
+    def snapshot() = spark.read.parquet(corpus)
+      .select(col("doc_id"), col("fp"), col("text"),
+        col("ingest_epoch").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSet
+    val landed = snapshot()
+    // one row per distinct surviving text; spam gone
+    assert(landed.map(_._3) == Set(ta, tb, tc, td),
+      s"corpus texts wrong: ${landed.map(_._1)}")
+    assert(landed.map(_._2).size == landed.size, "duplicate fp landed")
+
+    // replay the epoch that landed D with the same input batch — the
+    // dynamic partition overwrite + self-epoch exclusion must leave
+    // the corpus byte-identical (crash between commit and checkpoint)
+    val epochD = landed.find(_._3 == td).get._4
+    ingestBatch(
+      file3.toDF("doc_id", "text", "lang", "source", "n_chars"),
+      epochD, corpus)
+    assert(snapshot() == landed, "epoch replay changed the corpus")
+  }
+
   test("checkpoint recovery: a stopped windowed aggregation restarts from " +
     "its state store and the file sink stays exactly-once") {
     import spark.implicits._
