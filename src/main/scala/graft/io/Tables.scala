@@ -55,6 +55,19 @@ object Tables {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, String), DataFrame]
 
+  /** Schema-evolution read: union the footer schemas of EVERY file
+    * (`mergeSchema`) so years of drifting daily partitions read as one
+    * table — columns added by later ingest versions come back null for
+    * older partitions. Spark's default schema resolution reads a
+    * single footer, so a scan planned off an old partition silently
+    * DROPS the newer columns; at 100 TB schema drift across a
+    * long-lived landing zone is the rule, not the edge case. The
+    * merged resolution costs a distributed footer read of every file
+    * at plan time, which is why this is a separate entry point and
+    * not `load`'s default. */
+  def loadEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Snapshot-partitioned write (ref E4: the daily `{date}.json`
     * landing key becomes a real partition column). A filter on the
     * partition column then prunes whole directories at plan time —
