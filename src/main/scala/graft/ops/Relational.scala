@@ -108,6 +108,30 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** DataSketches frequent-items heavy hitters (Spark 4.1's
+    * approx_top_k family) under the SAME re-aggregation discipline as
+    * the HLL query above: per-day partial sketches (accumulate) are
+    * combined into one global sketch and probed once. That is the
+    * 100 TB frequency query — every ingest partition keeps a
+    * fixed-size sketch and global heavy hitters come from merging
+    * sketches, never from re-scanning raw data. Capacity 8192 exceeds
+    * every SF's distinct user count so the counts here are exact (the
+    * eviction path and its overestimate bound are spec'd at small
+    * capacity in RelationalPropSpec); membership at a k-th-place
+    * count TIE is still sketch-internal rather than an ORDER BY
+    * tiebreak, so the driver records rows-only. Output re-sorted
+    * deterministically for run-to-run stability. */
+  def qApproxTopk(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("approx_top_k_accumulate(user_id, 8192)").as("sk"))
+    daily
+      .agg(expr("approx_top_k_combine(sk, 8192)").as("sk"))
+      .select(expr("inline(approx_top_k_estimate(sk, 10))"))
+      .toDF("user_id", "est_n")
+      .orderBy(col("est_n").desc, col("user_id"))
+  }
+
   /** HLL++ sketch count — algorithm-specific, so no DuckDB oracle
     * (driver records the weaker rows-only check). At 100 TB this is
     * the count-distinct you actually run: fixed-size sketch, no expand.
@@ -1025,6 +1049,7 @@ object Relational {
     "q1_agg" -> q1Agg,
     "q_count_distinct" -> qCountDistinct,
     "q_approx_distinct" -> qApproxDistinct,
+    "q_approx_topk" -> qApproxTopk,
     "q_sketch_reagg" -> qSketchReagg,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,

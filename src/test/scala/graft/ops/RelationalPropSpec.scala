@@ -87,4 +87,53 @@ class RelationalPropSpec extends SparkSpec {
         s"$k: est=$est exact=${exact(k)}")
     }
   }
+
+  test("approx_top_k: exact at capacity >= distinct, combine == global " +
+    "build, and the eviction path keeps the heavy hitter with a " +
+    "bounded overestimate") {
+    val t = graft.io.Tables.load(spark, sf, "events")
+    // capacity 8192 >= every SF's distinct users -> sketch is exact:
+    // the gated query's counts must EQUAL the exact group-by counts
+    val est = Relational.qApproxTopk(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = t.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.nonEmpty && est.size <= 10)
+    est.foreach { case (u, n) =>
+      assert(exact(u) == n, s"user $u: sketch $n != exact ${exact(u)}")
+    }
+    // every reported hitter is at least as frequent as the best
+    // non-reported one (top-k SET is right when counts are exact,
+    // modulo ties at the boundary)
+    val floor = est.values.min
+    val boundary = exact.filterNot { case (u, _) => est.contains(u) }
+      .values.maxOption.getOrElse(0L)
+    assert(boundary <= floor,
+      s"missed a hitter: unreported count $boundary > reported $floor")
+    // re-aggregability: combining per-day sketches reports the same
+    // hitters as one single-pass global sketch (no boundary tie at
+    // this SF, so the sets are comparable)
+    val global = t.agg(expr("approx_top_k(user_id, 10, 8192)").as("tk"))
+      .select(expr("inline(tk)")).toDF("uid", "n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(global == est, s"daily-combine $est != single-pass $global")
+
+    // eviction path: tiny capacity, planted 40% heavy hitter among
+    // many distinct keys — the hitter must survive eviction and its
+    // estimate may only OVERCOUNT, by at most the sketch error bound
+    import spark.implicits._
+    val n = 3000
+    val skewed = ((1 to n / 2).map(_ => 777L) ++
+      (1 to n / 2).map(i => (i % 1000).toLong)).toDF("uid")
+    val hit = skewed
+      .agg(expr("approx_top_k_accumulate(uid, 16)").as("sk"))
+      .select(expr("inline(approx_top_k_estimate(sk, 1))"))
+      .toDF("uid", "est").collect().head
+    assert(hit.getLong(0) == 777L, s"heavy hitter evicted: $hit")
+    val estHit = hit.getLong(1)
+    // DataSketches ItemsSketch: estimate in [true, true + n/maxMapSize
+    // * c]; be generous on the constant, strict on the direction
+    assert(estHit >= n / 2, s"frequent-items must never undercount")
+    assert(estHit <= n / 2 + n / 4, s"overestimate out of bound: $estHit")
+  }
 }
