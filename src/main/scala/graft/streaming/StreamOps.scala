@@ -126,7 +126,16 @@ object StreamOps {
       if (fs.exists(live)) {
         val landed = spark.read.parquet(corpusPath)
           .where(col("ingest_epoch") =!= epoch)
-        batchUnique.join(landed.select(col("fp")), Seq("fp"), "left_anti")
+        // scalable anti-join shape: a naive batch-ANTI-corpus would
+        // have to broadcast the CORPUS side (anti joins only broadcast
+        // their right input). Instead, semi-join the corpus against
+        // the broadcast BATCH hashes — the result (hashes seen before)
+        // is at most |batch| rows — and anti-join that tiny set back.
+        // Corpus-side cost: one streamed pass probing a broadcast
+        // hash set, never a corpus shuffle or broadcast.
+        val seen = landed.select(col("fp")).join(
+          broadcast(batchUnique.select(col("fp"))), Seq("fp"), "left_semi")
+        batchUnique.join(broadcast(seen), Seq("fp"), "left_anti")
       } else batchUnique
     fresh.withColumn("ingest_epoch", lit(epoch))
       .write.mode("overwrite")
