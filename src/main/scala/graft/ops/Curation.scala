@@ -513,6 +513,58 @@ object Curation {
        |WHERE rn <= $StratumCap
        |ORDER BY lang, rn""".stripMargin
 
+  // ---------- Fuzzy record linkage (blocked edit distance) ----------
+
+  /** Entity resolution over a dirty string field — the classic
+    * blocked-linkage shape: collapse to DISTINCT values first (the
+    * decisive move on low-cardinality fields: 20 000 part rows carry
+    * 64 names, and pairing before the collapse would square the
+    * duplication), block candidates on a cheap key (last name token),
+    * prune by the length band edit distance ≤ 3 implies, and only
+    * then pay levenshtein on the surviving pairs. Candidate volume is
+    * Σ|block|² over DISTINCT values — the same bounded-cell
+    * discipline as the LSH dedup family, with the row multiplicity
+    * carried alongside (rows_a/rows_b) so the linkage verdict maps
+    * back to full-table impact without another scan.
+    *
+    * Fully deterministic (integer edit distances, canonical a < b
+    * pairs) → hash-gated: DuckDB's levenshtein implements the same
+    * unit-cost edit distance. */
+  def qFuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val names = t(s, dir, "part")
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_rows"))
+      .withColumn("blk", regexp_extract(col("p_name"), "[a-z]+$", 0))
+    val a = names.select(col("blk"), col("p_name").as("name_a"),
+      col("n_rows").as("rows_a"))
+    val b = names.select(col("blk"), col("p_name").as("name_b"),
+      col("n_rows").as("rows_b"))
+    a.join(b, "blk")
+      .where(col("name_a") < col("name_b"))
+      .where(abs(length(col("name_a")) - length(col("name_b"))) <= 3)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist") <= 3)
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("rows_a"), col("rows_b"))
+      .orderBy("name_a", "name_b")
+  }
+
+  val qFuzzyMatchOracle: String =
+    """WITH names AS (
+      |  SELECT p_name, count(*) AS n_rows,
+      |    regexp_extract(p_name, '[a-z]+$') AS blk
+      |  FROM part GROUP BY 1),
+      |p AS (
+      |  SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |    a.n_rows AS rows_a, b.n_rows AS rows_b
+      |  FROM names a JOIN names b ON a.blk = b.blk
+      |    AND a.p_name < b.p_name
+      |  WHERE abs(length(a.p_name) - length(b.p_name)) <= 3)
+      |SELECT name_a, name_b,
+      |  CAST(levenshtein(name_a, name_b) AS INT) AS dist,
+      |  rows_a, rows_b
+      |FROM p WHERE levenshtein(name_a, name_b) <= 3
+      |ORDER BY name_a, name_b""".stripMargin
+
   // ---------- Domain mixture (token-budget resampling) ----------
 
   /** Domain-weighted mixture resampling (the DoReMi/Pile recipe): give
@@ -767,6 +819,7 @@ object Curation {
     "q_pack_sequences" -> qPackSequences,
     "q_sample_stratified" -> qSampleStratified,
     "q_domain_mix" -> qDomainMix,
+    "q_fuzzy_match" -> qFuzzyMatch,
     "q_pii_redact" -> qPiiRedact)
 
   def oracles: Map[String, String] = Map(
@@ -778,5 +831,6 @@ object Curation {
     "q_pack_sequences" -> qPackSequencesOracle,
     "q_sample_stratified" -> qSampleStratifiedOracle,
     "q_domain_mix" -> qDomainMixOracle,
+    "q_fuzzy_match" -> qFuzzyMatchOracle,
     "q_pii_redact" -> qPiiRedactOracle)
 }
