@@ -206,6 +206,52 @@ class PlanSpec extends SparkSpec {
     } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("CBO: ANALYZE column statistics shrink a filtered dim below the " +
+    "broadcast threshold and flip the join strategy") {
+    // without stats, a Filter's size estimate is its CHILD's size
+    // (SizeInBytesOnly visitor passes it through), so a selective
+    // predicate on a large dim still plans a shuffled join; with CBO
+    // + column stats the estimated output shrinks by the predicate's
+    // selectivity and the optimizer broadcasts — on a 1000-executor
+    // cluster that's the difference between shuffling the fact table
+    // and not. ANALYZE is how production tables get those stats.
+    val keys = Seq("spark.sql.cbo.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled")
+    val restore = keys.map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.sql("DROP TABLE IF EXISTS cbo_dim")
+      Tables.load(spark, sf, "orders").write.saveAsTable("cbo_dim")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val fact = Tables.load(spark, sf, "lineitem")
+      def dimSel = spark.table("cbo_dim")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .where(col("o_custkey") === 7)
+      // the no-stats estimate (size passes through the Filter, scaled
+      // only by column pruning) — set the threshold just under it, so
+      // ONLY a stats-informed selectivity estimate can broadcast
+      val noStatsEst =
+        dimSel.queryExecution.optimizedPlan.stats.sizeInBytes
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (noStatsEst / 2).toString)
+      def joined = fact.join(dimSel,
+        col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val before = planString(joined)
+      assert(!before.contains("BroadcastHashJoin"),
+        s"dim broadcast even without stats — threshold not biting:\n$before")
+      spark.sql(
+        "ANALYZE TABLE cbo_dim COMPUTE STATISTICS FOR ALL COLUMNS")
+      val after = planString(joined)
+      assert(after.contains("BroadcastHashJoin"),
+        s"column stats did not flip the filtered dim to broadcast:\n$after")
+    } finally {
+      restore.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.sql("DROP TABLE IF EXISTS cbo_dim")
+    }
+  }
+
   test("explicit bloom join: might_contain prunes the fact side of a " +
     "shuffled join") {
     val plan = planString(ops.ScaleOps.qJoinBloom(spark, sf))
