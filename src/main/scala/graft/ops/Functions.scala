@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -295,6 +295,54 @@ object Functions {
       |  FROM events, unnest([0, 1]) AS t(i))
       |GROUP BY w_start ORDER BY w_start""".stripMargin
 
+  /** Conversion funnel view → click → purchase: each stage's timestamp
+    * is the user's FIRST qualifying event no earlier than the previous
+    * stage and within 30 minutes of it — the standard ordered-sequence
+    * analytics query. Every stage is a window over the SAME user_id
+    * partitioning, so Catalyst stacks the Window operators behind ONE
+    * exchange: chained stages cost one shuffle total, never a
+    * per-stage self-join (the naive funnel formulation that dies at
+    * 100 TB). Timestamps compare at second granularity like
+    * [[qSessionWindow]], dodging the parquet NANOS mismatch. */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    def sec(c: Column): Column = c.cast("long")
+    val staged = t(s, dir, "events")
+      .withColumn("v_ts", min(when(col("event_type") === "view",
+        sec(col("ts")))).over(w))
+      .withColumn("c_ts", min(when(col("event_type") === "click" &&
+        sec(col("ts")) >= col("v_ts") &&
+        sec(col("ts")) <= col("v_ts") + 1800, sec(col("ts")))).over(w))
+      .withColumn("p_ts", min(when(col("event_type") === "purchase" &&
+        sec(col("ts")) >= col("c_ts") &&
+        sec(col("ts")) <= col("c_ts") + 1800, sec(col("ts")))).over(w))
+    staged.groupBy(col("user_id"))
+      .agg(max(col("v_ts")).as("v"), max(col("c_ts")).as("c"),
+        max(col("p_ts")).as("p"))
+      .agg(count(col("v")).as("n_view"),
+        count(col("c")).as("n_view_click"),
+        count(col("p")).as("n_view_click_purchase"))
+  }
+
+  val qFunnelOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS sec
+      |  FROM events),
+      |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN sec END)
+      |         OVER (PARTITION BY user_id) AS v FROM e),
+      |s2 AS (SELECT *, min(CASE WHEN event_type = 'click'
+      |           AND sec >= v AND sec <= v + 1800 THEN sec END)
+      |         OVER (PARTITION BY user_id) AS c FROM s1),
+      |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+      |           AND sec >= c AND sec <= c + 1800 THEN sec END)
+      |         OVER (PARTITION BY user_id) AS p FROM s2),
+      |u AS (SELECT user_id, max(v) AS v, max(c) AS c, max(p) AS p
+      |      FROM s3 GROUP BY 1)
+      |SELECT count(v) AS n_view, count(c) AS n_view_click,
+      |  count(p) AS n_view_click_purchase
+      |FROM u""".stripMargin
+
   /** Session windows (30-minute inactivity gap) per user, computed with
     * the gaps-and-islands idiom so the batch form is oracle-checkable;
     * the streaming form uses session_window() in EventStream. */
@@ -459,6 +507,7 @@ object Functions {
     "q_tumbling_window" -> qTumblingWindow,
     "q_sliding_window" -> qSlidingWindow,
     "q_session_window" -> qSessionWindow,
+    "q_funnel" -> qFunnel,
     "q_map_funcs" -> qMapFuncs,
     "q_udf_surface" -> qUdfSurface,
     "q_typed_agg" -> qTypedAgg,
@@ -476,6 +525,7 @@ object Functions {
     "q_tumbling_window" -> qTumblingWindowOracle,
     "q_sliding_window" -> qSlidingWindowOracle,
     "q_session_window" -> qSessionWindowOracle,
+    "q_funnel" -> qFunnelOracle,
     "q_map_funcs" -> qMapFuncsOracle,
     "q_udf_surface" -> qUdfSurfaceOracle,
     "q_typed_agg" -> qTypedAggOracle,
