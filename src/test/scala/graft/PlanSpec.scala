@@ -206,6 +206,17 @@ class PlanSpec extends SparkSpec {
     } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("funnel: chained stage windows share ONE user_id exchange — no " +
+    "per-stage shuffle or self-join") {
+    val plan = planString(ops.Functions.qFunnel(spark, sf))
+    val userExchanges = "hashpartitioning\\(user_id".r
+      .findAllIn(plan).size
+    assert(userExchanges == 1,
+      s"expected exactly one user_id exchange, got $userExchanges:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Join"),
+      s"funnel planned a join:\n$plan")
+  }
+
   test("CBO: ANALYZE column statistics shrink a filtered dim below the " +
     "broadcast threshold and flip the join strategy") {
     // without stats, a Filter's size estimate is its CHILD's size
