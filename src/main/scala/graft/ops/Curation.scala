@@ -513,6 +513,40 @@ object Curation {
        |WHERE rn <= $StratumCap
        |ORDER BY lang, rn""".stripMargin
 
+  // ---------- Train/val/test split ----------
+
+  /** Deterministic 80/10/10 dataset split on the content-independent
+    * doc key: the first md5 hex byte partitions [0,256) into
+    * train < 0xcc (204), val < 0xe6 (230), test otherwise — compared
+    * as hex STRINGS, which order identically to the bytes in every
+    * engine (the same portable-hash discipline as q_sample_hash).
+    * Splitting on a hash of the KEY (not rand()) is what makes the
+    * split stable under retries, repartitions, and incremental
+    * appends — a new batch lands in the same split forever, so no
+    * train/test leakage when the corpus grows. Narrow + one tiny
+    * aggregate; the split column costs one md5 per row. */
+  def qDatasetSplit(s: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+    t(s, dir, "documents")
+      .withColumn("split",
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(words(col("text")))).as("n_tokens"))
+      .orderBy("split")
+  }
+
+  val qDatasetSplitOracle: String =
+    """SELECT CASE
+      |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+      |      THEN 'train'
+      |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+      |      THEN 'val'
+      |    ELSE 'test' END AS split,
+      |  count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+
   // ---------- Fuzzy record linkage (blocked edit distance) ----------
 
   /** Entity resolution over a dirty string field — the classic
@@ -819,6 +853,7 @@ object Curation {
     "q_pack_sequences" -> qPackSequences,
     "q_sample_stratified" -> qSampleStratified,
     "q_domain_mix" -> qDomainMix,
+    "q_dataset_split" -> qDatasetSplit,
     "q_fuzzy_match" -> qFuzzyMatch,
     "q_pii_redact" -> qPiiRedact)
 
@@ -831,6 +866,7 @@ object Curation {
     "q_pack_sequences" -> qPackSequencesOracle,
     "q_sample_stratified" -> qSampleStratifiedOracle,
     "q_domain_mix" -> qDomainMixOracle,
+    "q_dataset_split" -> qDatasetSplitOracle,
     "q_fuzzy_match" -> qFuzzyMatchOracle,
     "q_pii_redact" -> qPiiRedactOracle)
 }

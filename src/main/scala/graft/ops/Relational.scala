@@ -897,6 +897,64 @@ object Relational {
       |  FROM orders)
       |SELECT * FROM p ORDER BY col_name""".stripMargin
 
+  /** Constraint validation — the dbt-test / Deequ-style quality gate a
+    * pipeline runs before promoting a load: referential integrity
+    * (anti-join orphan counts), domain membership, derived-column
+    * consistency, and key uniqueness, emitted long-form as
+    * (check, n_violations) so the gate is one scan of the report.
+    * Each check is an independent aggregate (the anti joins broadcast
+    * their key side at these sizes; at 100 TB they shuffle on the
+    * key like any join); all-zero violations on the shipped testdata
+    * is itself asserted in RelationalPropSpec via a planted-violation
+    * twin. */
+  def qDataChecks(s: SparkSession, dir: String): DataFrame = {
+    def chk(name: String, viol: DataFrame): DataFrame =
+      viol.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check"), col("n_violations"))
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val d = t(s, dir, "documents")
+    val e = t(s, dir, "events")
+    chk("fk_lineitem_orders",
+        li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti"))
+      .unionByName(chk("fk_orders_customer",
+        o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")))
+      .unionByName(chk("doc_text_nonempty",
+        d.where(col("text").isNull || length(col("text")) === 0)))
+      .unionByName(chk("doc_nchars_consistent",
+        d.where(col("n_chars") =!= length(col("text")))))
+      .unionByName(chk("event_type_domain",
+        e.where(!col("event_type").isin(
+          "click", "view", "purchase", "signup", "error"))))
+      .unionByName(chk("doc_id_unique",
+        d.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+          .where(col("c") > 1)))
+      .orderBy("check")
+  }
+
+  val qDataChecksOracle: String =
+    """SELECT * FROM (
+      |  SELECT 'fk_lineitem_orders' AS "check", count(*) AS n_violations
+      |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |  UNION ALL
+      |  SELECT 'fk_orders_customer', count(*)
+      |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      |  UNION ALL
+      |  SELECT 'doc_text_nonempty', count(*)
+      |  FROM documents WHERE text IS NULL OR length(text) = 0
+      |  UNION ALL
+      |  SELECT 'doc_nchars_consistent', count(*)
+      |  FROM documents WHERE n_chars <> length(text)
+      |  UNION ALL
+      |  SELECT 'event_type_domain', count(*)
+      |  FROM events WHERE event_type NOT IN
+      |    ('click', 'view', 'purchase', 'signup', 'error')
+      |  UNION ALL
+      |  SELECT 'doc_id_unique', count(*) FROM (
+      |    SELECT doc_id FROM documents GROUP BY 1 HAVING count(*) > 1))
+      |ORDER BY "check"""".stripMargin
+
   /** first/last/nth_value with IGNORE NULLS over an explicit
     * whole-partition frame — the navigation-function corner the other
     * window queries don't touch. NULLs are planted deterministically
@@ -1087,6 +1145,7 @@ object Relational {
     "q_join_lateral" -> qJoinLateral,
     "q_histogram" -> qHistogram,
     "q_profile_stats" -> qProfileStats,
+    "q_data_checks" -> qDataChecks,
     "q_quantile_bins" -> qQuantileBins,
     "q_except_all" -> qExceptAll,
     "q_intersect_all" -> qIntersectAll,
@@ -1131,6 +1190,7 @@ object Relational {
     "q_join_lateral" -> qJoinLateralOracle,
     "q_histogram" -> qHistogramOracle,
     "q_profile_stats" -> qProfileStatsOracle,
+    "q_data_checks" -> qDataChecksOracle,
     "q_quantile_bins" -> qQuantileBinsOracle,
     "q_except_all" -> qExceptAllOracle,
     "q_intersect_all" -> qIntersectAllOracle,

@@ -136,4 +136,40 @@ class RelationalPropSpec extends SparkSpec {
     assert(estHit >= n / 2, s"frequent-items must never undercount")
     assert(estHit <= n / 2 + n / 4, s"overestimate out of bound: $estHit")
   }
+
+  test("data checks: clean on the shipped tables; every planted " +
+    "violation class is counted exactly once") {
+    val clean = Relational.qDataChecks(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean.size == 6 && clean.values.forall(_ == 0L),
+      s"shipped testdata fails its own quality gate: $clean")
+
+    // planted twin: minimal tables carrying exactly one violation per
+    // check, written where Tables.load finds them
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-checks").toString
+    def put(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    put("customer", Seq(Tuple1(1L)).toDF("c_custkey"))
+    put("orders", Seq((10L, 1L), (11L, 999L)) // 999 -> orphan custkey
+      .toDF("o_orderkey", "o_custkey"))
+    put("lineitem", Seq(10L, 10L, 99L) // 99 -> orphan orderkey
+      .toDF("l_orderkey"))
+    put("documents", Seq(
+      (1L, "fine text", 9L),
+      (2L, "", 0L),            // empty text (n_chars consistent)
+      (3L, "mismatch", 999L),  // n_chars wrong
+      (7L, "dup a", 5L), (7L, "dup b", 5L)) // duplicate key
+      .toDF("doc_id", "text", "n_chars"))
+    put("events", Seq((1L, "click"), (2L, "oops")) // unknown type
+      .toDF("ts", "event_type"))
+    val planted = Relational.qDataChecks(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(planted == Map(
+      "fk_lineitem_orders" -> 1L, "fk_orders_customer" -> 1L,
+      "doc_text_nonempty" -> 1L, "doc_nchars_consistent" -> 1L,
+      "event_type_domain" -> 1L, "doc_id_unique" -> 1L),
+      s"planted violations miscounted: $planted")
+  }
 }
