@@ -325,6 +325,21 @@ object Tables {
       s"manifest commit failed for $root v$version")
   }
 
+  private def readManifestFile(fs: org.apache.hadoop.fs.FileSystem,
+                               mf: org.apache.hadoop.fs.Path)
+      : Map[String, String] = {
+    val in = fs.open(mf)
+    val body = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    body.split("\n").filter(_.nonEmpty).map { line =>
+      val Array(p, d) = line.split("\t", 2)
+      p -> d
+    }.toMap
+  }
+
   /** Latest complete (version, partition → relative dir). */
   private[graft] def resolveManifest(spark: SparkSession, path: String)
       : (Long, Map[String, String]) = {
@@ -335,17 +350,7 @@ object Tables {
     require(manifests.nonEmpty, s"no manifest at $path")
     val latest = manifests.maxBy(_.getPath.getName)
     val v = latest.getPath.getName.stripPrefix("_manifest-").toLong
-    val in = fs.open(latest.getPath)
-    val body = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-      buf.toString("UTF-8")
-    } finally in.close()
-    val parts = body.split("\n").filter(_.nonEmpty).map { line =>
-      val Array(p, d) = line.split("\t", 2)
-      p -> d
-    }.toMap
-    (v, parts)
+    (v, readManifestFile(fs, latest.getPath))
   }
 
   /** Initial manifested write: one `partitionBy` job into `data/v1`,
@@ -369,6 +374,28 @@ object Tables {
     * live — commits never delete, only vacuum does. */
   def readManifested(spark: SparkSession, path: String): DataFrame = {
     val (_, parts) = resolveManifest(spark, path)
+    readFromParts(spark, path, parts)
+  }
+
+  /** Time-travel read: the snapshot as of manifest version `asOf`.
+    * Commits never delete data directories — only [[vacuumManifested]]
+    * does — so every RETAINED version reads as a complete snapshot
+    * (this is the query-the-table-as-of-yesterday workflow a
+    * transactional table format gives you). A vacuumed version fails
+    * loudly on the missing manifest rather than returning a partial
+    * table. */
+  def readManifestedAt(spark: SparkSession, path: String,
+                       asOf: Long): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, root)
+    val mf = new org.apache.hadoop.fs.Path(root, manifestName(asOf))
+    require(fs.exists(mf),
+      s"manifest v$asOf at $path does not exist (never written, or vacuumed)")
+    readFromParts(spark, path, readManifestFile(fs, mf))
+  }
+
+  private def readFromParts(spark: SparkSession, path: String,
+                            parts: Map[String, String]): DataFrame =
     parts.values.groupBy(_.split("/").take(2).mkString("/")).toSeq
       .sortBy(_._1)
       .map { case (base, dirs) =>
@@ -376,7 +403,6 @@ object Tables {
           .parquet(dirs.toSeq.sorted.map(d => s"$path/$d"): _*)
       }
       .reduce(_.unionByName(_))
-  }
 
   /** Reader-isolated compaction: rewrite every oversized partition
     * into `data/v<next>/<part>/`, then flip the pointer with ONE

@@ -206,6 +206,34 @@ class PlanSpec extends SparkSpec {
     } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("parquet aggregate pushdown: COUNT/MIN/MAX are answered from " +
+    "file footers, not a data scan") {
+    // at 100 TB a footer-answered COUNT/MIN/MAX is metadata I/O
+    // instead of a full-table scan — the v2 read path pushes the
+    // aggregate into the ParquetScan when no filters intervene
+    val keys = Seq("spark.sql.parquet.aggregatePushdown",
+      "spark.sql.sources.useV1SourceList")
+    val restore = keys.map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      spark.conf.set("spark.sql.sources.useV1SourceList", "")
+      def agg = spark.read.parquet(s"$sf/lineitem.parquet")
+        .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("lo"),
+          max(col("l_orderkey")).as("hi"))
+      val plan = planString(agg)
+      assert(plan.contains("PushedAggregation: [COUNT(*), " +
+        "MIN(l_orderkey), MAX(l_orderkey)]"),
+        s"aggregate not pushed to the parquet footers:\n$plan")
+      val pushed = agg.collect().head
+      // parity with the scan-based path
+      val scanned = Tables.load(spark, sf, "lineitem")
+        .agg(count(lit(1)), min(col("l_orderkey")), max(col("l_orderkey")))
+        .collect().head
+      assert(pushed.toSeq == scanned.toSeq,
+        s"footer-answered aggregate diverged: $pushed vs $scanned")
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("funnel: chained stage windows share ONE user_id exchange — no " +
     "per-stage shuffle or self-join") {
     val plan = planString(ops.Functions.qFunnel(spark, sf))

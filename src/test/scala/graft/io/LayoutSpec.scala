@@ -211,6 +211,35 @@ class LayoutSpec extends SparkSpec {
       s"manifested read lost partition pruning:\n$prunedPlan")
   }
 
+  test("manifest time travel: a retained version reads as a complete " +
+    "old snapshot; a vacuumed version fails loudly") {
+    val out = java.nio.file.Files.createTempDirectory("graft-tt")
+      .toString + "/table"
+    val ev = Tables.load(spark, sf, "events")
+      .withColumn("snapshot_date", to_date(col("ts")))
+    Tables.writeManifested(ev.repartition(16), out, "snapshot_date")
+    Tables.compactManifested(spark, out, 4L << 20) // -> v2
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString)
+    val v1 = sorted(Tables.readManifestedAt(spark, out, 1L))
+    val v2 = sorted(Tables.readManifestedAt(spark, out, 2L))
+    val live = sorted(Tables.readManifested(spark, out))
+    assert(v1.sameElements(v2) && v2.sameElements(live),
+      "snapshot versions disagree on data")
+    // as-of v1 must actually read the OLD layout's files
+    val v1Files = Tables.readManifestedAt(spark, out, 1L)
+      .select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(v1Files.forall(_.contains("/data/v1/")),
+      s"time travel to v1 read new files: ${v1Files.mkString(",")}")
+    Tables.vacuumManifested(spark, out)
+    intercept[IllegalArgumentException] {
+      Tables.readManifestedAt(spark, out, 1L)
+    }
+    assert(sorted(Tables.readManifested(spark, out)).sameElements(live),
+      "vacuum broke the live read")
+  }
+
   test("z-order layout: a second-dimension predicate prunes z-ordered " +
     "files but not linearly-sorted ones, and the data round-trips " +
     "intact") {
