@@ -288,6 +288,11 @@ object ScaleOps {
           Columns.expr(xxhash64(col("o_orderkey"))), 100000L)
         .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]]("bf")
+    // an empty build side aggregates to a NULL bloom; might_contain
+    // over NULL would silently drop every fact row while the oracle's
+    // plain join returns empty — fail loudly instead (same class as
+    // qPartitionOverwrite's empty-scalar guard)
+    require(bfBytes != null, "orders has no '1-URGENT' rows")
     val pruned = t(s, dir, "lineitem")
       .where(Columns.of(BloomFilterMightContain(
         Literal(bfBytes, BinaryType),
