@@ -343,6 +343,43 @@ object Functions {
       |  count(p) AS n_view_click_purchase
       |FROM u""".stripMargin
 
+  /** Weekly cohort retention — the second standard event-analytics
+    * query next to [[qFunnel]]: users grouped by first-seen week
+    * (their cohort), activity counted as distinct users per
+    * (cohort, activity week). The cohort assignment is a min over a
+    * user_id window and the activity rollup a (cohort, week) count
+    * distinct — one user shuffle plus one aggregate shuffle, no
+    * self-join. Dates truncate at DAY granularity before the week
+    * bucket (the NANOS-parquet discipline), and Monday-start weeks
+    * agree between engines. */
+  def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    t(s, dir, "events")
+      .withColumn("cohort",
+        date_trunc("week", min(col("ts").cast("date")).over(w))
+          .cast("date"))
+      .withColumn("week",
+        date_trunc("week", col("ts").cast("date")).cast("date"))
+      .groupBy(col("cohort"), col("week"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort")) / lit(7)).cast("int"))
+      .orderBy("cohort", "week")
+  }
+
+  val qCohortRetentionOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |c AS (
+      |  SELECT user_id,
+      |    CAST(date_trunc('week',
+      |      min(d) OVER (PARTITION BY user_id)) AS DATE) AS cohort,
+      |    CAST(date_trunc('week', d) AS DATE) AS week
+      |  FROM e)
+      |SELECT cohort, week, count(DISTINCT user_id) AS n_users,
+      |  CAST(date_diff('day', cohort, week) / 7 AS INT) AS week_offset
+      |FROM c GROUP BY cohort, week ORDER BY cohort, week""".stripMargin
+
   /** Session windows (30-minute inactivity gap) per user, computed with
     * the gaps-and-islands idiom so the batch form is oracle-checkable;
     * the streaming form uses session_window() in EventStream. */
@@ -508,6 +545,7 @@ object Functions {
     "q_sliding_window" -> qSlidingWindow,
     "q_session_window" -> qSessionWindow,
     "q_funnel" -> qFunnel,
+    "q_cohort_retention" -> qCohortRetention,
     "q_map_funcs" -> qMapFuncs,
     "q_udf_surface" -> qUdfSurface,
     "q_typed_agg" -> qTypedAgg,
@@ -526,6 +564,7 @@ object Functions {
     "q_sliding_window" -> qSlidingWindowOracle,
     "q_session_window" -> qSessionWindowOracle,
     "q_funnel" -> qFunnelOracle,
+    "q_cohort_retention" -> qCohortRetentionOracle,
     "q_map_funcs" -> qMapFuncsOracle,
     "q_udf_surface" -> qUdfSurfaceOracle,
     "q_typed_agg" -> qTypedAggOracle,
