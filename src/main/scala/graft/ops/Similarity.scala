@@ -649,7 +649,7 @@ object Similarity {
   // measured 0.59 — residuals quantize better in narrower slices),
   // and sf0.001 reaches 1.0 (12 probes ≥ its 10 cells → the IVF stage
   // is exhaustive there and PQ is the only loss).
-  private val IvfPqM = 16 // 64 dims → 16 × 4-dim residual subvectors
+  private[ops] val IvfPqM = 16 // 64 dims → 16 × 4-dim residual subvectors
   private val IvfPqSub = 4
   private val IvfPqProbes = 12
   private val IvfPqCand = 100
@@ -813,19 +813,56 @@ object Similarity {
     indexMemo.computeIfAbsent(dir, _ => {
       val idx = java.nio.file.Files
         .createTempDirectory("graft-ivfpq-index").toString
-      val e = unitCorpus(s, dir).localCheckpoint()
-      val cents = trainedCents(s, dir)
-      val resid = residuals(e, cents).localCheckpoint()
-      cents.write.mode("overwrite").parquet(s"$idx/centroids")
-      val codebook = pqCodebook(resid)
-      codebook.write.mode("overwrite").parquet(s"$idx/codebook")
-      encodeResiduals(resid, codebook).write.mode("overwrite")
-        .partitionBy("cell").parquet(s"$idx/codes")
-      // build-only checkpoints: nothing returned references them,
-      // so release immediately instead of via Ckpt slots
-      e.unpersist(); resid.unpersist()
+      buildIndexTo(s, dir, idx)
       idx
     })
+
+  /** The build itself, memo-free, to an explicit target — used by the
+    * memoized entry above and by specs that need a PRIVATE index
+    * (e.g. one that will receive streamed batches without polluting
+    * the shared per-dir index other specs serve from). Codes land
+    * under (ingest_epoch=0, cell=K): the epoch level is what makes
+    * streaming maintenance ([[ingestVectors]]) replay-idempotent, and
+    * dynamic partition pruning still fires on the cell level. */
+  private[ops] def buildIndexTo(s: SparkSession, dir: String,
+                                idx: String): Unit = {
+    val e = unitCorpus(s, dir).localCheckpoint()
+    val cents = trainedCents(s, dir)
+    val resid = residuals(e, cents).localCheckpoint()
+    cents.write.mode("overwrite").parquet(s"$idx/centroids")
+    val codebook = pqCodebook(resid)
+    codebook.write.mode("overwrite").parquet(s"$idx/codebook")
+    encodeResiduals(resid, codebook)
+      .withColumn("ingest_epoch", lit(0L))
+      .write.mode("overwrite")
+      .partitionBy("ingest_epoch", "cell").parquet(s"$idx/codes")
+    // build-only checkpoints: nothing returned references them,
+    // so release immediately instead of via Ckpt slots
+    e.unpersist(); resid.unpersist()
+  }
+
+  /** Encode ONE batch of new vectors against a PERSISTED index's
+    * frozen artifacts and land the codes under
+    * (ingest_epoch=epoch, cell) via dynamic partition overwrite — the
+    * streaming face of [[simAnnIncremental]]: per-batch cost touches
+    * only the batch rows and the broadcast artifacts, the epoch
+    * partition makes crash-replay rewrite exactly its own output
+    * (encode is a pure function of the frozen artifacts, so a replay
+    * reproduces the identical rows), and the serve path picks the new
+    * vectors up on its next codes read with no index rebuild. */
+  def ingestVectors(batch: DataFrame, idx: String, epoch: Long): Unit = {
+    val s = batch.sparkSession
+    val cents = s.read.parquet(s"$idx/centroids")
+    val codebook = s.read.parquet(s"$idx/codebook")
+    val unit = withNorm(batch)
+      .withColumn("nemb", transform(col("emb"), x => x / col("nrm")))
+    encodeResiduals(residuals(unit, cents), codebook)
+      .withColumn("ingest_epoch", lit(epoch))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_epoch", "cell")
+      .parquet(s"$idx/codes")
+  }
 
   /** Serve ANN queries from the PERSISTED index — the steady-state
     * path of a real deployment (build amortizes over every query that

@@ -90,6 +90,44 @@ object StreamOps {
     reader.parquet(dir)
   }
 
+  /** embeddings schema (TESTDATA.md), for file-stream sources. */
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming source over a directory of embedding parquet files. */
+  def readEmbeddings(spark: SparkSession, dir: String,
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(embeddingsSchema)
+    maxFilesPerTrigger.foreach(k =>
+      reader.option("maxFilesPerTrigger", k.toString))
+    reader.parquet(dir)
+  }
+
+  /** Streaming ANN index maintenance — the third leg of the index
+    * lifecycle (build once → serve many → maintain continuously):
+    * each micro-batch of newly embedded vectors is encoded against
+    * the persisted index's FROZEN artifacts and landed as
+    * epoch-partitioned code rows
+    * ([[graft.ops.Similarity.ingestVectors]]; epochs offset +1 so the
+    * initial build keeps epoch 0). Per-batch cost touches only the
+    * batch; the serve path sees the new vectors on its next codes
+    * read with no rebuild, and a crashed epoch replays into exactly
+    * its own partition. */
+  def runIndexIngest(vecs: DataFrame, idx: String,
+                     checkpoint: String): Unit = {
+    val q = vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        graft.ops.Similarity.ingestVectors(b, idx, epoch + 1)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   // ---------- Streaming corpus ingest (curation front door) ----------
 
   /** One micro-batch of corpus ingest — exposed separately from

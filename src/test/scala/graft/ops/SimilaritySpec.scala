@@ -271,6 +271,65 @@ class SimilaritySpec extends SparkSpec {
       s"code scan is not partition-pruned to probed cells:\n$plan")
   }
 
+  test("streaming index maintenance: streamed batches land full code " +
+    "words in their own epochs, old codes untouched, replay idempotent") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamOps
+    val root = java.nio.file.Files.createTempDirectory("graft-idx-ing")
+    val idx = root.resolve("idx").toString
+    // PRIVATE index copy — the shared memoized index must not absorb
+    // these streamed vectors (other specs assert serve == fresh build)
+    Similarity.buildIndexTo(spark, sf, idx)
+    val codes0 = spark.read.parquet(s"$idx/codes")
+      .where(col("ingest_epoch") === 0).count()
+
+    // stage two files of "new" vectors: real embeddings, offset ids
+    val stage = root.resolve("stage").toString
+    new java.io.File(stage).mkdirs()
+    val base = graft.io.Tables.load(spark, sf, "embeddings")
+    def land(name: String, lo: Int, hi: Int): Unit = {
+      val tmp = root.resolve(s"tmp-$name").toString
+      base.where(col("vec_id") >= lo && col("vec_id") < hi)
+        .withColumn("vec_id", col("vec_id") + 10000)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/$name.parquet"))
+    }
+    land("f1", 0, 10)
+    land("f2", 10, 20)
+    StreamOps.runIndexIngest(
+      StreamOps.readEmbeddings(spark, stage, Some(1)),
+      idx, root.resolve("ckpt").toString)
+
+    def codes = spark.read.parquet(s"$idx/codes")
+    val newCodes = codes.where(col("vec_id") >= 10000)
+    assert(newCodes.select(col("vec_id")).distinct().count() == 20,
+      "not every streamed vector was encoded")
+    // full code word per vector: one code per subspace
+    newCodes.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("m")).collect().foreach { r =>
+        assert(r.getLong(1) == Similarity.IvfPqM.toLong,
+          s"vec ${r.getLong(0)}: partial code word (${r.getLong(1)})")
+      }
+    assert(codes.where(col("ingest_epoch") === 0).count() == codes0,
+      "streamed ingest disturbed the initial build's codes")
+    assert(newCodes.select(col("ingest_epoch")).distinct().count() == 2,
+      "two micro-batches should land two epochs")
+
+    // crash-replay: re-encode f2's batch at ITS epoch — the dynamic
+    // partition overwrite must reproduce identical rows
+    val snapshot = codes.collect().map(_.toSeq).sortBy(_.toString)
+    val f2 = spark.read.parquet(s"$stage/f2.parquet")
+    val f2epoch = codes
+      .where(col("vec_id") === f2.select(min(col("vec_id"))).head().getLong(0))
+      .select(col("ingest_epoch")).head().getAs[Number](0).longValue()
+    Similarity.ingestVectors(f2, idx, f2epoch)
+    val after = codes.collect().map(_.toSeq).sortBy(_.toString)
+    assert(after.sameElements(snapshot), "epoch replay changed the codes")
+  }
+
   test("planesFor follows log2(n/bucket) and clamps at both ends") {
     // 32 vectors/bucket target: 500 → 4 planes, 2000 → 6
     assert(Similarity.planesFor(500) == 4)
