@@ -599,6 +599,45 @@ object Curation {
       |FROM p WHERE levenshtein(name_a, name_b) <= 3
       |ORDER BY name_a, name_b""".stripMargin
 
+  // ---------- Graph: triangle count over the linkage graph ----------
+
+  /** Triangle count over the fuzzy-linkage name graph — the canonical
+    * two-hop join workload, and the standard structure probe after
+    * building any similarity/linkage graph (a triangle-dense cluster
+    * is a template family; a triangle-free one is chained drift).
+    * With edges ORIENTED a < b and wedges kept a < b < c, every
+    * triangle is counted exactly once and the join fan-out is bounded
+    * by the ordered degree — at 100 TB this orientation (not the raw
+    * symmetric edge list) is the difference between Σ deg² and
+    * Σ deg·maxdeg blowups. Two self-joins on the edge endpoints, both
+    * shuffles on small name keys. */
+  def qTriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val e = qFuzzyMatch(s, dir).select(col("name_a"), col("name_b"))
+    val wedges = e.as("e1")
+      .join(e.as("e2"), col("e1.name_b") === col("e2.name_a"))
+      .select(col("e1.name_a").as("a"), col("e1.name_b").as("b"),
+        col("e2.name_b").as("c"))
+    wedges
+      .join(e.as("e3"),
+        col("a") === col("e3.name_a") && col("c") === col("e3.name_b"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val qTriangleCountOracle: String =
+    """WITH names AS (
+      |  SELECT p_name, regexp_extract(p_name, '[a-z]+$') AS blk
+      |  FROM part GROUP BY 1),
+      |e AS (
+      |  SELECT a.p_name AS name_a, b.p_name AS name_b
+      |  FROM names a JOIN names b ON a.blk = b.blk
+      |    AND a.p_name < b.p_name
+      |  WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+      |    AND levenshtein(a.p_name, b.p_name) <= 3)
+      |SELECT count(*) AS n_triangles
+      |FROM e e1
+      |JOIN e e2 ON e1.name_b = e2.name_a
+      |JOIN e e3 ON e3.name_a = e1.name_a AND e3.name_b = e2.name_b""".stripMargin
+
   // ---------- Domain mixture (token-budget resampling) ----------
 
   /** Domain-weighted mixture resampling (the DoReMi/Pile recipe): give
@@ -855,6 +894,7 @@ object Curation {
     "q_domain_mix" -> qDomainMix,
     "q_dataset_split" -> qDatasetSplit,
     "q_fuzzy_match" -> qFuzzyMatch,
+    "q_triangle_count" -> qTriangleCount,
     "q_pii_redact" -> qPiiRedact)
 
   def oracles: Map[String, String] = Map(
@@ -868,5 +908,6 @@ object Curation {
     "q_domain_mix" -> qDomainMixOracle,
     "q_dataset_split" -> qDatasetSplitOracle,
     "q_fuzzy_match" -> qFuzzyMatchOracle,
+    "q_triangle_count" -> qTriangleCountOracle,
     "q_pii_redact" -> qPiiRedactOracle)
 }

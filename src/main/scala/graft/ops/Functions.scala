@@ -161,6 +161,36 @@ object Functions {
       |  CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---------- Variant (Spark 4 semi-structured type) ----------
+
+  /** Spark 4's VariantType path through the same JSON the
+    * string-function query reads: `parse_json` once into a real
+    * variant value (binary-encoded, no per-access re-parse — at
+    * 100 TB THE difference from get_json_object, which re-parses the
+    * string per extraction), then typed `variant_get` paths, a
+    * missing-path `try_variant_get` NULL, and `schema_of_variant`
+    * inference. DuckDB has no variant type, so the oracle phrases the
+    * same extractions over its JSON operators — identical results,
+    * different engine representation. */
+  def qVariantFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("v", parse_json(col("props")))
+      .select(
+        col("event_id"),
+        expr("variant_get(v, '$.k', 'long')").as("k_long"),
+        expr("variant_get(v, '$.k', 'string')").as("k_str"),
+        expr("try_variant_get(v, '$.missing', 'long')").as("missing_long"),
+        expr("schema_of_variant(v)").as("vschema"))
+      .orderBy("event_id")
+
+  val qVariantFuncsOracle: String =
+    """SELECT event_id,
+      |  CAST(props->>'$.k' AS BIGINT) AS k_long,
+      |  props->>'$.k' AS k_str,
+      |  CAST(NULL AS BIGINT) AS missing_long,
+      |  'OBJECT<k: BIGINT>' AS vschema
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ---------- Conditional / null-handling ----------
 
   def qConditional(s: SparkSession, dir: String): DataFrame =
@@ -538,6 +568,7 @@ object Functions {
     "q_math_funcs" -> qMathFuncs,
     "q_array_funcs" -> qArrayFuncs,
     "q_json_funcs" -> qJsonFuncs,
+    "q_variant_funcs" -> qVariantFuncs,
     "q_conditional" -> qConditional,
     "q_try_arithmetic" -> qTryArithmetic,
     "q_timestamp_coerce" -> qTimestampCoerce,
@@ -557,6 +588,7 @@ object Functions {
     "q_math_funcs" -> qMathFuncsOracle,
     "q_array_funcs" -> qArrayFuncsOracle,
     "q_json_funcs" -> qJsonFuncsOracle,
+    "q_variant_funcs" -> qVariantFuncsOracle,
     "q_conditional" -> qConditionalOracle,
     "q_try_arithmetic" -> qTryArithmeticOracle,
     "q_timestamp_coerce" -> qTimestampCoerceOracle,

@@ -313,12 +313,93 @@ object Multimodal {
 
   // ---------- Registry ----------
 
+  // ---------- Audio (real RIFF/WAVE container round trip) ----------
+
+  /** Deterministic audio fixtures: genuine RIFF/WAVE PCM16 containers
+    * built byte-for-byte (canonical 44-byte header + little-endian
+    * sawtooth frames). Channels, sample rate and frame count derive
+    * from doc_id, which is what makes the PARSE below oracle-able:
+    * the oracle recomputes the formulas while Spark reads the actual
+    * header bytes — a wrong offset or byte order hash-mismatches. */
+  def mediaWav(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val channels = 1 + (id % 2).toInt
+        val rate = Array(8000, 16000, 44100)((id % 3).toInt)
+        val frames = 100 + (id % 50).toInt
+        val dataSize = frames * channels * 2
+        val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataSize)
+        bb.put("WAVE".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+        bb.putShort(1); bb.putShort(channels.toShort)
+        bb.putInt(rate); bb.putInt(rate * channels * 2)
+        bb.putShort((channels * 2).toShort); bb.putShort(16)
+        bb.put("data".getBytes("US-ASCII")); bb.putInt(dataSize)
+        var f = 0
+        while (f < frames) {
+          var c = 0
+          while (c < channels) {
+            bb.putShort(((id + f * 7 + c) % 32768).toShort); c += 1
+          }
+          f += 1
+        }
+        (id, bb.array())
+      }).toDF("doc_id", "payload")
+  }
+
+  /** Little-endian unsigned int from a binary slice with PURE column
+    * ops: hex the slice, reassemble bytes by position via conv — no
+    * codec, no UDF (a RIFF header is fixed-offset integers, exactly
+    * what binary column functions are for). */
+  private def leUInt(bin: org.apache.spark.sql.Column, pos: Int,
+                     nBytes: Int): org.apache.spark.sql.Column = {
+    val hx = hex(substring(bin, pos, nBytes))
+    (0 until nBytes).map { i =>
+      conv(substring(hx, i * 2 + 1, 2), 16, 10).cast("long") *
+        lit(1L << (8 * i))
+    }.reduce(_ + _)
+  }
+
+  /** Parse the RIFF/WAVE header back from the real container bytes:
+    * magic tags, PCM format tag, channel count, sample rate, bit
+    * depth, data size, and the derived frame count. Narrow per-row
+    * work over the payload scan — the audio face of [[mmMetadata]],
+    * with the header genuinely read instead of modeled. */
+  def mmAudioMeta(s: SparkSession, dir: String): DataFrame =
+    mediaWav(s, dir).select(
+        col("doc_id"),
+        (decode(substring(col("payload"), 1, 4), "US-ASCII") === "RIFF" &&
+          decode(substring(col("payload"), 9, 4), "US-ASCII") === "WAVE" &&
+          leUInt(col("payload"), 21, 2) === 1).as("riff_ok"),
+        leUInt(col("payload"), 23, 2).cast("int").as("channels"),
+        leUInt(col("payload"), 25, 4).as("sample_rate"),
+        leUInt(col("payload"), 35, 2).cast("int").as("bits"),
+        leUInt(col("payload"), 41, 4).as("data_size"))
+      .withColumn("n_frames",
+        expr("data_size DIV (channels * (bits DIV 8))"))
+      .orderBy("doc_id")
+
+  val mmAudioMetaOracle: String =
+    """SELECT doc_id, true AS riff_ok,
+      |  CAST(1 + doc_id % 2 AS INT) AS channels,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |       ELSE 44100 END AS BIGINT) AS sample_rate,
+      |  CAST(16 AS INT) AS bits,
+      |  CAST((100 + doc_id % 50) * (1 + doc_id % 2) * 2 AS BIGINT)
+      |    AS data_size,
+      |  CAST(100 + doc_id % 50 AS BIGINT) AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> mmMetadata,
     "mm_resize" -> mmResize,
     "mm_frame_sample" -> mmFrameSample,
     "mm_decode" -> mmDecode,
     "mm_embed" -> mmEmbed,
+    "mm_audio_meta" -> mmAudioMeta,
   )
 
   def oracles: Map[String, String] = Map(
@@ -327,5 +408,6 @@ object Multimodal {
     "mm_frame_sample" -> mmFrameSampleOracle,
     "mm_decode" -> mmDecodeOracle,
     "mm_embed" -> mmEmbedOracle,
+    "mm_audio_meta" -> mmAudioMetaOracle,
   )
 }
