@@ -142,6 +142,56 @@ object Relational {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** EXACT distinct counting via re-aggregable bitmaps (Spark 4's
+    * bitmap family) — the third distinct-count strategy next to the
+    * exact expand (`q_count_distinct`) and the HLL sketch
+    * (`q_approx_distinct`): keys bucket into disjoint 32k-bit ranges
+    * (`bitmap_bucket_number`), each (group, sub-group, bucket) builds
+    * a fixed-size bitmap partial, partials merge with `bitmap_or_agg`
+    * ACROSS sub-groups, and the final count is the sum of per-bucket
+    * bit counts (buckets are disjoint, so the sum is exact). At
+    * 100 TB this is the materialized-rollup answer when estimates
+    * aren't acceptable: bounded-size partials, re-aggregable like the
+    * HLL rollup, but exact — which is also why it hash-gates against
+    * the plain COUNT(DISTINCT) oracle. */
+  def qBitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    val partials = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"),
+        expr("bitmap_bucket_number(l_partkey)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))")
+        .as("bm"))
+    partials
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_parts"))
+      .orderBy("l_returnflag")
+  }
+
+  val qBitmapDistinctOracle: String =
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Order-controlled string aggregation (LISTAGG's job): names
+    * collect per group in an EXPLICIT sort order, so the concatenation
+    * is deterministic and hash-gateable — an unordered listagg is the
+    * classic nondeterminism trap (Spark's collect_list order is
+    * partition-arrival order). The digest keeps result rows small
+    * while still pinning every byte of the aggregated string. */
+  def qStringAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        md5(concat_ws(",", sort_array(collect_list(col("c_name")))))
+          .as("names_md5"))
+      .orderBy("c_mktsegment")
+
+  val qStringAggOracle: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  md5(string_agg(c_name, ',' ORDER BY c_name)) AS names_md5
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** ROLLUP hierarchy totals with grouping markers. */
   def qRollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -1106,6 +1156,8 @@ object Relational {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
     "q_count_distinct" -> qCountDistinct,
+    "q_bitmap_distinct" -> qBitmapDistinct,
+    "q_string_agg" -> qStringAgg,
     "q_approx_distinct" -> qApproxDistinct,
     "q_approx_topk" -> qApproxTopk,
     "q_sketch_reagg" -> qSketchReagg,
@@ -1154,6 +1206,8 @@ object Relational {
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggOracle,
     "q_count_distinct" -> qCountDistinctOracle,
+    "q_bitmap_distinct" -> qBitmapDistinctOracle,
+    "q_string_agg" -> qStringAggOracle,
     "q_rollup" -> qRollupOracle,
     "q_cube" -> qCubeOracle,
     "q_grouping_sets" -> qGroupingSetsOracle,
