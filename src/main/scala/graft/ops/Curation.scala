@@ -711,6 +711,47 @@ object Curation {
       |WHERE c.cum - c.n_tokens < b.budget
       |ORDER BY c.doc_id""".stripMargin
 
+  // ---------- URL normalization (web-crawl provenance) ----------
+
+  /** URL parsing + normalization — the provenance step of a web-crawl
+    * corpus (dedup by registrable domain, group by host, strip
+    * tracking params). Deterministic URLs are synthesized from the
+    * document columns, then GENUINELY parsed back with `parse_url`
+    * (host / path / a named query param) and normalized (lowercase,
+    * `www.` stripped, registrable domain = last two labels). The
+    * oracle re-derives the same fields with string ops, so a parser
+    * divergence hash-mismatches. Narrow per-row work; at 100 TB the
+    * registrable domain becomes the dedup/grouping key that bounds
+    * per-site volume. */
+  def qUrlParse(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://WWW."), col("source"),
+      lit(".Example.COM/docs/"), col("doc_id").cast("string"),
+      lit("?lang="), col("lang"), lit("&utm_source=feed&q=1"))
+    t(s, dir, "documents")
+      .withColumn("url", url)
+      .select(
+        col("doc_id"),
+        lower(parse_url(col("url"), lit("HOST"))).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("lang"))
+          .as("lang_param"),
+        regexp_replace(
+          lower(parse_url(col("url"), lit("HOST"))),
+          "^www\\.", "").as("norm_host"))
+      .withColumn("reg_domain",
+        regexp_extract(col("norm_host"), "([a-z0-9-]+\\.[a-z]+)$", 1))
+      .orderBy("doc_id")
+  }
+
+  val qUrlParseOracle: String =
+    """SELECT doc_id,
+      |  'www.' || source || '.example.com' AS host,
+      |  '/docs/' || doc_id AS path,
+      |  lang AS lang_param,
+      |  source || '.example.com' AS norm_host,
+      |  'example.com' AS reg_domain
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------- PII redaction ----------
 
   private val EmailRe = "[a-z0-9.]+@[a-z0-9.]+"
@@ -881,6 +922,32 @@ object Curation {
          |  (cum - n_tokens) // $PackBudget AS batch_id
          |FROM cum ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---------- Column masking ----------
+
+  /** Column-level masking next to [[qPiiRedact]]'s regex scrubbing:
+    * the `mask()` builtin (upper→X, lower→x, digit→n, symbols kept)
+    * and the show-last-4 partial mask every PII policy wants for
+    * account-number-like fields. Narrow, codegen'd, trivially
+    * mirrored by the oracle's regex chain — the value is having the
+    * policy AS an operator instead of ad-hoc per-pipeline regexes. */
+  def qDataMask(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        expr("mask(c_name)").as("masked_full"),
+        concat(repeat(lit("*"), length(col("c_name")) - 4),
+          substring(col("c_name"), -4, 4)).as("masked_last4"))
+      .orderBy("c_custkey")
+
+  val qDataMaskOracle: String =
+    """SELECT c_custkey,
+      |  regexp_replace(regexp_replace(regexp_replace(c_name,
+      |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+      |    AS masked_full,
+      |  repeat('*', length(c_name) - 4) ||
+      |    substring(c_name, length(c_name) - 3, 4) AS masked_last4
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   // ---------- Registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -895,6 +962,8 @@ object Curation {
     "q_dataset_split" -> qDatasetSplit,
     "q_fuzzy_match" -> qFuzzyMatch,
     "q_triangle_count" -> qTriangleCount,
+    "q_url_parse" -> qUrlParse,
+    "q_data_mask" -> qDataMask,
     "q_pii_redact" -> qPiiRedact)
 
   def oracles: Map[String, String] = Map(
@@ -909,5 +978,7 @@ object Curation {
     "q_dataset_split" -> qDatasetSplitOracle,
     "q_fuzzy_match" -> qFuzzyMatchOracle,
     "q_triangle_count" -> qTriangleCountOracle,
+    "q_url_parse" -> qUrlParseOracle,
+    "q_data_mask" -> qDataMaskOracle,
     "q_pii_redact" -> qPiiRedactOracle)
 }
