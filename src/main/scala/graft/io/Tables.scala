@@ -395,7 +395,12 @@ object Tables {
   }
 
   private def readFromParts(spark: SparkSession, path: String,
-                            parts: Map[String, String]): DataFrame =
+                            parts: Map[String, String]): DataFrame = {
+    // an empty manifest would otherwise surface as an opaque
+    // `empty.reduceLeft` far from the cause
+    require(parts.nonEmpty,
+      s"manifest at $path lists no partitions — nothing was ever " +
+        "written, or the table was created from an empty DataFrame")
     parts.values.groupBy(_.split("/").take(2).mkString("/")).toSeq
       .sortBy(_._1)
       .map { case (base, dirs) =>
@@ -403,6 +408,7 @@ object Tables {
           .parquet(dirs.toSeq.sorted.map(d => s"$path/$d"): _*)
       }
       .reduce(_.unionByName(_))
+  }
 
   /** Reader-isolated compaction: rewrite every oversized partition
     * into `data/v<next>/<part>/`, then flip the pointer with ONE
@@ -474,15 +480,10 @@ object Tables {
       .filter(_.getPath.getName.startsWith("_manifest-"))
       .sortBy(_.getPath.getName).reverse
     val (keep, drop) = manifests.splitAt(keepManifests)
-    val referenced: Set[String] = keep.flatMap { m =>
-      val in = fs.open(m.getPath)
-      val body = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        buf.toString("UTF-8")
-      } finally in.close()
-      body.split("\n").filter(_.nonEmpty).map(_.split("\t", 2)(1))
-    }.toSet
+    // one manifest parser (readManifestFile) — a format change must
+    // not be able to desync vacuum's view of what is referenced
+    val referenced: Set[String] =
+      keep.flatMap(m => readManifestFile(fs, m.getPath).values).toSet
     val dataRoot = new org.apache.hadoop.fs.Path(s"$path/data")
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot)
       .filter(_.getPath.getName.startsWith("v")).foreach { vd =>

@@ -21,8 +21,16 @@ private[ops] object Ckpt {
   private val prev =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFrame]]()
 
+  /** Deterministically free a localCheckpoint'ed frame's blocks.
+    * `Dataset.unpersist` is a NO-OP for checkpoints (it only uncaches
+    * CacheManager plans; the blocks belong to the RDD inside the
+    * LogicalRDD leaf) — the bridge unpersists that RDD directly, so
+    * release happens now, not at the ContextCleaner's leisure. */
+  def release(df: DataFrame): Unit =
+    org.apache.spark.sql.GraftColumnBridge.unpersistCheckpointed(df)
+
   def track(key: String, dfs: DataFrame*): Unit = {
     val old = prev.put(key, dfs)
-    if (old != null) old.foreach(_.unpersist())
+    if (old != null) old.foreach(release)
   }
 }

@@ -87,12 +87,12 @@ object Curation {
       // the new checkpoint is materialized — the previous round's copy
       // is dead; without this, maxIter full labelings pile up in the
       // block manager for the duration of the job
-      checkpointed.unpersist()
+      Ckpt.release(checkpointed)
       checkpointed = next
       labels = next.drop("chg")
       i += 1
     }
-    sym.unpersist()
+    Ckpt.release(sym)
     // a silent partial labeling would look like a correct answer with
     // too many clusters — refuse instead
     require(changed == 0,
@@ -152,7 +152,7 @@ object Curation {
       val next = smallStar(largeStar(e)).localCheckpoint()
       converged = next.count() == e.count() &&
         next.exceptAll(e).isEmpty
-      e.unpersist()
+      Ckpt.release(e)
       e = next
       rounds += 1
     }
@@ -612,7 +612,13 @@ object Curation {
     * Σ deg·maxdeg blowups. Two self-joins on the edge endpoints, both
     * shuffles on small name keys. */
   def qTriangleCount(s: SparkSession, dir: String): DataFrame = {
+    // the edge list is consumed THREE times on three different join
+    // keys (no exchange reuse possible) — materialize it once instead
+    // of re-running the whole distinct+block+levenshtein pipeline per
+    // instance (the same consumed-thrice rule as the dedup shingles)
     val e = qFuzzyMatch(s, dir).select(col("name_a"), col("name_b"))
+      .localCheckpoint()
+    Ckpt.track("q_triangle_count", e)
     val wedges = e.as("e1")
       .join(e.as("e2"), col("e1.name_b") === col("e2.name_a"))
       .select(col("e1.name_a").as("a"), col("e1.name_b").as("b"),

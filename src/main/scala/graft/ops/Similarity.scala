@@ -474,11 +474,11 @@ object Similarity {
         .join(next.select(col("cent_id"), col("cemb").as("cnew")), "cent_id")
         .agg(max(lit(1.0) - dot(col("cemb"), col("cnew"))))
         .head().getDouble(0)
-      cents.unpersist()
+      Ckpt.release(cents)
       cents = next
       rounds += 1
     }
-    body.unpersist()
+    Ckpt.release(body)
     (cents, rounds, shift)
   }
 
@@ -508,7 +508,7 @@ object Similarity {
       val (c, _, _) = trainCentroids(corpus)
       val out = c.collect().map(r =>
         (r.getLong(0), r.getSeq[Double](1).toArray))
-      c.unpersist()
+      Ckpt.release(c)
       out
     })
     import s.implicits._
@@ -838,7 +838,7 @@ object Similarity {
       .partitionBy("ingest_epoch", "cell").parquet(s"$idx/codes")
     // build-only checkpoints: nothing returned references them,
     // so release immediately instead of via Ckpt slots
-    e.unpersist(); resid.unpersist()
+    Ckpt.release(e); Ckpt.release(resid)
   }
 
   /** Encode ONE batch of new vectors against a PERSISTED index's

@@ -160,8 +160,15 @@ object StreamOps {
       .where(col("doc_id") === col("__canon")).drop("__canon")
     val live = new org.apache.hadoop.fs.Path(corpusPath)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // "corpus exists" must mean "has landed partitions", not "the
+    // directory exists": an epoch whose survivors are EMPTY still
+    // creates the directory (with only _SUCCESS), and reading that
+    // throws UNABLE_TO_INFER_SCHEMA — which would wedge every
+    // subsequent epoch of the stream on the corpus-dedup read
+    val hasLanded = fs.exists(live) && fs.listStatus(live)
+      .exists(st => st.isDirectory && st.getPath.getName.contains("="))
     val fresh =
-      if (fs.exists(live)) {
+      if (hasLanded) {
         val landed = spark.read.parquet(corpusPath)
           .where(col("ingest_epoch") =!= epoch)
         // scalable anti-join shape: a naive batch-ANTI-corpus would

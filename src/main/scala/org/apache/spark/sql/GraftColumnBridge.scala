@@ -12,4 +12,18 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Release the persisted blocks behind a `localCheckpoint()`ed
+    * DataFrame. `Dataset.unpersist` only uncaches CacheManager
+    * entries (plans cached via `.persist`); a local checkpoint's
+    * blocks belong to the UNDERLYING RDD inside the LogicalRDD leaf,
+    * which `unpersist` never touches — so the engine's iterative
+    * jobs were parking a corpus-sized copy per released slot until
+    * the ContextCleaner happened to run. Unpersisting that RDD
+    * directly frees the blocks deterministically. */
+  def unpersistCheckpointed(df: Dataset[Row]): Unit =
+    df.queryExecution.logical match {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false); ()
+      case _ => df.unpersist(); ()
+    }
 }

@@ -1,0 +1,35 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Pins the one property Ckpt exists for: releasing a slot actually
+  * frees the localCheckpoint's persisted blocks NOW. A regression to
+  * plain `Dataset.unpersist` is invisible to every functional test
+  * (results stay correct) — it only shows up as block-manager bloat
+  * across a long bench run — so the spec checks the persistent-RDD
+  * registry directly. */
+class CkptSpec extends SparkSpec {
+
+  test("release frees a localCheckpoint's persisted RDD immediately " +
+    "(Dataset.unpersist alone would leave it behind)") {
+    import spark.implicits._
+    def liveCheckpointRdds(): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+    val before = liveCheckpointRdds()
+    val df = (1 to 100).toDF("x").localCheckpoint()
+    df.count()
+    val added = liveCheckpointRdds() -- before
+    assert(added.nonEmpty, "localCheckpoint registered no persisted RDD")
+
+    // the documented failure mode: Dataset.unpersist is a no-op for
+    // checkpoint blocks (it only uncaches CacheManager plans)
+    df.unpersist(blocking = true)
+    assert((liveCheckpointRdds() -- before) == added,
+      "Dataset.unpersist released the checkpoint — bridge now redundant")
+
+    Ckpt.release(df)
+    assert((liveCheckpointRdds() -- before).isEmpty,
+      "Ckpt.release left the checkpoint's RDD persisted")
+  }
+}

@@ -546,6 +546,38 @@ class StreamOpsSpec extends SparkSpec {
     assert(snapshot() == landed, "epoch replay changed the corpus")
   }
 
+  test("corpus ingest survives an all-filtered first epoch: the empty " +
+    "landing must not wedge later epochs' corpus reads") {
+    import spark.implicits._
+    def mk(p: String) = (0 until 60).map(i => s"$p$i").mkString(" ")
+    val spam = Seq.fill(50)("spam ham").mkString(" ")
+    def doc(id: Long, text: String) =
+      (id, text, "en", "srcS", text.length.toLong)
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest0")
+    val stage = root.resolve("stage").toString
+    val corpus = root.resolve("corpus").toString
+    new java.io.File(stage).mkdirs()
+    def land(name: String,
+             rows: Seq[(Long, String, String, String, Long)]): Unit = {
+      val tmp = root.resolve(s"tmp-$name").toString
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/$name.parquet"))
+    }
+    // epoch with ZERO survivors lands first (all spam), good docs after
+    land("f1", Seq(doc(1, spam), doc(2, spam)))
+    land("f2", Seq(doc(3, mk("a")), doc(4, mk("b"))))
+    runCorpusIngest(readDocuments(spark, stage, Some(1)), corpus,
+      root.resolve("ckpt").toString)
+    val landed = spark.read.parquet(corpus)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(landed == Set(3L, 4L),
+      s"empty first epoch wedged or polluted the corpus: $landed")
+  }
+
   test("checkpoint recovery: a stopped windowed aggregation restarts from " +
     "its state store and the file sink stays exactly-once") {
     import spark.implicits._
