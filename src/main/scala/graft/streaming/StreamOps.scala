@@ -220,6 +220,24 @@ object StreamOps {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Stream-static enrichment — the MOST common production streaming
+    * join: each micro-batch of the stream joins a static dimension
+    * (here a user→segment mapping) and aggregates per segment. The
+    * static side is stateless for the stream (no watermark, no join
+    * state — Spark re-plans it per micro-batch, broadcasting when
+    * small), which is why this shape scales where a stream-stream
+    * join would need bounded buffers. Works identically on a batch
+    * DataFrame — StreamOpsSpec pins stream/batch parity. */
+  def enrichedCounts(events: DataFrame, userDim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(userDim), Seq("user_id"), "left")
+      .withColumn("segment", coalesce(col("segment"), lit("UNKNOWN")))
+      .groupBy(window(col("ts"), "10 minutes"), col("segment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("segment"),
+        col("n"), col("sum_value"))
+
   /** Session windows (10-minute gap) per user — value totals per
     * session. */
   def sessionized(events: DataFrame): DataFrame =

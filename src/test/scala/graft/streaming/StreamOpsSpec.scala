@@ -75,6 +75,41 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-static enrichment joins the dim per micro-batch and " +
+    "matches the batch join; unmatched users fall back to UNKNOWN") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")) // user 3 intentionally absent
+      .toDF("user_id", "segment")
+    val data = Seq(ev(1, 1, 1, "click", 1.5), ev(2, 5, 2, "view", 2.0),
+      ev(3, 7, 3, "click", 4.0), ev(4, 12, 1, "view", 0.5),
+      ev(9, 59, 9, "flush", 0.0))
+
+    val in = MemoryStream[Event]
+    val q = enrichedCounts(in.toDF(), dim)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enriched").start()
+    in.addData(data: _*)
+    q.processAllAvailable()
+    q.stop()
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(date_format(col("w_start"), "HH:mm"), col("segment"),
+        col("n"), col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    val streamed = norm(spark.table("enriched"))
+    // append mode only emits a window once the watermark passes its
+    // end — the flush event's own 10:50 window stays open, so the
+    // batch side is compared on the closed windows
+    val batch = norm(enrichedCounts(data.toDF(), dim))
+      .filter(_.head.asInstanceOf[String] < "10:50")
+    assert(streamed == batch,
+      s"stream-static join diverged from batch:\n$streamed\nvs\n$batch")
+    assert(streamed.exists(_(1) == "UNKNOWN"),
+      "absent dim key did not fall back to UNKNOWN")
+    assert(streamed.count(_(1) == "gold") == 2,
+      "user 1's two events should enrich to gold in two windows")
+  }
+
   test("streaming session_window matches the batch gaps-and-islands formulation") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
