@@ -325,34 +325,102 @@ object Functions {
       |  FROM events, unnest([0, 1]) AS t(i))
       |GROUP BY w_start ORDER BY w_start""".stripMargin
 
+  /** Stage-time chain shared by [[qFunnel]], [[qFunnelStages]] and
+    * the planted-chain spec (`FunnelSpec`): over any frame with
+    * (user_id, event_type, sec: Long) columns, adds one column
+    * `s0..s{n-1}` per stage — the user's FIRST event of that type no
+    * earlier than the previous stage's time and within `gapSec`
+    * seconds of it (boundary inclusive: exactly `gapSec` later still
+    * qualifies). Every stage is a window over the SAME user_id
+    * partitioning, so Catalyst stacks the Window operators behind ONE
+    * exchange: an N-stage funnel costs one shuffle total, never a
+    * per-stage self-join (the naive formulation that dies at 100 TB).
+    */
+  def funnelStaged(events: DataFrame, stages: Seq[String],
+      gapSec: Long = 1800): DataFrame = {
+    require(stages.nonEmpty, "funnelStaged needs at least one stage")
+    val w = Window.partitionBy(col("user_id"))
+    stages.zipWithIndex.foldLeft(events) { case (df, (stage, i)) =>
+      val qualifies =
+        if (i == 0) col("event_type") === stage
+        else col("event_type") === stage &&
+          col("sec") >= col(s"s${i - 1}") &&
+          col("sec") <= col(s"s${i - 1}") + gapSec
+      df.withColumn(s"s$i", min(when(qualifies, col("sec"))).over(w))
+    }
+  }
+
+  /** Per-stage conversion counts over [[funnelStaged]]: stage k
+    * counts the users whose chain reached stage k (count ignores the
+    * null stage times of users who dropped out earlier). */
+  def funnelCounts(events: DataFrame, stages: Seq[String],
+      names: Seq[String], gapSec: Long = 1800): DataFrame = {
+    require(names.length == stages.length, "one output name per stage")
+    val perUserAggs = stages.indices.map(i => max(col(s"s$i")).as(s"s$i"))
+    val countAggs = stages.indices.map(i => count(col(s"s$i")).as(names(i)))
+    funnelStaged(events, stages, gapSec)
+      .groupBy(col("user_id"))
+      .agg(perUserAggs.head, perUserAggs.tail: _*)
+      .agg(countAggs.head, countAggs.tail: _*)
+  }
+
   /** Conversion funnel view → click → purchase: each stage's timestamp
     * is the user's FIRST qualifying event no earlier than the previous
     * stage and within 30 minutes of it — the standard ordered-sequence
-    * analytics query. Every stage is a window over the SAME user_id
-    * partitioning, so Catalyst stacks the Window operators behind ONE
-    * exchange: chained stages cost one shuffle total, never a
-    * per-stage self-join (the naive funnel formulation that dies at
-    * 100 TB). Timestamps compare at second granularity like
-    * [[qSessionWindow]], dodging the parquet NANOS mismatch. */
-  def qFunnel(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-    def sec(c: Column): Column = c.cast("long")
-    val staged = t(s, dir, "events")
-      .withColumn("v_ts", min(when(col("event_type") === "view",
-        sec(col("ts")))).over(w))
-      .withColumn("c_ts", min(when(col("event_type") === "click" &&
-        sec(col("ts")) >= col("v_ts") &&
-        sec(col("ts")) <= col("v_ts") + 1800, sec(col("ts")))).over(w))
-      .withColumn("p_ts", min(when(col("event_type") === "purchase" &&
-        sec(col("ts")) >= col("c_ts") &&
-        sec(col("ts")) <= col("c_ts") + 1800, sec(col("ts")))).over(w))
-    staged.groupBy(col("user_id"))
-      .agg(max(col("v_ts")).as("v"), max(col("c_ts")).as("c"),
-        max(col("p_ts")).as("p"))
-      .agg(count(col("v")).as("n_view"),
-        count(col("c")).as("n_view_click"),
-        count(col("p")).as("n_view_click_purchase"))
-  }
+    * analytics query, built on [[funnelStaged]]. Timestamps compare at
+    * second granularity like [[qSessionWindow]], dodging the parquet
+    * NANOS mismatch. Semantics falsifiability: `FunnelSpec` runs this
+    * exact code path over planted chains (full chain, exact-1800 s
+    * boundary in / 1801 s out, purchase-before-click that must NOT
+    * count) and asserts exact nonzero stage counts. */
+  def qFunnel(s: SparkSession, dir: String): DataFrame =
+    funnelCounts(
+      t(s, dir, "events").select(col("user_id"), col("event_type"),
+        col("ts").cast("long").as("sec")),
+      Seq("view", "click", "purchase"),
+      Seq("n_view", "n_view_click", "n_view_click_purchase"))
+
+  /** N-stage funnel generalization: the same one-exchange window
+    * chain parameterized over a stage list — here the full product
+    * journey signup → view → click → purchase at a 1-day gap (each
+    * stage within 24 h of the previous). Unlike the 30-minute 3-stage
+    * [[qFunnel]], every stage is non-vacuous on the test data at all
+    * SFs: (15, 8, 2, 1) at sf0.001 / (150, 39, 16, 5) at sf0.01 /
+    * (1500, 550, 192, 73) at sf0.1 — each stage both fires and drops
+    * users, so the oracle comparison exercises the chain's defining
+    * semantics, not just the empty path. */
+  def qFunnelStages(s: SparkSession, dir: String): DataFrame =
+    funnelCounts(
+      t(s, dir, "events").select(col("user_id"), col("event_type"),
+        col("ts").cast("long").as("sec")),
+      Seq("signup", "view", "click", "purchase"),
+      Seq("n_signup", "n_signup_view", "n_signup_view_click",
+        "n_signup_view_click_purchase"),
+      gapSec = 86400)
+
+  val qFunnelStagesOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS sec
+      |  FROM events),
+      |s0 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN sec END)
+      |         OVER (PARTITION BY user_id) AS t0 FROM e),
+      |s1 AS (SELECT *, min(CASE WHEN event_type = 'view'
+      |           AND sec >= t0 AND sec <= t0 + 86400 THEN sec END)
+      |         OVER (PARTITION BY user_id) AS t1 FROM s0),
+      |s2 AS (SELECT *, min(CASE WHEN event_type = 'click'
+      |           AND sec >= t1 AND sec <= t1 + 86400 THEN sec END)
+      |         OVER (PARTITION BY user_id) AS t2 FROM s1),
+      |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+      |           AND sec >= t2 AND sec <= t2 + 86400 THEN sec END)
+      |         OVER (PARTITION BY user_id) AS t3 FROM s2),
+      |u AS (SELECT user_id, max(t0) AS t0, max(t1) AS t1,
+      |             max(t2) AS t2, max(t3) AS t3
+      |      FROM s3 GROUP BY 1)
+      |SELECT count(t0) AS n_signup, count(t1) AS n_signup_view,
+      |  count(t2) AS n_signup_view_click,
+      |  count(t3) AS n_signup_view_click_purchase
+      |FROM u""".stripMargin
 
   val qFunnelOracle: String =
     """WITH e AS (
@@ -576,6 +644,7 @@ object Functions {
     "q_sliding_window" -> qSlidingWindow,
     "q_session_window" -> qSessionWindow,
     "q_funnel" -> qFunnel,
+    "q_funnel_stages" -> qFunnelStages,
     "q_cohort_retention" -> qCohortRetention,
     "q_map_funcs" -> qMapFuncs,
     "q_udf_surface" -> qUdfSurface,
@@ -596,6 +665,7 @@ object Functions {
     "q_sliding_window" -> qSlidingWindowOracle,
     "q_session_window" -> qSessionWindowOracle,
     "q_funnel" -> qFunnelOracle,
+    "q_funnel_stages" -> qFunnelStagesOracle,
     "q_cohort_retention" -> qCohortRetentionOracle,
     "q_map_funcs" -> qMapFuncsOracle,
     "q_udf_surface" -> qUdfSurfaceOracle,

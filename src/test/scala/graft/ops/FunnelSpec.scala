@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Planted-chain falsifiability spec for the funnel family.
+  *
+  * `q_funnel` is hash-green against its DuckDB oracle, but the test
+  * data contains zero complete view→click→purchase chains within
+  * 30 minutes at every SF — so the purchase stage matched the oracle
+  * vacuously, and a sign error in the `+ 1800` bound or chaining
+  * stage 3 off the wrong column would have stayed green. This spec
+  * runs the EXACT production code path ([[Functions.funnelStaged]] /
+  * [[Functions.funnelCounts]], the same functions `qFunnel` calls)
+  * over planted chains whose stage counts are known, nonzero, and
+  * sensitive to every clause of the qualifying predicate:
+  *
+  *  - a complete in-window chain (must count through purchase);
+  *  - a chain whose every hop is EXACTLY the 1800 s boundary (the
+  *    bound is inclusive: must count);
+  *  - a hop at 1801 s (must NOT count — kills a `<` vs `<=` or
+  *    off-by-one regression);
+  *  - a purchase BEFORE the click (must NOT count — kills a chain
+  *    wired off `v_ts` instead of `c_ts`, and a missing `>=` guard);
+  *  - a click before the view plus a later qualifying click (the
+  *    early click must be skipped, not picked as the minimum);
+  *  - stage entered with no earlier stage (must count nothing).
+  */
+class FunnelSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // (user, event_type, sec) — see class doc for what each user plants.
+  private lazy val planted = Seq(
+    // user 1: comfortable full chain
+    (1L, "view", 1000L), (1L, "click", 1500L), (1L, "purchase", 2000L),
+    // user 2: every hop exactly 1800 s — boundary is inclusive, counts
+    (2L, "view", 1000L), (2L, "click", 2800L), (2L, "purchase", 4600L),
+    // user 3: click 1801 s after view — one second over, must drop
+    (3L, "view", 1000L), (3L, "click", 2801L),
+    // user 4: purchase BEFORE the click — must not count as stage 3
+    (4L, "view", 1000L), (4L, "purchase", 1100L), (4L, "click", 1200L),
+    // user 5: click with no view at all — contributes to no stage
+    (5L, "click", 1000L),
+    // user 6: view then purchase, no click — purchase must not skip a stage
+    (6L, "view", 1000L), (6L, "purchase", 1500L),
+    // user 7: stray click before the view; later click + purchase qualify
+    (7L, "click", 500L), (7L, "view", 1000L), (7L, "click", 1500L),
+    (7L, "purchase", 1600L),
+    // user 8: purchase 1801 s after the click — over the bound, drops
+    (8L, "view", 1000L), (8L, "click", 1500L), (8L, "purchase", 3301L)
+  ).toDF("user_id", "event_type", "sec")
+
+  test("funnelCounts on planted chains: exact nonzero stage counts") {
+    val out = Functions.funnelCounts(planted,
+      Seq("view", "click", "purchase"),
+      Seq("n_view", "n_view_click", "n_view_click_purchase"))
+      .collect().head
+    // views: users 1,2,3,4,6,7,8 (user 5 has none)
+    assert(out.getLong(0) == 7L, "n_view")
+    // view→click: 1,2 (boundary),4,7,8 — NOT 3 (1801 s), NOT 5 (no view)
+    assert(out.getLong(1) == 5L, "n_view_click")
+    // full chain: 1,2 (boundary),7 — NOT 4 (purchase precedes click),
+    // NOT 6 (no click), NOT 8 (1801 s)
+    assert(out.getLong(2) == 3L, "n_view_click_purchase")
+  }
+
+  test("funnelStaged picks the first QUALIFYING stage time, not the raw min") {
+    val staged = Functions.funnelStaged(planted,
+      Seq("view", "click", "purchase"))
+      .groupBy("user_id")
+      .agg(max("s0").as("s0"), max("s1").as("s1"), max("s2").as("s2"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    // user 7: click@500 precedes the view and must be skipped — the
+    // stage-1 time is the later in-window click, then purchase chains.
+    assert(staged(7L) == ((Some(1000L), Some(1500L), Some(1600L))))
+    // user 4: purchase@1100 < click@1200, so stage 3 stays null even
+    // though a purchase event exists inside the window span.
+    assert(staged(4L) == ((Some(1000L), Some(1200L), None)))
+    // user 2: exact-boundary hops resolve to the boundary times.
+    assert(staged(2L) == ((Some(1000L), Some(2800L), Some(4600L))))
+    // user 3: the 1801 s click leaves stage 2 null.
+    assert(staged(3L) == ((Some(1000L), None, None)))
+  }
+
+  test("funnelCounts generalizes to N stages and honors gapSec") {
+    val four = Seq(
+      // completes all four stages at gap 100
+      (1L, "signup", 0L), (1L, "view", 50L), (1L, "click", 120L),
+      (1L, "purchase", 200L),
+      // stage 2→3 hop of 101 s exceeds gapSec=100: drops at click
+      (2L, "signup", 0L), (2L, "view", 100L), (2L, "click", 201L),
+      (2L, "purchase", 250L)
+    ).toDF("user_id", "event_type", "sec")
+    val out = Functions.funnelCounts(four,
+      Seq("signup", "view", "click", "purchase"),
+      Seq("n0", "n1", "n2", "n3"), gapSec = 100L)
+      .collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3)) == ((2L, 2L, 1L, 1L)))
+  }
+
+  test("q_funnel / q_funnel_stages run the planted-verified code path") {
+    // The gated queries must be thin wrappers over funnelCounts so the
+    // planted assertions above cover the live path: recompute q_funnel
+    // from raw events via funnelCounts and require identical output.
+    val viaHelper = Functions.funnelCounts(
+      graft.io.Tables.load(spark, sf, "events").select(col("user_id"),
+        col("event_type"), col("ts").cast("long").as("sec")),
+      Seq("view", "click", "purchase"),
+      Seq("n_view", "n_view_click", "n_view_click_purchase"))
+      .collect().head
+    val gated = Functions.qFunnel(spark, sf).collect().head
+    assert(viaHelper == gated)
+    // And the 4-stage query is non-vacuous on real data at sf0.001:
+    // every stage fires and every stage drops users.
+    val st = Functions.qFunnelStages(spark, sf).collect().head
+    val counts = (0 to 3).map(st.getLong)
+    assert(counts == Seq(15L, 8L, 2L, 1L),
+      s"expected sf0.001 4-stage funnel (15,8,2,1), got $counts")
+  }
+}
