@@ -477,16 +477,27 @@ object Relational {
       |SELECT s_nationkey FROM supplier
       |ORDER BY nationkey""".stripMargin
 
-  def qExcept(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
-      .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
-      .orderBy("nationkey")
+  /** Set difference (EXCEPT): orders with a returned line
+    * (l_returnflag = 'R') but no accepted line ('A'). Phrased so the
+    * output is non-empty AND non-total at every SF (sf0.001:
+    * 313 of 1096 R-orders survive; sf0.1: 29 198 of 110 598) — both
+    * the drop path (row present on the right) and the emit path are
+    * exercised, unlike the previous customer-minus-supplier nation
+    * phrasing which was always empty on this data. */
+  def qExcept(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.where(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("orderkey"))
+      .except(li.where(col("l_returnflag") === "A")
+        .select(col("l_orderkey").as("orderkey")))
+      .orderBy("orderkey")
+  }
 
   val qExceptOracle: String =
-    """SELECT c_nationkey AS nationkey FROM customer
+    """SELECT l_orderkey AS orderkey FROM lineitem WHERE l_returnflag = 'R'
       |EXCEPT
-      |SELECT s_nationkey FROM supplier
-      |ORDER BY nationkey""".stripMargin
+      |SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+      |ORDER BY orderkey""".stripMargin
 
   /** Multiset difference (EXCEPT ALL) — keeps multiplicity: a nation
     * with 30 customers and 4 suppliers survives 26 times. The
@@ -609,18 +620,26 @@ object Relational {
       |              WHERE l_orderkey = o_orderkey AND l_discount >= 0.09)
       |ORDER BY o_orderkey""".stripMargin
 
-  /** Left-anti: NOT EXISTS. Parts never shipped. */
+  /** Left-anti: NOT EXISTS. Customers with no URGENT-priority order.
+    * The probe side is predicate-restricted so the output is
+    * non-empty AND non-total at every SF (sf0.001: 18 of 150
+    * customers; sf0.1: 1 986 of 15 000) — the previous
+    * parts-never-shipped phrasing returned 0 rows at every SF
+    * because the synthetic data covers every FK, so the anti
+    * semantics were only ever exercised on the empty path. */
   def qJoinAnti(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "part")
-      .join(t(s, dir, "lineitem"),
-        col("p_partkey") === col("l_partkey"), "left_anti")
-      .select(col("p_partkey"), col("p_name"))
-      .orderBy("p_partkey")
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders")
+          .where(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
 
   val qJoinAntiOracle: String =
-    """SELECT p_partkey, p_name FROM part
-      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
-      |ORDER BY p_partkey""".stripMargin
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
 
   /** Cross join (small × small, explicit). */
   def qJoinCross(s: SparkSession, dir: String): DataFrame =
