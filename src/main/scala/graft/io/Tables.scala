@@ -353,18 +353,70 @@ object Tables {
     (v, readManifestFile(fs, latest.getPath))
   }
 
+  /** Leaf partition directories `levels` deep under `base`, as
+    * relative keys like `ingest_epoch=0/cell=3` — the manifest's
+    * partition identifiers for (possibly nested) partition layouts. */
+  private def listPartDirs(fs: org.apache.hadoop.fs.FileSystem,
+                           base: org.apache.hadoop.fs.Path,
+                           levels: Int): Seq[String] = {
+    def walk(dir: org.apache.hadoop.fs.Path, depth: Int,
+             prefix: String): Seq[String] = {
+      val kids = fs.listStatus(dir)
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      if (depth == 1) kids.map(st => prefix + st.getPath.getName).toSeq
+      else kids.flatMap(st =>
+        walk(st.getPath, depth - 1, prefix + st.getPath.getName + "/")).toSeq
+    }
+    walk(base, levels, "")
+  }
+
   /** Initial manifested write: one `partitionBy` job into `data/v1`,
-    * then manifest v1 listing every partition directory. */
-  def writeManifested(df: DataFrame, path: String, partCol: String): Unit = {
+    * then manifest v1 listing every (leaf) partition directory. */
+  def writeManifested(df: DataFrame, path: String, partCol: String): Unit =
+    writeManifested(df, path, Seq(partCol))
+
+  /** Multi-level variant: partitions nest (`a=1/b=2`), manifest keys
+    * are the full relative leaf paths. */
+  def writeManifested(df: DataFrame, path: String,
+                      partCols: Seq[String]): Unit = {
+    require(partCols.nonEmpty, "writeManifested needs a partition column")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsFor(df.sparkSession, root)
-    df.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
       .parquet(s"$path/data/v1")
-    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data/v1"))
-      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-      .map(st => st.getPath.getName -> s"data/v1/${st.getPath.getName}")
-      .toMap
+    val parts = listPartDirs(fs,
+      new org.apache.hadoop.fs.Path(s"$path/data/v1"), partCols.length)
+      .map(p => p -> s"data/v1/$p").toMap
     commitManifest(fs, root, 1L, parts)
+  }
+
+  /** Replace-or-add commit: write `df` (partitioned by `partCols`)
+    * into the NEXT version dir, then flip the pointer to
+    * {live entries whose partition key does NOT match `dropPart`}
+    * ∪ {the new write's entries} — the manifested form of a dynamic
+    * partition overwrite. Crash-safe the same way compaction is:
+    * data lands first, the manifest rename is the only commit point,
+    * and a crash in between leaves an orphan version dir that the
+    * next [[vacuumManifested]] reclaims (no manifest references it).
+    * Single-writer, like every manifest commit here: callers are the
+    * driver main or a foreachBatch body, both sequential. Returns the
+    * committed version. */
+  def upsertManifested(df: DataFrame, path: String, partCols: Seq[String],
+                       dropPart: String => Boolean): Long = {
+    require(partCols.nonEmpty, "upsertManifested needs a partition column")
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, root)
+    val (version, live) = resolveManifest(spark, path)
+    val next = version + 1
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
+      .parquet(s"$path/data/v$next")
+    val added = listPartDirs(fs,
+      new org.apache.hadoop.fs.Path(s"$path/data/v$next"), partCols.length)
+      .map(p => p -> s"data/v$next/$p").toMap
+    commitManifest(fs, root, next,
+      live.filterNot { case (p, _) => dropPart(p) } ++ added)
+    next
   }
 
   /** Snapshot read through the pointer: resolve the latest manifest,
@@ -484,15 +536,24 @@ object Tables {
     // not be able to desync vacuum's view of what is referenced
     val referenced: Set[String] =
       keep.flatMap(m => readManifestFile(fs, m.getPath).values).toSet
+    // nested-partition-aware walk: delete a partition dir only when
+    // NO referenced leaf equals it or lives under it; recurse into
+    // partially-live subtrees (e.g. data/vN/ingest_epoch=0 when only
+    // some of its cell= children are still referenced)
+    def sweep(dir: org.apache.hadoop.fs.Path, rel: String): Unit =
+      fs.listStatus(dir)
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .foreach { pd =>
+          val childRel = s"$rel/${pd.getPath.getName}"
+          if (referenced.contains(childRel)) () // live leaf — keep
+          else if (referenced.exists(_.startsWith(childRel + "/")))
+            sweep(pd.getPath, childRel) // some descendants live
+          else fs.delete(pd.getPath, true)
+        }
     val dataRoot = new org.apache.hadoop.fs.Path(s"$path/data")
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot)
       .filter(_.getPath.getName.startsWith("v")).foreach { vd =>
-        fs.listStatus(vd.getPath)
-          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-          .foreach { pd =>
-            val rel = s"data/${vd.getPath.getName}/${pd.getPath.getName}"
-            if (!referenced.contains(rel)) fs.delete(pd.getPath, true)
-          }
+        sweep(vd.getPath, s"data/${vd.getPath.getName}")
         if (fs.listStatus(vd.getPath)
           .forall(st => !st.isDirectory)) fs.delete(vd.getPath, true)
       }

@@ -821,9 +821,13 @@ object Similarity {
     * memoized entry above and by specs that need a PRIVATE index
     * (e.g. one that will receive streamed batches without polluting
     * the shared per-dir index other specs serve from). Codes land
-    * under (ingest_epoch=0, cell=K): the epoch level is what makes
-    * streaming maintenance ([[ingestVectors]]) replay-idempotent, and
-    * dynamic partition pruning still fires on the cell level. */
+    * under (ingest_epoch=0, cell=K) as a MANIFESTED table
+    * ([[graft.io.Tables.writeManifested]]): the epoch level is what
+    * makes streaming maintenance ([[ingestVectors]]) replay-
+    * idempotent, dynamic partition pruning still fires on the cell
+    * level, and the manifest pointer is what lets
+    * [[compactIndexEpochs]] fold accumulated epoch layers under live
+    * readers. */
   private[ops] def buildIndexTo(s: SparkSession, dir: String,
                                 idx: String): Unit = {
     val e = unitCorpus(s, dir).localCheckpoint()
@@ -832,10 +836,9 @@ object Similarity {
     cents.write.mode("overwrite").parquet(s"$idx/centroids")
     val codebook = pqCodebook(resid)
     codebook.write.mode("overwrite").parquet(s"$idx/codebook")
-    encodeResiduals(resid, codebook)
-      .withColumn("ingest_epoch", lit(0L))
-      .write.mode("overwrite")
-      .partitionBy("ingest_epoch", "cell").parquet(s"$idx/codes")
+    Tables.writeManifested(
+      encodeResiduals(resid, codebook).withColumn("ingest_epoch", lit(0L)),
+      s"$idx/codes", Seq("ingest_epoch", "cell"))
     // build-only checkpoints: nothing returned references them,
     // so release immediately instead of via Ckpt slots
     Ckpt.release(e); Ckpt.release(resid)
@@ -856,12 +859,47 @@ object Similarity {
     val codebook = s.read.parquet(s"$idx/codebook")
     val unit = withNorm(batch)
       .withColumn("nemb", transform(col("emb"), x => x / col("nrm")))
-    encodeResiduals(residuals(unit, cents), codebook)
-      .withColumn("ingest_epoch", lit(epoch))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_epoch", "cell")
-      .parquet(s"$idx/codes")
+    // manifested replace-or-add: a replay of epoch E drops E's live
+    // entries and commits the re-encoded ones (identical rows — the
+    // encode is pure), exactly what dynamic partition overwrite did
+    // on the plain layout, but now behind the pointer compaction uses
+    Tables.upsertManifested(
+      encodeResiduals(residuals(unit, cents), codebook)
+        .withColumn("ingest_epoch", lit(epoch)),
+      s"$idx/codes", Seq("ingest_epoch", "cell"),
+      _.startsWith(s"ingest_epoch=$epoch/"))
+  }
+
+  /** Fold accumulated ingest-epoch layers of a persisted index's code
+    * table into the base epoch — the lifecycle step that keeps
+    * [[ingestVectors]] from growing one partition layer per batch
+    * forever. Everything LIVE is rewritten into one new manifest
+    * version: epochs strictly below the high-water mark fold into
+    * `ingest_epoch=0`; the newest epoch is carried through UNDER ITS
+    * OWN epoch value because Structured Streaming's foreachBatch can
+    * still replay exactly that epoch after a crash (older epochs are
+    * committed in the checkpoint and immutable). Readers are
+    * isolated the same way [[graft.io.Tables.compactManifested]]
+    * isolates them: old versions stay on disk until
+    * [[graft.io.Tables.vacuumManifested]]; the single-version result
+    * also restores a single-scan read (and with it scan-time DPP on
+    * `cell`) that a many-epoch union would otherwise fragment —
+    * SimilaritySpec pins serve-equality, the DPP plan, and replay
+    * idempotence across the fold. Returns the high-water epoch, or
+    * -1 when only the build layer exists (no-op). */
+  def compactIndexEpochs(s: SparkSession, idx: String): Long = {
+    val path = s"$idx/codes"
+    val codes = Tables.readManifested(s, path)
+    // one-row driver pull: the epoch high-water mark (scalar, not data)
+    val maxE = codes.agg(max(col("ingest_epoch"))).head()
+      .getAs[Number](0).longValue()
+    if (maxE <= 0L) return -1L
+    Tables.upsertManifested(
+      codes.withColumn("ingest_epoch",
+        when(col("ingest_epoch") < maxE, lit(0L))
+          .otherwise(col("ingest_epoch"))),
+      path, Seq("ingest_epoch", "cell"), _ => true)
+    maxE
   }
 
   /** Serve ANN queries from the PERSISTED index — the steady-state
@@ -875,13 +913,20 @@ object Similarity {
     * scans and the code scan is pruned to probed cells by dynamic
     * partition pruning. Approximate by design → rows-only driver
     * check. */
-  def simAnnServed(s: SparkSession, dir: String): DataFrame = {
-    val idx = buildIndex(s, dir)
+  def simAnnServed(s: SparkSession, dir: String): DataFrame =
+    serveFrom(s, dir, buildIndex(s, dir))
+
+  /** The serve path against an EXPLICIT index dir — shared by
+    * [[simAnnServed]] (shared memoized index) and the lifecycle specs
+    * (private indexes that receive ingest batches and epoch
+    * compaction without polluting the shared one). */
+  private[ops] def serveFrom(s: SparkSession, dir: String,
+                             idx: String): DataFrame = {
     val e = withNorm(t(s, dir, "embeddings")).repartition(col("vec_id"))
     adcSearch(e,
       s.read.parquet(s"$idx/centroids"),
       s.read.parquet(s"$idx/codebook"),
-      s.read.parquet(s"$idx/codes"))
+      Tables.readManifested(s, s"$idx/codes"))
   }
 
   // ---------- Incremental index maintenance (batch-vs-index) ----------

@@ -280,7 +280,7 @@ class SimilaritySpec extends SparkSpec {
     // PRIVATE index copy — the shared memoized index must not absorb
     // these streamed vectors (other specs assert serve == fresh build)
     Similarity.buildIndexTo(spark, sf, idx)
-    val codes0 = spark.read.parquet(s"$idx/codes")
+    val codes0 = graft.io.Tables.readManifested(spark, s"$idx/codes")
       .where(col("ingest_epoch") === 0).count()
 
     // stage two files of "new" vectors: real embeddings, offset ids
@@ -303,7 +303,7 @@ class SimilaritySpec extends SparkSpec {
       StreamOps.readEmbeddings(spark, stage, Some(1)),
       idx, root.resolve("ckpt").toString)
 
-    def codes = spark.read.parquet(s"$idx/codes")
+    def codes = graft.io.Tables.readManifested(spark, s"$idx/codes")
     val newCodes = codes.where(col("vec_id") >= 10000)
     assert(newCodes.select(col("vec_id")).distinct().count() == 20,
       "not every streamed vector was encoded")
@@ -328,6 +328,66 @@ class SimilaritySpec extends SparkSpec {
     Similarity.ingestVectors(f2, idx, f2epoch)
     val after = codes.collect().map(_.toSeq).sortBy(_.toString)
     assert(after.sameElements(snapshot), "epoch replay changed the codes")
+  }
+
+  test("epoch compaction: old epochs fold behind the manifest pointer, " +
+    "serve is unchanged, DPP survives, replay stays idempotent") {
+    import org.apache.spark.sql.functions._
+    import graft.io.Tables
+    val root = java.nio.file.Files.createTempDirectory("graft-idx-cmp")
+    val idx = root.resolve("idx").toString
+    Similarity.buildIndexTo(spark, sf, idx) // manifest v1, epoch 0
+    val base = Tables.load(spark, sf, "embeddings")
+    def batchDf(lo: Int, hi: Int) = base
+      .where(col("vec_id") >= lo && col("vec_id") < hi)
+      .withColumn("vec_id", col("vec_id") + 20000)
+    // three ingest epochs accumulate three partition layers (v2..v4)
+    Similarity.ingestVectors(batchDf(0, 10), idx, 1L)
+    Similarity.ingestVectors(batchDf(10, 20), idx, 2L)
+    Similarity.ingestVectors(batchDf(20, 30), idx, 3L)
+    val path = s"$idx/codes"
+    def codes = Tables.readManifested(spark, path)
+    def epochs = codes.select(col("ingest_epoch")).distinct().collect()
+      .map(_.getAs[Number](0).longValue()).sorted.toSeq
+    def codeSet = codes.collect()
+      .map(r => (r.getLong(0), r.getAs[Number](r.fieldIndex("cell"))
+        .longValue(), r.getAs[Number](r.fieldIndex("m")).longValue(),
+        r.getAs[Number](r.fieldIndex("code")).longValue())).toSet
+    assert(epochs == Seq(0L, 1L, 2L, 3L), s"pre-fold epochs: $epochs")
+    val preFold = codeSet
+    val served0 = Similarity.serveFrom(spark, sf, idx).collect().toSeq
+
+    assert(Similarity.compactIndexEpochs(spark, idx) == 3L)
+    // epochs 1..2 folded into 0; the replayable high-water epoch kept
+    assert(epochs == Seq(0L, 3L), s"post-fold epochs: $epochs")
+    assert(codeSet == preFold, "folding changed the code rows")
+    // reader isolation: the pre-fold snapshot is still time-travelable
+    // (v4 = the last pre-compaction commit) until vacuum
+    assert(Tables.readManifestedAt(spark, path, 4L)
+      .select(col("ingest_epoch")).distinct().count() == 4)
+    // serve: row-for-row identical through the fold, and the
+    // single-version layout restores a DPP-prunable single scan
+    val servedAfter = Similarity.serveFrom(spark, sf, idx)
+    assert(servedAfter.collect().toSeq == served0,
+      "epoch compaction changed serve results")
+    val plan = servedAfter.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"compacted code scan lost dynamic partition pruning:\n$plan")
+    // replay of the kept high-water epoch is still idempotent
+    Similarity.ingestVectors(batchDf(20, 30), idx, 3L)
+    assert(codeSet == preFold, "post-compaction replay changed the codes")
+    assert(epochs == Seq(0L, 3L))
+    // vacuum reclaims every superseded version (v1..v4 fully; the
+    // replay also superseded v5's epoch-3 subtree — the nested
+    // partial-live sweep) without touching the live snapshot
+    Tables.vacuumManifested(spark, path)
+    assert(codeSet == preFold, "vacuum changed the live snapshot")
+    val leftover = new java.io.File(s"$path/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(!leftover.exists(Seq("v1", "v2", "v3", "v4").contains),
+      s"superseded version dirs survived vacuum: $leftover")
+    intercept[IllegalArgumentException](
+      Tables.readManifestedAt(spark, path, 4L)) // vacuumed → loud fail
   }
 
   test("planesFor follows log2(n/bucket) and clamps at both ends") {
