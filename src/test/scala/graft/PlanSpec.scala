@@ -344,4 +344,56 @@ class PlanSpec extends SparkSpec {
       .rdd.getNumPartitions
     assert(parts <= 4, s"agg produced $parts partitions")
   }
+
+  test("AQE skew join: a planted hot key is split at runtime and " +
+    "results match the skew-disabled plan") {
+    // Manual salting is gated (q_skew_agg/q_skew_join); this pins the
+    // mechanism a 100× scale-up leans on FIRST — Spark's adaptive
+    // skew split — on a planted-skew fixture: one key holds ~83% of
+    // the left side, thresholds lowered so local data sizes trip the
+    // detector, broadcast disabled so the join is sort-merge.
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val restore = keys.map(k => k -> spark.conf.get(k))
+    def hotJoin = {
+      val s = spark
+      import s.implicits._
+      // left: key 0 carries 50k of 60k rows; payload pads partition
+      // bytes past the lowered skew threshold
+      val left = s.range(0, 60000)
+        .select(when($"id" < 50000, 0L)
+          .otherwise(pmod($"id", lit(10))).as("k"),
+          lpad($"id".cast("string"), 64, "x").as("payload"))
+      val right = s.range(0, 10).select($"id".as("k"), ($"id" * 2).as("w"))
+      // global (partial-aggregated) digest: content-sensitive parity
+      // without a keyed post-join shuffle, which would otherwise make
+      // the split ineligible (it breaks the join's output partitioning)
+      left.join(right, "k")
+        .select(crc32(concat_ws("|", $"k", $"payload", $"w")).as("h"))
+        .agg(count(lit(1)).as("n"), sum($"h").as("digest"))
+    }
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "256KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "128KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = hotJoin
+      val skewed = df.collect().head
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the planted hot key:\n$plan")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val flat = hotJoin.collect().head
+      assert(skewed.toSeq == flat.toSeq,
+        s"skew-split results diverged: $skewed vs $flat")
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
