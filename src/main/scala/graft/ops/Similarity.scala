@@ -307,7 +307,23 @@ object Similarity {
 
   // ---------- IVF-bucketed ANN (coarse quantization) ----------
 
-  private val IvfProbes = 4
+  /** Probe budget from cell count — the probes-side sibling of
+    * [[planesFor]], replacing the fixed constant the round-4 review
+    * flagged: recall against these near-uniform embeddings tracks the
+    * FRACTION of cells probed (numpy sweep on the real vectors,
+    * trained cells: 4/10 cells → recall@5 0.72 at sf0.001; 12/38 →
+    * 0.74 at sf0.1; 4/38 → 0.39), so the budget is ⌈cells/3⌉ —
+    * targeting recall@5 ≥ 0.6 with headroom — clamped to [4, 64]:
+    * the floor keeps small indexes near-exhaustive, the cap bounds
+    * per-query ADC cost when cell count grows with corpus size
+    * (at the cap, recall is maintained by growing cells AND probes
+    * with √n, the standard IVF scaling, before sharding the index).
+    * SimilaritySpec asserts the absolute floor at both corpus sizes
+    * at exactly this budget. */
+  private[ops] def probesFor(nCells: Long): Int = {
+    require(nCells > 0, "probesFor needs a positive cell count")
+    math.min(64, math.max(4, ((nCells + 2) / 3).toInt))
+  }
 
   /** Nearest-cell assignment of every corpus vector to a broadcast
     * centroid table, by cosine, tie-broken on `cent_id` — the shared
@@ -351,8 +367,8 @@ object Similarity {
     * partitioned by cell (a real deployment would write it bucketed
     * by cell_id) and only |probes|/|cells| of it is touched per
     * query. */
-  private def ivfSearch(e: DataFrame, centsRaw: DataFrame,
-                        probes: Int): DataFrame = {
+  private[ops] def ivfSearch(e: DataFrame, centsRaw: DataFrame,
+                             probes: Int): DataFrame = {
     val cents = centsRaw
       .withColumn("cnrm", sqrt(dot(col("cemb"), col("cemb"))))
       .select(col("cent_id"), col("cemb"), col("cnrm"))
@@ -379,7 +395,7 @@ object Similarity {
     * against — same plan shape, reproducible across engines); every
     * vector is assigned to its nearest centroid (argmin over a
     * broadcast centroid table — linear in corpus size); each query
-    * probes its [[IvfProbes]] nearest cells and only those cells'
+    * probes its [[probesFor]]-sized nearest-cell ring and only those cells'
     * members get exact-cosine scored. Approximate by design →
     * rows-only driver check; SimilaritySpec asserts recall against
     * the brute-force truth. */
@@ -390,7 +406,10 @@ object Similarity {
     val e = withNorm(t(s, dir, "embeddings")).repartition(col("vec_id"))
     val cents = e.where(pmod(col("vec_id"), lit(53)) === 7)
       .select(col("vec_id").as("cent_id"), col("emb").as("cemb"))
-    ivfSearch(e, cents, IvfProbes)
+    // cell count derived from the memoized corpus count and the 1-in-53
+    // sample rate (±1 of the exact sample size — the probe law is
+    // insensitive at that granularity)
+    ivfSearch(e, cents, probesFor(math.max(1L, corpusCount(s, dir) / 53)))
   }
 
   // ---------- Lloyd's k-means (trained IVF centroids) ----------
@@ -518,17 +537,26 @@ object Similarity {
   private[ops] def trainedCents(s: SparkSession, dir: String): DataFrame =
     memoCents(s, dir, unitCorpus(s, dir))
 
-  /** IVF-flat over k-means-TRAINED centroids — same search, same
-    * probe budget as [[simAnnIvf]], better cells: Lloyd's iterations
-    * balance the partition so fewer true neighbors straddle a cell
-    * boundary the probe ring misses. Measured (numpy, real vectors,
-    * equal probes=4): recall@5 0.26 → 0.39 at sf0.1, 0.68 → 0.72 at
-    * sf0.001. Approximate by design → rows-only driver check;
-    * SimilaritySpec asserts trained ≥ sampled recall at equal probe
-    * count plus the k-means convergence behavior. */
+  /** Cell count of an already-memoized centroid table — free (array
+    * length), valid after the matching trainedCents/memoCents call. */
+  private def memoCellCount(key: String): Long =
+    centMemo.get(key).length.toLong
+
+  /** IVF-flat over k-means-TRAINED centroids — same search as
+    * [[simAnnIvf]] at the same [[probesFor]]-sized budget, better
+    * cells: Lloyd's iterations balance the partition so fewer true
+    * neighbors straddle a cell boundary the probe ring misses.
+    * Measured (numpy, real vectors, equal probes=4): recall@5
+    * 0.26 → 0.39 at sf0.1, 0.68 → 0.72 at sf0.001; at the auto-sized
+    * budget the trained index holds an ABSOLUTE recall@5 ≥ 0.6 at
+    * every SF (spec-pinned), which the fixed 4-probe constant did
+    * not at sf0.1. Approximate by design → rows-only driver check;
+    * SimilaritySpec asserts the absolute floor, trained ≥ sampled at
+    * a fixed equal budget, and the k-means convergence behavior. */
   def simAnnIvfTrained(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(t(s, dir, "embeddings")).repartition(col("vec_id"))
-    ivfSearch(e, trainedCents(s, dir), IvfProbes)
+    val cents = trainedCents(s, dir)
+    ivfSearch(e, cents, probesFor(memoCellCount(dir)))
   }
 
   // ---------- Product-quantization ANN (compressed-domain scan) ----------
@@ -646,12 +674,12 @@ object Similarity {
   // (same discipline as PQ/LSH): with 16 × 4-dim residual subspaces
   // the PQ stage loses ~nothing vs the IVF-flat ceiling at the same
   // probes (sf0.1: IVF-PQ 0.73 vs flat 0.74 at probes=12; M=8 × 8-dim
-  // measured 0.59 — residuals quantize better in narrower slices),
-  // and sf0.001 reaches 1.0 (12 probes ≥ its 10 cells → the IVF stage
-  // is exhaustive there and PQ is the only loss).
+  // measured 0.59 — residuals quantize better in narrower slices).
+  // The probe budget itself is [[probesFor]]-sized from the cell
+  // count (13 at sf0.1's 38 cells, 4 at sf0.001's 10), not a fixed
+  // constant.
   private[ops] val IvfPqM = 16 // 64 dims → 16 × 4-dim residual subvectors
   private val IvfPqSub = 4
-  private val IvfPqProbes = 12
   private val IvfPqCand = 100
 
   private def pqSubIdx: Column =
@@ -715,7 +743,8 @@ object Similarity {
     * scan never touches a vector), shortlist [[IvfPqCand]], exact
     * rerank. */
   private def adcSearch(e: DataFrame, cents: DataFrame,
-                        codebook: DataFrame, codes: DataFrame): DataFrame = {
+                        codebook: DataFrame, codes: DataFrame,
+                        probes: Int): DataFrame = {
     val centsN = cents
       .withColumn("cnrm", sqrt(dot(col("cemb"), col("cemb"))))
       .select(col("cent_id"), col("cemb"), col("cnrm"))
@@ -724,7 +753,7 @@ object Similarity {
         col("nrm").as("qnrm"))
     // per-(query, probed cell) residual — ||qr − r_x||² in a probed
     // cell is the true L2²(q, cell + r_x)
-    val probed = probeCells(qBase, centsN, IvfPqProbes)
+    val probed = probeCells(qBase, centsN, probes)
       .join(broadcast(centsN.select(col("cent_id").as("cell"),
         col("cemb"))), "cell")
       .select(col("qid"), col("cell"),
@@ -788,7 +817,8 @@ object Similarity {
     val resid = residuals(e, cents).localCheckpoint()
     Ckpt.track("sim_ann_ivfpq", e, resid)
     val codebook = pqCodebook(resid)
-    adcSearch(e, cents, codebook, encodeResiduals(resid, codebook))
+    adcSearch(e, cents, codebook, encodeResiduals(resid, codebook),
+      probesFor(memoCellCount(dir)))
   }
 
   // ---------- Index persistence (build once, serve many) ----------
@@ -923,10 +953,13 @@ object Similarity {
   private[ops] def serveFrom(s: SparkSession, dir: String,
                              idx: String): DataFrame = {
     val e = withNorm(t(s, dir, "embeddings")).repartition(col("vec_id"))
-    adcSearch(e,
-      s.read.parquet(s"$idx/centroids"),
+    val cents = s.read.parquet(s"$idx/centroids")
+    // k-row artifact scan: the probe budget is index METADATA (cell
+    // count), not a data-bearing pull
+    adcSearch(e, cents,
       s.read.parquet(s"$idx/codebook"),
-      Tables.readManifested(s, s"$idx/codes"))
+      Tables.readManifested(s, s"$idx/codes"),
+      probesFor(cents.count()))
   }
 
   // ---------- Incremental index maintenance (batch-vs-index) ----------
@@ -962,7 +995,8 @@ object Similarity {
     // the incremental step: batch-only encode against the frozen
     // broadcast artifacts, then a plain union into the code table
     val codesBatch = encodeResiduals(residuals(batch, cents), codebook)
-    adcSearch(full, cents, codebook, codesOld.unionByName(codesBatch))
+    adcSearch(full, cents, codebook, codesOld.unionByName(codesBatch),
+      probesFor(memoCellCount(dir + "#old")))
   }
 
   // ---------- Per-class centroids (vector aggregation) ----------

@@ -108,13 +108,8 @@ class SimilaritySpec extends SparkSpec {
       s"IVF recall@5 too low: $hits/${brute.size}")
   }
 
-  test("k-means-trained IVF beats sampled centroids at equal probes; " +
-    "exact scores preserved") {
-    // recall@5 vs brute force at the SAME probe budget (4): trained
-    // centroids must never lose to the sampled stand-in, and at the
-    // larger corpus — where cell quality matters — must win by a real
-    // margin (numpy on the real vectors: 0.26 → 0.39 at sf0.1,
-    // 0.68 → 0.72 at sf0.001)
+  test("k-means-trained IVF beats sampled centroids at a fixed equal " +
+    "budget, and holds an ABSOLUTE recall floor at the auto-sized one") {
     Seq("/root/testdata/sf0.001" -> 0.0, "/root/testdata/sf0.1" -> 0.05)
       .foreach { case (d, margin) =>
         val brute = Similarity.simCosineTopk(spark, d).collect()
@@ -122,17 +117,49 @@ class SimilaritySpec extends SparkSpec {
         def recall(rows: Array[org.apache.spark.sql.Row]): Double =
           rows.count(r => brute.contains((r.getLong(0), r.getLong(1))))
             .toDouble / brute.size
-        val sampled = recall(Similarity.simAnnIvf(spark, d).collect())
+        // (1) training quality, isolated at a FIXED equal budget of 4
+        // probes: trained cells must never lose to the sampled
+        // stand-in, and at the larger corpus — where cell quality
+        // matters — must win by a real margin (numpy: 0.26 → 0.39 at
+        // sf0.1, 0.68 → 0.72 at sf0.001)
+        val e = Similarity.unitCorpus(spark, d)
+        val sampledCents = e
+          .where(org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.lit(53)) === 7)
+          .select(org.apache.spark.sql.functions.col("vec_id").as("cent_id"),
+            org.apache.spark.sql.functions.col("emb").as("cemb"))
+        val sampled4 = recall(
+          Similarity.ivfSearch(e, sampledCents, probes = 4).collect())
+        val trained4 = recall(Similarity.ivfSearch(e,
+          Similarity.trainedCents(spark, d), probes = 4).collect())
+        info(s"$d @4 probes: sampled=$sampled4 trained=$trained4")
+        assert(trained4 >= sampled4 + margin,
+          s"$d: trained recall $trained4 did not beat sampled $sampled4 " +
+            s"by margin $margin at equal probes")
+        // (2) the OPERATING POINT: the gated query runs the
+        // probesFor-sized budget and must hold an absolute floor —
+        // the round-4 review's ask (a fixed 4-probe constant measured
+        // 0.39 at sf0.1, honest but weak; the auto-sized budget is
+        // sized to clear 0.6 everywhere)
         val trainedRows = Similarity.simAnnIvfTrained(spark, d).collect()
         trainedRows.groupBy(_.getLong(0)).foreach { case (_, g) =>
           assert(g.length <= 5)
         }
         val trained = recall(trainedRows)
-        info(s"$d: sampled=$sampled trained=$trained")
-        assert(trained >= sampled + margin,
-          s"$d: trained recall $trained did not beat sampled $sampled " +
-            s"by margin $margin")
+        info(s"$d @auto-sized probes: trained=$trained")
+        assert(trained >= 0.6,
+          s"$d: trained recall $trained under the absolute 0.6 floor " +
+            "at the auto-sized probe budget")
       }
+  }
+
+  test("probesFor follows ceil(cells/3) and clamps at both ends") {
+    assert(Similarity.probesFor(10) == 4, "small indexes keep the floor")
+    assert(Similarity.probesFor(38) == 13) // sf0.1's trained cell count
+    assert(Similarity.probesFor(1) == 4)
+    assert(Similarity.probesFor(1000000) == 64, "cap bounds ADC cost")
+    intercept[IllegalArgumentException](Similarity.probesFor(0))
   }
 
   test("Lloyd's k-means converges (shift < eps before the round cap) " +
