@@ -38,8 +38,14 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Manifest of every declared query, so the compare step can flag a
     // query that threw (and therefore wrote no output dir) instead of
-    // silently skipping it.
-    Files.writeString(Paths.get(s"$outDir/queries.json"),
+    // silently skipping it. A FILTERED run writes a DISTINCT manifest
+    // name (and removes the other) so its outDir can never be
+    // mistaken for a full gate — the comparer announces partial runs.
+    Files.deleteIfExists(Paths.get(s"$outDir/queries.json"))
+    Files.deleteIfExists(Paths.get(s"$outDir/queries_partial.json"))
+    val manifest =
+      if (only.isEmpty) "queries.json" else "queries_partial.json"
+    Files.writeString(Paths.get(s"$outDir/$manifest"),
       SparkEntry.queries.keys.toSeq
         .filter(k => only.isEmpty || only(k))
         .sorted.map(q).mkString("[", ",", "]"))

@@ -667,9 +667,15 @@ object Curation {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         size(words(col("text"))).cast("bigint").as("n_tokens"))
+    // digits-only weight derivation, identical expression in the
+    // oracle: substring-position parsing capped at 10 chars and
+    // non-ANSI cast behavior would only agree with DuckDB because
+    // fixture sources are short 'srcN' — a regexp over the trailing
+    // digits (0 when absent) can't silently diverge on new fixtures
     val weights = docs.select(col("source")).distinct()
-      .withColumn("weight",
-        lit(1L) + substring(col("source"), 4, 10).cast("bigint") % 4)
+      .withColumn("weight", expr(
+        "1 + coalesce(try_cast(regexp_extract(source, '([0-9]+)$', 1) " +
+          "AS BIGINT), 0) % 4"))
     val wsum = weights.agg(sum(col("weight")).as("w_sum"))
     val total = docs.agg(sum(col("n_tokens")).as("t_total"))
     val budgets = weights
@@ -696,7 +702,8 @@ object Curation {
       |  FROM documents),
       |w AS (
       |  SELECT source,
-      |    1 + CAST(substring(source, 4) AS BIGINT) % 4 AS weight
+      |    1 + coalesce(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1)
+      |      AS BIGINT), 0) % 4 AS weight
       |  FROM (SELECT DISTINCT source FROM d)),
       |b AS (
       |  SELECT source, weight,

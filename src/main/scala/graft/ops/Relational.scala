@@ -1004,11 +1004,16 @@ object Relational {
 
   val qDataChecksOracle: String =
     """SELECT * FROM (
+      |  -- NOT EXISTS, not NOT IN: a NULL FK key would collapse NOT IN
+      |  -- to 0 rows while the engine's anti-join counts it — NOT
+      |  -- EXISTS matches anti-join semantics NULL-safely
       |  SELECT 'fk_lineitem_orders' AS "check", count(*) AS n_violations
-      |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |  FROM lineitem l WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
       |  UNION ALL
       |  SELECT 'fk_orders_customer', count(*)
-      |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      |  FROM orders o WHERE NOT EXISTS
+      |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
       |  UNION ALL
       |  SELECT 'doc_text_nonempty', count(*)
       |  FROM documents WHERE text IS NULL OR length(text) = 0

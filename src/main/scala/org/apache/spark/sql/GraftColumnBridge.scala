@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * place the engine hands a raw Catalyst Expression (Cuid) to the
   * DataFrame API.
   */
-object GraftColumnBridge {
+object GraftColumnBridge extends org.apache.spark.internal.Logging {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
@@ -19,11 +19,22 @@ object GraftColumnBridge {
     * blocks belong to the UNDERLYING RDD inside the LogicalRDD leaf,
     * which `unpersist` never touches — so the engine's iterative
     * jobs were parking a corpus-sized copy per released slot until
-    * the ContextCleaner happened to run. Unpersisting that RDD
-    * directly frees the blocks deterministically. */
-  def unpersistCheckpointed(df: Dataset[Row]): Unit =
-    df.queryExecution.logical match {
-      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false); ()
-      case _ => df.unpersist(); ()
+    * the ContextCleaner happened to run. Unpersisting those RDDs
+    * directly frees the blocks deterministically. The leaves are
+    * collected from the WHOLE plan, so a derived frame (a projection
+    * over the checkpointed one) releases the checkpoint it pins
+    * instead of silently leaking through the `Dataset.unpersist`
+    * no-op; when the plan holds no LogicalRDD at all, the miswired
+    * call site is made visible with a warning rather than swallowed. */
+  def unpersistCheckpointed(df: Dataset[Row]): Unit = {
+    val rdds = df.queryExecution.logical.collect {
+      case lr: execution.LogicalRDD => lr.rdd
     }
+    if (rdds.isEmpty) {
+      logWarning("unpersistCheckpointed: no LogicalRDD under the plan — " +
+        "nothing to release (was this frame never localCheckpoint()ed?)")
+      df.unpersist()
+    } else rdds.foreach(_.unpersist(blocking = false))
+    ()
+  }
 }

@@ -32,4 +32,21 @@ class CkptSpec extends SparkSpec {
     assert((liveCheckpointRdds() -- before).isEmpty,
       "Ckpt.release left the checkpoint's RDD persisted")
   }
+
+  test("release on a DERIVED frame still frees the checkpoint it pins " +
+    "(projection over the LogicalRDD leaf — the silent-leak case)") {
+    import spark.implicits._
+    def live(): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val before = live()
+    val df = (1 to 100).toDF("x").localCheckpoint()
+    df.count()
+    assert((live() -- before).nonEmpty)
+    // previously this fell through to the Dataset.unpersist no-op and
+    // the checkpoint leaked for the JVM lifetime; the bridge now walks
+    // the plan for LogicalRDD leaves
+    Ckpt.release(df.select(org.apache.spark.sql.functions.col("x") * 2))
+    assert((live() -- before).isEmpty,
+      "releasing a derived frame leaked the underlying checkpoint")
+  }
 }

@@ -29,8 +29,12 @@ import os
 fails = []
 declared = []
 manifest = os.path.join(outdir, "queries.json")
+partial = os.path.join(outdir, "queries_partial.json")
 if os.path.exists(manifest):
     declared = json.load(open(manifest))
+elif os.path.exists(partial):
+    declared = json.load(open(partial))
+    print(f"PARTIAL RUN ({len(declared)} filtered queries) — NOT a full gate")
 for name in declared:
     if not os.path.isdir(os.path.join(outdir, name)):
         print(f"{name:24s} MISSING OUTPUT (query threw?)")
