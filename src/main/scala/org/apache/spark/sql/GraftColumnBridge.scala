@@ -13,6 +13,13 @@ object GraftColumnBridge extends org.apache.spark.internal.Logging {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Test support: drain the async listener bus so a metrics
+    * SparkListener has seen every completed task before a spec reads
+    * its counters (`listenerBus` is `private[spark]` — same
+    * re-export rationale as the converters above). */
+  def flushListenerBus(s: SparkSession): Unit =
+    s.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Release the persisted blocks behind a `localCheckpoint()`ed
     * DataFrame. `Dataset.unpersist` only uncaches CacheManager
     * entries (plans cached via `.persist`); a local checkpoint's

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
+
+import graft.SparkSpec
+
+/** Quantitative shuffle-volume pins for the heaviest steady-state
+  * queries. Wall-time regressions hide inside ±30% single-box noise;
+  * shuffle bytes written are a DETERMINISTIC function of the plan and
+  * the data, so a plan regression (a lost broadcast, a dropped
+  * map-side combine, an accidental re-shuffle) moves them far outside
+  * the pinned ceiling while legitimate runs land on almost exactly
+  * the recorded value every time.
+  *
+  * Ceilings are 2× the bytes measured at sf0.001 (recorded in each
+  * test) — wide enough for partition-count and compression jitter,
+  * narrow enough that the cheapest real regression (one extra
+  * corpus-wide exchange) blows through. The warm-up run keeps
+  * one-time builds (k-means training, sizing stats) out of the
+  * measured steady state, the same discipline the bench applies. */
+class ShuffleVolumeSpec extends SparkSpec {
+
+  private class ShuffleBytesListener extends SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    }
+  }
+
+  /** Total shuffle bytes written across ALL jobs of one steady-state
+    * execution (localCheckpoint materializations included — they are
+    * part of the query's real cost, invisible to plan-walk metrics). */
+  private def shuffleBytes(mk: () => DataFrame): Long = {
+    mk().collect() // warm-up: memoized one-time builds land here
+    val l = new ShuffleBytesListener
+    spark.sparkContext.addSparkListener(l)
+    try {
+      mk().collect()
+      GraftColumnBridge.flushListenerBus(spark)
+    } finally spark.sparkContext.removeSparkListener(l)
+    l.bytes.get()
+  }
+
+  test("sim_ann_ivfpq steady-state shuffle volume stays under its ceiling") {
+    val b = shuffleBytes(() => Similarity.simAnnIvfPq(spark, sf))
+    info(s"sim_ann_ivfpq shuffle bytes written: $b")
+    assert(b > 0, "expected at least the residual/encode exchanges")
+    assert(b <= 1536L * 1024, // measured 2026-08-13: 770 168 bytes
+      s"sim_ann_ivfpq shuffled $b bytes — plan regression " +
+        "(lost broadcast or extra corpus exchange?)")
+  }
+
+  test("pipeline_train_prep steady-state shuffle volume stays under " +
+    "its ceiling") {
+    val b = shuffleBytes(() => Curation.pipelineTrainPrep(spark, sf))
+    info(s"pipeline_train_prep shuffle bytes written: $b")
+    assert(b > 0)
+    assert(b <= 1408L * 1024, // measured 2026-08-13: 702 781 bytes
+      s"pipeline_train_prep shuffled $b bytes — plan regression " +
+        "(benchmark side no longer broadcast?)")
+  }
+
+  test("dedup_minhash_lsh shuffle volume stays under its ceiling") {
+    val b = shuffleBytes(() => TextOps.dedupMinhashLsh(spark, sf))
+    info(s"dedup_minhash_lsh shuffle bytes written: $b")
+    assert(b > 0)
+    assert(b <= 1056L * 1024, // measured 2026-08-13: 527 724 bytes
+      s"dedup_minhash_lsh shuffled $b bytes — plan regression " +
+        "(banded signature join gone quadratic or unbanded?)")
+  }
+}
