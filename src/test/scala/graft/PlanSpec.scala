@@ -235,14 +235,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("funnel: chained stage windows share ONE user_id exchange — no " +
-    "per-stage shuffle or self-join") {
-    val plan = planString(ops.Functions.qFunnel(spark, sf))
-    val userExchanges = "hashpartitioning\\(user_id".r
-      .findAllIn(plan).size
-    assert(userExchanges == 1,
-      s"expected exactly one user_id exchange, got $userExchanges:\n$plan")
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("Join"),
-      s"funnel planned a join:\n$plan")
+    "per-stage shuffle or self-join, at ANY stage count") {
+    Seq("q_funnel(3)" -> ops.Functions.qFunnel(spark, sf),
+        "q_funnel_stages(4)" -> ops.Functions.qFunnelStages(spark, sf))
+      .foreach { case (name, df) =>
+        val plan = planString(df)
+        val userExchanges = "hashpartitioning\\(user_id".r
+          .findAllIn(plan).size
+        assert(userExchanges == 1,
+          s"$name: expected exactly one user_id exchange, got " +
+            s"$userExchanges:\n$plan")
+        assert(!plan.contains("SortMergeJoin") && !plan.contains("Join"),
+          s"$name planned a join:\n$plan")
+      }
   }
 
   test("CBO: ANALYZE column statistics shrink a filtered dim below the " +
