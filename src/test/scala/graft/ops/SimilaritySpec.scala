@@ -223,7 +223,9 @@ class SimilaritySpec extends SparkSpec {
       e.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("emb").as("qemb"),
           col("nrm").as("qnrm")),
-      cents, 12).collect()
+      // the AUTO-SIZED budget the query actually probes — a wider
+      // fixed ring would accept neighbors the real probe set excludes
+      cents, Similarity.probesFor(cents.count())).collect()
       .groupBy(_.getLong(0))
       .map { case (q, rows) => q -> rows.map(_.getAs[Long]("cell")).toSet }
     Similarity.simAnnIvfPq(spark, sf).collect().foreach { r =>
