@@ -102,6 +102,54 @@ class FunnelSpec extends SparkSpec {
       out.getLong(3)) == ((2L, 2L, 1L, 1L)))
   }
 
+  test("property: funnelStaged matches a plain-Scala reference on " +
+    "random event sets (differential oracle, not just planted cases)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val stages = Seq("view", "click", "purchase")
+    val gap = 10L
+    // the reference implementation: per user, fold stage by stage —
+    // stage 0 time is the min matching event; stage i the min event of
+    // its type in [prev, prev + gap]. Deliberately a DIFFERENT
+    // algorithm (per-user in-memory fold) from the window chain.
+    def reference(rows: List[(Long, String, Long)])
+        : Map[Long, Seq[Option[Long]]] =
+      rows.groupBy(_._1).map { case (u, evs) =>
+        val times = stages.foldLeft(Seq.empty[Option[Long]]) { (acc, st) =>
+          val t = acc.lastOption match {
+            case None =>
+              val c = evs.filter(_._2 == st).map(_._3)
+              if (c.isEmpty) None else Some(c.min)
+            case Some(Some(p)) =>
+              val c = evs.filter(e => e._2 == st && e._3 >= p &&
+                e._3 <= p + gap).map(_._3)
+              if (c.isEmpty) None else Some(c.min)
+            case Some(None) => None
+          }
+          acc :+ t
+        }
+        u -> times
+      }
+    val evGen: Gen[List[(Long, String, Long)]] = Gen.listOfN(40,
+      Gen.zip(Gen.choose(1L, 6L),
+        Gen.oneOf("view", "click", "purchase", "signup"),
+        Gen.choose(0L, 40L)))
+    val cases = (1 to 30).flatMap(i =>
+      evGen.apply(Gen.Parameters.default, Seed(1000L + i)))
+    cases.foreach { rows =>
+      val expected = reference(rows)
+      val got = Functions.funnelStaged(
+        rows.toDF("user_id", "event_type", "sec"), stages, gap)
+        .groupBy("user_id")
+        .agg(max("s0").as("s0"), max("s1").as("s1"), max("s2").as("s2"))
+        .collect().map(r => r.getLong(0) ->
+          (1 to 3).map(i => Option(r.get(i)).map(_.asInstanceOf[Long])))
+        .toMap
+      assert(got == expected,
+        s"window chain diverged from reference on: $rows")
+    }
+  }
+
   test("q_funnel / q_funnel_stages run the planted-verified code path") {
     // The gated queries must be thin wrappers over funnelCounts so the
     // planted assertions above cover the live path: recompute q_funnel

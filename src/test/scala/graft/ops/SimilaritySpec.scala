@@ -417,6 +417,20 @@ class SimilaritySpec extends SparkSpec {
       s"superseded version dirs survived vacuum: $leftover")
     intercept[IllegalArgumentException](
       Tables.readManifestedAt(spark, path, 4L)) // vacuumed → loud fail
+    // the lifecycle LOOPS: a brand-new epoch after compaction + vacuum
+    // lands, serves, and the folded layers are untouched
+    Similarity.ingestVectors(batchDf(30, 40), idx, 4L)
+    assert(epochs == Seq(0L, 3L, 4L), s"post-vacuum ingest: $epochs")
+    val vecs = Similarity.serveFrom(spark, sf, idx)
+      .select(col("neighbor_id")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(codes.where(col("ingest_epoch") === 4L).count() > 0)
+    assert(codeSet.subsetOf(codes.collect()
+      .map(r => (r.getLong(0), r.getAs[Number](r.fieldIndex("cell"))
+        .longValue(), r.getAs[Number](r.fieldIndex("m")).longValue(),
+        r.getAs[Number](r.fieldIndex("code")).longValue())).toSet),
+      "post-vacuum ingest disturbed the folded layers")
+    assert(vecs.nonEmpty)
   }
 
   test("planesFor follows log2(n/bucket) and clamps at both ends") {
