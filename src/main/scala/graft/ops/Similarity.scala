@@ -824,9 +824,32 @@ object Similarity {
   // ---------- Index persistence (build once, serve many) ----------
 
   /** One persisted index per corpus dir for the JVM lifetime (same
-    * driver-main-only caveat as [[graft.io.Tables]]'s plan cache). */
+    * driver-main-only caveat as [[graft.io.Tables]]'s plan cache).
+    * Temp dirs registered here (and in [[oldIndexMemo]]) are deleted
+    * by a shutdown hook — they are memo state standing in for a real
+    * deployment's artifact store (which passes durable paths to
+    * [[buildIndexTo]] and is NOT registered), so they must not
+    * outlive the process that built them. */
   private val indexMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount) // children before parents
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      (indexMemo.values.asScala ++ oldIndexMemo.values.asScala)
+        .foreach(d =>
+          try deleteRecursively(java.nio.file.Paths.get(d))
+          catch { case _: java.io.IOException => () }) // best-effort
+    }, "graft-index-temp-cleanup"))
+  }
 
   /** Build the IVF-PQ index ONCE and persist its three artifact
     * tables as parquet under a temp index dir: `centroids` (cent_id,
