@@ -322,7 +322,9 @@ object Similarity {
     * at exactly this budget. */
   private[ops] def probesFor(nCells: Long): Int = {
     require(nCells > 0, "probesFor needs a positive cell count")
-    math.min(64, math.max(4, ((nCells + 2) / 3).toInt))
+    // clamp in Long BEFORE narrowing: a billion-cell index would
+    // overflow an Int division and fall to the floor instead of the cap
+    math.min(64L, math.max(4L, (nCells + 2) / 3)).toInt
   }
 
   /** Nearest-cell assignment of every corpus vector to a broadcast
@@ -836,8 +838,9 @@ object Similarity {
   private def deleteRecursively(root: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount) // children before parents
+      val walk = java.nio.file.Files.walk(root)
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.sortBy(-_.getNameCount) // children before parents
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
 
