@@ -9,6 +9,11 @@ object Verify {
     // (local iteration aid; the driver always runs the full set)
     val only: Set[String] = rest.headOption
       .map(_.split(",").toSet).getOrElse(Set.empty)
+    // a typo'd filter would otherwise run NOTHING and report a green
+    // (empty) partial gate
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s) in filter: ${unknown.toSeq.sorted.mkString(",")}")
     val spark = Session.local()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

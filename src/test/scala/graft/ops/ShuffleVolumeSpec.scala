@@ -34,6 +34,10 @@ class ShuffleVolumeSpec extends SparkSpec {
     * part of the query's real cost, invisible to plan-walk metrics). */
   private def shuffleBytes(mk: () => DataFrame): Long = {
     mk().collect() // warm-up: memoized one-time builds land here
+    // drain the async bus BEFORE registering, or the warm-up's queued
+    // task-end events are delivered to the new listener and inflate
+    // the measured bytes
+    GraftColumnBridge.flushListenerBus(spark)
     val l = new ShuffleBytesListener
     spark.sparkContext.addSparkListener(l)
     try {

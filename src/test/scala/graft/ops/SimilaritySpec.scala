@@ -187,8 +187,9 @@ class SimilaritySpec extends SparkSpec {
 
   test("IVF-PQ: recall@5 floor at BOTH corpus sizes, exact reranked " +
     "scores, candidates only from probed cells") {
-    // numpy on the real vectors: 0.73 at sf0.1 (within 0.01 of the
-    // IVF-flat ceiling at the same 12 probes), 1.0 at sf0.001
+    // measured at the auto-sized probe budget: 0.76 at sf0.1 (13 of
+    // 38 cells, within 0.01 of the IVF-flat ceiling at the same
+    // probes), 0.72 at sf0.001 (4 of 10 cells)
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1").foreach { d =>
       val truthCos = Similarity.simCosineTopk(spark, d).collect()
         .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -39,7 +39,11 @@ for name in declared:
     if not os.path.isdir(os.path.join(outdir, name)):
         print(f"{name:24s} MISSING OUTPUT (query threw?)")
         fails.append(name)
-for name in sorted(os.listdir(outdir)):
+# compare ONLY the declared set when a manifest exists: a reused
+# outDir may hold stale dirs from an earlier (full or filtered) run,
+# and judging those against the current oracles silently mixes runs
+names = declared if declared else sorted(os.listdir(outdir))
+for name in names:
     d = os.path.join(outdir, name)
     if not os.path.isdir(d):
         continue
