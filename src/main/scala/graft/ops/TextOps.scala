@@ -890,7 +890,106 @@ object TextOps {
 
   // ---------- Registry ----------
 
+  // ---------- BPE vocabulary induction (tokenizer training) ----------
+
+  /** Byte-pair-encoding merge learning (Sennrich et al. 2016) as a
+    * bounded-round DataFrame job — the tokenizer-training step of an
+    * LLM data pipeline, distributed the way every real BPE trainer
+    * works: the CORPUS is touched exactly once (a word-frequency
+    * aggregation), and all K merge rounds run over the DISTINCT-WORD
+    * vocabulary with frequencies carried — vocab-proportional work per
+    * round, never corpus-proportional (at 100 TB the corpus has
+    * billions of rows; its distinct-word vocab is orders of magnitude
+    * smaller and shuffles on a tiny pair key).
+    *
+    * Each round: (1) adjacent symbol pairs of every word, counted
+    * weighted by word frequency — overlapping occurrences COUNT
+    * ("aaa" has two (a,a) pairs), the standard convention; (2) the
+    * argmax pair by (count DESC, pair ASC) — a one-row driver pull,
+    * iteration control like k-means' convergence scalar, not data;
+    * (3) the merge applied to every word via a driver-built literal
+    * regexp whose space lookarounds give leftmost-first
+    * NON-overlapping application ("aaa" + (a,a) → "aa a"), also the
+    * standard convention. Per-round localCheckpoint + release is the
+    * iterative-DataFrame discipline from k-means/connected
+    * components. Words carry the `</w>` end marker so merges can't
+    * cross word boundaries.
+    *
+    * Deterministic (exact integer counts, total tie-break order), so
+    * the learned merge sequence is stable across runs and engines —
+    * BpeSpec replays the SAME algorithm with a plain in-memory Scala
+    * reference and asserts the identical sequence, plus hand-computed
+    * merges and the overlap rule on planted fixtures. Not
+    * SQL-expressible → rows-only driver check.
+    *
+    * @return one row per learned merge: (rank, left, right, merged,
+    *         n) in learning order
+    */
+  def bpeMerges(vocab: DataFrame, rounds: Int): Seq[(Int, String, String, String, Long)] = {
+    def quoted(s: String) = java.util.regex.Pattern.quote(s)
+    var cur = vocab // (word_syms: String "t h e </w>", freq: Long)
+      .select(col("word_syms"), col("freq")).localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var r = 0
+    var continue = true
+    while (r < rounds && continue) {
+      val arr = split(col("word_syms"), " ")
+      val top = cur
+        .select(col("freq"), explode(zip_with(
+          slice(arr, lit(1), size(arr) - 1),
+          slice(arr, lit(2), size(arr) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .head(1).toSeq
+      top match {
+        case Seq(row) if row.getLong(2) >= 2 =>
+          val (l, rr, n) = (row.getString(0), row.getString(1),
+            row.getLong(2))
+          val merged = l + rr
+          // space lookarounds (fixed-width, not consumed): leftmost
+          // non-overlapping application over the padded symbol string
+          val pat = s"(?<= )${quoted(l)} ${quoted(rr)}(?= )"
+          val next = cur.select(
+            trim(regexp_replace(
+              concat(lit(" "), col("word_syms"), lit(" ")),
+              pat,
+              java.util.regex.Matcher.quoteReplacement(merged)))
+              .as("word_syms"),
+            col("freq")).localCheckpoint()
+          Ckpt.release(cur)
+          cur = next
+          learned += ((r + 1, l, rr, merged, n))
+          r += 1
+        case _ => continue = false // vocab exhausted: nothing co-occurs
+      }
+    }
+    Ckpt.release(cur)
+    learned.toSeq
+  }
+
+  /** Word→symbol-string vocabulary with frequencies — the one
+    * corpus-touching pass under [[bpeMerges]]. */
+  def bpeVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(words(col("text"))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(
+        concat(trim(regexp_replace(col("word"), "(.)", "$1 ")),
+          lit(" </w>")).as("word_syms"),
+        col("freq"))
+
+  def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeMerges(bpeVocab(t(s, dir, "documents")), rounds = 20)
+      .toDF("rank", "left", "right", "merged", "n")
+      .orderBy("rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_merges" -> qBpeMerges,
     "q_text_tokens" -> qTextTokens,
     "q_text_quality" -> qTextQuality,
     "q_repetition_filter" -> qRepetitionFilter,
@@ -922,5 +1021,8 @@ object TextOps {
     "q_doc_keyterms" -> qDocKeytermsOracle,
     // dedup_minhash_lsh / dedup_simhash: xxhash64-based, not DuckDB-
     // expressible → rows-only check; recall asserted in ScalaTest.
+    // q_bpe_merges: iterative argmax not SQL-expressible → rows-only;
+    // BpeSpec replays the algorithm with an in-memory reference and
+    // asserts the IDENTICAL merge sequence.
   )
 }
