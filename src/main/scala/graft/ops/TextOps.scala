@@ -988,8 +988,65 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Learned merges per data dir, memoized: training runs once per
+    * corpus (the centroid-memo discipline); the encode below is the
+    * steady-state consumer. Plain collected values — K tiny rows. */
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Int, String, String, String, Long)]]()
+
+  /** Apply a learned merge table to a symbol-string column, in rank
+    * order — each merge is one codegen'd regexp_replace with the same
+    * leftmost-non-overlapping lookaround pattern training used, so
+    * encode(word) replays training's own tokenization exactly. */
+  def bpeApply(symStr: Column,
+               merges: Seq[(Int, String, String, String, Long)]): Column = {
+    def quoted(s: String) = java.util.regex.Pattern.quote(s)
+    val padded = merges.sortBy(_._1).foldLeft(
+      concat(lit(" "), symStr, lit(" "))) { case (c, (_, l, r, m, _)) =>
+      regexp_replace(c, s"(?<= )${quoted(l)} ${quoted(r)}(?= )",
+        java.util.regex.Matcher.quoteReplacement(m))
+    }
+    trim(padded)
+  }
+
+  /** BPE ENCODE — the corpus-proportional half of the tokenizer
+    * lifecycle (train once over the vocab, encode EVERYTHING): each
+    * document's per-word token counts under the learned merges,
+    * rolled up to (doc_id, n_words, n_tokens, compression). The merge
+    * chain is a stack of K codegen'd regexp_replace ops applied to
+    * the DISTINCT words (31 here; bounded by vocab at any scale) and
+    * broadcast-joined back to the exploded corpus — the corpus side
+    * is one narrow pass + one doc_id aggregation, no shuffle wider
+    * than the rollup. Token counts are exact integers; compression is
+    * the roundQ'd tokens/words ratio. Not SQL-expressible (depends on
+    * the learned merges) → rows-only driver check; BpeSpec asserts
+    * per-word token counts equal the in-memory reference encoding. */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMemo.computeIfAbsent(dir,
+      _ => bpeMerges(bpeVocab(t(s, dir, "documents")), rounds = 20))
+    val docs = t(s, dir, "documents")
+    val distinctWords = docs
+      .select(explode(words(col("text"))).as("word"))
+      .where(length(col("word")) > 0).distinct()
+      .withColumn("syms",
+        concat(trim(regexp_replace(col("word"), "(.)", "$1 ")),
+          lit(" </w>")))
+      .select(col("word"),
+        size(split(bpeApply(col("syms"), merges), " ")).as("n_tok"))
+    docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .where(length(col("word")) > 0)
+      .join(broadcast(distinctWords), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("compression",
+        graft.expr.Columns.roundQ(
+          col("n_tokens").cast("double") / col("n_words"), 4))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_merges" -> qBpeMerges,
+    "q_bpe_encode" -> qBpeEncode,
     "q_text_tokens" -> qTextTokens,
     "q_text_quality" -> qTextQuality,
     "q_repetition_filter" -> qRepetitionFilter,

@@ -93,6 +93,54 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq((1, "a", "a", "aa", 3L)), s"got $got")
   }
 
+  test("encode: per-word token counts equal the reference encoding, " +
+    "and doc rollups are consistent") {
+    val wordFreq = graft.io.Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merges = referenceBpe(wordFreq, 20)
+    // reference encode: apply merges in rank order with the same
+    // leftmost non-overlapping rule
+    def encode(w: String): List[String] =
+      merges.foldLeft(w.map(_.toString).toList :+ "</w>") {
+        case (syms, (_, l, r, _, _)) =>
+          def go(s: List[String]): List[String] = s match {
+            case a :: b :: rest if a == l && b == r => (a + b) :: go(rest)
+            case a :: rest => a :: go(rest)
+            case Nil => Nil
+          }
+          go(syms)
+      }
+    val expectedTokens = wordFreq.keys.map(w => w -> encode(w).length).toMap
+    // engine per-word counts via the same column path the query uses
+    val engineTokens = spark.createDataFrame(
+      wordFreq.keys.toSeq.map(Tuple1(_))).toDF("word")
+      .withColumn("syms",
+        concat(trim(regexp_replace(col("word"), "(.)", "$1 ")),
+          lit(" </w>")))
+      .select(col("word"), size(split(
+        TextOps.bpeApply(col("syms"), merges), " ")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(engineTokens == expectedTokens,
+      "column encode diverged from the reference encode")
+    // the gated rollup: n_tokens per doc = Σ per-word counts, and the
+    // word count matches a plain split
+    val out = TextOps.qBpeEncode(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[String](1).filter(_.nonEmpty)).toMap
+    out.foreach { r =>
+      val ws = docs(r.getLong(0))
+      assert(r.getLong(1) == ws.length, s"doc ${r.getLong(0)} word count")
+      assert(r.getLong(2) == ws.map(expectedTokens).sum.toLong,
+        s"doc ${r.getLong(0)} token rollup")
+    }
+  }
+
   test("q_bpe_merges is ranked and matches the reference at a second " +
     "SF (different word frequencies → different, equally-verified " +
     "sequence)") {
