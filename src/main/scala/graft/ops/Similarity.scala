@@ -561,6 +561,63 @@ object Similarity {
     ivfSearch(e, cents, probesFor(memoCellCount(dir)))
   }
 
+  // ---------- SemDeDup: semantic dedup over trained clusters ----------
+
+  /** Same-cell cosine at or above this marks two corpus vectors as
+    * semantic duplicates. The synthetic corpus carries no cosine mass
+    * above ~0.5 (the sim_neardup ground truth at 0.25 already catches
+    * only ~2% of pairs), so the near-dup threshold doubles as the
+    * semantic-dup threshold; on a real embedding corpus this is the
+    * SemDeDup epsilon knob (paper uses 1−ε ≈ 0.95+). */
+  private val SemDedupTheta = 0.25
+
+  /** Dropped-row side of [[dedupSemantic]] over an assigned corpus
+    * (`vec_id`, `cell`, `emb`, `nrm`): a vector is a duplicate iff
+    * some SAME-CELL vector with a SMALLER vec_id sits at cosine ≥ θ.
+    * The lower-id-wins rule is a deterministic single self-join (no
+    * iterative greedy pass): every dropped row has an explicit kept-
+    * or-dropped witness below it, and the minimum id of any duplicate
+    * group is always kept — the spec pins both properties plus the
+    * exact kept set on a planted fixture. Candidate volume is
+    * Σ|cell|² — the LSH-bucket bound; Lloyd's balancing keeps cells
+    * near-even, and a 100 TB deployment caps cell width the same way
+    * [[TextOps.prunedShingles]] caps shingle df. */
+  private[ops] def semDedupDropped(assigned: DataFrame,
+                                   theta: Double): DataFrame = {
+    val lower = assigned.select(col("cell"), col("vec_id").as("wit_id"),
+      col("emb").as("wemb"), col("nrm").as("wnrm"))
+    assigned.join(lower, Seq("cell"))
+      .where(col("wit_id") < col("vec_id") &&
+        dot(col("wemb"), col("emb")) / (col("wnrm") * col("nrm"))
+          >= theta)
+      .select(col("vec_id")).distinct()
+  }
+
+  /** SemDeDup (Abbas et al. 2023): embedding-space semantic dedup —
+    * k-means-cluster the corpus, then drop near-duplicate vectors
+    * WITHIN each cluster only, turning the O(n²) all-pairs cosine
+    * scan into Σ|cell|² bounded candidate work. Reuses the trained
+    * IVF centroids ([[trainedCents]], memoized — train once, reuse
+    * across index + dedup, exactly how a production pipeline shares
+    * the clustering) and the [[coarseAssign]] cell assignment.
+    * Emits the KEPT corpus (vec_id, cell). Within-cluster-only
+    * comparison is approximate by design (a cross-cell duplicate
+    * pair is invisible — the recall/cost trade the paper makes) →
+    * rows-only driver check; SemDedupSpec pins the exact kept set on
+    * a planted clustered fixture, a θ-boundary pair, witness
+    * validity on real data, and non-vacuity (drops > 0) at sf0.001. */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(t(s, dir, "embeddings")).repartition(col("vec_id"))
+    val cents = trainedCents(s, dir)
+      .withColumn("cnrm", sqrt(dot(col("cemb"), col("cemb"))))
+    val assigned = coarseAssign(e, cents)
+    assigned
+      .join(semDedupDropped(assigned, SemDedupTheta),
+        Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+      .orderBy("vec_id")
+  }
+
   // ---------- Product-quantization ANN (compressed-domain scan) ----------
 
   // parameters picked by numpy simulation against the real vectors
@@ -1097,6 +1154,7 @@ object Similarity {
     "sim_ann_incremental" -> simAnnIncremental,
     "sim_ann_served" -> simAnnServed,
     "sim_ann_pq" -> simAnnPq,
+    "dedup_semantic" -> dedupSemantic,
     "q_embed_centroids" -> qEmbedCentroids,
   )
 
@@ -1106,5 +1164,8 @@ object Similarity {
     "q_embed_centroids" -> qEmbedCentroidsOracle,
     // sim_ann_lsh: approximate + xxhash64-based → rows-only check;
     // recall vs sim_cosine_topk asserted in SimilaritySpec.
+    // dedup_semantic: trained-k-means cells not SQL-expressible →
+    // rows-only; SemDedupSpec pins the planted kept set, θ-boundary,
+    // witness validity and drop non-vacuity.
   )
 }

@@ -888,6 +888,73 @@ object TextOps {
        |WHERE rn <= $KeytermsPerDoc
        |ORDER BY doc_id, rn""".stripMargin
 
+  // ---------- Corpus-familiarity scoring (CCNet-style LM proxy) ----------
+
+  /** CCNet-style corpus-familiarity signals (Wenzek et al. 2020 rank
+    * web pages by LM perplexity; the integer-checkable proxy here is
+    * how RARE a document's word bigrams are in the rest of the
+    * corpus — the same "does this text look like the reference
+    * distribution" signal, with document frequency standing in for
+    * n-gram probability so every compared value is an exact integer
+    * or a single rounded quotient, per the oracle discipline; a true
+    * log-prob would hit the cross-engine log() last-ulp problem).
+    *
+    * Per document, over its DISTINCT word bigrams:
+    *   - `n_bigrams`     distinct bigrams in the doc;
+    *   - `n_novel`       bigrams appearing in NO other document
+    *                     (df = 1 — the high-perplexity mass);
+    *   - `familiarity`   Σ (df − 1): how often the doc's bigrams
+    *                     recur elsewhere (the head-of-distribution
+    *                     mass CCNet's head/middle/tail split keys on);
+    *   - `novel_ratio`   n_novel / n_bigrams, bit-stable rounded.
+    *
+    * Scale shape: one narrow explode + distinct on (doc_id, bigram),
+    * one groupBy(bigram) df count, one join back on bigram, one
+    * groupBy(doc_id) — every shuffle is on bigram or doc_id, linear
+    * in corpus size (the [[qDocKeyterms]] tf/df shape on bigrams).
+    * At 100 TB the df table is the corpus n-gram LM: build it once,
+    * score any batch against it with one broadcast-or-shuffle join. */
+  def qLmFamiliarity(s: SparkSession, dir: String): DataFrame = {
+    val bg = t(s, dir, "documents")
+      .withColumn("ws", words(col("text")))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("ws")) - 2),
+          i => concat_ws(" ",
+            element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2)))).as("bg"))
+      .distinct()
+    val df = bg.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+    bg.join(df, "bg")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_bigrams"),
+        count(when(col("df") === 1, 1)).cast("int").as("n_novel"),
+        sum(col("df") - 1).as("familiarity"),
+        graft.expr.Columns.roundQ(
+          count(when(col("df") === 1, 1)) /
+            count(lit(1)).cast("double"), 4).as("novel_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val qLmFamiliarityOracle: String =
+    """WITH bg AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(string_split(text,' '))),
+      |      i -> string_split(text,' ')[i] || ' ' ||
+      |           string_split(text,' ')[i+1])) AS bg
+      |  FROM documents WHERE len(string_split(text,' ')) >= 2),
+      |df AS (SELECT bg, count(*) AS df FROM bg GROUP BY 1)
+      |SELECT doc_id,
+      |  CAST(count(*) AS INT) AS n_bigrams,
+      |  CAST(count(*) FILTER (WHERE df = 1) AS INT) AS n_novel,
+      |  CAST(sum(df - 1) AS BIGINT) AS familiarity,
+      |  floor(count(*) FILTER (WHERE df = 1)
+      |        / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000
+      |    AS novel_ratio
+      |FROM bg JOIN df USING (bg)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------- Registry ----------
 
   // ---------- BPE vocabulary induction (tokenizer training) ----------
@@ -1053,6 +1120,7 @@ object TextOps {
     "q_lang_id" -> qLangId,
     "q_doc_fingerprint" -> qDocFingerprint,
     "q_bm25_topk" -> qBm25Topk,
+    "q_lm_familiarity" -> qLmFamiliarity,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_jaccard_capped" -> dedupJaccardCapped,
@@ -1070,6 +1138,7 @@ object TextOps {
     "q_lang_id" -> qLangIdOracle,
     "q_doc_fingerprint" -> qDocFingerprintOracle,
     "q_bm25_topk" -> qBm25TopkOracle,
+    "q_lm_familiarity" -> qLmFamiliarityOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "dedup_jaccard_capped" -> dedupJaccardCappedOracle,

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Falsifiability net for [[Similarity.dedupSemantic]] (SemDeDup):
+  * the planted fixture pins the drop rule exactly (lower-id witness,
+  * within-cell only, inclusive θ boundary with an EXACT-FP cosine),
+  * and the real-data test replays the whole dropped-set computation
+  * with an independent in-memory Scala reference over the same cell
+  * assignment — a wrong join side, a strict instead of inclusive
+  * comparison, or a cross-cell leak each flips a concrete assert. */
+class SemDedupSpec extends SparkSpec {
+
+  // Pythagorean vectors: every norm and cosine below is an exact
+  // double (dot and norms are small integers; 24/25 is one correctly
+  // rounded division both here and in the engine), so the inclusive
+  // θ-boundary case is deterministic — no sqrt-of-irrational epsilon.
+  private val theta = 24.0 / 25.0
+
+  private def fixture = {
+    import SparkSpec.spark.implicits._
+    Seq(
+      // cell 0: 1 is the minimum id; 2 sits EXACTLY at θ (24/25);
+      // 3 is colinear with 1 (cos 1.0); 4 orthogonal to all
+      (1L, 0L, Seq(3.0, 4.0), 5.0),
+      (2L, 0L, Seq(4.0, 3.0), 5.0),
+      (3L, 0L, Seq(6.0, 8.0), 10.0),
+      (4L, 0L, Seq(-4.0, 3.0), 5.0),
+      // cell 1: 5 is IDENTICAL in direction to 1 but in another cell
+      // (must survive — SemDeDup only compares within a cluster);
+      // 6 at cos 0.6 < θ from 5
+      (5L, 1L, Seq(3.0, 4.0), 5.0),
+      (6L, 1L, Seq(5.0, 0.0), 5.0),
+    ).toDF("vec_id", "cell", "emb", "nrm")
+  }
+
+  test("planted cells: lower-id wins, θ inclusive, within-cell only") {
+    val dropped = Similarity.semDedupDropped(fixture, theta)
+      .collect().map(_.getLong(0)).toSet
+    // 2 dropped at the exact boundary (cos == θ), 3 via the colinear
+    // witness; 4 (orthogonal), 5 (cross-cell twin of 1), 6 (< θ) kept
+    assert(dropped == Set(2L, 3L))
+  }
+
+  test("strictly-below-θ pair survives") {
+    val dropped = Similarity.semDedupDropped(fixture, theta + 1e-12)
+      .collect().map(_.getLong(0)).toSet
+    // nudging θ above 24/25 must flip ONLY the boundary pair: 3 still
+    // falls (cos 1.0), 2 now survives — proves the comparison is on
+    // the raw cosine against θ, not a pre-rounded value
+    assert(dropped == Set(3L))
+  }
+
+  test("real data: dropped set equals an independent in-memory replay") {
+    val kept = Similarity.dedupSemantic(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    // same corpus + same trained cells the query path used (memoized)
+    val cents = Similarity.trainedCents(spark, sf)
+      .withColumn("cnrm",
+        sqrt(graft.expr.VectorExprs.dotProduct(col("cemb"), col("cemb"))))
+    val assigned = Similarity.coarseAssign(
+        Similarity.unitCorpus(spark, sf).select("vec_id", "emb", "nrm"),
+        cents)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2).toArray, r.getDouble(3)))
+    // reference rule, recomputed from scratch: drop v iff some same-
+    // cell u with u.id < v.id has cosine >= θ. Dot is the same
+    // array-order sequential sum the engine's DotProduct uses, so the
+    // comparison is bit-identical.
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val byCell = assigned.groupBy(_._2)
+    val refDropped = byCell.values.flatMap { members =>
+      val sorted = members.sortBy(_._1)
+      sorted.zipWithIndex.collect { case ((vid, _, emb, nrm), i)
+        if sorted.take(i).exists { case (_, _, wEmb, wNrm) =>
+          dot(wEmb, emb) / (wNrm * nrm) >= 0.25 } => vid
+      }
+    }.toSet
+    val all = assigned.map(_._1).toSet
+    assert(kept == all -- refDropped)
+    // the drop path is exercised for real at this SF, and something
+    // survives — the semantics are non-vacuous in both directions
+    assert(refDropped.nonEmpty && kept.nonEmpty)
+  }
+}
