@@ -955,6 +955,113 @@ object TextOps {
       |FROM bg JOIN df USING (bg)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------- Exact-substring duplication (span-level dedup) ----------
+
+  /** Window width in tokens. 6 keeps the signal specific (a shared
+    * 6-token run is essentially never chance collision in natural
+    * text — Lee et al. 2021 use 50 BPE tokens at web scale) while the
+    * synthetic corpus still carries cross-doc duplicated spans at
+    * every SF (verified: 1157 / 1061 / 11024 duplicated windows,
+    * longest shared run 95 tokens at sf0.001). */
+  private val SubstrK = 6
+
+  /** Span-level duplication signals behind [[qSubstringDup]], factored
+    * over any documents frame (doc_id, text) so TextFilterSpec can
+    * drive planted spans through the exact gated code path. */
+  private[ops] def substringSignals(docs: DataFrame): DataFrame = {
+    val k = SubstrK
+    // every token position's k-token window, WITH position: unlike the
+    // shingle substrate this keeps multiplicity — the unit of account
+    // is the position (how much of the doc sits inside a duplicated
+    // span), not the distinct window string
+    val win = docs
+      .withColumn("ws", words(col("text")))
+      .where(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("ws")) - k),
+          i => concat_ws(" ", slice(col("ws"), i + 1, lit(k)))))
+          .as(Seq("pos", "win")))
+    // cross-doc duplication only (distinct-doc df ≥ 2): within-doc
+    // repetition is qRepetitionFilter's signal, not contamination
+    val df = win.groupBy(col("win"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    // (doc, pos, dup) is read twice (totals + runs) — materialize once
+    val j = win.join(df, "win")
+      .select(col("doc_id"), col("pos"), (col("df") >= 2).as("dup"))
+      .localCheckpoint()
+    Ckpt.track("q_substring_dup", j)
+    // longest duplicated run per doc: gaps-and-islands over the dup
+    // positions (pos − row_number is constant within a consecutive
+    // run); the window is keyed by doc_id — never corpus-wide
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val mx = j.where(col("dup"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("run")).as("mr"))
+    j.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_windows"),
+        count(when(col("dup"), 1)).cast("int").as("n_dup_pos"),
+        graft.expr.Columns.roundQ(
+          count(when(col("dup"), 1)) / count(lit(1)).cast("double"), 4)
+          .as("dup_ratio"))
+      .join(mx, Seq("doc_id"), "left")
+      // a run of r windows covers r + k − 1 tokens — the length of
+      // the longest substring this doc shares verbatim with another
+      .withColumn("max_dup_len",
+        coalesce(col("mr") + lit(k - 1), lit(0)).cast("int"))
+      .drop("mr")
+  }
+
+  /** Exact-substring duplication signals (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * the ExactSubstr family): per document, how many of its k-token
+    * window POSITIONS also occur verbatim in another document, and
+    * the longest such shared span in tokens. Set-overlap dedup
+    * (Jaccard/MinHash) misses a long copied paragraph inside an
+    * otherwise-unique page; this is the span-level signal that
+    * catches it. The suffix-array formulation the paper uses is
+    * replaced by the Spark-native equivalent: a position-keyed
+    * window join — same duplicated-span detection for fixed k, all
+    * shuffles on window-string or doc_id, linear in corpus size.
+    * At 100 TB the window strings would be xxhash64-coded before the
+    * df shuffle (64-bit keys instead of ~40-byte strings); the gated
+    * query keeps the strings so the DuckDB oracle can replay it
+    * verbatim. */
+  def qSubstringDup(s: SparkSession, dir: String): DataFrame =
+    substringSignals(t(s, dir, "documents")).orderBy("doc_id")
+
+  val qSubstringDupOracle: String = {
+    val k = SubstrK
+    s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws
+       |           FROM documents),
+       |win AS (SELECT doc_id, i - 1 AS pos,
+       |          array_to_string(ws[i:i+${k - 1}], ' ') AS win
+       |        FROM w, unnest(range(1, len(ws) - ${k - 2})) AS t(i)
+       |        WHERE len(ws) >= $k),
+       |df AS (SELECT win, count(DISTINCT doc_id) AS df
+       |       FROM win GROUP BY 1),
+       |j AS (SELECT win.doc_id, pos, df.df >= 2 AS dup
+       |      FROM win JOIN df USING (win)),
+       |runs AS (SELECT doc_id, count(*) AS run FROM (
+       |          SELECT doc_id, pos - row_number()
+       |            OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |          FROM j WHERE dup) GROUP BY doc_id, grp),
+       |mx AS (SELECT doc_id, max(run) AS mr FROM runs GROUP BY 1)
+       |SELECT j.doc_id,
+       |  CAST(count(*) AS INT) AS n_windows,
+       |  CAST(count(*) FILTER (WHERE dup) AS INT) AS n_dup_pos,
+       |  floor(count(*) FILTER (WHERE dup)
+       |        / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000
+       |    AS dup_ratio,
+       |  CAST(coalesce(mx.mr + ${k - 1}, 0) AS INT) AS max_dup_len
+       |FROM j LEFT JOIN mx USING (doc_id)
+       |GROUP BY j.doc_id, mx.mr
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------- Registry ----------
 
   // ---------- BPE vocabulary induction (tokenizer training) ----------
@@ -1121,6 +1228,7 @@ object TextOps {
     "q_doc_fingerprint" -> qDocFingerprint,
     "q_bm25_topk" -> qBm25Topk,
     "q_lm_familiarity" -> qLmFamiliarity,
+    "q_substring_dup" -> qSubstringDup,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_jaccard_capped" -> dedupJaccardCapped,
@@ -1139,6 +1247,7 @@ object TextOps {
     "q_doc_fingerprint" -> qDocFingerprintOracle,
     "q_bm25_topk" -> qBm25TopkOracle,
     "q_lm_familiarity" -> qLmFamiliarityOracle,
+    "q_substring_dup" -> qSubstringDupOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "dedup_jaccard_capped" -> dedupJaccardCappedOracle,

@@ -44,4 +44,50 @@ class TextFilterSpec extends SparkSpec {
     assert(r.getAs[Double]("top_2gram_frac") > 0.08)
     assert(!r.getAs[Boolean]("keep"))
   }
+
+  test("substring dup: planted shared spans produce exact run lengths " +
+    "and untouched docs score zero") {
+    import spark.implicits._
+    // k = 6. doc 1 and doc 2 share one verbatim 8-token span (u* / v*
+    // context tokens are all unique) → 3 duplicated window positions
+    // each, max_dup_len exactly 8; doc 3 is fully unique → zero dup.
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $span u4 u5 u6"),
+      (2L, s"v1 v2 v3 v4 $span v5 v6"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+    ).toDF("doc_id", "text")
+    val out = TextOps.substringSignals(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: 14 tokens → 9 windows; windows fully inside the span:
+    // 8 − 6 + 1 = 3 (boundary windows mix unique context, never match)
+    assert(out(1L).getAs[Int]("n_windows") == 9)
+    assert(out(1L).getAs[Int]("n_dup_pos") == 3)
+    assert(out(1L).getAs[Int]("max_dup_len") == 8)
+    assert(out(2L).getAs[Int]("n_dup_pos") == 3)
+    assert(out(2L).getAs[Int]("max_dup_len") == 8)
+    assert(out(3L).getAs[Int]("n_dup_pos") == 0)
+    assert(out(3L).getAs[Int]("max_dup_len") == 0)
+    assert(out(3L).getAs[Double]("dup_ratio") == 0.0)
+  }
+
+  test("substring dup: of two disjoint shared runs the LONGER one is " +
+    "reported, and islands never bridge a gap") {
+    import spark.implicits._
+    // doc 1 shares a 6-token span AND a separate 7-token span with
+    // doc 2, split by unique tokens → runs of 1 and 2 windows;
+    // max_dup_len must report the 7-token one, not 6, and not a
+    // bridged 1+2=3-window run (which would read 8)
+    val a = "a1 a2 a3 a4 a5 a6"
+    val b = "b1 b2 b3 b4 b5 b6 b7"
+    val docs = Seq(
+      (1L, s"u1 $a u2 u3 $b u4"),
+      (2L, s"v1 v2 $a v3 $b v4 v5"),
+    ).toDF("doc_id", "text")
+    val out = TextOps.substringSignals(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("n_dup_pos") == 3) // 1 + 2 windows
+    assert(out(1L).getAs[Int]("max_dup_len") == 7)
+    assert(out(2L).getAs[Int]("max_dup_len") == 7)
+  }
 }
