@@ -618,6 +618,57 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // ---------- Scalar int8 quantization (storage-scale encode) ----------
+
+  /** Symmetric per-vector int8 quantization of the embedding corpus —
+    * the scalar sibling of PQ and the standard 4× storage/bandwidth
+    * cut (float32 → int8 + one scale) an embedding store applies
+    * before anything fancier. Per vector: scale = max|x|/127,
+    * q_i = floor(x_i/scale + 0.5) ∈ [−127, 127] (the explicit
+    * half-up-toward-+∞ formula, bit-identical across engines — same
+    * discipline as roundQ; plain round() half-up vs half-even would
+    * diverge). Emitted as integer summary stats (dims, min, max, sum)
+    * plus the rounded scale so the whole row hash-gates exactly;
+    * reconstruction error is bounded by scale/2 per coordinate by
+    * construction. Narrow, shuffle-free, linear — the encode pass a
+    * 100 TB corpus runs once per snapshot. Zero vectors carry no
+    * direction and are excluded (the [[withNorm]] guard). */
+  def qQuantizeEmbed(s: SparkSession, dir: String): DataFrame = {
+    val x = transform(col("embedding"), v => v.cast("double"))
+    val t0 = t(s, dir, "embeddings")
+      .select(col("vec_id"), x.as("x"))
+      .withColumn("scale", array_max(transform(col("x"), abs(_))) / 127)
+      .where(col("scale") > 0)
+    t0.withColumn("q",
+        transform(col("x"), v => floor(v / col("scale") + lit(0.5))))
+      .select(
+        col("vec_id"),
+        size(col("q")).as("n_dims"),
+        array_min(col("q")).cast("int").as("q_min"),
+        array_max(col("q")).cast("int").as("q_max"),
+        aggregate(col("q"), lit(0L), (a, b) => a + b).as("q_sum"),
+        graft.expr.Columns.roundQ(col("scale"), 4).as("scale"))
+      .orderBy("vec_id")
+  }
+
+  val qQuantizeEmbedOracle: String =
+    """WITH m AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
+      |    list_max(list_transform(embedding,
+      |      v -> abs(CAST(v AS DOUBLE)))) / 127 AS s
+      |  FROM embeddings),
+      |q AS (SELECT vec_id, s,
+      |        list_transform(x, v -> floor(v / s + 0.5)) AS q
+      |      FROM m WHERE s > 0)
+      |SELECT vec_id,
+      |  CAST(len(q) AS INT) AS n_dims,
+      |  CAST(list_min(q) AS INT) AS q_min,
+      |  CAST(list_max(q) AS INT) AS q_max,
+      |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+      |  floor(s * 10000 + 0.5) / 10000 AS scale
+      |FROM q ORDER BY vec_id""".stripMargin
+
   // ---------- Product-quantization ANN (compressed-domain scan) ----------
 
   // parameters picked by numpy simulation against the real vectors
@@ -1155,12 +1206,14 @@ object Similarity {
     "sim_ann_served" -> simAnnServed,
     "sim_ann_pq" -> simAnnPq,
     "dedup_semantic" -> dedupSemantic,
+    "q_quantize_embed" -> qQuantizeEmbed,
     "q_embed_centroids" -> qEmbedCentroids,
   )
 
   def oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> simCosineTopkOracle,
     "sim_neardup" -> simNeardupOracle,
+    "q_quantize_embed" -> qQuantizeEmbedOracle,
     "q_embed_centroids" -> qEmbedCentroidsOracle,
     // sim_ann_lsh: approximate + xxhash64-based → rows-only check;
     // recall vs sim_cosine_topk asserted in SimilaritySpec.

@@ -466,4 +466,21 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.25)
     }
   }
+
+  test("int8 quantization: codes bounded and the extreme coordinate " +
+    "lands exactly on ±127") {
+    val rows = Similarity.qQuantizeEmbed(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, mx) = (r.getAs[Int]("q_min"), r.getAs[Int]("q_max"))
+      assert(mn >= -127 && mx <= 127 && mn <= mx,
+        s"vec ${r.getLong(0)}: code range [$mn,$mx] out of int8 bounds")
+      // scale = max|x|/127 maps the extreme coordinate to ±127 by
+      // construction — a scale off by one (max/128) or a ceil/floor
+      // slip breaks this on every row
+      assert(mx == 127 || mn == -127,
+        s"vec ${r.getLong(0)}: no coordinate reached ±127 ([$mn,$mx])")
+      assert(r.getAs[Double]("scale") > 0)
+    }
+  }
 }
