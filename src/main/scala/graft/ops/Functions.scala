@@ -529,6 +529,86 @@ object Functions {
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  // ---------- Gap fill / resample (time-series regularization) ----------
+
+  /** Per-user hourly resample with forward fill (LOCF): materialize
+    * each user's full hourly grid from their first to last event hour
+    * (`sequence` + `explode` — the grid is generated distributed, never
+    * a driver loop), left-join the per-hour aggregates, and carry the
+    * last observed value across gap hours with an IGNORE-NULLS window.
+    * The standard time-series regularization step before any
+    * fixed-step model sees event data.
+    *
+    * Determinism: "last event in hour" is picked by `max_by` over a
+    * zero-padded (epoch_us, event_id) string key — a total order both
+    * engines share (DuckDB's arg_max can't order by a struct);
+    * `filled_value` is a CARRIED double (no arithmetic), so it
+    * hash-gates exactly. The first grid hour per user always has an
+    * event, so forward fill never emits null.
+    *
+    * Scale shape: grid explode is narrow out of a per-user bounds
+    * aggregate; one (user, hour) shuffle for the hourly rollup; the
+    * LOCF window partitions by user with partition size bounded by the
+    * time range (~720 rows/user-month), independent of corpus size —
+    * at 100 TB the grid join stays co-partitioned on user_id and no
+    * partition outgrows the calendar.
+    */
+  def qGapFill(s: SparkSession, dir: String): DataFrame =
+    gapFillHourly(t(s, dir, "events"))
+      .orderBy("user_id", "hour_start")
+
+  /** The gap-fill core over ANY (user_id, ts, event_id, value) frame —
+    * factored out so the spec can plant exact gap/LOCF fixtures through
+    * the gated query's code path (gopherFlags/funnelStaged discipline).
+    */
+  private[ops] def gapFillHourly(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("hour", date_trunc("hour", col("ts")))
+    val bounds = ev.groupBy("user_id")
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    val grid = bounds.select(col("user_id"),
+      explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+        .as("hour"))
+    val orderKey = concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 10, "0"))
+    val hourly = ev.groupBy(col("user_id"), col("hour"))
+      .agg(count(lit(1)).as("n_ev"),
+        max_by(col("value"), orderKey).as("last_in_hour"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"),
+        unix_timestamp(col("hour")).as("hour_start"),
+        coalesce(col("n_ev"), lit(0L)).as("n_events"),
+        col("n_ev").isNull.as("is_gap"),
+        last(col("last_in_hour"), ignoreNulls = true).over(w)
+          .as("filled_value"))
+  }
+
+  val qGapFillOracle: String =
+    """WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+      |    ts, event_id, value FROM events),
+      |b AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+      |      FROM ev GROUP BY 1),
+      |g AS (SELECT user_id,
+      |        unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |      FROM b),
+      |h AS (SELECT user_id, hour, count(*) AS n_events,
+      |        arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+      |          || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS last_in_hour
+      |      FROM ev GROUP BY 1, 2)
+      |SELECT g.user_id AS user_id,
+      |  CAST(floor(extract(epoch FROM g.hour)) AS BIGINT) AS hour_start,
+      |  CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events,
+      |  h.n_events IS NULL AS is_gap,
+      |  last_value(h.last_in_hour IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.hour
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+      |FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hour = h.hour
+      |ORDER BY user_id, hour_start""".stripMargin
+
   // ---------- Map functions ----------
 
   /** MapType surface: construct, cardinality, lookup, key listing,
@@ -643,6 +723,7 @@ object Functions {
     "q_tumbling_window" -> qTumblingWindow,
     "q_sliding_window" -> qSlidingWindow,
     "q_session_window" -> qSessionWindow,
+    "q_gap_fill" -> qGapFill,
     "q_funnel" -> qFunnel,
     "q_funnel_stages" -> qFunnelStages,
     "q_cohort_retention" -> qCohortRetention,
@@ -664,6 +745,7 @@ object Functions {
     "q_tumbling_window" -> qTumblingWindowOracle,
     "q_sliding_window" -> qSlidingWindowOracle,
     "q_session_window" -> qSessionWindowOracle,
+    "q_gap_fill" -> qGapFillOracle,
     "q_funnel" -> qFunnelOracle,
     "q_funnel_stages" -> qFunnelStagesOracle,
     "q_cohort_retention" -> qCohortRetentionOracle,

@@ -112,6 +112,82 @@ object TextOps {
       |    / 10000 AS ttr
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------- Gopher quality rules (document-level filter) ----------
+
+  /** Per-doc Gopher-rule flags over ANY (doc_id, text) frame — factored
+    * out so the spec can drive planted fixtures through the exact code
+    * path the gated query runs (the falsifiability discipline from
+    * funnelStaged / substringSignals).
+    */
+  private[ops] def gopherFlags(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val nWords = size(w)
+    val stopArr = array(stopwords.map(lit): _*)
+    def r4(c: Column): Column = graft.expr.Columns.roundQ(c, 4)
+    docs
+      .select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        // == mean word length: (chars − (n−1) spaces)/n, see qTextQuality
+        r4((length(col("text")) - nWords + 1) / nWords.cast("double"))
+          .as("avg_word_len"),
+        r4(size(array_distinct(w)) / nWords.cast("double")).as("ttr"),
+        size(filter(w, x => array_contains(stopArr, x))).as("n_stop"))
+      // rule comparisons are on the ROUNDED values vs shared literals —
+      // both engines compare identical doubles (repetition-filter rule)
+      .withColumn("pass_word_count", col("n_words").between(30, 90))
+      .withColumn("pass_word_len", col("avg_word_len").between(3.8, 5.5))
+      .withColumn("pass_stopword", col("n_stop") >= 1)
+      .withColumn("pass_ttr", col("ttr") >= 0.45)
+      .withColumn("keep",
+        col("pass_word_count") && col("pass_word_len") &&
+          col("pass_stopword") && col("pass_ttr"))
+  }
+
+  /** Gopher document-quality rule set (Rae et al. 2021, appendix A1.1,
+    * adapted to this corpus's measured distributions so every rule
+    * actually fires at every SF — the non-vacuity discipline): word
+    * count in [30, 90] (paper: [50, 100 000]), mean word length in
+    * [3.8, 5.5] (paper: [3, 10]), ≥ 1 stopword hit (paper: ≥ 2 of 8),
+    * type-token ratio ≥ 0.45 (the paper's duplicate-mass rules live in
+    * [[qRepetitionFilter]]). Emits the rule inputs, one flag per rule,
+    * and the conjunction `keep` — per-rule flags are what a curation
+    * pipeline reports (which rule rejected how much), not just the
+    * verdict.
+    *
+    * Non-vacuity (measured): every rule rejects ≥ 1 doc and keep is
+    * non-empty at sf0.001/0.01/0.1 (word-count 152/149/1574 rejected,
+    * word-len 1/1/24, stopword 34/47/446, ttr 249/240/2330; keep
+    * 137/143/1465 of 500/500/5000).
+    *
+    * Scale shape: narrow per-row — no shuffle, no join; survives 100 TB
+    * as a single map stage fused into whole-stage codegen.
+    */
+  def qGopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherFlags(t(s, dir, "documents")).orderBy("doc_id")
+
+  val qGopherRulesOracle: String =
+    """WITH s AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+      |    floor((length(text) - len(string_split(text, ' ')) + 1)
+      |          / CAST(len(string_split(text, ' ')) AS DOUBLE) * 10000 + 0.5)
+      |      / 10000 AS avg_word_len,
+      |    floor(len(list_distinct(string_split(text, ' ')))
+      |          / CAST(len(string_split(text, ' ')) AS DOUBLE) * 10000 + 0.5)
+      |      / 10000 AS ttr,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |        x -> list_contains(['the','a','an','and','of','to','in','is'], x)))
+      |      AS INT) AS n_stop
+      |  FROM documents)
+      |SELECT doc_id, n_words, avg_word_len, ttr, n_stop,
+      |  n_words BETWEEN 30 AND 90 AS pass_word_count,
+      |  avg_word_len BETWEEN 3.8 AND 5.5 AS pass_word_len,
+      |  n_stop >= 1 AS pass_stopword,
+      |  ttr >= 0.45 AS pass_ttr,
+      |  (n_words BETWEEN 30 AND 90) AND (avg_word_len BETWEEN 3.8 AND 5.5)
+      |    AND n_stop >= 1 AND ttr >= 0.45 AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
+
   // ---------- Repetition filtering (Gopher-style) ----------
 
   /** Gopher-style repetition signals (Rae et al. 2021, appendix A1.1):
@@ -1223,6 +1299,7 @@ object TextOps {
     "q_bpe_encode" -> qBpeEncode,
     "q_text_tokens" -> qTextTokens,
     "q_text_quality" -> qTextQuality,
+    "q_gopher_rules" -> qGopherRules,
     "q_repetition_filter" -> qRepetitionFilter,
     "q_lang_id" -> qLangId,
     "q_doc_fingerprint" -> qDocFingerprint,
@@ -1242,6 +1319,7 @@ object TextOps {
   def oracles: Map[String, String] = Map(
     "q_text_tokens" -> qTextTokensOracle,
     "q_text_quality" -> qTextQualityOracle,
+    "q_gopher_rules" -> qGopherRulesOracle,
     "q_repetition_filter" -> qRepetitionFilterOracle,
     "q_lang_id" -> qLangIdOracle,
     "q_doc_fingerprint" -> qDocFingerprintOracle,

@@ -90,4 +90,56 @@ class TextFilterSpec extends SparkSpec {
     assert(out(1L).getAs[Int]("max_dup_len") == 7)
     assert(out(2L).getAs[Int]("max_dup_len") == 7)
   }
+
+  test("gopher rules: every rule fires on its planted violator and " +
+    "boundary docs land exactly on the inclusive side") {
+    import spark.implicits._
+    def w(n: Int, len: Int, tag: String): Seq[String] =
+      (1 to n).map(i => (tag + "%0" + (len - tag.length) + "d").format(i))
+    val docs = Seq(
+      // 1: 30 words, awl 119/30 ≈ 3.967, ttr 1, has "the" → all pass
+      1L -> ("the" +: w(29, 4, "a")).mkString(" "),
+      // 2: 29 words → word-count fails, everything else passes
+      2L -> ("the" +: w(28, 4, "a")).mkString(" "),
+      // 3: 91 words → word-count fails high side
+      3L -> ("the" +: w(90, 4, "a")).mkString(" "),
+      // 4: awl exactly 114/30 = 3.8 → inclusive-in
+      4L -> (("the" +: w(24, 4, "a")) ++ w(5, 3, "b")).mkString(" "),
+      // 5: one char shorter → 113/30 ≈ 3.767 → out
+      5L -> (("the" +: w(23, 4, "a")) ++ w(6, 3, "b")).mkString(" "),
+      // 6: awl exactly 165/30 = 5.5 → inclusive-in at the top
+      6L -> (("the" +: w(17, 6, "c")) ++ w(12, 5, "d")).mkString(" "),
+      // 7: one char longer → 166/30 ≈ 5.533 → out
+      7L -> (("the" +: w(17, 6, "c")) ++ w(11, 5, "d") :+ "e00001")
+        .mkString(" "),
+      // 8: zero stopwords → stopword rule fails alone
+      8L -> w(30, 4, "a").mkString(" "),
+      // 9: 40 words, 18 distinct → ttr exactly 0.45 → inclusive-in
+      9L -> (Seq.fill(23)("the") ++ w(17, 4, "a")).mkString(" "),
+      // 10: 40 words, 17 distinct → ttr 0.425 → out
+      10L -> (Seq.fill(24)("the") ++ w(16, 4, "a")).mkString(" "),
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherFlags(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long) = (
+      out(id).getAs[Boolean]("pass_word_count"),
+      out(id).getAs[Boolean]("pass_word_len"),
+      out(id).getAs[Boolean]("pass_stopword"),
+      out(id).getAs[Boolean]("pass_ttr"))
+    assert(flags(1L) == (true, true, true, true))
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(flags(2L) == (false, true, true, true))
+    assert(flags(3L) == (false, true, true, true))
+    assert(out(4L).getAs[Double]("avg_word_len") == 3.8)
+    assert(flags(4L) == (true, true, true, true))
+    assert(flags(5L)._2 == false)
+    assert(out(6L).getAs[Double]("avg_word_len") == 5.5)
+    assert(flags(6L)._2 == true)
+    assert(flags(7L)._2 == false)
+    assert(flags(8L) == (true, true, false, true))
+    assert(out(9L).getAs[Double]("ttr") == 0.45)
+    assert(flags(9L)._4 == true)
+    assert(flags(10L)._4 == false)
+    assert(!out(10L).getAs[Boolean]("keep"))
+  }
 }
