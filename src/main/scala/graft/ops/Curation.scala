@@ -724,6 +724,109 @@ object Curation {
       |WHERE c.cum - c.n_tokens < b.budget
       |ORDER BY c.doc_id""".stripMargin
 
+  // ---------- DSIR importance weights (data selection) ----------
+
+  /** Data Selection with Importance Resampling (Xie et al. 2023):
+    * score every raw-pool document by how much its hashed-bigram
+    * profile looks like a target corpus — here target = `lang = 'en'`
+    * docs, pool = the whole corpus. Features are word-bigram
+    * OCCURRENCES hashed into B = 1009 buckets (the fixed-size count
+    * vector is DSIR's point: the "model" is two B-bucket histograms
+    * that broadcast anywhere, never a corpus-sized side); the weight is
+    * the add-one-smoothed log-likelihood ratio
+    * Σ_gram [ln(t_b+1) − ln(r_b+1)] + n·[ln(N_r+B) − ln(N_t+B)].
+    *
+    * Hash-gate discipline for a log-space score (the BM25 precedent,
+    * plus one new trick): every NON-log input is an exact integer; the
+    * per-doc sum runs over `array_sort`ed terms reduced left-to-right
+    * (`aggregate`), and the oracle mirrors with
+    * `list_reduce(list_sort(...))` — bit-identical summation ORDER, so
+    * the only cross-engine slack is ulp-level ln() differences, orders
+    * of magnitude inside the 4dp rounding margin (`CurationSpec`
+    * replays the score independently and checks boundary distance).
+    * The bucket hash is md5-hex→int, portable by construction.
+    *
+    * Scale shape: one narrow bigram explode; bucket histograms are B
+    * rows (broadcast); per-doc work is a (doc, bucket) count plus a
+    * ≤ B-element sorted reduce. Linear in corpus size, and scoring a
+    * NEW batch against frozen histograms touches only the batch.
+    */
+  def qDsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val B = 1009
+    val gb = t(s, dir, "documents")
+      .withColumn("ws", words(col("text")))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(0), size(col("ws")) - 2),
+          i => concat_ws(" ",
+            element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2)))).as("gram"))
+      .withColumn("b",
+        (conv(substring(md5(col("gram")), 1, 6), 16, 10).cast("long") % B)
+          .cast("int"))
+    val tc = gb.where(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("t_cnt"))
+    val rc = gb.groupBy("b").agg(count(lit(1)).as("r_cnt"))
+    val stats = rc.join(tc, Seq("b"), "left").na.fill(0L, Seq("t_cnt"))
+    val totals = gb.agg(
+      count(lit(1)).as("n_r"),
+      count(when(col("lang") === "en", 1)).as("n_t"))
+    gb.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("dcnt"))
+      .join(broadcast(stats), "b")
+      .withColumn("term",
+        col("dcnt") * (log(col("t_cnt") + 1) - log(col("r_cnt") + 1)))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("dcnt")).cast("int").as("n_feats"),
+        sum(col("dcnt") * col("t_cnt")).as("sum_tgt"),
+        sum(col("dcnt") * col("r_cnt")).as("sum_raw"),
+        aggregate(array_sort(collect_list(col("term"))), lit(0.0),
+          (a, x) => a + x).as("s"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_feats"), col("sum_tgt"),
+        col("sum_raw"),
+        graft.expr.Columns.roundQ(
+          col("s") + col("n_feats") *
+            (log(col("n_r") + B) - log(col("n_t") + B)), 4)
+          .as("dsir_logw"))
+      .orderBy("doc_id")
+  }
+
+  val qDsirWeightsOracle: String =
+    """WITH w AS (SELECT doc_id, lang, string_split(text,' ') AS w
+      |           FROM documents WHERE len(string_split(text,' ')) >= 2),
+      |g AS (SELECT doc_id, lang,
+      |       unnest(list_transform(range(1, len(w)),
+      |         i -> w[i] || ' ' || w[i+1])) AS gram
+      |      FROM w),
+      |gb AS (SELECT doc_id, lang,
+      |        CAST(list_reduce(list_transform(
+      |            string_split(substr(md5(gram),1,6),''),
+      |            c -> CASE WHEN unicode(c) >= 97 THEN unicode(c)-87
+      |                 ELSE unicode(c)-48 END),
+      |          (a,b) -> a*16+b) % 1009 AS INT) AS b
+      |       FROM g),
+      |tc AS (SELECT b, count(*) AS t_cnt FROM gb WHERE lang = 'en'
+      |       GROUP BY 1),
+      |rc AS (SELECT b, count(*) AS r_cnt FROM gb GROUP BY 1),
+      |db AS (SELECT doc_id, b, count(*) AS dcnt FROM gb GROUP BY 1,2),
+      |terms AS (SELECT doc_id,
+      |           dcnt * (ln(coalesce(t_cnt,0)+1) - ln(r_cnt+1)) AS term,
+      |           dcnt, dcnt*coalesce(t_cnt,0) AS st, dcnt*r_cnt AS sr
+      |          FROM db JOIN rc USING (b) LEFT JOIN tc USING (b)),
+      |agg AS (SELECT doc_id,
+      |         CAST(sum(dcnt) AS INT) AS n_feats,
+      |         CAST(sum(st) AS BIGINT) AS sum_tgt,
+      |         CAST(sum(sr) AS BIGINT) AS sum_raw,
+      |         list_reduce(list_sort(list(term)), (a,b) -> a+b) AS s
+      |        FROM terms GROUP BY doc_id)
+      |SELECT doc_id, n_feats, sum_tgt, sum_raw,
+      |  floor((s + n_feats*(ln((SELECT count(*) FROM gb) + 1009)
+      |               - ln((SELECT count(*) FROM gb WHERE lang='en') + 1009)))
+      |        * 10000 + 0.5) / 10000 AS dsir_logw
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   // ---------- URL normalization (web-crawl provenance) ----------
 
   /** URL parsing + normalization — the provenance step of a web-crawl
@@ -972,6 +1075,7 @@ object Curation {
     "q_pack_sequences" -> qPackSequences,
     "q_sample_stratified" -> qSampleStratified,
     "q_domain_mix" -> qDomainMix,
+    "q_dsir_weights" -> qDsirWeights,
     "q_dataset_split" -> qDatasetSplit,
     "q_fuzzy_match" -> qFuzzyMatch,
     "q_triangle_count" -> qTriangleCount,
@@ -988,6 +1092,7 @@ object Curation {
     "q_pack_sequences" -> qPackSequencesOracle,
     "q_sample_stratified" -> qSampleStratifiedOracle,
     "q_domain_mix" -> qDomainMixOracle,
+    "q_dsir_weights" -> qDsirWeightsOracle,
     "q_dataset_split" -> qDatasetSplitOracle,
     "q_fuzzy_match" -> qFuzzyMatchOracle,
     "q_triangle_count" -> qTriangleCountOracle,

@@ -224,6 +224,65 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("dsir weights: independent scalar replay agrees bit-for-bit, " +
+    "every score clears the 4dp rounding boundary, and the target " +
+    "class actually scores higher") {
+    val B = 1009
+    def bucket(gram: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(gram.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 6)
+      (java.lang.Long.parseLong(hex, 16) % B).toInt
+    }
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val grams = docs.map { case (id, lang, text) =>
+      val ws = text.split(" ")
+      (id, lang, ws.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).map(bucket).toSeq)
+    }
+    val tCnt = grams.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val rCnt = grams.flatMap(_._3)
+      .groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val nT = tCnt.values.sum; val nR = rCnt.values.sum
+    val expect = grams.map { case (id, _, bs) =>
+      val byB = bs.groupBy(identity).map { case (b, xs) => b -> xs.length }
+      // same term construction, same ASCENDING-order left fold as the
+      // query's aggregate(array_sort(collect_list(...)))
+      val terms = byB.map { case (b, dcnt) =>
+        dcnt * (math.log(tCnt.getOrElse(b, 0L) + 1.0) -
+          math.log(rCnt(b) + 1.0))
+      }.toSeq.sorted
+      val raw = terms.foldLeft(0.0)(_ + _) +
+        bs.length * (math.log(nR.toDouble + B) - math.log(nT.toDouble + B))
+      id -> raw
+    }.toMap
+    val out = Curation.qDsirWeights(spark, sf).collect()
+    assert(out.length == docs.length)
+    var enSum = 0.0; var enN = 0; var otherSum = 0.0; var otherN = 0
+    val langOf = docs.map(d => d._1 -> d._2).toMap
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val raw = expect(id)
+      val rounded = math.floor(raw * 10000 + 0.5) / 10000
+      assert(r.getAs[Double]("dsir_logw") == rounded,
+        s"doc $id: engine ${r.getAs[Double]("dsir_logw")} vs replay $rounded")
+      // distance of the RAW score to the nearest half-boundary — the
+      // slack that absorbs cross-engine ulp differences in ln()
+      val scaled = raw * 10000 + 0.5
+      val margin = math.abs(scaled - math.rint(scaled))
+      assert(margin >= 1e-6, s"doc $id sits $margin from a 4dp boundary")
+      if (langOf(id) == "en") { enSum += raw; enN += 1 }
+      else { otherSum += raw; otherN += 1 }
+    }
+    // the weight must DISCRIMINATE: target-language docs resemble the
+    // target histogram more than the rest of the pool does
+    assert(enSum / enN > otherSum / otherN + 0.5,
+      "en docs do not outscore the non-target pool")
+  }
+
   test("pii redaction scrubs every planted pattern") {
     val out = Curation.qPiiRedact(spark, sf).collect()
     out.foreach { r =>
