@@ -335,6 +335,92 @@ object TextOps {
       |  substring(md5(text), 1, 8) AS fp_short
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------- Winnowing fingerprint selection (MOSS) ----------
+
+  /** Per-doc winnowed fingerprint instances over ANY (doc_id, text)
+    * frame: word 4-gram md5 fingerprints, sliding windows of 4
+    * consecutive positions, each window contributing its MINIMUM
+    * fingerprint (md5-hex string order — portable by construction).
+    * Returns (doc_id, n_kgrams, pos, wmin) — one row per window —
+    * factored out so the spec can assert the winnowing guarantee and
+    * the cover bound on planted fixtures.
+    */
+  private[ops] def winnowSelected(docs: DataFrame): DataFrame = {
+    val k = 4; val w = 4
+    val kg = docs.withColumn("ws", words(col("text")))
+      .where(size(col("ws")) >= k)
+      .withColumn("n_kgrams", size(col("ws")) - (k - 1))
+      .select(col("doc_id"), col("n_kgrams"),
+        posexplode(transform(sequence(lit(0), size(col("ws")) - k),
+          i => md5(concat_ws(" ",
+            element_at(col("ws"), i + 1), element_at(col("ws"), i + 2),
+            element_at(col("ws"), i + 3), element_at(col("ws"), i + 4)))))
+          .as(Seq("pos", "fp")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    kg.withColumn("wmin", min(col("fp")).over(byDoc))
+      .where(col("pos") <= col("n_kgrams") - w)
+      .select(col("doc_id"), col("n_kgrams"), col("pos"), col("wmin"))
+  }
+
+  /** Winnowing fingerprint selection (Schleimer et al. 2003 — the MOSS
+    * algorithm): of every window of w = 4 consecutive 4-gram hashes,
+    * keep the minimum. The selection guarantee: any verbatim run of
+    * ≥ w + k − 1 = 7 words shared by two docs shares at least one
+    * SELECTED fingerprint — so the dedup index only stores ~2/(w+1) of
+    * the k-gram hashes (measured density 0.42 here) yet still catches
+    * every long overlap. This is the index-size story that makes
+    * fingerprint dedup affordable at 100 TB; [[qSubstringDup]] keeps
+    * the exhaustive every-window signal as its ground-truth sibling.
+    *
+    * Emits per doc: k-gram/window counts, how many distinct
+    * fingerprints winnowing selected, and how many of those also occur
+    * in another doc's selected set (all integers — exact hash gate).
+    *
+    * Scale shape: narrow explode + a per-doc ordered window (partition
+    * bounded by doc length) + one shuffle on the selected fingerprint
+    * for the sharing count. Linear; the cross-doc join touches only
+    * selected fingerprints, never raw k-grams.
+    */
+  def qWinnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val sel = winnowSelected(t(s, dir, "documents"))
+      .select(col("doc_id"), col("n_kgrams"), col("wmin")).distinct()
+    val shr = sel.groupBy(col("wmin")).agg(count(lit(1)).as("cnt"))
+    sel.join(shr, "wmin")
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("n_kgrams")).cast("int").as("n_kgrams"),
+        (max(col("n_kgrams")) - 3).cast("int").as("n_windows"),
+        count(lit(1)).cast("int").as("n_selected"),
+        count(when(col("cnt") >= 2, 1)).cast("int").as("n_shared_sel"))
+      .orderBy("doc_id")
+  }
+
+  val qWinnowFingerprintOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws
+      |           FROM documents WHERE len(string_split(text,' ')) >= 4),
+      |kg AS (SELECT doc_id,
+      |        len(ws) - 3 AS n_kgrams,
+      |        unnest(range(1, len(ws) - 2)) AS pos,
+      |        unnest(list_transform(range(1, len(ws) - 2),
+      |          i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                   || ' ' || ws[i+3]))) AS fp
+      |       FROM d),
+      |wm AS (SELECT doc_id, n_kgrams, pos,
+      |        min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      |       FROM kg),
+      |sel AS (SELECT DISTINCT doc_id, n_kgrams, wmin FROM wm
+      |        WHERE pos <= n_kgrams - 3),
+      |shr AS (SELECT wmin, count(*) AS cnt FROM sel GROUP BY 1)
+      |SELECT s.doc_id AS doc_id,
+      |  CAST(max(s.n_kgrams) AS INT) AS n_kgrams,
+      |  CAST(max(s.n_kgrams) - 3 AS INT) AS n_windows,
+      |  CAST(count(*) AS INT) AS n_selected,
+      |  CAST(count(*) FILTER (WHERE h.cnt >= 2) AS INT) AS n_shared_sel
+      |FROM sel s JOIN shr h USING (wmin)
+      |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin
+
   // ---------- Exact dedup ----------
 
   /** Exact dedup via hash-groupBy on the EXACT content hash (byte-
@@ -1303,6 +1389,7 @@ object TextOps {
     "q_repetition_filter" -> qRepetitionFilter,
     "q_lang_id" -> qLangId,
     "q_doc_fingerprint" -> qDocFingerprint,
+    "q_winnow_fingerprint" -> qWinnowFingerprint,
     "q_bm25_topk" -> qBm25Topk,
     "q_lm_familiarity" -> qLmFamiliarity,
     "q_substring_dup" -> qSubstringDup,
@@ -1323,6 +1410,7 @@ object TextOps {
     "q_repetition_filter" -> qRepetitionFilterOracle,
     "q_lang_id" -> qLangIdOracle,
     "q_doc_fingerprint" -> qDocFingerprintOracle,
+    "q_winnow_fingerprint" -> qWinnowFingerprintOracle,
     "q_bm25_topk" -> qBm25TopkOracle,
     "q_lm_familiarity" -> qLmFamiliarityOracle,
     "q_substring_dup" -> qSubstringDupOracle,

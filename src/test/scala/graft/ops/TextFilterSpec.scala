@@ -91,6 +91,34 @@ class TextFilterSpec extends SparkSpec {
     assert(out(2L).getAs[Int]("max_dup_len") == 7)
   }
 
+  test("winnowing: a shared w+k-1 = 7-word run guarantees a shared " +
+    "selected fingerprint; disjoint docs share none; the selection " +
+    "covers every window") {
+    import spark.implicits._
+    val run = "s1 s2 s3 s4 s5 s6 s7" // exactly w + k − 1 words
+    val docs = Seq(
+      (1L, s"u01 u02 u03 u04 u05 $run u06 u07 u08 u09"),
+      (2L, s"v01 v02 $run v03 v04 v05 v06 v07"),
+      (3L, (1 to 20).map(i => f"x$i%02d").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val sel = TextOps.winnowSelected(docs).collect()
+      .groupBy(_.getLong(0))
+    val fps = sel.view.mapValues(_.map(_.getAs[String]("wmin")).toSet).toMap
+    // the winnowing guarantee (Schleimer et al. 2003, thm. in §2):
+    // any ≥ w+k−1-word verbatim overlap shares a selected fingerprint
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    // fully disjoint vocabularies can never share a fingerprint
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+    assert((fps(2L) intersect fps(3L)).isEmpty)
+    // cover bound: every w-window contributes a min, and a single
+    // position's fingerprint can be the min of at most w windows →
+    // ≥ ⌈n_windows / w⌉ distinct selections on a unique-token doc
+    val nWin3 = sel(3L).length // one row per window by construction
+    assert(nWin3 == 20 - 4 + 1 - 3, "window count on a 20-word doc")
+    assert(fps(3L).size >= (nWin3 + 3) / 4)
+    assert(fps(3L).size <= nWin3)
+  }
+
   test("gopher rules: every rule fires on its planted violator and " +
     "boundary docs land exactly on the inclusive side") {
     import spark.implicits._
