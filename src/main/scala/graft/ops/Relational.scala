@@ -801,6 +801,73 @@ object Relational {
       |  round(quantile_cont(l_quantity, 0.95), 4) AS p95
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Winsorization: clip each event's value to its type's discrete
+    * [p01, p99] band — the robust-statistics guard that keeps a fat
+    * finger or a sensor spike from dominating a downstream mean. The
+    * bounds are RANK-based (value at integer rank ⌈n/100⌉ / ⌈99(n+1)/
+    * 100⌉ under a (value, event_id) total order) so both engines pick
+    * the identical actual data point — no interpolation formula to
+    * disagree on; the rank arithmetic is integral `DIV`, no float
+    * boundary. Clipped-row counts are exact ints; the winsorized sum
+    * follows the round(sum, 2) precedent of [[graft.ops.Functions]]'s
+    * tumbling window.
+    *
+    * Scale shape: one shuffle on event_type for the ranking window +
+    * one for the rollup; the bounds table is |types| rows (broadcast
+    * back). At 100 TB the discrete-rank sort becomes the
+    * `approx_percentile` sketch ([[qApproxPercentile]]) feeding the
+    * same clip — this exact form is the oracle-checkable anchor.
+    */
+  def qWinsorize(s: SparkSession, dir: String): DataFrame =
+    winsorizeStats(t(s, dir, "events")).orderBy("event_type")
+
+  /** The winsorize core over ANY (event_type, value, event_id) frame —
+    * factored out so the spec can pin the discrete rank formula on
+    * planted values (gopherFlags/gapFillHourly discipline). */
+  private[ops] def winsorizeStats(events: DataFrame): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val r = events
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(
+        byType.orderBy(col("value"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(byType))
+    val b = r.groupBy(col("event_type"))
+      .agg(
+        max(when(col("rn") === expr("(n + 99) DIV 100"), col("value")))
+          .as("p01"),
+        max(when(col("rn") === expr("(99 * (n + 1)) DIV 100"),
+          col("value"))).as("p99"))
+    r.join(broadcast(b), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n"),
+        max(col("p01")).as("p01"),
+        max(col("p99")).as("p99"),
+        count(when(col("value") < col("p01"), 1)).as("n_clip_lo"),
+        count(when(col("value") > col("p99"), 1)).as("n_clip_hi"),
+        round(sum(least(greatest(col("value"), col("p01")), col("p99"))), 2)
+          .as("winsor_sum"))
+  }
+
+  val qWinsorizeOracle: String =
+    """WITH r AS (SELECT event_type, value, event_id,
+      |        row_number() OVER (PARTITION BY event_type
+      |          ORDER BY value, event_id) AS rn,
+      |        count(*) OVER (PARTITION BY event_type) AS n
+      |       FROM events),
+      |b AS (SELECT event_type,
+      |        max(CASE WHEN rn = (n + 99) // 100 THEN value END) AS p01,
+      |        max(CASE WHEN rn = (99*(n + 1)) // 100 THEN value END) AS p99
+      |       FROM r GROUP BY 1)
+      |SELECT r.event_type AS event_type,
+      |  CAST(max(r.n) AS BIGINT) AS n,
+      |  max(b.p01) AS p01, max(b.p99) AS p99,
+      |  CAST(count(*) FILTER (WHERE r.value < b.p01) AS BIGINT) AS n_clip_lo,
+      |  CAST(count(*) FILTER (WHERE r.value > b.p99) AS BIGINT) AS n_clip_hi,
+      |  round(sum(least(greatest(r.value, b.p01), b.p99)), 2) AS winsor_sum
+      |FROM r JOIN b USING (event_type)
+      |GROUP BY r.event_type ORDER BY event_type""".stripMargin
+
   // ---------- SQL entry point (A6) ----------
 
   /** Arbitrary SQL via spark.sql over registered views — the engine's
@@ -1211,6 +1278,7 @@ object Relational {
     "q_pivot" -> qPivot,
     "q_stats_agg" -> qStatsAgg,
     "q_percentile" -> qPercentile,
+    "q_winsorize" -> qWinsorize,
     "q_sql_entry" -> qSqlEntry,
     "q_subquery" -> qSubquery,
     "q_approx_percentile" -> qApproxPercentile,
@@ -1259,6 +1327,7 @@ object Relational {
     "q_pivot" -> qPivotOracle,
     "q_stats_agg" -> qStatsAggOracle,
     "q_percentile" -> qPercentileOracle,
+    "q_winsorize" -> qWinsorizeOracle,
     "q_sql_entry" -> qSqlEntryOracle,
     "q_subquery" -> qSubqueryOracle,
     "q_posexplode" -> qPosexplodeOracle,

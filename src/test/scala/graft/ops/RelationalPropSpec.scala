@@ -172,4 +172,32 @@ class RelationalPropSpec extends SparkSpec {
       "event_type_domain" -> 1L, "doc_id_unique" -> 1L),
       s"planted violations miscounted: $planted")
   }
+
+  test("winsorize: discrete rank bounds land on exact data points and " +
+    "degenerate groups clip nothing") {
+    import spark.implicits._
+    val ev =
+      // type a: 1.0..100.0 → p01 = rank ⌈100/100⌉ = 1.0, p99 = rank
+      // ⌈99·101/100⌉ = 99.0; only 100.0 clips high
+      (1 to 100).map(i => ("a", i.toDouble, i.toLong)) ++
+        // type b: 3 values → bounds collapse to min/max, no clipping
+        Seq(("b", 10.0, 201L), ("b", 20.0, 202L), ("b", 30.0, 203L)) ++
+        // type c: all-equal values → both bounds 5.0, nothing clips
+        (1 to 10).map(i => ("c", 5.0, 300L + i))
+    val out = Relational.winsorizeStats(
+      ev.toDF("event_type", "value", "event_id")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Double]("p01") == 1.0)
+    assert(out("a").getAs[Double]("p99") == 99.0)
+    assert(out("a").getAs[Long]("n_clip_lo") == 0L)
+    assert(out("a").getAs[Long]("n_clip_hi") == 1L)
+    assert(out("a").getAs[Double]("winsor_sum") == 5049.0) // Σ1..99 + 99
+    assert(out("b").getAs[Double]("p01") == 10.0)
+    assert(out("b").getAs[Double]("p99") == 30.0)
+    assert(out("b").getAs[Long]("n_clip_lo") == 0L)
+    assert(out("b").getAs[Long]("n_clip_hi") == 0L)
+    assert(out("c").getAs[Double]("p01") == 5.0)
+    assert(out("c").getAs[Double]("p99") == 5.0)
+    assert(out("c").getAs[Double]("winsor_sum") == 50.0)
+  }
 }
