@@ -644,6 +644,71 @@ object Curation {
       |JOIN e e2 ON e1.name_b = e2.name_a
       |JOIN e e3 ON e3.name_a = e1.name_a AND e3.name_b = e2.name_b""".stripMargin
 
+  // ---------- Graph: PageRank over the linkage graph ----------
+
+  /** Bounded-iteration PageRank (Page et al. 1999) over ANY undirected
+    * (name_a, name_b) edge list — the importance ranking that
+    * complements [[connectedComponents]] (membership) and
+    * [[qTriangleCount]] (local density) on the linkage graph. Power
+    * iteration as a DataFrame loop: per round one join of edges
+    * against current ranks (shuffle on dst), degree-normalized
+    * contributions, damped update r' = (1−d)/|V| + d·Σ contribs. The
+    * symmetric edge list has no dangling nodes (every node in V has
+    * degree ≥ 1), so no dangling-mass term is needed — documented
+    * rather than silently dropped. Loop discipline = the k-means one:
+    * every round's ranks are localCheckpoint'ed and the previous
+    * round's blocks released immediately; edges checkpoint once
+    * (consumed every round).
+    *
+    * Scale shape: per round, one keyed shuffle of |E| contributions —
+    * O(iters·|E|), the textbook distributed formulation; ranks/degree
+    * stay keyed by node, never collected. The |V| pull is a one-row
+    * sizing scalar (iteration-control class, same justification as the
+    * k-means superstep).
+    */
+  private[ops] def pageRank(undirected: DataFrame, iters: Int,
+      damping: Double): DataFrame = {
+    val edges = undirected
+      .select(col("name_a").as("src"), col("name_b").as("dst"))
+      .union(undirected
+        .select(col("name_b").as("src"), col("name_a").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = deg.count() // |V|: one-row sizing scalar (see scaladoc)
+    val base = (1.0 - damping) / n
+    var ranks = deg
+      .select(col("src").as("name"), lit(1.0 / n).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val next = edges
+        .join(ranks.withColumnRenamed("name", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("name"), (col("rank") / col("deg")).as("c"))
+        .groupBy("name")
+        .agg((lit(base) + lit(damping) * sum(col("c"))).as("rank"))
+        .localCheckpoint()
+      Ckpt.release(ranks)
+      ranks = next
+    }
+    Ckpt.track("q_pagerank", edges, ranks)
+    ranks
+      .join(deg.withColumnRenamed("src", "name"), "name")
+      .select(col("name"),
+        graft.expr.Columns.roundQ(col("rank"), 4).as("pagerank"),
+        col("deg").cast("int").as("degree"))
+  }
+
+  /** PageRank over the fuzzy-linkage name graph (10 damped-0.85
+    * rounds). Rows-only gated — the iterative fixpoint isn't
+    * SQL-expressible; `CurationSpec` pins a uniform-cycle closed form,
+    * the hub-vs-leaf star ordering, rank-mass conservation, and an
+    * independent in-memory power-iteration replay on the real graph.
+    */
+  def qPageRank(s: SparkSession, dir: String): DataFrame =
+    pageRank(qFuzzyMatch(s, dir).select(col("name_a"), col("name_b")),
+      iters = 10, damping = 0.85)
+      .orderBy("name")
+
   // ---------- Domain mixture (token-budget resampling) ----------
 
   /** Domain-weighted mixture resampling (the DoReMi/Pile recipe): give
@@ -1079,6 +1144,7 @@ object Curation {
     "q_dataset_split" -> qDatasetSplit,
     "q_fuzzy_match" -> qFuzzyMatch,
     "q_triangle_count" -> qTriangleCount,
+    "q_pagerank" -> qPageRank,
     "q_url_parse" -> qUrlParse,
     "q_data_mask" -> qDataMask,
     "q_pii_redact" -> qPiiRedact)
@@ -1096,6 +1162,8 @@ object Curation {
     "q_dataset_split" -> qDatasetSplitOracle,
     "q_fuzzy_match" -> qFuzzyMatchOracle,
     "q_triangle_count" -> qTriangleCountOracle,
+    // q_pagerank: iterative fixpoint not SQL-expressible → rows-only;
+    // CurationSpec pins closed forms + an in-memory replay.
     "q_url_parse" -> qUrlParseOracle,
     "q_data_mask" -> qDataMaskOracle,
     "q_pii_redact" -> qPiiRedactOracle)

@@ -224,6 +224,56 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("pagerank: uniform on a cycle, hub beats leaves on a star, " +
+    "mass conserved, and an independent power-iteration replay agrees") {
+    import spark.implicits._
+    // 3-cycle: perfectly symmetric → ranks stay exactly uniform
+    val cycle = Curation.pageRank(
+      Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("name_a", "name_b"),
+      iters = 10, damping = 0.85).collect()
+    assert(cycle.length == 3)
+    cycle.foreach(r =>
+      assert(r.getAs[Double]("pagerank") == 0.3333,
+        s"cycle node ${r.getString(0)} not uniform"))
+    // star: the hub aggregates its leaves' full rank each round
+    val star = Curation.pageRank(
+      Seq(("hub", "l1"), ("hub", "l2"), ("hub", "l3"), ("hub", "l4"))
+        .toDF("name_a", "name_b"),
+      iters = 10, damping = 0.85).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("pagerank")).toMap
+    val leafRanks = star.filterNot(_._1 == "hub").values.toSet
+    assert(leafRanks.size == 1, "leaves must tie exactly")
+    assert(star("hub") > leafRanks.head * 2, "hub must dominate")
+    // real linkage graph: mass conservation + discrimination + replay
+    val out = Curation.qPageRank(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ranks = out.map(r => r.getString(0) -> r.getAs[Double]("pagerank"))
+    assert(math.abs(ranks.map(_._2).sum - 1.0) < 1e-2,
+      "rank mass must sum to ~1 (no dangling nodes on a symmetric graph)")
+    assert(ranks.map(_._2).distinct.length > 1,
+      "ranks must discriminate on the real graph")
+    // independent scalar power iteration, same rounds and damping
+    val und = Curation.qFuzzyMatch(spark, sf)
+      .select("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val adj = (und ++ und.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = adj.size
+    var rk = adj.keys.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 10) {
+      val contrib = scala.collection.mutable.Map[String, Double]()
+        .withDefaultValue(0.0)
+      rk.foreach { case (u, r) =>
+        val out = adj(u); out.foreach(v => contrib(v) += r / out.length)
+      }
+      rk = adj.keys.map(u => u -> (0.15 / n + 0.85 * contrib(u))).toMap
+    }
+    ranks.foreach { case (name, got) =>
+      assert(math.abs(got - rk(name)) < 2e-4,
+        s"$name: engine $got vs replay ${rk(name)}")
+    }
+  }
+
   test("dsir weights: independent scalar replay agrees bit-for-bit, " +
     "every score clears the 4dp rounding boundary, and the target " +
     "class actually scores higher") {
