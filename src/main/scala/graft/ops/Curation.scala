@@ -811,14 +811,17 @@ object Curation {
     * replays the score independently and checks boundary distance).
     * The bucket hash is md5-hex→int, portable by construction.
     *
-    * Scale shape: one narrow bigram explode; bucket histograms are B
-    * rows (broadcast); per-doc work is a (doc, bucket) count plus a
-    * ≤ B-element sorted reduce. Linear in corpus size, and scoring a
-    * NEW batch against frozen histograms touches only the batch.
+    * Scale shape: ONE corpus pass — the bigram explode aggregates
+    * straight into the (doc, lang, bucket) count table, which is
+    * localCheckpoint'ed and reused for both histograms, the totals and
+    * the per-doc scoring (the consumed-thrice rule from
+    * [[qTriangleCount]]); bucket histograms are B rows (broadcast).
+    * Linear in corpus size, and scoring a NEW batch against frozen
+    * histograms touches only the batch.
     */
   def qDsirWeights(s: SparkSession, dir: String): DataFrame = {
     val B = 1009
-    val gb = t(s, dir, "documents")
+    val db = t(s, dir, "documents")
       .withColumn("ws", words(col("text")))
       .where(size(col("ws")) >= 2)
       .select(col("doc_id"), col("lang"),
@@ -829,16 +832,19 @@ object Curation {
       .withColumn("b",
         (conv(substring(md5(col("gram")), 1, 6), 16, 10).cast("long") % B)
           .cast("int"))
-    val tc = gb.where(col("lang") === "en")
-      .groupBy("b").agg(count(lit(1)).as("t_cnt"))
-    val rc = gb.groupBy("b").agg(count(lit(1)).as("r_cnt"))
-    val stats = rc.join(tc, Seq("b"), "left").na.fill(0L, Seq("t_cnt"))
-    val totals = gb.agg(
-      count(lit(1)).as("n_r"),
-      count(when(col("lang") === "en", 1)).as("n_t"))
-    gb.groupBy(col("doc_id"), col("b"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
       .agg(count(lit(1)).as("dcnt"))
-      .join(broadcast(stats), "b")
+      .localCheckpoint()
+    Ckpt.track("q_dsir_weights", db)
+    val tc = db.where(col("lang") === "en")
+      .groupBy("b").agg(sum(col("dcnt")).as("t_cnt"))
+    val rc = db.groupBy("b").agg(sum(col("dcnt")).as("r_cnt"))
+    val stats = rc.join(tc, Seq("b"), "left").na.fill(0L, Seq("t_cnt"))
+    val totals = db.agg(
+      sum(col("dcnt")).as("n_r"),
+      sum(when(col("lang") === "en", col("dcnt")).otherwise(0L))
+        .as("n_t"))
+    db.join(broadcast(stats), "b")
       .withColumn("term",
         col("dcnt") * (log(col("t_cnt") + 1) - log(col("r_cnt") + 1)))
       .groupBy("doc_id")

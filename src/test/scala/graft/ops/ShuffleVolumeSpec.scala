@@ -66,6 +66,16 @@ class ShuffleVolumeSpec extends SparkSpec {
         "(benchmark side no longer broadcast?)")
   }
 
+  test("q_dsir_weights steady-state shuffle volume stays under its " +
+    "ceiling") {
+    val b = shuffleBytes(() => Curation.qDsirWeights(spark, sf))
+    info(s"q_dsir_weights shuffle bytes written: $b")
+    assert(b > 0)
+    assert(b <= 736L * 1024, // measured 2026-08-13: 374 960 bytes
+      s"q_dsir_weights shuffled $b bytes — plan regression " +
+        "(histograms no longer broadcast, or a second corpus pass?)")
+  }
+
   test("dedup_minhash_lsh shuffle volume stays under its ceiling") {
     val b = shuffleBytes(() => TextOps.dedupMinhashLsh(spark, sf))
     info(s"dedup_minhash_lsh shuffle bytes written: $b")
