@@ -476,6 +476,63 @@ object Curation {
        |  (cum_tokens - n_tokens) // $PackBudget AS batch_id
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---------- Length-bucketed batching (padding efficiency) ----------
+
+  /** Length-bucketed batching stats: assign every doc to the smallest
+    * power-of-two token bucket that holds it and report, per bucket,
+    * the doc count, real token mass, padded mass (n_docs × bucket) and
+    * the padding-waste ratio — the quantity a batching strategy is
+    * chosen to minimize. The OTHER standard batching scheme next to
+    * [[qPackSequences]]'s concat-and-pack: bucketing keeps document
+    * boundaries (no cross-doc attention contamination) at the price of
+    * the padding this query measures.
+    *
+    * The bucket is an integer CASE chain (16/32/64/128/256/512 — no
+    * float log2 to disagree on); waste is one int/int quotient under
+    * roundQ. Narrow per-row work + a |buckets|-row aggregate: no
+    * scale surface at all.
+    */
+  def qLengthBuckets(s: SparkSession, dir: String): DataFrame =
+    lengthBucketStats(t(s, dir, "documents")).orderBy("bucket")
+
+  /** The bucketing core over ANY (text) frame — factored for the
+    * planted-boundary spec (gopherFlags discipline). */
+  private[ops] def lengthBucketStats(docs: DataFrame): DataFrame = {
+    val n = size(words(col("text")))
+    val bucket = when(n <= 16, 16).when(n <= 32, 32).when(n <= 64, 64)
+      .when(n <= 128, 128).when(n <= 256, 256).otherwise(512)
+    docs
+      .select(bucket.as("bucket"), n.cast("bigint").as("n_tokens"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        (count(lit(1)) * col("bucket")).as("padded_tokens"),
+        graft.expr.Columns.roundQ(
+          (count(lit(1)) * col("bucket") - sum(col("n_tokens"))) /
+            (count(lit(1)) * col("bucket")).cast("double"), 4)
+          .as("pad_waste"))
+  }
+
+  val qLengthBucketsOracle: String =
+    """WITH d AS (SELECT
+      |    CASE WHEN len(string_split(text,' ')) <= 16 THEN 16
+      |         WHEN len(string_split(text,' ')) <= 32 THEN 32
+      |         WHEN len(string_split(text,' ')) <= 64 THEN 64
+      |         WHEN len(string_split(text,' ')) <= 128 THEN 128
+      |         WHEN len(string_split(text,' ')) <= 256 THEN 256
+      |         ELSE 512 END AS bucket,
+      |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT CAST(bucket AS INT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |  CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+      |  floor((count(*) * bucket - sum(n_tokens))
+      |        / CAST(count(*) * bucket AS DOUBLE) * 10000 + 0.5) / 10000
+      |    AS pad_waste
+      |FROM d GROUP BY bucket ORDER BY bucket""".stripMargin
+
   // ---------- Stratified sampling ----------
 
   private val StratumCap = 50
@@ -1144,6 +1201,7 @@ object Curation {
     "q_decontaminate" -> qDecontaminate,
     "q_chunk_docs" -> qChunkDocs,
     "q_pack_sequences" -> qPackSequences,
+    "q_length_buckets" -> qLengthBuckets,
     "q_sample_stratified" -> qSampleStratified,
     "q_domain_mix" -> qDomainMix,
     "q_dsir_weights" -> qDsirWeights,
@@ -1162,6 +1220,7 @@ object Curation {
     "q_decontaminate" -> qDecontaminateOracle,
     "q_chunk_docs" -> qChunkDocsOracle,
     "q_pack_sequences" -> qPackSequencesOracle,
+    "q_length_buckets" -> qLengthBucketsOracle,
     "q_sample_stratified" -> qSampleStratifiedOracle,
     "q_domain_mix" -> qDomainMixOracle,
     "q_dsir_weights" -> qDsirWeightsOracle,

@@ -224,6 +224,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("length buckets: boundary docs land in the inclusive bucket " +
+    "and padding arithmetic is exact") {
+    import spark.implicits._
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // 16 words → bucket 16 (inclusive edge); 17 → 32; 32 → 32; 33 → 64
+    val out = Curation.lengthBucketStats(
+      Seq(doc(16), doc(17), doc(32), doc(33)).toDF("text"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(16).getAs[Long]("n_docs") == 1L)
+    assert(out(32).getAs[Long]("n_docs") == 2L) // 17 and 32 words
+    assert(out(64).getAs[Long]("n_docs") == 1L)
+    assert(out(32).getAs[Long]("sum_tokens") == 49L)
+    assert(out(32).getAs[Long]("padded_tokens") == 64L)
+    assert(out(32).getAs[Double]("pad_waste") == 0.2344) // 15/64
+    assert(out(16).getAs[Double]("pad_waste") == 0.0)
+  }
+
   test("pagerank: uniform on a cycle, hub beats leaves on a star, " +
     "mass conserved, and an independent power-iteration replay agrees") {
     import spark.implicits._
