@@ -342,6 +342,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dsir: histogram and totals joins broadcast — the corpus-sized " +
+    "side never shuffles for the scoring join") {
+    val plan = planString(ops.Curation.qDsirWeights(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"B-row histogram join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a stats join fell back to sort-merge:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"non-broadcast cartesian in the dsir plan:\n$plan")
+  }
+
+  test("gap fill and winnowing: keyed equi-joins only — no nested-loop " +
+    "fallback, no single-partition window") {
+    Seq(
+      "q_gap_fill" -> (() => ops.Functions.qGapFill(spark, sf)),
+      "q_winnow_fingerprint" -> (() =>
+        ops.TextOps.qWinnowFingerprint(spark, sf))
+    ).foreach { case (name, mk) =>
+      val plan = planString(mk())
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$name lost its equi-join condition:\n$plan")
+      assert(!plan.contains("SinglePartition, "),
+        s"$name collapsed a window to one partition:\n$plan")
+    }
+  }
+
   test("partition-count knob: shuffle partitions follow the session config") {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
     val parts = Tables.load(spark, sf, "events")
