@@ -50,6 +50,45 @@ class GapFillSpec extends SparkSpec {
     assert(!out.head.getAs[Boolean]("is_gap"))
   }
 
+  test("gap fill matches an independent in-memory LOCF on random " +
+    "event sets (differential oracle, not just planted cases)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // reference: per user, bucket by hour, walk the grid carrying the
+    // last (sec, event_id)-max value — deliberately a different
+    // algorithm (in-memory fold) from the window/join plan
+    def reference(rows: List[(Long, Long, Long, Double)])
+        : Map[(Long, Long), (Long, Boolean, Double)] =
+      rows.groupBy(_._1).flatMap { case (u, evs) =>
+        val byHour = evs.groupBy(_._2 / 3600)
+        val h0 = byHour.keys.min; val h1 = byHour.keys.max
+        var lastVal = 0.0
+        (h0 to h1).map { h =>
+          val in = byHour.getOrElse(h, Nil)
+          if (in.nonEmpty) lastVal = in.maxBy(e => (e._2, e._3))._4
+          (u, h * 3600L) -> (in.length.toLong, in.isEmpty, lastVal)
+        }
+      }
+    val evGen: Gen[List[(Long, Long, Long)]] = Gen.listOfN(25,
+      Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 100000L),
+        Gen.choose(0L, 99L)))
+    (1 to 20).foreach { i =>
+      val raw = evGen(Gen.Parameters.default, Seed(2000L + i)).get
+      // unique event_ids via the index; values exact in binary (x/4)
+      val rows = raw.zipWithIndex.map { case ((u, sec, v), id) =>
+        (u, sec, id.toLong, v / 4.0)
+      }
+      val expected = reference(rows)
+      val got = Functions.gapFillHourly(
+        ev(rows.map(r => (r._1, r._2, r._3, r._4))))
+        .collect().map(r =>
+          (r.getLong(0), r.getAs[Long]("hour_start")) ->
+            ((r.getAs[Long]("n_events"), r.getAs[Boolean]("is_gap"),
+              r.getAs[Double]("filled_value")))).toMap
+      assert(got == expected, s"case $i diverged from the reference")
+    }
+  }
+
   test("gap fill: users never bleed into each other's grids") {
     // user 3 spans 2 hours with a gapless grid; user 4 one hour —
     // a partition leak would extend 4's grid or fill from 3's values
