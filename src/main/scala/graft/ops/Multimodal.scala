@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
@@ -265,6 +266,106 @@ object Multimodal {
       |    * 10000 + 0.5) / 10000 AS mean_b
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---------- Perceptual hash (image near-dup fingerprint) ----------
+
+  /** Average-hash of one decoded image: 4×4 grid over the FULL frame
+    * (cell of pixel (x,y) = (4y div h)·4 + 4x div w), bit c set iff
+    * the cell's luma mass clears the global mean — compared
+    * cross-multiplied in integers (s_c·N ≥ S·n_c), so there is no
+    * float threshold to straddle. Factored out so the spec can drive
+    * constructed images through the exact production hash. */
+  private[ops] def aHashOf(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Long](16); val cnts = new Array[Long](16)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val luma = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        val c = (4 * y / h) * 4 + 4 * x / w
+        sums(c) += luma; cnts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h; val s = sums.sum
+    var hash = 0L; var c = 0
+    while (c < 16) {
+      if (sums(c) * n >= s * cnts(c)) hash |= 1L << c
+      c += 1
+    }
+    hash
+  }
+
+  /** Perceptual image fingerprint (average hash — the aHash member of
+    * the pHash family): decode each PNG, pool luma into a 4×4 grid,
+    * threshold each cell against the global mean, emit the 16-bit
+    * fingerprint and how many corpus images share it. The image-side
+    * analog of [[graft.ops.TextOps]]'s text fingerprints: visually
+    * similar frames (same gradient structure, shifted brightness)
+    * collide; EXACT payload dedup stays md5's job. Brightness
+    * invariance — the property that makes it perceptual rather than
+    * cryptographic — is spec-pinned on constructed images.
+    *
+    * Hash-gated: the oracle recomputes the pooled sums from the pixel
+    * formulas in SQL, so agreement proves decode → pool → integer
+    * threshold end-to-end (same round-trip logic as [[mmDecode]]).
+    *
+    * Scale shape: batched decode (mapPartitions, the mapInPandas
+    * shape), then one shuffle on the 16-bit hash for the collision
+    * count — the image dedup join touches fingerprints, never pixels.
+    */
+  def mmPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = mediaPng(s, dir).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.map {
+        case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"doc $id: payload is not a decodable image")
+          (id, aHashOf(img))
+      }))
+      .toDF("doc_id", "phash")
+    hashed
+      .withColumn("n_same",
+        count(lit(1)).over(Window.partitionBy(col("phash"))))
+      .orderBy("doc_id")
+  }
+
+  val mmPhashOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    16 + doc_id % 32 AS w,
+      |    16 + (doc_id * 7) % 24 AS h
+      |  FROM documents),
+      |cs AS (
+      |  SELECT doc_id, w, h,
+      |    list_transform(range(0, 16), c ->
+      |      list_sum(list_transform(range(0, w * h), i ->
+      |        CASE WHEN (4 * (i // w) // h) * 4 + 4 * (i % w) // w = c
+      |             THEN (i % w + doc_id) % 256
+      |                  + (2 * (i // w) + doc_id) % 256
+      |                  + (i % w + i // w + doc_id) % 256
+      |             ELSE 0 END))) AS sums,
+      |    list_transform(range(0, 16), c ->
+      |      list_sum(list_transform(range(0, w * h), i ->
+      |        CASE WHEN (4 * (i // w) // h) * 4 + 4 * (i % w) // w = c
+      |             THEN 1 ELSE 0 END))) AS cnts
+      |  FROM m),
+      |hh AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 16), c ->
+      |      CASE WHEN sums[CAST(c AS INT) + 1] * w * h
+      |                 >= list_sum(sums) * cnts[CAST(c AS INT) + 1]
+      |           THEN (CAST(1 AS BIGINT) << c) ELSE 0 END)) AS BIGINT)
+      |      AS phash
+      |  FROM cs)
+      |SELECT doc_id, phash,
+      |  CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same
+      |FROM hh ORDER BY doc_id""".stripMargin
+
   // ---------- Feature extraction (bytes -> embedding) ----------
 
   final case class Embedded(
@@ -398,6 +499,7 @@ object Multimodal {
     "mm_resize" -> mmResize,
     "mm_frame_sample" -> mmFrameSample,
     "mm_decode" -> mmDecode,
+    "mm_phash" -> mmPhash,
     "mm_embed" -> mmEmbed,
     "mm_audio_meta" -> mmAudioMeta,
   )
@@ -407,6 +509,7 @@ object Multimodal {
     "mm_resize" -> mmResizeOracle,
     "mm_frame_sample" -> mmFrameSampleOracle,
     "mm_decode" -> mmDecodeOracle,
+    "mm_phash" -> mmPhashOracle,
     "mm_embed" -> mmEmbedOracle,
     "mm_audio_meta" -> mmAudioMetaOracle,
   )

@@ -93,4 +93,39 @@ class MultimodalSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     assert(first == expected)
   }
+
+  test("perceptual hash: brightness-invariant, structure-sensitive — " +
+    "the properties that make aHash perceptual, on constructed images") {
+    import java.awt.image.BufferedImage
+    def mk(w: Int, h: Int)(px: (Int, Int) => Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = px(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    // left-dark / right-bright split: bits follow the structure
+    val split = mk(32, 32)((x, _) => if (x < 16) 40 else 200)
+    // same structure, +30 brightness everywhere (no channel wrap):
+    // the global mean shifts with the cells → IDENTICAL hash
+    val brighter = mk(32, 32)((x, _) => if (x < 16) 70 else 230)
+    assert(Multimodal.aHashOf(split) == Multimodal.aHashOf(brighter),
+      "uniform brightness shift must not move any bit")
+    // inverted structure → complementary bit pattern, so a different
+    // hash (ties impossible: no cell sits exactly on the mean)
+    val inverted = mk(32, 32)((x, _) => if (x < 16) 200 else 40)
+    assert(Multimodal.aHashOf(split) != Multimodal.aHashOf(inverted),
+      "inverting the structure must move bits")
+    // the expected bit layout: cells over the bright half set, dark
+    // half clear — columns 2..3 of each 4-cell row
+    val expectedBits = (0 until 16).filter(c => c % 4 >= 2)
+      .map(1L << _).sum
+    assert(Multimodal.aHashOf(split) == expectedBits,
+      "split image bits must match the bright-half cells exactly")
+    // non-divisible dims: 18×22 exercises the integer grid boundaries
+    val odd = mk(18, 22)((x, _) => if (x < 9) 40 else 200)
+    assert(Multimodal.aHashOf(odd) == expectedBits,
+      "grid cell assignment must stay structural on non-divisible dims")
+  }
 }
