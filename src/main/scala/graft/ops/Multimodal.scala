@@ -494,6 +494,88 @@ object Multimodal {
       |  CAST(100 + doc_id % 50 AS BIGINT) AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** One 25-frame energy block of a decoded PCM stream: integer
+    * sufficient statistics (Σ|s|, Σs², peak) — RMS and mean-abs are
+    * one division/sqrt away downstream, but the EMITTED stats stay
+    * integer so the differential gate is exact. */
+  final case class AudioBlock(
+      doc_id: Long, block: Int, n_samples: Int,
+      sum_abs: Long, sum_sq: Long, peak: Int)
+
+  /** Frames per energy block. */
+  val AudioBlockFrames = 25
+
+  /** Per-block audio energy over REAL decoded PCM: parse the RIFF
+    * header from the container bytes, read every little-endian int16
+    * frame, and emit 25-frame block energy stats — the feature
+    * extraction a speech pipeline runs before VAD/segmentation, in the
+    * same batched `mapPartitions` harness as the PNG decode. The
+    * oracle recomputes Σ|s|/Σs²/peak from the sawtooth closed form,
+    * so a wrong byte offset, endianness slip or off-by-one block
+    * boundary hash-mismatches.
+    *
+    * Scale shape: narrow per-payload work, no shuffle; block rows
+    * explode ~frames/25 per clip. 100 TB: identical plan, plus a
+    * `repartition` if clip sizes skew codec cost (module scaladoc).
+    */
+  def mmAudioEnergy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaWav(s, dir).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.flatMap {
+        case (id, bytes) =>
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val channels = bb.getShort(22).toInt
+          val dataSize = bb.getInt(40)
+          val frames = dataSize / (channels * 2)
+          (0 until (frames + AudioBlockFrames - 1) / AudioBlockFrames)
+            .map { b =>
+              val f0 = b * AudioBlockFrames
+              val f1 = math.min(frames, f0 + AudioBlockFrames)
+              var sumAbs = 0L; var sumSq = 0L; var peak = 0
+              var f = f0
+              while (f < f1) {
+                var c = 0
+                while (c < channels) {
+                  val v = bb.getShort(44 + (f * channels + c) * 2).toInt
+                  val a = math.abs(v)
+                  sumAbs += a; sumSq += a.toLong * a
+                  if (a > peak) peak = a
+                  c += 1
+                }
+                f += 1
+              }
+              AudioBlock(id, b, (f1 - f0) * channels, sumAbs, sumSq, peak)
+            }
+      }))
+      .toDF()
+      .orderBy("doc_id", "block")
+  }
+
+  val mmAudioEnergyOracle: String =
+    """WITH m AS (SELECT doc_id,
+      |    1 + doc_id % 2 AS ch, 100 + doc_id % 50 AS frames
+      |  FROM documents),
+      |b AS (SELECT doc_id, ch, frames,
+      |    unnest(range(0, (frames + 24) // 25)) AS block FROM m)
+      |SELECT doc_id, CAST(block AS INT) AS block,
+      |  CAST(least(25, frames - block * 25) * ch AS INT) AS n_samples,
+      |  CAST(list_sum(list_transform(
+      |      range(block * 25, least(frames, block * 25 + 25)), f ->
+      |        list_sum(list_transform(range(0, ch), c ->
+      |          (doc_id + 7 * f + c) % 32768)))) AS BIGINT) AS sum_abs,
+      |  CAST(list_sum(list_transform(
+      |      range(block * 25, least(frames, block * 25 + 25)), f ->
+      |        list_sum(list_transform(range(0, ch), c ->
+      |          ((doc_id + 7 * f + c) % 32768)
+      |          * ((doc_id + 7 * f + c) % 32768))))) AS BIGINT) AS sum_sq,
+      |  CAST(list_max(list_transform(
+      |      range(block * 25, least(frames, block * 25 + 25)), f ->
+      |        list_max(list_transform(range(0, ch), c ->
+      |          (doc_id + 7 * f + c) % 32768)))) AS INT) AS peak
+      |FROM b ORDER BY doc_id, block""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> mmMetadata,
     "mm_resize" -> mmResize,
@@ -502,6 +584,7 @@ object Multimodal {
     "mm_phash" -> mmPhash,
     "mm_embed" -> mmEmbed,
     "mm_audio_meta" -> mmAudioMeta,
+    "mm_audio_energy" -> mmAudioEnergy,
   )
 
   def oracles: Map[String, String] = Map(
@@ -512,5 +595,6 @@ object Multimodal {
     "mm_phash" -> mmPhashOracle,
     "mm_embed" -> mmEmbedOracle,
     "mm_audio_meta" -> mmAudioMetaOracle,
+    "mm_audio_energy" -> mmAudioEnergyOracle,
   )
 }

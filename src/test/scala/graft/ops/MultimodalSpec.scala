@@ -94,6 +94,29 @@ class MultimodalSpec extends SparkSpec {
     assert(first == expected)
   }
 
+  test("audio energy blocks tile each clip exactly and the integer " +
+    "stats obey their internal inequalities") {
+    val rows = Multimodal.mmAudioEnergy(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      val frames = 100 + (id % 50).toInt
+      val ch = 1 + (id % 2).toInt
+      // blocks cover every frame exactly once, incl. the partial tail
+      assert(rs.map(_.getAs[Int]("n_samples")).sum == frames * ch,
+        s"doc $id blocks do not tile the clip")
+      assert(rs.map(_.getAs[Int]("block")).sorted.toSeq ==
+        (0 until (frames + 24) / 25), s"doc $id block indices")
+      rs.foreach { r =>
+        val n = r.getAs[Int]("n_samples").toLong
+        val sa = r.getAs[Long]("sum_abs")
+        val sq = r.getAs[Long]("sum_sq")
+        val pk = r.getAs[Int]("peak").toLong
+        assert(pk * pk <= sq && sq <= pk * sa && sa <= n * pk,
+          s"doc $id block ${r.getAs[Int]("block")}: stats inconsistent")
+      }
+    }
+  }
+
   test("perceptual hash: brightness-invariant, structure-sensitive — " +
     "the properties that make aHash perceptual, on constructed images") {
     import java.awt.image.BufferedImage
