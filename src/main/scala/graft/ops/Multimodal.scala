@@ -518,7 +518,12 @@ object Multimodal {
     * explode ~frames/25 per clip. 100 TB: identical plan, plus a
     * `repartition` if clip sizes skew codec cost (module scaladoc).
     */
-  def mmAudioEnergy(s: SparkSession, dir: String): DataFrame = {
+  def mmAudioEnergy(s: SparkSession, dir: String): DataFrame =
+    audioBlocks(s, dir).orderBy("doc_id", "block")
+
+  /** The decoded block stream (un-ordered) — shared by the energy
+    * query and the VAD segmentation built on top of it. */
+  private[ops] def audioBlocks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     mediaWav(s, dir).select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
@@ -550,8 +555,84 @@ object Multimodal {
             }
       }))
       .toDF()
-      .orderBy("doc_id", "block")
   }
+
+  /** Mean-abs amplitude threshold for "active" blocks: a block is
+    * speech-active iff Σ|s| ≥ T·n (integer comparison — T·n and Σ|s|
+    * are both exact, no mean division). T = 700 sits inside the
+    * fixtures' per-clip amplitude ramp (block means run ~84…1500 at
+    * sf0.001), so every clip has BOTH verdicts... the ramp crosses T
+    * exactly once per clip. The monotone fixtures can't oscillate, so
+    * the multi-segment/island-split semantics are pinned on planted
+    * oscillating blocks in the spec instead (the funnel discipline:
+    * plant what the data cannot show). */
+  val VadThreshold = 700L
+
+  /** VAD-style segmentation: runs of consecutive active energy blocks
+    * become speech segments (gaps-and-islands over the block index —
+    * the same keyed-window construction [[graft.ops.TextOps]]'s
+    * substring-dup uses for duplicated-run lengths). Emits one row per
+    * segment with its block span and total energy — the
+    * energy→segments composition a speech pipeline runs between codec
+    * and transcription, all on the integer block stats so the gate is
+    * exact.
+    *
+    * Scale shape: the block stream is narrow (decode only); the
+    * segmentation is one keyed window per doc (partition bounded by
+    * clip length), then a (doc, run) aggregate. No corpus-wide state.
+    */
+  def mmVadSegments(s: SparkSession, dir: String): DataFrame =
+    vadSegmentsFrom(audioBlocks(s, dir))
+      .orderBy("doc_id", "start_block")
+
+  /** The segmentation core over ANY (doc_id, block, n_samples,
+    * sum_abs, sum_sq) frame — factored so the spec can plant
+    * oscillating activity (multi-segment splits, exact-threshold
+    * boundary) through the gated code path. */
+  private[ops] def vadSegmentsFrom(blocks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("block"))
+    blocks
+      .where(col("sum_abs") >= lit(VadThreshold) * col("n_samples"))
+      .withColumn("grp", col("block") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        min(col("block")).as("start_block"),
+        max(col("block")).as("end_block"),
+        count(lit(1)).cast("int").as("n_blocks"),
+        sum(col("sum_sq")).as("energy"))
+      .select(col("doc_id"), col("start_block"), col("end_block"),
+        col("n_blocks"), col("energy"))
+  }
+
+  val mmVadSegmentsOracle: String =
+    """WITH m AS (SELECT doc_id,
+      |    1 + doc_id % 2 AS ch, 100 + doc_id % 50 AS frames
+      |  FROM documents),
+      |b AS (SELECT doc_id, ch, frames,
+      |    unnest(range(0, (frames + 24) // 25)) AS block FROM m),
+      |e AS (SELECT doc_id, block,
+      |    CAST(least(25, frames - block * 25) * ch AS BIGINT) AS n_samples,
+      |    CAST(list_sum(list_transform(
+      |        range(block * 25, least(frames, block * 25 + 25)), f ->
+      |          list_sum(list_transform(range(0, ch), c ->
+      |            (doc_id + 7 * f + c) % 32768)))) AS BIGINT) AS sum_abs,
+      |    CAST(list_sum(list_transform(
+      |        range(block * 25, least(frames, block * 25 + 25)), f ->
+      |          list_sum(list_transform(range(0, ch), c ->
+      |            ((doc_id + 7 * f + c) % 32768)
+      |            * ((doc_id + 7 * f + c) % 32768))))) AS BIGINT) AS sum_sq
+      |  FROM b),
+      |act AS (SELECT doc_id, block, sum_sq,
+      |    block - row_number() OVER (PARTITION BY doc_id ORDER BY block)
+      |      AS grp
+      |  FROM e WHERE sum_abs >= 700 * n_samples)
+      |SELECT doc_id,
+      |  CAST(min(block) AS INT) AS start_block,
+      |  CAST(max(block) AS INT) AS end_block,
+      |  CAST(count(*) AS INT) AS n_blocks,
+      |  CAST(sum(sum_sq) AS BIGINT) AS energy
+      |FROM act GROUP BY doc_id, grp
+      |ORDER BY doc_id, start_block""".stripMargin
 
   val mmAudioEnergyOracle: String =
     """WITH m AS (SELECT doc_id,
@@ -585,6 +666,7 @@ object Multimodal {
     "mm_embed" -> mmEmbed,
     "mm_audio_meta" -> mmAudioMeta,
     "mm_audio_energy" -> mmAudioEnergy,
+    "mm_vad_segments" -> mmVadSegments,
   )
 
   def oracles: Map[String, String] = Map(
@@ -596,5 +678,6 @@ object Multimodal {
     "mm_embed" -> mmEmbedOracle,
     "mm_audio_meta" -> mmAudioMetaOracle,
     "mm_audio_energy" -> mmAudioEnergyOracle,
+    "mm_vad_segments" -> mmVadSegmentsOracle,
   )
 }

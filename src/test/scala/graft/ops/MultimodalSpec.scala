@@ -117,6 +117,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("vad segmentation: oscillating activity splits into exact " +
+    "islands, the threshold boundary is inclusive, and gaps never " +
+    "bridge") {
+    import spark.implicits._
+    val T = Multimodal.VadThreshold // 700
+    // (doc, block, n, sum_abs, sum_sq): doc 1 plants active-quiet-
+    // active → TWO segments (blocks 0-1 and 4); block 1 sits EXACTLY
+    // on the threshold (sum_abs == T·n → active, inclusive); doc 2 is
+    // all-quiet → no rows
+    val blocks = Seq(
+      (1L, 0, 50, 50 * (T + 1), 111L), (1L, 1, 50, 50 * T, 222L),
+      (1L, 2, 50, 50 * (T - 1), 333L), (1L, 3, 50, 1L, 444L),
+      (1L, 4, 40, 40 * (T + 5), 555L),
+      (2L, 0, 50, 50 * (T - 1), 666L), (2L, 1, 50, 0L, 777L),
+    ).toDF("doc_id", "block", "n_samples", "sum_abs", "sum_sq")
+    val segs = Multimodal.vadSegmentsFrom(blocks)
+      .orderBy("doc_id", "start_block").collect()
+    assert(segs.length == 2, s"expected 2 segments, got ${segs.length}")
+    assert(segs(0).getInt(1) == 0 && segs(0).getInt(2) == 1 &&
+      segs(0).getAs[Int]("n_blocks") == 2 &&
+      segs(0).getAs[Long]("energy") == 333L, // 111 + 222
+      "first island must span blocks 0-1 incl. the exact-threshold block")
+    assert(segs(1).getInt(1) == 4 && segs(1).getInt(2) == 4 &&
+      segs(1).getAs[Long]("energy") == 555L,
+      "second island must not bridge the quiet gap")
+    assert(!segs.exists(_.getLong(0) == 2L), "all-quiet doc emits nothing")
+  }
+
   test("perceptual hash: brightness-invariant, structure-sensitive — " +
     "the properties that make aHash perceptual, on constructed images") {
     import java.awt.image.BufferedImage
