@@ -561,6 +561,93 @@ object Similarity {
     ivfSearch(e, cents, probesFor(memoCellCount(dir)))
   }
 
+  // ---------- Hard-negative mining (contrastive training prep) ----------
+
+  /** Contrastive training pairs by exact cosine: for each anchor
+    * (vec_id % 100 = 50), the single most-similar SAME-label vector
+    * (the positive) and the top-3 most-similar DIFFERENT-label vectors
+    * (the hard negatives — the near-boundary examples that make a
+    * contrastive/triplet loss learn anything). Long format (role,
+    * rank) so a batch builder reads it directly.
+    *
+    * This is the labeled O(n²) ground-truth anchor of the family, same
+    * contract as [[simCosineTopk]]: tiny anchor side broadcast, corpus
+    * streams in place, one rounded cosine per candidate pair, total
+    * (cosine DESC, id) order. The 100 TB mining path swaps the exact
+    * scan for the ANN index ([[simAnnServed]]) feeding the same
+    * role/rank selection — this query is what that path's recall is
+    * measured against.
+    */
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame =
+    hardNegativesFrom(t(s, dir, "embeddings"))
+      .orderBy("anchor_id", "role", "rk")
+
+  /** The mining core over ANY (vec_id, label, embedding) frame —
+    * factored for planted margin-violation fixtures (gopherFlags
+    * discipline). */
+  private[ops] def hardNegativesFrom(raw: DataFrame): DataFrame = {
+    val e = raw
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+      .where(col("nrm") > 0)
+      .repartition(col("vec_id"))
+    val q = e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("emb").as("qemb"), col("nrm").as("qnrm"))
+      .where(col("qid") % 100 === 50)
+    val w = Window.partitionBy(col("qid"), col("is_same"))
+      .orderBy(col("cosine").desc, col("partner_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"),
+        col("vec_id").as("partner_id"),
+        col("label").as("partner_label"),
+        (col("label") === col("qlabel")).as("is_same"),
+        graft.expr.Columns.roundQ(
+          dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 4)
+          .as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .where((col("is_same") && col("rn") === 1) ||
+        (!col("is_same") && col("rn") <= 3))
+      .select(col("qid").as("anchor_id"),
+        when(col("is_same"), lit("pos")).otherwise(lit("neg")).as("role"),
+        col("rn").cast("int").as("rk"),
+        col("partner_id"), col("cosine"),
+        col("qlabel").as("anchor_label"), col("partner_label"))
+  }
+
+  val qHardNegativesOracle: String =
+    """WITH q AS (SELECT vec_id AS qid, label AS qlabel
+      |           FROM embeddings WHERE vec_id % 100 = 50),
+      |z AS (SELECT qid, e.vec_id AS vid, unnest(eq.embedding) AS x,
+      |             unnest(e.embedding) AS y
+      |      FROM q JOIN embeddings eq ON eq.vec_id = qid
+      |             CROSS JOIN embeddings e WHERE e.vec_id <> qid),
+      |d AS (SELECT qid, vid,
+      |             sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+      |      FROM z GROUP BY 1, 2),
+      |n AS (SELECT vec_id,
+      |             sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+      |      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+      |      GROUP BY 1
+      |      HAVING sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) > 0),
+      |c AS (SELECT d.qid, d.vid,
+      |             floor(d.dot / (nq.nrm * nv.nrm) * 10000 + 0.5) / 10000
+      |               AS cosine,
+      |             q.qlabel, ev.label AS vlabel,
+      |             q.qlabel = ev.label AS is_same
+      |      FROM d JOIN n nq ON nq.vec_id = d.qid
+      |             JOIN n nv ON nv.vec_id = d.vid
+      |             JOIN q ON q.qid = d.qid
+      |             JOIN embeddings ev ON ev.vec_id = d.vid),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid, is_same
+      |        ORDER BY cosine DESC, vid) AS INT) AS rn FROM c)
+      |SELECT qid AS anchor_id,
+      |  CASE WHEN is_same THEN 'pos' ELSE 'neg' END AS role,
+      |  rn AS rk, vid AS partner_id, cosine,
+      |  qlabel AS anchor_label, vlabel AS partner_label
+      |FROM r WHERE (is_same AND rn = 1) OR (NOT is_same AND rn <= 3)
+      |ORDER BY anchor_id, role, rk""".stripMargin
+
   // ---------- SemDeDup: semantic dedup over trained clusters ----------
 
   /** Same-cell cosine at or above this marks two corpus vectors as
@@ -1206,6 +1293,7 @@ object Similarity {
     "sim_ann_served" -> simAnnServed,
     "sim_ann_pq" -> simAnnPq,
     "dedup_semantic" -> dedupSemantic,
+    "q_hard_negatives" -> qHardNegatives,
     "q_quantize_embed" -> qQuantizeEmbed,
     "q_embed_centroids" -> qEmbedCentroids,
   )
@@ -1213,6 +1301,7 @@ object Similarity {
   def oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> simCosineTopkOracle,
     "sim_neardup" -> simNeardupOracle,
+    "q_hard_negatives" -> qHardNegativesOracle,
     "q_quantize_embed" -> qQuantizeEmbedOracle,
     "q_embed_centroids" -> qEmbedCentroidsOracle,
     // sim_ann_lsh: approximate + xxhash64-based → rows-only check;

@@ -483,4 +483,33 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Double]("scale") > 0)
     }
   }
+
+  test("hard negatives: the positive is the best SAME-label vector " +
+    "even when a different-label one is closer, negatives rank by " +
+    "cosine, and the 4th-best negative is cut") {
+    import spark.implicits._
+    // anchor 50 = [1,0]. Same-label best is id 1 (cos .8); the
+    // HARDEST negative id 3 (cos ≈ .99) beats the positive — the
+    // margin-violation case mining exists to surface. id 6 (cos −1)
+    // must fall outside the top-3 negatives.
+    val e = Seq(
+      (50L, 1, Array(1.0, 0.0)),
+      (1L, 1, Array(0.8, 0.6)), (2L, 1, Array(0.6, 0.8)),
+      (3L, 2, Array(0.99, 0.141)), (4L, 2, Array(0.0, 1.0)),
+      (5L, 2, Array(0.7, 0.714)), (6L, 2, Array(-1.0, 0.0)),
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.hardNegativesFrom(e)
+      .orderBy("role", "rk").collect()
+    assert(out.length == 4, "1 pos + 3 negs")
+    val negs = out.filter(_.getAs[String]("role") == "neg")
+    assert(negs.map(_.getAs[Long]("partner_id")).toSeq == Seq(3L, 5L, 4L),
+      "negatives must rank by cosine desc")
+    val pos = out.filter(_.getAs[String]("role") == "pos")
+    assert(pos.map(_.getAs[Long]("partner_id")).toSeq == Seq(1L),
+      "the positive is the best same-label vector, not the global best")
+    assert(negs.head.getAs[Double]("cosine") >
+      pos.head.getAs[Double]("cosine"),
+      "fixture must exercise the hard-negative-beats-positive case")
+    assert(!out.exists(_.getAs[Long]("partner_id") == 6L))
+  }
 }
