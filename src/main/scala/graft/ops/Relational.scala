@@ -868,6 +868,92 @@ object Relational {
       |FROM r JOIN b USING (event_type)
       |GROUP BY r.event_type ORDER BY event_type""".stripMargin
 
+  /** Distribution-drift detection (PSI — population stability index):
+    * bucket the event-value distribution by the EARLY population's
+    * exact deciles (rank-based edges, the [[qWinsorize]] discipline),
+    * count both populations per bucket, and emit each bucket's PSI
+    * term (p−q)·ln(p/q) with add-one smoothing — the corpus-snapshot
+    * drift monitor a training pipeline runs between ingests (PSI >
+    * 0.2 = retrain trigger in the classic scorecard rule). The split
+    * is a fixed epoch literal, so both engines partition identically.
+    *
+    * Gate discipline: per-bucket ln terms are emitted per ROW (no
+    * cross-engine summation at all — the reader sums 10 rows); every
+    * ln input is built from exact integers by the same IEEE expression
+    * both sides. Early counts land exactly uniform by construction —
+    * deciles of the population that defined them, a built-in
+    * self-check the spec pins.
+    *
+    * Scale shape: the exact global decile rank is the oracle-checkable
+    * ANCHOR (the `q_quantile_bins` precedent); the 100 TB path swaps
+    * it for `approx_percentile` sketch edges feeding the same
+    * bucket-count + PSI arithmetic. Everything after the edges is one
+    * broadcast of 9 rows + one bucket aggregate.
+    */
+  def qDistDrift(s: SparkSession, dir: String): DataFrame = {
+    val splitEpoch = 1705363200L // 2024-01-16T00:00:00Z
+    distDriftFrom(s,
+      t(s, dir, "events").select(col("value"), col("event_id"),
+        (col("ts").cast("long") < splitEpoch).as("early")))
+      .orderBy("bucket")
+  }
+
+  /** The PSI core over ANY (value, event_id, early) frame — factored
+    * for planted-drift fixtures (gopherFlags discipline). */
+  private[ops] def distDriftFrom(s: SparkSession, ev: DataFrame)
+      : DataFrame = {
+    val byV = Window.orderBy(col("value"), col("event_id"))
+    val rk = ev.where(col("early"))
+      .withColumn("rn", row_number().over(byV))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val edges = rk.crossJoin(broadcast(
+        s.range(1, 10).toDF("k")))
+      .where(col("rn") === expr("(k * n + 9) DIV 10"))
+      .groupBy(col("k")).agg(max(col("value")).as("edge"))
+    val counts = ev.crossJoin(broadcast(edges))
+      .groupBy(col("early"), col("value"), col("event_id"))
+      .agg(sum(when(col("value") > col("edge"), 1).otherwise(0))
+        .cast("int").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(when(col("early"), 1)).as("n_early"),
+        count(when(!col("early"), 1)).as("n_late"))
+    val tot = counts.agg(sum(col("n_early")).as("te"),
+      sum(col("n_late")).as("tl"))
+    val p = (col("n_late") + 1).cast("double") / (col("tl") + 10)
+    val q = (col("n_early") + 1).cast("double") / (col("te") + 10)
+    counts.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_early"), col("n_late"),
+        graft.expr.Columns.roundQ((p - q) * log(p / q), 4)
+          .as("psi_term"))
+  }
+
+  val qDistDriftOracle: String =
+    """WITH ev AS (SELECT value, event_id,
+      |    floor(extract(epoch FROM ts)) < 1705363200 AS early
+      |  FROM events),
+      |r AS (SELECT value,
+      |    row_number() OVER (ORDER BY value, event_id) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM ev WHERE early),
+      |e AS (SELECT k,
+      |    max(CASE WHEN rn = (k * n + 9) // 10 THEN value END) AS edge
+      |  FROM r CROSS JOIN (SELECT unnest(range(1, 10)) AS k) GROUP BY k),
+      |b AS (SELECT ev.early,
+      |    CAST(sum(CASE WHEN ev.value > e.edge THEN 1 ELSE 0 END) AS INT)
+      |      AS bucket
+      |  FROM ev CROSS JOIN e GROUP BY ev.early, ev.value, ev.event_id),
+      |c AS (SELECT bucket,
+      |    CAST(count(*) FILTER (WHERE early) AS BIGINT) AS n_early,
+      |    CAST(count(*) FILTER (WHERE NOT early) AS BIGINT) AS n_late
+      |  FROM b GROUP BY bucket),
+      |t AS (SELECT sum(n_early) AS te, sum(n_late) AS tl FROM c)
+      |SELECT bucket, n_early, n_late,
+      |  floor(((n_late + 1.0) / (tl + 10) - (n_early + 1.0) / (te + 10))
+      |        * ln(((n_late + 1.0) / (tl + 10))
+      |             / ((n_early + 1.0) / (te + 10)))
+      |        * 10000 + 0.5) / 10000 AS psi_term
+      |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin
+
   // ---------- SQL entry point (A6) ----------
 
   /** Arbitrary SQL via spark.sql over registered views — the engine's
@@ -1279,6 +1365,7 @@ object Relational {
     "q_stats_agg" -> qStatsAgg,
     "q_percentile" -> qPercentile,
     "q_winsorize" -> qWinsorize,
+    "q_dist_drift" -> qDistDrift,
     "q_sql_entry" -> qSqlEntry,
     "q_subquery" -> qSubquery,
     "q_approx_percentile" -> qApproxPercentile,
@@ -1328,6 +1415,7 @@ object Relational {
     "q_stats_agg" -> qStatsAggOracle,
     "q_percentile" -> qPercentileOracle,
     "q_winsorize" -> qWinsorizeOracle,
+    "q_dist_drift" -> qDistDriftOracle,
     "q_sql_entry" -> qSqlEntryOracle,
     "q_subquery" -> qSubqueryOracle,
     "q_posexplode" -> qPosexplodeOracle,

@@ -173,6 +173,35 @@ class RelationalPropSpec extends SparkSpec {
       s"planted violations miscounted: $planted")
   }
 
+  test("dist drift: early deciles are uniform by construction, a " +
+    "planted shift concentrates PSI in its target bucket, and " +
+    "identical populations score ~zero") {
+    import spark.implicits._
+    // early: 1..100 evenly; late: all mass at 95.5 → bucket 9
+    val shifted =
+      (1 to 100).map(i => (i.toDouble, i.toLong, true)) ++
+        (1 to 100).map(i => (95.5, 200L + i, false))
+    val out = Relational.distDriftFrom(spark,
+      shifted.toDF("value", "event_id", "early"))
+      .orderBy("bucket").collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getAs[Long]("n_early") == 10L),
+      "deciles of the defining population must be exactly uniform")
+    val b9 = out.find(_.getAs[Int]("bucket") == 9).get
+    assert(b9.getAs[Long]("n_late") == 100L,
+      "planted mass must land entirely in the top bucket")
+    assert(b9.getAs[Double]("psi_term") > 0.2,
+      "a hard shift must clear the classic PSI retrain threshold alone")
+    // no drift: the same population on both sides → every term ≈ 0
+    val same =
+      (1 to 100).map(i => (i.toDouble, i.toLong, true)) ++
+        (1 to 100).map(i => (i.toDouble, 200L + i, false))
+    val flat = Relational.distDriftFrom(spark,
+      same.toDF("value", "event_id", "early")).collect()
+    assert(flat.forall(r => math.abs(r.getAs[Double]("psi_term")) < 1e-9),
+      "identical populations must score zero drift in every bucket")
+  }
+
   test("winsorize: discrete rank bounds land on exact data points and " +
     "degenerate groups clip nothing") {
     import spark.implicits._
