@@ -335,6 +335,68 @@ object TextOps {
       |  substring(md5(text), 1, 8) AS fp_short
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------- Shingle containment (asymmetric near-dup) ----------
+
+  /** Shingle containment (Broder 1997's asymmetric resemblance):
+    * C(A→B) = |A∩B| / |A|. A 30-shingle snippet fully embedded in a
+    * 300-shingle page scores containment 1.0 but Jaccard ≈ 0.1 — the
+    * quote/boilerplate/excerpt case every symmetric dedup threshold
+    * misses, and the reason production dedup keeps BOTH metrics.
+    * Emits each candidate pair once (doc_a < doc_b) with containment
+    * in both directions plus the Jaccard for contrast; gated on pairs
+    * where either direction ≥ 0.5 while Jaccard may be far below the
+    * [[dedupNgramJaccard]] keep bar.
+    *
+    * Reuses the shared shingle substrate and inverted-index pair join
+    * (shuffle on shingle, pairs only where shingles collide); ratios
+    * are int/int under roundQ. Same linear scale shape as the Jaccard
+    * ground truth.
+    */
+  def qContainment(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(t(s, dir, "documents")).localCheckpoint()
+    Ckpt.track("q_containment", sh)
+    val sizes = shingleSizes(sh)
+    def r4(c: Column): Column = graft.expr.Columns.roundQ(c, 4)
+    pairCommonCounts(sh)
+      .join(sizes.select(col("doc_id").as("doc_a"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"),
+        col("n_sh").as("n_b")), "doc_b")
+      .withColumn("containment_ab",
+        r4(col("n_common") / col("n_a").cast("double")))
+      .withColumn("containment_ba",
+        r4(col("n_common") / col("n_b").cast("double")))
+      .where(col("containment_ab") >= 0.5 || col("containment_ba") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("n_a"), col("n_b"), col("containment_ab"),
+        col("containment_ba"),
+        r4(col("n_common") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // lazy: shinglePairsCte is declared further down the object body —
+  // a strict val here would read null at object init
+  lazy val qContainmentOracle: String =
+    s"""WITH $shinglePairsCte
+       |SELECT doc_a, doc_b, n_common,
+       |  sa.n_sh AS n_a, sb.n_sh AS n_b,
+       |  floor(n_common / CAST(sa.n_sh AS DOUBLE) * 10000 + 0.5) / 10000
+       |    AS containment_ab,
+       |  floor(n_common / CAST(sb.n_sh AS DOUBLE) * 10000 + 0.5) / 10000
+       |    AS containment_ba,
+       |  floor(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
+       |        * 10000 + 0.5) / 10000 AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE floor(n_common / CAST(sa.n_sh AS DOUBLE) * 10000 + 0.5)
+       |        / 10000 >= 0.5
+       |   OR floor(n_common / CAST(sb.n_sh AS DOUBLE) * 10000 + 0.5)
+       |        / 10000 >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---------- Winnowing fingerprint selection (MOSS) ----------
 
   /** Per-doc winnowed fingerprint instances over ANY (doc_id, text)
@@ -1393,6 +1455,7 @@ object TextOps {
     "q_bm25_topk" -> qBm25Topk,
     "q_lm_familiarity" -> qLmFamiliarity,
     "q_substring_dup" -> qSubstringDup,
+    "q_containment" -> qContainment,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_jaccard_capped" -> dedupJaccardCapped,
@@ -1414,6 +1477,7 @@ object TextOps {
     "q_bm25_topk" -> qBm25TopkOracle,
     "q_lm_familiarity" -> qLmFamiliarityOracle,
     "q_substring_dup" -> qSubstringDupOracle,
+    "q_containment" -> qContainmentOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "dedup_jaccard_capped" -> dedupJaccardCappedOracle,

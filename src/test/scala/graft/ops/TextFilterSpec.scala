@@ -91,6 +91,32 @@ class TextFilterSpec extends SparkSpec {
     assert(out(2L).getAs[Int]("max_dup_len") == 7)
   }
 
+  test("containment: a snippet fully embedded in a long page scores " +
+    "1.0 while its Jaccard stays under the symmetric keep bar") {
+    import spark.implicits._
+    val snippet = (1 to 30).map(i => f"s$i%02d").mkString(" ")
+    val filler = (1 to 200).map(i => f"f$i%03d").mkString(" ")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-contain").toString
+    Seq(
+      (1L, snippet, "en", "src0", snippet.length.toLong),
+      (2L, s"$snippet $filler", "en", "src0",
+        (snippet.length + filler.length + 1).toLong),
+      (3L, (1 to 40).map(i => f"z$i%02d").mkString(" "), "en", "src0", 0L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.qContainment(spark, dir).collect()
+    assert(out.length == 1, "only the embedded pair may survive")
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    // every snippet shingle appears in the page → full containment
+    assert(r.getAs[Double]("containment_ab") == 1.0)
+    // ...while the symmetric metric sits far below the 0.2 keep bar
+    assert(r.getAs[Double]("jaccard") < 0.2,
+      "fixture must be the case Jaccard-only dedup misses")
+    assert(r.getAs[Double]("containment_ba") < 0.2)
+  }
+
   test("winnowing: a shared w+k-1 = 7-word run guarantees a shared " +
     "selected fingerprint; disjoint docs share none; the selection " +
     "covers every window") {
