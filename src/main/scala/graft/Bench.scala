@@ -69,7 +69,17 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(json)
+    // The driver's stdout capture has truncated the tail of this line in
+    // past rounds, losing most per-query medians. Persist the complete
+    // JSON to a file as well so every query stays diffable across rounds.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("BENCH_FULL.json")).foreach { p =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(p), (json + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] persist failed: $e") }
+    }
     spark.stop()
   }
 }

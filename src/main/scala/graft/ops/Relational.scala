@@ -812,11 +812,14 @@ object Relational {
     * follows the round(sum, 2) precedent of [[graft.ops.Functions]]'s
     * tumbling window.
     *
-    * Scale shape: one shuffle on event_type for the ranking window +
-    * one for the rollup; the bounds table is |types| rows (broadcast
-    * back). At 100 TB the discrete-rank sort becomes the
-    * `approx_percentile` sketch ([[qApproxPercentile]]) feeding the
-    * same clip — this exact form is the oracle-checkable anchor.
+    * This exact-rank form is the ORACLE ANCHOR only — its per-type
+    * ranking window sorts each event_type's full population through
+    * one reducer, so it makes no 100 TB claim. The gated production
+    * path is [[qWinsorizeSketch]]: `approx_percentile` bounds (a
+    * partial-aggregable GK sketch — map-side combine, no per-type
+    * sort) feeding the IDENTICAL [[winsorizeFrom]] clip arithmetic,
+    * with SketchSiblingSpec pinning agreement floors vs this anchor
+    * at every SF.
     */
   def qWinsorize(s: SparkSession, dir: String): DataFrame =
     winsorizeStats(t(s, dir, "events")).orderBy("event_type")
@@ -824,29 +827,72 @@ object Relational {
   /** The winsorize core over ANY (event_type, value, event_id) frame —
     * factored out so the spec can pin the discrete rank formula on
     * planted values (gopherFlags/gapFillHourly discipline). */
-  private[ops] def winsorizeStats(events: DataFrame): DataFrame = {
+  private[ops] def winsorizeStats(events: DataFrame): DataFrame =
+    winsorizeFrom(events, winsorizeExactBounds(events))
+
+  /** Exact discrete-rank [p01, p99] per event_type — the one-reducer-
+    * per-type oracle anchor. NOT the scale path: the rank window sorts
+    * a whole type through one task (see [[winsorizeSketchBounds]]). */
+  private[ops] def winsorizeExactBounds(events: DataFrame): DataFrame = {
     val byType = Window.partitionBy(col("event_type"))
-    val r = events
+    events
       .select(col("event_type"), col("value"), col("event_id"))
       .withColumn("rn", row_number().over(
         byType.orderBy(col("value"), col("event_id"))))
       .withColumn("n", count(lit(1)).over(byType))
-    val b = r.groupBy(col("event_type"))
+      .groupBy(col("event_type"))
       .agg(
         max(when(col("rn") === expr("(n + 99) DIV 100"), col("value")))
           .as("p01"),
         max(when(col("rn") === expr("(99 * (n + 1)) DIV 100"),
           col("value"))).as("p99"))
-    r.join(broadcast(b), "event_type")
+  }
+
+  /** Sketch [p01, p99] per event_type via `approx_percentile` — the
+    * 100 TB path: a GK/QuantileSummaries sketch is a partial+final
+    * hash aggregate (map-side combine, mergeable partials, no sort at
+    * all), so a skewed 20 TB event_type costs the same per-partition
+    * pass as a small one. Accuracy 1e4 bounds the rank error at
+    * n/10000 per bound. */
+  private[ops] def winsorizeSketchBounds(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(expr(
+        "approx_percentile(value, array(0.01D, 0.99D), 10000)").as("pct"))
+      .select(col("event_type"),
+        element_at(col("pct"), 1).as("p01"),
+        element_at(col("pct"), 2).as("p99"))
+
+  /** The clip arithmetic over ANY events frame and ANY (event_type,
+    * p01, p99) bounds table — the shared downstream of the exact
+    * anchor and the sketch sibling, so "same arithmetic" is true by
+    * construction, not by parallel maintenance. Bounds are |types|
+    * rows, broadcast. */
+  private[ops] def winsorizeFrom(events: DataFrame,
+                                 bounds: DataFrame): DataFrame =
+    events.select(col("event_type"), col("value"))
+      .join(broadcast(bounds), "event_type")
       .groupBy(col("event_type"))
       .agg(
-        max(col("n")).as("n"),
+        count(lit(1)).as("n"),
         max(col("p01")).as("p01"),
         max(col("p99")).as("p99"),
         count(when(col("value") < col("p01"), 1)).as("n_clip_lo"),
         count(when(col("value") > col("p99"), 1)).as("n_clip_hi"),
         round(sum(least(greatest(col("value"), col("p01")), col("p99"))), 2)
           .as("winsor_sum"))
+
+  /** Winsorization the way a 100 TB job actually runs it: sketch
+    * bounds ([[winsorizeSketchBounds]]) into the identical clip
+    * arithmetic ([[winsorizeFrom]]) as the exact anchor
+    * [[qWinsorize]]. No ranking window anywhere in the plan — the
+    * only shuffles are the two partial+final aggregates. Sketch
+    * bounds are approximate by design → rows-only driver check;
+    * SketchSiblingSpec pins per-type agreement floors vs the anchor
+    * (clip counts within 1% of n, winsorized sum within 1%) at every
+    * SF. */
+  def qWinsorizeSketch(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    winsorizeFrom(ev, winsorizeSketchBounds(ev)).orderBy("event_type")
   }
 
   val qWinsorizeOracle: String =
@@ -885,35 +931,78 @@ object Relational {
     * self-check the spec pins.
     *
     * Scale shape: the exact global decile rank is the oracle-checkable
-    * ANCHOR (the `q_quantile_bins` precedent); the 100 TB path swaps
-    * it for `approx_percentile` sketch edges feeding the same
-    * bucket-count + PSI arithmetic. Everything after the edges is one
-    * broadcast of 9 rows + one bucket aggregate.
+    * ANCHOR ONLY (the `q_quantile_bins` precedent) — its edge window
+    * funnels the whole early population through one task, so it makes
+    * no 100 TB claim. The gated production path is
+    * [[qDistDriftSketch]]: `approx_percentile` sketch edges feeding
+    * the IDENTICAL [[psiFrom]] bucket-count + PSI arithmetic, with
+    * SketchSiblingSpec pinning per-bucket agreement floors vs this
+    * anchor at every SF. Everything after the edges is one broadcast
+    * of 9 values + one bucket aggregate.
     */
-  def qDistDrift(s: SparkSession, dir: String): DataFrame = {
+  def qDistDrift(s: SparkSession, dir: String): DataFrame =
+    distDriftFrom(s, driftPopulation(s, dir)).orderBy("bucket")
+
+  /** The (value, event_id, early) drift population: the split is a
+    * fixed epoch literal, so both engines partition identically. */
+  private def driftPopulation(s: SparkSession, dir: String): DataFrame = {
     val splitEpoch = 1705363200L // 2024-01-16T00:00:00Z
-    distDriftFrom(s,
-      t(s, dir, "events").select(col("value"), col("event_id"),
-        (col("ts").cast("long") < splitEpoch).as("early")))
-      .orderBy("bucket")
+    t(s, dir, "events").select(col("value"), col("event_id"),
+      (col("ts").cast("long") < splitEpoch).as("early"))
   }
 
   /** The PSI core over ANY (value, event_id, early) frame — factored
-    * for planted-drift fixtures (gopherFlags discipline). */
+    * for planted-drift fixtures (gopherFlags discipline). Exact
+    * anchor edges; see [[psiFrom]] for the shared downstream. */
   private[ops] def distDriftFrom(s: SparkSession, ev: DataFrame)
-      : DataFrame = {
+      : DataFrame =
+    psiFrom(ev, distDriftExactEdges(ev))
+
+  /** Exact decile edges of the EARLY population by global discrete
+    * rank — the one-reducer oracle anchor (value, event_id total
+    * order; `(k·n+9) DIV 10` integral rank). NOT the scale path: the
+    * un-partitioned window is a single-task global sort by
+    * construction (see [[distDriftSketchEdges]]). */
+  private[ops] def distDriftExactEdges(ev: DataFrame): DataFrame = {
     val byV = Window.orderBy(col("value"), col("event_id"))
     val rk = ev.where(col("early"))
       .withColumn("rn", row_number().over(byV))
       .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-    val edges = rk.crossJoin(broadcast(
-        s.range(1, 10).toDF("k")))
+    rk.crossJoin(broadcast(
+        ev.sparkSession.range(1, 10).toDF("k")))
       .where(col("rn") === expr("(k * n + 9) DIV 10"))
       .groupBy(col("k")).agg(max(col("value")).as("edge"))
-    val counts = ev.crossJoin(broadcast(edges))
-      .groupBy(col("early"), col("value"), col("event_id"))
-      .agg(sum(when(col("value") > col("edge"), 1).otherwise(0))
-        .cast("int").as("bucket"))
+  }
+
+  /** Sketch decile edges of the EARLY population via
+    * `approx_percentile` — the 100 TB path: one partial+final hash
+    * aggregate (mergeable GK sketch, map-side combine), no global
+    * sort anywhere. Accuracy 1e4 bounds each edge's rank error at
+    * n/10000. Output schema matches [[distDriftExactEdges]]. */
+  private[ops] def distDriftSketchEdges(ev: DataFrame): DataFrame =
+    ev.where(col("early"))
+      .agg(expr("approx_percentile(value, " +
+        "array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D), " +
+        "10000)").as("p"))
+      .select(posexplode(col("p")).as(Seq("i", "edge")))
+      .select((col("i") + 1).cast("long").as("k"), col("edge"))
+
+  /** The bucket-count + PSI arithmetic over ANY (value, event_id,
+    * early) frame and ANY (k, edge) decile table — the shared
+    * downstream of the exact anchor and the sketch sibling. The edges
+    * collapse to ONE broadcast array row and each event row computes
+    * its own bucket from that array (`size(filter(...))` — a per-ROW
+    * expression), so rows are never re-grouped on a pseudo row key:
+    * the result is correct even when event_id values collide across
+    * rows (the planted-fixture case the round-5 review flagged).
+    * Per-bucket ln terms are emitted per row (no cross-engine
+    * summation); every ln input is built from exact integers by the
+    * same IEEE expression both sides. */
+  private[ops] def psiFrom(ev: DataFrame, edges: DataFrame): DataFrame = {
+    val earr = edges.agg(array_sort(collect_list(col("edge"))).as("edges"))
+    val counts = ev.crossJoin(broadcast(earr))
+      .select(col("early"),
+        size(filter(col("edges"), e => col("value") > e)).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(when(col("early"), 1)).as("n_early"),
         count(when(!col("early"), 1)).as("n_late"))
@@ -927,6 +1016,19 @@ object Relational {
           .as("psi_term"))
   }
 
+  /** Drift monitoring the way a 100 TB job actually runs it: sketch
+    * decile edges ([[distDriftSketchEdges]]) into the identical
+    * bucket-count + PSI arithmetic ([[psiFrom]]) as the exact anchor
+    * [[qDistDrift]]. No global sort anywhere in the plan. Sketch
+    * edges are approximate by design → rows-only driver check;
+    * SketchSiblingSpec pins per-bucket agreement floors vs the anchor
+    * (psi_term within ±0.02, bucket populations within 2% of their
+    * population totals) at every SF. */
+  def qDistDriftSketch(s: SparkSession, dir: String): DataFrame = {
+    val ev = driftPopulation(s, dir)
+    psiFrom(ev, distDriftSketchEdges(ev)).orderBy("bucket")
+  }
+
   val qDistDriftOracle: String =
     """WITH ev AS (SELECT value, event_id,
       |    floor(extract(epoch FROM ts)) < 1705363200 AS early
@@ -938,10 +1040,10 @@ object Relational {
       |e AS (SELECT k,
       |    max(CASE WHEN rn = (k * n + 9) // 10 THEN value END) AS edge
       |  FROM r CROSS JOIN (SELECT unnest(range(1, 10)) AS k) GROUP BY k),
-      |b AS (SELECT ev.early,
-      |    CAST(sum(CASE WHEN ev.value > e.edge THEN 1 ELSE 0 END) AS INT)
+      |b AS (SELECT early,
+      |    CAST((SELECT count(*) FROM e WHERE e.edge < ev.value) AS INT)
       |      AS bucket
-      |  FROM ev CROSS JOIN e GROUP BY ev.early, ev.value, ev.event_id),
+      |  FROM ev),
       |c AS (SELECT bucket,
       |    CAST(count(*) FILTER (WHERE early) AS BIGINT) AS n_early,
       |    CAST(count(*) FILTER (WHERE NOT early) AS BIGINT) AS n_late
@@ -1365,7 +1467,9 @@ object Relational {
     "q_stats_agg" -> qStatsAgg,
     "q_percentile" -> qPercentile,
     "q_winsorize" -> qWinsorize,
+    "q_winsorize_sketch" -> qWinsorizeSketch,
     "q_dist_drift" -> qDistDrift,
+    "q_dist_drift_sketch" -> qDistDriftSketch,
     "q_sql_entry" -> qSqlEntry,
     "q_subquery" -> qSubquery,
     "q_approx_percentile" -> qApproxPercentile,
