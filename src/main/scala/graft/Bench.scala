@@ -75,10 +75,12 @@ object Bench {
     // The driver's stdout capture has truncated the tail of this line in
     // past rounds, losing most per-query medians. Persist the complete
     // JSON to a file as well so every query stays diffable across rounds.
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("BENCH_FULL.json")).foreach { p =>
-      try java.nio.file.Files.write(
-        java.nio.file.Paths.get(p), (json + "\n").getBytes("UTF-8"))
-      catch { case e: Throwable => System.err.println(s"[bench] persist failed: $e") }
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(out), (json + "\n").getBytes("UTF-8"))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] persist failed: $e")
     }
     spark.stop()
   }

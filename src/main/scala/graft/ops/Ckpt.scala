@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
 
 /** One LIVE set of eagerly-checkpointed inputs per query slot.
   *
@@ -30,6 +30,22 @@ private[ops] object Ckpt {
     org.apache.spark.sql.GraftColumnBridge.unpersistCheckpointed(df)
 
   def track(key: String, dfs: DataFrame*): Unit = {
+    // Disjointness assert (the bridge's exclusivity contract):
+    // releasing a slot frees EVERY LogicalRDD leaf under its plans, so
+    // a checkpoint leaf shared with a frame tracked under a DIFFERENT
+    // live slot would have its in-use blocks freed by whichever slot
+    // cycles first. No current call site shares leaves — this makes a
+    // future one fail loudly at track time instead of corrupting reads.
+    val ids = GraftColumnBridge.checkpointedRddIds _
+    val mine = dfs.flatMap(ids(_)).toSet
+    prev.forEach { (k, olds) =>
+      if (k != key) {
+        val shared = olds.flatMap(ids(_)).toSet.intersect(mine)
+        require(shared.isEmpty, s"Ckpt slot '$key' shares checkpointed " +
+          s"RDDs ${shared.mkString(",")} with live slot '$k' — releasing " +
+          "either slot would free blocks the other still reads")
+      }
+    }
     val old = prev.put(key, dfs)
     if (old != null) old.foreach(release)
   }

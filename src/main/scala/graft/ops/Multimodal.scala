@@ -528,33 +528,70 @@ object Multimodal {
     mediaWav(s, dir).select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.flatMap {
-        case (id, bytes) =>
-          val bb = java.nio.ByteBuffer.wrap(bytes)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          val channels = bb.getShort(22).toInt
-          val dataSize = bb.getInt(40)
-          val frames = dataSize / (channels * 2)
-          (0 until (frames + AudioBlockFrames - 1) / AudioBlockFrames)
-            .map { b =>
-              val f0 = b * AudioBlockFrames
-              val f1 = math.min(frames, f0 + AudioBlockFrames)
-              var sumAbs = 0L; var sumSq = 0L; var peak = 0
-              var f = f0
-              while (f < f1) {
-                var c = 0
-                while (c < channels) {
-                  val v = bb.getShort(44 + (f * channels + c) * 2).toInt
-                  val a = math.abs(v)
-                  sumAbs += a; sumSq += a.toLong * a
-                  if (a > peak) peak = a
-                  c += 1
-                }
-                f += 1
-              }
-              AudioBlock(id, b, (f1 - f0) * channels, sumAbs, sumSq, peak)
-            }
+        case (id, bytes) => decodeWavBlocks(id, bytes)
       }))
       .toDF()
+  }
+
+  /** Decode one WAV payload to its energy blocks, VALIDATING the
+    * container instead of trusting fixed offsets: RIFF/WAVE magic, a
+    * real chunk walk (word-aligned, bounds-checked — LIST/fact/cue
+    * chunks before `data` are skipped, not misread as samples), PCM
+    * format tag 1 and 16-bit depth from the located `fmt ` chunk. A
+    * float-PCM, truncated, or non-WAV payload fails LOUDLY with the
+    * doc_id in the message — the PNG path's null-decode discipline —
+    * instead of emitting silent garbage stats from whatever bytes sit
+    * at offsets 22/40/44. */
+  private[ops] def decodeWavBlocks(id: Long, bytes: Array[Byte])
+      : Seq[AudioBlock] = {
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      s"doc_id=$id: not a decodable PCM16 WAV — $msg")
+    if (bytes.length < 12) fail(s"payload is ${bytes.length} bytes")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourCC(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    if (fourCC(0) != "RIFF" || fourCC(8) != "WAVE")
+      fail(s"magic is '${fourCC(0)}'/'${fourCC(8)}', want RIFF/WAVE")
+    var off = 12
+    var fmtOff = -1; var dataOff = -1; var dataSize = -1
+    while (off + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
+      val cid = fourCC(off); val csz = bb.getInt(off + 4)
+      if (csz < 0 || off + 8 + csz > bytes.length)
+        fail(s"chunk '$cid' size $csz overruns the ${bytes.length}-byte payload")
+      if (cid == "fmt ") {
+        if (csz < 16) fail(s"fmt chunk is $csz bytes, want >= 16")
+        fmtOff = off + 8
+      } else if (cid == "data") { dataOff = off + 8; dataSize = csz }
+      off += 8 + csz + (csz & 1) // RIFF chunks are word-aligned
+    }
+    if (fmtOff < 0) fail("no fmt chunk")
+    if (dataOff < 0) fail("no data chunk")
+    val format = bb.getShort(fmtOff).toInt
+    if (format != 1) fail(s"format tag $format, want 1 (integer PCM)")
+    val channels = bb.getShort(fmtOff + 2).toInt
+    if (channels <= 0) fail(s"$channels channels")
+    val bits = bb.getShort(fmtOff + 14).toInt
+    if (bits != 16) fail(s"$bits-bit samples, want 16")
+    val frames = dataSize / (channels * 2)
+    (0 until (frames + AudioBlockFrames - 1) / AudioBlockFrames)
+      .map { b =>
+        val f0 = b * AudioBlockFrames
+        val f1 = math.min(frames, f0 + AudioBlockFrames)
+        var sumAbs = 0L; var sumSq = 0L; var peak = 0
+        var f = f0
+        while (f < f1) {
+          var c = 0
+          while (c < channels) {
+            val v = bb.getShort(dataOff + (f * channels + c) * 2).toInt
+            val a = math.abs(v)
+            sumAbs += a; sumSq += a.toLong * a
+            if (a > peak) peak = a
+            c += 1
+          }
+          f += 1
+        }
+        AudioBlock(id, b, (f1 - f0) * channels, sumAbs, sumSq, peak)
+      }
   }
 
   /** Mean-abs amplitude threshold for "active" blocks: a block is

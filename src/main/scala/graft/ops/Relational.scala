@@ -941,7 +941,7 @@ object Relational {
     * of 9 values + one bucket aggregate.
     */
   def qDistDrift(s: SparkSession, dir: String): DataFrame =
-    distDriftFrom(s, driftPopulation(s, dir)).orderBy("bucket")
+    distDriftFrom(driftPopulation(s, dir)).orderBy("bucket")
 
   /** The (value, event_id, early) drift population: the split is a
     * fixed epoch literal, so both engines partition identically. */
@@ -954,8 +954,7 @@ object Relational {
   /** The PSI core over ANY (value, event_id, early) frame — factored
     * for planted-drift fixtures (gopherFlags discipline). Exact
     * anchor edges; see [[psiFrom]] for the shared downstream. */
-  private[ops] def distDriftFrom(s: SparkSession, ev: DataFrame)
-      : DataFrame =
+  private[ops] def distDriftFrom(ev: DataFrame): DataFrame =
     psiFrom(ev, distDriftExactEdges(ev))
 
   /** Exact decile edges of the EARLY population by global discrete

@@ -32,7 +32,15 @@ object GraftColumnBridge extends org.apache.spark.internal.Logging {
     * over the checkpointed one) releases the checkpoint it pins
     * instead of silently leaking through the `Dataset.unpersist`
     * no-op; when the plan holds no LogicalRDD at all, the miswired
-    * call site is made visible with a warning rather than swallowed. */
+    * call site is made visible with a warning rather than swallowed.
+    *
+    * EXCLUSIVITY CONTRACT: because every LogicalRDD leaf under the
+    * plan is released, the caller must own those checkpoints
+    * exclusively — a leaf shared with another still-live frame would
+    * have its in-use blocks freed. [[graft.ops.Ckpt]] enforces this
+    * with a cross-slot disjointness assert on `track`; call sites
+    * outside Ckpt must prove the same property (use
+    * [[checkpointedRddIds]]). */
   def unpersistCheckpointed(df: Dataset[Row]): Unit = {
     val rdds = df.queryExecution.logical.collect {
       case lr: execution.LogicalRDD => lr.rdd
@@ -44,4 +52,13 @@ object GraftColumnBridge extends org.apache.spark.internal.Logging {
     } else rdds.foreach(_.unpersist(blocking = false))
     ()
   }
+
+  /** The ids of the RDDs [[unpersistCheckpointed]] would release —
+    * so callers can prove the exclusivity contract (no checkpoint
+    * leaf shared with a frame whose release is managed elsewhere)
+    * before wiring up a release. */
+  def checkpointedRddIds(df: Dataset[Row]): Seq[Int] =
+    df.queryExecution.logical.collect {
+      case lr: execution.LogicalRDD => lr.rdd.id
+    }
 }

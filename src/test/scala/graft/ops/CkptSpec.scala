@@ -49,4 +49,26 @@ class CkptSpec extends SparkSpec {
     assert((live() -- before).isEmpty,
       "releasing a derived frame leaked the underlying checkpoint")
   }
+
+  test("track asserts cross-slot disjointness: a checkpoint leaf shared " +
+    "with another live slot fails at track time, not as a freed-block " +
+    "read later") {
+    import spark.implicits._
+    val shared = (1 to 100).toDF("x").localCheckpoint()
+    shared.count()
+    try {
+      Ckpt.track("ckptspec-slot-a", shared)
+      val e = intercept[IllegalArgumentException](
+        Ckpt.track("ckptspec-slot-b", shared.select(
+          org.apache.spark.sql.functions.col("x") + 1)))
+      assert(e.getMessage.contains("ckptspec-slot-a"),
+        "the assert must name the conflicting live slot")
+      // same-slot re-track of the same frame stays legal (release+replace)
+      Ckpt.track("ckptspec-slot-a", shared)
+    } finally {
+      // drain the slot so this spec leaves no live checkpoint behind
+      Ckpt.track("ckptspec-slot-a",
+        spark.emptyDataFrame.localCheckpoint())
+    }
+  }
 }

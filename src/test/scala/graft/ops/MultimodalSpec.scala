@@ -117,6 +117,63 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // WAV builder with a controllable format tag and optional extra
+  // chunks before `data` — the containers decodeWavBlocks must either
+  // decode correctly (canonical, LIST-prefixed) or reject loudly
+  // (float PCM, truncated, non-WAV)
+  private def wav(samples: Seq[Short], formatTag: Short = 1,
+                  bits: Short = 16,
+                  preDataChunks: Seq[(String, Array[Byte])] = Nil)
+      : Array[Byte] = {
+    val dataSize = samples.length * 2
+    val extra = preDataChunks.map { case (_, b) =>
+      8 + b.length + (b.length & 1) }.sum
+    val bb = java.nio.ByteBuffer.allocate(44 + extra + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + extra + dataSize)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(formatTag); bb.putShort(1)
+    bb.putInt(8000); bb.putInt(8000 * 2)
+    bb.putShort(2); bb.putShort(bits)
+    preDataChunks.foreach { case (id, body) =>
+      bb.put(id.getBytes("US-ASCII")); bb.putInt(body.length)
+      bb.put(body); if ((body.length & 1) == 1) bb.put(0.toByte)
+    }
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataSize)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("wav decode walks chunks: a LIST chunk before data is skipped, " +
+    "not misread as samples") {
+    val samples = (0 until 60).map(i => (i * 100 - 3000).toShort)
+    val canonical = Multimodal.decodeWavBlocks(7L, wav(samples))
+    val listed = Multimodal.decodeWavBlocks(7L, wav(samples,
+      preDataChunks = Seq("LIST" -> "INFOsome metadata here!".getBytes)))
+    assert(canonical == listed,
+      "identical samples must decode identically regardless of a LIST chunk")
+    assert(canonical.map(_.n_samples).sum == 60)
+  }
+
+  test("wav decode rejects non-PCM16 and malformed containers loudly, " +
+    "with the doc_id in the message") {
+    val samples = (0 until 30).map(_.toShort)
+    def msgOf(bytes: Array[Byte]): String =
+      intercept[IllegalArgumentException](
+        Multimodal.decodeWavBlocks(42L, bytes)).getMessage
+    // float PCM (format tag 3): previously silent garbage, now loud
+    assert(msgOf(wav(samples, formatTag = 3)).contains("format tag 3"))
+    // 8-bit depth
+    assert(msgOf(wav(samples, bits = 8)).contains("8-bit"))
+    // not a WAV at all
+    assert(msgOf("not audio at all, sorry".getBytes).contains("RIFF"))
+    // truncated mid-data: the declared chunk size overruns the payload
+    assert(msgOf(wav(samples).dropRight(10)).contains("overruns"))
+    // every message carries the failing doc for triage
+    assert(msgOf(wav(samples, formatTag = 3)).contains("doc_id=42"))
+  }
+
   test("vad segmentation: oscillating activity splits into exact " +
     "islands, the threshold boundary is inclusive, and gaps never " +
     "bridge") {

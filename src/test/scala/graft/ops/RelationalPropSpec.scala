@@ -181,7 +181,7 @@ class RelationalPropSpec extends SparkSpec {
     val shifted =
       (1 to 100).map(i => (i.toDouble, i.toLong, true)) ++
         (1 to 100).map(i => (95.5, 200L + i, false))
-    val out = Relational.distDriftFrom(spark,
+    val out = Relational.distDriftFrom(
       shifted.toDF("value", "event_id", "early"))
       .orderBy("bucket").collect()
     assert(out.length == 10)
@@ -196,7 +196,7 @@ class RelationalPropSpec extends SparkSpec {
     val same =
       (1 to 100).map(i => (i.toDouble, i.toLong, true)) ++
         (1 to 100).map(i => (i.toDouble, 200L + i, false))
-    val flat = Relational.distDriftFrom(spark,
+    val flat = Relational.distDriftFrom(
       same.toDF("value", "event_id", "early")).collect()
     assert(flat.forall(r => math.abs(r.getAs[Double]("psi_term")) < 1e-9),
       "identical populations must score zero drift in every bucket")
