@@ -648,6 +648,60 @@ object Similarity {
       |FROM r WHERE (is_same AND rn = 1) OR (NOT is_same AND rn <= 3)
       |ORDER BY anchor_id, role, rk""".stripMargin
 
+  /** Mined-candidate depth per anchor for the ANN mining path: deep
+    * enough that the top-1 same-label and top-3 different-label
+    * partners normally sit inside the mined ring (labels are ~1-in-10
+    * to 1-in-20, so 25 candidates hold a few same-label rows), shallow
+    * enough the per-anchor exact rerank stays trivial. */
+  private val HardNegAnnK = 25
+
+  /** Hard-negative mining the way a 100 TB run does it — through the
+    * PERSISTED ANN index instead of the exact O(n²) scan — plus the
+    * per-anchor mining-recall measurement the exact contract
+    * ([[qHardNegatives]]) promises. The same anchors (vec_id % 100 =
+    * 50) are answered by [[serveFrom]]'s ADC tail (broadcast
+    * artifacts, DPP-pruned code scan) at depth [[HardNegAnnK]], and
+    * the role/rank selection over the mined ring is the IDENTICAL
+    * same-label-top-1 / different-label-top-3 rule. Each anchor's row
+    * reports how much of the exact miner's 4-row output the mined
+    * ring recovered (a partner match implies a role match — `is_same`
+    * is a function of the labels). The exact side is computed HERE
+    * because this query IS the recall measurement; a production
+    * mining job runs only the mined side and trusts the floor this
+    * query establishes. Approximate by design (trained index) →
+    * rows-only driver check; SimilaritySpec pins mean recall ≥ 0.6 at
+    * both corpus sizes at the auto-sized probe budget. */
+  def qHardNegativesAnn(s: SparkSession, dir: String): DataFrame = {
+    val labels = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val mined = serveFrom(s, dir, buildIndex(s, dir),
+      qFilter = col("vec_id") % 100 === 50, topK = HardNegAnnK)
+    val w = Window.partitionBy(col("qid"), col("is_same"))
+      .orderBy(col("cosine").desc, col("partner_id"))
+    val minedSel = mined
+      .join(broadcast(labels.select(col("vec_id").as("qid"),
+        col("label").as("qlabel"))), "qid")
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("plabel")), "neighbor_id")
+      .select(col("qid"), col("neighbor_id").as("partner_id"),
+        (col("qlabel") === col("plabel")).as("is_same"), col("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .where((col("is_same") && col("rn") === 1) ||
+        (!col("is_same") && col("rn") <= 3))
+      .select(col("qid").as("anchor_id"), col("partner_id"))
+    hardNegativesFrom(t(s, dir, "embeddings"))
+      .select(col("anchor_id"), col("partner_id"), col("anchor_label"))
+      .join(minedSel.withColumn("hit", lit(1L)),
+        Seq("anchor_id", "partner_id"), "left")
+      .groupBy(col("anchor_id"))
+      .agg(first(col("anchor_label")).as("anchor_label"),
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        graft.expr.Columns.roundQ(col("n_hit") / col("n_exact"), 4))
+      .orderBy("anchor_id")
+  }
+
   // ---------- SemDeDup: semantic dedup over trained clusters ----------
 
   /** Same-cell cosine at or above this marks two corpus vectors as
@@ -941,11 +995,13 @@ object Similarity {
     * rerank. */
   private def adcSearch(e: DataFrame, cents: DataFrame,
                         codebook: DataFrame, codes: DataFrame,
-                        probes: Int): DataFrame = {
+                        probes: Int,
+                        qFilter: Column = col("vec_id") % 100 === 0,
+                        topK: Int = 5): DataFrame = {
     val centsN = cents
       .withColumn("cnrm", sqrt(dot(col("cemb"), col("cemb"))))
       .select(col("cent_id"), col("cemb"), col("cnrm"))
-    val qBase = e.where(col("vec_id") % 100 === 0)
+    val qBase = e.where(qFilter)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
         col("nrm").as("qnrm"))
     // per-(query, probed cell) residual — ||qr − r_x||² in a probed
@@ -989,7 +1045,7 @@ object Similarity {
           dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 4)
           .as("cosine"))
       .withColumn("rn", row_number().over(wRank))
-      .where(col("rn") <= 5)
+      .where(col("rn") <= topK)
       .orderBy("qid", "rn")
   }
 
@@ -1183,7 +1239,9 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private[ops] def serveFrom(s: SparkSession, dir: String,
-                             idx: String): DataFrame = {
+                             idx: String,
+                             qFilter: Column = col("vec_id") % 100 === 0,
+                             topK: Int = 5): DataFrame = {
     val e = withNorm(t(s, dir, "embeddings")).repartition(col("vec_id"))
     adcSearch(e,
       s.read.parquet(s"$idx/centroids"),
@@ -1191,7 +1249,8 @@ object Similarity {
       Tables.readManifested(s, s"$idx/codes"),
       probesFor(servedCellCountMemo.computeIfAbsent(idx, _ =>
         java.lang.Long.valueOf(
-          s.read.parquet(s"$idx/centroids").count()))))
+          s.read.parquet(s"$idx/centroids").count()))),
+      qFilter, topK)
   }
 
   // ---------- Incremental index maintenance (batch-vs-index) ----------
@@ -1294,6 +1353,7 @@ object Similarity {
     "sim_ann_pq" -> simAnnPq,
     "dedup_semantic" -> dedupSemantic,
     "q_hard_negatives" -> qHardNegatives,
+    "q_hard_negatives_ann" -> qHardNegativesAnn,
     "q_quantize_embed" -> qQuantizeEmbed,
     "q_embed_centroids" -> qEmbedCentroids,
   )

@@ -185,6 +185,28 @@ class SimilaritySpec extends SparkSpec {
     c1.unpersist()
   }
 
+  test("ANN-mined hard negatives: mean mining recall >= 0.6 vs the " +
+    "exact contract at BOTH corpus sizes, through the gated path") {
+    // measured at the auto-sized probe budget, mined depth 25:
+    // mean per-anchor recall 0.85 at sf0.001 (5 anchors), 0.725 at
+    // sf0.1 (20 anchors) — tracking the IVF-PQ recall@5 ceiling
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1").foreach { d =>
+      val rows = Similarity.qHardNegativesAnn(spark, d).collect()
+      assert(rows.nonEmpty, s"$d: no anchors mined")
+      // every anchor carries the full exact contract (1 pos + 3 negs)
+      // and hits never exceed it
+      rows.foreach { r =>
+        assert(r.getAs[Long]("n_exact") == 4L,
+          s"$d anchor ${r.getLong(0)}: exact side must emit 1 pos + 3 negs")
+        assert(r.getAs[Long]("n_hit") <= 4L)
+      }
+      val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+      info(s"$d: mean mining recall = $mean over ${rows.length} anchors")
+      assert(mean >= 0.6,
+        s"$d: ANN mining recall $mean under the absolute 0.6 floor")
+    }
+  }
+
   test("IVF-PQ: recall@5 floor at BOTH corpus sizes, exact reranked " +
     "scores, candidates only from probed cells") {
     // measured at the auto-sized probe budget: 0.76 at sf0.1 (13 of
