@@ -444,8 +444,27 @@ object TextOps {
     * for the sharing count. Linear; the cross-doc join touches only
     * selected fingerprints, never raw k-grams.
     */
-  def qWinnowFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val sel = winnowSelected(t(s, dir, "documents"))
+  def qWinnowFingerprint(s: SparkSession, dir: String): DataFrame =
+    winnowSharedStats(t(s, dir, "documents"), codeKeys = false)
+
+  /** [[qWinnowFingerprint]] with xxhash64-coded shuffle keys: the
+    * winnowing SELECTION stays on md5-hex order (that order is the
+    * algorithm), but every cross-doc exchange — the selected-set
+    * distinct, the sharing-count groupBy and the join back — moves
+    * the fingerprint's xxhash64 (8 bytes) instead of the 32-char hex
+    * string. Identical output (same oracle, hash-gated; equality
+    * pinned in SpanKeyCodingSpec), smaller pinned shuffle volume. */
+  def qWinnowFingerprintCoded(s: SparkSession, dir: String): DataFrame =
+    winnowSharedStats(t(s, dir, "documents"), codeKeys = true)
+
+  private def winnowSharedStats(docs: DataFrame,
+                                codeKeys: Boolean): DataFrame = {
+    val raw = winnowSelected(docs)
+    // coding happens BEFORE the distinct so the dedup of selected
+    // fingerprints already shuffles longs, not hex strings
+    val coded = if (codeKeys) raw.withColumn("wmin", xxhash64(col("wmin")))
+      else raw
+    val sel = coded
       .select(col("doc_id"), col("n_kgrams"), col("wmin")).distinct()
     val shr = sel.groupBy(col("wmin")).agg(count(lit(1)).as("cnt"))
     sel.join(shr, "wmin")
@@ -1192,19 +1211,28 @@ object TextOps {
   /** Span-level duplication signals behind [[qSubstringDup]], factored
     * over any documents frame (doc_id, text) so TextFilterSpec can
     * drive planted spans through the exact gated code path. */
-  private[ops] def substringSignals(docs: DataFrame): DataFrame = {
+  private[ops] def substringSignals(docs: DataFrame,
+                                    codeKeys: Boolean = false): DataFrame = {
     val k = SubstrK
     // every token position's k-token window, WITH position: unlike the
     // shingle substrate this keeps multiplicity — the unit of account
     // is the position (how much of the doc sits inside a duplicated
     // span), not the distinct window string
-    val win = docs
+    val win0 = docs
       .withColumn("ws", words(col("text")))
       .where(size(col("ws")) >= k)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), size(col("ws")) - k),
           i => concat_ws(" ", slice(col("ws"), i + 1, lit(k)))))
           .as(Seq("pos", "win")))
+    // coded path: shuffle the window's xxhash64 (8-byte long) instead
+    // of the ~40-byte string — the df groupBy and the join back are
+    // the two corpus-wide exchanges, so the key width IS the shuffle
+    // volume. Distinct windows colliding in 64 bits would merge their
+    // df counts (p ≈ n²/2⁶⁵ — absent here: the coded gate hash-matches
+    // the string anchor's oracle at every SF).
+    val win = if (codeKeys) win0.withColumn("win", xxhash64(col("win")))
+      else win0
     // cross-doc duplication only (distinct-doc df ≥ 2): within-doc
     // repetition is qRepetitionFilter's signal, not contamination
     val df = win.groupBy(col("win"))
@@ -1213,7 +1241,8 @@ object TextOps {
     val j = win.join(df, "win")
       .select(col("doc_id"), col("pos"), (col("df") >= 2).as("dup"))
       .localCheckpoint()
-    Ckpt.track("q_substring_dup", j)
+    Ckpt.track(if (codeKeys) "q_substring_dup_coded" else "q_substring_dup",
+      j)
     // longest duplicated run per doc: gaps-and-islands over the dup
     // positions (pos − row_number is constant within a consecutive
     // run); the window is keyed by doc_id — never corpus-wide
@@ -1250,12 +1279,23 @@ object TextOps {
     * replaced by the Spark-native equivalent: a position-keyed
     * window join — same duplicated-span detection for fixed k, all
     * shuffles on window-string or doc_id, linear in corpus size.
-    * At 100 TB the window strings would be xxhash64-coded before the
-    * df shuffle (64-bit keys instead of ~40-byte strings); the gated
-    * query keeps the strings so the DuckDB oracle can replay it
-    * verbatim. */
+    * This anchor keeps the window STRINGS as shuffle keys so the
+    * DuckDB oracle replays it verbatim; [[qSubstringDupCoded]] is the
+    * 100 TB formulation (xxhash64-coded 64-bit keys before the df
+    * shuffle), gated on the same oracle. */
   def qSubstringDup(s: SparkSession, dir: String): DataFrame =
     substringSignals(t(s, dir, "documents")).orderBy("doc_id")
+
+  /** [[qSubstringDup]] with xxhash64-coded shuffle keys — the 100 TB
+    * formulation the anchor's scaladoc promises: both corpus-wide
+    * exchanges (window df, join-back) move 8-byte longs instead of
+    * ~40-byte window strings (measured ~2× fewer shuffle bytes at
+    * sf0.001, pinned in ShuffleVolumeSpec). Output is identical to
+    * the anchor — same oracle, hash-gated — and SpanKeyCodingSpec
+    * asserts row-for-row equality against the string path. */
+  def qSubstringDupCoded(s: SparkSession, dir: String): DataFrame =
+    substringSignals(t(s, dir, "documents"), codeKeys = true)
+      .orderBy("doc_id")
 
   val qSubstringDupOracle: String = {
     val k = SubstrK
@@ -1452,9 +1492,11 @@ object TextOps {
     "q_lang_id" -> qLangId,
     "q_doc_fingerprint" -> qDocFingerprint,
     "q_winnow_fingerprint" -> qWinnowFingerprint,
+    "q_winnow_fingerprint_coded" -> qWinnowFingerprintCoded,
     "q_bm25_topk" -> qBm25Topk,
     "q_lm_familiarity" -> qLmFamiliarity,
     "q_substring_dup" -> qSubstringDup,
+    "q_substring_dup_coded" -> qSubstringDupCoded,
     "q_containment" -> qContainment,
     "dedup_exact" -> dedupExact,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -1474,9 +1516,13 @@ object TextOps {
     "q_lang_id" -> qLangIdOracle,
     "q_doc_fingerprint" -> qDocFingerprintOracle,
     "q_winnow_fingerprint" -> qWinnowFingerprintOracle,
+    // the coded variants change only the shuffle-key WIDTH, never the
+    // result — they share the string anchors' oracles and hash-gate
+    "q_winnow_fingerprint_coded" -> qWinnowFingerprintOracle,
     "q_bm25_topk" -> qBm25TopkOracle,
     "q_lm_familiarity" -> qLmFamiliarityOracle,
     "q_substring_dup" -> qSubstringDupOracle,
+    "q_substring_dup_coded" -> qSubstringDupOracle,
     "q_containment" -> qContainmentOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,

@@ -76,6 +76,24 @@ class ShuffleVolumeSpec extends SparkSpec {
         "(histograms no longer broadcast, or a second corpus pass?)")
   }
 
+  test("xxhash64 span-key coding measurably shrinks the shuffle and " +
+    "the coded paths stay under their ceilings") {
+    val subStr = shuffleBytes(() => TextOps.qSubstringDup(spark, sf))
+    val subCod = shuffleBytes(() => TextOps.qSubstringDupCoded(spark, sf))
+    info(s"q_substring_dup shuffle bytes: string=$subStr coded=$subCod")
+    assert(subCod > 0 && subCod < subStr,
+      "coded span keys must shuffle strictly fewer bytes than strings")
+    assert(subCod <= 1216L * 1024, // measured 2026-08-13: 617 961 bytes
+      s"q_substring_dup_coded shuffled $subCod bytes — key coding lost?")
+    val winStr = shuffleBytes(() => TextOps.qWinnowFingerprint(spark, sf))
+    val winCod = shuffleBytes(() => TextOps.qWinnowFingerprintCoded(spark, sf))
+    info(s"q_winnow_fingerprint shuffle bytes: string=$winStr coded=$winCod")
+    assert(winCod > 0 && winCod < winStr,
+      "coded fingerprint keys must shuffle strictly fewer bytes than hex")
+    assert(winCod <= 2304L * 1024, // measured 2026-08-13: 1 176 397 bytes
+      s"q_winnow_fingerprint_coded shuffled $winCod bytes — key coding lost?")
+  }
+
   test("dedup_minhash_lsh shuffle volume stays under its ceiling") {
     val b = shuffleBytes(() => TextOps.dedupMinhashLsh(spark, sf))
     info(s"dedup_minhash_lsh shuffle bytes written: $b")
