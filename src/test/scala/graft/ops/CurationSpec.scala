@@ -291,6 +291,72 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("directed pagerank: star-with-dangling-leaves closed form, " +
+    "mass conserved WITH sinks, early stop fires, and an independent " +
+    "replay agrees on the real oriented graph") {
+    import spark.implicits._
+    // center a -> 3 dangling leaves. Fixpoint (d=0.85, n=4, D = 3L):
+    //   A = 0.0375 + 0.85·(3L/4)          (only dangling mass reaches a)
+    //   L = A + 0.85·A/3                  (leaf = a's share + a's edge)
+    //   A + 3L = 1  →  A = 1/4.85 ≈ 0.2062, L ≈ 0.2646
+    val star = Curation.pageRankDirected(
+      Seq(("a", "b"), ("a", "c"), ("a", "d")).toDF("name_a", "name_b"),
+      maxIters = 100, damping = 0.85, tol = 1e-9).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("pagerank"), r.getAs[Boolean]("is_dangling")))
+      .toMap
+    assert(!star("a")._2 && star("b")._2 && star("c")._2 && star("d")._2,
+      "leaves are the out-degree-0 sinks, the center is not")
+    assert(math.abs(star("a")._1 - 1.0 / 4.85) < 1e-3,
+      s"center ${star("a")._1} off the closed form ${1.0 / 4.85}")
+    Seq("b", "c", "d").foreach(l =>
+      assert(math.abs(star(l)._1 - (1.0 / 4.85) * (1 + 0.85 / 3)) < 1e-3,
+        s"leaf $l ${star(l)._1} off the closed form"))
+    // dropping the dangling term would leak: here Σ must still be 1
+    assert(math.abs(star.values.map(_._1).sum - 1.0) < 1e-2,
+      "rank mass must be conserved despite every leaf being a sink")
+
+    // real oriented linkage graph through the gated path
+    val out = Curation.qPageRankDirected(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.exists(_.getAs[Boolean]("is_dangling")),
+      "the a<b orientation must produce real sinks or the term is idle")
+    val got = out.map(r => r.getString(0) -> r.getAs[Double]("pagerank"))
+    assert(math.abs(got.map(_._2).sum - 1.0) < 1e-2,
+      "mass conservation on the real graph (sinks redistributed)")
+    // independent scalar power iteration with dangling completion and
+    // the same Σ|Δ| stop — also certifies the stop fires inside the
+    // 30-round budget (it converges in well under 30 rounds here)
+    val dirEdges = Curation.qFuzzyMatch(spark, sf)
+      .select("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val nodes = dirEdges.flatMap(e => Seq(e._1, e._2)).distinct
+    val adj = dirEdges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = nodes.length
+    var rk = nodes.map(_ -> 1.0 / n).toMap
+    var rounds = 0
+    var moved = Double.MaxValue
+    while (rounds < 30 && moved > 1e-6) {
+      val dang = nodes.filterNot(adj.contains).map(rk).sum
+      val contrib = scala.collection.mutable.Map[String, Double]()
+        .withDefaultValue(0.0)
+      adj.foreach { case (u, outs) =>
+        outs.foreach(v => contrib(v) += rk(u) / outs.length)
+      }
+      val next = nodes.map(u =>
+        u -> (0.15 / n + 0.85 * (dang / n + contrib(u)))).toMap
+      moved = nodes.map(u => math.abs(next(u) - rk(u))).sum
+      rk = next
+      rounds += 1
+    }
+    assert(rounds < 30,
+      s"replay did not early-stop within budget (moved=$moved)")
+    got.foreach { case (name, g) =>
+      assert(math.abs(g - rk(name)) < 2e-4,
+        s"$name: engine $g vs replay ${rk(name)}")
+    }
+  }
+
   test("dsir weights: independent scalar replay agrees bit-for-bit, " +
     "every score clears the 4dp rounding boundary, and the target " +
     "class actually scores higher") {
