@@ -477,6 +477,153 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ---------- Incremental winnowing fingerprint index ----------
+
+  /** One persisted OLD-corpus fingerprint index per data dir
+    * (doc_id % 10 ≠ 0 — the same "existing archive" split as
+    * dedup_incremental), built once per JVM: the steady-state
+    * discipline of [[graft.ops.Similarity]]'s served index applied to
+    * fingerprint dedup, which previously recomputed the whole corpus'
+    * winnowing on every probe. */
+  private val winnowIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val winnowIdxDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      winnowIdxDirs.forEach(d => // best-effort recursive delete
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(d)))
+    }, "graft-winnow-index-cleanup"))
+  }
+
+  private def winnowIndex(s: SparkSession, dir: String): String =
+    winnowIdxMemo.computeIfAbsent(dir, _ => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-winnow-index").toString
+      winnowIdxDirs.add(idx)
+      buildWinnowIndexTo(
+        t(s, dir, "documents").where(col("doc_id") % 10 =!= 0), idx)
+      idx
+    })
+
+  /** Build the fingerprint index from scratch: each doc's DISTINCT
+    * winnowed fingerprints, persisted as a MANIFESTED epoch-partitioned
+    * table (build layer = epoch 0) — the same layout contract as the
+    * ANN code table, so ingest is replay-idempotent behind the
+    * manifest pointer. ~0.42 of the k-gram hashes per doc (the
+    * winnowing density) is the entire on-disk footprint. */
+  private[ops] def buildWinnowIndexTo(docs: DataFrame, idx: String): Unit =
+    Tables.writeManifested(
+      winnowSelected(docs).select(col("doc_id"), col("wmin")).distinct()
+        .withColumn("ingest_epoch", lit(0L)),
+      s"$idx/fingerprints", Seq("ingest_epoch"))
+
+  /** Ingest ONE batch of docs' fingerprints under its own epoch —
+    * replace-or-add semantics: a crash-replay of epoch E recomputes
+    * the identical rows (winnowing is a pure function of the text)
+    * and swaps them in behind a new manifest version. Cost scales
+    * with the batch, never the index. */
+  private[ops] def ingestFingerprints(batch: DataFrame, idx: String,
+                                      epoch: Long): Unit =
+    Tables.upsertManifested(
+      winnowSelected(batch).select(col("doc_id"), col("wmin")).distinct()
+        .withColumn("ingest_epoch", lit(epoch)),
+      s"$idx/fingerprints", Seq("ingest_epoch"),
+      _ == s"ingest_epoch=$epoch")
+
+  /** Incremental fingerprint dedup — the [[qWinnowFingerprint]]
+    * family run the way a daily 100 TB pipeline runs it: the corpus'
+    * winnowed fingerprints live in a PERSISTED manifested index
+    * (built once; [[winnowIndex]]), today's batch (doc_id % 10 = 0)
+    * computes ONLY its own fingerprints, commits them under a new
+    * ingest epoch ([[ingestFingerprints]] — the maintenance step that
+    * keeps the index current for tomorrow), and probes the archive
+    * layer with one fingerprint-keyed join. Per batch doc: selected-
+    * fingerprint count, how many archive docs share ≥ 1 selected
+    * fingerprint (the winnowing guarantee: any ≥ 7-word verbatim
+    * overlap is caught), and the best match by shared count. Batch
+    * cost never touches archive text — only its ~0.42-density
+    * fingerprint table.
+    *
+    * The index read is parquet (md5-hex strings round-trip exactly),
+    * so the query stays HASH-gated against a DuckDB oracle that
+    * recomputes both sides from the text. WinnowIndexSpec pins
+    * merged-index ≡ full-rebuild and ingest replay idempotence. */
+  def qWinnowIncremental(s: SparkSession, dir: String): DataFrame = {
+    val idx = winnowIndex(s, dir)
+    val batchDocs = t(s, dir, "documents").where(col("doc_id") % 10 === 0)
+    ingestFingerprints(batchDocs, idx, epoch = 1L)
+    // probed twice (pairs + per-doc counts) — materialize once
+    val batchSel = winnowSelected(batchDocs)
+      .select(col("doc_id").as("b_id"), col("wmin")).distinct()
+      .localCheckpoint()
+    Ckpt.track("q_winnow_incremental", batchSel)
+    val corpusSel = Tables.readManifested(s, s"$idx/fingerprints")
+      .where(col("ingest_epoch") === 0L)
+      .select(col("doc_id").as("c_id"), col("wmin"))
+    val pairs = batchSel.join(corpusSel, "wmin")
+      .groupBy(col("b_id"), col("c_id"))
+      .agg(count(lit(1)).as("n_common"))
+    val w = Window.partitionBy(col("b_id"))
+      .orderBy(col("n_common").desc, col("c_id"))
+    val best = pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("b_id"), col("c_id").as("best_match_id"),
+        col("n_common").as("best_common"))
+    val nm = pairs.groupBy(col("b_id")).agg(count(lit(1)).as("n_matches"))
+    val ns = batchSel.groupBy(col("b_id")).agg(count(lit(1)).as("n_selected"))
+    batchDocs.select(col("doc_id"))
+      .join(ns.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+      .join(nm.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+      .join(best.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_selected"), lit(0L)).cast("int").as("n_selected"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("is_dup"),
+        col("best_match_id"), col("best_common"))
+      .orderBy("doc_id")
+  }
+
+  val qWinnowIncrementalOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws
+      |           FROM documents WHERE len(string_split(text,' ')) >= 4),
+      |kg AS (SELECT doc_id,
+      |        len(ws) - 3 AS n_kgrams,
+      |        unnest(range(1, len(ws) - 2)) AS pos,
+      |        unnest(list_transform(range(1, len(ws) - 2),
+      |          i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                   || ' ' || ws[i+3]))) AS fp
+      |       FROM d),
+      |wm AS (SELECT doc_id, n_kgrams, pos,
+      |        min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      |       FROM kg),
+      |sel AS (SELECT DISTINCT doc_id, wmin FROM wm
+      |        WHERE pos <= n_kgrams - 3),
+      |b AS (SELECT doc_id AS b_id, wmin FROM sel WHERE doc_id % 10 = 0),
+      |c AS (SELECT doc_id AS c_id, wmin FROM sel WHERE doc_id % 10 <> 0),
+      |p AS (SELECT b_id, c_id, count(*) AS n_common
+      |      FROM b JOIN c USING (wmin) GROUP BY 1, 2),
+      |best AS (SELECT b_id, c_id, n_common FROM (
+      |          SELECT p.*, row_number() OVER (PARTITION BY b_id
+      |            ORDER BY n_common DESC, c_id) AS rn FROM p)
+      |         WHERE rn = 1),
+      |agg AS (SELECT b_id, count(*) AS n_matches FROM p GROUP BY 1),
+      |ns AS (SELECT b_id, count(*) AS n_selected FROM b GROUP BY 1)
+      |SELECT doc.doc_id,
+      |  CAST(coalesce(ns.n_selected, 0) AS INT) AS n_selected,
+      |  CAST(coalesce(agg.n_matches, 0) AS BIGINT) AS n_matches,
+      |  coalesce(agg.n_matches, 0) > 0 AS is_dup,
+      |  best.c_id AS best_match_id,
+      |  CAST(best.n_common AS BIGINT) AS best_common
+      |FROM documents doc
+      |LEFT JOIN ns ON ns.b_id = doc.doc_id
+      |LEFT JOIN agg ON agg.b_id = doc.doc_id
+      |LEFT JOIN best ON best.b_id = doc.doc_id
+      |WHERE doc.doc_id % 10 = 0
+      |ORDER BY doc.doc_id""".stripMargin
+
   val qWinnowFingerprintOracle: String =
     """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws
       |           FROM documents WHERE len(string_split(text,' ')) >= 4),
@@ -1493,6 +1640,7 @@ object TextOps {
     "q_doc_fingerprint" -> qDocFingerprint,
     "q_winnow_fingerprint" -> qWinnowFingerprint,
     "q_winnow_fingerprint_coded" -> qWinnowFingerprintCoded,
+    "q_winnow_incremental" -> qWinnowIncremental,
     "q_bm25_topk" -> qBm25Topk,
     "q_lm_familiarity" -> qLmFamiliarity,
     "q_substring_dup" -> qSubstringDup,
@@ -1519,6 +1667,7 @@ object TextOps {
     // the coded variants change only the shuffle-key WIDTH, never the
     // result — they share the string anchors' oracles and hash-gate
     "q_winnow_fingerprint_coded" -> qWinnowFingerprintOracle,
+    "q_winnow_incremental" -> qWinnowIncrementalOracle,
     "q_bm25_topk" -> qBm25TopkOracle,
     "q_lm_familiarity" -> qLmFamiliarityOracle,
     "q_substring_dup" -> qSubstringDupOracle,
