@@ -12,9 +12,11 @@ import org.apache.spark.sql.SparkSession
   *   rely on AQE coalescing, which is on by default in Spark 4).
   * - UTC session timezone: every timestamp oracle comparison assumes
   *   it.
-  * - `nanosAsLong`: the events table is parquet TIMESTAMP(NANOS),
-  *   which Spark has no native type for (SPARK-40819); reads surface
-  *   it as long nanos and graft.io.Tables truncates to micros.
+  * - `nanosAsLong`: some testdata generations write `events.ts` as
+  *   parquet TIMESTAMP(NANOS), which Spark has no native type for
+  *   (SPARK-40819); under this conf they read as long nanos and
+  *   graft.io.Tables.normalizeTs truncates to micros (newer
+  *   generations write plain micros, where the conf is inert).
   */
 object Session {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -22,11 +22,15 @@ object Tables {
 
   /** Scan one table: `{dir}/{name}.parquet`. (ref A1/A5 analog)
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark
-    * has no native type for (SPARK-40819): read it as long nanos and
-    * truncate to micros. DuckDB keeps full ns precision on its side;
-    * every oracle only compares at second granularity, so truncation
-    * is invisible to the hash compare.
+    * `events.ts` has shipped in two physical layouts across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark has no native
+    * type for (SPARK-40819), so it reads as long nanos under the
+    * `nanosAsLong` legacy conf and we truncate to micros — and plain
+    * TIMESTAMP(MICROS) without the UTC flag, which reads as
+    * TIMESTAMP_NTZ. [[normalizeTs]] folds both into session-local
+    * TimestampType on the same UTC wall values, so every downstream
+    * query (and its DuckDB oracle, which reads the file natively) is
+    * layout-independent.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.getOrElseUpdate((spark, dir, name), {
@@ -34,12 +38,25 @@ object Tables {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(s"$dir/$name.parquet")
       }
-      if (name == "events")
-        df0.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-      else df0
+      if (name == "events") normalizeTs(df0) else df0
     })
+
+  /** Normalize an events frame's `ts` to TimestampType regardless of
+    * which physical layout it was read from. Under the UTC session
+    * timezone the NTZ→LTZ cast reinterprets the same wall-clock
+    * values as UTC instants — exactly what the long-nanos path
+    * produced — so results are bit-identical across layouts. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => // legacy TIMESTAMP(NANOS) read as long nanos
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df // already session-local TimestampType
+    }
+  }
 
   // DataFrames are immutable plans, so handing the same instance to
   // every query is safe and lets Spark reuse the resolved relation

@@ -39,13 +39,24 @@ object StreamOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** On-disk schema of the events parquet: `ts` is stored as
-    * TIMESTAMP(NANOS), which Spark 4 has no native type for
-    * (SPARK-40819) — it reads as long nanos under
-    * `spark.sql.legacy.parquet.nanosAsLong` (set by graft.Session). */
-  private val eventsFileSchema: StructType = StructType(
-    eventsSchema.fields.map(f =>
-      if (f.name == "ts") StructField("ts", LongType) else f))
+  /** On-disk schema of the events parquet, probed from the staged
+    * files' footers: `ts` has shipped as TIMESTAMP(NANOS) (reads as
+    * long nanos under `spark.sql.legacy.parquet.nanosAsLong`, set by
+    * graft.Session), as un-flagged TIMESTAMP(MICROS) (reads as
+    * TIMESTAMP_NTZ), and as UTC-flagged micros (TimestampType) in
+    * engine-written stage dirs. A file-stream source takes its schema
+    * on faith — a mismatch is silent garbage, not an error — so the
+    * one batch footer read at stream SETUP is the cheap insurance.
+    * Falls back to the declared TimestampType when the directory has
+    * no files yet. */
+  private def eventsFileSchema(spark: SparkSession,
+                               dir: String): StructType = {
+    val tsType = scala.util.Try(
+      spark.read.parquet(dir).schema("ts").dataType)
+      .getOrElse(TimestampType)
+    StructType(eventsSchema.fields.map(f =>
+      if (f.name == "ts") StructField("ts", tsType) else f))
+  }
 
   /** Streaming source over a directory of event parquet files, with
     * the nanos→micros conversion graft.io.Tables applies on the batch
@@ -63,11 +74,10 @@ object StreamOps {
   def readEvents(spark: SparkSession, dir: String,
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(eventsFileSchema)
+    val reader = spark.readStream.schema(eventsFileSchema(spark, dir))
     maxFilesPerTrigger.foreach(k =>
       reader.option("maxFilesPerTrigger", k.toString))
-    reader.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.io.Tables.normalizeTs(reader.parquet(dir))
   }
 
   /** documents schema (TESTDATA.md), for file-stream sources where
