@@ -724,15 +724,88 @@ object Similarity {
     * near-even, and a 100 TB deployment caps cell width the same way
     * [[TextOps.prunedShingles]] caps shingle df. */
   private[ops] def semDedupDropped(assigned: DataFrame,
-                                   theta: Double): DataFrame = {
-    val lower = assigned.select(col("cell"), col("vec_id").as("wit_id"),
-      col("emb").as("wemb"), col("nrm").as("wnrm"))
-    assigned.join(lower, Seq("cell"))
+                                   theta: Double): DataFrame =
+    semDedupDroppedBy(assigned,
+      assigned.select(col("cell"), col("vec_id").as("wit_id"),
+        col("emb").as("wemb"), col("nrm").as("wnrm")),
+      theta)
+
+  /** [[semDedupDropped]] generalized over the witness table: a row is
+    * dropped iff some witness row sharing its `cell` has a smaller id
+    * and cosine ≥ θ. The default witness table is the assignment
+    * itself (each vector witnesses in its own top-1 cell); the
+    * multi-probe variant replicates each witness into its top-p cells
+    * instead. Because the drop predicate re-checks id order and raw
+    * cosine on every candidate, ANY witness table yields a subset of
+    * the exact cell-blind dropped set — witness expansion can only
+    * recover misses, never invent drops. */
+  private[ops] def semDedupDroppedBy(assigned: DataFrame,
+                                     witnesses: DataFrame,
+                                     theta: Double): DataFrame =
+    assigned.join(witnesses, Seq("cell"))
       .where(col("wit_id") < col("vec_id") &&
         dot(col("wemb"), col("emb")) / (col("wnrm") * col("nrm"))
           >= theta)
       .select(col("vec_id")).distinct()
+
+  /** Witness table replicating each corpus vector into its `probes`
+    * nearest cells (cosine to centroid, tie-broken on cent_id — the
+    * same ordering [[coarseAssign]]'s top-1 uses, so probe 1 IS the
+    * coarse assignment). The top-p selection is one hash aggregate
+    * over the broadcast-centroid cross product: k structs per vector
+    * collected, sorted, sliced — no window, no extra shuffle beyond
+    * the groupBy [[coarseAssign]] already pays. Candidate volume
+    * grows to at most p·Σ|cell|² — the standard multi-probe trade. */
+  private[ops] def semDedupWitnessesMp(e: DataFrame, cents: DataFrame,
+                                       probes: Int): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm")))
+      .groupBy(col("vec_id"))
+      .agg(
+        slice(array_sort(collect_list(
+            struct((-col("ccos")).as("d"), col("cent_id")))),
+          1, probes).as("top"),
+        first(col("emb")).as("wemb"), first(col("nrm")).as("wnrm"))
+      .select(explode(col("top.cent_id")).as("cell"),
+        col("vec_id").as("wit_id"), col("wemb"), col("wnrm"))
+
+  /** Exact cell-blind dropped set — the ground truth the cell-bounded
+    * paths approximate: v is a duplicate iff ANY lower-id corpus
+    * vector sits at cosine ≥ θ, regardless of cell. All-pairs by
+    * construction; runs at audit scale only (the recall queries), the
+    * same discipline as the [[simNeardup]] ANN ground truth. */
+  private[ops] def semDedupExactDropped(corpus: DataFrame,
+                                        theta: Double): DataFrame = {
+    val wit = corpus.select(col("vec_id").as("wit_id"),
+      col("emb").as("wemb"), col("nrm").as("wnrm"))
+    corpus.join(wit, col("wit_id") < col("vec_id") &&
+        dot(col("wemb"), col("emb")) / (col("wnrm") * col("nrm"))
+          >= theta)
+      .select(col("vec_id")).distinct()
   }
+
+  /** One-row recall audit of a cell-bounded dropped set vs the exact
+    * cell-blind one. All three counts are distributed one-row
+    * aggregates cross-joined at the end — no driver-side pull. The
+    * subset invariant (see [[semDedupDroppedBy]]) makes
+    * n_dup_cell ≤ n_dup_exact structural, so `recall` is a true
+    * fraction and `n_boundary_miss` is exactly the cross-cell-witness
+    * cost the SemDeDup paper trades away. */
+  private[ops] def semDedupRecallFrom(corpus: DataFrame,
+                                      cellDropped: DataFrame,
+                                      theta: Double): DataFrame =
+    corpus.agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(semDedupExactDropped(corpus, theta)
+        .agg(count(lit(1)).as("n_dup_exact")))
+      .crossJoin(cellDropped.agg(count(lit(1)).as("n_dup_cell")))
+      .select(
+        graft.expr.Columns.roundQ(lit(theta), 4).as("theta"),
+        col("n_vectors"), col("n_dup_exact"), col("n_dup_cell"),
+        (col("n_dup_exact") - col("n_dup_cell")).as("n_boundary_miss"),
+        when(col("n_dup_exact") > 0,
+          graft.expr.Columns.roundQ(
+            col("n_dup_cell") / col("n_dup_exact"), 4)).as("recall"))
 
   /** SemDeDup (Abbas et al. 2023): embedding-space semantic dedup —
     * k-means-cluster the corpus, then drop near-duplicate vectors
@@ -743,8 +816,12 @@ object Similarity {
     * the clustering) and the [[coarseAssign]] cell assignment.
     * Emits the KEPT corpus (vec_id, cell). Within-cluster-only
     * comparison is approximate by design (a cross-cell duplicate
-    * pair is invisible — the recall/cost trade the paper makes) →
-    * rows-only driver check; SemDedupSpec pins the exact kept set on
+    * pair is invisible — the recall/cost trade the paper makes; the
+    * cost is MEASURED, not assumed: [[qSemdedupRecall]] audits the
+    * dropped set against the exact all-pairs one, and
+    * [[dedupSemanticMp]] buys the misses back with a second witness
+    * probe) → rows-only driver check; SemDedupSpec pins the exact
+    * kept set on
     * a planted clustered fixture, a θ-boundary pair, witness
     * validity on real data, and non-vacuity (drops > 0) at sf0.001. */
   def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
@@ -757,6 +834,67 @@ object Similarity {
         Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cell"))
       .orderBy("vec_id")
+  }
+
+  /** Witness probe width for the multi-probe SemDeDup variant: each
+    * vector also witnesses in its second-nearest cell, bounding the
+    * candidate volume at 2·Σ|cell|² while recovering the boundary
+    * misses whose twin sits just across a cell edge. */
+  private val SemDedupProbes = 2
+
+  /** [[dedupSemantic]] with multi-probe witnesses: each vector's rows
+    * are compared against witnesses whose top-[[SemDedupProbes]]
+    * cells include the row's own cell — the IVF multi-probe idea
+    * applied to dedup. Strictly more duplicates caught than the
+    * single-probe path (witness rows are a superset), never a false
+    * drop (the predicate re-checks raw cosine + id order; see
+    * [[semDedupDroppedBy]]). Approximate by design → rows-only
+    * driver check; SemDedupSpec pins the planted boundary-miss
+    * recovery and the kept-set monotonicity on real data. */
+  def dedupSemanticMp(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(t(s, dir, "embeddings")).repartition(col("vec_id"))
+    val cents = trainedCents(s, dir)
+      .withColumn("cnrm", sqrt(dot(col("cemb"), col("cemb"))))
+    val assigned = coarseAssign(e, cents)
+    assigned
+      .join(semDedupDroppedBy(assigned,
+          semDedupWitnessesMp(e, cents, SemDedupProbes), SemDedupTheta),
+        Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+      .orderBy("vec_id")
+  }
+
+  /** The boundary-miss cost of [[dedupSemantic]], measured instead of
+    * asserted: one row comparing the cell-bounded dropped set against
+    * the exact all-pairs dropped set at audit scale. This is the
+    * number a 100 TB deployment computes on a sample to size its cell
+    * count / probe width before trusting the bucketed path — same
+    * discipline as the ANN recall floors. Trained cells are
+    * hash-seeded + iterative → rows-only driver check; SemDedupSpec
+    * pins the planted-fixture recall exactly and the count identities
+    * on real data at sf0.001. */
+  def qSemdedupRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(t(s, dir, "embeddings")).repartition(col("vec_id"))
+    val cents = trainedCents(s, dir)
+      .withColumn("cnrm", sqrt(dot(col("cemb"), col("cemb"))))
+    val assigned = coarseAssign(e, cents)
+    semDedupRecallFrom(e,
+      semDedupDropped(assigned, SemDedupTheta), SemDedupTheta)
+  }
+
+  /** Same audit for the multi-probe path — run next to
+    * [[qSemdedupRecall]] it prices the probe width: recall_mp ≥
+    * recall single-probe is structural (witness superset), and the
+    * measured gap is what the second probe buys. */
+  def qSemdedupRecallMp(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(t(s, dir, "embeddings")).repartition(col("vec_id"))
+    val cents = trainedCents(s, dir)
+      .withColumn("cnrm", sqrt(dot(col("cemb"), col("cemb"))))
+    val assigned = coarseAssign(e, cents)
+    semDedupRecallFrom(e,
+      semDedupDroppedBy(assigned,
+        semDedupWitnessesMp(e, cents, SemDedupProbes), SemDedupTheta),
+      SemDedupTheta)
   }
 
   // ---------- Scalar int8 quantization (storage-scale encode) ----------
@@ -1352,6 +1490,9 @@ object Similarity {
     "sim_ann_served" -> simAnnServed,
     "sim_ann_pq" -> simAnnPq,
     "dedup_semantic" -> dedupSemantic,
+    "dedup_semantic_mp" -> dedupSemanticMp,
+    "q_semdedup_recall" -> qSemdedupRecall,
+    "q_semdedup_recall_mp" -> qSemdedupRecallMp,
     "q_hard_negatives" -> qHardNegatives,
     "q_hard_negatives_ann" -> qHardNegativesAnn,
     "q_quantize_embed" -> qQuantizeEmbed,

@@ -89,4 +89,103 @@ class SemDedupSpec extends SparkSpec {
     // survives — the semantics are non-vacuous in both directions
     assert(refDropped.nonEmpty && kept.nonEmpty)
   }
+
+  // ---------- boundary-miss recall audit ----------
+
+  test("planted recall: exact vs cell-bounded counts, to the row") {
+    val corpus = fixture.select("vec_id", "emb", "nrm")
+    val row = Similarity.semDedupRecallFrom(corpus,
+        Similarity.semDedupDropped(fixture, theta), theta)
+      .collect().head
+    // exact cell-blind dropped = {2 (cos=θ inclusive), 3 (colinear),
+    // 5 (cross-cell twin of 1)}; cell-bounded = {2, 3} — vector 5's
+    // only witness sits in the other cell, so it is THE boundary miss
+    assert(row.getDouble(0) == 0.96)          // theta (24/25 rounds to 0.96)
+    assert(row.getLong(1) == 6L)              // n_vectors
+    assert(row.getLong(2) == 3L)              // n_dup_exact
+    assert(row.getLong(3) == 2L)              // n_dup_cell
+    assert(row.getLong(4) == 1L)              // n_boundary_miss
+    assert(row.getDouble(5) == 0.6667)        // recall = roundQ(2/3)
+  }
+
+  test("planted recall: a hand-expanded witness recovers the miss") {
+    val corpus = fixture.select("vec_id", "emb", "nrm")
+    // vector 1 additionally witnesses in cell 1 (its "second probe"):
+    // exactly what semDedupWitnessesMp emits when cell 1's centroid
+    // is 1's second-nearest — and vector 5, 1's cross-cell twin, now
+    // has an in-cell witness below it
+    val mpWitnesses = fixture.select(col("cell"),
+        col("vec_id").as("wit_id"), col("emb").as("wemb"),
+        col("nrm").as("wnrm"))
+      .unionAll(fixture.where(col("vec_id") === 1L)
+        .select(lit(1L).as("cell"), col("vec_id").as("wit_id"),
+          col("emb").as("wemb"), col("nrm").as("wnrm")))
+    val row = Similarity.semDedupRecallFrom(corpus,
+        Similarity.semDedupDroppedBy(fixture, mpWitnesses, theta), theta)
+      .collect().head
+    assert(row.getLong(2) == 3L && row.getLong(3) == 3L)
+    assert(row.getLong(4) == 0L)              // no boundary miss left
+    assert(row.getDouble(5) == 1.0)
+  }
+
+  test("mp witnesses: probe 1 is the coarse assignment, probe rows strictly widen") {
+    val e = Similarity.unitCorpus(spark, sf).select("vec_id", "emb", "nrm")
+    val cents = Similarity.trainedCents(spark, sf)
+      .withColumn("cnrm",
+        sqrt(graft.expr.VectorExprs.dotProduct(col("cemb"), col("cemb"))))
+    val single = Similarity.coarseAssign(e, cents)
+      .select(col("cell"), col("vec_id").as("wit_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mp = Similarity.semDedupWitnessesMp(e, cents, 2)
+      .select(col("cell"), col("wit_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every top-1 witness row survives in the mp table (superset),
+    // and with ≥2 cells each witness gains exactly one more cell
+    assert(single.subsetOf(mp))
+    assert(mp.size == 2 * single.size)
+    val cellsPerWit = mp.groupBy(_._2).map(_._2.size).toSet
+    assert(cellsPerWit == Set(2))
+  }
+
+  test("real data: count identities, replayed exact set, mp ≥ single recall") {
+    val exact = Similarity.qSemdedupRecall(spark, sf).collect().head
+    val mp = Similarity.qSemdedupRecallMp(spark, sf).collect().head
+    // the audit's internal arithmetic holds on both rows
+    for (r <- Seq(exact, mp)) {
+      assert(r.getLong(2) == r.getLong(3) + r.getLong(4))
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+    // same exact baseline, and the second probe can only help
+    assert(exact.getLong(2) == mp.getLong(2))
+    assert(mp.getLong(3) >= exact.getLong(3))
+    assert(mp.getDouble(5) >= exact.getDouble(5))
+    // n_dup_exact replayed by an independent in-memory all-pairs scan
+    val corpus = Similarity.unitCorpus(spark, sf)
+      .select("vec_id", "emb", "nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val refExact = corpus.zipWithIndex.count { case ((_, emb, nrm), i) =>
+      corpus.take(i).exists { case (_, wEmb, wNrm) =>
+        dot(wEmb, emb) / (wNrm * nrm) >= 0.25 }
+    }
+    assert(exact.getLong(2) == refExact.toLong)
+    assert(exact.getLong(1) == corpus.length.toLong)
+  }
+
+  test("mp kept corpus: subset of single-probe kept, same cell labels") {
+    val kept = Similarity.dedupSemantic(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val keptMp = Similarity.dedupSemanticMp(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // extra witnesses only ADD drops — mp keeps a subset — and the
+    // cell assignment itself is untouched by witness expansion
+    assert(keptMp.keySet.subsetOf(kept.keySet))
+    assert(keptMp.forall { case (id, cell) => kept(id) == cell })
+    assert(keptMp.nonEmpty)
+  }
 }
