@@ -214,6 +214,81 @@ object Curation {
         |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM cc ORDER BY doc_id""".stripMargin
 
+  /** [[dedupClusters]] with the production keep rule: the canonical
+    * doc of each near-dup cluster is its BEST-QUALITY member
+    * ([[TextOps.qualityScore]] argmax, doc_id ascending on ties), not
+    * its minimum id — what a curation pipeline actually keeps when a
+    * boilerplate page and its clean twin land in one cluster. The
+    * argmax is one `min_by` hash aggregate over the scored cluster
+    * rows (no per-cluster sort or window rank); the canonical table
+    * joins back on cluster_id, the partitioning the cluster_size
+    * window already needs, so the tail of the plan reuses one
+    * exchange. Deterministic end to end → hash-gated: the DuckDB
+    * oracle replays shingles → Jaccard edges → recursive-CTE
+    * reachability → the same score formula → rank-1 per cluster. */
+  private[ops] def clusterCanonicalFrom(docs: DataFrame,
+                                        ckptKey: String): DataFrame = {
+    val sh = TextOps.shingles(docs).localCheckpoint()
+    Ckpt.track(ckptKey, sh)
+    val edges = TextOps.jaccardJoin(sh, 0.2)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val cc = connectedComponents(docs.select(col("doc_id").as("id")), edges)
+    val scored = cc
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .join(TextOps.qualityScore(docs), "doc_id")
+    val canon = scored.groupBy(col("cluster_id"))
+      .agg(min_by(col("doc_id"),
+        struct((-col("score")).as("d"), col("doc_id"))).as("canonical_id"))
+    scored.join(canon, "cluster_id")
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("score"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  def qClusterCanonical(s: SparkSession, dir: String): DataFrame =
+    clusterCanonicalFrom(t(s, dir, "documents"), "q_cluster_canonical")
+
+  val qClusterCanonicalOracle: String =
+    "WITH RECURSIVE " + TextOps.shinglePairsCte + ",\n" +
+      """edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
+        |        >= 0.2),
+        |sym AS (SELECT src, dst FROM edges
+        |        UNION SELECT dst, src FROM edges),
+        |reach AS (
+        |  SELECT doc_id AS node, doc_id AS lab FROM documents
+        |  UNION
+        |  SELECT s.dst AS node, r.lab FROM reach r
+        |  JOIN sym s ON s.src = r.node),
+        |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id
+        |       FROM reach GROUP BY node),
+        |quality AS (SELECT doc_id,
+        |  floor((
+        |    floor(len(list_distinct(string_split(text, ' ')))
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |      * 10000 + 0.5) / 10000
+        |    - floor(length(regexp_replace(text, '[a-z\s]', '', 'g'))
+        |      / CAST(length(text) AS DOUBLE) * 10000 + 0.5) / 10000
+        |  ) * 10000 + 0.5) / 10000 AS score FROM documents),
+        |scored AS (SELECT c.doc_id, c.cluster_id, q.score
+        |           FROM cc c JOIN quality q ON q.doc_id = c.doc_id),
+        |canon AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+        |  SELECT cluster_id, doc_id,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |                       ORDER BY score DESC, doc_id) AS rn
+        |  FROM scored) WHERE rn = 1)
+        |SELECT s.doc_id, s.cluster_id,
+        |  count(*) OVER (PARTITION BY s.cluster_id) AS cluster_size,
+        |  s.score, c.canonical_id, s.doc_id = c.canonical_id AS keep
+        |FROM scored s JOIN canon c ON c.cluster_id = s.cluster_id
+        |ORDER BY s.doc_id""".stripMargin
+
   // ---------- Incremental (batch-vs-corpus) dedup ----------
 
   /** Dedup a NEW batch against the EXISTING corpus — the daily shape
@@ -777,14 +852,19 @@ object Curation {
     * graph that is 13 of 30 budgeted rounds at sf0.001).
     *
     * Per round: one keyed |E| contribution shuffle (identical to the
-    * symmetric variant) plus TWO one-row scalar pulls (dangling mass
-    * — an input to every node's update, not just iteration control —
-    * and the convergence delta). Both are the k-means-superstep
-    * justification class; neither moves data. Rows-only gated (the
-    * fixpoint isn't SQL-expressible); CurationSpec pins a star-with-
-    * dangling-leaves closed form, mass conservation WITH sinks, the
-    * early stop actually firing, and an independent in-memory replay
-    * on the real oriented graph. */
+    * symmetric variant) plus ONE one-row scalar pull — the
+    * convergence delta and the NEXT round's dangling mass come out of
+    * a single aggregate over the freshly checkpointed ranks (the
+    * ranks frame carries `deg`, so sink membership needs no join).
+    * The k-means-superstep justification class; nothing here moves
+    * data. At sf0.1 the fused form cut the per-round driver actions
+    * from 3 to 2 and dropped two joins per round (deg into contrib,
+    * ranks×next for the delta) — the query went 6.9 s → see
+    * BENCH_NOTES. Rows-only gated (the fixpoint isn't
+    * SQL-expressible); CurationSpec pins a star-with-dangling-leaves
+    * closed form, mass conservation WITH sinks, the early stop
+    * actually firing, and an independent in-memory replay on the real
+    * oriented graph. */
   private[ops] def pageRankDirected(directed: DataFrame, maxIters: Int,
       damping: Double, tol: Double): DataFrame = {
     val edges = directed
@@ -797,40 +877,50 @@ object Curation {
         .agg(count(lit(1)).as("deg")), Seq("name"), "left")
       .select(col("name"), coalesce(col("deg"), lit(0L)).as("deg"))
       .localCheckpoint()
-    val n = deg.count() // |V|: one-row sizing scalar (see scaladoc)
+    // one sizing pull: |V| and the sink count (the uniform start's
+    // dangling mass is sinks/n — no separate first-round job)
+    val sizing = deg.agg(count(lit(1)),
+      sum(when(col("deg") === 0, 1L).otherwise(0L))).head()
+    val n = sizing.getLong(0)
     val base = (1.0 - damping) / n
-    var ranks = deg.select(col("name"), lit(1.0 / n).as("rank"))
+    var dangling = sizing.getLong(1).toDouble / n
+    var ranks = deg
+      .select(col("name"), lit(1.0 / n).as("rank"), col("deg"))
       .localCheckpoint()
     var iters = 0
     var delta = Double.MaxValue
     while (iters < maxIters && delta > tol) {
-      val dangling = ranks.join(deg.where(col("deg") === 0), "name")
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
       val contrib = edges
-        .join(ranks.withColumnRenamed("name", "src"), "src")
-        .join(deg.withColumnRenamed("name", "src").where(col("deg") > 0),
-          "src")
-        .select(col("dst").as("name"), (col("rank") / col("deg")).as("c"))
+        .join(ranks.where(col("deg") > 0)
+          .select(col("name").as("src"),
+            (col("rank") / col("deg")).as("c")), "src")
+        .select(col("dst").as("name"), col("c"))
         .groupBy("name").agg(sum(col("c")).as("cs"))
-      val next = deg.select(col("name"))
+      // next carries the previous rank (r0) and deg so the combined
+      // delta/dangling aggregate below needs NO join at all
+      val next = ranks
+        .select(col("name"), col("rank").as("r0"), col("deg"))
         .join(contrib, Seq("name"), "left")
         .select(col("name"),
           (lit(base + damping * dangling / n) +
-            lit(damping) * coalesce(col("cs"), lit(0.0))).as("rank"))
+            lit(damping) * coalesce(col("cs"), lit(0.0))).as("rank"),
+          col("deg"), col("r0"))
         .localCheckpoint()
-      delta = ranks.select(col("name"), col("rank").as("r0"))
-        .join(next.withColumnRenamed("rank", "r1"), "name")
-        .agg(sum(abs(col("r1") - col("r0")))).head().getDouble(0)
+      val row = next.agg(
+        sum(abs(col("rank") - col("r0"))),
+        sum(when(col("deg") === 0, col("rank")).otherwise(lit(0.0))))
+        .head()
+      delta = row.getDouble(0)
+      dangling = row.getDouble(1)
       Ckpt.release(ranks)
       ranks = next
       iters += 1
     }
     Ckpt.track("q_pagerank_directed", edges, deg, ranks)
-    ranks.join(deg, "name")
-      .select(col("name"),
-        graft.expr.Columns.roundQ(col("rank"), 4).as("pagerank"),
-        col("deg").cast("int").as("out_degree"),
-        (col("deg") === 0).as("is_dangling"))
+    ranks.select(col("name"),
+      graft.expr.Columns.roundQ(col("rank"), 4).as("pagerank"),
+      col("deg").cast("int").as("out_degree"),
+      (col("deg") === 0).as("is_dangling"))
   }
 
   /** Directed PageRank over the fuzzy-linkage graph ORIENTED
@@ -1274,6 +1364,7 @@ object Curation {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> dedupClusters,
+    "q_cluster_canonical" -> qClusterCanonical,
     "dedup_incremental" -> dedupIncremental,
     "pipeline_train_prep" -> pipelineTrainPrep,
     "q_decontaminate" -> qDecontaminate,
@@ -1294,6 +1385,7 @@ object Curation {
 
   def oracles: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersOracle,
+    "q_cluster_canonical" -> qClusterCanonicalOracle,
     "dedup_incremental" -> dedupIncrementalOracle,
     "pipeline_train_prep" -> pipelineTrainPrepOracle,
     "q_decontaminate" -> qDecontaminateOracle,

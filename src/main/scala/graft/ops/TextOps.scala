@@ -93,6 +93,26 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-doc scalar quality score — rounded type-token ratio minus
+    * rounded punctuation ratio, the two [[qTextQuality]] signals that
+    * separate fluent text from boilerplate, collapsed to ONE ranking
+    * number so cluster-canonical selection has a total order. Each
+    * ratio is roundQ'd BEFORE the subtraction (both engines then
+    * subtract identical doubles) and the difference roundQ'd again for
+    * the emitted value — the same bit-stable floor discipline as every
+    * other ratio column. Factored private[ops] so
+    * [[Curation.clusterCanonicalFrom]] and its spec rank with exactly
+    * the gated arithmetic. */
+  private[ops] def qualityScore(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    def r4(c: Column): Column = graft.expr.Columns.roundQ(c, 4)
+    docs.select(
+      col("doc_id"),
+      r4(r4(size(array_distinct(w)) / size(w).cast("double")) -
+         r4(length(regexp_replace(col("text"), "[a-z\\s]", ""))
+            / length(col("text")).cast("double"))).as("score"))
+  }
+
   val qTextQualityOracle: String =
     """SELECT doc_id,
       |  CAST(length(text) AS INT) AS n_chars,

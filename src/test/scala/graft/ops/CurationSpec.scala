@@ -95,6 +95,62 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("cluster canonical: the best-quality member wins, not the min " +
+    "id; ties break to the smaller id; isolated docs keep themselves") {
+    import SparkSpec.spark.implicits._
+    // docs 1,2 near-dup (3-gram Jaccard 3/5 = 0.6 ≥ 0.2); doc 2 has
+    // the higher TTR (6/6 vs 5/6, zero punctuation in both) so the
+    // CANONICAL is 2 even though the cluster min — and dedupClusters'
+    // keeper — is 1. Doc 3 shares no shingle: cluster of one.
+    val docs = Seq(
+      (1L, "a b c d e a"),
+      (2L, "a b c d e g"),
+      (3L, "z z z z z z"),
+    ).toDF("doc_id", "text")
+    val rows = Curation
+      .clusterCanonicalFrom(docs, "spec_cluster_canonical")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(rows(1L) == ((1L, 2L, 0.8333, 2L, false)))
+    assert(rows(2L) == ((1L, 2L, 1.0, 2L, true)))
+    assert(rows(3L) == ((3L, 1L, 0.1667, 3L, true)))
+    // equal scores: identical twins must fall to the smaller id
+    val tied = Seq((10L, "p q r s t"), (11L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val tiedRows = Curation
+      .clusterCanonicalFrom(tied, "spec_cluster_canonical_tie")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getBoolean(5))).toMap
+    assert(tiedRows(10L) == ((10L, true)))
+    assert(tiedRows(11L) == ((10L, false)))
+  }
+
+  test("cluster canonical on real data: one keeper per cluster, " +
+    "keeper score is the cluster max, same clustering as dedup_clusters") {
+    val rows = Curation.qClusterCanonical(spark, sf).collect()
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      val keepers = members.filter(_.getBoolean(5))
+      assert(keepers.length == 1,
+        s"cluster $cid must keep exactly one doc")
+      val best = keepers.head
+      assert(members.forall(m => m.getDouble(3) < best.getDouble(3) ||
+          (m.getDouble(3) == best.getDouble(3) &&
+            m.getLong(0) >= best.getLong(0))),
+        s"cluster $cid keeper is not the score/id argmax")
+      assert(members.forall(_.getLong(4) == best.getLong(0)),
+        s"cluster $cid canonical_id column disagrees with keeper")
+    }
+    // identical partition of the corpus as the min-id variant
+    val minIdLabels = Curation.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(minIdLabels(r.getLong(0)) == r.getLong(1),
+        s"doc ${r.getLong(0)} clustered differently than dedup_clusters")
+    }
+  }
+
   test("decontamination flags a planted benchmark copy and clears " +
     "disjoint text") {
     // doc 97 is benchmark (97 % 97 == 0); doc 1 repeats its text →
