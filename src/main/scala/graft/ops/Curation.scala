@@ -857,10 +857,14 @@ object Curation {
     * a single aggregate over the freshly checkpointed ranks (the
     * ranks frame carries `deg`, so sink membership needs no join).
     * The k-means-superstep justification class; nothing here moves
-    * data. At sf0.1 the fused form cut the per-round driver actions
-    * from 3 to 2 and dropped two joins per round (deg into contrib,
-    * ranks×next for the delta) — the query went 6.9 s → see
-    * BENCH_NOTES. Rows-only gated (the fixpoint isn't
+    * data. The fused form cuts per-round driver actions from 3 to 2
+    * and drops two joins per round (deg into contrib, ranks×next for
+    * the delta); at sf0.1 the query is ROUND-bound (the 1e-6 stop
+    * doesn't fire inside the 30-round budget) so local wall-clock
+    * moves modestly (6.9 → 6.5 s), but on a real cluster the
+    * eliminated per-round job is scheduling latency × rounds — the
+    * term that dominates an iterative algorithm's tail at 1000
+    * executors. Rows-only gated (the fixpoint isn't
     * SQL-expressible); CurationSpec pins a star-with-dangling-leaves
     * closed form, mass conservation WITH sinks, the early stop
     * actually firing, and an independent in-memory replay on the real

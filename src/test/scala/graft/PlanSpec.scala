@@ -369,6 +369,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("cluster canonical: keeper argmax is an aggregate, not a window " +
+    "rank; the size window sits on the join's cluster_id partitioning") {
+    val plan = planString(ops.Curation.qClusterCanonical(spark, sf))
+    assert(plan.contains("min_by"),
+      s"canonical argmax is not a min_by aggregate:\n$plan")
+    assert(!plan.contains("row_number"),
+      s"canonical selection fell back to a window rank:\n$plan")
+    val lines = plan.linesIterator.toSeq
+    // exactly one Window — cluster_size; a second would mean the
+    // argmax or the size count regressed to per-cluster ranking
+    assert(lines.count(_.contains("Window")) == 1,
+      s"expected exactly one Window in:\n$plan")
+    // and it consumes the canonical join's output partitioning
+    // directly: no Exchange between the Window and the first Join
+    // below it (cluster_size and the join share one cluster_id
+    // shuffle — the exchange-reuse claim in the scaladoc)
+    val wIdx = lines.indexWhere(_.contains("Window"))
+    val below = lines.drop(wIdx + 1).takeWhile(!_.contains("Join"))
+    assert(!below.exists(_.contains("Exchange")),
+      s"the size window repartitions after the canonical join:\n$plan")
+  }
+
   test("partition-count knob: shuffle partitions follow the session config") {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
     val parts = Tables.load(spark, sf, "events")
