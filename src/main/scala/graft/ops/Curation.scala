@@ -223,14 +223,24 @@ object Curation {
     * rows (no per-cluster sort or window rank); the canonical table
     * joins back on cluster_id, the partitioning the cluster_size
     * window already needs, so the tail of the plan reuses one
-    * exchange. Deterministic end to end → hash-gated: the DuckDB
-    * oracle replays shingles → Jaccard edges → recursive-CTE
-    * reachability → the same score formula → rank-1 per cluster. */
+    * exchange. Edges come from the DF-CAPPED shingle substrate
+    * ([[TextOps.prunedShingles]] at the shared cap — the linear
+    * production formulation, see dedupJaccardCapped): a corpus-wide
+    * stop shingle must not quadratically inflate the pair graph the
+    * clustering consumes. On the driver testdata the cap is idle
+    * (max shingle df 25 ≤ 100 at every SF, re-measured after the
+    * round-7 regeneration) so capped == uncapped there — the spec's
+    * clustering-agreement assert against [[dedupClusters]] leans on
+    * that measurement. Deterministic end to end → hash-gated: the
+    * DuckDB oracle replays the SAME capped chain (shared
+    * cappedShinglePairsCte) → recursive-CTE reachability → the same
+    * score formula → rank-1 per cluster. */
   private[ops] def clusterCanonicalFrom(docs: DataFrame,
                                         ckptKey: String): DataFrame = {
     val sh = TextOps.shingles(docs).localCheckpoint()
     Ckpt.track(ckptKey, sh)
-    val edges = TextOps.jaccardJoin(sh, 0.2)
+    val edges = TextOps.jaccardJoin(
+        TextOps.prunedShingles(sh, TextOps.ShingleDfCap), 0.2)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val cc = connectedComponents(docs.select(col("doc_id").as("id")), edges)
     val scored = cc
@@ -252,7 +262,7 @@ object Curation {
     clusterCanonicalFrom(t(s, dir, "documents"), "q_cluster_canonical")
 
   val qClusterCanonicalOracle: String =
-    "WITH RECURSIVE " + TextOps.shinglePairsCte + ",\n" +
+    "WITH RECURSIVE " + TextOps.cappedShinglePairsCte + ",\n" +
       """edges AS (
         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
         |  JOIN sizes sa ON sa.doc_id = doc_a

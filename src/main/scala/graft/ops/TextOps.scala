@@ -782,7 +782,7 @@ object TextOps {
     * size; corpus-wide boilerplate carries no dedup signal, so the
     * capped Jaccard is the production semantics (see
     * dedupJaccardCapped). */
-  private val ShingleDfCap = 100
+  private[ops] val ShingleDfCap = 100
 
   /** Shingle set with hot shingles (df > dfCap) dropped. The hot set
     * is identified with one groupBy(shingle) — the same shuffle key
@@ -841,8 +841,13 @@ object TextOps {
       prunedShingles(shingles(t(s, dir, "documents")), ShingleDfCap), 0.2)
       .orderBy("doc_a", "doc_b")
 
-  val dedupJaccardCappedOracle: String =
-    s"""WITH sh AS (
+  /** Capped mirror of [[shinglePairsCte]] — sh → hot → pruned, with
+    * `sizes` and `pairs` computed over the PRUNED feature space, so
+    * any oracle built on it consumes the same names as the uncapped
+    * chain. Shared (rather than re-typed) by every oracle on the
+    * capped substrate, same discipline as [[shinglePairsCte]]. */
+  private[ops] val cappedShinglePairsCte: String =
+    s"""sh AS (
       |  SELECT DISTINCT doc_id, sh FROM (
       |    SELECT doc_id,
       |      unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
@@ -858,7 +863,10 @@ object TextOps {
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
       |  FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2)""".stripMargin
+
+  val dedupJaccardCappedOracle: String =
+    s"""WITH $cappedShinglePairsCte
       |SELECT doc_a, doc_b,
       |  floor(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
       |        * 10000 + 0.5) / 10000 AS jaccard
