@@ -299,6 +299,170 @@ object Curation {
         |FROM scored s JOIN canon c ON c.cluster_id = s.cluster_id
         |ORDER BY s.doc_id""".stripMargin
 
+  // ---------- Incremental cluster maintenance ----------
+
+  private val clusterIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val clusterIdxDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      clusterIdxDirs.forEach(d => // best-effort recursive delete
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(d)))
+    }, "graft-cluster-index-cleanup"))
+  }
+
+  /** Build the label archive from scratch: CC over the CORPUS-only
+    * exact-Jaccard pair graph (the [[dedupClusters]] substrate),
+    * persisted as a manifested epoch-partitioned table (build layer =
+    * epoch 0) — the same layout contract as the winnowing fingerprint
+    * index, so label maintenance is replay-idempotent behind the
+    * manifest pointer. */
+  private[ops] def buildClusterArchiveTo(corpus: DataFrame,
+                                         idx: String): Unit = {
+    val sh = TextOps.shingles(corpus).localCheckpoint()
+    val edges = TextOps.jaccardJoin(sh, 0.2)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels =
+      connectedComponents(corpus.select(col("doc_id").as("id")), edges)
+    Tables.writeManifested(
+      labels.select(col("id").as("doc_id"), col("label"))
+        .withColumn("ingest_epoch", lit(0L)),
+      s"$idx/labels", Seq("ingest_epoch"))
+    Ckpt.release(sh)
+  }
+
+  private def clusterIndex(s: SparkSession, dir: String): String =
+    clusterIdxMemo.computeIfAbsent(dir, _ => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-cluster-index").toString
+      clusterIdxDirs.add(idx)
+      buildClusterArchiveTo(
+        t(s, dir, "documents").where(col("doc_id") % 10 =!= 0), idx)
+      idx
+    })
+
+  /** Incremental cluster maintenance — [[dedupClusters]] run the way
+    * a daily 100 TB pipeline runs it: the corpus' cluster labels live
+    * in a PERSISTED manifested archive (built once from corpus-only
+    * edges), today's batch (doc_id % 10 = 0) generates ONLY
+    * batch-internal and batch-vs-corpus candidate edges (one
+    * asymmetric inverted-index join — the [[dedupIncremental]]
+    * shape), and connected components re-runs ONLY over the AFFECTED
+    * subgraph: batch docs plus the archived components a new edge
+    * touches, each contracted to its label star. Untouched archive
+    * rows keep their labels verbatim; merged labels are committed
+    * back under a new ingest epoch (replace-or-add — replaying the
+    * batch recomputes identical rows), keeping the archive current
+    * for tomorrow.
+    *
+    * CORRECTNESS IS PATH-INDEPENDENT: a component's label is its
+    * minimum member id, and an archive star edge (member → label)
+    * preserves connectivity exactly, so merging via the contracted
+    * subgraph yields the same labels as a full-graph recompute — a
+    * batch doc bridging two archive clusters collapses both to the
+    * global min, including when the batch doc IS the new min. That
+    * identity is what lets the query stay HASH-gated against a
+    * DuckDB oracle that recomputes CC over the FULL pair graph from
+    * text; ClusterIndexSpec additionally pins merged ≡ full-rebuild
+    * row-for-row against [[dedupClusters]] and ingest replay
+    * idempotence. Cost scales with the batch and the affected
+    * components, never the archive: the corpus-internal pair join is
+    * paid once at archive build, not per day. */
+  def qClusterIncremental(s: SparkSession, dir: String): DataFrame =
+    clusterIncrementalFrom(t(s, dir, "documents"), clusterIndex(s, dir))
+
+  /** The batch-merge computation behind [[qClusterIncremental]],
+    * factored over (docs, archive path) so ClusterIndexSpec drives
+    * planted corpora through exactly the gated code path. */
+  private[ops] def clusterIncrementalFrom(docs: DataFrame,
+                                          idx: String): DataFrame = {
+    val s = docs.sparkSession
+    val isBatch = col("doc_id") % 10 === 0
+    // full shingle substrate, like dedupIncremental: batch rows probe
+    // it; at 100 TB the corpus side would itself be a persisted
+    // shingle index (the fingerprint-index discipline) — the LABELS
+    // are what this operator maintains incrementally
+    val sh = TextOps.shingles(docs).localCheckpoint()
+    Ckpt.track("q_cluster_incremental", sh)
+    val bsh = sh.where(isBatch)
+      .select(col("doc_id").as("b_id"), col("shingle"))
+    val osh = sh.select(col("doc_id").as("o_id"), col("shingle"))
+    // one orientation per pair: batch-corpus pairs exist only with
+    // b on the batch side; batch-batch pairs are kept at b < o
+    val common = bsh.join(osh, "shingle")
+      .where(col("o_id") =!= col("b_id"))
+      .where((col("o_id") % 10 =!= 0) || (col("b_id") < col("o_id")))
+      .select(least(col("b_id"), col("o_id")).as("doc_a"),
+        greatest(col("b_id"), col("o_id")).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val ratio = col("n_common") /
+      (col("n_a") + col("n_b") - col("n_common")).cast("double")
+    val newEdges = common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        "doc_b")
+      .where(ratio >= 0.2)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .localCheckpoint() // consumed thrice: touched, vertices, CC
+    Ckpt.track("q_cluster_incremental_edges", newEdges)
+    val archive = Tables.readManifested(s, s"$idx/labels")
+      .where(col("ingest_epoch") === 0L)
+      .select(col("doc_id"), col("label"))
+    // affected components: any archived label a new edge's corpus
+    // endpoint carries; everything else is untouched by construction
+    val corpusTouched = newEdges.select(col("src").as("doc_id"))
+      .unionByName(newEdges.select(col("dst").as("doc_id")))
+      .where(col("doc_id") % 10 =!= 0).distinct()
+    val affectedLabels = archive.join(corpusTouched, "doc_id")
+      .select(col("label")).distinct()
+    val affected = archive.join(affectedLabels, "label")
+    val starEdges = affected.where(col("doc_id") =!= col("label"))
+      .select(col("doc_id").as("src"), col("label").as("dst"))
+    val vertices = docs.where(isBatch).select(col("doc_id").as("id"))
+      .unionByName(affected.select(col("doc_id").as("id")))
+    val relabeled =
+      connectedComponents(vertices, newEdges.unionByName(starEdges))
+        .select(col("id").as("doc_id"), col("label"))
+    val merged = relabeled.unionByName(
+      archive.join(affectedLabels, Seq("label"), "left_anti")
+        .select(col("doc_id"), col("label")))
+    // maintenance step: tomorrow's archive is current (epoch 1 holds
+    // every re-labeled row; replay recomputes identical rows)
+    Tables.upsertManifested(
+      relabeled.withColumn("ingest_epoch", lit(1L)),
+      s"$idx/labels", Seq("ingest_epoch"), _ == "ingest_epoch=1")
+    merged
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        isBatch.as("is_batch"),
+        (col("doc_id") === col("label")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val qClusterIncrementalOracle: String =
+    "WITH RECURSIVE " + TextOps.shinglePairsCte + ",\n" +
+      """edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
+        |        >= 0.2),
+        |sym AS (SELECT src, dst FROM edges
+        |        UNION SELECT dst, src FROM edges),
+        |reach AS (
+        |  SELECT doc_id AS node, doc_id AS lab FROM documents
+        |  UNION
+        |  SELECT s.dst AS node, r.lab FROM reach r
+        |  JOIN sym s ON s.src = r.node),
+        |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id
+        |       FROM reach GROUP BY node)
+        |SELECT doc_id, cluster_id, doc_id % 10 = 0 AS is_batch,
+        |       doc_id = cluster_id AS keep
+        |FROM cc ORDER BY doc_id""".stripMargin
+
   // ---------- Incremental (batch-vs-corpus) dedup ----------
 
   /** Dedup a NEW batch against the EXISTING corpus — the daily shape
@@ -1379,6 +1543,7 @@ object Curation {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> dedupClusters,
     "q_cluster_canonical" -> qClusterCanonical,
+    "q_cluster_incremental" -> qClusterIncremental,
     "dedup_incremental" -> dedupIncremental,
     "pipeline_train_prep" -> pipelineTrainPrep,
     "q_decontaminate" -> qDecontaminate,
@@ -1400,6 +1565,7 @@ object Curation {
   def oracles: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersOracle,
     "q_cluster_canonical" -> qClusterCanonicalOracle,
+    "q_cluster_incremental" -> qClusterIncrementalOracle,
     "dedup_incremental" -> dedupIncrementalOracle,
     "pipeline_train_prep" -> pipelineTrainPrepOracle,
     "q_decontaminate" -> qDecontaminateOracle,

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Falsifiability net for [[Curation.qClusterIncremental]]: the
+  * merged-≡-full-rebuild identity on real data (the same discipline
+  * WinnowIndexSpec pins for the fingerprint index), a planted corpus
+  * exercising every merge shape — two archive clusters bridged by one
+  * batch doc, a batch doc that becomes its merged component's NEW
+  * minimum label, untouched archive components, isolated batch docs —
+  * and ingest replay idempotence behind the manifest pointer. */
+class ClusterIndexSpec extends SparkSpec {
+
+  test("merged labels equal a full-graph rebuild, row for row") {
+    val merged = Curation.qClusterIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3)))
+    // dedupClusters computes CC over the full pair graph from scratch
+    // — labels are the component min, so the two paths must agree
+    // exactly despite computing along different routes
+    val full = Curation.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged.length == full.size, "row sets differ")
+    merged.foreach { case (id, lab, isBatch, keep) =>
+      assert(lab == full(id), s"doc $id: merged $lab vs full ${full(id)}")
+      assert(isBatch == (id % 10 == 0), s"doc $id: is_batch flag")
+      assert(keep == (id == lab), s"doc $id: keep rule")
+    }
+    // non-vacuous: some batch doc actually joined an archive cluster
+    assert(merged.exists { case (id, lab, isBatch, _) =>
+      isBatch && lab != id })
+  }
+
+  test("planted merges: bridge collapses two archive clusters, a " +
+    "batch doc can become the new min, untouched stays verbatim; " +
+    "replaying the batch is idempotent") {
+    import SparkSpec.spark.implicits._
+    // corpus (id % 10 != 0): clusters {11,21} and {31,41}, twin-source
+    // 61, isolated 51. batch (id % 10 == 0): 20 bridges BOTH clusters,
+    // 10 is an identical twin of 61 (and the new component min),
+    // 30 shares nothing.
+    val docs = Seq(
+      (11L, "a b c d e"),
+      (21L, "a b c d f"),
+      (31L, "p q r s t"),
+      (41L, "p q r s u"),
+      (51L, "x y z w v"),
+      (61L, "g h i j k"),
+      (10L, "g h i j k"),
+      (20L, "a b c d p q r s"),
+      (30L, "m n o"),
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-cluster-spec").toString
+    try {
+      Curation.buildClusterArchiveTo(
+        docs.where(col("doc_id") % 10 =!= 0), idx)
+      def run() = Curation.clusterIncrementalFrom(docs, idx).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val labels = run()
+      assert(labels == Map(
+        10L -> 10L, 61L -> 10L,             // batch twin IS the new min
+        11L -> 11L, 21L -> 11L,             // bridged by 20 …
+        31L -> 11L, 41L -> 11L,             // … both collapse to 11
+        20L -> 11L,                         // the bridge itself
+        51L -> 51L,                         // untouched archive row
+        30L -> 30L,                         // isolated batch doc
+      ), s"merged labels: $labels")
+      // replay: epoch-1 rows recompute identically and the manifest
+      // pointer swap is replace-or-add — second run, same answer
+      assert(run() == labels, "batch replay changed the labels")
+    } finally {
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
+    }
+  }
+}
