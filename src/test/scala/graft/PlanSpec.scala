@@ -391,6 +391,19 @@ class PlanSpec extends SparkSpec {
       s"the size window repartitions after the canonical join:\n$plan")
   }
 
+  test("incremental clusters: inverted-index equi-joins only, and the " +
+    "archive scan prunes to the build epoch partition") {
+    val plan = planString(ops.Curation.qClusterIncremental(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"incremental merge lost an equi-join condition:\n$plan")
+    // the archive read must reach the scan as a partition filter —
+    // reading every epoch and filtering in memory would pay the whole
+    // label history on every batch
+    assert(plan.contains("ingest_epoch"),
+      s"no epoch pruning on the archive scan:\n$plan")
+  }
+
   test("partition-count knob: shuffle partitions follow the session config") {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
     val parts = Tables.load(spark, sf, "events")
