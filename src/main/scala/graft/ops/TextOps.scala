@@ -552,6 +552,77 @@ object TextOps {
       s"$idx/fingerprints", Seq("ingest_epoch"),
       _ == s"ingest_epoch=$epoch")
 
+  /** One micro-batch of STREAMING near-dup probing — the
+    * [[qWinnowIncremental]] discipline as a `foreachBatch` body (the
+    * curation front door's missing near-dup stage; exact-hash dedup
+    * is [[graft.streaming.StreamOps.ingestBatch]]'s step 3):
+    *
+    *   1. the batch's winnowed fingerprints probe the persisted
+    *      archive with one fingerprint-keyed join — every epoch
+    *      EXCEPT the current one, because a crash-replay must not
+    *      match the epoch's own previous partial commit (the same
+    *      self-exclusion guard as the exact-dedup ingest);
+    *   2. per-batch-doc verdicts (match count, is_dup, best archive
+    *      match by shared-fingerprint count) land under the epoch's
+    *      partition via dynamic overwrite — a replayed epoch rewrites
+    *      exactly its own verdicts;
+    *   3. the batch's fingerprints commit to the archive under the
+    *      same epoch ([[ingestFingerprints]] replace-or-add; first
+    *      epoch bootstraps the manifested table), so the NEXT batch
+    *      dedups against everything that ever flowed — intra-stream
+    *      near-dup dedup with bounded STREAM state: the archive lives
+    *      on disk behind the manifest pointer, not in state store.
+    *
+    * Verdicts before ingest: a crash between the two replays the
+    * whole batch, and both steps recompute identical outputs
+    * (winnowing is a pure function of the text). StreamOpsSpec pins
+    * planted cross-file dup detection, clean-doc verdicts, and
+    * replay idempotence of both the verdict partition and the
+    * archive. */
+  private[graft] def ingestAndProbeFingerprints(batch: DataFrame,
+      epoch: Long, idx: String, outPath: String): Unit = {
+    val spark = batch.sparkSession
+    val fpPath = s"$idx/fingerprints"
+    val bsel = winnowSelected(batch)
+      .select(col("doc_id").as("b_id"), col("wmin")).distinct()
+    val hasManifest = scala.util.Try(
+      Tables.resolveManifest(spark, fpPath)).isSuccess
+    val archive =
+      if (hasManifest)
+        Tables.readManifested(spark, fpPath)
+          .where(col("ingest_epoch") =!= epoch)
+          .select(col("doc_id").as("c_id"), col("wmin"))
+      else // first epoch: empty archive with the probe's schema
+        bsel.select(col("b_id").as("c_id"), col("wmin")).limit(0)
+    val pairs = bsel.join(archive, "wmin")
+      .groupBy(col("b_id"), col("c_id"))
+      .agg(count(lit(1)).as("n_common"))
+    val w = Window.partitionBy(col("b_id"))
+      .orderBy(col("n_common").desc, col("c_id"))
+    val best = pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("b_id").as("doc_id"), col("c_id").as("best_match_id"),
+        col("n_common").as("best_common"))
+    val nm = pairs.groupBy(col("b_id")).agg(count(lit(1)).as("n_matches"))
+    batch.select(col("doc_id"))
+      .join(nm.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("is_dup"),
+        col("best_match_id"), col("best_common"))
+      .withColumn("ingest_epoch", lit(epoch))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_epoch")
+      .parquet(outPath)
+    if (hasManifest) ingestFingerprints(batch, idx, epoch)
+    else Tables.writeManifested(
+      winnowSelected(batch).select(col("doc_id"), col("wmin")).distinct()
+        .withColumn("ingest_epoch", lit(epoch)),
+      fpPath, Seq("ingest_epoch"))
+  }
+
   /** Incremental fingerprint dedup — the [[qWinnowFingerprint]]
     * family run the way a daily 100 TB pipeline runs it: the corpus'
     * winnowed fingerprints live in a PERSISTED manifested index

@@ -218,6 +218,31 @@ object StreamOps {
     q.stop()
   }
 
+  // ---------- Streaming near-dup probe (fingerprint archive) ----------
+
+  /** Streaming near-duplicate dedup over a document file stream: each
+    * micro-batch probes the winnowing fingerprint archive, lands its
+    * per-doc verdicts under its epoch partition, and commits its own
+    * fingerprints so later batches dedup against everything that ever
+    * flowed (see [[graft.ops.TextOps.ingestAndProbeFingerprints]] for
+    * the replay-idempotence contract). Stream state stays bounded:
+    * the archive is an on-disk manifested table, not state store —
+    * the winnowing density (~0.42 of k-gram hashes) is the growth
+    * rate, and the same epoch-compaction lifecycle as the ANN code
+    * table applies when epochs accumulate. */
+  def runNearDupProbe(docs: DataFrame, idx: String, outPath: String,
+                      checkpoint: String): Unit = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        graft.ops.TextOps.ingestAndProbeFingerprints(b, epoch, idx, outPath)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   // ---------- Transforms (batch- and stream-applicable) ----------
 
   /** Tumbling 10-minute counts per event type; 10-minute watermark
@@ -462,7 +487,7 @@ object StreamOps {
         : Iterator[ClosedSession] = {
       val (n, _) = sess.get()
       sess.clear()
-      Iterator.single(ClosedSession(key, n, info.getExpiryTimeInMs))
+      Iterator.single(ClosedSession(key, n, info.getExpiryTimeInMs()))
     }
   }
 

@@ -581,6 +581,73 @@ class StreamOpsSpec extends SparkSpec {
     assert(snapshot() == landed, "epoch replay changed the corpus")
   }
 
+  test("streaming near-dup probe: later batches flag verbatim overlaps " +
+    "against every earlier epoch's fingerprints; replay is idempotent") {
+    import spark.implicits._
+    // ≥7-word docs so winnowing selects fingerprints; the dup doc
+    // embeds a 9-word verbatim run of doc 1 (≥ w+k−1 = 7 words →
+    // guaranteed shared selected fingerprint); the clean doc shares
+    // no 4-gram with anything
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val dup = s"prefix words here $base trailing tail"
+    val clean = "one two three four five six seven eight nine"
+    val other = "red orange yellow green blue indigo violet ultra deep"
+    def doc(id: Long, text: String) =
+      (id, text, "en", "srcS", text.length.toLong)
+
+    val root = java.nio.file.Files.createTempDirectory("graft-neardup")
+    val stage = root.resolve("stage").toString
+    val idx = root.resolve("idx").toString
+    val out = root.resolve("verdicts").toString
+    val ckpt = root.resolve("ckpt").toString
+    new java.io.File(stage).mkdirs()
+    def land(name: String,
+             rows: Seq[(Long, String, String, String, Long)]): Unit = {
+      val tmp = root.resolve(s"tmp-$name").toString
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/$name.parquet"))
+    }
+    val file2 = Seq(doc(3, dup), doc(4, clean))
+    land("f1", Seq(doc(1, base), doc(2, other)))
+    land("f2", file2)
+
+    runNearDupProbe(readDocuments(spark, stage, Some(1)), idx, out, ckpt)
+
+    def verdicts() = spark.read.parquet(out)
+      .select(col("doc_id"), col("n_matches"), col("is_dup"),
+        col("best_match_id"), col("ingest_epoch").cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4))).toMap
+    val v = verdicts()
+    assert(v.keySet == Set(1L, 2L, 3L, 4L))
+    // first epoch probes an EMPTY archive: everything clean
+    assert(!v(1L)._2 && !v(2L)._2, s"epoch-0 docs flagged: $v")
+    // second epoch: the embedded-run doc matches doc 1, clean stays clean
+    assert(v(3L)._2 && v(3L)._3 == 1L,
+      s"embedded 9-word run not flagged against the archive: $v")
+    assert(!v(4L)._2, s"clean doc falsely flagged: $v")
+    // both epochs' fingerprints are in the archive now
+    val archived = graft.io.Tables.readManifested(spark, s"$idx/fingerprints")
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(archived == Set(1L, 2L, 3L, 4L), s"archive docs: $archived")
+
+    // crash-replay of the second epoch: same verdicts, same archive
+    val epoch3 = v(3L)._4
+    graft.ops.TextOps.ingestAndProbeFingerprints(
+      file2.toDF("doc_id", "text", "lang", "source", "n_chars"),
+      epoch3, idx, out)
+    assert(verdicts() == v, "epoch replay changed the verdicts")
+    assert(graft.io.Tables.readManifested(spark, s"$idx/fingerprints")
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet == archived,
+      "epoch replay changed the archive")
+  }
+
   test("corpus ingest survives an all-filtered first epoch: the empty " +
     "landing must not wedge later epochs' corpus reads") {
     import spark.implicits._
