@@ -1044,7 +1044,23 @@ object Curation {
     * actually firing, and an independent in-memory replay on the real
     * oriented graph. */
   private[ops] def pageRankDirected(directed: DataFrame, maxIters: Int,
-      damping: Double, tol: Double): DataFrame = {
+      damping: Double, tol: Double): DataFrame =
+    pageRankWithRestart(directed, restart = None, maxIters, damping,
+      tol, ckptKey = "q_pagerank_directed")
+
+  /** Directed PageRank with a RESTART distribution — the shared fused
+    * loop under [[pageRankDirected]] (uniform restart) and
+    * [[pageRankPersonalized]] (seed-concentrated restart). Both the
+    * teleport term (1−d)·r(v) and the dangling-mass completion
+    * d·D·r(v) follow the restart vector, the standard personalized
+    * formulation: a random surfer who jumps — or walks off a sink —
+    * always re-enters at the restart distribution, so total mass
+    * stays 1 and, with a seed restart, rank concentrates around the
+    * seeds. `restart = None` means uniform 1/|V| (plain directed
+    * PageRank). */
+  private[ops] def pageRankWithRestart(directed: DataFrame,
+      restart: Option[DataFrame], maxIters: Int, damping: Double,
+      tol: Double, ckptKey: String): DataFrame = {
     val edges = directed
       .select(col("name_a").as("src"), col("name_b").as("dst"))
       .localCheckpoint()
@@ -1055,16 +1071,24 @@ object Curation {
         .agg(count(lit(1)).as("deg")), Seq("name"), "left")
       .select(col("name"), coalesce(col("deg"), lit(0L)).as("deg"))
       .localCheckpoint()
-    // one sizing pull: |V| and the sink count (the uniform start's
-    // dangling mass is sinks/n — no separate first-round job)
-    val sizing = deg.agg(count(lit(1)),
-      sum(when(col("deg") === 0, 1L).otherwise(0L))).head()
-    val n = sizing.getLong(0)
-    val base = (1.0 - damping) / n
-    var dangling = sizing.getLong(1).toDouble / n
-    var ranks = deg
-      .select(col("name"), lit(1.0 / n).as("rank"), col("deg"))
+    val n = deg.count()
+    // per-node restart mass: uniform, or the caller's seed
+    // distribution (absent nodes restart at 0)
+    val withRestart = restart match {
+      case None => deg.withColumn("restart", lit(1.0 / n))
+      case Some(r) => deg.join(r, Seq("name"), "left")
+        .select(col("name"), col("deg"),
+          coalesce(col("restart"), lit(0.0)).as("restart"))
+    }
+    // ranks start AT the restart distribution; one sizing pull gives
+    // the start's dangling mass (Σ restart over sinks)
+    var ranks = withRestart
+      .select(col("name"), col("restart").as("rank"), col("deg"),
+        col("restart"))
       .localCheckpoint()
+    var dangling = ranks.agg(
+      sum(when(col("deg") === 0, col("rank")).otherwise(lit(0.0))))
+      .head().getDouble(0)
     var iters = 0
     var delta = Double.MaxValue
     while (iters < maxIters && delta > tol) {
@@ -1074,15 +1098,16 @@ object Curation {
             (col("rank") / col("deg")).as("c")), "src")
         .select(col("dst").as("name"), col("c"))
         .groupBy("name").agg(sum(col("c")).as("cs"))
-      // next carries the previous rank (r0) and deg so the combined
-      // delta/dangling aggregate below needs NO join at all
+      // next carries the previous rank (r0), deg and restart so the
+      // combined delta/dangling aggregate below needs NO join at all
       val next = ranks
-        .select(col("name"), col("rank").as("r0"), col("deg"))
+        .select(col("name"), col("rank").as("r0"), col("deg"),
+          col("restart"))
         .join(contrib, Seq("name"), "left")
         .select(col("name"),
-          (lit(base + damping * dangling / n) +
-            lit(damping) * coalesce(col("cs"), lit(0.0))).as("rank"),
-          col("deg"), col("r0"))
+          ((lit(1.0 - damping) + lit(damping * dangling)) * col("restart")
+            + lit(damping) * coalesce(col("cs"), lit(0.0))).as("rank"),
+          col("deg"), col("restart"), col("r0"))
         .localCheckpoint()
       val row = next.agg(
         sum(abs(col("rank") - col("r0"))),
@@ -1094,7 +1119,7 @@ object Curation {
       ranks = next
       iters += 1
     }
-    Ckpt.track("q_pagerank_directed", edges, deg, ranks)
+    Ckpt.track(ckptKey, edges, deg, ranks)
     ranks.select(col("name"),
       graft.expr.Columns.roundQ(col("rank"), 4).as("pagerank"),
       col("deg").cast("int").as("out_degree"),
@@ -1111,6 +1136,31 @@ object Curation {
       qFuzzyMatch(s, dir).select(col("name_a"), col("name_b")),
       maxIters = 30, damping = 0.85, tol = 1e-6)
       .orderBy("name")
+
+  /** PERSONALIZED PageRank over the same oriented linkage graph —
+    * the influence/selection variant a curation pipeline runs to
+    * score documents by proximity to a trusted seed set: restart
+    * mass sits uniformly on the seeds (the lexicographically
+    * smallest 5 node names — deterministic; materializing the seed
+    * set is a bounded ≤5-row artifact pull), and both the teleport
+    * and the dangling completion re-enter AT the seeds, so rank
+    * concentrates around them while total mass stays 1
+    * ([[pageRankWithRestart]]). Same fused per-round shape as the
+    * directed variant. Rows-only gate (iterative fixpoint);
+    * CurationSpec pins a seed-star closed form, mass conservation,
+    * seed dominance on real data, and an independent in-memory
+    * replay with the same restart vector. */
+  def qPageRankPersonalized(s: SparkSession, dir: String): DataFrame = {
+    val directed = qFuzzyMatch(s, dir).select(col("name_a"), col("name_b"))
+    val seedNames = directed.select(col("name_a").as("name"))
+      .union(directed.select(col("name_b").as("name"))).distinct()
+      .orderBy("name").limit(5)
+    val k = seedNames.count() // ≤ 5 rows; exact seed mass needs |S|
+    val seeds = seedNames.withColumn("restart", lit(1.0 / k))
+    pageRankWithRestart(directed, Some(seeds), maxIters = 30,
+      damping = 0.85, tol = 1e-6, ckptKey = "q_pagerank_personalized")
+      .orderBy("name")
+  }
 
   // ---------- Domain mixture (token-budget resampling) ----------
 
@@ -1558,6 +1608,7 @@ object Curation {
     "q_triangle_count" -> qTriangleCount,
     "q_pagerank" -> qPageRank,
     "q_pagerank_directed" -> qPageRankDirected,
+    "q_pagerank_personalized" -> qPageRankPersonalized,
     "q_url_parse" -> qUrlParse,
     "q_data_mask" -> qDataMask,
     "q_pii_redact" -> qPiiRedact)

@@ -413,6 +413,70 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("personalized pagerank: seed-star closed form, mass conserved, " +
+    "seeds dominate on real data, and an independent replay agrees") {
+    import spark.implicits._
+    // seed {a}, star a → 3 dangling leaves. Teleport AND dangling
+    // completion re-enter at a (restart = [1,0,0,0]), so:
+    //   A = 0.15 + 0.85·(3L)   (leaves are all sinks)
+    //   L = 0.85·A/3
+    //   → A = 0.15/(1 − 0.85²) = 0.15/0.2775 ≈ 0.5405, L ≈ 0.1532
+    val seeds = Seq(("a", 1.0)).toDF("name", "restart")
+    val star = Curation.pageRankWithRestart(
+      Seq(("a", "b"), ("a", "c"), ("a", "d")).toDF("name_a", "name_b"),
+      Some(seeds), maxIters = 100, damping = 0.85, tol = 1e-9,
+      ckptKey = "spec_ppr_star").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("pagerank")).toMap
+    assert(math.abs(star("a") - 0.15 / 0.2775) < 1e-3,
+      s"seed ${star("a")} off the closed form ${0.15 / 0.2775}")
+    Seq("b", "c", "d").foreach(l =>
+      assert(math.abs(star(l) - 0.85 * (0.15 / 0.2775) / 3) < 1e-3,
+        s"leaf $l ${star(l)} off the closed form"))
+    assert(math.abs(star.values.sum - 1.0) < 1e-2, "star mass leaked")
+
+    // real oriented graph through the gated path
+    val out = Curation.qPageRankPersonalized(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("pagerank")).toMap
+    assert(out.nonEmpty)
+    assert(math.abs(out.values.sum - 1.0) < 1e-2,
+      "mass conservation with seed teleport")
+    val dirEdges = Curation.qFuzzyMatch(spark, sf)
+      .select("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val nodes = dirEdges.flatMap(e => Seq(e._1, e._2)).distinct
+    val seedSet = nodes.sorted.take(5).toSet
+    // teleportation bias: the trusted set must outrank the rest on
+    // average — that's the point of personalization
+    val (sr, nr) = (seedSet.toSeq.map(out),
+      nodes.filterNot(seedSet).map(out))
+    assert(sr.sum / sr.size > nr.sum / nr.size,
+      "seed ranks do not dominate non-seed ranks on average")
+    // independent scalar replay: same restart vector, same stop rule
+    val adj = dirEdges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val restart = nodes.map(u =>
+      u -> (if (seedSet(u)) 1.0 / seedSet.size else 0.0)).toMap
+    var rk = restart
+    var rounds = 0
+    var moved = Double.MaxValue
+    while (rounds < 30 && moved > 1e-6) {
+      val dang = nodes.filterNot(adj.contains).map(rk).sum
+      val contrib = scala.collection.mutable.Map[String, Double]()
+        .withDefaultValue(0.0)
+      adj.foreach { case (u, outs) =>
+        outs.foreach(v => contrib(v) += rk(u) / outs.length)
+      }
+      val next = nodes.map(u =>
+        u -> ((0.15 + 0.85 * dang) * restart(u) + 0.85 * contrib(u))).toMap
+      moved = nodes.map(u => math.abs(next(u) - rk(u))).sum
+      rk = next
+      rounds += 1
+    }
+    out.foreach { case (name, g) =>
+      assert(math.abs(g - rk(name)) < 2e-4,
+        s"$name: engine $g vs replay ${rk(name)}")
+    }
+  }
+
   test("dsir weights: independent scalar replay agrees bit-for-bit, " +
     "every score clears the 4dp rounding boundary, and the target " +
     "class actually scores higher") {
