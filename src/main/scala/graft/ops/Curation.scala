@@ -376,23 +376,24 @@ object Curation {
     * factored over (docs, archive path) so ClusterIndexSpec drives
     * planted corpora through exactly the gated code path. */
   private[ops] def clusterIncrementalFrom(docs: DataFrame,
-                                          idx: String): DataFrame = {
+      idx: String,
+      isBatch: Column => Column = _ % 10 === 0,
+      epoch: Long = 1L): DataFrame = {
     val s = docs.sparkSession
-    val isBatch = col("doc_id") % 10 === 0
     // full shingle substrate, like dedupIncremental: batch rows probe
     // it; at 100 TB the corpus side would itself be a persisted
     // shingle index (the fingerprint-index discipline) — the LABELS
     // are what this operator maintains incrementally
     val sh = TextOps.shingles(docs).localCheckpoint()
     Ckpt.track("q_cluster_incremental", sh)
-    val bsh = sh.where(isBatch)
+    val bsh = sh.where(isBatch(col("doc_id")))
       .select(col("doc_id").as("b_id"), col("shingle"))
     val osh = sh.select(col("doc_id").as("o_id"), col("shingle"))
     // one orientation per pair: batch-corpus pairs exist only with
     // b on the batch side; batch-batch pairs are kept at b < o
     val common = bsh.join(osh, "shingle")
       .where(col("o_id") =!= col("b_id"))
-      .where((col("o_id") % 10 =!= 0) || (col("b_id") < col("o_id")))
+      .where(!isBatch(col("o_id")) || (col("b_id") < col("o_id")))
       .select(least(col("b_id"), col("o_id")).as("doc_a"),
         greatest(col("b_id"), col("o_id")).as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
@@ -409,20 +410,26 @@ object Curation {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .localCheckpoint() // consumed thrice: touched, vertices, CC
     Ckpt.track("q_cluster_incremental_edges", newEdges)
+    // archive view: LATEST epoch per doc, excluding the current
+    // epoch (a crash-replay must not read its own previous partial
+    // commit) — so yesterday's merge commits are consumed today, and
+    // a fold ([[compactLabelEpochs]]) changes nothing a reader sees
     val archive = Tables.readManifested(s, s"$idx/labels")
-      .where(col("ingest_epoch") === 0L)
-      .select(col("doc_id"), col("label"))
+      .where(col("ingest_epoch") =!= epoch)
+      .groupBy(col("doc_id"))
+      .agg(max_by(col("label"), col("ingest_epoch")).as("label"))
     // affected components: any archived label a new edge's corpus
     // endpoint carries; everything else is untouched by construction
     val corpusTouched = newEdges.select(col("src").as("doc_id"))
       .unionByName(newEdges.select(col("dst").as("doc_id")))
-      .where(col("doc_id") % 10 =!= 0).distinct()
+      .where(!isBatch(col("doc_id"))).distinct()
     val affectedLabels = archive.join(corpusTouched, "doc_id")
       .select(col("label")).distinct()
     val affected = archive.join(affectedLabels, "label")
     val starEdges = affected.where(col("doc_id") =!= col("label"))
       .select(col("doc_id").as("src"), col("label").as("dst"))
-    val vertices = docs.where(isBatch).select(col("doc_id").as("id"))
+    val vertices = docs.where(isBatch(col("doc_id")))
+      .select(col("doc_id").as("id"))
       .unionByName(affected.select(col("doc_id").as("id")))
     val relabeled =
       connectedComponents(vertices, newEdges.unionByName(starEdges))
@@ -430,16 +437,46 @@ object Curation {
     val merged = relabeled.unionByName(
       archive.join(affectedLabels, Seq("label"), "left_anti")
         .select(col("doc_id"), col("label")))
-    // maintenance step: tomorrow's archive is current (epoch 1 holds
-    // every re-labeled row; replay recomputes identical rows)
+    // maintenance step: tomorrow's archive is current (the epoch
+    // layer holds every re-labeled row; replay recomputes identical
+    // rows and replace-or-adds the same partition)
     Tables.upsertManifested(
-      relabeled.withColumn("ingest_epoch", lit(1L)),
-      s"$idx/labels", Seq("ingest_epoch"), _ == "ingest_epoch=1")
+      relabeled.withColumn("ingest_epoch", lit(epoch)),
+      s"$idx/labels", Seq("ingest_epoch"), _ == s"ingest_epoch=$epoch")
     merged
       .select(col("doc_id"), col("label").as("cluster_id"),
-        isBatch.as("is_batch"),
+        isBatch(col("doc_id")).as("is_batch"),
         (col("doc_id") === col("label")).as("keep"))
       .orderBy("doc_id")
+  }
+
+  /** Fold accumulated label-merge epochs into the base layer — the
+    * [[graft.ops.Similarity.compactIndexEpochs]] lifecycle applied to
+    * the cluster archive. Unlike the append-only fingerprint/code
+    * tables, label epochs are UPDATES (a doc's newest epoch wins), so
+    * the fold materializes the latest-per-doc view and commits it as
+    * the sole `ingest_epoch=0` partition in one pointer flip; every
+    * prior layer drops from the manifest (old versions stay on disk
+    * until vacuum — readers of the previous pointer stay isolated).
+    * [[clusterIncrementalFrom]]'s archive read is the same
+    * latest-per-doc aggregate, so a fold is invisible to the next
+    * day's merge by construction — ClusterIndexSpec pins exactly
+    * that, plus a post-fold second-day merge. Returns the folded
+    * high-water epoch, or -1 when only the base layer exists. */
+  private[ops] def compactLabelEpochs(s: SparkSession,
+                                      idx: String): Long = {
+    val path = s"$idx/labels"
+    val (_, parts) = Tables.resolveManifest(s, path)
+    val maxE = parts.keys
+      .map(_.stripPrefix("ingest_epoch=").toLong).max
+    if (maxE <= 0L) return -1L
+    val current = Tables.readManifested(s, path)
+      .groupBy(col("doc_id"))
+      .agg(max_by(col("label"), col("ingest_epoch")).as("label"))
+      .withColumn("ingest_epoch", lit(0L))
+    Tables.upsertManifested(current, path, Seq("ingest_epoch"),
+      _ => true)
+    maxE
   }
 
   val qClusterIncrementalOracle: String =

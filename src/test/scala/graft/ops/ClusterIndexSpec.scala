@@ -75,4 +75,61 @@ class ClusterIndexSpec extends SparkSpec {
       org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
     }
   }
+
+  test("day 2 consumes day 1's commits; a fold between the days is " +
+    "invisible to the merge; labels always equal a full recompute") {
+    import SparkSpec.spark.implicits._
+    // day 0 corpus: {11,21} cluster, isolated 61. day 1 (ids %10=0):
+    // 20 joins the {11,21} cluster. day 2 (ids ending in 5): 45 is a
+    // twin of DAY-1's doc 20 — day 2 is only correct if day 1's
+    // epoch-1 commit is actually read back — and 35 is new+isolated.
+    val day01 = Seq(
+      (11L, "a b c d e"),
+      (21L, "a b c d f"),
+      (61L, "g h i j k"),
+      (20L, "a b c d p q r s"),
+    )
+    val day2 = Seq(
+      (45L, "a b c d p q r s"),
+      (35L, "m n o p q"),
+    )
+    val fullExpected = Map(
+      11L -> 11L, 21L -> 11L, 20L -> 11L, 45L -> 11L,
+      61L -> 61L, 35L -> 35L)
+
+    def scenario(foldBetween: Boolean): Map[Long, Long] = {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-cluster-day2").toString
+      try {
+        Curation.buildClusterArchiveTo(
+          day01.toDF("doc_id", "text")
+            .where(col("doc_id") % 10 =!= 0), idx)
+        Curation.clusterIncrementalFrom(
+          day01.toDF("doc_id", "text"), idx).count() // day 1
+        if (foldBetween)
+          assert(Curation.compactLabelEpochs(spark, idx) == 1L)
+        Curation.clusterIncrementalFrom(
+            (day01 ++ day2).toDF("doc_id", "text"), idx,
+            isBatch = _ % 10 === 5, epoch = 2L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      } finally {
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
+      }
+    }
+    assert(scenario(foldBetween = false) == fullExpected,
+      "unfolded day-2 merge diverged from the full recompute")
+    assert(scenario(foldBetween = true) == fullExpected,
+      "a fold between the days changed the merge result")
+    // fold of a base-only archive is a no-op
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-cluster-noop").toString
+    try {
+      Curation.buildClusterArchiveTo(
+        day01.toDF("doc_id", "text")
+          .where(col("doc_id") % 10 =!= 0), idx)
+      assert(Curation.compactLabelEpochs(spark, idx) == -1L)
+    } finally {
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
+    }
+  }
 }
