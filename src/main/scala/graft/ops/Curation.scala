@@ -312,15 +312,19 @@ object Curation {
     }, "graft-cluster-index-cleanup"))
   }
 
-  /** Build the label archive from scratch: CC over the CORPUS-only
-    * exact-Jaccard pair graph (the [[dedupClusters]] substrate),
-    * persisted as a manifested epoch-partitioned table (build layer =
+  /** Build the archive from scratch: the corpus' shingle POSTINGS +
+    * per-doc sizes ([[TextOps.buildShinglePostingsTo]] — the persisted
+    * substrate every later daily run probes instead of re-shingling
+    * corpus text), and cluster LABELS from CC over the corpus-only
+    * exact-Jaccard pair graph (the [[dedupClusters]] substrate). All
+    * three tables are manifested epoch-partitioned (build layer =
     * epoch 0) — the same layout contract as the winnowing fingerprint
-    * index, so label maintenance is replay-idempotent behind the
-    * manifest pointer. */
+    * index, so maintenance is replay-idempotent behind the manifest
+    * pointer. One corpus shingle pass feeds everything. */
   private[ops] def buildClusterArchiveTo(corpus: DataFrame,
                                          idx: String): Unit = {
     val sh = TextOps.shingles(corpus).localCheckpoint()
+    TextOps.buildShinglePostingsTo(sh, idx)
     val edges = TextOps.jaccardJoin(sh, 0.2)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val labels =
@@ -332,7 +336,7 @@ object Curation {
     Ckpt.release(sh)
   }
 
-  private def clusterIndex(s: SparkSession, dir: String): String =
+  private[ops] def clusterIndex(s: SparkSession, dir: String): String =
     clusterIdxMemo.computeIfAbsent(dir, _ => {
       val idx = java.nio.file.Files
         .createTempDirectory("graft-cluster-index").toString
@@ -343,18 +347,18 @@ object Curation {
     })
 
   /** Incremental cluster maintenance — [[dedupClusters]] run the way
-    * a daily 100 TB pipeline runs it: the corpus' cluster labels live
-    * in a PERSISTED manifested archive (built once from corpus-only
-    * edges), today's batch (doc_id % 10 = 0) generates ONLY
-    * batch-internal and batch-vs-corpus candidate edges (one
-    * asymmetric inverted-index join — the [[dedupIncremental]]
-    * shape), and connected components re-runs ONLY over the AFFECTED
-    * subgraph: batch docs plus the archived components a new edge
-    * touches, each contracted to its label star. Untouched archive
-    * rows keep their labels verbatim; merged labels are committed
-    * back under a new ingest epoch (replace-or-add — replaying the
-    * batch recomputes identical rows), keeping the archive current
-    * for tomorrow.
+    * a daily 100 TB pipeline runs it: the corpus' cluster labels AND
+    * its shingle postings live in a PERSISTED manifested archive
+    * (built once; [[buildClusterArchiveTo]]), today's batch
+    * (doc_id % 10 = 0) shingles ONLY its own text, probes the
+    * postings index with one broadcast-batch join (corpus text is
+    * never re-shingled), and connected components re-runs ONLY over
+    * the AFFECTED subgraph: batch docs plus the archived components a
+    * new edge touches, each contracted to its label star. Untouched
+    * archive rows keep their labels verbatim; merged labels and the
+    * batch's postings are committed back under a new ingest epoch
+    * (replace-or-add — replaying the batch recomputes identical
+    * rows), keeping the archive current for tomorrow.
     *
     * CORRECTNESS IS PATH-INDEPENDENT: a component's label is its
     * minimum member id, and an archive star edge (member → label)
@@ -366,9 +370,13 @@ object Curation {
     * DuckDB oracle that recomputes CC over the FULL pair graph from
     * text; ClusterIndexSpec additionally pins merged ≡ full-rebuild
     * row-for-row against [[dedupClusters]] and ingest replay
-    * idempotence. Cost scales with the batch and the affected
-    * components, never the archive: the corpus-internal pair join is
-    * paid once at archive build, not per day. */
+    * idempotence. Daily COMPUTE scales with the batch and the
+    * affected components: corpus text is never re-shingled and the
+    * corpus-internal pair join is paid once at archive build. The one
+    * archive-proportional term left is the probe's streaming read of
+    * the postings index — an index scan, not a recompute, and with a
+    * shingle-bucketed postings layout at 100 TB it co-locates with
+    * the broadcast batch side. */
   def qClusterIncremental(s: SparkSession, dir: String): DataFrame =
     clusterIncrementalFrom(t(s, dir, "documents"), clusterIndex(s, dir))
 
@@ -380,25 +388,42 @@ object Curation {
       isBatch: Column => Column = _ % 10 === 0,
       epoch: Long = 1L): DataFrame = {
     val s = docs.sparkSession
-    // full shingle substrate, like dedupIncremental: batch rows probe
-    // it; at 100 TB the corpus side would itself be a persisted
-    // shingle index (the fingerprint-index discipline) — the LABELS
-    // are what this operator maintains incrementally
-    val sh = TextOps.shingles(docs).localCheckpoint()
-    Ckpt.track("q_cluster_incremental", sh)
-    val bsh = sh.where(isBatch(col("doc_id")))
-      .select(col("doc_id").as("b_id"), col("shingle"))
-    val osh = sh.select(col("doc_id").as("o_id"), col("shingle"))
-    // one orientation per pair: batch-corpus pairs exist only with
-    // b on the batch side; batch-batch pairs are kept at b < o
-    val common = bsh.join(osh, "shingle")
+    // BATCH-ONLY shingle substrate: the corpus side comes from the
+    // persisted postings index committed at archive build (and kept
+    // current by each day's ingest below) — corpus text is never
+    // re-shingled on the daily path
+    val bsh = TextOps.shingles(docs.where(isBatch(col("doc_id"))))
+      .localCheckpoint()
+    Ckpt.track("q_cluster_incremental", bsh)
+    // maintenance first (the winnow-index discipline): the batch's
+    // postings + sizes commit under their epoch; every read below
+    // self-excludes that epoch, so a crash-replay never probes its
+    // own previous partial commit
+    TextOps.ingestShinglePostings(bsh, idx, epoch)
+    val arch = TextOps.readShinglePostings(s, idx, excludeEpoch = epoch)
+    val bAsB = bsh.select(col("doc_id").as("b_id"), col("shingle"))
+    // batch-vs-archive candidates: BROADCAST the batch postings so the
+    // archive side streams through the probe with no corpus-sized
+    // exchange — the shape a bucketed postings table gives for free at
+    // 100 TB; batch-batch candidates are a batch-sized self-join
+    val common = broadcast(bAsB)
+      .join(arch.select(col("doc_id").as("o_id"), col("shingle")),
+        "shingle")
       .where(col("o_id") =!= col("b_id"))
-      .where(!isBatch(col("o_id")) || (col("b_id") < col("o_id")))
+      .unionByName(bAsB
+        .join(bsh.select(col("doc_id").as("o_id"), col("shingle")),
+          "shingle")
+        .where(col("b_id") < col("o_id")))
       .select(least(col("b_id"), col("o_id")).as("doc_a"),
         greatest(col("b_id"), col("o_id")).as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // Jaccard denominators: batch sizes from the batch substrate,
+    // archive sizes from the persisted size table; max() collapses the
+    // (replay-only) case of a doc present in both
+    val sizes = bsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      .unionByName(TextOps.readShingleSizes(s, idx, excludeEpoch = epoch))
+      .groupBy(col("doc_id")).agg(max(col("n_sh")).as("n_sh"))
     val ratio = col("n_common") /
       (col("n_a") + col("n_b") - col("n_common")).cast("double")
     val newEdges = common
@@ -503,12 +528,14 @@ object Curation {
   // ---------- Incremental (batch-vs-corpus) dedup ----------
 
   /** Dedup a NEW batch against the EXISTING corpus — the daily shape
-    * at 100 TB: the corpus is the 100 TB side, today's batch is small,
-    * and candidate pairs are generated ONLY between batch and corpus
-    * shingles (an asymmetric inverted-index join), never
-    * corpus×corpus. Cost scales with the batch, not the archive —
-    * running the full pair query daily would re-pay the whole corpus
-    * self-join for a sliver of new pairs.
+    * at 100 TB: the corpus is the 100 TB side, today's batch is
+    * small, the corpus' shingle postings + sizes live in the shared
+    * PERSISTED archive ([[clusterIndex]] — one build serves this and
+    * [[qClusterIncremental]]), and candidate pairs come from ONE
+    * broadcast-batch probe of the postings index. Corpus text is
+    * never re-shingled and never self-joined on the daily path; the
+    * batch commits its own postings under a new epoch so tomorrow's
+    * archive is current.
     *
     * Batch = doc_id % 10 == 0 (deterministic stand-in for today's
     * arrivals). Per batch doc: how many corpus near-dups (Jaccard
@@ -516,22 +543,26 @@ object Curation {
     * similarity, and the keep/drop verdict. Ranking uses the ROUNDED
     * jaccard (+ match id) so engine and oracle order identically. */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val idx = clusterIndex(s, dir)
     val docs = t(s, dir, "documents")
-    val sh = TextOps.shingles(docs).localCheckpoint()
-    Ckpt.track("dedup_incremental", sh)
-    val common = sh.where(col("doc_id") % 10 === 0)
-      .select(col("doc_id").as("b_id"), col("shingle"))
-      .join(sh.where(col("doc_id") % 10 =!= 0)
+    val bsh = TextOps.shingles(docs.where(col("doc_id") % 10 === 0))
+      .localCheckpoint()
+    Ckpt.track("dedup_incremental", bsh)
+    TextOps.ingestShinglePostings(bsh, idx, epoch = 1L)
+    val common = broadcast(
+        bsh.select(col("doc_id").as("b_id"), col("shingle")))
+      .join(TextOps.readShinglePostings(s, idx, excludeEpoch = 1L)
         .select(col("doc_id").as("c_id"), col("shingle")), "shingle")
       .groupBy(col("b_id"), col("c_id"))
       .agg(count(lit(1)).as("n_common"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val bSizes = bsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val cSizes = TextOps.readShingleSizes(s, idx, excludeEpoch = 1L)
     val ratio = col("n_common") /
       (col("n_b") + col("n_c") - col("n_common")).cast("double")
     val matches = common
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")),
+      .join(bSizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")),
         "b_id")
-      .join(sizes.select(col("doc_id").as("c_id"), col("n_sh").as("n_c")),
+      .join(cSizes.select(col("doc_id").as("c_id"), col("n_sh").as("n_c")),
         "c_id")
       .where(ratio >= 0.2)
       .withColumn("jaccard", graft.expr.Columns.roundQ(ratio, 4))

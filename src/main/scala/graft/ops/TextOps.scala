@@ -740,6 +740,66 @@ object TextOps {
       |FROM sel s JOIN shr h USING (wmin)
       |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------- Persisted shingle postings index ----------
+
+  /** The plain-shingle sibling of the winnowing fingerprint index: a
+    * MANIFESTED, epoch-ingested inverted index of (shingle → doc_id)
+    * postings plus a per-doc size table, so the daily incremental
+    * paths ([[graft.ops.Curation.dedupIncremental]],
+    * [[graft.ops.Curation.qClusterIncremental]]) probe a persisted
+    * substrate instead of re-shingling the full corpus from text on
+    * every run — the cost term that made the daily job
+    * archive-proportional. Postings are append-only per doc (text is
+    * immutable; a doc belongs to exactly one ingest epoch), sizes ride
+    * alongside so the Jaccard denominator never needs an
+    * archive-wide re-aggregate. At 100 TB the postings table would be
+    * written shingle-bucketed ([[graft.io.Tables.writeBucketed]]) so
+    * the probe co-locates with the batch side; the manifested
+    * epoch-partitioned layout here keeps the same read/commit/replay
+    * contract as the fingerprint and ANN-code archives. */
+  private[ops] def buildShinglePostingsTo(sh: DataFrame,
+                                          idx: String): Unit = {
+    Tables.writeManifested(sh.withColumn("ingest_epoch", lit(0L)),
+      s"$idx/postings", Seq("ingest_epoch"))
+    Tables.writeManifested(
+      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        .withColumn("ingest_epoch", lit(0L)),
+      s"$idx/sizes", Seq("ingest_epoch"))
+  }
+
+  /** Commit ONE batch's postings + sizes under its own epoch —
+    * replace-or-add: shingling is a pure function of the text, so a
+    * crash-replay of epoch E recomputes identical rows and swaps them
+    * in behind a new manifest version. Cost scales with the batch,
+    * never the index. */
+  private[ops] def ingestShinglePostings(batchSh: DataFrame, idx: String,
+                                         epoch: Long): Unit = {
+    Tables.upsertManifested(
+      batchSh.withColumn("ingest_epoch", lit(epoch)),
+      s"$idx/postings", Seq("ingest_epoch"), _ == s"ingest_epoch=$epoch")
+    Tables.upsertManifested(
+      batchSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        .withColumn("ingest_epoch", lit(epoch)),
+      s"$idx/sizes", Seq("ingest_epoch"), _ == s"ingest_epoch=$epoch")
+  }
+
+  /** Archive postings view for a probe at `epoch`: every epoch EXCEPT
+    * the probing one — a crash-replay must not match the epoch's own
+    * previous partial commit (the same self-exclusion guard as every
+    * epoch-ingested archive here). */
+  private[ops] def readShinglePostings(s: SparkSession, idx: String,
+                                       excludeEpoch: Long): DataFrame =
+    Tables.readManifested(s, s"$idx/postings")
+      .where(col("ingest_epoch") =!= excludeEpoch)
+      .select(col("doc_id"), col("shingle"))
+
+  /** Per-doc shingle-set sizes with the same self-exclusion. */
+  private[ops] def readShingleSizes(s: SparkSession, idx: String,
+                                    excludeEpoch: Long): DataFrame =
+    Tables.readManifested(s, s"$idx/sizes")
+      .where(col("ingest_epoch") =!= excludeEpoch)
+      .select(col("doc_id"), col("n_sh"))
+
   // ---------- Exact dedup ----------
 
   /** Exact dedup via hash-groupBy on the EXACT content hash (byte-

@@ -392,16 +392,25 @@ class PlanSpec extends SparkSpec {
   }
 
   test("incremental clusters: inverted-index equi-joins only, and the " +
-    "archive scan prunes to the build epoch partition") {
+    "archive scans prune the probing epoch at the partition level " +
+    "(self-exclusion: every PRIOR epoch is read, the current one is not)") {
     val plan = planString(ops.Curation.qClusterIncremental(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
       s"incremental merge lost an equi-join condition:\n$plan")
-    // the archive read must reach the scan as a partition filter —
-    // reading every epoch and filtering in memory would pay the whole
-    // label history on every batch
-    assert(plan.contains("ingest_epoch"),
-      s"no epoch pruning on the archive scan:\n$plan")
+    // the epoch self-exclusion must reach the scan as a PARTITION
+    // filter — `plan.contains("ingest_epoch")` alone is vacuous (the
+    // column name appears in any scan of the partitioned archive);
+    // what proves pruning is the predicate INSIDE PartitionFilters
+    val pruned = raw"PartitionFilters: \[isnotnull\(ingest_epoch#\d+\), NOT \(ingest_epoch#\d+ = 1\)\]".r
+    assert(pruned.findFirstIn(plan).isDefined,
+      s"epoch self-exclusion not pushed as a partition filter:\n$plan")
+    // the postings-index probe is checkpointed out of the returned
+    // plan — assert its pruning on the probe view directly
+    val idxPlan = planString(graft.ops.CurationTestBridge
+      .postingsProbePlan(spark, sf))
+    assert(pruned.findFirstIn(idxPlan).isDefined,
+      s"postings probe reads the probing epoch's own partition:\n$idxPlan")
   }
 
   test("partition-count knob: shuffle partitions follow the session config") {

@@ -94,6 +94,32 @@ class ShuffleVolumeSpec extends SparkSpec {
       s"q_winnow_fingerprint_coded shuffled $winCod bytes — key coding lost?")
   }
 
+  test("daily incremental paths shuffle batch-scale bytes only: the " +
+    "corpus re-shingle term is gone (strictly below the full-recompute " +
+    "substrate) and both stay under their ceilings") {
+    // the full-recompute reference: corpus-wide shingle self-join
+    val full = shuffleBytes(() => TextOps.dedupNgramJaccard(spark, sf))
+    val inc = shuffleBytes(() => Curation.dedupIncremental(spark, sf))
+    val clu = shuffleBytes(() => Curation.qClusterIncremental(spark, sf))
+    info(s"shuffle bytes: full-recompute=$full dedup_incremental=$inc " +
+      s"q_cluster_incremental=$clu")
+    // steady state probes the PERSISTED postings index with a
+    // broadcast batch side — if either path regresses to re-shingling
+    // the corpus, its shuffle volume jumps past the full-recompute
+    // reference (the batch is 10% of docs; its substrate is ~10% of
+    // the corpus exchange)
+    assert(inc > 0 && inc < full,
+      s"dedup_incremental shuffled $inc >= full recompute $full — " +
+        "corpus re-shingle term is back?")
+    assert(clu > 0 && clu < full,
+      s"q_cluster_incremental shuffled $clu >= full recompute $full — " +
+        "corpus re-shingle term is back?")
+    assert(inc <= 160L * 1024, // measured 2026-08-14: 75 431 bytes
+      s"dedup_incremental shuffled $inc bytes — plan regression")
+    assert(clu <= 272L * 1024, // measured 2026-08-14: 133 880 bytes
+      s"q_cluster_incremental shuffled $clu bytes — plan regression")
+  }
+
   test("dedup_minhash_lsh shuffle volume stays under its ceiling") {
     val b = shuffleBytes(() => TextOps.dedupMinhashLsh(spark, sf))
     info(s"dedup_minhash_lsh shuffle bytes written: $b")
