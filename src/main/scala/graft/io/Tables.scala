@@ -357,6 +357,22 @@ object Tables {
     }.toMap
   }
 
+  /** Does a manifested table exist at `path`? Only the two genuine
+    * no-archive shapes answer false — the root directory is missing,
+    * or it exists with no `_manifest-*` file. Any OTHER failure
+    * (a transient listing IO error, a permission problem) propagates:
+    * a caller that treated it as "no archive" and bootstrapped would
+    * Overwrite-write `data/v1` under a live higher-versioned
+    * manifest, clobbering partitions readers still resolve. */
+  private[graft] def manifestExists(spark: SparkSession,
+                                    path: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, root)
+    try fs.listStatus(root)
+      .exists(_.getPath.getName.startsWith("_manifest-"))
+    catch { case _: java.io.FileNotFoundException => false }
+  }
+
   /** Latest complete (version, partition → relative dir). */
   private[graft] def resolveManifest(spark: SparkSession, path: String)
       : (Long, Map[String, String]) = {

@@ -585,8 +585,10 @@ object TextOps {
     val fpPath = s"$idx/fingerprints"
     val bsel = winnowSelected(batch)
       .select(col("doc_id").as("b_id"), col("wmin")).distinct()
-    val hasManifest = scala.util.Try(
-      Tables.resolveManifest(spark, fpPath)).isSuccess
+    // only the genuine no-archive shapes bootstrap; a transient IO
+    // error propagates instead of Overwrite-clobbering data/v1 under
+    // a live manifest (Tables.manifestExists documents the hazard)
+    val hasManifest = Tables.manifestExists(spark, fpPath)
     val archive =
       if (hasManifest)
         Tables.readManifested(spark, fpPath)
@@ -617,10 +619,19 @@ object TextOps {
       .partitionBy("ingest_epoch")
       .parquet(outPath)
     if (hasManifest) ingestFingerprints(batch, idx, epoch)
-    else Tables.writeManifested(
-      winnowSelected(batch).select(col("doc_id"), col("wmin")).distinct()
-        .withColumn("ingest_epoch", lit(epoch)),
-      fpPath, Seq("ingest_epoch"))
+    else {
+      val fps = winnowSelected(batch)
+        .select(col("doc_id"), col("wmin")).distinct()
+        .withColumn("ingest_epoch", lit(epoch))
+      // all-filtered first epoch (every doc shorter than w+k-1 = 7
+      // words): committing an empty manifest would permanently wedge
+      // every later epoch's readManifested — defer archive creation
+      // to the first epoch that actually lands fingerprints (the
+      // ingestBatch hasLanded discipline; the probe side above
+      // already treats a missing manifest as an empty archive)
+      if (!fps.isEmpty)
+        Tables.writeManifested(fps, fpPath, Seq("ingest_epoch"))
+    }
   }
 
   /** Incremental fingerprint dedup — the [[qWinnowFingerprint]]

@@ -680,6 +680,60 @@ class StreamOpsSpec extends SparkSpec {
       s"empty first epoch wedged or polluted the corpus: $landed")
   }
 
+  test("near-dup probe survives an all-filtered first epoch: no empty " +
+    "manifest is committed, and the archive bootstraps on the first " +
+    "epoch that lands fingerprints") {
+    import spark.implicits._
+    // < w+k-1 = 7 words: winnowing selects NOTHING for these docs
+    val tiny1 = "alpha beta gamma"
+    val tiny2 = "one two three four"
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val dup = s"prefix words here $base trailing tail"
+    def doc(id: Long, text: String) =
+      (id, text, "en", "srcS", text.length.toLong)
+    val root = java.nio.file.Files.createTempDirectory("graft-neardup0")
+    val stage = root.resolve("stage").toString
+    val idx = root.resolve("idx").toString
+    val out = root.resolve("verdicts").toString
+    new java.io.File(stage).mkdirs()
+    def land(name: String,
+             rows: Seq[(Long, String, String, String, Long)]): Unit = {
+      val tmp = root.resolve(s"tmp-$name").toString
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/$name.parquet"))
+    }
+    // an epoch yielding ZERO winnowed fingerprints lands first —
+    // before the fix this committed an empty manifest and every later
+    // epoch's readManifested threw, permanently wedging the stream
+    land("f1", Seq(doc(1, tiny1), doc(2, tiny2)))
+    land("f2", Seq(doc(3, base), doc(4, tiny1)))
+    land("f3", Seq(doc(5, dup)))
+    runNearDupProbe(readDocuments(spark, stage, Some(1)), idx, out,
+      root.resolve("ckpt").toString)
+    val v = spark.read.parquet(out)
+      .select(col("doc_id"), col("is_dup"),
+        when(col("best_match_id").isNull, -1L)
+          .otherwise(col("best_match_id")).as("bm"))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2)))
+      .toMap
+    assert(v.keySet == Set(1L, 2L, 3L, 4L, 5L),
+      s"later epochs wedged after the empty first epoch: ${v.keySet}")
+    assert(v(5L) == (true, 3L),
+      s"archive failed to bootstrap on the first landing epoch: $v")
+    assert(!v(1L)._1 && !v(2L)._1 && !v(3L)._1 && !v(4L)._1,
+      s"false dup verdicts: $v")
+    // the archive holds exactly the docs that produced fingerprints
+    val archived = graft.io.Tables.readManifested(spark,
+        s"$idx/fingerprints")
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(archived == Set(3L, 5L), s"archive docs: $archived")
+  }
+
   test("checkpoint recovery: a stopped windowed aggregation restarts from " +
     "its state store and the file sink stays exactly-once") {
     import spark.implicits._
