@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.StructType
 
 /** Table IO for the engine.
@@ -591,6 +591,75 @@ object Tables {
           .forall(st => !st.isDirectory)) fs.delete(vd.getPath, true)
       }
     drop.foreach(m => fs.delete(m.getPath, false))
+  }
+
+  // ---------- Tombstone lifecycle (delete epochs) ----------
+
+  /** Commit one DELETE epoch of key tombstones for an archive —
+    * the missing third verb of the epoch machinery (ingest ADDs,
+    * label epochs UPDATE, this REMOVES). Tombstones are a tiny
+    * manifested epoch-partitioned table of bare keys living NEXT TO
+    * the archive they mask: readers subtract them
+    * ([[minusTombstones]]), and the archive's epoch COMPACTION folds
+    * them physically (anti-join the base layer, then
+    * [[clearManifested]]) — until then a removed/poisoned/forgotten
+    * doc is logically gone from every read at the cost of one
+    * broadcast anti-join, without rewriting a single archive file.
+    * Replace-or-add per epoch like every commit here: a crash-replay
+    * of delete epoch E recommits the identical keys. Deletion is
+    * idempotent, so tombstone READS need no epoch self-exclusion —
+    * a replay that sees its own prior partial commit subtracts the
+    * same keys it is about to commit. */
+  def ingestTombstones(ids: DataFrame, path: String, epoch: Long): Unit = {
+    require(ids.columns.length == 1,
+      s"tombstones are bare keys; got columns [${ids.columns.mkString(",")}]")
+    val df = ids.distinct().withColumn("ingest_epoch", lit(epoch))
+    if (manifestExists(ids.sparkSession, path))
+      upsertManifested(df, path, Seq("ingest_epoch"),
+        _ == s"ingest_epoch=$epoch")
+    else
+      writeManifested(df, path, Seq("ingest_epoch"))
+  }
+
+  /** All live tombstoned keys of an archive, as a one-column frame
+    * named `keyCol` — empty cases (no tombstone table yet, or one
+    * cleared by a physical fold) yield None so callers skip the
+    * anti-join entirely instead of planning a join against nothing. */
+  def readTombstones(spark: SparkSession, path: String,
+                     keyCol: String): Option[DataFrame] =
+    if (!manifestExists(spark, path)) None
+    else {
+      val (_, parts) = resolveManifest(spark, path)
+      if (parts.isEmpty) None // cleared by a physical fold
+      else Some(readFromParts(spark, path, parts)
+        .select(col(keyCol)).distinct())
+    }
+
+  /** The tombstone-masked read view: subtract an archive's live
+    * tombstones from `df` on `keyCol`. Tombstones are deletes — tiny
+    * relative to the archive by construction — so the anti-join
+    * broadcasts them and the archive side streams through unshuffled
+    * (the shape that stays O(archive scan) at 100 TB; a deployment
+    * whose tombstone set outgrew broadcast is overdue for the
+    * physical fold anyway). */
+  def minusTombstones(df: DataFrame, tombPath: String,
+                      keyCol: String): DataFrame =
+    readTombstones(df.sparkSession, tombPath, keyCol) match {
+      case None => df
+      case Some(t) => df.join(
+        org.apache.spark.sql.functions.broadcast(t), Seq(keyCol), "left_anti")
+    }
+
+  /** Empty an archive's auxiliary table in ONE pointer flip — used by
+    * physical folds to retire tombstones they just applied. Data dirs
+    * stay on disk until [[vacuumManifested]] (readers of the previous
+    * pointer stay isolated); the next [[readTombstones]] sees zero
+    * partitions and reports None. */
+  def clearManifested(spark: SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, root)
+    val (version, _) = resolveManifest(spark, path)
+    commitManifest(fs, root, version + 1, Map.empty)
   }
 
   /** Register every testdata table as a temp view so `spark.sql` works

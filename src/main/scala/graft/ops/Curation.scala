@@ -439,10 +439,12 @@ object Curation {
     // epoch (a crash-replay must not read its own previous partial
     // commit) — so yesterday's merge commits are consumed today, and
     // a fold ([[compactLabelEpochs]]) changes nothing a reader sees
-    val archive = Tables.readManifested(s, s"$idx/labels")
-      .where(col("ingest_epoch") =!= epoch)
-      .groupBy(col("doc_id"))
-      .agg(max_by(col("label"), col("ingest_epoch")).as("label"))
+    val archive = Tables.minusTombstones(
+      Tables.readManifested(s, s"$idx/labels")
+        .where(col("ingest_epoch") =!= epoch)
+        .groupBy(col("doc_id"))
+        .agg(max_by(col("label"), col("ingest_epoch")).as("label")),
+      s"$idx/tombstones", "doc_id")
     // affected components: any archived label a new edge's corpus
     // endpoint carries; everything else is untouched by construction
     val corpusTouched = newEdges.select(col("src").as("doc_id"))
@@ -524,6 +526,238 @@ object Curation {
         |SELECT doc_id, cluster_id, doc_id % 10 = 0 AS is_batch,
         |       doc_id = cluster_id AS keep
         |FROM cc ORDER BY doc_id""".stripMargin
+
+  // ---------- Tombstone deletion over the cluster archive ----------
+
+  private val clusterDelIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Private full-corpus archive for the GATED delete query — its
+    * tombstone + relabel commits must not leak into the shared
+    * incremental archive ([[clusterIndex]]) that
+    * [[qClusterIncremental]]/[[dedupIncremental]] read, or query
+    * results would depend on execution order. */
+  private def clusterDelIndex(s: SparkSession, dir: String): String =
+    clusterDelIdxMemo.computeIfAbsent(dir, _ => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-cluster-del-index").toString
+      clusterIdxDirs.add(idx)
+      buildClusterArchiveTo(t(s, dir, "documents"), idx)
+      idx
+    })
+
+  /** Right-to-be-forgotten over the CLUSTER archive — the hardest of
+    * the three tombstone lifecycles because deletion can SPLIT a
+    * component (the deleted doc may be the only bridge): a DELETE
+    * epoch tombstones every doc with `doc_id % 13 = 0`, and the
+    * archive's labels are repaired through the same affected-subgraph
+    * machinery the incremental merge uses, inverted:
+    *
+    *   1. tombstones commit ([[graft.io.Tables.ingestTombstones]],
+    *      replace-or-add — a crash-replay recommits identical keys);
+    *   2. AFFECTED components = archived labels any deleted doc
+    *      carries; everything else keeps its labels verbatim (an
+    *      untouched component contains no deleted doc by definition);
+    *   3. the affected components' REMAINING members re-derive their
+    *      internal edge set from the persisted shingle POSTINGS index
+    *      (never from text — the index scan is restricted to member
+    *      docs, so cost scales with the affected components, not the
+    *      archive), and connected components re-runs over exactly
+    *      that subgraph: a severed bridge splits the cluster, and a
+    *      surviving component whose deleted doc WAS the label carrier
+    *      (the min id) gets its new min-member label;
+    *   4. repaired labels commit under the delete epoch
+    *      (replace-or-add); the deleted docs' stale base-layer rows
+    *      stay physically present but tombstone-MASKED at every read
+    *      ([[readClusterLabels]]) until [[compactClusterArchive]]
+    *      folds the anti-join into the base layer and retires the
+    *      tombstones.
+    *
+    * CORRECTNESS IS PATH-INDEPENDENT, same argument as the merge
+    * direction: labels are min member ids, untouched components are
+    * exactly those with no deleted member, and the affected members'
+    * postings-derived subgraph IS the full pair graph restricted to
+    * them — so repair ≡ full-graph recompute over the remaining
+    * corpus. That identity keeps the query HASH-gated against a
+    * DuckDB oracle that recomputes CC from text over `documents`
+    * minus the deleted set. TombstoneSpec pins the bridge-split case,
+    * post-fold physical absence, and replay idempotence. */
+  def qClusterDelete(s: SparkSession, dir: String): DataFrame =
+    clusterDeleteFrom(t(s, dir, "documents"), clusterDelIndex(s, dir))
+
+  /** The delete-repair computation behind [[qClusterDelete]],
+    * factored over (docs, archive path) so TombstoneSpec drives
+    * planted corpora through exactly the gated code path. */
+  private[ops] def clusterDeleteFrom(docs: DataFrame,
+      idx: String,
+      isDeleted: Column => Column = _ % 13 === 0,
+      epoch: Long = 1L): DataFrame = {
+    val s = docs.sparkSession
+    val delIds = docs.where(isDeleted(col("doc_id")))
+      .select(col("doc_id"))
+    Tables.ingestTombstones(delIds, s"$idx/tombstones", epoch)
+    // label archive view: latest epoch per doc, self-excluding this
+    // delete epoch (a crash-replay must not read its own previous
+    // partial relabel commit); consumed four ways below — checkpoint
+    val archive = Tables.readManifested(s, s"$idx/labels")
+      .where(col("ingest_epoch") =!= epoch)
+      .groupBy(col("doc_id"))
+      .agg(max_by(col("label"), col("ingest_epoch")).as("label"))
+      .localCheckpoint()
+    Ckpt.track("q_cluster_delete_archive", archive)
+    // affected-component discovery reads the RAW archive (a deleted
+    // doc's stale label row is exactly what names its component);
+    // every OTHER consumer reads the tombstone-MASKED view, which
+    // also erases docs deleted in EARLIER epochs whose base rows
+    // linger until the fold
+    val affectedLabels = archive
+      .join(delIds, Seq("doc_id"), "left_semi")
+      .select(col("label")).distinct()
+    val masked = Tables.minusTombstones(archive,
+      s"$idx/tombstones", "doc_id")
+    val members = masked.join(affectedLabels, Seq("label"), "left_semi")
+    // the members' internal pair graph, re-derived from the PERSISTED
+    // postings index (restricted to members — never a corpus scan of
+    // text); sizes come from the persisted size table the same way
+    val mPost = TextOps.readShinglePostings(s, idx, excludeEpoch = epoch)
+      .join(members.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint() // self-joined below
+    Ckpt.track("q_cluster_delete_postings", mPost)
+    val common = mPost.alias("a")
+      .join(mPost.alias("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val sizes = TextOps.readShingleSizes(s, idx, excludeEpoch = epoch)
+    val ratio = col("n_common") /
+      (col("n_a") + col("n_b") - col("n_common")).cast("double")
+    val edges = common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        "doc_b")
+      .where(ratio >= 0.2)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val relabeled =
+      connectedComponents(members.select(col("doc_id").as("id")), edges)
+        .select(col("id").as("doc_id"), col("label"))
+    val merged = relabeled.unionByName(
+      masked.join(affectedLabels, Seq("label"), "left_anti")
+        .select(col("doc_id"), col("label")))
+    // repair commit: the epoch layer holds every re-labeled survivor;
+    // a replay recomputes identical rows and replace-or-adds the same
+    // partition
+    Tables.upsertManifested(
+      relabeled.withColumn("ingest_epoch", lit(epoch)),
+      s"$idx/labels", Seq("ingest_epoch"), _ == s"ingest_epoch=$epoch")
+    merged
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** The label archive's tombstone-masked read view: latest epoch per
+    * doc, minus deleted docs — what every downstream consumer of the
+    * cluster labels reads between a delete and the fold that makes it
+    * physical. */
+  private[ops] def readClusterLabels(s: SparkSession,
+                                     idx: String): DataFrame =
+    Tables.minusTombstones(
+      Tables.readManifested(s, s"$idx/labels")
+        .groupBy(col("doc_id"))
+        .agg(max_by(col("label"), col("ingest_epoch")).as("label")),
+      s"$idx/tombstones", "doc_id")
+
+  /** Full lifecycle fold for the cluster archive: labels fold to
+    * their latest-per-doc view MINUS tombstones as the sole base
+    * layer ([[compactLabelEpochs]]' fold with the delete applied
+    * physically); postings and sizes fold their epoch layers the
+    * same way ([[graft.ops.Similarity.compactIndexEpochs]]' carry
+    * rule — the newest epoch keeps its own value because a
+    * foreachBatch crash-replay can still rewrite exactly that
+    * epoch); then the tombstones retire, except keys living in a
+    * still-replayable newest epoch (a replay recomputes those rows
+    * from text and would silently resurrect a folded delete — their
+    * tombstones stay masked until the next fold). One maintenance
+    * entry point = one consistent cut across all three tables;
+    * TombstoneSpec pins post-fold physical absence and that the fold
+    * changes nothing any read view returns. */
+  private[ops] def compactClusterArchive(s: SparkSession,
+                                         idx: String): Unit = {
+    val tombPath = s"$idx/tombstones"
+    val labels = s"$idx/labels"
+    // labels: latest-per-doc minus tombstones becomes the base layer
+    val current = Tables.minusTombstones(
+        Tables.readManifested(s, labels)
+          .groupBy(col("doc_id"))
+          .agg(max_by(col("label"), col("ingest_epoch")).as("label")),
+        tombPath, "doc_id")
+      .withColumn("ingest_epoch", lit(0L))
+    Tables.upsertManifested(current, labels, Seq("ingest_epoch"), _ => true)
+    // postings + sizes: fold epochs below high-water into the base,
+    // carry the newest, subtract tombstones physically
+    def foldAppendOnly(path: String): Long = {
+      val (_, parts) = Tables.resolveManifest(s, path)
+      val maxE = parts.keys
+        .map(_.stripPrefix("ingest_epoch=").toLong).max
+      val masked = Tables.minusTombstones(
+        Tables.readManifested(s, path), tombPath, "doc_id")
+      Tables.upsertManifested(
+        masked.withColumn("ingest_epoch",
+          when(col("ingest_epoch") < maxE, lit(0L))
+            .otherwise(col("ingest_epoch"))),
+        path, Seq("ingest_epoch"), _ => true)
+      maxE
+    }
+    val maxPost = foldAppendOnly(s"$idx/postings")
+    foldAppendOnly(s"$idx/sizes")
+    Tables.readTombstones(s, tombPath, "doc_id").foreach { td =>
+      val replayable = Tables.readManifested(s, s"$idx/postings")
+        .where(col("ingest_epoch") === maxPost && lit(maxPost > 0L))
+        .select(col("doc_id")).distinct()
+      val carried = td.join(replayable, Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      Tables.clearManifested(s, tombPath)
+      if (!carried.isEmpty)
+        Tables.ingestTombstones(carried, tombPath, epoch = 0L)
+      Ckpt.release(carried)
+    }
+  }
+
+  val qClusterDeleteOracle: String =
+    """WITH RECURSIVE
+      |live AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |        i -> string_split(text,' ')[i] || ' ' ||
+      |             string_split(text,' ')[i+1] || ' ' ||
+      |             string_split(text,' ')[i+2])) AS sh
+      |    FROM live WHERE len(string_split(text,' ')) >= 3)),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
+      |        >= 0.2),
+      |sym AS (SELECT src, dst FROM edges
+      |        UNION SELECT dst, src FROM edges),
+      |reach AS (
+      |  SELECT doc_id AS node, doc_id AS lab FROM live
+      |  UNION
+      |  SELECT s.dst AS node, r.lab FROM reach r
+      |  JOIN sym s ON s.src = r.node),
+      |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id
+      |       FROM reach GROUP BY node)
+      |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
+      |FROM cc ORDER BY doc_id""".stripMargin
 
   // ---------- Incremental (batch-vs-corpus) dedup ----------
 
@@ -1771,6 +2005,7 @@ object Curation {
     "dedup_clusters" -> dedupClusters,
     "q_cluster_canonical" -> qClusterCanonical,
     "q_cluster_incremental" -> qClusterIncremental,
+    "q_cluster_delete" -> qClusterDelete,
     "dedup_incremental" -> dedupIncremental,
     "pipeline_train_prep" -> pipelineTrainPrep,
     "q_decontaminate" -> qDecontaminate,
@@ -1794,6 +2029,7 @@ object Curation {
     "dedup_clusters" -> dedupClustersOracle,
     "q_cluster_canonical" -> qClusterCanonicalOracle,
     "q_cluster_incremental" -> qClusterIncrementalOracle,
+    "q_cluster_delete" -> qClusterDeleteOracle,
     "dedup_incremental" -> dedupIncrementalOracle,
     "pipeline_train_prep" -> pipelineTrainPrepOracle,
     "q_decontaminate" -> qDecontaminateOracle,

@@ -1333,6 +1333,7 @@ object Similarity {
     * -1 when only the build layer exists (no-op). */
   def compactIndexEpochs(s: SparkSession, idx: String): Long = {
     val path = s"$idx/codes"
+    val tombPath = s"$idx/tombstones"
     // the epoch high-water mark is METADATA: every live epoch is the
     // first segment of a manifest key (ingest_epoch=N/cell=K) already
     // in driver memory — no table scan to learn a number the pointer
@@ -1341,14 +1342,75 @@ object Similarity {
     val maxE = parts.keys
       .map(_.takeWhile(_ != '/').stripPrefix("ingest_epoch=").toLong)
       .max
-    if (maxE <= 0L) return -1L
+    val tomb = Tables.readTombstones(s, tombPath, "vec_id")
+    if (maxE <= 0L && tomb.isEmpty) return -1L
     val codes = Tables.readManifested(s, path)
+    // the fold is also where deletes become PHYSICAL: live tombstones
+    // are anti-joined out of the rewrite, then retired — except keys
+    // living in the carried-through newest epoch, whose foreachBatch
+    // crash-replay re-encodes them from the frozen artifacts and
+    // would silently resurrect a folded delete; those stay masked
+    // until the next fold
+    val masked = Tables.minusTombstones(codes, tombPath, "vec_id")
     Tables.upsertManifested(
-      codes.withColumn("ingest_epoch",
+      masked.withColumn("ingest_epoch",
         when(col("ingest_epoch") < maxE, lit(0L))
           .otherwise(col("ingest_epoch"))),
       path, Seq("ingest_epoch", "cell"), _ => true)
+    tomb.foreach { td =>
+      val carried = td.join(
+        codes.where(col("ingest_epoch") === maxE && lit(maxE > 0L))
+          .select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_semi").localCheckpoint()
+      Tables.clearManifested(s, tombPath)
+      if (!carried.isEmpty)
+        Tables.ingestTombstones(carried, tombPath, epoch = 0L)
+      Ckpt.release(carried)
+    }
     maxE
+  }
+
+  /** Commit one DELETE epoch of vector tombstones against a persisted
+    * index — the removal verb of the index lifecycle (build → serve →
+    * ingest → compact → DELETE): the serve path's code scan subtracts
+    * them immediately ([[serveFrom]]), and the next
+    * [[compactIndexEpochs]] makes the removal physical and retires
+    * them. Cost is one tiny manifested commit — no code partition is
+    * rewritten at delete time. */
+  def deleteVectors(ids: DataFrame, idx: String, epoch: Long): Unit =
+    Tables.ingestTombstones(ids, s"$idx/tombstones", epoch)
+
+  /** Tombstone side-table for the GATED delete query, one per data
+    * dir — masks the SHARED served index without mutating it (the
+    * canonical co-located `$idx/tombstones` lifecycle is driven
+    * end-to-end on private indexes by TombstoneSpec, physical fold
+    * included). */
+  private val servedTombMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Right-to-be-forgotten over the SERVED ANN index: a DELETE epoch
+    * tombstones every corpus vector with `vec_id % 9 = 4`, and the
+    * same queries as [[simAnnServed]] are answered from the masked
+    * code scan — a deleted vector can never again be returned as a
+    * neighbor, at the cost of one broadcast anti-join, without
+    * touching a single code partition. Approximate by design (the
+    * underlying search is IVF-PQ) → rows-only driver check;
+    * TombstoneSpec pins the exact guarantees: no deleted id in any
+    * result, masked serve ≡ post-fold serve, and replay idempotence
+    * of the delete epoch. */
+  def simAnnTombstone(s: SparkSession, dir: String): DataFrame = {
+    val idx = buildIndex(s, dir)
+    val tomb = servedTombMemo.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-served-tomb").toString
+      indexMemo.put(dir + "#tomb", d) // shutdown-hook cleanup
+      s"$d/tombstones"
+    })
+    Tables.ingestTombstones(
+      t(s, dir, "embeddings")
+        .where(pmod(col("vec_id"), lit(9)) === 4).select(col("vec_id")),
+      tomb, epoch = 1L)
+    serveFrom(s, dir, idx, tombPath = tomb)
   }
 
   /** Serve ANN queries from the PERSISTED index — the steady-state
@@ -1379,12 +1441,21 @@ object Similarity {
   private[ops] def serveFrom(s: SparkSession, dir: String,
                              idx: String,
                              qFilter: Column = col("vec_id") % 100 === 0,
-                             topK: Int = 5): DataFrame = {
+                             topK: Int = 5,
+                             tombPath: String = null): DataFrame = {
     val e = withNorm(t(s, dir, "embeddings")).repartition(col("vec_id"))
+    // the code scan subtracts live tombstones (deleted vectors stop
+    // being candidates the moment their delete epoch commits; the
+    // physical fold is compactIndexEpochs' job). Default tombstone
+    // location is the index's own co-located table; the gated delete
+    // query overrides it to mask the SHARED index through a private
+    // side table without mutating it.
+    val tp = Option(tombPath).getOrElse(s"$idx/tombstones")
     adcSearch(e,
       s.read.parquet(s"$idx/centroids"),
       s.read.parquet(s"$idx/codebook"),
-      Tables.readManifested(s, s"$idx/codes"),
+      Tables.minusTombstones(
+        Tables.readManifested(s, s"$idx/codes"), tp, "vec_id"),
       probesFor(servedCellCountMemo.computeIfAbsent(idx, _ =>
         java.lang.Long.valueOf(
           s.read.parquet(s"$idx/centroids").count()))),
@@ -1488,6 +1559,7 @@ object Similarity {
     "sim_ann_ivfpq" -> simAnnIvfPq,
     "sim_ann_incremental" -> simAnnIncremental,
     "sim_ann_served" -> simAnnServed,
+    "sim_ann_tombstone" -> simAnnTombstone,
     "sim_ann_pq" -> simAnnPq,
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_mp" -> dedupSemanticMp,

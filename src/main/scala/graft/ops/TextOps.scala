@@ -591,8 +591,10 @@ object TextOps {
     val hasManifest = Tables.manifestExists(spark, fpPath)
     val archive =
       if (hasManifest)
-        Tables.readManifested(spark, fpPath)
-          .where(col("ingest_epoch") =!= epoch)
+        Tables.minusTombstones(
+            Tables.readManifested(spark, fpPath)
+              .where(col("ingest_epoch") =!= epoch),
+            s"$idx/tombstones", "doc_id")
           .select(col("doc_id").as("c_id"), col("wmin"))
       else // first epoch: empty archive with the probe's schema
         bsel.select(col("b_id").as("c_id"), col("wmin")).limit(0)
@@ -661,9 +663,20 @@ object TextOps {
       .select(col("doc_id").as("b_id"), col("wmin")).distinct()
       .localCheckpoint()
     Ckpt.track("q_winnow_incremental", batchSel)
-    val corpusSel = Tables.readManifested(s, s"$idx/fingerprints")
-      .where(col("ingest_epoch") === 0L)
+    val corpusSel = Tables.minusTombstones(
+        Tables.readManifested(s, s"$idx/fingerprints")
+          .where(col("ingest_epoch") === 0L),
+        s"$idx/tombstones", "doc_id")
       .select(col("doc_id").as("c_id"), col("wmin"))
+    winnowProbeVerdicts(batchDocs, batchSel, corpusSel)
+  }
+
+  /** The shared probe tail of the incremental/delete fingerprint
+    * queries: per-batch-doc match counts, dup verdict and best
+    * archive match by shared-fingerprint count, over an EXPLICIT
+    * (batch docs, batch selection, corpus selection) triple. */
+  private def winnowProbeVerdicts(batchDocs: DataFrame, batchSel: DataFrame,
+                                  corpusSel: DataFrame): DataFrame = {
     val pairs = batchSel.join(corpusSel, "wmin")
       .groupBy(col("b_id"), col("c_id"))
       .agg(count(lit(1)).as("n_common"))
@@ -685,6 +698,145 @@ object TextOps {
         (coalesce(col("n_matches"), lit(0L)) > 0).as("is_dup"),
         col("best_match_id"), col("best_common"))
       .orderBy("doc_id")
+  }
+
+  // ---------- Tombstone deletion over the fingerprint archive ----------
+
+  /** Tombstone side-table for the GATED delete query, one per data
+    * dir: the shared per-dir fingerprint archive is also probed by
+    * q_winnow_incremental, so the gated delete masks it through a
+    * PRIVATE tombstone path instead of mutating it — query results
+    * stay independent of execution order. A deployment keeps
+    * tombstones at the archive's own `$idx/tombstones` (the default
+    * every lifecycle entry point here uses); TombstoneSpec drives the
+    * canonical co-located layout end-to-end on private indexes,
+    * including the physical fold. */
+  private val winnowTombMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Right-to-be-forgotten over the fingerprint archive
+    * ([[qWinnowIncremental]]'s index): a DELETE epoch tombstones
+    * every archived doc with `doc_id % 7 = 3`
+    * ([[graft.io.Tables.ingestTombstones]] — replace-or-add, so a
+    * crash-replay recommits the identical keys), and the batch probe
+    * then runs against the MASKED archive view
+    * ([[graft.io.Tables.minusTombstones]]): a batch doc whose only
+    * near-dup was deleted reads clean, without a single archive file
+    * being rewritten. Physical removal is the compaction's job
+    * ([[compactFingerprintEpochs]] folds the anti-join into the base
+    * layer and retires the tombstones — TombstoneSpec pins
+    * post-fold absence, fold ≡ masked view, and replay idempotence).
+    *
+    * HASH-gated: the DuckDB oracle recomputes both sides from text
+    * with the deleted docs excluded from the corpus CTE — agreement
+    * proves the tombstone mask is exactly set subtraction. */
+  def qWinnowDelete(s: SparkSession, dir: String): DataFrame = {
+    val idx = winnowIndex(s, dir)
+    val tomb = winnowTombMemo.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-winnow-tomb").toString
+      winnowIdxDirs.add(d)
+      s"$d/tombstones"
+    })
+    val docs = t(s, dir, "documents")
+    Tables.ingestTombstones(
+      docs.where(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 3)
+        .select(col("doc_id")),
+      tomb, epoch = 1L)
+    val batchDocs = docs.where(col("doc_id") % 10 === 0)
+    val batchSel = winnowSelected(batchDocs)
+      .select(col("doc_id").as("b_id"), col("wmin")).distinct()
+      .localCheckpoint()
+    Ckpt.track("q_winnow_delete", batchSel)
+    val corpusSel = Tables.minusTombstones(
+        Tables.readManifested(s, s"$idx/fingerprints")
+          .where(col("ingest_epoch") === 0L),
+        tomb, "doc_id")
+      .select(col("doc_id").as("c_id"), col("wmin"))
+    winnowProbeVerdicts(batchDocs, batchSel, corpusSel)
+  }
+
+  val qWinnowDeleteOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws
+      |           FROM documents WHERE len(string_split(text,' ')) >= 4),
+      |kg AS (SELECT doc_id,
+      |        len(ws) - 3 AS n_kgrams,
+      |        unnest(range(1, len(ws) - 2)) AS pos,
+      |        unnest(list_transform(range(1, len(ws) - 2),
+      |          i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                   || ' ' || ws[i+3]))) AS fp
+      |       FROM d),
+      |wm AS (SELECT doc_id, n_kgrams, pos,
+      |        min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      |       FROM kg),
+      |sel AS (SELECT DISTINCT doc_id, wmin FROM wm
+      |        WHERE pos <= n_kgrams - 3),
+      |b AS (SELECT doc_id AS b_id, wmin FROM sel WHERE doc_id % 10 = 0),
+      |c AS (SELECT doc_id AS c_id, wmin FROM sel
+      |      WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 3),
+      |p AS (SELECT b_id, c_id, count(*) AS n_common
+      |      FROM b JOIN c USING (wmin) GROUP BY 1, 2),
+      |best AS (SELECT b_id, c_id, n_common FROM (
+      |          SELECT p.*, row_number() OVER (PARTITION BY b_id
+      |            ORDER BY n_common DESC, c_id) AS rn FROM p)
+      |         WHERE rn = 1),
+      |agg AS (SELECT b_id, count(*) AS n_matches FROM p GROUP BY 1),
+      |ns AS (SELECT b_id, count(*) AS n_selected FROM b GROUP BY 1)
+      |SELECT doc.doc_id,
+      |  CAST(coalesce(ns.n_selected, 0) AS INT) AS n_selected,
+      |  CAST(coalesce(agg.n_matches, 0) AS BIGINT) AS n_matches,
+      |  coalesce(agg.n_matches, 0) > 0 AS is_dup,
+      |  best.c_id AS best_match_id,
+      |  CAST(best.n_common AS BIGINT) AS best_common
+      |FROM documents doc
+      |LEFT JOIN ns ON ns.b_id = doc.doc_id
+      |LEFT JOIN agg ON agg.b_id = doc.doc_id
+      |LEFT JOIN best ON best.b_id = doc.doc_id
+      |WHERE doc.doc_id % 10 = 0
+      |ORDER BY doc.doc_id""".stripMargin
+
+  /** Physical tombstone fold for the fingerprint archive: rewrite the
+    * LIVE rows minus tombstones, folding every epoch strictly below
+    * the high-water mark into the base layer ([[graft.ops.Similarity
+    * .compactIndexEpochs]]'s carry rule: the NEWEST epoch keeps its
+    * own value because a foreachBatch crash-replay can still rewrite
+    * exactly that epoch). Tombstones whose keys live in that
+    * carried-through newest epoch stay LIVE — a replay recomputes the
+    * epoch's rows from text, which would silently resurrect a folded
+    * delete; keeping those tombstones masked until the NEXT fold
+    * closes the gap. All other tombstones retire
+    * ([[graft.io.Tables.clearManifested]] — one pointer flip).
+    * Returns the folded high-water epoch, -1 for a no-op. */
+  private[ops] def compactFingerprintEpochs(s: SparkSession,
+                                            idx: String): Long = {
+    val path = s"$idx/fingerprints"
+    val tombPath = s"$idx/tombstones"
+    val (_, parts) = Tables.resolveManifest(s, path)
+    val maxE = parts.keys
+      .map(_.stripPrefix("ingest_epoch=").toLong).max
+    val tomb = Tables.readTombstones(s, tombPath, "doc_id")
+    if (maxE <= 0L && tomb.isEmpty) return -1L
+    val all = Tables.readManifested(s, path)
+    val masked = Tables.minusTombstones(all, tombPath, "doc_id")
+    Tables.upsertManifested(
+      masked.withColumn("ingest_epoch",
+        when(col("ingest_epoch") < maxE, lit(0L))
+          .otherwise(col("ingest_epoch"))),
+      path, Seq("ingest_epoch"), _ => true)
+    tomb.foreach { td =>
+      // keys arriving in the still-replayable newest epoch keep their
+      // tombstones; everything else retires in one pointer flip
+      val carried = td.join(
+        all.where(col("ingest_epoch") === maxE)
+          .select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi").localCheckpoint()
+      Tables.clearManifested(s, tombPath)
+      if (!carried.isEmpty)
+        Tables.ingestTombstones(carried, tombPath, epoch = 0L)
+      Ckpt.release(carried)
+    }
+    maxE
   }
 
   val qWinnowIncrementalOracle: String =
@@ -797,18 +949,26 @@ object TextOps {
   /** Archive postings view for a probe at `epoch`: every epoch EXCEPT
     * the probing one — a crash-replay must not match the epoch's own
     * previous partial commit (the same self-exclusion guard as every
-    * epoch-ingested archive here). */
+    * epoch-ingested archive here) — minus any live tombstones, so a
+    * deleted doc stops generating candidate pairs the moment its
+    * delete epoch commits (physical removal is
+    * [[graft.ops.Curation.compactClusterArchive]]'s job). */
   private[ops] def readShinglePostings(s: SparkSession, idx: String,
                                        excludeEpoch: Long): DataFrame =
-    Tables.readManifested(s, s"$idx/postings")
-      .where(col("ingest_epoch") =!= excludeEpoch)
+    Tables.minusTombstones(
+        Tables.readManifested(s, s"$idx/postings")
+          .where(col("ingest_epoch") =!= excludeEpoch),
+        s"$idx/tombstones", "doc_id")
       .select(col("doc_id"), col("shingle"))
 
-  /** Per-doc shingle-set sizes with the same self-exclusion. */
+  /** Per-doc shingle-set sizes with the same self-exclusion and
+    * tombstone mask. */
   private[ops] def readShingleSizes(s: SparkSession, idx: String,
                                     excludeEpoch: Long): DataFrame =
-    Tables.readManifested(s, s"$idx/sizes")
-      .where(col("ingest_epoch") =!= excludeEpoch)
+    Tables.minusTombstones(
+        Tables.readManifested(s, s"$idx/sizes")
+          .where(col("ingest_epoch") =!= excludeEpoch),
+        s"$idx/tombstones", "doc_id")
       .select(col("doc_id"), col("n_sh"))
 
   // ---------- Exact dedup ----------
@@ -1811,6 +1971,7 @@ object TextOps {
     "q_winnow_fingerprint" -> qWinnowFingerprint,
     "q_winnow_fingerprint_coded" -> qWinnowFingerprintCoded,
     "q_winnow_incremental" -> qWinnowIncremental,
+    "q_winnow_delete" -> qWinnowDelete,
     "q_bm25_topk" -> qBm25Topk,
     "q_lm_familiarity" -> qLmFamiliarity,
     "q_substring_dup" -> qSubstringDup,
@@ -1838,6 +1999,7 @@ object TextOps {
     // result — they share the string anchors' oracles and hash-gate
     "q_winnow_fingerprint_coded" -> qWinnowFingerprintOracle,
     "q_winnow_incremental" -> qWinnowIncrementalOracle,
+    "q_winnow_delete" -> qWinnowDeleteOracle,
     "q_bm25_topk" -> qBm25TopkOracle,
     "q_lm_familiarity" -> qLmFamiliarityOracle,
     "q_substring_dup" -> qSubstringDupOracle,
