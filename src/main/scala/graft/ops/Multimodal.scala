@@ -334,6 +334,127 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** 64-bit sibling of [[aHashOf]]: 8×8 grid, same integer
+    * cross-multiplied threshold. 16 bits is a fine collision-count
+    * fingerprint but far too coarse a key space for PAIR generation
+    * (a 4-bit band has 16 values — banding it is nearly all-pairs);
+    * the 64-bit hash gives the same 4×16-bit band structure
+    * [[graft.ops.TextOps.dedupSimhash]] shuffles on. */
+  private[ops] def aHash64Of(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Long](64); val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val luma = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        val c = (8 * y / h) * 8 + 8 * x / w
+        sums(c) += luma; cnts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h; val s = sums.sum
+    var hash = 0L; var c = 0
+    while (c < 64) {
+      if (sums(c) * n >= s * cnts(c)) hash |= 1L << c
+      c += 1
+    }
+    hash
+  }
+
+  /** Image near-duplicate pairs — the image-side sibling of
+    * [[graft.ops.TextOps.dedupSimhash]]: decode each PNG to its
+    * 64-bit perceptual hash ([[aHash64Of]], 8×8 luma grid), then find
+    * every pair at Hamming distance ≤ 2 via 4×16-bit banding
+    * (pigeonhole: d ≤ 3 ⇒ at least one of 4 bands equal, so the
+    * banded join is COMPLETE for d ≤ 2 with slack). The join
+    * shuffles on (band, band_bits) — never all-pairs, and never
+    * pixels: payloads are touched exactly once, in the batched
+    * decode pass; everything downstream moves 8-byte fingerprints.
+    * This is what catches re-encoded/brightness-shifted image dups
+    * that exact payload hashing misses (MultimodalSpec plants a
+    * brightness-shifted twin and a structural sibling through this
+    * exact path).
+    *
+    * HASH-gated: the DuckDB oracle recomputes the pooled 8×8
+    * threshold map relationally from the pixel formulas (one pass
+    * over pixels — not 64), assembles the hash in two 32-bit halves
+    * (bit 63 would overflow a signed BIGINT shift in SQL), and
+    * emits all-pairs Hamming ≤ 2 — agreement proves decode → pool →
+    * threshold → banding → Hamming end-to-end. */
+  def mmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = mediaPng(s, dir).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.map {
+        case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"doc $id: payload is not a decodable image")
+          (id, aHash64Of(img))
+      }))
+      .toDF("doc_id", "ph")
+    neardupPairsOf(hashed)
+  }
+
+  /** The banding + verification tail over ANY (doc_id, ph) frame —
+    * factored so the planted-image spec drives constructed hashes
+    * through the exact gated join. */
+  private[ops] def neardupPairsOf(hashed: DataFrame): DataFrame = {
+    val banded = hashed.select(col("doc_id"), col("ph"),
+      explode(array((0 until 4).map(i => struct(lit(i).as("band"),
+        col("ph").bitwiseAND(lit(0xFFFFL << (16 * i))).as("bits"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("ph"), col("bb.band").as("band"),
+        col("bb.bits").as("bits"))
+    banded.alias("x").join(banded.alias("y"),
+      col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.ph").as("ph_a"), col("y.ph").as("ph_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+      .where(col("hamming") <= 2)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val mmPhashNeardupOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    16 + doc_id % 32 AS w,
+      |    16 + (doc_id * 7) % 24 AS h
+      |  FROM documents),
+      |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM m),
+      |cl AS (
+      |  SELECT doc_id, w, h,
+      |    (8 * (i // w) // h) * 8 + 8 * (i % w) // w AS c,
+      |    (i % w + doc_id) % 256 + (2 * (i // w) + doc_id) % 256
+      |      + (i % w + i // w + doc_id) % 256 AS luma
+      |  FROM px),
+      |cagg AS (
+      |  SELECT doc_id, c, sum(luma) AS cs, count(*) AS cc
+      |  FROM cl GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT doc_id, sum(cs) AS s, sum(cc) AS n
+      |  FROM cagg GROUP BY 1),
+      |hh AS (
+      |  SELECT a.doc_id,
+      |    CAST(sum(CASE WHEN a.cs * t.n >= t.s * a.cc AND a.c >= 32
+      |      THEN (CAST(1 AS BIGINT) << (a.c - 32)) ELSE 0 END) AS BIGINT)
+      |      AS hi,
+      |    CAST(sum(CASE WHEN a.cs * t.n >= t.s * a.cc AND a.c < 32
+      |      THEN (CAST(1 AS BIGINT) << a.c) ELSE 0 END) AS BIGINT) AS lo
+      |  FROM cagg a JOIN tot t USING (doc_id) GROUP BY 1)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.hi, b.hi))
+      |     + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+      |FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val mmPhashOracle: String =
     """WITH m AS (
       |  SELECT doc_id,
@@ -700,6 +821,7 @@ object Multimodal {
     "mm_frame_sample" -> mmFrameSample,
     "mm_decode" -> mmDecode,
     "mm_phash" -> mmPhash,
+    "mm_phash_neardup" -> mmPhashNeardup,
     "mm_embed" -> mmEmbed,
     "mm_audio_meta" -> mmAudioMeta,
     "mm_audio_energy" -> mmAudioEnergy,
@@ -712,6 +834,7 @@ object Multimodal {
     "mm_frame_sample" -> mmFrameSampleOracle,
     "mm_decode" -> mmDecodeOracle,
     "mm_phash" -> mmPhashOracle,
+    "mm_phash_neardup" -> mmPhashNeardupOracle,
     "mm_embed" -> mmEmbedOracle,
     "mm_audio_meta" -> mmAudioMetaOracle,
     "mm_audio_energy" -> mmAudioEnergyOracle,

@@ -236,4 +236,50 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.aHashOf(odd) == expectedBits,
       "grid cell assignment must stay structural on non-divisible dims")
   }
+
+  test("phash near-dup banding: a brightness-shifted twin is detected, " +
+    "a structural sibling is not, through the gated banded join") {
+    import SparkSpec.spark.implicits._
+    import java.awt.image.BufferedImage
+    def mk(w: Int, h: Int)(px: (Int, Int) => Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = px(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    // horizontal gradient, its uniformly-brightened twin (re-exposed
+    // copy — the case perceptual hashing exists for), and a vertical
+    // gradient with the same brightness HISTOGRAM but different
+    // structure (the case it must NOT collapse)
+    val base = mk(40, 30)((x, _) => x * 4)
+    val twin = mk(40, 30)((x, _) => x * 4 + 8)
+    val sib = mk(40, 30)((_, y) => y * 4)
+    val hb = Multimodal.aHash64Of(base)
+    val ht = Multimodal.aHash64Of(twin)
+    val hs = Multimodal.aHash64Of(sib)
+    // exact integer invariance: a uniform shift moves every cell sum
+    // and the global mean by the same cross-multiplied amount
+    assert(hb == ht, "brightness shift moved bits of the 64-bit hash")
+    assert(java.lang.Long.bitCount(hb ^ hs) > 2,
+      "structural sibling landed within the near-dup radius")
+    // drive the constructed hashes through the exact gated join
+    val pairs = Multimodal.neardupPairsOf(
+        Seq((1L, hb), (2L, ht), (3L, hs)).toDF("doc_id", "ph"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)),
+      s"banded join returned ${pairs.toSeq}, expected only the twin " +
+        "pair at Hamming 0")
+    // completeness at the radius boundary: flip exactly 2 bits in
+    // DIFFERENT bands (the pigeonhole-hardest d=2 layout) — the pair
+    // must still surface; 3 flips must not
+    val two = hb ^ (1L << 3) ^ (1L << 20)
+    val three = hb ^ (1L << 3) ^ (1L << 20) ^ (1L << 40)
+    val boundary = Multimodal.neardupPairsOf(
+        Seq((1L, hb), (2L, two), (3L, three)).toDF("doc_id", "ph"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(boundary.toSeq == Seq((1L, 2L, 2), (2L, 3L, 1)),
+      s"boundary pairs were ${boundary.toSeq}")
+  }
 }
