@@ -1278,6 +1278,13 @@ object Similarity {
     val e = corpus.localCheckpoint()
     val resid = residuals(e, cents).localCheckpoint()
     cents.write.mode("overwrite").parquet(s"$idx/centroids")
+    // build-time quality stats: the baseline the drift monitor
+    // ([[qAnnDrift]]) compares every later epoch against — persisted
+    // NOW because recomputing it later would mean re-scanning the
+    // build corpus the production index only has in cold storage
+    resid.agg(count(lit(1)).as("n"),
+        avg(dot(col("r"), col("r"))).as("mqe"))
+      .write.mode("overwrite").parquet(s"$idx/stats")
     val codebook = pqCodebook(resid)
     codebook.write.mode("overwrite").parquet(s"$idx/codebook")
     Tables.writeManifested(
@@ -1512,6 +1519,97 @@ object Similarity {
     serveFrom(s, dir, idx)
   }
 
+  // ---------- Index drift monitor (retrain trigger) ----------
+
+  /** ANN retrain trigger — the missing feedback loop of a frozen
+    * index: centroids and codebooks never move after build
+    * ([[buildIndex]] memoizes them by design), incremental epochs
+    * encode against them forever, and recall floors are only measured
+    * at build time — so NOTHING tells a production index its frozen
+    * geometry has drifted away from the data until recall quietly
+    * rots. This monitor is the [[graft.ops.Relational]] PSI drift
+    * discipline applied to the embedding space, per ingest batch:
+    *
+    *  - **assignment-share PSI**: the batch's coarse-cell occupancy
+    *    distribution vs the BUILD corpus' (read from the persisted
+    *    code table's epoch-0 layer, `m = 0` plane — one column-pruned
+    *    scan, no vectors touched), Laplace-smoothed exactly like the
+    *    event-space psiFrom;
+    *  - **quantization-error trend**: the batch's mean squared
+    *    residual ‖v − centroid‖² against the build-time baseline
+    *    persisted in the index's `stats` artifact — the direct signal
+    *    that vectors now land far from every centroid.
+    *
+    * `retrain` fires when PSI clears a sample-size-aware noise floor
+    * (4·(k−1)/n — PSI's sampling noise is Θ((k−1)/n), so a fixed
+    * 0.25 textbook threshold would false-alarm small batches) OR the
+    * error ratio exceeds 1.5. On UNIT-NORMALIZED embeddings PSI is
+    * the sharp signal: normalization bounds the residual to the unit
+    * sphere, so a directional shift that completely rearranges cell
+    * occupancy moves mqe only modestly (measured ~1.07× for an
+    * all-dims +2.0 shift at sf0.001) — the mqe term earns its keep
+    * against subspace collapse and codebook staleness, not
+    * magnitude drift. One output row; the index lifecycle reads it
+    * before deciding to re-run [[trainCentroids]].
+    * Approximate/seeded inputs → rows-only driver check;
+    * SimilaritySpec plants a shifted batch (trips via PSI, mqe moves
+    * the right direction) and an in-distribution batch (doesn't
+    * trip) through [[annDriftFrom]]. */
+  def qAnnDrift(s: SparkSession, dir: String): DataFrame =
+    annDriftFrom(s, buildIndex(s, dir),
+      t(s, dir, "embeddings").where(pmod(col("vec_id"), lit(17)) === 3))
+
+  /** The monitor body against an EXPLICIT (index, batch) pair — the
+    * planted-drift specs' entry point. Reads only broadcast-sized
+    * artifacts plus the batch; cost scales with the batch, never the
+    * corpus. */
+  private[ops] def annDriftFrom(s: SparkSession, idx: String,
+                                batch: DataFrame): DataFrame = {
+    val cents = s.read.parquet(s"$idx/centroids")
+    val stats = s.read.parquet(s"$idx/stats")
+    val unit = withNorm(batch)
+      .withColumn("nemb", transform(col("emb"), x => x / col("nrm")))
+    // one pass over the batch: coarse cell + squared residual per row
+    val br = residuals(unit, cents)
+      .withColumn("e2", dot(col("r"), col("r")))
+    val perCell = br.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_new"), sum(col("e2")).as("se"))
+    val baseCells = Tables.readManifested(s, s"$idx/codes")
+      .where(col("ingest_epoch") === 0L && col("m") === 0)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
+    // every centroid participates (an emptied-out cell is drift too)
+    val joined = cents.select(col("cent_id").as("cell"))
+      .join(perCell, Seq("cell"), "left")
+      .join(baseCells, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("se"), lit(0.0)).as("se"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"))
+    val tot = joined.agg(sum(col("n_new")).as("tn"),
+      sum(col("n_base")).as("tb"), count(lit(1)).as("k"),
+      sum(col("se")).as("se_tot"))
+    val p = (col("n_new") + 1).cast("double") / (col("tn") + col("k"))
+    val q = (col("n_base") + 1).cast("double") / (col("tb") + col("k"))
+    val psiRow = joined.crossJoin(broadcast(tot))
+      .select(((p - q) * log(p / q)).as("term"))
+      .agg(sum(col("term")).as("psi"))
+    def r4(c: Column): Column = graft.expr.Columns.roundQ(c, 4)
+    val ratio = (col("se_tot") / col("tn")) / col("mqe")
+    val noiseFloor = lit(4.0) * (col("k") - 1).cast("double") / col("tn")
+    psiRow.crossJoin(broadcast(tot)).crossJoin(broadcast(
+        stats.select(col("mqe").as("mqe"))))
+      .select(
+        col("tn").as("n_batch"),
+        col("k").as("n_cells"),
+        r4(col("psi")).as("psi"),
+        r4(noiseFloor).as("psi_floor"),
+        graft.expr.Columns.roundQ(col("se_tot") / col("tn"), 6)
+          .as("mqe_batch"),
+        graft.expr.Columns.roundQ(col("mqe"), 6).as("mqe_base"),
+        r4(ratio).as("mqe_ratio"),
+        (col("psi") > noiseFloor || ratio > 1.5).as("retrain"))
+  }
+
   // ---------- Per-class centroids (vector aggregation) ----------
 
   /** Per-label mean embedding — the vector aggregation under every
@@ -1560,6 +1658,7 @@ object Similarity {
     "sim_ann_incremental" -> simAnnIncremental,
     "sim_ann_served" -> simAnnServed,
     "sim_ann_tombstone" -> simAnnTombstone,
+    "q_ann_drift" -> qAnnDrift,
     "sim_ann_pq" -> simAnnPq,
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_mp" -> dedupSemanticMp,

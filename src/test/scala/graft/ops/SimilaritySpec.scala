@@ -534,4 +534,49 @@ class SimilaritySpec extends SparkSpec {
       "fixture must exercise the hard-negative-beats-positive case")
     assert(!out.exists(_.getAs[Long]("partner_id") == 6L))
   }
+
+  test("drift monitor: an in-distribution batch does not trip the " +
+    "retrain trigger, a shifted batch trips it on both signals") {
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-drift-idx").toString
+    try {
+      Similarity.buildIndexTo(spark, sf, idx)
+      val emb = graft.io.Tables.load(spark, sf, "embeddings")
+      def monitor(batch: org.apache.spark.sql.DataFrame) =
+        Similarity.annDriftFrom(spark, idx, batch).collect().head
+      // in-distribution: the same deterministic slice the incremental
+      // path ingests — drawn from the build corpus' distribution
+      val inDist = monitor(emb.where(pmod(col("vec_id"), lit(17)) === 3))
+      assert(!inDist.getAs[Boolean]("retrain"),
+        s"in-distribution batch tripped the trigger: $inDist")
+      assert(math.abs(inDist.getAs[Double]("mqe_ratio") - 1.0) < 0.5,
+        s"in-distribution quantization error drifted: $inDist")
+      // planted drift: every vector shifted by a constant offset —
+      // mass concentrates in few cells AND lands far from every
+      // centroid, so both signals must fire
+      val shifted = emb.where(pmod(col("vec_id"), lit(17)) === 3)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(2.0f)))
+      val drifted = monitor(shifted)
+      assert(drifted.getAs[Boolean]("retrain"),
+        s"shifted batch did not trip the trigger: $drifted")
+      // PSI is the sharp signal on unit-normalized embeddings: it
+      // must clear its own noise floor (trigger attribution), and by
+      // a wide margin vs the in-distribution batch
+      assert(drifted.getAs[Double]("psi") >
+        drifted.getAs[Double]("psi_floor"),
+        s"shifted batch's PSI under its noise floor: $drifted")
+      assert(drifted.getAs[Double]("psi") >
+        2 * inDist.getAs[Double]("psi"),
+        "shifted batch's PSI must dominate the in-distribution one")
+      // quantization error moves the right DIRECTION (normalization
+      // bounds how far it can move — see the annDriftFrom scaladoc)
+      assert(drifted.getAs[Double]("mqe_ratio") >
+        inDist.getAs[Double]("mqe_ratio"),
+        s"shifted batch's quantization error did not rise: $drifted")
+    } finally {
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
+    }
+  }
 }
