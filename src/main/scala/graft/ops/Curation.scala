@@ -321,7 +321,7 @@ object Curation {
     * epoch 0) — the same layout contract as the winnowing fingerprint
     * index, so maintenance is replay-idempotent behind the manifest
     * pointer. One corpus shingle pass feeds everything. */
-  private[ops] def buildClusterArchiveTo(corpus: DataFrame,
+  private[graft] def buildClusterArchiveTo(corpus: DataFrame,
                                          idx: String): Unit = {
     val sh = TextOps.shingles(corpus).localCheckpoint()
     TextOps.buildShinglePostingsTo(sh, idx)
@@ -383,7 +383,7 @@ object Curation {
   /** The batch-merge computation behind [[qClusterIncremental]],
     * factored over (docs, archive path) so ClusterIndexSpec drives
     * planted corpora through exactly the gated code path. */
-  private[ops] def clusterIncrementalFrom(docs: DataFrame,
+  private[graft] def clusterIncrementalFrom(docs: DataFrame,
       idx: String,
       isBatch: Column => Column = _ % 10 === 0,
       epoch: Long = 1L): DataFrame = {
@@ -446,10 +446,17 @@ object Curation {
         .agg(max_by(col("label"), col("ingest_epoch")).as("label")),
       s"$idx/tombstones", "doc_id")
     // affected components: any archived label a new edge's corpus
-    // endpoint carries; everything else is untouched by construction
+    // endpoint carries; everything else is untouched by construction.
+    // Corpus endpoints are classified by batch MEMBERSHIP (anti-join
+    // against the batch's shingled ids), not by the isBatch
+    // predicate — the predicate can be vacuously true (streaming
+    // maintenance treats EVERY arriving doc as batch), and every
+    // edge endpoint is shingled by construction, so membership and
+    // predicate agree exactly on the daily path
+    val batchIds = bsh.select(col("doc_id")).distinct()
     val corpusTouched = newEdges.select(col("src").as("doc_id"))
       .unionByName(newEdges.select(col("dst").as("doc_id")))
-      .where(!isBatch(col("doc_id"))).distinct()
+      .join(batchIds, Seq("doc_id"), "left_anti").distinct()
     val affectedLabels = archive.join(corpusTouched, "doc_id")
       .select(col("label")).distinct()
     val affected = archive.join(affectedLabels, "label")
@@ -661,7 +668,7 @@ object Curation {
     * doc, minus deleted docs — what every downstream consumer of the
     * cluster labels reads between a delete and the fold that makes it
     * physical. */
-  private[ops] def readClusterLabels(s: SparkSession,
+  private[graft] def readClusterLabels(s: SparkSession,
                                      idx: String): DataFrame =
     Tables.minusTombstones(
       Tables.readManifested(s, s"$idx/labels")

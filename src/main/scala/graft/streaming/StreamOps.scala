@@ -243,6 +243,48 @@ object StreamOps {
     q.stop()
   }
 
+  // ---------- Streaming cluster-label maintenance ----------
+
+  /** Streaming maintenance of the CLUSTER archive — the near-dup
+    * CLUSTERING stage run continuously: each micro-batch of arriving
+    * documents shingles only itself, probes the archive's persisted
+    * postings index, re-labels exactly the affected components, and
+    * commits its postings + merged labels under its own epoch
+    * ([[graft.ops.Curation.clusterIncrementalFrom]] — the same body
+    * the daily batch query gates, with every arriving doc treated as
+    * batch). The archive must already EXIST
+    * ([[graft.ops.Curation.buildClusterArchiveTo]] is the one-time
+    * build); the stream keeps it current forever after.
+    *
+    * Replay safety is the epoch contract: a crashed micro-batch
+    * replays under the same epoch, its archive reads self-exclude
+    * that epoch, and both commits are replace-or-add of recomputed-
+    * identical rows. Label correctness is PATH-INDEPENDENT (labels
+    * are component minima; see the clusterIncrementalFrom scaladoc),
+    * so the final label view does not depend on how arrivals were
+    * split into micro-batches — StreamOpsSpec pins stream-landed
+    * labels ≡ a from-scratch full-corpus rebuild, across a batch
+    * split AND a differently-split replay. State stays bounded: the
+    * archive lives on disk behind the manifest pointer, not in the
+    * state store, and accumulated label epochs fold via
+    * [[graft.ops.Curation.compactLabelEpochs]]. */
+  def runClusterMaintenance(docs: DataFrame, idx: String,
+                            checkpoint: String): Unit = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        // epoch 0 is the archive's build layer — micro-batch epochs
+        // start above it
+        graft.ops.Curation.clusterIncrementalFrom(
+          b, idx, isBatch = _ => lit(true), epoch = epoch + 1)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   // ---------- Transforms (batch- and stream-applicable) ----------
 
   /** Tumbling 10-minute counts per event type; 10-minute watermark

@@ -792,4 +792,76 @@ class StreamOpsSpec extends SparkSpec {
     q3.stop()
     assert(sinkRows() == got, "idle restart changed the sink contents")
   }
+
+  test("streaming cluster maintenance: stream-landed labels equal a " +
+    "from-scratch rebuild over corpus + arrivals; epoch replay is " +
+    "idempotent") {
+    import spark.implicits._
+    // corpus: cluster {11,21}, isolated 31, singleton-source 61.
+    // arrivals: f1 lands 12 (joins {11,21}) and isolated 41; f2 lands
+    // 13 (merges with 61 and becomes the NEW component min) and 14
+    // (cross-FILE: near-dups f1's doc 12 → same cluster as 11).
+    val corpus = Seq(
+      (11L, "a b c d e"), (21L, "a b c d f"),
+      (31L, "p q r s t"), (61L, "g h i j k"))
+    val f1 = Seq((12L, "a b c d g"), (41L, "m n o w v"))
+    val f2 = Seq((13L, "g h i j l"), (14L, "a b c d h"))
+    def full(rows: Seq[(Long, String)]) =
+      rows.map { case (id, tx) => (id, tx, "en", "srcC", tx.length.toLong) }
+
+    val root = java.nio.file.Files.createTempDirectory("graft-clstream")
+    val stage = root.resolve("stage").toString
+    val idx = root.resolve("idx").toString
+    val idx2 = root.resolve("idx-rebuild").toString
+    val ckpt = root.resolve("ckpt").toString
+    new java.io.File(stage).mkdirs()
+    def land(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = root.resolve(s"tmp-$name").toString
+      full(rows).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/$name.parquet"))
+    }
+    land("f1", f1)
+    land("f2", f2)
+    graft.ops.Curation.buildClusterArchiveTo(
+      corpus.toDF("doc_id", "text"), idx)
+
+    runClusterMaintenance(readDocuments(spark, stage, Some(1)),
+      idx, ckpt)
+
+    def view(i: String) = graft.ops.Curation
+      .readClusterLabels(spark, i).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamed = view(idx)
+    // ground truth: a from-scratch archive over corpus + ALL arrivals
+    // — path-independence says the maintained labels must match it
+    // exactly, however the arrivals were split into micro-batches
+    graft.ops.Curation.buildClusterArchiveTo(
+      (corpus ++ f1 ++ f2).toDF("doc_id", "text"), idx2)
+    assert(streamed == view(idx2),
+      s"streamed labels $streamed diverge from the rebuild")
+    // the planted shapes actually happened
+    assert(streamed(12L) == 11L && streamed(14L) == 11L,
+      "cross-file merge into the archive cluster failed")
+    assert(streamed(61L) == 13L && streamed(13L) == 13L,
+      "arriving doc did not become its merged component's new min")
+    assert(streamed(41L) == 41L && streamed(31L) == 31L)
+
+    // crash-replay of the LAST micro-batch (same epoch, same docs —
+    // the checkpoint contract): the view must not move
+    val maxEpoch = graft.io.Tables
+      .resolveManifest(spark, s"$idx/labels")._2.keys
+      .map(_.stripPrefix("ingest_epoch=").toLong).max
+    graft.ops.Curation.clusterIncrementalFrom(
+      full(f2).toDF("doc_id", "text", "lang", "source", "n_chars"),
+      idx, isBatch = _ => lit(true), epoch = maxEpoch)
+    assert(view(idx) == streamed, "epoch replay moved the label view")
+    // idle restart: no new files → no new label epochs
+    runClusterMaintenance(readDocuments(spark, stage, Some(1)),
+      idx, ckpt)
+    assert(view(idx) == streamed, "idle restart moved the label view")
+  }
 }
