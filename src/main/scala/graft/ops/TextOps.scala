@@ -533,7 +533,7 @@ object TextOps {
     * ANN code table, so ingest is replay-idempotent behind the
     * manifest pointer. ~0.42 of the k-gram hashes per doc (the
     * winnowing density) is the entire on-disk footprint. */
-  private[ops] def buildWinnowIndexTo(docs: DataFrame, idx: String): Unit =
+  private[graft] def buildWinnowIndexTo(docs: DataFrame, idx: String): Unit =
     Tables.writeManifested(
       winnowSelected(docs).select(col("doc_id"), col("wmin")).distinct()
         .withColumn("ingest_epoch", lit(0L)),
@@ -808,7 +808,7 @@ object TextOps {
     * closes the gap. All other tombstones retire
     * ([[graft.io.Tables.clearManifested]] — one pointer flip).
     * Returns the folded high-water epoch, -1 for a no-op. */
-  private[ops] def compactFingerprintEpochs(s: SparkSession,
+  private[graft] def compactFingerprintEpochs(s: SparkSession,
                                             idx: String): Long = {
     val path = s"$idx/fingerprints"
     val tombPath = s"$idx/tombstones"
@@ -826,9 +826,11 @@ object TextOps {
       path, Seq("ingest_epoch"), _ => true)
     tomb.foreach { td =>
       // keys arriving in the still-replayable newest epoch keep their
-      // tombstones; everything else retires in one pointer flip
+      // tombstones; everything else retires in one pointer flip. The
+      // build layer (epoch 0) is not a replayable micro-batch — when
+      // it is the only layer, nothing is carried
       val carried = td.join(
-        all.where(col("ingest_epoch") === maxE)
+        all.where(col("ingest_epoch") === maxE && lit(maxE > 0L))
           .select(col("doc_id")).distinct(),
         Seq("doc_id"), "left_semi").localCheckpoint()
       Tables.clearManifested(s, tombPath)

@@ -138,6 +138,33 @@ object StreamOps {
     q.stop()
   }
 
+  /** Streaming DELETE requests against a persisted index — the
+    * right-to-be-forgotten feed every production deployment ends up
+    * wiring next to its ingest stream: each micro-batch of key
+    * tombstones commits as a delete epoch
+    * ([[graft.io.Tables.ingestTombstones]]; epochs offset +1000000 so
+    * delete epochs can never collide with the ingest stream's
+    * +1-offset epochs when both streams maintain the same archive —
+    * the two checkpoints count independently from 0). The serve /
+    * probe read views subtract the keys immediately; the archive's
+    * epoch compaction makes the removal physical and retires the
+    * tombstones on its own schedule. A crashed micro-batch replays
+    * into exactly its own tombstone epoch (replace-or-add of
+    * identical keys — deletion is idempotent by nature). */
+  def runDeleteStream(ids: DataFrame, archivePath: String,
+                      checkpoint: String): Unit = {
+    val q = ids.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        graft.io.Tables.ingestTombstones(
+          b, s"$archivePath/tombstones", epoch + 1000000L)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   // ---------- Streaming corpus ingest (curation front door) ----------
 
   /** One micro-batch of corpus ingest — exposed separately from

@@ -864,4 +864,61 @@ class StreamOpsSpec extends SparkSpec {
       idx, ckpt)
     assert(view(idx) == streamed, "idle restart moved the label view")
   }
+
+  test("streaming deletes: tombstone micro-batches mask the archive " +
+    "immediately; restart with no new requests changes nothing") {
+    import spark.implicits._
+    val longText = "one two three four five six seven eight nine ten"
+    val root = java.nio.file.Files.createTempDirectory("graft-delstream")
+    val stage = root.resolve("stage").toString
+    val idx = root.resolve("idx").toString
+    val ckpt = root.resolve("ckpt").toString
+    new java.io.File(stage).mkdirs()
+    graft.ops.TextOps.buildWinnowIndexTo(
+      Seq((1L, longText), (2L, "p q r s t u v w x y"))
+        .toDF("doc_id", "text"), idx)
+    // two delete-request files → two micro-batches → two delete
+    // epochs; the second deletes a key that never existed (a retried
+    // forget-request for an already-gone doc — the mask and the fold
+    // must both shrug it off)
+    Seq(1L).toDF("doc_id").coalesce(1)
+      .write.parquet(root.resolve("d1").toString)
+    Seq(99L).toDF("doc_id").coalesce(1)
+      .write.parquet(root.resolve("d2").toString)
+    def landReq(src: String, name: String): Unit = {
+      val part = new java.io.File(root.resolve(src).toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/$name.parquet"))
+    }
+    landReq("d1", "r1"); landReq("d2", "r2")
+    def requests() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    runDeleteStream(requests(), idx, ckpt)
+    // doc 1 masked from the read view; doc 2 untouched
+    val masked = graft.io.Tables.minusTombstones(
+        graft.io.Tables.readManifested(spark, s"$idx/fingerprints"),
+        s"$idx/tombstones", "doc_id")
+      .select(col("doc_id")).distinct().as[Long].collect().toSet
+    assert(masked == Set(2L), s"streamed delete mask wrong: $masked")
+    // two distinct delete epochs landed (no collision, no overwrite)
+    val epochs = graft.io.Tables
+      .resolveManifest(spark, s"$idx/tombstones")._2.keys.toSet
+    assert(epochs.size == 2, s"delete epochs: $epochs")
+    // idle restart: nothing new to commit
+    runDeleteStream(requests(), idx, ckpt)
+    assert(graft.io.Tables
+      .resolveManifest(spark, s"$idx/tombstones")._2.keys.toSet == epochs,
+      "idle restart re-committed delete epochs")
+    // the physical fold retires streamed tombstones like any others
+    graft.ops.TextOps.compactFingerprintEpochs(spark, idx)
+    assert(graft.io.Tables.readTombstones(spark, s"$idx/tombstones",
+      "doc_id").isEmpty, "fold did not retire streamed tombstones")
+    val left = graft.io.Tables.readManifested(spark, s"$idx/fingerprints")
+      .select(col("doc_id")).distinct().as[Long].collect().toSet
+    assert(left == Set(2L), s"post-fold fingerprints wrong: $left")
+  }
 }
