@@ -421,6 +421,89 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Image dedup CLUSTERS — [[mmPhashNeardup]]'s pair graph closed
+    * under connectivity, because pairs alone don't dedup anything
+    * (the same argument [[graft.ops.Curation.dedupClusters]] makes
+    * for text): connected components over the Hamming-≤2 pair graph
+    * ([[graft.ops.Curation.connectedComponents]] — large-star/
+    * small-star, O(log n) rounds), labels = component minima, keeper
+    * = the label carrier. The synthetic corpus' gradient images
+    * collapse into large perceptual clusters (19k pairs at sf0.01),
+    * which is exactly what this operator exists to collapse to one
+    * keeper each. HASH-gated against a recursive-CTE reachability
+    * oracle over the same relationally-recomputed pair graph. */
+  def mmPhashCluster(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = mediaPng(s, dir).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.map {
+        case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"doc $id: payload is not a decodable image")
+          (id, aHash64Of(img))
+      }))
+      .toDF("doc_id", "ph")
+    val edges = neardupPairsOf(hashed)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = graft.ops.Curation.connectedComponents(
+        hashed.select(col("doc_id").as("id")), edges)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    labels
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .select(col("doc_id"), col("cluster_id"), col("n_members"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val mmPhashClusterOracle: String =
+    """WITH RECURSIVE m AS (
+      |  SELECT doc_id,
+      |    16 + doc_id % 32 AS w,
+      |    16 + (doc_id * 7) % 24 AS h
+      |  FROM documents),
+      |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM m),
+      |cl AS (
+      |  SELECT doc_id, w, h,
+      |    (8 * (i // w) // h) * 8 + 8 * (i % w) // w AS c,
+      |    (i % w + doc_id) % 256 + (2 * (i // w) + doc_id) % 256
+      |      + (i % w + i // w + doc_id) % 256 AS luma
+      |  FROM px),
+      |cagg AS (
+      |  SELECT doc_id, c, sum(luma) AS cs, count(*) AS cc
+      |  FROM cl GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT doc_id, sum(cs) AS s, sum(cc) AS n
+      |  FROM cagg GROUP BY 1),
+      |hh AS (
+      |  SELECT a.doc_id,
+      |    CAST(sum(CASE WHEN a.cs * t.n >= t.s * a.cc AND a.c >= 32
+      |      THEN (CAST(1 AS BIGINT) << (a.c - 32)) ELSE 0 END) AS BIGINT)
+      |      AS hi,
+      |    CAST(sum(CASE WHEN a.cs * t.n >= t.s * a.cc AND a.c < 32
+      |      THEN (CAST(1 AS BIGINT) << a.c) ELSE 0 END) AS BIGINT) AS lo
+      |  FROM cagg a JOIN tot t USING (doc_id) GROUP BY 1),
+      |prs AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+      |        <= 2),
+      |sym AS (SELECT src, dst FROM prs
+      |        UNION SELECT dst, src FROM prs),
+      |reach AS (
+      |  SELECT doc_id AS node, doc_id AS lab FROM m
+      |  UNION
+      |  SELECT s.dst AS node, r.lab FROM reach r
+      |  JOIN sym s ON s.src = r.node),
+      |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id
+      |       FROM reach GROUP BY node)
+      |SELECT doc_id, cluster_id,
+      |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+      |    AS n_members,
+      |  doc_id = cluster_id AS keep
+      |FROM cc ORDER BY doc_id""".stripMargin
+
   val mmPhashNeardupOracle: String =
     """WITH m AS (
       |  SELECT doc_id,
@@ -822,6 +905,7 @@ object Multimodal {
     "mm_decode" -> mmDecode,
     "mm_phash" -> mmPhash,
     "mm_phash_neardup" -> mmPhashNeardup,
+    "mm_phash_cluster" -> mmPhashCluster,
     "mm_embed" -> mmEmbed,
     "mm_audio_meta" -> mmAudioMeta,
     "mm_audio_energy" -> mmAudioEnergy,
@@ -835,6 +919,7 @@ object Multimodal {
     "mm_decode" -> mmDecodeOracle,
     "mm_phash" -> mmPhashOracle,
     "mm_phash_neardup" -> mmPhashNeardupOracle,
+    "mm_phash_cluster" -> mmPhashClusterOracle,
     "mm_embed" -> mmEmbedOracle,
     "mm_audio_meta" -> mmAudioMetaOracle,
     "mm_audio_energy" -> mmAudioEnergyOracle,

@@ -413,6 +413,45 @@ class PlanSpec extends SparkSpec {
       s"postings probe reads the probing epoch's own partition:\n$idxPlan")
   }
 
+  test("tombstone masks broadcast: the delete queries' anti-joins are " +
+    "BroadcastHashJoin LeftAnti — the archive side streams through " +
+    "unshuffled — and no delete path plans a cartesian") {
+    // winnow delete: the fingerprint archive scan minus tombstones
+    val wd = planString(ops.TextOps.qWinnowDelete(spark, sf))
+    assert(wd.contains("BroadcastHashJoin") && wd.contains("LeftAnti"),
+      s"winnow tombstone mask is not a broadcast anti-join:\n$wd")
+    assert(!wd.contains("CartesianProduct") &&
+      !wd.contains("BroadcastNestedLoopJoin"),
+      s"winnow delete plans a product join:\n$wd")
+    // ANN tombstone: same mask shape on the code scan
+    val at = planString(ops.Similarity.simAnnTombstone(spark, sf))
+    assert(at.contains("BroadcastHashJoin") && at.contains("LeftAnti"),
+      s"ANN tombstone mask is not a broadcast anti-join:\n$at")
+    // cluster delete: repair probe is equi-joins only
+    val cd = planString(ops.Curation.qClusterDelete(spark, sf))
+    assert(!cd.contains("CartesianProduct") &&
+      !cd.contains("BroadcastNestedLoopJoin"),
+      s"cluster delete plans a product join:\n$cd")
+  }
+
+  test("phash near-dup: the banded self-join is an equi-join on " +
+    "(band, bits) — no cartesian, no nested loop — and the pair " +
+    "verification happens on 8-byte fingerprints, not payloads") {
+    val plan = planString(ops.Multimodal.mmPhashNeardup(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded join degenerated to a product:\n$plan")
+    // the join keys are the band struct fields, not raw hashes alone
+    assert(plan.contains("band"),
+      s"banding disappeared from the plan:\n$plan")
+    // payload bytes must not cross the join: exactly the decode
+    // stage touches them, so 'payload' appears only below the
+    // banding (in the scan/decode), never in a join's output
+    val joinLines = plan.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.nonEmpty && !joinLines.exists(_.contains("payload")),
+      s"payload bytes flow through the pair join:\n$plan")
+  }
+
   test("partition-count knob: shuffle partitions follow the session config") {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
     val parts = Tables.load(spark, sf, "events")
