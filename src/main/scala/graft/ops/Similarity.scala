@@ -519,9 +519,14 @@ object Similarity {
     * input both k-means training and the PQ encode run on. Exposed
     * private[ops] so the spec trains on exactly the query path's
     * corpus. */
+  /** Unit-normalize ANY (vec_id, embedding, …) frame into the
+    * (vec_id, emb, nrm, nemb) shape training and encode consume. */
+  private[ops] def unitize(e: DataFrame): DataFrame =
+    withNorm(e).withColumn("nemb",
+      transform(col("emb"), x => x / col("nrm")))
+
   private[ops] def unitCorpus(s: SparkSession, dir: String): DataFrame =
-    withNorm(t(s, dir, "embeddings")).repartition(col("vec_id"))
-      .withColumn("nemb", transform(col("emb"), x => x / col("nrm")))
+    unitize(t(s, dir, "embeddings").repartition(col("vec_id")))
 
   private def memoCents(s: SparkSession, key: String,
                         corpus: => DataFrame): DataFrame = {
@@ -1293,6 +1298,24 @@ object Similarity {
     // build-only checkpoints: nothing returned references them,
     // so release immediately instead of via Ckpt slots
     Ckpt.release(e); Ckpt.release(resid)
+  }
+
+  /** The action [[qAnnDrift]]'s `retrain` verdict triggers: train
+    * fresh centroids on the drifted corpus and build the NEXT index
+    * version into a fresh directory — artifacts are immutable by
+    * design, so retraining is never an in-place mutation; serving
+    * flips to the new index dir once its recall is validated, and the
+    * old version stays readable until then (the manifested-table
+    * versioning discipline applied to whole indexes). The new build
+    * persists its own `stats` baseline, so the monitor's next reading
+    * is against the post-retrain geometry — SimilaritySpec closes the
+    * loop: the monitor trips on the frozen index, retraining on the
+    * drifted corpus lands a new version, and a representative sample
+    * of the new distribution reads clean against it. */
+  private[ops] def retrainIndexTo(corpus: DataFrame, idx: String): Unit = {
+    val (cents, _, _) = trainCentroids(corpus)
+    buildIndexWith(corpus, cents, idx)
+    Ckpt.release(cents)
   }
 
   /** Encode ONE batch of new vectors against a PERSISTED index's

@@ -579,4 +579,43 @@ class SimilaritySpec extends SparkSpec {
       org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
     }
   }
+
+  test("retrain closes the drift loop: monitor trips on the frozen " +
+    "index, and a representative sample of the NEW distribution " +
+    "reads clean against the retrained version") {
+    import org.apache.spark.sql.functions._
+    val idx1 = java.nio.file.Files
+      .createTempDirectory("graft-retrain-old").toString
+    val idx2 = java.nio.file.Files
+      .createTempDirectory("graft-retrain-new").toString
+    try {
+      Similarity.buildIndexTo(spark, sf, idx1)
+      val emb = graft.io.Tables.load(spark, sf, "embeddings")
+      // the drift: a shifted population arrives under fresh ids
+      val arrivals = emb.where(pmod(col("vec_id"), lit(17)) === 3)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(2.0f))
+            .as("embedding"))
+      val tripped = Similarity.annDriftFrom(spark, idx1,
+        arrivals).collect().head
+      assert(tripped.getAs[Boolean]("retrain"),
+        s"frozen index did not flag the drifted arrivals: $tripped")
+      // the production response: retrain on the corpus as it now IS
+      val drifted = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(arrivals)
+      Similarity.retrainIndexTo(Similarity.unitize(drifted), idx2)
+      // steady state: the next monitoring batch is a representative
+      // slice of the NEW mixed distribution — it must read clean
+      val steady = Similarity.annDriftFrom(spark, idx2,
+        drifted.where(pmod(col("vec_id"), lit(17)) === 3))
+        .collect().head
+      assert(!steady.getAs[Boolean]("retrain"),
+        s"retrained index still flags its own distribution: $steady")
+      assert(math.abs(steady.getAs[Double]("mqe_ratio") - 1.0) < 0.5,
+        s"post-retrain quantization baseline is off: $steady")
+    } finally {
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx1))
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx2))
+    }
+  }
 }
