@@ -1478,24 +1478,47 @@ object TextOps {
     * precomputed); df and corpus stats are tiny broadcast aggregates;
     * scoring is a narrow pass over |q|·df(t) candidate rows; top-k is
     * a per-query window over candidates, never the corpus. */
-  private[ops] def bm25Raw(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val qterms = {
+  private[ops] def bm25Raw(s: SparkSession, dir: String): DataFrame =
+    bm25RawFrom(s, t(s, dir, "documents"))
+
+  /** From-text BM25 inputs: one tokenize pass feeds tf/df, a narrow
+    * projection feeds per-doc lengths. Kept as a `docs`-frame function
+    * so specs can score an arbitrary sub-corpus (the tombstone spec
+    * scores `documents` minus the deleted docs). */
+  private[ops] def bm25RawFrom(s: SparkSession, docs: DataFrame): DataFrame = {
+    val qtok = {
       import s.implicits._
-      bm25QueryTerms.toDF("qid", "token")
+      bm25QueryTerms.toDF("qid", "token").select("token").distinct()
     }
     val tok = docs.select(col("doc_id"),
       explode(words(col("text"))).as("token"))
     // integer counts cast to double AFTER aggregation: exact
-    val tf = tok.join(broadcast(qterms.select("token").distinct()), "token")
+    val tf = tok.join(broadcast(qtok), "token")
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    val dfreq = tok.join(broadcast(qterms.select("token").distinct()), "token")
+    val dfreq = tok.join(broadcast(qtok), "token")
       .select(col("doc_id"), col("token")).distinct()
       .groupBy(col("token"))
       .agg(count(lit(1)).cast("double").as("df"))
     val dl = docs.select(col("doc_id"),
       size(words(col("text"))).cast("double").as("dl"))
+    bm25ScoreFrom(s, tf, dfreq, dl)
+  }
+
+  /** Shared BM25 scoring tail — the SAME column expressions (same
+    * literals, same operation order) for the from-text path and the
+    * persisted-index path, so bit-identical (tf, df, dl) inputs yield
+    * bit-identical scores: that identity is what lets
+    * [[qBm25Indexed]] hash-gate against [[qBm25Topk]]'s oracle.
+    * Collection stats derive from `dl` HERE so both paths (and any
+    * masked sub-corpus view) get n_docs/avgdl consistent with the
+    * doc-length frame they scored against. */
+  private def bm25ScoreFrom(s: SparkSession, tf: DataFrame,
+                            dfreq: DataFrame, dl: DataFrame): DataFrame = {
+    val qterms = {
+      import s.implicits._
+      bm25QueryTerms.toDF("qid", "token")
+    }
     // sum-of-integers-as-doubles is exact → avgdl bit-identical; spell
     // it sum/count on BOTH sides (never avg(), whose accumulation
     // strategy an engine may choose differently)
@@ -1518,10 +1541,20 @@ object TextOps {
   /** Top-10 docs per query by BM25 (k1 = 1.2, b = 0.75) — the
     * standard ranked-retrieval scorer over the documents corpus; see
     * [[bm25Raw]] for the cross-engine float discipline. */
-  def qBm25Topk(s: SparkSession, dir: String): DataFrame = {
+  def qBm25Topk(s: SparkSession, dir: String): DataFrame =
+    bm25TopkFrom(bm25Raw(s, dir))
+
+  /** From-text ranking over an arbitrary docs frame — spec entry
+    * (TokenIndexSpec scores the corpus minus tombstoned docs). */
+  private[ops] def bm25TopkOf(s: SparkSession, docs: DataFrame): DataFrame =
+    bm25TopkFrom(bm25RawFrom(s, docs))
+
+  /** Shared ranking tail: 4-dp rounded score, per-query row_number
+    * with doc_id tiebreak, top-[[Bm25TopK]]. */
+  private def bm25TopkFrom(raw: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("doc_id"))
-    bm25Raw(s, dir)
+    raw
       .withColumn("score", graft.expr.Columns.roundQ(col("raw"), 4))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= Bm25TopK)
@@ -1566,6 +1599,113 @@ object TextOps {
       |      AS INT) AS rn
       |  FROM scored)
       |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+
+  // ---------- BM25 served from a persisted token index ----------
+
+  /** Build the token-postings (ranked-retrieval) index: a MANIFESTED,
+    * epoch-ingested inverted index of (token → doc_id, tf) postings
+    * plus a per-doc length table — the IR sibling of the dedup
+    * shingle-postings archive ([[buildShinglePostingsTo]]). Retrieval
+    * then never touches text: a query probes |q| token groups of the
+    * postings, df falls out of the probed postings, and collection
+    * stats come from the tiny doclen table. At 100 TB the postings
+    * would additionally be token-bucketed
+    * ([[graft.io.Tables.writeBucketed]]) so a probe prunes to its
+    * terms' buckets instead of scanning the full postings table; the
+    * epoch-partitioned manifested layout keeps the same
+    * read/commit/replay/tombstone contract as every archive here.
+    * tf and dl are INTEGERS in the index — exactly the values the
+    * from-text path aggregates — so indexed scores are bit-identical
+    * to from-text scores (see [[bm25ScoreFrom]]). */
+  private[ops] def buildTokenIndexTo(docs: DataFrame, idx: String): Unit = {
+    val tok = docs.select(col("doc_id"),
+      explode(words(col("text"))).as("token"))
+    Tables.writeManifested(
+      tok.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("ingest_epoch", lit(0L)),
+      s"$idx/postings", Seq("ingest_epoch"))
+    Tables.writeManifested(
+      docs.select(col("doc_id"), size(words(col("text"))).as("dl"))
+        .withColumn("ingest_epoch", lit(0L)),
+      s"$idx/doclen", Seq("ingest_epoch"))
+  }
+
+  /** Commit ONE batch's token postings + doc lengths under its own
+    * epoch — replace-or-add: tokenization is a pure function of the
+    * immutable text, so a crash-replay of epoch E recomputes identical
+    * rows and swaps them in behind a new manifest version. Cost scales
+    * with the batch, never the index. */
+  private[ops] def ingestTokenIndex(batch: DataFrame, idx: String,
+                                    epoch: Long): Unit = {
+    val tok = batch.select(col("doc_id"),
+      explode(words(col("text"))).as("token"))
+    Tables.upsertManifested(
+      tok.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("ingest_epoch", lit(epoch)),
+      s"$idx/postings", Seq("ingest_epoch"), _ == s"ingest_epoch=$epoch")
+    Tables.upsertManifested(
+      batch.select(col("doc_id"), size(words(col("text"))).as("dl"))
+        .withColumn("ingest_epoch", lit(epoch)),
+      s"$idx/doclen", Seq("ingest_epoch"), _ == s"ingest_epoch=$epoch")
+  }
+
+  /** BM25 top-k served from a token index at `idx`, tombstone-masked:
+    * postings AND doc lengths subtract live tombstones
+    * ([[graft.io.Tables.minusTombstones]]), so a deleted doc drops out
+    * of the ranking and out of n_docs/avgdl/df in the same pointer
+    * flip — the scores every surviving doc gets are exactly the
+    * from-text scores over the corpus minus the deleted docs
+    * (TokenIndexSpec pins that identity). */
+  private[ops] def bm25IndexedFrom(s: SparkSession, idx: String): DataFrame = {
+    val qtok = {
+      import s.implicits._
+      bm25QueryTerms.toDF("qid", "token").select("token").distinct()
+    }
+    val post = Tables.minusTombstones(
+      Tables.readManifested(s, s"$idx/postings"),
+      s"$idx/tombstones", "doc_id")
+    val cand = post.join(broadcast(qtok), "token")
+    val tf = cand.select(col("doc_id"), col("token"),
+      col("tf").cast("double").as("tf"))
+    // postings are unique per (doc, token) by construction, so df is a
+    // plain count — same integers as the from-text COUNT(DISTINCT doc)
+    val dfreq = cand.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val dl = Tables.minusTombstones(
+        Tables.readManifested(s, s"$idx/doclen"),
+        s"$idx/tombstones", "doc_id")
+      .select(col("doc_id"), col("dl").cast("double").as("dl"))
+    bm25TopkFrom(bm25ScoreFrom(s, tf, dfreq, dl))
+  }
+
+  /** Token index per data dir, memoized: in production the index is
+    * built once (or epoch-ingested) and queried many times, so the
+    * steady-state cost of ranked retrieval is the PROBE, not the
+    * build — the q_join_bucketed / served-ANN measurement discipline.
+    * Temp dirs ride the winnow-index shutdown cleanup hook. */
+  private val tokenIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def tokenIndex(s: SparkSession, dir: String): String =
+    tokenIdxMemo.computeIfAbsent(dir, _ => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-token-index").toString
+      winnowIdxDirs.add(idx)
+      buildTokenIndexTo(t(s, dir, "documents"), idx)
+      idx
+    })
+
+  /** Gated: [[qBm25Topk]]'s ranking served from the persisted token
+    * index instead of from text. HASH-gated against the SAME oracle as
+    * the from-text anchor — agreement proves the index round-trip
+    * (build → manifest → probe) loses nothing: identical integer
+    * tf/df/dl reach the shared scoring tail, so identical scores and
+    * identical top-k come out. The plan never tokenizes: one pruned
+    * postings probe + two broadcast-sized aggregates. */
+  def qBm25Indexed(s: SparkSession, dir: String): DataFrame =
+    bm25IndexedFrom(s, tokenIndex(s, dir))
 
   // ---------- Distinctive-term extraction (keyterms) ----------
 
@@ -1975,6 +2115,7 @@ object TextOps {
     "q_winnow_incremental" -> qWinnowIncremental,
     "q_winnow_delete" -> qWinnowDelete,
     "q_bm25_topk" -> qBm25Topk,
+    "q_bm25_indexed" -> qBm25Indexed,
     "q_lm_familiarity" -> qLmFamiliarity,
     "q_substring_dup" -> qSubstringDup,
     "q_substring_dup_coded" -> qSubstringDupCoded,
@@ -2003,6 +2144,9 @@ object TextOps {
     "q_winnow_incremental" -> qWinnowIncrementalOracle,
     "q_winnow_delete" -> qWinnowDeleteOracle,
     "q_bm25_topk" -> qBm25TopkOracle,
+    // the indexed variant changes only WHERE tf/df/dl come from (the
+    // persisted postings archive), never the scores — shared oracle
+    "q_bm25_indexed" -> qBm25TopkOracle,
     "q_lm_familiarity" -> qLmFamiliarityOracle,
     "q_substring_dup" -> qSubstringDupOracle,
     "q_substring_dup_coded" -> qSubstringDupOracle,
