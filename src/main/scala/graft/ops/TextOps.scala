@@ -1680,6 +1680,56 @@ object TextOps {
     bm25TopkFrom(bm25ScoreFrom(s, tf, dfreq, dl))
   }
 
+  /** Physical tombstone fold for the token index — both tables
+    * (postings + doclen) rewrite live-minus-tombstones, with every
+    * epoch strictly below the high-water mark folded into the base
+    * layer. The NEWEST epoch carries through unchanged (a foreachBatch
+    * crash-replay can still rewrite exactly that epoch) and tombstones
+    * for its keys stay LIVE until the next fold — the same carry rule
+    * as [[compactFingerprintEpochs]] / [[graft.ops.Similarity
+    * .compactIndexEpochs]]. Retrieval results are invariant across the
+    * fold (TokenIndexSpec pins masked-view ≡ post-fold ranking).
+    * Returns the folded high-water epoch, -1 for a no-op. */
+  private[graft] def compactTokenIndexEpochs(s: SparkSession,
+                                             idx: String): Long = {
+    val tombPath = s"$idx/tombstones"
+    val (_, pParts) = Tables.resolveManifest(s, s"$idx/postings")
+    val maxE = pParts.keys
+      .map(_.stripPrefix("ingest_epoch=").toLong).max
+    val tomb = Tables.readTombstones(s, tombPath, "doc_id")
+    if (maxE <= 0L && tomb.isEmpty) return -1L
+    // pre-fold doclen snapshot: reader isolation pins its partition
+    // list now, so the carry decision below still sees the newest
+    // epoch's keys after both tables' pointers advance
+    val pre = Tables.readManifested(s, s"$idx/doclen")
+    Seq(s"$idx/postings", s"$idx/doclen").foreach { path =>
+      val masked = Tables.minusTombstones(
+        Tables.readManifested(s, path), tombPath, "doc_id")
+      Tables.upsertManifested(
+        masked.withColumn("ingest_epoch",
+          when(col("ingest_epoch") < maxE, lit(0L))
+            .otherwise(col("ingest_epoch"))),
+        path, Seq("ingest_epoch"), _ => true)
+    }
+    tomb.foreach { td =>
+      // keys arriving in the still-replayable newest epoch keep their
+      // tombstones (a replay recomputes the epoch from text and would
+      // silently resurrect a folded delete); everything else retires
+      // in one pointer flip. The build layer (epoch 0) is not a
+      // replayable micro-batch — when it is the only layer, nothing
+      // is carried
+      val carried = td.join(
+        pre.where(col("ingest_epoch") === maxE && lit(maxE > 0L))
+          .select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi").localCheckpoint()
+      Tables.clearManifested(s, tombPath)
+      if (!carried.isEmpty)
+        Tables.ingestTombstones(carried, tombPath, epoch = 0L)
+      Ckpt.release(carried)
+    }
+    maxE
+  }
+
   /** Token index per data dir, memoized: in production the index is
     * built once (or epoch-ingested) and queried many times, so the
     * steady-state cost of ranked retrieval is the PROBE, not the

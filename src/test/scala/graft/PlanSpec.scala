@@ -452,6 +452,24 @@ class PlanSpec extends SparkSpec {
       s"payload bytes flow through the pair join:\n$plan")
   }
 
+  test("indexed BM25 never tokenizes: the retrieval plan scans the " +
+    "postings archive — no Generate (explode over text), no documents " +
+    "scan — and the query-term/df attachments stay broadcast") {
+    val plan = planString(ops.TextOps.qBm25Indexed(spark, sf))
+    // the from-text path's signature operator is Generate(explode);
+    // the indexed probe must have none — tf came from the archive
+    assert(!plan.contains("Generate"),
+      s"indexed retrieval re-tokenizes text:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"indexed retrieval scans the raw corpus:\n$plan")
+    // query terms and per-term df attach as broadcast hash joins (the
+    // one-row stats crossJoin is a broadcast by construction)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term probe lost its broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"indexed retrieval plans a cartesian:\n$plan")
+  }
+
   test("partition-count knob: shuffle partitions follow the session config") {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
     val parts = Tables.load(spark, sf, "events")

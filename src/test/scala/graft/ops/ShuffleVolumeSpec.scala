@@ -120,6 +120,21 @@ class ShuffleVolumeSpec extends SparkSpec {
       s"q_cluster_incremental shuffled $clu bytes — plan regression")
   }
 
+  test("indexed BM25 shuffles strictly less than the from-text path: " +
+    "tf pre-aggregation lives in the index, not in the query") {
+    val text = shuffleBytes(() => TextOps.qBm25Topk(spark, sf))
+    val idx = shuffleBytes(() => TextOps.qBm25Indexed(spark, sf))
+    info(s"bm25 shuffle bytes: from-text=$text indexed=$idx")
+    // the from-text path pays a corpus-wide (doc, token) exchange to
+    // build tf; the indexed probe reads tf pre-aggregated and shuffles
+    // only |q|-term candidate rows + the ranking window
+    assert(idx > 0 && idx < text,
+      s"indexed BM25 shuffled $idx >= from-text $text — " +
+        "is the probe re-tokenizing?")
+    assert(idx <= 48L * 1024, // measured 2026-08-14: 24 606 bytes
+      s"q_bm25_indexed shuffled $idx bytes — plan regression")
+  }
+
   test("dedup_minhash_lsh shuffle volume stays under its ceiling") {
     val b = shuffleBytes(() => TextOps.dedupMinhashLsh(spark, sf))
     info(s"dedup_minhash_lsh shuffle bytes written: $b")

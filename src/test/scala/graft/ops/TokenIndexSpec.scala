@@ -74,6 +74,42 @@ class TokenIndexSpec extends SparkSpec {
       ranking(TextOps.bm25IndexedFrom(spark, idx)))
   }
 
+  test("epoch compaction folds tombstones physically and is invisible " +
+    "to retrieval: masked-view ranking ≡ post-fold ranking, deleted " +
+    "docs are physically gone, epochs collapse to {base, newest}") {
+    val idx = tmp("graft-tokidx-fold")
+    val e1 = docs.where(col("doc_id") % 3 === 0) // newest (replayable)
+    TextOps.buildTokenIndexTo(docs.where(col("doc_id") % 3 =!= 0), idx)
+    TextOps.ingestTokenIndex(e1, idx, 1L)
+    val e1Ids = e1.select("doc_id").collect().map(_.getLong(0)).toSet
+    // tombstone the top doc of every query — some land in the folded
+    // base, some may land in the carried newest epoch
+    val victims = TextOps.bm25IndexedFrom(spark, idx)
+      .where(col("rn") === 1).select("doc_id").distinct()
+    val victimIds = victims.collect().map(_.getLong(0)).toSet
+    Tables.ingestTombstones(victims, s"$idx/tombstones", epoch = 2L)
+    val masked = ranking(TextOps.bm25IndexedFrom(spark, idx))
+    assert(TextOps.compactTokenIndexEpochs(spark, idx) == 1L)
+    // fold is invisible to retrieval
+    assert(ranking(TextOps.bm25IndexedFrom(spark, idx)) == masked)
+    // base-layer victims are PHYSICALLY gone; newest-epoch victims
+    // stay physical (the epoch is still crash-replayable) but masked
+    val rawIds = Tables.readManifested(spark, s"$idx/postings")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(victimIds.diff(e1Ids).intersect(rawIds).isEmpty)
+    // epochs collapse to {base, newest}
+    // partition-column values are type-inferred on read → cast
+    val epochs = Tables.readManifested(spark, s"$idx/postings")
+      .select(col("ingest_epoch").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(epochs.subsetOf(Set(0L, 1L)))
+    // exactly the newest-epoch victims keep their tombstones (a
+    // replay of epoch 1 would otherwise resurrect them)
+    val liveTombs = Tables.readTombstones(spark, s"$idx/tombstones",
+      "doc_id").map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+    assert(liveTombs == victimIds.intersect(e1Ids))
+  }
+
   test("tombstoned docs drop out of ranking AND collection stats: " +
     "masked retrieval ≡ from-text over the corpus minus the deleted") {
     val idx = tmp("graft-tokidx-tomb")
