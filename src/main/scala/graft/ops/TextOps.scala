@@ -1617,7 +1617,7 @@ object TextOps {
     * tf and dl are INTEGERS in the index — exactly the values the
     * from-text path aggregates — so indexed scores are bit-identical
     * to from-text scores (see [[bm25ScoreFrom]]). */
-  private[ops] def buildTokenIndexTo(docs: DataFrame, idx: String): Unit = {
+  private[graft] def buildTokenIndexTo(docs: DataFrame, idx: String): Unit = {
     val tok = docs.select(col("doc_id"),
       explode(words(col("text"))).as("token"))
     Tables.writeManifested(
@@ -1636,7 +1636,7 @@ object TextOps {
     * immutable text, so a crash-replay of epoch E recomputes identical
     * rows and swaps them in behind a new manifest version. Cost scales
     * with the batch, never the index. */
-  private[ops] def ingestTokenIndex(batch: DataFrame, idx: String,
+  private[graft] def ingestTokenIndex(batch: DataFrame, idx: String,
                                     epoch: Long): Unit = {
     val tok = batch.select(col("doc_id"),
       explode(words(col("text"))).as("token"))
@@ -1658,7 +1658,7 @@ object TextOps {
     * flip — the scores every surviving doc gets are exactly the
     * from-text scores over the corpus minus the deleted docs
     * (TokenIndexSpec pins that identity). */
-  private[ops] def bm25IndexedFrom(s: SparkSession, idx: String): DataFrame = {
+  private[graft] def bm25IndexedFrom(s: SparkSession, idx: String): DataFrame = {
     val qtok = {
       import s.implicits._
       bm25QueryTerms.toDF("qid", "token").select("token").distinct()

@@ -245,6 +245,34 @@ object StreamOps {
     q.stop()
   }
 
+  /** Streaming maintenance of the ranked-retrieval token index
+    * ([[graft.ops.TextOps.buildTokenIndexTo]] starts it; this keeps it
+    * current): each micro-batch of documents tokenizes ONCE and
+    * commits its postings + doc lengths under its own ingest epoch
+    * (+1 offset keeps the initial build's epoch 0), so BM25 retrieval
+    * ([[graft.ops.TextOps.bm25IndexedFrom]]) sees new docs on its next
+    * manifested read with no rebuild, and a crashed epoch replays into
+    * exactly its own partition (tokenization is a pure function of the
+    * immutable text — replace-or-add recommits identical rows). The
+    * delete feed ([[runDeleteStream]]) and the epoch fold
+    * ([[graft.ops.TextOps.compactTokenIndexEpochs]]) complete the
+    * lifecycle: every persisted archive here — fingerprints, ANN
+    * codes, cluster labels, token postings — is stream-maintainable
+    * under the same epoch contract. Per-batch cost scales with the
+    * batch, never the index. */
+  def runTokenIndexIngest(docs: DataFrame, idx: String,
+                          checkpoint: String): Unit = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        graft.ops.TextOps.ingestTokenIndex(b, idx, epoch + 1)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   // ---------- Streaming near-dup probe (fingerprint archive) ----------
 
   /** Streaming near-duplicate dedup over a document file stream: each

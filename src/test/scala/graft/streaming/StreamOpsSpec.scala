@@ -921,4 +921,69 @@ class StreamOpsSpec extends SparkSpec {
       .select(col("doc_id")).distinct().as[Long].collect().toSet
     assert(left == Set(2L), s"post-fold fingerprints wrong: $left")
   }
+
+  test("streaming token-index maintenance: stream-landed postings and " +
+    "doc lengths equal a one-shot build over corpus + arrivals; epoch " +
+    "replay and idle restart change nothing") {
+    import spark.implicits._
+    val corpus = Seq((1L, "spark join window"), (2L, "hash scan spark"))
+    val f1 = Seq((3L, "vector stream filter spark"),
+      (4L, "join join hash"))
+    val f2 = Seq((5L, "window window window scan"))
+    def full(rows: Seq[(Long, String)]) =
+      rows.map { case (id, tx) => (id, tx, "en", "srcT", tx.length.toLong) }
+    val root = java.nio.file.Files.createTempDirectory("graft-tokstream")
+    val stage = root.resolve("stage").toString
+    val idx = root.resolve("idx").toString
+    val idx2 = root.resolve("idx-rebuild").toString
+    val ckpt = root.resolve("ckpt").toString
+    new java.io.File(stage).mkdirs()
+    def land(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = root.resolve(s"tmp-$name").toString
+      full(rows).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/$name.parquet"))
+    }
+    land("f1", f1)
+    land("f2", f2)
+    graft.ops.TextOps.buildTokenIndexTo(
+      corpus.toDF("doc_id", "text"), idx)
+
+    runTokenIndexIngest(readDocuments(spark, stage, Some(1)), idx, ckpt)
+
+    def postings(i: String) = graft.io.Tables
+      .readManifested(spark, s"$i/postings")
+      .select("doc_id", "token", "tf").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    def doclen(i: String) = graft.io.Tables
+      .readManifested(spark, s"$i/doclen")
+      .select("doc_id", "dl").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val streamedP = postings(idx)
+    val streamedD = doclen(idx)
+    // ground truth: a one-shot index over corpus + ALL arrivals —
+    // however the stream split them into micro-batches
+    graft.ops.TextOps.buildTokenIndexTo(
+      (corpus ++ f1 ++ f2).toDF("doc_id", "text"), idx2)
+    assert(streamedP == postings(idx2),
+      "streamed postings diverge from the one-shot build")
+    assert(streamedD == doclen(idx2),
+      "streamed doc lengths diverge from the one-shot build")
+
+    // crash-replay of the LAST micro-batch (same epoch, same docs)
+    val maxEpoch = graft.io.Tables
+      .resolveManifest(spark, s"$idx/postings")._2.keys
+      .map(_.stripPrefix("ingest_epoch=").toLong).max
+    graft.ops.TextOps.ingestTokenIndex(
+      full(f2).toDF("doc_id", "text", "lang", "source", "n_chars"),
+      idx, maxEpoch)
+    assert(postings(idx) == streamedP, "epoch replay moved the postings")
+    // idle restart: no new files → no new epochs, nothing moves
+    runTokenIndexIngest(readDocuments(spark, stage, Some(1)), idx, ckpt)
+    assert(postings(idx) == streamedP && doclen(idx) == streamedD,
+      "idle restart moved the index")
+  }
 }
