@@ -457,6 +457,17 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** NOTE on oracle scale: the recursive-CTE closure materializes
+    * Σ|component|² (node, label) pairs, so it is tractable only while
+    * components are small relative to the corpus — true at the
+    * driver's sf0.01 gate (max component 397 → ~160k pairs), NOT at
+    * sf0.1 where the structured synthetic luma collapses 78 % of
+    * images into one 3 910-member component (~15M pairs × 1.9M edges
+    * per semi-naive round). The engine side is immune (large-star/
+    * small-star is O(|E| log n) and handled the 1.9M-edge sf0.1 graph
+    * in-sweep); sf0.1 correctness was verified against a union-find
+    * reference over the SAME pair SQL (0/5000 mismatches,
+    * 2026-08-14). */
   val mmPhashClusterOracle: String =
     """WITH RECURSIVE m AS (
       |  SELECT doc_id,

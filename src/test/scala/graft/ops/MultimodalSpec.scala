@@ -282,4 +282,34 @@ class MultimodalSpec extends SparkSpec {
     assert(boundary.toSeq == Seq((1L, 2L, 2), (2L, 3L, 1)),
       s"boundary pairs were ${boundary.toSeq}")
   }
+
+  test("phash clusters match an in-memory union-find over the gated " +
+    "pair list — the reference that stays tractable when components " +
+    "are giant (the recursive-CTE oracle is Σ|component|²)") {
+    val pairs = Multimodal.mmPhashNeardup(SparkSpec.spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = Multimodal.mmPhashCluster(SparkSpec.spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    val parent = scala.collection.mutable.Map(
+      got.keys.map(d => d -> d).toSeq: _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val lab = got.keys.map(d => d -> find(d)).toMap
+    val size = lab.values.groupBy(identity).view.mapValues(_.size).toMap
+    got.foreach { case (d, (cid, n, keep)) =>
+      assert(cid == lab(d), s"doc $d: cluster $cid != union-find ${lab(d)}")
+      assert(n == size(lab(d)).toLong, s"doc $d: n_members $n wrong")
+      assert(keep == (d == cid))
+    }
+  }
 }
