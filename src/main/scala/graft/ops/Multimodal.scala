@@ -409,15 +409,20 @@ object Multimodal {
         .as("bb"))
       .select(col("doc_id"), col("ph"), col("bb.band").as("band"),
         col("bb.bits").as("bits"))
+    // hamming-filter BEFORE the distinct: the band join emits
+    // Σ|bucket|² candidate rows (a pair can match in up to 4 bands,
+    // and degenerate corpora make buckets huge), and bit_count is a
+    // codegen'd map-side op — filtering first cuts the dedup
+    // exchange + aggregate from the candidate volume down to the
+    // qualifying pairs. hamming is a pure function of the pair, so
+    // distinct on (pair, hamming) equals the distinct-then-filter set
     banded.alias("x").join(banded.alias("y"),
       col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.ph").as("ph_a"), col("y.ph").as("ph_b"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+        bit_count(col("x.ph").bitwiseXOR(col("y.ph"))).as("hamming"))
       .where(col("hamming") <= 2)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
