@@ -174,9 +174,14 @@ object Multimodal {
     * dimensions from the metadata arithmetic) in the same batched
     * `mapPartitions` harness as the decode — binary in flight is a
     * genuine compressed image container, not text bytes. */
-  def mediaPng(s: SparkSession, dir: String): DataFrame = {
+  def mediaPng(s: SparkSession, dir: String): DataFrame =
+    mediaPngOf(s, t(s, dir, "documents"))
+
+  /** PNG container synthesis over any documents frame — the batch
+    * entry the incremental pHash-index ingest reuses. */
+  private[graft] def mediaPngOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(
+    docs.select(
         col("doc_id"),
         (lit(16) + pmod(col("doc_id"), lit(32))).cast("int").as("width"),
         (lit(16) + pmod(col("doc_id") * 7, lit(24))).cast("int").as("height"))
@@ -338,8 +343,9 @@ object Multimodal {
     * cross-multiplied threshold. 16 bits is a fine collision-count
     * fingerprint but far too coarse a key space for PAIR generation
     * (a 4-bit band has 16 values — banding it is nearly all-pairs);
-    * the 64-bit hash gives the same 4×16-bit band structure
-    * [[graft.ops.TextOps.dedupSimhash]] shuffles on. */
+    * the 64-bit hash gives [[neardupPairsOf]] wide, selective bands
+    * to shuffle on — the (band, bits) discipline of
+    * [[graft.ops.TextOps.dedupSimhash]]. */
   private[ops] def aHash64Of(img: java.awt.image.BufferedImage): Long = {
     val w = img.getWidth; val h = img.getHeight
     val sums = new Array[Long](64); val cnts = new Array[Long](64)
@@ -367,9 +373,10 @@ object Multimodal {
   /** Image near-duplicate pairs — the image-side sibling of
     * [[graft.ops.TextOps.dedupSimhash]]: decode each PNG to its
     * 64-bit perceptual hash ([[aHash64Of]], 8×8 luma grid), then find
-    * every pair at Hamming distance ≤ 2 via 4×16-bit banding
-    * (pigeonhole: d ≤ 3 ⇒ at least one of 4 bands equal, so the
-    * banded join is COMPLETE for d ≤ 2 with slack). The join
+    * every pair at Hamming distance ≤ 2 via 3-band (22/21/21-bit)
+    * banding (pigeonhole: d ≤ 2 flips dirty at most 2 bands, so at
+    * least one band matches verbatim — the banded join is COMPLETE
+    * for the radius). The join
     * shuffles on (band, band_bits) — never all-pairs, and never
     * pixels: payloads are touched exactly once, in the batched
     * decode pass; everything downstream moves 8-byte fingerprints.
@@ -384,9 +391,16 @@ object Multimodal {
     * (bit 63 would overflow a signed BIGINT shift in SQL), and
     * emits all-pairs Hamming ≤ 2 — agreement proves decode → pool →
     * threshold → banding → Hamming end-to-end. */
-  def mmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
+  def mmPhashNeardup(s: SparkSession, dir: String): DataFrame =
+    neardupPairsOf(phash64Frame(s, mediaPng(s, dir)))
+
+  /** Batched decode → 64-bit perceptual hash over any (doc_id,
+    * payload) media frame — payloads are touched here and ONLY here;
+    * everything downstream of this frame moves 8-byte fingerprints. */
+  private[graft] def phash64Frame(s: SparkSession,
+                                  media: DataFrame): DataFrame = {
     import s.implicits._
-    val hashed = mediaPng(s, dir).select(col("doc_id"), col("payload"))
+    media.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.map {
         case (id, bytes) =>
@@ -396,17 +410,26 @@ object Multimodal {
           (id, aHash64Of(img))
       }))
       .toDF("doc_id", "ph")
-    neardupPairsOf(hashed)
   }
 
   /** The banding + verification tail over ANY (doc_id, ph) frame —
     * factored so the planted-image spec drives constructed hashes
     * through the exact gated join. */
   private[ops] def neardupPairsOf(hashed: DataFrame): DataFrame = {
+    // 3 bands of 22/21/21 bits — the WIDEST banding that stays
+    // complete for the Hamming-≤2 radius (d flips dirty ≤ d bands, so
+    // 3 bands leave ≥ 1 clean). Wider bands are exponentially more
+    // selective buckets: a 16-bit band over a degenerate corpus
+    // funnels most of the corpus into a handful of buckets and the
+    // join emits Σ|bucket|² junk candidates; 21-bit values cut the
+    // non-qualifying collision mass ~32× per band while every true
+    // pair still shares its clean band verbatim
+    val bandMasks = Seq(0L -> 22, 22L -> 21, 43L -> 21)
     val banded = hashed.select(col("doc_id"), col("ph"),
-      explode(array((0 until 4).map(i => struct(lit(i).as("band"),
-        col("ph").bitwiseAND(lit(0xFFFFL << (16 * i))).as("bits"))): _*))
-        .as("bb"))
+      explode(array(bandMasks.zipWithIndex.map { case ((sh, wd), i) =>
+        struct(lit(i).as("band"),
+          col("ph").bitwiseAND(lit(((1L << wd) - 1L) << sh)).as("bits"))
+      }: _*)).as("bb"))
       .select(col("doc_id"), col("ph"), col("bb.band").as("band"),
         col("bb.bits").as("bits"))
     // hamming-filter BEFORE the distinct: the band join emits
@@ -426,6 +449,75 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---------- Persisted perceptual-hash index ----------
+
+  /** Build the pHash index: decode every image ONCE and persist its
+    * 64-bit perceptual hash as a manifested, epoch-ingested archive —
+    * the archive discipline ([[graft.ops.TextOps.buildTokenIndexTo]],
+    * winnow fingerprints, ANN codes, cluster labels) applied to the
+    * image modality. At 100 TB the decode is by far the dominant cost
+    * of pHash dedup (pixels vs 8 bytes), and it is a pure function of
+    * immutable payloads — exactly what you pay once at ingest, never
+    * per query. The near-dup probe then reads hashes only. */
+  private[graft] def buildPhashIndexTo(s: SparkSession, docs: DataFrame,
+                                       idx: String): Unit =
+    Tables.writeManifested(
+      phash64Frame(s, mediaPngOf(s, docs))
+        .withColumn("ingest_epoch", lit(0L)),
+      s"$idx/hashes", Seq("ingest_epoch"))
+
+  /** Commit ONE batch's hashes under its own epoch — replace-or-add:
+    * decoding is deterministic, so a crash-replay of epoch E
+    * recommits identical rows. Cost scales with the batch, never the
+    * index. */
+  private[graft] def ingestPhashIndex(s: SparkSession, batch: DataFrame,
+                                      idx: String, epoch: Long): Unit =
+    Tables.upsertManifested(
+      phash64Frame(s, mediaPngOf(s, batch))
+        .withColumn("ingest_epoch", lit(epoch)),
+      s"$idx/hashes", Seq("ingest_epoch"), _ == s"ingest_epoch=$epoch")
+
+  /** Near-dup pairs served from a pHash index at `idx`,
+    * tombstone-masked: a deleted image's pairs vanish on the next
+    * read without touching a pixel. */
+  private[graft] def neardupIndexedFrom(s: SparkSession,
+                                        idx: String): DataFrame =
+    neardupPairsOf(
+      Tables.minusTombstones(
+          Tables.readManifested(s, s"$idx/hashes"),
+          s"$idx/tombstones", "doc_id")
+        .select(col("doc_id"), col("ph")))
+
+  private val phashIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val phashIdxDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      phashIdxDirs.forEach(d =>
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(d)))
+    }, "graft-phash-index-cleanup"))
+  }
+
+  private def phashIndex(s: SparkSession, dir: String): String =
+    phashIdxMemo.computeIfAbsent(dir, _ => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-phash-index").toString
+      phashIdxDirs.add(idx)
+      buildPhashIndexTo(s, t(s, dir, "documents"), idx)
+      idx
+    })
+
+  /** Gated: [[mmPhashNeardup]]'s pair set served from the persisted
+    * pHash index instead of from pixels. HASH-gated against the SAME
+    * oracle as the from-decode anchor — agreement proves the archive
+    * round-trip loses nothing. The probe plan contains no decode
+    * (no object serialization boundary — PlanSpec pins it): one
+    * archive scan, the banded join, the Hamming filter. */
+  def mmPhashIndexed(s: SparkSession, dir: String): DataFrame =
+    neardupIndexedFrom(s, phashIndex(s, dir))
+
   /** Image dedup CLUSTERS — [[mmPhashNeardup]]'s pair graph closed
     * under connectivity, because pairs alone don't dedup anything
     * (the same argument [[graft.ops.Curation.dedupClusters]] makes
@@ -438,21 +530,13 @@ object Multimodal {
     * keeper each. HASH-gated against a recursive-CTE reachability
     * oracle over the same relationally-recomputed pair graph. */
   def mmPhashCluster(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val hashed = mediaPng(s, dir).select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.map {
-        case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
-          require(img != null, s"doc $id: payload is not a decodable image")
-          (id, aHash64Of(img))
-      }))
-      .toDF("doc_id", "ph")
+    val hashed = phash64Frame(s, mediaPng(s, dir))
     val edges = neardupPairsOf(hashed)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // vertex set = every document (mediaPng derives a payload per doc)
+    // straight from the table — never a second decode pass
     val labels = graft.ops.Curation.connectedComponents(
-        hashed.select(col("doc_id").as("id")), edges)
+        t(s, dir, "documents").select(col("doc_id").as("id")), edges)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
     labels
       .withColumn("n_members",
@@ -921,6 +1005,7 @@ object Multimodal {
     "mm_decode" -> mmDecode,
     "mm_phash" -> mmPhash,
     "mm_phash_neardup" -> mmPhashNeardup,
+    "mm_phash_indexed" -> mmPhashIndexed,
     "mm_phash_cluster" -> mmPhashCluster,
     "mm_embed" -> mmEmbed,
     "mm_audio_meta" -> mmAudioMeta,
@@ -935,6 +1020,9 @@ object Multimodal {
     "mm_decode" -> mmDecodeOracle,
     "mm_phash" -> mmPhashOracle,
     "mm_phash_neardup" -> mmPhashNeardupOracle,
+    // the indexed variant changes only WHERE the hashes come from
+    // (the persisted archive), never the pairs — shared oracle
+    "mm_phash_indexed" -> mmPhashNeardupOracle,
     "mm_phash_cluster" -> mmPhashClusterOracle,
     "mm_embed" -> mmEmbedOracle,
     "mm_audio_meta" -> mmAudioMetaOracle,

@@ -272,15 +272,63 @@ class MultimodalSpec extends SparkSpec {
       s"banded join returned ${pairs.toSeq}, expected only the twin " +
         "pair at Hamming 0")
     // completeness at the radius boundary: flip exactly 2 bits in
-    // DIFFERENT bands (the pigeonhole-hardest d=2 layout) — the pair
-    // must still surface; 3 flips must not
-    val two = hb ^ (1L << 3) ^ (1L << 20)
-    val three = hb ^ (1L << 3) ^ (1L << 20) ^ (1L << 40)
+    // DIFFERENT bands (bits 3 → band 0, 50 → band 2 under the
+    // 22/21/21 banding — the pigeonhole-hardest d=2 layout, leaving
+    // exactly one clean band) — the pair must still surface; 3 flips
+    // across all three bands must not
+    val two = hb ^ (1L << 3) ^ (1L << 50)
+    val three = hb ^ (1L << 3) ^ (1L << 50) ^ (1L << 40)
     val boundary = Multimodal.neardupPairsOf(
         Seq((1L, hb), (2L, two), (3L, three)).toDF("doc_id", "ph"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(boundary.toSeq == Seq((1L, 2L, 2), (2L, 3L, 1)),
       s"boundary pairs were ${boundary.toSeq}")
+  }
+
+  test("persisted pHash index: indexed pairs equal from-decode pairs; " +
+    "two-epoch ingest merges to the one-shot build; tombstoned images' " +
+    "pairs vanish without touching a pixel") {
+    import org.apache.spark.sql.functions.col
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val docs = graft.io.Tables.load(spark, dir, "documents")
+    def tmp(p: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(p).toFile
+      d.deleteOnExit(); d.toString
+    }
+    // indexed ≡ from-decode (the shared-oracle safety case)
+    val idx = tmp("graft-phidx")
+    Multimodal.buildPhashIndexTo(spark, docs, idx)
+    val anchor = pairs(Multimodal.mmPhashNeardup(spark, dir))
+    assert(pairs(Multimodal.neardupIndexedFrom(spark, idx)) == anchor)
+    // two-epoch ingest ≡ one-shot build
+    val inc = tmp("graft-phidx-inc")
+    Multimodal.buildPhashIndexTo(spark,
+      docs.where(col("doc_id") % 3 =!= 0), inc)
+    Multimodal.ingestPhashIndex(spark,
+      docs.where(col("doc_id") % 3 === 0), inc, epoch = 1L)
+    assert(pairs(Multimodal.neardupIndexedFrom(spark, inc)) == anchor)
+    // tombstone: delete one side of some pairs → exactly the pairs
+    // over the surviving hash set remain
+    val victimIds = anchor.take(3).map(_._1)
+    import SparkSpec.spark.implicits._
+    graft.io.Tables.ingestTombstones(
+      victimIds.toSeq.toDF("doc_id"), s"$idx/tombstones", epoch = 1L)
+    val masked = pairs(Multimodal.neardupIndexedFrom(spark, idx))
+    assert(masked.forall { case (a, b, _) =>
+      !victimIds.contains(a) && !victimIds.contains(b) })
+    assert(masked == anchor.filterNot { case (a, b, _) =>
+      victimIds.contains(a) || victimIds.contains(b) })
+  }
+
+  test("indexed pHash probe never decodes: no object-serialization " +
+    "boundary (mapPartitions decode) anywhere in the plan") {
+    val plan = Multimodal.mmPhashIndexed(SparkSpec.spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("DeserializeToObject") &&
+      !plan.contains("MapPartitions"),
+      s"indexed probe re-decodes images:\n$plan")
   }
 
   test("phash clusters match an in-memory union-find over the gated " +
