@@ -273,6 +273,32 @@ object StreamOps {
     q.stop()
   }
 
+  /** Streaming maintenance of the pHash archive
+    * ([[graft.ops.Multimodal.buildPhashIndexTo]] starts it): each
+    * micro-batch of documents synthesizes/decodes its images ONCE and
+    * commits their 64-bit perceptual hashes under its own ingest
+    * epoch (+1 offset keeps the build layer's epoch 0) — at 100 TB
+    * the decode is the dominant pHash cost, and this is the path that
+    * makes it an ingest-time cost instead of a per-query one. Replay
+    * contract as everywhere: decoding is deterministic, so a crashed
+    * epoch recommits identical rows behind a new manifest version.
+    * With [[runDeleteStream]] on the same archive and the near-dup
+    * probe reading the masked view, the image modality gets the same
+    * ingest/delete/probe triangle as text fingerprints. */
+  def runPhashIngest(docs: DataFrame, idx: String,
+                     checkpoint: String): Unit = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        graft.ops.Multimodal.ingestPhashIndex(
+          b.sparkSession, b, idx, epoch + 1)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   // ---------- Streaming near-dup probe (fingerprint archive) ----------
 
   /** Streaming near-duplicate dedup over a document file stream: each

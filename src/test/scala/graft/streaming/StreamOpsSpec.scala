@@ -922,6 +922,73 @@ class StreamOpsSpec extends SparkSpec {
     assert(left == Set(2L), s"post-fold fingerprints wrong: $left")
   }
 
+  test("streaming pHash ingest: stream-landed hashes equal a one-shot " +
+    "build over corpus + arrivals; a streamed delete masks the pair " +
+    "probe immediately") {
+    import spark.implicits._
+    val corpus = Seq((100L, "img a"), (101L, "img b"))
+    // 868 = 100 + lcm(32, 24, 256): identical dims AND identical
+    // pixel formulas → a guaranteed Hamming-0 twin of doc 100
+    val f1 = Seq((102L, "img c"), (868L, "img d"))
+    val f2 = Seq((164L, "img e"))
+    def full(rows: Seq[(Long, String)]) =
+      rows.map { case (id, tx) => (id, tx, "en", "srcP", tx.length.toLong) }
+    val root = java.nio.file.Files.createTempDirectory("graft-phstream")
+    val stage = root.resolve("stage").toString
+    val idx = root.resolve("idx").toString
+    val idx2 = root.resolve("idx-rebuild").toString
+    val ckpt = root.resolve("ckpt").toString
+    new java.io.File(stage).mkdirs()
+    def land(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = root.resolve(s"tmp-$name").toString
+      full(rows).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/$name.parquet"))
+    }
+    land("f1", f1)
+    land("f2", f2)
+    graft.ops.Multimodal.buildPhashIndexTo(spark,
+      corpus.toDF("doc_id", "text"), idx)
+
+    runPhashIngest(readDocuments(spark, stage, Some(1)), idx, ckpt)
+
+    def hashes(i: String) = graft.io.Tables
+      .readManifested(spark, s"$i/hashes")
+      .select("doc_id", "ph").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = hashes(idx)
+    graft.ops.Multimodal.buildPhashIndexTo(spark,
+      (corpus ++ f1 ++ f2).toDF("doc_id", "text"), idx2)
+    assert(streamed == hashes(idx2),
+      "streamed hashes diverge from the one-shot build")
+
+    // probe through the masked view, then stream a delete for one
+    // side of a surfaced pair: its pairs must vanish pixel-free
+    val before = graft.ops.Multimodal.neardupIndexedFrom(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before.nonEmpty, "expected at least one near-dup pair")
+    val victim = before.head._1
+    val delStage = root.resolve("del").toString
+    new java.io.File(delStage).mkdirs()
+    Seq(victim).toDF("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(root.resolve("tmp-del").toString)
+    val delPart = new java.io.File(root.resolve("tmp-del").toString)
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(delPart.toPath,
+      java.nio.file.Paths.get(s"$delStage/d1.parquet"))
+    val delStream = spark.readStream
+      .schema("doc_id LONG").parquet(delStage)
+    runDeleteStream(delStream, idx, root.resolve("ckpt-del").toString)
+    val after = graft.ops.Multimodal.neardupIndexedFrom(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before.filterNot { case (a, b) =>
+      a == victim || b == victim },
+      "streamed delete did not mask the pair probe exactly")
+  }
+
   test("streaming token-index maintenance: stream-landed postings and " +
     "doc lengths equal a one-shot build over corpus + arrivals; epoch " +
     "replay and idle restart change nothing") {
