@@ -10,6 +10,8 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
   TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
+import graft.io.Tables
+
 /** Structured Streaming surface of the engine.
   *
   * The reference is strictly daily snapshot batch (cron →
@@ -185,6 +187,26 @@ object StreamOps {
     * not anti-join the batch against itself — without the exclusion a
     * replay would land an EMPTY partition and silently lose the
     * epoch's docs. */
+  /** The corpus store's tombstone table lives at a SIBLING path: the
+    * corpus itself is a plain epoch-partitioned parquet table (not
+    * manifested), so a `tombstones/` subdirectory would corrupt its
+    * partition discovery. */
+  private[graft] def corpusTombstonePath(corpusPath: String): String =
+    s"${corpusPath.stripSuffix("/")}_tombstones"
+
+  /** The corpus read view every consumer should use: landed docs
+    * minus live tombstones. Deletion reaches the corpus STORE, not
+    * just the derived indexes — [[runDeleteStream]] pointed at
+    * [[corpusTombstonePath]] masks here immediately, and
+    * [[ingestBatch]]'s dedup-vs-corpus probe uses the same mask so a
+    * deleted doc stops being a dedup anchor (a fresh identical
+    * arrival lands as NEW content rather than being suppressed by a
+    * ghost). */
+  def corpusView(spark: SparkSession, corpusPath: String): DataFrame =
+    Tables.minusTombstones(
+      spark.read.parquet(corpusPath),
+      corpusTombstonePath(corpusPath), "doc_id")
+
   def ingestBatch(batch: DataFrame, epoch: Long, corpusPath: String): Unit = {
     val spark = batch.sparkSession
     val keep = graft.ops.TextOps.repetitionSignals(batch)
@@ -206,8 +228,15 @@ object StreamOps {
       .exists(st => st.isDirectory && st.getPath.getName.contains("="))
     val fresh =
       if (hasLanded) {
-        val landed = spark.read.parquet(corpusPath)
-          .where(col("ingest_epoch") =!= epoch)
+        // tombstone-masked: a deleted (right-to-be-forgotten) doc must
+        // not survive as a dedup ANCHOR either — its content hash is
+        // derived from the removed text, and suppressing a fresh
+        // arrival against the ghost would both retain its signature
+        // and silently drop content the corpus no longer holds
+        val landed = Tables.minusTombstones(
+            spark.read.parquet(corpusPath)
+              .where(col("ingest_epoch") =!= epoch),
+            corpusTombstonePath(corpusPath), "doc_id")
         // scalable anti-join shape: a naive batch-ANTI-corpus would
         // have to broadcast the CORPUS side (anti joins only broadcast
         // their right input). Instead, semi-join the corpus against

@@ -922,6 +922,33 @@ class StreamOpsSpec extends SparkSpec {
     assert(left == Set(2L), s"post-fold fingerprints wrong: $left")
   }
 
+  test("corpus deletion: a tombstoned doc leaves the corpus view and " +
+    "stops being a dedup anchor — fresh identical content lands as new") {
+    import spark.implicits._
+    def mk(p: String) = (0 until 60).map(i => s"$p$i").mkString(" ")
+    val (ta, tb) = (mk("x"), mk("y"))
+    def docs(rows: (Long, String)*) =
+      rows.map { case (id, tx) => (id, tx, "en", "srcD", tx.length.toLong) }
+        .toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val root = java.nio.file.Files.createTempDirectory("graft-corpdel")
+    val corpus = root.resolve("corpus").toString
+    ingestBatch(docs(1L -> ta, 2L -> tb), 0L, corpus)
+    // duplicate arrival while doc 1 is LIVE → suppressed (the normal
+    // corpus-dedup contract)
+    ingestBatch(docs(11L -> ta), 1L, corpus)
+    def ids() = corpusView(spark, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids() == Set(1L, 2L), "live dup was not suppressed")
+    // forget doc 1: the view masks it immediately
+    graft.io.Tables.ingestTombstones(Seq(1L).toDF("doc_id"),
+      corpusTombstonePath(corpus), epoch = 1L)
+    assert(ids() == Set(2L), "corpus view still serves the deleted doc")
+    // and the ghost is no dedup anchor: fresh identical content lands
+    ingestBatch(docs(21L -> ta), 2L, corpus)
+    assert(ids() == Set(2L, 21L),
+      "ghost anchor suppressed a fresh arrival after deletion")
+  }
+
   test("streaming pHash ingest: stream-landed hashes equal a one-shot " +
     "build over corpus + arrivals; a streamed delete masks the pair " +
     "probe immediately") {
