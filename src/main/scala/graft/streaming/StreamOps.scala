@@ -207,6 +207,69 @@ object StreamOps {
       spark.read.parquet(corpusPath),
       corpusTombstonePath(corpusPath), "doc_id")
 
+  /** Physical tombstone fold for the corpus store — the same verb the
+    * manifested archives get from their epoch compactions, adapted to
+    * the corpus' plain epoch-partitioned layout: every epoch below the
+    * high-water mark that holds tombstoned docs is rewritten without
+    * them via dynamic partition overwrite (an epoch left EMPTY by the
+    * rewrite is deleted outright — dynamic overwrite only touches
+    * partitions it writes); victims in the newest epoch stay physical
+    * but masked (a stream crash-replay re-lands exactly that epoch
+    * from its staged files, which would silently resurrect a folded
+    * delete — the carry rule every archive fold here applies), and
+    * their tombstones stay live until the next fold. NOTE the corpus
+    * store is deliberately NOT reader-isolated (it is the ingest
+    * pipeline's internal substrate, single-writer by construction —
+    * the manifested pointer machinery is reserved for the SERVED
+    * archives); a fold runs in the same maintenance window as the
+    * ingest stream it serves. Returns the folded high-water epoch,
+    * -1 for a no-op. */
+  def foldCorpusTombstones(spark: SparkSession, corpusPath: String): Long = {
+    val tombPath = corpusTombstonePath(corpusPath)
+    val tombOpt = Tables.readTombstones(spark, tombPath, "doc_id")
+    if (tombOpt.isEmpty) return -1L
+    val td = tombOpt.get.localCheckpoint()
+    // partition-column values are type-inferred on read → pin to long
+    val all = spark.read.parquet(corpusPath)
+      .withColumn("ingest_epoch", col("ingest_epoch").cast("long"))
+    val maxE = all.agg(max(col("ingest_epoch"))).head().getLong(0)
+    val victims = all.join(broadcast(td), Seq("doc_id"), "left_semi")
+      .where(col("ingest_epoch") < maxE)
+    // epoch → (has victims, survivor count): drives rewrite vs delete
+    val plan = victims.groupBy(col("ingest_epoch"))
+      .agg(count(lit(1)).as("n_victims"))
+      .join(all.groupBy(col("ingest_epoch"))
+        .agg(count(lit(1)).as("n_total")), Seq("ingest_epoch"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2) - r.getLong(1)))
+    val (emptied, rewrite) = plan.partition(_._2 == 0L)
+    if (rewrite.nonEmpty) {
+      val es = rewrite.map(_._1)
+      all.where(col("ingest_epoch").isInCollection(es))
+        .join(broadcast(td), Seq("doc_id"), "left_anti")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_epoch")
+        .parquet(corpusPath)
+    }
+    val root = new org.apache.hadoop.fs.Path(corpusPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    emptied.foreach { case (e, _) =>
+      fs.delete(new org.apache.hadoop.fs.Path(root,
+        s"ingest_epoch=$e"), true)
+    }
+    // retire every tombstone except newest-epoch victims (carry rule)
+    val carried = td.join(
+        all.where(col("ingest_epoch") === maxE)
+          .select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi").localCheckpoint()
+    Tables.clearManifested(spark, tombPath)
+    if (!carried.isEmpty)
+      Tables.ingestTombstones(carried, tombPath, epoch = 0L)
+    td.unpersist(); carried.unpersist()
+    maxE
+  }
+
   def ingestBatch(batch: DataFrame, epoch: Long, corpusPath: String): Unit = {
     val spark = batch.sparkSession
     val keep = graft.ops.TextOps.repetitionSignals(batch)

@@ -947,6 +947,32 @@ class StreamOpsSpec extends SparkSpec {
     ingestBatch(docs(21L -> ta), 2L, corpus)
     assert(ids() == Set(2L, 21L),
       "ghost anchor suppressed a fresh arrival after deletion")
+
+    // physical fold: doc 1 (old epoch) is erased from disk; a
+    // tombstoned doc in the NEWEST epoch stays physical-but-masked
+    // (crash-replay carry rule) until the next fold
+    graft.io.Tables.ingestTombstones(Seq(21L).toDF("doc_id"),
+      corpusTombstonePath(corpus), epoch = 2L)
+    assert(ids() == Set(2L))
+    val folded = foldCorpusTombstones(spark, corpus)
+    assert(folded == 2L, s"fold returned $folded")
+    assert(ids() == Set(2L), "fold changed the corpus view")
+    val raw = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!raw.contains(1L), "old-epoch victim survived the fold on disk")
+    assert(raw.contains(21L),
+      "newest-epoch victim must stay physical until the next fold")
+    // epoch 0 lost doc 1 but keeps doc 2; only the carried
+    // newest-epoch victim may stay tombstoned
+    val tombs = graft.io.Tables.readTombstones(spark,
+      corpusTombstonePath(corpus), "doc_id")
+      .map(_.as[Long].collect().toSet).getOrElse(Set.empty)
+    assert(tombs == Set(21L),
+      s"only the carried newest-epoch victim may stay tombstoned: $tombs")
+    // a crash-replay of the newest epoch re-lands doc 21 — the
+    // carried tombstone keeps it invisible
+    ingestBatch(docs(21L -> ta), 2L, corpus)
+    assert(ids() == Set(2L), "replay resurrected a folded delete")
   }
 
   test("streaming pHash ingest: stream-landed hashes equal a one-shot " +
