@@ -471,11 +471,20 @@ object Multimodal {
     * recommits identical rows. Cost scales with the batch, never the
     * index. */
   private[graft] def ingestPhashIndex(s: SparkSession, batch: DataFrame,
-                                      idx: String, epoch: Long): Unit =
-    Tables.upsertManifested(
-      phash64Frame(s, mediaPngOf(s, batch))
-        .withColumn("ingest_epoch", lit(epoch)),
-      s"$idx/hashes", Seq("ingest_epoch"), _ == s"ingest_epoch=$epoch")
+                                      idx: String, epoch: Long): Unit = {
+    // bootstrap-safe like the token index: a stream may create the
+    // archive; an empty first batch defers creation (an empty
+    // manifest would wedge every later read)
+    val hasManifest = Tables.manifestExists(s, s"$idx/hashes")
+    if (!hasManifest && batch.isEmpty) return
+    val hashes = phash64Frame(s, mediaPngOf(s, batch))
+      .withColumn("ingest_epoch", lit(epoch))
+    if (hasManifest)
+      Tables.upsertManifested(hashes,
+        s"$idx/hashes", Seq("ingest_epoch"), _ == s"ingest_epoch=$epoch")
+    else
+      Tables.writeManifested(hashes, s"$idx/hashes", Seq("ingest_epoch"))
+  }
 
   /** Near-dup pairs served from a pHash index at `idx`,
     * tombstone-masked: a deleted image's pairs vanish on the next

@@ -1638,17 +1638,31 @@ object TextOps {
     * with the batch, never the index. */
   private[graft] def ingestTokenIndex(batch: DataFrame, idx: String,
                                     epoch: Long): Unit = {
-    val tok = batch.select(col("doc_id"),
-      explode(words(col("text"))).as("token"))
-    Tables.upsertManifested(
-      tok.groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("tf"))
-        .withColumn("ingest_epoch", lit(epoch)),
-      s"$idx/postings", Seq("ingest_epoch"), _ == s"ingest_epoch=$epoch")
-    Tables.upsertManifested(
-      batch.select(col("doc_id"), size(words(col("text"))).as("dl"))
-        .withColumn("ingest_epoch", lit(epoch)),
-      s"$idx/doclen", Seq("ingest_epoch"), _ == s"ingest_epoch=$epoch")
+    val s = batch.sparkSession
+    // bootstrap-safe: a stream may be the archive's FIRST writer
+    // (no build layer yet). An EMPTY first batch defers creation —
+    // committing an empty manifest would wedge every later read
+    // (the all-filtered-first-epoch guard the fingerprint archive
+    // applies).
+    val hasManifest = Tables.manifestExists(s, s"$idx/postings")
+    if (!hasManifest && batch.isEmpty) return
+    val post = batch.select(col("doc_id"),
+        explode(words(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("ingest_epoch", lit(epoch))
+    val dl = batch.select(col("doc_id"),
+        size(words(col("text"))).as("dl"))
+      .withColumn("ingest_epoch", lit(epoch))
+    if (hasManifest) {
+      Tables.upsertManifested(post,
+        s"$idx/postings", Seq("ingest_epoch"), _ == s"ingest_epoch=$epoch")
+      Tables.upsertManifested(dl,
+        s"$idx/doclen", Seq("ingest_epoch"), _ == s"ingest_epoch=$epoch")
+    } else {
+      Tables.writeManifested(post, s"$idx/postings", Seq("ingest_epoch"))
+      Tables.writeManifested(dl, s"$idx/doclen", Seq("ingest_epoch"))
+    }
   }
 
   /** BM25 top-k served from a token index at `idx`, tombstone-masked:

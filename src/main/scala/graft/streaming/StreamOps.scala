@@ -416,6 +416,72 @@ object StreamOps {
     q.stop()
   }
 
+  // ---------- The composed curation front door ----------
+
+  /** The FULL streaming curation front door — the production topology
+    * every other streaming entry point here is one leg of, composed
+    * under ONE checkpoint and ONE epoch number per micro-batch:
+    *
+    *   1. quality-filter + exact-dedup + land into the corpus store
+    *      ([[ingestBatch]]) — the gate everything downstream sees;
+    *   2. probe + ingest the winnowing fingerprint archive with the
+    *      epoch's SURVIVORS (near-dup verdicts land at
+    *      `root/neardup`);
+    *   3. re-label affected dedup clusters and commit label epochs
+    *      ([[graft.ops.Curation.clusterIncrementalFrom]] — the
+    *      cluster archive is the one stage needing a one-time build,
+    *      [[graft.ops.Curation.buildClusterArchiveTo]]);
+    *   4. keep the BM25 token index and the image pHash archive
+    *      current (both bootstrap themselves on their first
+    *      non-empty epoch).
+    *
+    * Stages 2–4 consume the SURVIVORS read back from the corpus store
+    * (`ingest_epoch = epoch`), not the raw batch: quality-failed and
+    * exact-dup docs never reach any archive, and the corpus store is
+    * the single source of truth the archives are derived views of.
+    * A crashed micro-batch replays every stage under the same epoch;
+    * each stage's commit is replace-or-add of recomputed-identical
+    * rows, so the whole front door is idempotent (spec-pinned,
+    * including that every derived archive equals its one-shot build
+    * over the corpus view). Layout under `root`:
+    * `corpus`, `neardup`, `winnow/`, `clusters/`, `tokens/`,
+    * `phash/`. */
+  def runFrontDoor(docs: DataFrame, root: String,
+                   checkpoint: String): Unit = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        val s = b.sparkSession
+        // +1 offset on EVERY store, corpus included: epoch 0 is the
+        // one-time seed/build layer across the whole topology
+        val e = epoch + 1
+        ingestBatch(b, e, s"$root/corpus")
+        // the epoch's survivors, read back from the store — exactly
+        // what landed, identical on a crash-replay
+        val survivors = corpusView(s, s"$root/corpus")
+          .where(col("ingest_epoch").cast("long") === e)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .localCheckpoint()
+        if (!survivors.isEmpty) {
+          graft.ops.TextOps.ingestAndProbeFingerprints(
+            survivors, e, s"$root/winnow", s"$root/neardup")
+          graft.ops.Curation.clusterIncrementalFrom(
+            survivors, s"$root/clusters",
+            isBatch = _ => lit(true), epoch = e)
+          graft.ops.TextOps.ingestTokenIndex(
+            survivors, s"$root/tokens", e)
+          graft.ops.Multimodal.ingestPhashIndex(
+            s, survivors, s"$root/phash", e)
+        }
+        survivors.unpersist()
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   // ---------- Streaming cluster-label maintenance ----------
 
   /** Streaming maintenance of the CLUSTER archive — the near-dup

@@ -922,6 +922,106 @@ class StreamOpsSpec extends SparkSpec {
     assert(left == Set(2L), s"post-fold fingerprints wrong: $left")
   }
 
+  test("composed front door: one stream drives corpus, near-dup, " +
+    "cluster, retrieval and image archives in lockstep — every derived " +
+    "archive equals its one-shot build over the corpus view, and an " +
+    "idle restart changes nothing") {
+    import spark.implicits._
+    def mk(p: String) = (0 until 60).map(i => s"$p$i").mkString(" ")
+    val (ta, tb, tc) = (mk("fa"), mk("fb"), mk("fc"))
+    val nearDup = ("zz" +: (1 until 60).map(i => s"fa$i")).mkString(" ")
+    val spam = Seq.fill(50)("spam ham").mkString(" ")
+    def full(rows: Seq[(Long, String)]) = rows.map { case (id, tx) =>
+      (id, tx, "en", "srcF", tx.length.toLong) }
+    val root0 = java.nio.file.Files.createTempDirectory("graft-frontdoor")
+    val root = root0.toString
+    val stage = s"$root/stage"
+    new java.io.File(stage).mkdirs()
+    def land(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = root0.resolve(s"tmp-$name").toString
+      full(rows).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/$name.parquet"))
+    }
+    // seed the whole topology at epoch 0: corpus store + every archive
+    val seed = Seq(1L -> ta, 2L -> tb)
+    val seedDocs = seed.toDF("doc_id", "text")
+    ingestBatch(full(seed).toDF("doc_id", "text", "lang", "source",
+      "n_chars"), 0L, s"$root/corpus")
+    graft.ops.Curation.buildClusterArchiveTo(seedDocs, s"$root/clusters")
+    graft.ops.TextOps.buildWinnowIndexTo(seedDocs, s"$root/winnow")
+    graft.ops.TextOps.buildTokenIndexTo(seedDocs, s"$root/tokens")
+    graft.ops.Multimodal.buildPhashIndexTo(spark, seedDocs, s"$root/phash")
+
+    // f1: a clean new doc + an EXACT dup of seed doc 1 (must be
+    // suppressed at the corpus gate and reach NO archive);
+    // f2: a near-dup of doc 1 (59-word verbatim run — winnow flags
+    // it, clusters merge it) + a spam doc (quality-filtered)
+    land("f1", Seq(3L -> tc, 4L -> ta))
+    land("f2", Seq(5L -> nearDup, 6L -> spam))
+
+    runFrontDoor(readDocuments(spark, stage, Some(1)), root,
+      s"$root/ckpt")
+
+    def corpusIds() = corpusView(spark, s"$root/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpusIds() == Set(1L, 2L, 3L, 5L),
+      s"corpus gate failed: ${corpusIds()}")
+
+    // near-dup verdicts: doc 5 flagged against the seed, doc 3 clean,
+    // docs 4/6 never probed (they died at the gate)
+    val v = spark.read.parquet(s"$root/neardup")
+      .select("doc_id", "is_dup", "best_match_id").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(v.keySet == Set(3L, 5L), s"verdict set: ${v.keySet}")
+    assert(v(5L) == (true, 1L), s"near-dup not flagged: $v")
+    assert(!v(3L)._1, s"clean doc falsely flagged: $v")
+
+    // every derived archive ≡ its one-shot build over the corpus view
+    val view = corpusView(spark, s"$root/corpus")
+      .select("doc_id", "text")
+    def postings(i: String) = graft.io.Tables
+      .readManifested(spark, s"$i/postings")
+      .select("doc_id", "token", "tf").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    graft.ops.TextOps.buildTokenIndexTo(view, s"$root/tokens-ref")
+    assert(postings(s"$root/tokens") == postings(s"$root/tokens-ref"),
+      "token index diverges from its one-shot build")
+    def hashes(i: String) = graft.io.Tables
+      .readManifested(spark, s"$i/hashes")
+      .select("doc_id", "ph").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.ops.Multimodal.buildPhashIndexTo(spark, view, s"$root/phash-ref")
+    assert(hashes(s"$root/phash") == hashes(s"$root/phash-ref"),
+      "pHash archive diverges from its one-shot build")
+    def labels(i: String) = graft.ops.Curation
+      .readClusterLabels(spark, i).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.ops.Curation.buildClusterArchiveTo(view, s"$root/clusters-ref")
+    assert(labels(s"$root/clusters") == labels(s"$root/clusters-ref"),
+      "cluster labels diverge from a from-scratch rebuild")
+    assert(labels(s"$root/clusters")(5L) == 1L,
+      "near-dup arrival did not merge into the seed's cluster")
+
+    // idle restart: no new files → every store byte-identical
+    val before = (corpusIds(), v, postings(s"$root/tokens"),
+      hashes(s"$root/phash"), labels(s"$root/clusters"))
+    runFrontDoor(readDocuments(spark, stage, Some(1)), root,
+      s"$root/ckpt")
+    val after = (corpusIds(),
+      spark.read.parquet(s"$root/neardup")
+        .select("doc_id", "is_dup", "best_match_id").collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toMap,
+      postings(s"$root/tokens"), hashes(s"$root/phash"),
+      labels(s"$root/clusters"))
+    assert(after == before, "idle restart moved the front door's stores")
+  }
+
   test("corpus deletion: a tombstoned doc leaves the corpus view and " +
     "stops being a dedup anchor — fresh identical content lands as new") {
     import spark.implicits._
