@@ -598,10 +598,22 @@ object Curation {
   private[ops] def clusterDeleteFrom(docs: DataFrame,
       idx: String,
       isDeleted: Column => Column = _ % 13 === 0,
-      epoch: Long = 1L): DataFrame = {
-    val s = docs.sparkSession
-    val delIds = docs.where(isDeleted(col("doc_id")))
-      .select(col("doc_id"))
+      epoch: Long = 1L): DataFrame =
+    clusterDeleteIds(docs.sparkSession,
+      docs.where(isDeleted(col("doc_id"))).select(col("doc_id")),
+      idx, epoch)
+
+  /** The same delete-repair over a bare key frame — the maintenance
+    * step that follows the streaming topology-wide delete leg
+    * ([[graft.streaming.StreamOps.runFrontDoorDeletes]] masks
+    * instantly; THIS, run in the archive's maintenance window, does
+    * the component SPLIT repair, because repair label commits must be
+    * ordered against the ingest leg's and two uncoordinated stream
+    * writers cannot totally order their epochs): tombstone the keys,
+    * then re-derive and re-commit labels for exactly the affected
+    * components. */
+  private[graft] def clusterDeleteIds(s: SparkSession, delIds: DataFrame,
+      idx: String, epoch: Long): DataFrame = {
     Tables.ingestTombstones(delIds, s"$idx/tombstones", epoch)
     // label archive view: latest epoch per doc, self-excluding this
     // delete epoch (a crash-replay must not read its own previous

@@ -482,6 +482,50 @@ object StreamOps {
     q.stop()
   }
 
+  /** The front door's DELETE leg: one right-to-be-forgotten stream
+    * that removes each micro-batch of doc keys from the ENTIRE
+    * topology [[runFrontDoor]] maintains — corpus store, winnow
+    * fingerprints, cluster labels, token postings and pHash hashes —
+    * in one foreachBatch, under one delete epoch (+1000000 offset so
+    * tombstone epochs can never collide with the ingest leg's on any
+    * shared archive). Every read view masks the keys IMMEDIATELY
+    * (deletion is idempotent, so a crashed micro-batch replays
+    * cleanly everywhere), and each store's own fold makes the removal
+    * physical on its maintenance schedule.
+    *
+    * Deliberately NOT in this stream: the cluster SPLIT repair
+    * (deleting a bridge doc should split its component). Repair
+    * commits label rows, and label reads are latest-epoch-wins — a
+    * repair committed from this stream's independent epoch counter
+    * would permanently outrank the ingest leg's later merges (two
+    * uncoordinated writers cannot totally order their commits). So
+    * the stream masks (instantly correct for every per-doc read),
+    * and the split repair runs as the archive's MAINTENANCE step
+    * ([[graft.ops.Curation.clusterDeleteIds]], the same body the
+    * gated `q_cluster_delete` drives), ordered against ingest by the
+    * maintenance window — the same single-writer-per-window contract
+    * the corpus fold documents. */
+  def runFrontDoorDeletes(ids: DataFrame, root: String,
+                          checkpoint: String): Unit = {
+    val q = ids.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        val e = epoch + 1000000L
+        val keys = b.select(col("doc_id")).localCheckpoint()
+        Tables.ingestTombstones(keys, corpusTombstonePath(s"$root/corpus"), e)
+        Tables.ingestTombstones(keys, s"$root/winnow/tombstones", e)
+        Tables.ingestTombstones(keys, s"$root/tokens/tombstones", e)
+        Tables.ingestTombstones(keys, s"$root/phash/tombstones", e)
+        Tables.ingestTombstones(keys, s"$root/clusters/tombstones", e)
+        keys.unpersist()
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   // ---------- Streaming cluster-label maintenance ----------
 
   /** Streaming maintenance of the CLUSTER archive — the near-dup

@@ -1020,6 +1020,43 @@ class StreamOpsSpec extends SparkSpec {
       postings(s"$root/tokens"), hashes(s"$root/phash"),
       labels(s"$root/clusters"))
     assert(after == before, "idle restart moved the front door's stores")
+
+    // DELETE leg: one RTBF stream masks the keys across the whole
+    // topology at once
+    val delStage = s"$root/del-stage"
+    new java.io.File(delStage).mkdirs()
+    Seq(3L, 1L).toDF("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(root0.resolve("tmp-del").toString)
+    val delPart = new java.io.File(root0.resolve("tmp-del").toString)
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(delPart.toPath,
+      java.nio.file.Paths.get(s"$delStage/d1.parquet"))
+    runFrontDoorDeletes(
+      spark.readStream.schema("doc_id LONG").parquet(delStage),
+      root, s"$root/ckpt-del")
+    assert(corpusIds() == Set(2L, 5L), "corpus still serves deleted docs")
+    def maskedIds(path: String) = graft.io.Tables.minusTombstones(
+        graft.io.Tables.readManifested(spark, path),
+        path.stripSuffix(path.split('/').last) + "tombstones", "doc_id")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(!maskedIds(s"$root/tokens/postings").exists(Set(1L, 3L)),
+      "token postings still serve deleted docs")
+    assert(!maskedIds(s"$root/phash/hashes").exists(Set(1L, 3L)),
+      "pHash archive still serves deleted docs")
+    assert(!maskedIds(s"$root/winnow/fingerprints").exists(Set(1L, 3L)),
+      "winnow archive still serves deleted docs")
+    assert(labels(s"$root/clusters").keySet == Set(2L, 5L),
+      "cluster label view still serves deleted docs")
+    // the stream only MASKS; the component repair is the maintenance
+    // step, ordered after the ingest leg by the maintenance window —
+    // doc 1 carried cluster {1, 5}'s label, so its survivor relabels
+    assert(labels(s"$root/clusters")(5L) == 1L,
+      "pre-repair survivor should still show the stale carrier label")
+    graft.ops.Curation.clusterDeleteIds(spark,
+      Seq(1L, 3L).toDF("doc_id"), s"$root/clusters", epoch = 100L)
+    val repaired = labels(s"$root/clusters")
+    assert(repaired == Map(2L -> 2L, 5L -> 5L),
+      s"carrier-delete repair failed: $repaired")
   }
 
   test("corpus deletion: a tombstoned doc leaves the corpus view and " +
