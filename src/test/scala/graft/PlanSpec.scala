@@ -470,6 +470,24 @@ class PlanSpec extends SparkSpec {
       s"indexed retrieval plans a cartesian:\n$plan")
   }
 
+  test("front-door survivor read prunes to its epoch partition: the " +
+    "cast(long) comparison must unwrap, or every micro-batch would " +
+    "scan the whole corpus store at 100 TB") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-fdprune")
+    val corpus = root.resolve("corpus").toString
+    Seq((1L, "a", 0L), (2L, "b", 1L))
+      .toDF("doc_id", "text", "ingest_epoch")
+      .write.partitionBy("ingest_epoch").parquet(corpus)
+    val survivors = graft.streaming.StreamOps
+      .corpusView(spark, corpus)
+      .where(col("ingest_epoch").cast("long") === 1L)
+    val plan = planString(survivors)
+    val pruned = raw"PartitionFilters: \[[^\]]*ingest_epoch#\d+\s*=\s*1[^\]]*\]".r
+    assert(pruned.findFirstIn(plan).isDefined,
+      s"epoch filter did not reach PartitionFilters:\n$plan")
+  }
+
   test("partition-count knob: shuffle partitions follow the session config") {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
     val parts = Tables.load(spark, sf, "events")
