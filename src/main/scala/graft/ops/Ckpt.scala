@@ -17,7 +17,7 @@ import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
   * by an earlier invocation fails loudly on re-evaluation (its
   * truncated lineage can't recompute), exactly like SnapshotDir's
   * deleted directories — never silently recomputes stale data. */
-private[ops] object Ckpt {
+private[graft] object Ckpt {
   private val prev =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFrame]]()
 

@@ -1232,10 +1232,19 @@ object Similarity {
   private val indexMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Non-index scratch dirs (e.g. the gated delete query's private
+    * tombstone side table) that need the same end-of-process cleanup.
+    * A DEDICATED registry: planting synthetic keys in [[indexMemo]]
+    * would let any consumer iterating memo values as index dirs
+    * misread a tombstone dir as an index. */
+  private val auxTmpDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import scala.jdk.CollectionConverters._
-      (indexMemo.values.asScala ++ oldIndexMemo.values.asScala)
+      (indexMemo.values.asScala ++ oldIndexMemo.values.asScala ++
+        auxTmpDirs.asScala)
         .foreach(d => // best-effort recursive delete
           org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(d)))
     }, "graft-index-temp-cleanup"))
@@ -1433,7 +1442,7 @@ object Similarity {
     val tomb = servedTombMemo.computeIfAbsent(dir, _ => {
       val d = java.nio.file.Files
         .createTempDirectory("graft-served-tomb").toString
-      indexMemo.put(dir + "#tomb", d) // shutdown-hook cleanup
+      auxTmpDirs.add(d) // shutdown-hook cleanup
       s"$d/tombstones"
     })
     Tables.ingestTombstones(

@@ -167,6 +167,28 @@ object StreamOps {
     q.stop()
   }
 
+  /** [[runDeleteStream]] wired for the CORPUS STORE: the corpus'
+    * tombstone table lives at the SIBLING path
+    * ([[corpusTombstonePath]] — a `tombstones/` subdirectory would
+    * corrupt the plain epoch-partitioned table's partition
+    * discovery), so the generic archive-rooted entry point cannot
+    * target it; this one commits each micro-batch of doc keys
+    * directly to the sibling table [[corpusView]] reads. Same epoch
+    * contract (+1000000 delete-epoch offset, idempotent replay). */
+  def runCorpusDeleteStream(ids: DataFrame, corpusPath: String,
+                            checkpoint: String): Unit = {
+    val q = ids.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        graft.io.Tables.ingestTombstones(
+          b, corpusTombstonePath(corpusPath), epoch + 1000000L)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   // ---------- Streaming corpus ingest (curation front door) ----------
 
   /** One micro-batch of corpus ingest — exposed separately from
@@ -196,12 +218,13 @@ object StreamOps {
 
   /** The corpus read view every consumer should use: landed docs
     * minus live tombstones. Deletion reaches the corpus STORE, not
-    * just the derived indexes — [[runDeleteStream]] pointed at
-    * [[corpusTombstonePath]] masks here immediately, and
-    * [[ingestBatch]]'s dedup-vs-corpus probe uses the same mask so a
-    * deleted doc stops being a dedup anchor (a fresh identical
-    * arrival lands as NEW content rather than being suppressed by a
-    * ghost). */
+    * just the derived indexes — [[runCorpusDeleteStream]] masks here
+    * immediately (NOT [[runDeleteStream]], which appends its own
+    * `/tombstones` segment for archive-rooted layouts and would
+    * write a path this view never reads), and [[ingestBatch]]'s
+    * dedup-vs-corpus probe uses the same mask so a deleted doc stops
+    * being a dedup anchor (a fresh identical arrival lands as NEW
+    * content rather than being suppressed by a ghost). */
   def corpusView(spark: SparkSession, corpusPath: String): DataFrame =
     Tables.minusTombstones(
       spark.read.parquet(corpusPath),
@@ -245,12 +268,21 @@ object StreamOps {
     val (emptied, rewrite) = plan.partition(_._2 == 0L)
     if (rewrite.nonEmpty) {
       val es = rewrite.map(_._1)
-      all.where(col("ingest_epoch").isInCollection(es))
+      // localCheckpoint severs the self-read: the survivor frame is
+      // fully materialized BEFORE the dynamic overwrite deletes the
+      // partitions it was derived from, so the rewrite's correctness
+      // no longer depends on Spark's handling of a same-path
+      // read-then-overwrite (the shape insertInto rejects outright),
+      // and a crash inside the overwrite commit loses nothing that
+      // the materialized frame + replay can't restore
+      val survivors = all.where(col("ingest_epoch").isInCollection(es))
         .join(broadcast(td), Seq("doc_id"), "left_anti")
-        .write.mode("overwrite")
+        .localCheckpoint()
+      survivors.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest_epoch")
         .parquet(corpusPath)
+      graft.ops.Ckpt.release(survivors)
     }
     val root = new org.apache.hadoop.fs.Path(corpusPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -266,7 +298,11 @@ object StreamOps {
     Tables.clearManifested(spark, tombPath)
     if (!carried.isEmpty)
       Tables.ingestTombstones(carried, tombPath, epoch = 0L)
-    td.unpersist(); carried.unpersist()
+    // deterministic block release: Dataset.unpersist is a documented
+    // NO-OP for localCheckpoint'd frames (Ckpt.scala) — on this
+    // long-running maintenance path the blocks must not wait for the
+    // ContextCleaner
+    graft.ops.Ckpt.release(td); graft.ops.Ckpt.release(carried)
     maxE
   }
 
@@ -474,7 +510,7 @@ object StreamOps {
           graft.ops.Multimodal.ingestPhashIndex(
             s, survivors, s"$root/phash", e)
         }
-        survivors.unpersist()
+        graft.ops.Ckpt.release(survivors)
         ()
       }
       .start()
@@ -518,7 +554,7 @@ object StreamOps {
         Tables.ingestTombstones(keys, s"$root/tokens/tombstones", e)
         Tables.ingestTombstones(keys, s"$root/phash/tombstones", e)
         Tables.ingestTombstones(keys, s"$root/clusters/tombstones", e)
-        keys.unpersist()
+        graft.ops.Ckpt.release(keys)
         ()
       }
       .start()

@@ -1112,6 +1112,101 @@ class StreamOpsSpec extends SparkSpec {
     assert(ids() == Set(2L), "replay resurrected a folded delete")
   }
 
+  test("runCorpusDeleteStream targets the corpus' SIBLING tombstone " +
+    "table — the view masks streamed deletes immediately") {
+    import spark.implicits._
+    def mk(p: String) = (0 until 60).map(i => s"$p$i").mkString(" ")
+    def docs(rows: (Long, String)*) =
+      rows.map { case (id, tx) => (id, tx, "en", "srcS", tx.length.toLong) }
+        .toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val root = java.nio.file.Files.createTempDirectory("graft-corpdelstr")
+    val corpus = root.resolve("corpus").toString
+    ingestBatch(docs(1L -> mk("p"), 2L -> mk("q"), 3L -> mk("r")),
+      0L, corpus)
+    val stage = root.resolve("stage").toString
+    new java.io.File(stage).mkdirs()
+    Seq(1L, 3L).toDF("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(root.resolve("tmp").toString)
+    val part = new java.io.File(root.resolve("tmp").toString)
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$stage/d1.parquet"))
+    runCorpusDeleteStream(
+      spark.readStream.schema("doc_id LONG").parquet(stage),
+      corpus, root.resolve("ckpt").toString)
+    val live = corpusView(spark, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(live == Set(2L),
+      s"streamed corpus delete did not mask the view: $live")
+    // and the tombstones landed at the sibling path corpusView reads,
+    // under the delete stream's +1000000-offset epoch
+    val tombs = graft.io.Tables.readTombstones(spark,
+      corpusTombstonePath(corpus), "doc_id")
+      .map(_.as[Long].collect().toSet).getOrElse(Set.empty)
+    assert(tombs == Set(1L, 3L), s"tombstone table holds $tombs")
+  }
+
+  test("streaming paths release their per-batch checkpoints " +
+    "deterministically: fold, front door and delete leg leave no new " +
+    "persisted RDD behind (beyond the Ckpt slots' designed residue)") {
+    import spark.implicits._
+    def live(): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
+    def mk(p: String) = (0 until 60).map(i => s"$p$i").mkString(" ")
+    def full(rows: Seq[(Long, String)]) = rows.map { case (id, tx) =>
+      (id, tx, "en", "srcR", tx.length.toLong) }
+    val root0 = java.nio.file.Files.createTempDirectory("graft-ckptrel")
+    val root = root0.toString
+    val stage = s"$root/stage"
+    new java.io.File(stage).mkdirs()
+    def land(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = root0.resolve(s"tmp-$name").toString
+      full(rows).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/$name.parquet"))
+    }
+    ingestBatch(full(Seq(1L -> mk("a"), 2L -> mk("b")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      0L, s"$root/corpus")
+    graft.ops.Curation.buildClusterArchiveTo(
+      Seq(1L -> mk("a"), 2L -> mk("b")).toDF("doc_id", "text"),
+      s"$root/clusters")
+
+    val before = live()
+    land("f1", Seq(3L -> mk("c"), 4L -> mk("d")))
+    runFrontDoor(readDocuments(spark, stage, Some(1)), root,
+      s"$root/ckpt")
+    // delete leg + corpus fold — the other two paths VERDICT flagged
+    val delStage = s"$root/del-stage"
+    new java.io.File(delStage).mkdirs()
+    Seq(3L).toDF("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(root0.resolve("tmp-del").toString)
+    val delPart = new java.io.File(root0.resolve("tmp-del").toString)
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(delPart.toPath,
+      java.nio.file.Paths.get(s"$delStage/d1.parquet"))
+    runFrontDoorDeletes(
+      spark.readStream.schema("doc_id LONG").parquet(delStage),
+      root, s"$root/ckpt-del")
+    foldCorpusTombstones(spark, s"$root/corpus")
+
+    // the ONLY designed residue is the Ckpt slots' latest-invocation
+    // frames (released by the NEXT invocation of the same slot) —
+    // drain those, then anything still persisted is a leak
+    Seq("q_cluster_incremental", "q_cluster_incremental_edges")
+      .foreach { slot =>
+        val d = spark.emptyDataFrame.localCheckpoint()
+        graft.ops.Ckpt.track(slot, d)
+        graft.ops.Ckpt.release(d)
+      }
+    val leaked = live() -- before
+    assert(leaked.isEmpty,
+      s"streaming paths left checkpoint RDDs persisted: $leaked")
+  }
+
   test("streaming pHash ingest: stream-landed hashes equal a one-shot " +
     "build over corpus + arrivals; a streamed delete masks the pair " +
     "probe immediately") {
