@@ -593,6 +593,197 @@ object Tables {
     drop.foreach(m => fs.delete(m.getPath, false))
   }
 
+  // ---------- Bucketed archive tables (postings layout at scale) ----------
+
+  /** A BUCKETED, epoch-partitioned archive table — the physical
+    * layout of the high-cardinality postings archives (shingle → doc,
+    * token → doc): rows are hash-bucketed by the probe key at WRITE
+    * time, so a daily probe join arrives with the archive side
+    * already partitioned on the key — Spark plans a one-sided
+    * exchange (batch side only, to the bucket count) instead of
+    * shuffling the archive, and an equality/IN probe on the key
+    * prunes to its buckets at scan time (`SelectedBucketsCount`).
+    * That is the 100 TB contract the epoch-partitioned manifested
+    * layout could not give: a manifested read is a plain path union,
+    * which reports no partitioning, so every co-partitioned plan had
+    * to either broadcast the batch side (caps batch size) or shuffle
+    * the archive (archive-proportional). Both probe paths keep
+    * working here; the bucketed scan is what makes the non-broadcast
+    * fallback archive-shuffle-free.
+    *
+    * Mechanics: the table is a catalog entry (bucket metadata lives
+    * in the catalog) EXTERNAL at `path`, partitioned by
+    * `ingest_epoch` and bucketed/sorted by the key. A sidecar
+    * `_graft_bucketspec` file at the table root records (key,
+    * buckets, schema) so a FRESH session re-registers the catalog
+    * entry from disk ([[readBucketedArchive]] does this lazily); the
+    * sidecar commits LAST at create time, so a crashed create reads
+    * as "no archive" — the writeManifested discipline.
+    *
+    * What this layout deliberately TRADES AWAY versus the manifested
+    * tables: reader isolation during maintenance. Epoch commits are
+    * drop-partition-then-append (replace-or-add; a crashed or
+    * replayed epoch rewrites exactly its own partition — the dynamic
+    * partition overwrite contract the corpus store uses), and the
+    * fold is a staged full rewrite with an atomic-rename swap
+    * ([[replaceBucketedArchive]]). The postings archives are the
+    * ingest pipeline's internal probe substrate, single-writer per
+    * maintenance window by the same contract as the corpus store;
+    * the SERVED label/verdict tables stay manifested. */
+  private[graft] def bucketedArchName(path: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"graft_arch_${digest.take(16)}"
+  }
+
+  private def bucketSpecPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_bucketspec")
+
+  /** Does a bucketed archive exist at `path`? Mirrors
+    * [[manifestExists]]: only the genuine no-archive shapes answer
+    * false. */
+  private[graft] def bucketedArchiveExists(spark: SparkSession,
+                                           path: String): Boolean = {
+    val p = bucketSpecPath(path)
+    try fsFor(spark, p).exists(p)
+    catch { case _: java.io.FileNotFoundException => false }
+  }
+
+  private def writeBucketSpec(spark: SparkSession, path: String,
+                              keyCol: String, buckets: Int,
+                              schema: StructType): Unit = {
+    val p = bucketSpecPath(path)
+    val out = fsFor(spark, p).create(p, true)
+    try out.write(s"$keyCol\n$buckets\n${schema.toDDL}"
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readBucketSpec(spark: SparkSession, path: String)
+      : (String, Int, StructType) = {
+    val p = bucketSpecPath(path)
+    val in = fsFor(spark, p).open(p)
+    val body = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    val Array(key, n, ddl) = body.split("\n", 3)
+    (key, n.toInt, StructType.fromDDL(ddl))
+  }
+
+  /** Register the catalog entry for an on-disk bucketed archive if
+    * this session doesn't have it yet (a fresh JVM reading an
+    * archive a previous one wrote), and return the table name. The
+    * CREATE carries the bucket spec so the scan stays bucketed;
+    * REPAIR discovers the epoch partitions from the directory
+    * layout. */
+  private def ensureBucketedRegistered(spark: SparkSession,
+                                       path: String): String = {
+    val name = bucketedArchName(path)
+    if (!spark.catalog.tableExists(name)) synchronized {
+      if (!spark.catalog.tableExists(name)) {
+        val (key, buckets, schema) = readBucketSpec(spark, path)
+        val cols = schema.fields.filterNot(_.name == "ingest_epoch") :+
+          schema("ingest_epoch") // partition column last, saveAsTable-style
+        spark.sql(
+          s"""CREATE TABLE `$name` (${StructType(cols).toDDL})
+             |USING parquet
+             |PARTITIONED BY (ingest_epoch)
+             |CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS
+             |LOCATION '$path'""".stripMargin)
+        spark.sql(s"MSCK REPAIR TABLE `$name`")
+      }
+    }
+    name
+  }
+
+  /** Create (or recreate from scratch) a bucketed archive at `path`.
+    * `df` must carry an `ingest_epoch` column — the build layer
+    * conventionally commits as epoch 0. */
+  def writeBucketedArchive(df: DataFrame, path: String, keyCol: String,
+                           buckets: Int): Unit = {
+    require(df.columns.contains("ingest_epoch"),
+      "bucketed archives are epoch-partitioned; add ingest_epoch")
+    val spark = df.sparkSession
+    val name = bucketedArchName(path)
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, root)
+    if (fs.exists(root)) fs.delete(root, true)
+    df.write.mode(SaveMode.Overwrite).option("path", path)
+      .partitionBy("ingest_epoch")
+      .bucketBy(buckets, keyCol).sortBy(keyCol)
+      .format("parquet").saveAsTable(name)
+    // sidecar commits last: a crashed create reads as "no archive"
+    writeBucketSpec(spark, path, keyCol, buckets, df.schema)
+  }
+
+  /** Commit ONE epoch into a bucketed archive, replace-or-add: the
+    * epoch's partition (catalog entry + directory) is dropped first,
+    * so a crash-replay rewrites exactly its own partition — identical
+    * rows for the pure-function-of-immutable-input archives this
+    * layout serves. A crash BETWEEN drop and append leaves the epoch
+    * missing, which the replay restores (the dynamic-partition-
+    * overwrite recovery contract). */
+  def ingestBucketedArchive(df: DataFrame, path: String,
+                            epoch: Long): Unit = {
+    val spark = df.sparkSession
+    val name = ensureBucketedRegistered(spark, path)
+    val (key, buckets, _) = readBucketSpec(spark, path)
+    spark.sql(
+      s"ALTER TABLE `$name` DROP IF EXISTS PARTITION (ingest_epoch=$epoch)")
+    val part = new org.apache.hadoop.fs.Path(path, s"ingest_epoch=$epoch")
+    val fs = fsFor(spark, part)
+    if (fs.exists(part)) fs.delete(part, true)
+    spark.sql(s"REFRESH TABLE `$name`")
+    df.withColumn("ingest_epoch", lit(epoch))
+      .write.mode(SaveMode.Append)
+      .partitionBy("ingest_epoch")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(name)
+  }
+
+  /** The archive as a DataFrame whose scan reports the bucket
+    * partitioning (callers filter epochs / subtract tombstones on
+    * top; both preserve the scan's output partitioning). */
+  def readBucketedArchive(spark: SparkSession, path: String): DataFrame =
+    spark.table(ensureBucketedRegistered(spark, path))
+
+  /** Full-rewrite maintenance (the epoch FOLD): stage the rewritten
+    * archive as a complete bucketed table at a scratch sibling, then
+    * swap directories — rename live aside, rename staged in, drop the
+    * aside copy — and re-point the catalog. SOME complete copy exists
+    * on disk at every instant; a crash between the renames is
+    * recovered by the next call's preamble (aside copy restored when
+    * the live dir is missing). Single-writer per maintenance window,
+    * like every fold here. */
+  def replaceBucketedArchive(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, live)
+    val old = new org.apache.hadoop.fs.Path(path + ".fold_old")
+    // recovery preamble: a previous fold crashed between the renames
+    if (!fs.exists(live) && fs.exists(old))
+      require(fs.rename(old, live), s"fold recovery failed for $path")
+    fs.delete(old, true)
+    val (key, buckets, _) = readBucketSpec(spark, path)
+    val tmp = path + ".fold_tmp"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    spark.sql(s"DROP TABLE IF EXISTS `${bucketedArchName(tmp)}`")
+    writeBucketedArchive(df, tmp, key, buckets)
+    // swap: live aside → staged in → drop aside; catalog follows
+    spark.sql(s"DROP TABLE IF EXISTS `${bucketedArchName(path)}`")
+    require(fs.rename(live, old), s"fold swap: aside failed for $path")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), live),
+      s"fold swap: commit failed for $path")
+    fs.delete(old, true)
+    spark.sql(s"DROP TABLE IF EXISTS `${bucketedArchName(tmp)}`")
+    ensureBucketedRegistered(spark, path)
+    ()
+  }
+
   // ---------- Tombstone lifecycle (delete epochs) ----------
 
   /** Commit one DELETE epoch of key tombstones for an archive —

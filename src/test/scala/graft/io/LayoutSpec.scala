@@ -376,4 +376,114 @@ class LayoutSpec extends SparkSpec {
       col("event_type") === "click").count()
     assert(n == expected)
   }
+
+  test("bucketed archive: epoch lifecycle (create/ingest/replay/fold), " +
+    "fresh-catalog re-registration, and the one-sided-exchange probe " +
+    "plan with bucket pruning") {
+    import graft.SparkSpec.spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-barch").toString + "/postings"
+    def rows(ids: Range, e: Long) = ids.map(i =>
+      (i.toLong, s"k${i % 23}", e)).toDF("doc_id", "key", "ingest_epoch")
+    try {
+      Tables.writeBucketedArchive(rows(0 until 200, 0L), path, "key", 4)
+      Tables.ingestBucketedArchive(rows(200 until 260, 1L), path, 1L)
+      def all() = Tables.readBucketedArchive(spark, path)
+        .select("doc_id").as[Long].collect().toSet
+      assert(all() == (0L until 260L).toSet, "create+ingest lost rows")
+
+      // replace-or-add: replaying epoch 1 with different rows rewrites
+      // exactly its own partition
+      Tables.ingestBucketedArchive(rows(300 until 320, 1L), path, 1L)
+      assert(all() == ((0L until 200L) ++ (300L until 320L)).toSet,
+        "epoch replay did not replace its own partition")
+
+      // fresh catalog: drop the entry, read again — re-registers from
+      // the sidecar and the scan is STILL bucketed
+      spark.sql(s"DROP TABLE IF EXISTS `${Tables.bucketedArchName(path)}`")
+      assert(all() == ((0L until 200L) ++ (300L until 320L)).toSet,
+        "fresh-catalog re-registration lost rows")
+
+      // probe plan: broadcast disabled + AQE off so the layout must do
+      // the work — archive side pre-partitioned (zero archive
+      // exchange), batch side pays the one exchange
+      val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val batch = (0 until 30).map(i => (s"k${i % 23}", i.toLong))
+          .toDF("key", "b_id")
+        val probe = Tables.readBucketedArchive(spark, path)
+          .where(col("ingest_epoch") =!= 1L)
+          .join(batch, "key")
+        val plan = probe.queryExecution.executedPlan.toString
+        assert(plan.contains("Bucketed: true"),
+          s"archive scan not bucketed:\n$plan")
+        assert("Exchange hashpartitioning".r
+          .findAllIn(plan).size == 1,
+          s"probe must shuffle ONLY the batch side:\n$plan")
+        // same answer as a layout-free reference join over the raw rows
+        val expected = rows(0 until 200, 0L).join(batch, "key").count()
+        assert(probe.count() == expected,
+          s"bucketed probe diverged from the reference join ($expected)")
+
+        // bucket pruning: an IN probe on the key prunes to its
+        // buckets. A bare filter scan gets its bucketing disabled by
+        // the auto-bucketed-scan planner rule (nothing downstream
+        // needs the partitioning), so pin the capability with the
+        // rule off — the real probes (BM25's candidate groupBy) keep
+        // the bucketed scan on their own
+        val prevAuto = spark.conf
+          .get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        val pplan = try {
+          spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+          Tables.readBucketedArchive(spark, path)
+            .where(col("key").isin("k0", "k1"))
+            .queryExecution.executedPlan.toString
+        } finally spark.conf.set(
+          "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+        val sel = "SelectedBucketsCount: (\\d+) out of 4".r
+          .findFirstMatchIn(pplan)
+        assert(sel.exists(_.group(1).toInt < 4),
+          s"key IN-probe did not prune buckets:\n$pplan")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+        spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      }
+
+      // fold: full rewrite via the staged swap — epochs below the
+      // high-water fold to 0, rows survive, scan stays bucketed
+      val folded = Tables.readBucketedArchive(spark, path)
+        .withColumn("ingest_epoch", lit(0L))
+      Tables.replaceBucketedArchive(folded, path)
+      val post = Tables.readBucketedArchive(spark, path)
+      assert(post.select("doc_id").as[Long].collect().toSet ==
+        ((0L until 200L) ++ (300L until 320L)).toSet,
+        "fold lost rows")
+      assert(post.select("ingest_epoch").distinct()
+        .as[Long].collect().toSeq == Seq(0L), "fold kept old epochs")
+      // the swapped-in archive still joins off its bucket layout
+      val prevB2 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevA2 = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val pplan2 = post
+          .join((0 until 5).map(i => (s"k$i", i)).toDF("key", "x"), "key")
+          .queryExecution.executedPlan.toString
+        assert(pplan2.contains("Bucketed: true") &&
+          "Exchange hashpartitioning".r.findAllIn(pplan2).size == 1,
+          s"folded archive lost its bucketing:\n$pplan2")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB2)
+        spark.conf.set("spark.sql.adaptive.enabled", prevA2)
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `${Tables.bucketedArchName(path)}`")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(
+        new java.io.File(path).getParentFile)
+    }
+  }
 }
