@@ -316,11 +316,13 @@ object Curation {
     * per-doc sizes ([[TextOps.buildShinglePostingsTo]] — the persisted
     * substrate every later daily run probes instead of re-shingling
     * corpus text), and cluster LABELS from CC over the corpus-only
-    * exact-Jaccard pair graph (the [[dedupClusters]] substrate). All
-    * three tables are manifested epoch-partitioned (build layer =
-    * epoch 0) — the same layout contract as the winnowing fingerprint
-    * index, so maintenance is replay-idempotent behind the manifest
-    * pointer. One corpus shingle pass feeds everything. */
+    * exact-Jaccard pair graph (the [[dedupClusters]] substrate). The
+    * POSTINGS are a shingle-bucketed epoch-partitioned archive (the
+    * probe-side layout; see [[graft.ops.TextOps.buildShinglePostingsTo]]);
+    * sizes and labels are manifested epoch-partitioned (build layer =
+    * epoch 0) — the winnowing-fingerprint contract. Every epoch
+    * commit is replace-or-add, so maintenance is replay-idempotent on
+    * all three. One corpus shingle pass feeds everything. */
   private[graft] def buildClusterArchiveTo(corpus: DataFrame,
                                          idx: String): Unit = {
     val sh = TextOps.shingles(corpus).localCheckpoint()
@@ -374,9 +376,11 @@ object Curation {
     * affected components: corpus text is never re-shingled and the
     * corpus-internal pair join is paid once at archive build. The one
     * archive-proportional term left is the probe's streaming read of
-    * the postings index — an index scan, not a recompute, and with a
-    * shingle-bucketed postings layout at 100 TB it co-locates with
-    * the broadcast batch side. */
+    * the postings index — an index scan, not a recompute, and the
+    * postings ARE shingle-bucketed on disk
+    * ([[graft.ops.TextOps.buildShinglePostingsTo]]), so the scan
+    * arrives pre-partitioned on the join key and the probe's only
+    * exchange is the batch side. */
   def qClusterIncremental(s: SparkSession, dir: String): DataFrame =
     clusterIncrementalFrom(t(s, dir, "documents"), clusterIndex(s, dir))
 
@@ -402,11 +406,15 @@ object Curation {
     TextOps.ingestShinglePostings(bsh, idx, epoch)
     val arch = TextOps.readShinglePostings(s, idx, excludeEpoch = epoch)
     val bAsB = bsh.select(col("doc_id").as("b_id"), col("shingle"))
-    // batch-vs-archive candidates: BROADCAST the batch postings so the
-    // archive side streams through the probe with no corpus-sized
-    // exchange — the shape a bucketed postings table gives for free at
-    // 100 TB; batch-batch candidates are a batch-sized self-join
-    val common = broadcast(bAsB)
+    // batch-vs-archive candidates: the postings archive is
+    // SHINGLE-BUCKETED, so the non-broadcast plan shuffles only the
+    // BATCH side (one exchange to the bucket count; the archive scan
+    // arrives pre-partitioned — ShinglePostingsSpec pins the plan).
+    // No broadcast hint: AQE still converts to a broadcast join at
+    // runtime when the batch is small enough, and the bucketed
+    // fallback is what survives a batch that outgrows broadcast at
+    // 100 TB. Batch-batch candidates are a batch-sized self-join.
+    val common = bAsB
       .join(arch.select(col("doc_id").as("o_id"), col("shingle")),
         "shingle")
       .where(col("o_id") =!= col("b_id"))
@@ -715,24 +723,30 @@ object Curation {
       .withColumn("ingest_epoch", lit(0L))
     Tables.upsertManifested(current, labels, Seq("ingest_epoch"), _ => true)
     // postings + sizes: fold epochs below high-water into the base,
-    // carry the newest, subtract tombstones physically
-    def foldAppendOnly(path: String): Long = {
-      val (_, parts) = Tables.resolveManifest(s, path)
-      val maxE = parts.keys
-        .map(_.stripPrefix("ingest_epoch=").toLong).max
-      val masked = Tables.minusTombstones(
-        Tables.readManifested(s, path), tombPath, "doc_id")
-      Tables.upsertManifested(
-        masked.withColumn("ingest_epoch",
-          when(col("ingest_epoch") < maxE, lit(0L))
-            .otherwise(col("ingest_epoch"))),
-        path, Seq("ingest_epoch"), _ => true)
+    // carry the newest, subtract tombstones physically. The bucketed
+    // postings fold through the staged-swap rewrite (which preserves
+    // the bucket layout); the manifested sizes fold behind the
+    // pointer as before.
+    def foldEpochs(path: String, read: => DataFrame,
+                   rewrite: DataFrame => Unit): Long = {
+      val arch = read
+      val maxE = arch.agg(max(col("ingest_epoch")).cast("long"))
+        .head().getLong(0)
+      val masked = Tables.minusTombstones(arch, tombPath, "doc_id")
+      rewrite(masked.withColumn("ingest_epoch",
+        when(col("ingest_epoch") < maxE, lit(0L))
+          .otherwise(col("ingest_epoch"))))
       maxE
     }
-    val maxPost = foldAppendOnly(s"$idx/postings")
-    foldAppendOnly(s"$idx/sizes")
+    val maxPost = foldEpochs(s"$idx/postings",
+      Tables.readBucketedArchive(s, s"$idx/postings"),
+      Tables.replaceBucketedArchive(_, s"$idx/postings"))
+    foldEpochs(s"$idx/sizes",
+      Tables.readManifested(s, s"$idx/sizes"),
+      Tables.upsertManifested(_, s"$idx/sizes",
+        Seq("ingest_epoch"), _ => true))
     Tables.readTombstones(s, tombPath, "doc_id").foreach { td =>
-      val replayable = Tables.readManifested(s, s"$idx/postings")
+      val replayable = Tables.readBucketedArchive(s, s"$idx/postings")
         .where(col("ingest_epoch") === maxPost && lit(maxPost > 0L))
         .select(col("doc_id")).distinct()
       val carried = td.join(replayable, Seq("doc_id"), "left_semi")
@@ -802,8 +816,11 @@ object Curation {
       .localCheckpoint()
     Ckpt.track("dedup_incremental", bsh)
     TextOps.ingestShinglePostings(bsh, idx, epoch = 1L)
-    val common = broadcast(
-        bsh.select(col("doc_id").as("b_id"), col("shingle")))
+    // no broadcast hint: the shingle-bucketed archive side arrives
+    // pre-partitioned, so the probe shuffles only the batch (AQE may
+    // still broadcast a small batch at runtime) — see
+    // clusterIncrementalFrom for the full rationale
+    val common = bsh.select(col("doc_id").as("b_id"), col("shingle"))
       .join(TextOps.readShinglePostings(s, idx, excludeEpoch = 1L)
         .select(col("doc_id").as("c_id"), col("shingle")), "shingle")
       .groupBy(col("b_id"), col("c_id"))

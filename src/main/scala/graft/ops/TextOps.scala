@@ -907,25 +907,44 @@ object TextOps {
 
   // ---------- Persisted shingle postings index ----------
 
-  /** The plain-shingle sibling of the winnowing fingerprint index: a
-    * MANIFESTED, epoch-ingested inverted index of (shingle → doc_id)
-    * postings plus a per-doc size table, so the daily incremental
-    * paths ([[graft.ops.Curation.dedupIncremental]],
+  /** Bucket count for the shingle-postings archive. At the gated SFs
+    * this is parallelism-sized (16 buckets ≈ the probe's task count);
+    * at 100 TB the knob is sized so one bucket × epoch file group is
+    * a few hundred MB (shingle cardinality / target file size), and
+    * the one-sided probe exchange below scales with the BATCH, never
+    * the archive. */
+  private[ops] val ShingleBuckets = 16
+
+  /** The plain-shingle sibling of the winnowing fingerprint index: an
+    * epoch-ingested inverted index of (shingle → doc_id) postings
+    * plus a per-doc size table, so the daily incremental paths
+    * ([[graft.ops.Curation.dedupIncremental]],
     * [[graft.ops.Curation.qClusterIncremental]]) probe a persisted
     * substrate instead of re-shingling the full corpus from text on
     * every run — the cost term that made the daily job
     * archive-proportional. Postings are append-only per doc (text is
     * immutable; a doc belongs to exactly one ingest epoch), sizes ride
     * alongside so the Jaccard denominator never needs an
-    * archive-wide re-aggregate. At 100 TB the postings table would be
-    * written shingle-bucketed ([[graft.io.Tables.writeBucketed]]) so
-    * the probe co-locates with the batch side; the manifested
-    * epoch-partitioned layout here keeps the same read/commit/replay
-    * contract as the fingerprint and ANN-code archives. */
+    * archive-wide re-aggregate.
+    *
+    * LAYOUT: the postings table is written SHINGLE-BUCKETED
+    * ([[graft.io.Tables.writeBucketedArchive]], [[ShingleBuckets]]),
+    * so the daily probe join arrives with the archive side already
+    * hash-partitioned on the key — the non-broadcast probe shuffles
+    * only the BATCH side (one exchange to the bucket count;
+    * plan-pinned in ShinglePostingsSpec), and the delete-repair's
+    * member self-join co-locates with ZERO exchanges. The small
+    * per-doc size table stays manifested epoch-partitioned (same
+    * read/commit/replay contract as the fingerprint and ANN-code
+    * archives); what the bucketed layout trades for the partitioning
+    * is reader isolation during maintenance, which the internal probe
+    * substrate doesn't need (single writer per maintenance window —
+    * the corpus-store contract, documented at
+    * [[graft.io.Tables.writeBucketedArchive]]). */
   private[ops] def buildShinglePostingsTo(sh: DataFrame,
                                           idx: String): Unit = {
-    Tables.writeManifested(sh.withColumn("ingest_epoch", lit(0L)),
-      s"$idx/postings", Seq("ingest_epoch"))
+    Tables.writeBucketedArchive(sh.withColumn("ingest_epoch", lit(0L)),
+      s"$idx/postings", "shingle", ShingleBuckets)
     Tables.writeManifested(
       sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
         .withColumn("ingest_epoch", lit(0L)),
@@ -935,13 +954,12 @@ object TextOps {
   /** Commit ONE batch's postings + sizes under its own epoch —
     * replace-or-add: shingling is a pure function of the text, so a
     * crash-replay of epoch E recomputes identical rows and swaps them
-    * in behind a new manifest version. Cost scales with the batch,
+    * in (drop-partition-then-append on the bucketed postings; a new
+    * manifest version on the sizes). Cost scales with the batch,
     * never the index. */
   private[ops] def ingestShinglePostings(batchSh: DataFrame, idx: String,
                                          epoch: Long): Unit = {
-    Tables.upsertManifested(
-      batchSh.withColumn("ingest_epoch", lit(epoch)),
-      s"$idx/postings", Seq("ingest_epoch"), _ == s"ingest_epoch=$epoch")
+    Tables.ingestBucketedArchive(batchSh, s"$idx/postings", epoch)
     Tables.upsertManifested(
       batchSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
         .withColumn("ingest_epoch", lit(epoch)),
@@ -958,7 +976,7 @@ object TextOps {
   private[ops] def readShinglePostings(s: SparkSession, idx: String,
                                        excludeEpoch: Long): DataFrame =
     Tables.minusTombstones(
-        Tables.readManifested(s, s"$idx/postings")
+        Tables.readBucketedArchive(s, s"$idx/postings")
           .where(col("ingest_epoch") =!= excludeEpoch),
         s"$idx/tombstones", "doc_id")
       .select(col("doc_id"), col("shingle"))

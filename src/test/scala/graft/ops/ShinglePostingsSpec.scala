@@ -33,7 +33,7 @@ class ShinglePostingsSpec extends SparkSpec {
       TextOps.ingestShinglePostings(TextOps.shingles(batch), idx, 1L)
 
       def posted(): Set[(Long, String)] =
-        Tables.readManifested(spark, s"$idx/postings")
+        Tables.readBucketedArchive(spark, s"$idx/postings")
           .select(col("doc_id"), col("shingle")).collect()
           .map(r => (r.getLong(0), r.getString(1))).toSet
       val expect = TextOps.shingles(corpus.unionByName(batch)).collect()
@@ -67,6 +67,45 @@ class ShinglePostingsSpec extends SparkSpec {
       assert(probe2 == expect,
         "a later epoch's probe must see every prior commit")
     } finally {
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
+    }
+  }
+
+  test("the daily probe join arrives with the postings side " +
+    "pre-partitioned: bucketed scan, one exchange (batch side only)") {
+    import graft.SparkSpec.spark.implicits._
+    val corpus = (1 to 40).map(i =>
+      (i.toLong, s"w$i x$i y$i z$i q$i")).toDF("doc_id", "text")
+    val batch = (100 to 110).map(i =>
+      (i.toLong, s"w$i x$i y$i z$i")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-postings-plan").toString
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      TextOps.buildShinglePostingsTo(TextOps.shingles(corpus), idx)
+      // broadcast + AQE off: the LAYOUT must carry the plan — this is
+      // the batch-outgrows-broadcast fallback the bucketing exists for
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val probe = TextOps.shingles(batch)
+        .select(col("doc_id").as("b_id"), col("shingle"))
+        .join(TextOps.readShinglePostings(spark, idx, excludeEpoch = 1L),
+          "shingle")
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"postings scan is not bucketed:\n$plan")
+      // exactly ONE exchange to the join's bucket partitioning — the
+      // batch side's; the archive subtree must contribute none (the
+      // batch substrate's internal distinct exchange is allowed, it
+      // is batch-sized)
+      assert(raw"Exchange hashpartitioning\(shingle#\d+, 16\)".r
+        .findAllIn(plan).size == 1,
+        s"probe must shuffle ONLY the batch side to the buckets:\n$plan")
+      probe.count() // and it executes
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
       org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
     }
   }

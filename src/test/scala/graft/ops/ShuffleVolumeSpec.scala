@@ -103,20 +103,22 @@ class ShuffleVolumeSpec extends SparkSpec {
     val clu = shuffleBytes(() => Curation.qClusterIncremental(spark, sf))
     info(s"shuffle bytes: full-recompute=$full dedup_incremental=$inc " +
       s"q_cluster_incremental=$clu")
-    // steady state probes the PERSISTED postings index with a
-    // broadcast batch side — if either path regresses to re-shingling
-    // the corpus, its shuffle volume jumps past the full-recompute
-    // reference (the batch is 10% of docs; its substrate is ~10% of
-    // the corpus exchange)
+    // steady state probes the PERSISTED shingle-BUCKETED postings
+    // index: the archive side arrives pre-partitioned and the probe
+    // shuffles only the BATCH substrate (its distinct + the one
+    // exchange to the bucket partitioning) — if either path regresses
+    // to re-shingling or shuffling the corpus, its volume jumps past
+    // the full-recompute reference (the batch is 10% of docs; its
+    // substrate is ~10% of the corpus exchange)
     assert(inc > 0 && inc < full,
       s"dedup_incremental shuffled $inc >= full recompute $full — " +
         "corpus re-shingle term is back?")
     assert(clu > 0 && clu < full,
       s"q_cluster_incremental shuffled $clu >= full recompute $full — " +
         "corpus re-shingle term is back?")
-    assert(inc <= 160L * 1024, // measured 2026-08-14: 75 431 bytes
+    assert(inc <= 192L * 1024, // measured 2026-08-14: 92 579 bytes
       s"dedup_incremental shuffled $inc bytes — plan regression")
-    assert(clu <= 272L * 1024, // measured 2026-08-14: 133 880 bytes
+    assert(clu <= 304L * 1024, // measured 2026-08-14: 153 684 bytes
       s"q_cluster_incremental shuffled $clu bytes — plan regression")
   }
 

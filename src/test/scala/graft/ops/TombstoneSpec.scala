@@ -71,7 +71,11 @@ class TombstoneSpec extends SparkSpec {
       // retired, read views unchanged
       Curation.compactClusterArchive(spark, idx)
       Seq("labels", "postings", "sizes").foreach { tbl =>
-        val ids = Tables.readManifested(spark, s"$idx/$tbl")
+        val raw =
+          if (tbl == "postings") // shingle-bucketed layout
+            Tables.readBucketedArchive(spark, s"$idx/$tbl")
+          else Tables.readManifested(spark, s"$idx/$tbl")
+        val ids = raw
           .select(col("doc_id")).distinct().as[Long].collect().toSet
         assert(!ids.contains(2L) && !ids.contains(4L),
           s"$tbl still holds deleted docs after the fold")
