@@ -1620,29 +1620,44 @@ object TextOps {
 
   // ---------- BM25 served from a persisted token index ----------
 
-  /** Build the token-postings (ranked-retrieval) index: a MANIFESTED,
+  /** Bucket count for the token-postings archive. More buckets than
+    * the shingle index's: a retrieval probe touches only its |q|
+    * terms, so bucket PRUNING selectivity (≤ |q| of N buckets
+    * scanned) is the point; at 100 TB the knob sizes one
+    * bucket × epoch file group to a few hundred MB. */
+  private[ops] val TokenBuckets = 32
+
+  /** Build the token-postings (ranked-retrieval) index: an
     * epoch-ingested inverted index of (token → doc_id, tf) postings
     * plus a per-doc length table — the IR sibling of the dedup
     * shingle-postings archive ([[buildShinglePostingsTo]]). Retrieval
     * then never touches text: a query probes |q| token groups of the
     * postings, df falls out of the probed postings, and collection
-    * stats come from the tiny doclen table. At 100 TB the postings
-    * would additionally be token-bucketed
-    * ([[graft.io.Tables.writeBucketed]]) so a probe prunes to its
-    * terms' buckets instead of scanning the full postings table; the
-    * epoch-partitioned manifested layout keeps the same
-    * read/commit/replay/tombstone contract as every archive here.
+    * stats come from the tiny doclen table.
+    *
+    * LAYOUT: the postings ARE token-bucketed on disk
+    * ([[graft.io.Tables.writeBucketedArchive]], [[TokenBuckets]]) —
+    * a probe's term filter prunes to its terms' buckets at scan time
+    * (`SelectedBucketsCount`, plan-pinned in PlanSpec) instead of
+    * scanning the full postings table, and the candidate df/score
+    * aggregation reuses the scan's token partitioning with no
+    * archive-side exchange. The tiny doclen table stays manifested
+    * epoch-partitioned (the read/commit/replay/tombstone contract of
+    * every served archive here); the bucketed postings trade reader
+    * isolation for the layout, under the single-writer-per-
+    * maintenance-window contract
+    * ([[graft.io.Tables.writeBucketedArchive]]).
     * tf and dl are INTEGERS in the index — exactly the values the
     * from-text path aggregates — so indexed scores are bit-identical
     * to from-text scores (see [[bm25ScoreFrom]]). */
   private[graft] def buildTokenIndexTo(docs: DataFrame, idx: String): Unit = {
     val tok = docs.select(col("doc_id"),
       explode(words(col("text"))).as("token"))
-    Tables.writeManifested(
+    Tables.writeBucketedArchive(
       tok.groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
         .withColumn("ingest_epoch", lit(0L)),
-      s"$idx/postings", Seq("ingest_epoch"))
+      s"$idx/postings", "token", TokenBuckets)
     Tables.writeManifested(
       docs.select(col("doc_id"), size(words(col("text"))).as("dl"))
         .withColumn("ingest_epoch", lit(0L)),
@@ -1659,11 +1674,11 @@ object TextOps {
     val s = batch.sparkSession
     // bootstrap-safe: a stream may be the archive's FIRST writer
     // (no build layer yet). An EMPTY first batch defers creation —
-    // committing an empty manifest would wedge every later read
-    // (the all-filtered-first-epoch guard the fingerprint archive
-    // applies).
-    val hasManifest = Tables.manifestExists(s, s"$idx/postings")
-    if (!hasManifest && batch.isEmpty) return
+    // committing an empty manifest would wedge every later doclen
+    // read (the all-filtered-first-epoch guard the fingerprint
+    // archive applies).
+    val hasArchive = Tables.bucketedArchiveExists(s, s"$idx/postings")
+    if (!hasArchive && batch.isEmpty) return
     val post = batch.select(col("doc_id"),
         explode(words(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
@@ -1672,13 +1687,13 @@ object TextOps {
     val dl = batch.select(col("doc_id"),
         size(words(col("text"))).as("dl"))
       .withColumn("ingest_epoch", lit(epoch))
-    if (hasManifest) {
-      Tables.upsertManifested(post,
-        s"$idx/postings", Seq("ingest_epoch"), _ == s"ingest_epoch=$epoch")
+    if (hasArchive) {
+      Tables.ingestBucketedArchive(post, s"$idx/postings", epoch)
       Tables.upsertManifested(dl,
         s"$idx/doclen", Seq("ingest_epoch"), _ == s"ingest_epoch=$epoch")
     } else {
-      Tables.writeManifested(post, s"$idx/postings", Seq("ingest_epoch"))
+      Tables.writeBucketedArchive(post, s"$idx/postings",
+        "token", TokenBuckets)
       Tables.writeManifested(dl, s"$idx/doclen", Seq("ingest_epoch"))
     }
   }
@@ -1691,14 +1706,16 @@ object TextOps {
     * from-text scores over the corpus minus the deleted docs
     * (TokenIndexSpec pins that identity). */
   private[graft] def bm25IndexedFrom(s: SparkSession, idx: String): DataFrame = {
-    val qtok = {
-      import s.implicits._
-      bm25QueryTerms.toDF("qid", "token").select("token").distinct()
-    }
     val post = Tables.minusTombstones(
-      Tables.readManifested(s, s"$idx/postings"),
+      Tables.readBucketedArchive(s, s"$idx/postings"),
       s"$idx/tombstones", "doc_id")
-    val cand = post.join(broadcast(qtok), "token")
+    // literal IN-filter on the bucket key, not a join: the query's
+    // terms are known at plan time, so the token-bucketed scan PRUNES
+    // to the terms' buckets (SelectedBucketsCount ≤ |q| of
+    // TokenBuckets, plan-pinned) — at 100 TB the probe reads the
+    // buckets its terms hash into, never the full postings table
+    val terms = bm25QueryTerms.map(_._2).distinct
+    val cand = post.where(col("token").isin(terms: _*))
     val tf = cand.select(col("doc_id"), col("token"),
       col("tf").cast("double").as("tf"))
     // postings are unique per (doc, token) by construction, so df is a
@@ -1725,24 +1742,29 @@ object TextOps {
   private[graft] def compactTokenIndexEpochs(s: SparkSession,
                                              idx: String): Long = {
     val tombPath = s"$idx/tombstones"
-    val (_, pParts) = Tables.resolveManifest(s, s"$idx/postings")
-    val maxE = pParts.keys
-      .map(_.stripPrefix("ingest_epoch=").toLong).max
+    val maxE = Tables.readBucketedArchive(s, s"$idx/postings")
+      .agg(max(col("ingest_epoch")).cast("long")).head().getLong(0)
     val tomb = Tables.readTombstones(s, tombPath, "doc_id")
     if (maxE <= 0L && tomb.isEmpty) return -1L
     // pre-fold doclen snapshot: reader isolation pins its partition
     // list now, so the carry decision below still sees the newest
     // epoch's keys after both tables' pointers advance
     val pre = Tables.readManifested(s, s"$idx/doclen")
-    Seq(s"$idx/postings", s"$idx/doclen").foreach { path =>
-      val masked = Tables.minusTombstones(
-        Tables.readManifested(s, path), tombPath, "doc_id")
-      Tables.upsertManifested(
-        masked.withColumn("ingest_epoch",
-          when(col("ingest_epoch") < maxE, lit(0L))
-            .otherwise(col("ingest_epoch"))),
-        path, Seq("ingest_epoch"), _ => true)
-    }
+    def foldedEpoch = when(col("ingest_epoch") < maxE, lit(0L))
+      .otherwise(col("ingest_epoch"))
+    // bucketed postings fold through the staged-swap rewrite (layout
+    // preserved); manifested doclen folds behind the pointer
+    Tables.replaceBucketedArchive(
+      Tables.minusTombstones(
+          Tables.readBucketedArchive(s, s"$idx/postings"),
+          tombPath, "doc_id")
+        .withColumn("ingest_epoch", foldedEpoch),
+      s"$idx/postings")
+    Tables.upsertManifested(
+      Tables.minusTombstones(
+          Tables.readManifested(s, s"$idx/doclen"), tombPath, "doc_id")
+        .withColumn("ingest_epoch", foldedEpoch),
+      s"$idx/doclen", Seq("ingest_epoch"), _ => true)
     tomb.foreach { td =>
       // keys arriving in the still-replayable newest epoch keep their
       // tombstones (a replay recomputes the epoch from text and would

@@ -454,7 +454,8 @@ class PlanSpec extends SparkSpec {
 
   test("indexed BM25 never tokenizes: the retrieval plan scans the " +
     "postings archive — no Generate (explode over text), no documents " +
-    "scan — and the query-term/df attachments stay broadcast") {
+    "scan — the term probe PRUNES to its terms' buckets, and the " +
+    "query-term/df attachments stay broadcast") {
     val plan = planString(ops.TextOps.qBm25Indexed(spark, sf))
     // the from-text path's signature operator is Generate(explode);
     // the indexed probe must have none — tf came from the archive
@@ -462,8 +463,16 @@ class PlanSpec extends SparkSpec {
       s"indexed retrieval re-tokenizes text:\n$plan")
     assert(!plan.contains("documents.parquet"),
       s"indexed retrieval scans the raw corpus:\n$plan")
-    // query terms and per-term df attach as broadcast hash joins (the
-    // one-row stats crossJoin is a broadcast by construction)
+    // the token-bucketed layout: the literal term filter selects only
+    // the buckets the 8 query terms hash into — the probe reads ≤ |q|
+    // of the 32 buckets, never the full postings table
+    val sel = raw"SelectedBucketsCount: (\d+) out of 32".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, s"postings scan lost its bucketing:\n$plan")
+    assert(sel.get.group(1).toInt <= 8,
+      s"term probe scans ${sel.get.group(1)} buckets for 8 terms:\n$plan")
+    // per-term df attaches as a broadcast hash join (the one-row
+    // stats crossJoin is a broadcast by construction)
     assert(plan.contains("BroadcastHashJoin"),
       s"query-term probe lost its broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"),

@@ -128,12 +128,19 @@ class ShuffleVolumeSpec extends SparkSpec {
     val idx = shuffleBytes(() => TextOps.qBm25Indexed(spark, sf))
     info(s"bm25 shuffle bytes: from-text=$text indexed=$idx")
     // the from-text path pays a corpus-wide (doc, token) exchange to
-    // build tf; the indexed probe reads tf pre-aggregated and shuffles
-    // only |q|-term candidate rows + the ranking window
+    // build tf; the indexed probe reads tf pre-aggregated from the
+    // token-BUCKETED postings (bucket-pruned scan; the df aggregate
+    // reuses the scan partitioning exchange-free) and shuffles only
+    // |q|-term candidate rows + the ranking window
     assert(idx > 0 && idx < text,
       s"indexed BM25 shuffled $idx >= from-text $text — " +
         "is the probe re-tokenizing?")
-    assert(idx <= 48L * 1024, // measured 2026-08-14: 24 606 bytes
+    assert(idx <= 92L * 1024, // measured 2026-08-14: 45 449 bytes
+      // (pre-bucketing 24 606: that plan reused ONE candidate
+      // exchange across the tf/df branches; the bucketed plan drops
+      // the df exchange entirely but forgoes the reuse — at toy scale
+      // the reuse won, at 100 TB the pruned scan + exchange-free df
+      // is the shape that matters)
       s"q_bm25_indexed shuffled $idx bytes — plan regression")
   }
 

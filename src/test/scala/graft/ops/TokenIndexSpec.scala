@@ -28,7 +28,7 @@ class TokenIndexSpec extends SparkSpec {
         r.getDouble(2), r.getInt(3))).toSeq.sorted
 
   private def postingsOf(idx: String) =
-    Tables.readManifested(spark, s"$idx/postings")
+    Tables.readBucketedArchive(spark, s"$idx/postings")
       .select("doc_id", "token", "tf")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .toSet
@@ -94,12 +94,12 @@ class TokenIndexSpec extends SparkSpec {
     assert(ranking(TextOps.bm25IndexedFrom(spark, idx)) == masked)
     // base-layer victims are PHYSICALLY gone; newest-epoch victims
     // stay physical (the epoch is still crash-replayable) but masked
-    val rawIds = Tables.readManifested(spark, s"$idx/postings")
+    val rawIds = Tables.readBucketedArchive(spark, s"$idx/postings")
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(victimIds.diff(e1Ids).intersect(rawIds).isEmpty)
     // epochs collapse to {base, newest}
     // partition-column values are type-inferred on read → cast
-    val epochs = Tables.readManifested(spark, s"$idx/postings")
+    val epochs = Tables.readBucketedArchive(spark, s"$idx/postings")
       .select(col("ingest_epoch").cast("long")).distinct().collect()
       .map(_.getLong(0)).toSet
     assert(epochs.subsetOf(Set(0L, 1L)))

@@ -985,7 +985,7 @@ class StreamOpsSpec extends SparkSpec {
     val view = corpusView(spark, s"$root/corpus")
       .select("doc_id", "text")
     def postings(i: String) = graft.io.Tables
-      .readManifested(spark, s"$i/postings")
+      .readBucketedArchive(spark, s"$i/postings")
       .select("doc_id", "token", "tf").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     graft.ops.TextOps.buildTokenIndexTo(view, s"$root/tokens-ref")
@@ -1036,7 +1036,9 @@ class StreamOpsSpec extends SparkSpec {
       root, s"$root/ckpt-del")
     assert(corpusIds() == Set(2L, 5L), "corpus still serves deleted docs")
     def maskedIds(path: String) = graft.io.Tables.minusTombstones(
-        graft.io.Tables.readManifested(spark, path),
+        if (path.endsWith("/postings")) // token postings are bucketed
+          graft.io.Tables.readBucketedArchive(spark, path)
+        else graft.io.Tables.readManifested(spark, path),
         path.stripSuffix(path.split('/').last) + "tombstones", "doc_id")
       .select("doc_id").distinct().as[Long].collect().toSet
     assert(!maskedIds(s"$root/tokens/postings").exists(Set(1L, 3L)),
@@ -1307,7 +1309,7 @@ class StreamOpsSpec extends SparkSpec {
     runTokenIndexIngest(readDocuments(spark, stage, Some(1)), idx, ckpt)
 
     def postings(i: String) = graft.io.Tables
-      .readManifested(spark, s"$i/postings")
+      .readBucketedArchive(spark, s"$i/postings")
       .select("doc_id", "token", "tf").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     def doclen(i: String) = graft.io.Tables
@@ -1327,8 +1329,10 @@ class StreamOpsSpec extends SparkSpec {
 
     // crash-replay of the LAST micro-batch (same epoch, same docs)
     val maxEpoch = graft.io.Tables
-      .resolveManifest(spark, s"$idx/postings")._2.keys
-      .map(_.stripPrefix("ingest_epoch=").toLong).max
+      .readBucketedArchive(spark, s"$idx/postings")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("ingest_epoch")).cast("long"))
+      .head().getLong(0)
     graft.ops.TextOps.ingestTokenIndex(
       full(f2).toDF("doc_id", "text", "lang", "source", "n_chars"),
       idx, maxEpoch)
