@@ -325,21 +325,57 @@ object Tables {
                     p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def commitManifest(fs: org.apache.hadoop.fs.FileSystem,
-                             root: org.apache.hadoop.fs.Path,
-                             version: Long,
-                             parts: Map[String, String]): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(root, s".manifest_tmp_$version")
-    val out = fs.create(tmp, true)
-    try out.write(parts.toSeq.sorted
+  /** Thrown when a manifest commit loses a version race: the
+    * expected next version was already committed by another writer.
+    * The documented contract everywhere is single-writer-per-
+    * maintenance-window; this exception is what makes a violation
+    * LOUD (and retryable — [[upsertManifested]] re-reads and
+    * re-merges) instead of a silent last-writer-wins pointer flip
+    * that drops the other commit's rows. */
+  final class ManifestConflictException(path: String, version: Long)
+    extends RuntimeException(
+      s"manifest v$version at $path was committed by another writer — " +
+        "re-read the current manifest and retry the commit")
+
+  /** Compare-and-set manifest commit: `version` is the EXPECTED next
+    * version. Fails with [[ManifestConflictException]] when that
+    * version already exists, and — because a local-FS rename can
+    * silently overwrite (POSIX renameTo) inside the tiny
+    * check-to-rename window — verifies its own bytes after the
+    * rename, so of two racers exactly one wins and the other always
+    * sees the conflict. */
+  private[graft] def commitManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                    root: org.apache.hadoop.fs.Path,
+                                    version: Long,
+                                    parts: Map[String, String]): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(root, manifestName(version))
+    if (fs.exists(dest))
+      throw new ManifestConflictException(root.toString, version)
+    val body = parts.toSeq.sorted
       .map { case (p, d) => s"$p\t$d" }.mkString("\n")
-      .getBytes("UTF-8"))
+    // unique tmp name: two racers must not clobber each other's
+    // in-flight writes either
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".manifest_tmp_${version}_${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8"))
     finally out.close()
     // same-directory rename: atomic on HDFS and local — the manifest
     // becomes visible complete or not at all
-    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(
-      root, manifestName(version))),
-      s"manifest commit failed for $root v$version")
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new ManifestConflictException(root.toString, version)
+    }
+    // read-back CAS verify: if a racer's rename overwrote ours (or
+    // ours overwrote theirs and a third won after), the loser throws
+    val in = fs.open(dest)
+    val after = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    if (after != body)
+      throw new ManifestConflictException(root.toString, version)
   }
 
   private def readManifestFile(fs: org.apache.hadoop.fs.FileSystem,
@@ -424,32 +460,56 @@ object Tables {
   }
 
   /** Replace-or-add commit: write `df` (partitioned by `partCols`)
-    * into the NEXT version dir, then flip the pointer to
+    * into a fresh attempt dir, then flip the pointer to
     * {live entries whose partition key does NOT match `dropPart`}
     * ∪ {the new write's entries} — the manifested form of a dynamic
     * partition overwrite. Crash-safe the same way compaction is:
     * data lands first, the manifest rename is the only commit point,
-    * and a crash in between leaves an orphan version dir that the
+    * and a crash in between leaves an orphan attempt dir that the
     * next [[vacuumManifested]] reclaims (no manifest references it).
-    * Single-writer, like every manifest commit here: callers are the
-    * driver main or a foreachBatch body, both sequential. Returns the
-    * committed version. */
+    *
+    * CONCURRENCY: the normal deployment is single-writer-per-
+    * maintenance-window, but two uncoordinated writers racing here
+    * can no longer silently drop a commit: (a) each attempt writes
+    * its OWN uniquely-named data dir (a shared `data/v<next>` dir
+    * would be truncated by the racer's SaveMode.Overwrite), and
+    * (b) the pointer flip is an optimistic CAS — the loser of a
+    * version race re-reads the winner's manifest, re-merges its own
+    * entries on top, and retries ([[commitManifest]]'s conflict
+    * detection). Returns the committed version. */
   def upsertManifested(df: DataFrame, path: String, partCols: Seq[String],
                        dropPart: String => Boolean): Long = {
     require(partCols.nonEmpty, "upsertManifested needs a partition column")
     val spark = df.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsFor(spark, root)
-    val (version, live) = resolveManifest(spark, path)
-    val next = version + 1
+    var (version, live) = resolveManifest(spark, path)
+    val attempt =
+      s"v${version + 1}w${java.util.UUID.randomUUID.toString.take(8)}"
     df.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
-      .parquet(s"$path/data/v$next")
+      .parquet(s"$path/data/$attempt")
     val added = listPartDirs(fs,
-      new org.apache.hadoop.fs.Path(s"$path/data/v$next"), partCols.length)
-      .map(p => p -> s"data/v$next/$p").toMap
-    commitManifest(fs, root, next,
-      live.filterNot { case (p, _) => dropPart(p) } ++ added)
-    next
+      new org.apache.hadoop.fs.Path(s"$path/data/$attempt"), partCols.length)
+      .map(p => p -> s"data/$attempt/$p").toMap
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try {
+        commitManifest(fs, root, version + 1,
+          live.filterNot { case (p, _) => dropPart(p) } ++ added)
+        return version + 1
+      } catch {
+        case e: ManifestConflictException =>
+          require(attempts < 20,
+            s"manifest commit at $path still conflicting after " +
+              s"$attempts attempts: ${e.getMessage}")
+          // loser path: merge onto the winner's snapshot and retry —
+          // the data dir is already on disk, only the pointer retries
+          val cur = resolveManifest(spark, path)
+          version = cur._1; live = cur._2
+      }
+    }
+    -1L // unreachable
   }
 
   /** Snapshot read through the pointer: resolve the latest manifest,

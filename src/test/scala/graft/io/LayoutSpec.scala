@@ -486,4 +486,49 @@ class LayoutSpec extends SparkSpec {
         new java.io.File(path).getParentFile)
     }
   }
+
+  test("manifest commit is CAS: a stale-version commit raises, and " +
+    "racing upserts merge — neither silently drops the other's rows") {
+    import graft.SparkSpec.spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-cas").toString + "/table"
+    def epochDf(e: Long, n: Int) = (0 until n)
+      .map(i => (e * 100 + i, e)).toDF("id", "ingest_epoch")
+    try {
+      Tables.writeManifested(epochDf(0L, 5), path, Seq("ingest_epoch"))
+
+      // direct conflict: two writers that both resolved v1 try to
+      // commit v2 — the second one must raise, never overwrite
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (v, live) = Tables.resolveManifest(spark, path)
+      Tables.commitManifest(fs, root, v + 1, live)
+      intercept[Tables.ManifestConflictException] {
+        Tables.commitManifest(fs, root, v + 1, live)
+      }
+
+      // racing upserts of DIFFERENT partitions from two threads: the
+      // CAS loser re-merges and retries, so every epoch's rows land
+      // (pre-CAS this was last-writer-wins on both the pointer AND the
+      // shared data/v<next> dir — commits vanished silently)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writers = Seq(Seq(10L, 11L, 12L), Seq(20L, 21L, 22L)).map {
+        epochs => Future { epochs.foreach { e =>
+          Tables.upsertManifested(epochDf(e, 3), path,
+            Seq("ingest_epoch"), _ == s"ingest_epoch=$e")
+        }}
+      }
+      Await.result(Future.sequence(writers), Duration.Inf)
+      val got = Tables.readManifested(spark, path)
+        .select(col("id")).as[Long].collect().toSet
+      val want = (0 until 5).map(_.toLong).toSet ++
+        Seq(10L, 11L, 12L, 20L, 21L, 22L)
+          .flatMap(e => (0 until 3).map(i => e * 100 + i)).toSet
+      assert(got == want,
+        s"racing upserts dropped rows: missing ${want -- got}")
+    } finally org.apache.hadoop.fs.FileUtil.fullyDelete(
+      new java.io.File(path).getParentFile)
+  }
 }
