@@ -902,6 +902,131 @@ object Similarity {
       SemDedupTheta)
   }
 
+  // ---------- Incremental semantic dedup (batch-vs-archive) ----------
+
+  /** Build the semantic-dedup archive: freeze the trained centroids
+    * to `$idx/centroids` (the artifact every later batch encodes
+    * against — [[buildIndexTo]]'s discipline) and commit the corpus'
+    * coarse-cell assignments WITH their full-precision vectors — the
+    * SemDeDup witness payload — as the epoch-0 layer of a manifested
+    * (ingest_epoch, cell)-partitioned table. Partitioning by cell is
+    * what makes the daily probe batch-proportional: a batch touches
+    * only its own cells' partitions (DPP-pruned, the code-table scan
+    * shape), never the archive's full width. */
+  private[ops] def buildSemDedupArchiveTo(corpus: DataFrame,
+                                          cents: DataFrame,
+                                          idx: String): Unit = {
+    val s = corpus.sparkSession
+    cents.select(col("cent_id"), col("cemb"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$idx/centroids")
+    val frozen = semArchCents(s, idx)
+    Tables.writeManifested(
+      coarseAssign(withNorm(corpus), frozen)
+        .withColumn("ingest_epoch", lit(0L)),
+      s"$idx/assigned", Seq("ingest_epoch", "cell"))
+  }
+
+  /** The archive's frozen centroids, norms re-derived on read (sqrt
+    * of a dot product of parquet-round-tripped doubles — bit-stable,
+    * so a fresh session assigns identically to the builder). */
+  private def semArchCents(s: SparkSession, idx: String): DataFrame =
+    s.read.parquet(s"$idx/centroids")
+      .withColumn("cnrm", sqrt(dot(col("cemb"), col("cemb"))))
+
+  /** Incremental SemDeDup — [[dedupSemantic]] run the way a daily
+    * 100 TB embedding pipeline runs it: the corpus' cell assignments
+    * live in a PERSISTED archive ([[buildSemDedupArchiveTo]], built
+    * once), today's batch encodes against the FROZEN centroids,
+    * commits its assignments under its own epoch (replace-or-add —
+    * the assignment is a pure function of the frozen artifact, so a
+    * crash-replay recommits identical rows), and its verdicts come
+    * from ONE cell-pruned probe: witnesses are the archive rows in
+    * the batch's OWN cells (DPP prunes every other cell partition)
+    * plus the batch itself.
+    *
+    * CORRECTNESS IS PATH-INDEPENDENT: the drop rule (same cell,
+    * smaller witness id, cosine ≥ θ) re-checks id order and raw
+    * cosine per candidate, so batch-vs-archive verdicts for the
+    * batch's vectors are IDENTICAL to a full [[semDedupDropped]] run
+    * over the union corpus under the same frozen centroids —
+    * whatever the id interleaving (an archive witness with a larger
+    * id is excluded by the predicate on both paths). SemDedupSpec
+    * pins that identity on planted and real corpora, replay
+    * idempotence, and the recall floor vs the exact all-pairs audit.
+    * Per-batch cost: |batch| centroid assignment + Σ over touched
+    * cells of |cell|·|batch∩cell| candidate pairs — never an
+    * archive-wide scan or recompute. Trained cells are hash-seeded →
+    * rows-only driver check. */
+  private[ops] def dedupSemanticIncrementalFrom(batch: DataFrame,
+      idx: String, epoch: Long,
+      theta: Double = SemDedupTheta): DataFrame = {
+    val s = batch.sparkSession
+    val b = coarseAssign(withNorm(batch), semArchCents(s, idx))
+      .localCheckpoint() // consumed thrice: commit, witnesses, verdicts
+    Ckpt.track("dedup_semantic_incremental", b)
+    // maintenance first (the shingle-postings discipline): commit
+    // under the batch's epoch; the read below self-excludes it so a
+    // crash-replay never probes its own previous partial commit
+    Tables.upsertManifested(
+      b.withColumn("ingest_epoch", lit(epoch)),
+      s"$idx/assigned", Seq("ingest_epoch", "cell"),
+      _.startsWith(s"ingest_epoch=$epoch/"))
+    val arch = Tables.minusTombstones(
+      Tables.readManifested(s, s"$idx/assigned")
+        .where(col("ingest_epoch") =!= epoch),
+      s"$idx/tombstones", "vec_id")
+    // the batch's cells, broadcast: the archive side of this join is
+    // pruned to exactly those cell partitions at scan time
+    val witnesses = arch
+      .join(broadcast(b.select(col("cell")).distinct()), Seq("cell"))
+      .select(col("cell"), col("vec_id").as("wit_id"),
+        col("emb").as("wemb"), col("nrm").as("wnrm"))
+      .unionByName(b.select(col("cell"), col("vec_id").as("wit_id"),
+        col("emb").as("wemb"), col("nrm").as("wnrm")))
+    b.join(semDedupDroppedBy(b, witnesses, theta)
+          .withColumn("__dup", lit(true)),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"),
+        !coalesce(col("__dup"), lit(false)).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** One persisted semantic-dedup archive per data dir: old corpus =
+    * vec_id % 17 ≠ 3 (the [[simAnnIncremental]] split), centroids
+    * trained on the old corpus only — frozen-artifact discipline. */
+  private val semIncIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Gated: the daily batch (vec_id % 17 = 3) deduped against the
+    * persisted archive. See [[dedupSemanticIncrementalFrom]]. */
+  def dedupSemanticIncremental(s: SparkSession, dir: String): DataFrame = {
+    val idx = semIncIdxMemo.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-semdedup-index").toString
+      auxTmpDirs.add(d)
+      val old = pmod(col("vec_id"), lit(17)) =!= 3
+      buildSemDedupArchiveTo(
+        t(s, dir, "embeddings").where(old),
+        memoCents(s, dir + "#semold", unitCorpus(s, dir).where(old)),
+        d)
+      d
+    })
+    dedupSemanticIncrementalFrom(
+      t(s, dir, "embeddings").where(pmod(col("vec_id"), lit(17)) === 3),
+      idx, epoch = 1L)
+  }
+
+  /** The gated incremental query's frozen centroids (with norms) —
+    * exposed so SemDedupSpec replays the full-run reference under
+    * exactly the artifact the query path froze. */
+  private[ops] def semIncCentsForSpec(s: SparkSession,
+                                      dir: String): DataFrame =
+    memoCents(s, dir + "#semold",
+      unitCorpus(s, dir).where(pmod(col("vec_id"), lit(17)) =!= 3))
+      .withColumn("cnrm", sqrt(dot(col("cemb"), col("cemb"))))
+
   // ---------- Scalar int8 quantization (storage-scale encode) ----------
 
   /** Symmetric per-vector int8 quantization of the embedding corpus —
@@ -1694,6 +1819,7 @@ object Similarity {
     "sim_ann_pq" -> simAnnPq,
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_mp" -> dedupSemanticMp,
+    "dedup_semantic_incremental" -> dedupSemanticIncremental,
     "q_semdedup_recall" -> qSemdedupRecall,
     "q_semdedup_recall_mp" -> qSemdedupRecallMp,
     "q_hard_negatives" -> qHardNegatives,
@@ -1710,8 +1836,10 @@ object Similarity {
     "q_embed_centroids" -> qEmbedCentroidsOracle,
     // sim_ann_lsh: approximate + xxhash64-based → rows-only check;
     // recall vs sim_cosine_topk asserted in SimilaritySpec.
-    // dedup_semantic: trained-k-means cells not SQL-expressible →
-    // rows-only; SemDedupSpec pins the planted kept set, θ-boundary,
-    // witness validity and drop non-vacuity.
+    // dedup_semantic(+_mp/_incremental): trained-k-means cells not
+    // SQL-expressible → rows-only; SemDedupSpec pins the planted kept
+    // set, θ-boundary, witness validity, drop non-vacuity, and for
+    // the incremental path batch-vs-archive ≡ full-run verdicts plus
+    // the measured recall floor vs the exact all-pairs audit.
   )
 }

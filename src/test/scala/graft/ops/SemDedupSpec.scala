@@ -188,4 +188,115 @@ class SemDedupSpec extends SparkSpec {
     assert(keptMp.forall { case (id, cell) => kept(id) == cell })
     assert(keptMp.nonEmpty)
   }
+
+  // ---------- Incremental (batch-vs-archive) SemDeDup ----------
+
+  /** Planted two-cell geometry for the incremental path. Centroids at
+    * the axes; every vector is a Pythagorean direction so each cosine
+    * below is an exact double. Archive ids {10,20,30,40}; batch ids
+    * deliberately INTERLEAVED ({5,25,50,60}) so the id-order predicate
+    * is exercised in both directions. */
+  private def incCents = {
+    import SparkSpec.spark.implicits._
+    Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cent_id", "cemb")
+  }
+  private def incArchive = {
+    import SparkSpec.spark.implicits._
+    Seq( // raw (vec_id, embedding) — the ingest-facing schema
+      (10L, Seq(3.0, 4.0)),   // cell 0 (cos .6 to x-axis > cos .8? no:
+                              //  cos to c0 = 3/5=.6, to c1 = 4/5=.8 → cell 1
+      (20L, Seq(4.0, 3.0)),   // → cell 0 (cos .8 to c0)
+      (30L, Seq(5.0, 0.0)),   // cell 0, pure x
+      (40L, Seq(0.0, 5.0)))   // cell 1, pure y
+      .toDF("vec_id", "embedding")
+  }
+
+  test("incremental verdicts equal the full SemDeDup run on the union " +
+    "corpus under the frozen centroids — whatever the id interleaving") {
+    import SparkSpec.spark.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-seminc-spec").toString
+    try {
+      Similarity.buildSemDedupArchiveTo(incArchive, incCents, idx)
+      val batch = Seq(
+        (5L, Seq(8.0, 6.0)),   // cell 0, colinear with 20 — but 5 < 20:
+                               // the archive twin has a LARGER id → kept
+        (25L, Seq(10.0, 0.0)), // cell 0, colinear with 30 (30 > 25 → no)
+                               // BUT cos(25,20)=0.8 ≥ θ? θ=0.8 below: dup
+        (50L, Seq(0.0, 9.0)),  // cell 1, colinear with 40 → dup of 40
+        (60L, Seq(6.0, 8.0)))  // cell 1 (cos .8 to c1); witness 10 is
+                               // colinear (cos 1.0), 10 < 60 → dup
+        .toDF("vec_id", "embedding")
+      val theta = 0.8
+      val got = Similarity.dedupSemanticIncrementalFrom(batch, idx, 1L, theta)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+
+      // independent full run: assign the UNION under the same frozen
+      // centroids, apply the exact drop rule, restrict to batch ids
+      val cents = incCents.withColumn("cnrm",
+        sqrt(graft.expr.VectorExprs.dotProduct(col("cemb"), col("cemb"))))
+      val union = incArchive.unionByName(batch)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("emb"))
+        .withColumn("nrm",
+          sqrt(graft.expr.VectorExprs.dotProduct(col("emb"), col("emb"))))
+      val fullDropped = Similarity.semDedupDropped(
+          Similarity.coarseAssign(union, cents), theta)
+        .collect().map(_.getLong(0)).toSet
+      val batchIds = Set(5L, 25L, 50L, 60L)
+      assert(got.keySet == batchIds)
+      assert(got.filter(_._2).keySet == fullDropped.intersect(batchIds),
+        s"incremental verdicts ${got.filter(_._2).keySet} != full-run " +
+          s"${fullDropped.intersect(batchIds)}")
+      // the planted geometry itself: 5 kept (twin has larger id),
+      // 25/50/60 dropped
+      assert(got == Map(5L -> false, 25L -> true,
+        50L -> true, 60L -> true), s"planted verdicts: $got")
+
+      // replay idempotence: same epoch, same verdicts, archive stable
+      val rows = graft.io.Tables
+        .readManifested(spark, s"$idx/assigned").count()
+      val again = Similarity.dedupSemanticIncrementalFrom(batch, idx, 1L, theta)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(again == got, "epoch replay changed the verdicts")
+      assert(graft.io.Tables
+        .readManifested(spark, s"$idx/assigned").count() == rows,
+        "epoch replay grew the archive")
+    } finally org.apache.hadoop.fs.FileUtil.fullyDelete(
+      new java.io.File(idx))
+  }
+
+  test("real data: incremental batch verdicts equal the full run on " +
+    "the union, and batch recall vs the exact all-pairs audit clears " +
+    "its floor") {
+    import SparkSpec.spark.implicits._
+    val got = Similarity.dedupSemanticIncremental(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got.nonEmpty && got.values.exists(identity),
+      "batch verdicts are vacuous — no dup was ever flagged")
+
+    // full-run reference under the SAME frozen (old-corpus) centroids
+    val cents = Similarity.semIncCentsForSpec(spark, sf)
+    val union = Similarity.unitCorpus(spark, sf)
+      .select("vec_id", "emb", "nrm")
+    val fullDropped = Similarity.semDedupDropped(
+        Similarity.coarseAssign(union, cents), 0.25)
+      .collect().map(_.getLong(0)).toSet
+    val batchIds = got.keySet
+    assert(got.filter(_._2).keySet == fullDropped.intersect(batchIds),
+      "real-data incremental verdicts diverge from the full run")
+
+    // recall floor vs the EXACT all-pairs audit, restricted to the
+    // batch: the cell-bounded probe may miss cross-cell twins (the
+    // SemDeDup trade) but must catch most — info() reports the
+    // measured fraction
+    val exactBatch = Similarity.semDedupExactDropped(union, 0.25)
+      .collect().map(_.getLong(0)).toSet.intersect(batchIds)
+    assert(exactBatch.nonEmpty, "audit denominator is empty")
+    val caught = got.filter(_._2).keySet.intersect(exactBatch).size
+    val recall = caught.toDouble / exactBatch.size
+    info(s"incremental batch recall: $caught/${exactBatch.size} = $recall")
+    assert(recall >= 0.6,
+      s"incremental recall $recall = $caught/${exactBatch.size} < 0.6")
+  }
 }
