@@ -97,6 +97,13 @@ object Curation {
     // too many clusters — refuse instead
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds")
+    // the RETURNED labels reference the final round's checkpoint,
+    // which this function cannot release (the caller hasn't consumed
+    // the result yet) — slot-track it so the NEXT CC invocation frees
+    // it deterministically instead of leaving the release to the
+    // ContextCleaner's GC schedule (the block-manager-pressure
+    // pattern on every CC caller: one labeling leaked per query)
+    Ckpt.track("cc_result", checkpointed)
     labels
   }
 
@@ -166,6 +173,9 @@ object Curation {
         Seq("id"), "left")
       .groupBy(col("id"))
       .agg(min(coalesce(col("root"), col("id"))).as("label"))
+    // returned labels reference the star-forest checkpoint — same
+    // deterministic-release contract as [[connectedComponents]]
+    Ckpt.track("cc_alt_result", e)
     (labels, rounds)
   }
 

@@ -402,7 +402,9 @@ class PlanSpec extends SparkSpec {
     // filter — `plan.contains("ingest_epoch")` alone is vacuous (the
     // column name appears in any scan of the partitioned archive);
     // what proves pruning is the predicate INSIDE PartitionFilters
-    val pruned = raw"PartitionFilters: \[isnotnull\(ingest_epoch#\d+\), NOT \(ingest_epoch#\d+ = 1\)\]".r
+    // catalog-table scans render long attributes with an L suffix
+    // (ingest_epoch#123L), path-based scans without — match both
+    val pruned = raw"PartitionFilters: \[isnotnull\(ingest_epoch#\d+L?\), NOT \(ingest_epoch#\d+L? = 1\)\]".r
     assert(pruned.findFirstIn(plan).isDefined,
       s"epoch self-exclusion not pushed as a partition filter:\n$plan")
     // the postings-index probe is checkpointed out of the returned

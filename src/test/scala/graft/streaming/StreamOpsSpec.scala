@@ -1198,7 +1198,8 @@ class StreamOpsSpec extends SparkSpec {
     // the ONLY designed residue is the Ckpt slots' latest-invocation
     // frames (released by the NEXT invocation of the same slot) —
     // drain those, then anything still persisted is a leak
-    Seq("q_cluster_incremental", "q_cluster_incremental_edges")
+    Seq("q_cluster_incremental", "q_cluster_incremental_edges",
+        "cc_result")
       .foreach { slot =>
         val d = spark.emptyDataFrame.localCheckpoint()
         graft.ops.Ckpt.track(slot, d)
