@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, when}
 import org.apache.spark.sql.types.StructType
 
 /** Table IO for the engine.
@@ -911,6 +911,56 @@ object Tables {
     val fs = fsFor(spark, root)
     val (version, _) = resolveManifest(spark, path)
     commitManifest(fs, root, version + 1, Map.empty)
+  }
+
+  /** Shared epoch-fold-with-carry for a MANIFESTED epoch-partitioned
+    * archive — the one sequence every archive's maintenance step was
+    * re-implementing: rewrite the live rows MINUS tombstones with
+    * every epoch strictly below the high-water mark folded into the
+    * base layer (epoch 0); the NEWEST epoch keeps its own value,
+    * because a foreachBatch crash-replay can still rewrite exactly
+    * that epoch; then retire the tombstones in one pointer flip —
+    * EXCEPT keys living in that carried newest epoch, whose replay
+    * would recompute the rows from source and silently resurrect a
+    * folded delete (they stay masked until the next fold). The build
+    * layer (epoch 0) is not a replayable micro-batch — when it is the
+    * only layer, nothing is carried. Readers stay isolated behind the
+    * manifest pointer throughout. Returns the folded high-water
+    * epoch, -1 for a no-op.
+    *
+    * `partCols` lets multi-level archives (the ANN code table's
+    * (ingest_epoch, cell)) keep their sub-partitioning through the
+    * fold; `ingest_epoch` must be the FIRST level. */
+  private[graft] def foldManifestedEpochs(s: SparkSession, path: String,
+      tombPath: String, keyCol: String,
+      partCols: Seq[String] = Seq("ingest_epoch")): Long = {
+    require(partCols.headOption.contains("ingest_epoch"),
+      "foldManifestedEpochs needs ingest_epoch as the first level")
+    val (_, parts) = resolveManifest(s, path)
+    val maxE = parts.keys
+      .map(_.takeWhile(_ != '/').stripPrefix("ingest_epoch=").toLong).max
+    val tomb = readTombstones(s, tombPath, keyCol)
+    if (maxE <= 0L && tomb.isEmpty) return -1L
+    // readManifested resolves the pointer NOW, so this frame pins the
+    // pre-fold snapshot — the carry decision below still sees the
+    // newest epoch's keys after the rewrite flips the pointer
+    val all = readManifested(s, path)
+    upsertManifested(
+      minusTombstones(all, tombPath, keyCol)
+        .withColumn("ingest_epoch",
+          when(col("ingest_epoch") < maxE, lit(0L))
+            .otherwise(col("ingest_epoch"))),
+      path, partCols, _ => true)
+    tomb.foreach { td =>
+      val carried = td.join(
+        all.where(col("ingest_epoch") === maxE && lit(maxE > 0L))
+          .select(col(keyCol)).distinct(),
+        Seq(keyCol), "left_semi").localCheckpoint()
+      clearManifested(s, tombPath)
+      if (!carried.isEmpty) ingestTombstones(carried, tombPath, epoch = 0L)
+      graft.ops.Ckpt.release(carried)
+    }
+    maxE
   }
 
   /** Register every testdata table as a temp view so `spark.sql` works

@@ -1495,44 +1495,13 @@ object Similarity {
     * SimilaritySpec pins serve-equality, the DPP plan, and replay
     * idempotence across the fold. Returns the high-water epoch, or
     * -1 when only the build layer exists (no-op). */
-  def compactIndexEpochs(s: SparkSession, idx: String): Long = {
-    val path = s"$idx/codes"
-    val tombPath = s"$idx/tombstones"
-    // the epoch high-water mark is METADATA: every live epoch is the
-    // first segment of a manifest key (ingest_epoch=N/cell=K) already
-    // in driver memory — no table scan to learn a number the pointer
-    // file spells out
-    val (_, parts) = Tables.resolveManifest(s, path)
-    val maxE = parts.keys
-      .map(_.takeWhile(_ != '/').stripPrefix("ingest_epoch=").toLong)
-      .max
-    val tomb = Tables.readTombstones(s, tombPath, "vec_id")
-    if (maxE <= 0L && tomb.isEmpty) return -1L
-    val codes = Tables.readManifested(s, path)
-    // the fold is also where deletes become PHYSICAL: live tombstones
-    // are anti-joined out of the rewrite, then retired — except keys
-    // living in the carried-through newest epoch, whose foreachBatch
-    // crash-replay re-encodes them from the frozen artifacts and
-    // would silently resurrect a folded delete; those stay masked
-    // until the next fold
-    val masked = Tables.minusTombstones(codes, tombPath, "vec_id")
-    Tables.upsertManifested(
-      masked.withColumn("ingest_epoch",
-        when(col("ingest_epoch") < maxE, lit(0L))
-          .otherwise(col("ingest_epoch"))),
-      path, Seq("ingest_epoch", "cell"), _ => true)
-    tomb.foreach { td =>
-      val carried = td.join(
-        codes.where(col("ingest_epoch") === maxE && lit(maxE > 0L))
-          .select(col("vec_id")).distinct(),
-        Seq("vec_id"), "left_semi").localCheckpoint()
-      Tables.clearManifested(s, tombPath)
-      if (!carried.isEmpty)
-        Tables.ingestTombstones(carried, tombPath, epoch = 0L)
-      Ckpt.release(carried)
-    }
-    maxE
-  }
+  def compactIndexEpochs(s: SparkSession, idx: String): Long =
+    // the fold is also where deletes become PHYSICAL — the shared
+    // mask-rewrite/newest-epoch-carry/tombstone-retire sequence,
+    // keeping the (ingest_epoch, cell) sub-partitioning so the
+    // single-version result restores scan-time DPP on `cell`
+    Tables.foldManifestedEpochs(s, s"$idx/codes", s"$idx/tombstones",
+      "vec_id", Seq("ingest_epoch", "cell"))
 
   /** Commit one DELETE epoch of vector tombstones against a persisted
     * index — the removal verb of the index lifecycle (build → serve →

@@ -809,37 +809,9 @@ object TextOps {
     * ([[graft.io.Tables.clearManifested]] — one pointer flip).
     * Returns the folded high-water epoch, -1 for a no-op. */
   private[graft] def compactFingerprintEpochs(s: SparkSession,
-                                            idx: String): Long = {
-    val path = s"$idx/fingerprints"
-    val tombPath = s"$idx/tombstones"
-    val (_, parts) = Tables.resolveManifest(s, path)
-    val maxE = parts.keys
-      .map(_.stripPrefix("ingest_epoch=").toLong).max
-    val tomb = Tables.readTombstones(s, tombPath, "doc_id")
-    if (maxE <= 0L && tomb.isEmpty) return -1L
-    val all = Tables.readManifested(s, path)
-    val masked = Tables.minusTombstones(all, tombPath, "doc_id")
-    Tables.upsertManifested(
-      masked.withColumn("ingest_epoch",
-        when(col("ingest_epoch") < maxE, lit(0L))
-          .otherwise(col("ingest_epoch"))),
-      path, Seq("ingest_epoch"), _ => true)
-    tomb.foreach { td =>
-      // keys arriving in the still-replayable newest epoch keep their
-      // tombstones; everything else retires in one pointer flip. The
-      // build layer (epoch 0) is not a replayable micro-batch — when
-      // it is the only layer, nothing is carried
-      val carried = td.join(
-        all.where(col("ingest_epoch") === maxE && lit(maxE > 0L))
-          .select(col("doc_id")).distinct(),
-        Seq("doc_id"), "left_semi").localCheckpoint()
-      Tables.clearManifested(s, tombPath)
-      if (!carried.isEmpty)
-        Tables.ingestTombstones(carried, tombPath, epoch = 0L)
-      Ckpt.release(carried)
-    }
-    maxE
-  }
+                                            idx: String): Long =
+    Tables.foldManifestedEpochs(s, s"$idx/fingerprints",
+      s"$idx/tombstones", "doc_id")
 
   val qWinnowIncrementalOracle: String =
     """WITH d AS (SELECT doc_id, string_split(text,' ') AS ws
