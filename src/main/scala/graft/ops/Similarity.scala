@@ -1027,6 +1027,146 @@ object Similarity {
       unitCorpus(s, dir).where(pmod(col("vec_id"), lit(17)) =!= 3))
       .withColumn("cnrm", sqrt(dot(col("cemb"), col("cemb"))))
 
+  // ---------- Hybrid retrieval fusion (RRF) ----------
+
+  /** Reciprocal-rank-fusion constant (Cormack et al., SIGIR'09): the
+    * standard k = 60 damps the head so one list's top hit can't
+    * drown the other list's consensus. */
+  private val RrfK = 60
+
+  private val RrfTopK = 10
+
+  /** Reciprocal rank fusion of two ranked lists — list-agnostic: the
+    * inputs are any (qid, doc_id, rank) frames (ranks 1-based
+    * integers), the output is the fused top-[[RrfTopK]] per query
+    * with both source ranks preserved. score(d) =
+    * Σ_lists 1/(k + rank_d), a missing list contributing 0 — integer
+    * ranks in, a small-denominator rational out, so the rounded
+    * score is bit-identical on any engine computing the same two
+    * divisions (the hash-gate discipline). One full outer join on
+    * (qid, doc_id) + one per-query window over ≤ 2·topK rows — cost
+    * scales with the LISTS, never the corpus. */
+  private[ops] def rrfFuse(lex: DataFrame, sem: DataFrame): DataFrame = {
+    val joined = lex.select(col("qid"), col("doc_id"),
+        col("rank").as("rank_lex"))
+      .join(sem.select(col("qid"), col("doc_id"),
+        col("rank").as("rank_sem")), Seq("qid", "doc_id"), "full")
+    val rrf = graft.expr.Columns.roundQ(
+      coalesce(lit(1.0) / (lit(RrfK) + col("rank_lex")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(RrfK) + col("rank_sem")), lit(0.0)), 6)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    joined.withColumn("rrf", rrf)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= RrfTopK)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        col("rank_lex"), col("rank_sem"), col("rrf"))
+      .orderBy("qid", "rank")
+  }
+
+  /** The fused queries' semantic leg: each BM25 query qid pairs with
+    * a deterministic query VECTOR — the embedding keyed 100·qid (the
+    * production shape is a (text, vector) pair per query; documents
+    * and embeddings share the id space by the doc-embedding
+    * convention) — ranked by exact cosine over the corpus, the
+    * [[simCosineTopk]] discipline at depth [[RrfTopK]]. */
+  private def exactSemanticLeg(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(t(s, dir, "embeddings")).repartition(col("vec_id"))
+    val qv = e.where(col("vec_id").isin(100L, 200L, 300L))
+      .select((col("vec_id") / 100).cast("int").as("qid"),
+        col("vec_id").as("qvid"),
+        col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+    e.join(broadcast(qv), col("vec_id") =!= col("qvid"))
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        graft.expr.Columns.roundQ(
+          dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 4)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= RrfTopK)
+      .select(col("qid"), col("doc_id"), col("rank"))
+  }
+
+  /** Hybrid retrieval: RRF over the indexed-BM25 lexical ranking and
+    * the exact-cosine semantic ranking for the same three queries —
+    * the composition production retrieval runs over the two persisted
+    * artifacts this engine already serves separately
+    * ([[graft.ops.TextOps.qBm25Indexed]]'s token index; the
+    * embedding corpus). HASH-gated: both input lists replay exactly
+    * in SQL (the BM25 leg shares its CTEs with the hash-gated anchor
+    * verbatim; the cosine leg is the [[simCosineTopk]] oracle
+    * pattern), and the fusion arithmetic is two integer-denominator
+    * divisions summed in a fixed order then roundQ'd. The SERVED-ANN
+    * sibling [[qRetrievalFusedAnn]] swaps the semantic leg for the
+    * IVF-PQ serve path. */
+  def qRetrievalFused(s: SparkSession, dir: String): DataFrame =
+    rrfFuse(
+      TextOps.qBm25Indexed(s, dir)
+        .select(col("qid"), col("doc_id"), col("rn").as("rank")),
+      exactSemanticLeg(s, dir))
+
+  /** [[qRetrievalFused]] with the semantic leg answered by the
+    * PERSISTED IVF-PQ index ([[serveFrom]] — broadcast artifacts,
+    * DPP-pruned code scan) instead of the exact scan: the production
+    * steady state, where the exact leg is the audit. Approximate by
+    * design (trained index) → rows-only driver check; SimilaritySpec
+    * pins the fused-list overlap floor vs the exact fusion and that
+    * the lexical leg is bit-identical between the two. */
+  def qRetrievalFusedAnn(s: SparkSession, dir: String): DataFrame =
+    rrfFuse(
+      TextOps.qBm25Indexed(s, dir)
+        .select(col("qid"), col("doc_id"), col("rn").as("rank")),
+      serveFrom(s, dir, buildIndex(s, dir),
+          qFilter = col("vec_id").isin(100L, 200L, 300L),
+          topK = RrfTopK)
+        .select((col("qid") / 100).cast("int").as("qid"),
+          col("neighbor_id").as("doc_id"), col("rn").as("rank")))
+
+  val qRetrievalFusedOracle: String =
+    "WITH " + TextOps.bm25ScoredCte + ",\n" +
+      """lex AS (SELECT qid, doc_id, rn AS rank_lex FROM bm
+        |        WHERE rn <= 10),
+        |qv AS (SELECT CAST(vec_id / 100 AS INT) AS qid,
+        |              vec_id AS qvid, embedding AS qe
+        |       FROM embeddings WHERE vec_id IN (100, 200, 300)),
+        |z AS (SELECT qv.qid, e.vec_id AS vid, unnest(qe) AS x,
+        |             unnest(e.embedding) AS y
+        |      FROM qv CROSS JOIN embeddings e WHERE e.vec_id <> qv.qvid),
+        |d AS (SELECT qid, vid,
+        |             sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+        |      FROM z GROUP BY 1, 2),
+        |n AS (SELECT vec_id,
+        |             sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        |      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+        |      GROUP BY 1
+        |      HAVING sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) > 0),
+        |c AS (SELECT d.qid, vid,
+        |             floor(dot / (nq.nrm * nv.nrm) * 10000 + 0.5) / 10000
+        |               AS cosine
+        |      FROM d JOIN n nq ON nq.vec_id = d.qid * 100
+        |             JOIN n nv ON nv.vec_id = vid),
+        |sem AS (SELECT qid, vid AS doc_id, rank_sem FROM (
+        |          SELECT qid, vid,
+        |            CAST(row_number() OVER (PARTITION BY qid
+        |              ORDER BY cosine DESC, vid) AS INT) AS rank_sem
+        |          FROM c)
+        |        WHERE rank_sem <= 10),
+        |u AS (SELECT coalesce(l.qid, s.qid) AS qid,
+        |             coalesce(l.doc_id, s.doc_id) AS doc_id,
+        |             l.rank_lex, s.rank_sem
+        |      FROM lex l FULL JOIN sem s
+        |        ON l.qid = s.qid AND l.doc_id = s.doc_id),
+        |f AS (SELECT qid, doc_id, rank_lex, rank_sem,
+        |        floor((coalesce(1.0 / (60 + rank_lex), 0.0)
+        |             + coalesce(1.0 / (60 + rank_sem), 0.0))
+        |              * 1000000 + 0.5) / 1000000 AS rrf
+        |      FROM u)
+        |SELECT qid, rank, doc_id, rank_lex, rank_sem, rrf FROM (
+        |  SELECT f.*, CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY rrf DESC, doc_id) AS INT) AS rank FROM f)
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   // ---------- Scalar int8 quantization (storage-scale encode) ----------
 
   /** Symmetric per-vector int8 quantization of the embedding corpus —
@@ -1795,6 +1935,8 @@ object Similarity {
     "q_hard_negatives_ann" -> qHardNegativesAnn,
     "q_quantize_embed" -> qQuantizeEmbed,
     "q_embed_centroids" -> qEmbedCentroids,
+    "q_retrieval_fused" -> qRetrievalFused,
+    "q_retrieval_fused_ann" -> qRetrievalFusedAnn,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1803,6 +1945,10 @@ object Similarity {
     "q_hard_negatives" -> qHardNegativesOracle,
     "q_quantize_embed" -> qQuantizeEmbedOracle,
     "q_embed_centroids" -> qEmbedCentroidsOracle,
+    "q_retrieval_fused" -> qRetrievalFusedOracle,
+    // q_retrieval_fused_ann: IVF-PQ semantic leg not SQL-expressible
+    // → rows-only; SimilaritySpec pins the overlap floor vs the
+    // hash-gated exact fusion.
     // sim_ann_lsh: approximate + xxhash64-based → rows-only check;
     // recall vs sim_cosine_topk asserted in SimilaritySpec.
     // dedup_semantic(+_mp/_incremental): trained-k-means cells not

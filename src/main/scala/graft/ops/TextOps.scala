@@ -1552,8 +1552,13 @@ object TextOps {
       .orderBy("qid", "rn")
   }
 
-  val qBm25TopkOracle: String =
-    """WITH tok AS (
+  /** The BM25 ranked-list CTEs, shared verbatim between the top-k
+    * oracle and the retrieval-fusion oracle (`bm` ends holding
+    * (qid, doc_id, score, rn)) — one scoring text, two consumers, so
+    * the fused oracle replays EXACTLY the ranked list the hash-gated
+    * anchor is scored on. */
+  private[ops] val bm25ScoredCte: String =
+    """tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
       |  FROM documents),
       |q(qid, token) AS (VALUES
@@ -1580,15 +1585,19 @@ object TextOps {
       |         JOIN dfreq d ON d.token = q.token
       |         JOIN dl ON dl.doc_id = tf.doc_id
       |         CROSS JOIN stats s
-      |  GROUP BY 1, 2)
-      |SELECT qid, doc_id, score, rn FROM (
+      |  GROUP BY 1, 2),
+      |bm AS (
       |  SELECT qid, doc_id,
       |    floor(raw * 10000 + 0.5) / 10000 AS score,
       |    CAST(row_number() OVER (PARTITION BY qid
       |      ORDER BY floor(raw * 10000 + 0.5) / 10000 DESC, doc_id)
       |      AS INT) AS rn
-      |  FROM scored)
-      |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+      |  FROM scored)""".stripMargin
+
+  val qBm25TopkOracle: String =
+    "WITH " + bm25ScoredCte + "\n" +
+      """SELECT qid, doc_id, score, rn FROM bm
+        |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
 
   // ---------- BM25 served from a persisted token index ----------
 

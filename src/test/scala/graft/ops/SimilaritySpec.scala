@@ -618,4 +618,61 @@ class SimilaritySpec extends SparkSpec {
       org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx2))
     }
   }
+
+  test("RRF fusion: planted disagreeing lists — consensus outranks " +
+    "either list's top-1, single-list items damp to the tail") {
+    import SparkSpec.spark.implicits._
+    // lex: A > B > C ; sem: B > D > A — B (ranks 2+1) must beat
+    // A (ranks 1+3); C and D ride one list each
+    val lex = Seq((1, 10L, 1), (1, 20L, 2), (1, 30L, 3))
+      .toDF("qid", "doc_id", "rank")
+    val sem = Seq((1, 20L, 1), (1, 40L, 2), (1, 10L, 3))
+      .toDF("qid", "doc_id", "rank")
+    val got = Similarity.rrfFuse(lex, sem).collect()
+      .map(r => (r.getInt(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Int]),
+        Option(r.get(4)).map(_.asInstanceOf[Int]), r.getDouble(5)))
+    assert(got.map(t => t._1 -> t._2).toSeq ==
+      Seq(1 -> 20L, 2 -> 10L, 3 -> 40L, 4 -> 30L),
+      s"fused order wrong: ${got.toSeq}")
+    // source ranks preserved, including the missing sides
+    assert(got.find(_._2 == 20L).get._3 == Some(2))
+    assert(got.find(_._2 == 20L).get._4 == Some(1))
+    assert(got.find(_._2 == 30L).get._4 == None)
+    assert(got.find(_._2 == 40L).get._3 == None)
+    // the scores are the hand-computed reciprocal sums, 6-dp rounded
+    def rr(a: Option[Int], b: Option[Int]) = math.floor(
+      (a.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        b.map(r => 1.0 / (60 + r)).getOrElse(0.0)) * 1e6 + 0.5) / 1e6
+    got.foreach { case (_, _, a, b, s) => assert(s == rr(a, b)) }
+  }
+
+  test("served-ANN fusion: lexical leg bit-identical to the exact " +
+    "fusion's, and the fused top-10 overlap clears its floor") {
+    val exact = Similarity.qRetrievalFused(spark, sf).collect()
+    val ann = Similarity.qRetrievalFusedAnn(spark, sf).collect()
+    def lexRanks(rows: Array[org.apache.spark.sql.Row]) = rows
+      .filter(!_.isNullAt(3))
+      .map(r => (r.getInt(0), r.getLong(2)) -> r.getInt(3)).toMap
+    // the lexical leg comes from the SAME persisted token index —
+    // every (qid, doc) both fusions rank lexically carries the same
+    // lexical rank
+    val (el, al) = (lexRanks(exact), lexRanks(ann))
+    val shared = el.keySet.intersect(al.keySet)
+    assert(shared.nonEmpty)
+    assert(shared.forall(k => el(k) == al(k)),
+      "lexical ranks diverge between exact and ANN fusion")
+    // fused-list agreement: per qid, the ANN fusion recovers most of
+    // the exact fused top-10 (the ANN leg's recall floor transfers)
+    val perQid = (1 to 3).map { q =>
+      val e = exact.filter(_.getInt(0) == q).map(_.getLong(2)).toSet
+      val a = ann.filter(_.getInt(0) == q).map(_.getLong(2)).toSet
+      assert(e.size == 10 && a.size == 10,
+        s"qid $q fused lists not full: exact=${e.size} ann=${a.size}")
+      e.intersect(a).size.toDouble / e.size
+    }
+    info(s"fused top-10 overlap per qid: ${perQid.mkString(", ")}")
+    assert(perQid.forall(_ >= 0.6),
+      s"ANN fusion diverged from exact fusion: $perQid")
+  }
 }
