@@ -415,7 +415,7 @@ object Multimodal {
   /** The banding + verification tail over ANY (doc_id, ph) frame —
     * factored so the planted-image spec drives constructed hashes
     * through the exact gated join. */
-  private[ops] def neardupPairsOf(hashed: DataFrame): DataFrame = {
+  private[ops] def neardupPairsOf(hashed: DataFrame): DataFrame =
     // 3 bands of 22/21/21 bits — the WIDEST banding that stays
     // complete for the Hamming-≤2 radius (d flips dirty ≤ d bands, so
     // 3 bands leave ≥ 1 clean). Wider bands are exponentially more
@@ -424,27 +424,40 @@ object Multimodal {
     // join emits Σ|bucket|² junk candidates; 21-bit values cut the
     // non-qualifying collision mass ~32× per band while every true
     // pair still shares its clean band verbatim
-    val bandMasks = Seq(0L -> 22, 22L -> 21, 43L -> 21)
-    val banded = hashed.select(col("doc_id"), col("ph"),
+    bandedHammingPairs(hashed, "ph",
+      Seq(0L -> 22, 22L -> 21, 43L -> 21), hamMax = 2)
+
+  /** Generic banded-Hamming pair join over ANY (doc_id, <hashCol>)
+    * fingerprint frame — shared by the image (pHash) and audio
+    * (block-energy) near-dup paths. `bandMasks` are (shift, width)
+    * pairs that must tile the hash so the banding stays COMPLETE for
+    * `hamMax` (≥ hamMax + 1 bands). The join shuffles on
+    * (band, band_bits) — never all-pairs, never payloads: inputs are
+    * 8-byte fingerprints. Hamming-filters BEFORE the pair-dedup
+    * exchange: the band join emits Σ|bucket|² candidate rows (a pair
+    * can match in several bands, and degenerate corpora make buckets
+    * huge), and bit_count is a codegen'd map-side op — filtering
+    * first cuts the dedup exchange + aggregate from the candidate
+    * volume down to the qualifying pairs; hamming is a pure function
+    * of the pair, so distinct-on-(pair, hamming) equals the
+    * distinct-then-filter set. */
+  private[ops] def bandedHammingPairs(hashed: DataFrame, hashCol: String,
+      bandMasks: Seq[(Long, Int)], hamMax: Int): DataFrame = {
+    require(bandMasks.size > hamMax,
+      s"${bandMasks.size} bands cannot be complete for Hamming <= $hamMax")
+    val banded = hashed.select(col("doc_id"), col(hashCol).as("__h"),
       explode(array(bandMasks.zipWithIndex.map { case ((sh, wd), i) =>
         struct(lit(i).as("band"),
-          col("ph").bitwiseAND(lit(((1L << wd) - 1L) << sh)).as("bits"))
+          col(hashCol).bitwiseAND(lit(((1L << wd) - 1L) << sh)).as("bits"))
       }: _*)).as("bb"))
-      .select(col("doc_id"), col("ph"), col("bb.band").as("band"),
+      .select(col("doc_id"), col("__h"), col("bb.band").as("band"),
         col("bb.bits").as("bits"))
-    // hamming-filter BEFORE the distinct: the band join emits
-    // Σ|bucket|² candidate rows (a pair can match in up to 4 bands,
-    // and degenerate corpora make buckets huge), and bit_count is a
-    // codegen'd map-side op — filtering first cuts the dedup
-    // exchange + aggregate from the candidate volume down to the
-    // qualifying pairs. hamming is a pure function of the pair, so
-    // distinct on (pair, hamming) equals the distinct-then-filter set
     banded.alias("x").join(banded.alias("y"),
       col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.ph").bitwiseXOR(col("y.ph"))).as("hamming"))
-      .where(col("hamming") <= 2)
+        bit_count(col("x.__h").bitwiseXOR(col("y.__h"))).as("hamming"))
+      .where(col("hamming") <= hamMax)
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
@@ -735,9 +748,14 @@ object Multimodal {
     * from doc_id, which is what makes the PARSE below oracle-able:
     * the oracle recomputes the formulas while Spark reads the actual
     * header bytes — a wrong offset or byte order hash-mismatches. */
-  def mediaWav(s: SparkSession, dir: String): DataFrame = {
+  def mediaWav(s: SparkSession, dir: String): DataFrame =
+    mediaWavOf(s, t(s, dir, "documents"))
+
+  /** [[mediaWav]] over an explicit docs frame — the archive build /
+    * ingest entry point (the [[mediaPngOf]] pattern). */
+  private[graft] def mediaWavOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id")).as[Long]
+    docs.select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val channels = 1 + (id % 2).toInt
         val rate = Array(8000, 16000, 44100)((id % 3).toInt)
@@ -855,8 +873,13 @@ object Multimodal {
     * doc_id in the message — the PNG path's null-decode discipline —
     * instead of emitting silent garbage stats from whatever bytes sit
     * at offsets 22/40/44. */
-  private[ops] def decodeWavBlocks(id: Long, bytes: Array[Byte])
-      : Seq[AudioBlock] = {
+  /** Validated PCM16 WAV parse — the shared front half of every audio
+    * decode here: magic check, the word-aligned bounds-checked chunk
+    * walk, PCM/16-bit enforcement. Returns (buffer, channels,
+    * frames, dataOff); any malformed payload fails LOUDLY with the
+    * doc_id. */
+  private def parseWavPcm16(id: Long, bytes: Array[Byte])
+      : (java.nio.ByteBuffer, Int, Int, Int) = {
     def fail(msg: String): Nothing = throw new IllegalArgumentException(
       s"doc_id=$id: not a decodable PCM16 WAV — $msg")
     if (bytes.length < 12) fail(s"payload is ${bytes.length} bytes")
@@ -885,7 +908,12 @@ object Multimodal {
     if (channels <= 0) fail(s"$channels channels")
     val bits = bb.getShort(fmtOff + 14).toInt
     if (bits != 16) fail(s"$bits-bit samples, want 16")
-    val frames = dataSize / (channels * 2)
+    (bb, channels, dataSize / (channels * 2), dataOff)
+  }
+
+  private[ops] def decodeWavBlocks(id: Long, bytes: Array[Byte])
+      : Seq[AudioBlock] = {
+    val (bb, channels, frames, dataOff) = parseWavPcm16(id, bytes)
     (0 until (frames + AudioBlockFrames - 1) / AudioBlockFrames)
       .map { b =>
         val f0 = b * AudioBlockFrames
@@ -1007,6 +1035,200 @@ object Multimodal {
       |          (doc_id + 7 * f + c) % 32768)))) AS INT) AS peak
       |FROM b ORDER BY doc_id, block""".stripMargin
 
+  // ---------- Audio fingerprint near-dup (block-energy hash) ----------
+
+  /** Sub-block count of the audio fingerprint: the clip's frame range
+    * splits into 62 equal spans, yielding [[AfpBits]] = 60 convexity
+    * bits — bit j compares E(j) + E(j+2) against 2·E(j+1) over the
+    * per-span Σ|s| energies (all channels). The second-order
+    * (convexity) sign is the shift-robust choice for this family: a
+    * small time shift moves every span's energy by nearly the same
+    * amount (the first-order Haitsma-Kalker delta would ride the
+    * clip's global energy ramp and degenerate to all-ones on
+    * monotone material), while the second difference cancels the
+    * ramp and keeps only the local energy SHAPE — so a time-shifted
+    * or gain-shifted twin flips at most the few bits whose spans
+    * straddle the shift boundary (MultimodalSpec plants both twins).
+    * 60 bits (not 64) keeps every assembled fingerprint positive in
+    * a signed BIGINT on BOTH engines — the pHash oracle's two-halves
+    * workaround isn't needed. */
+  private[ops] val AfpSubBlocks = 62
+  private[ops] val AfpBits = 60
+
+  /** Decode one WAV payload to its 60-bit block-energy fingerprint —
+    * same validated parse as the energy blocks, pixels-once
+    * discipline: payload bytes are touched here and only here. */
+  private[ops] def decodeWavAfp(id: Long, bytes: Array[Byte]): Long = {
+    val (bb, channels, frames, dataOff) = parseWavPcm16(id, bytes)
+    val e = new Array[Long](AfpSubBlocks)
+    var j = 0
+    while (j < AfpSubBlocks) {
+      val f0 = j * frames / AfpSubBlocks
+      val f1 = (j + 1) * frames / AfpSubBlocks
+      var sum = 0L; var f = f0
+      while (f < f1) {
+        var c = 0
+        while (c < channels) {
+          sum += math.abs(bb.getShort(dataOff + (f * channels + c) * 2).toInt)
+          c += 1
+        }
+        f += 1
+      }
+      e(j) = sum; j += 1
+    }
+    var v = 0L; var b = 0
+    while (b < AfpBits) {
+      if (e(b) + e(b + 2) > 2 * e(b + 1)) v |= 1L << b
+      b += 1
+    }
+    v
+  }
+
+  /** Batched decode → fingerprint over any (doc_id, payload) media
+    * frame — the audio face of [[phash64Frame]]. */
+  private[graft] def afpFrame(s: SparkSession, media: DataFrame): DataFrame = {
+    import s.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.map {
+        case (id, bytes) => (id, decodeWavAfp(id, bytes))
+      }))
+      .toDF("doc_id", "afp")
+  }
+
+  /** Per-clip fingerprint, HASH-gated: the oracle recomputes the
+    * span energies and convexity bits from the sawtooth closed form
+    * while Spark reads the actual PCM bytes — a wrong span boundary,
+    * byte order or shift hash-mismatches. */
+  def mmAudioFp(s: SparkSession, dir: String): DataFrame =
+    afpFrame(s, mediaWav(s, dir)).orderBy("doc_id")
+
+  /** Audio near-duplicate pairs — the audio-side sibling of
+    * [[mmPhashNeardup]]: fingerprint every clip once, then the
+    * generic banded-Hamming join ([[bandedHammingPairs]], 3×20-bit
+    * bands — complete for the ≤2 radius over the 60-bit hash). The
+    * fixtures' near-dup structure is real: clips sharing waveform
+    * SHAPE (same frame count and channel layout, amplitude/time
+    * offset apart) land within Hamming 2; different shapes land ~25
+    * bits apart. HASH-gated: the oracle replays fingerprint +
+    * all-pairs Hamming relationally (all-pairs is oracle-side only —
+    * the engine shuffles on band buckets, never all-pairs). */
+  def mmAudioNeardup(s: SparkSession, dir: String): DataFrame =
+    afpPairsOf(afpFrame(s, mediaWav(s, dir)))
+
+  private[ops] def afpPairsOf(hashed: DataFrame): DataFrame =
+    bandedHammingPairs(hashed, "afp",
+      Seq(0L -> 20, 20L -> 20, 40L -> 20), hamMax = 2)
+
+  // ---------- Persisted audio-fingerprint archive ----------
+
+  /** Build the audio-fingerprint archive: decode every clip ONCE and
+    * persist its fingerprint as a manifested epoch-ingested table —
+    * the [[buildPhashIndexTo]] discipline for the audio modality,
+    * completing the fingerprint-archive symmetry across text
+    * (winnow), images (pHash) and audio. */
+  private[graft] def buildAudioFpIndexTo(s: SparkSession, docs: DataFrame,
+                                         idx: String): Unit =
+    Tables.writeManifested(
+      afpFrame(s, mediaWavOf(s, docs))
+        .withColumn("ingest_epoch", lit(0L)),
+      s"$idx/hashes", Seq("ingest_epoch"))
+
+  /** Commit ONE batch's fingerprints under its own epoch —
+    * replace-or-add (decode is deterministic); bootstrap-safe like
+    * the pHash archive. */
+  private[graft] def ingestAudioFpIndex(s: SparkSession, batch: DataFrame,
+                                        idx: String, epoch: Long): Unit = {
+    val hasManifest = Tables.manifestExists(s, s"$idx/hashes")
+    if (!hasManifest && batch.isEmpty) return
+    val hashes = afpFrame(s, mediaWavOf(s, batch))
+      .withColumn("ingest_epoch", lit(epoch))
+    if (hasManifest)
+      Tables.upsertManifested(hashes,
+        s"$idx/hashes", Seq("ingest_epoch"), _ == s"ingest_epoch=$epoch")
+    else
+      Tables.writeManifested(hashes, s"$idx/hashes", Seq("ingest_epoch"))
+  }
+
+  /** Near-dup pairs served from a persisted audio-fingerprint archive,
+    * tombstone-masked: a forgotten clip's pairs vanish on the next
+    * read without touching a sample. */
+  private[graft] def afpIndexedFrom(s: SparkSession,
+                                    idx: String): DataFrame =
+    afpPairsOf(
+      Tables.minusTombstones(
+          Tables.readManifested(s, s"$idx/hashes"),
+          s"$idx/tombstones", "doc_id")
+        .select(col("doc_id"), col("afp")))
+
+  /** Epoch fold + physical delete for the audio archive — the shared
+    * [[graft.io.Tables.foldManifestedEpochs]] carry rule. */
+  private[graft] def compactAudioFpEpochs(s: SparkSession,
+                                          idx: String): Long =
+    Tables.foldManifestedEpochs(s, s"$idx/hashes",
+      s"$idx/tombstones", "doc_id")
+
+  /** Same fold for the pHash archive (its ingest/delete legs landed
+    * round 8; this closes the fold leg with the shared rule). */
+  private[graft] def compactPhashEpochs(s: SparkSession,
+                                        idx: String): Long =
+    Tables.foldManifestedEpochs(s, s"$idx/hashes",
+      s"$idx/tombstones", "doc_id")
+
+  private val afpIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def afpIndex(s: SparkSession, dir: String): String =
+    afpIdxMemo.computeIfAbsent(dir, _ => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-afp-index").toString
+      phashIdxDirs.add(idx) // same shutdown-hook cleanup
+      buildAudioFpIndexTo(s, t(s, dir, "documents"), idx)
+      idx
+    })
+
+  /** Gated: [[mmAudioNeardup]]'s pair set served from the persisted
+    * fingerprint archive instead of from samples — HASH-gated against
+    * the SAME oracle as the from-decode anchor (the archive
+    * round-trip loses nothing; no decode in the probe plan). */
+  def mmAudioIndexed(s: SparkSession, dir: String): DataFrame =
+    afpIndexedFrom(s, afpIndex(s, dir))
+
+  /** Closed-form span-energy fingerprint CTE (`fp` holds
+    * (doc_id, afp)) — shared by the three audio-fingerprint
+    * oracles. Spans replay j·frames÷62 integer arithmetic; energies
+    * the sawtooth sums; bits the convexity comparisons; the 60-bit
+    * assembly stays positive in a signed BIGINT. */
+  private val afpCte: String =
+    """m AS (SELECT doc_id,
+      |    1 + doc_id % 2 AS ch, 100 + doc_id % 50 AS frames
+      |  FROM documents),
+      |sp AS (SELECT doc_id,
+      |    list_transform(range(0, 62), j ->
+      |      list_sum(list_transform(
+      |        range(j * frames // 62, (j + 1) * frames // 62), f ->
+      |          list_sum(list_transform(range(0, ch), c ->
+      |            (doc_id + 7 * f + c) % 32768))))) AS e
+      |  FROM m),
+      |fp AS (SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 60), b ->
+      |      CASE WHEN e[b + 1] + e[b + 3] > 2 * e[b + 2]
+      |           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END))
+      |      AS BIGINT) AS afp
+      |  FROM sp)""".stripMargin
+
+  val mmAudioFpOracle: String =
+    "WITH " + afpCte + "\n" +
+      "SELECT doc_id, afp FROM fp ORDER BY doc_id"
+
+  val mmAudioNeardupOracle: String =
+    "WITH " + afpCte + "\n" +
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.afp, b.afp)) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> mmMetadata,
     "mm_resize" -> mmResize,
@@ -1020,6 +1242,9 @@ object Multimodal {
     "mm_audio_meta" -> mmAudioMeta,
     "mm_audio_energy" -> mmAudioEnergy,
     "mm_vad_segments" -> mmVadSegments,
+    "mm_audio_fp" -> mmAudioFp,
+    "mm_audio_neardup" -> mmAudioNeardup,
+    "mm_audio_indexed" -> mmAudioIndexed,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1037,5 +1262,10 @@ object Multimodal {
     "mm_audio_meta" -> mmAudioMetaOracle,
     "mm_audio_energy" -> mmAudioEnergyOracle,
     "mm_vad_segments" -> mmVadSegmentsOracle,
+    "mm_audio_fp" -> mmAudioFpOracle,
+    "mm_audio_neardup" -> mmAudioNeardupOracle,
+    // the indexed variant changes only WHERE the fingerprints come
+    // from (the persisted archive), never the pairs — shared oracle
+    "mm_audio_indexed" -> mmAudioNeardupOracle,
   )
 }

@@ -360,4 +360,93 @@ class MultimodalSpec extends SparkSpec {
       assert(keep == (d == cid))
     }
   }
+
+  // ---------- audio fingerprint near-dup ----------
+
+  /** Genuine PCM16 mono WAV bytes from an explicit sample sequence —
+    * the planted clips go through the REAL container parse. */
+  private def wavBytes(samples: Seq[Int]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataSize)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)
+    bb.putInt(8000); bb.putInt(8000 * 2)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataSize)
+    samples.foreach(s => bb.putShort(s.toShort))
+    bb.array()
+  }
+
+  test("audio fingerprint: time-shifted and gain-shifted twins land " +
+    "within the Hamming radius and surface as pairs; an unrelated " +
+    "clip does not") {
+    import SparkSpec.spark.implicits._
+    val frames = 120
+    val a = wavBytes((0 until frames).map(f => (77 + 7 * f) % 32768))
+    val shifted = wavBytes( // the same recording, 2 frames later
+      (0 until frames).map(f => (77 + 7 * (f + 2)) % 32768))
+    val gained = wavBytes( // the same recording, louder
+      (0 until frames).map(f => (77 + 7 * f + 300) % 32768))
+    val other = wavBytes((0 until 137).map(f => (5000 - 3 * f) % 32768))
+
+    val fa = Multimodal.decodeWavAfp(1L, a)
+    assert(java.lang.Long.bitCount(
+      fa ^ Multimodal.decodeWavAfp(2L, shifted)) <= 2,
+      "time-shifted twin outside the Hamming radius")
+    assert(java.lang.Long.bitCount(
+      fa ^ Multimodal.decodeWavAfp(3L, gained)) <= 2,
+      "gain-shifted twin outside the Hamming radius")
+    assert(java.lang.Long.bitCount(
+      fa ^ Multimodal.decodeWavAfp(4L, other)) > 2,
+      "unrelated clip inside the Hamming radius — fingerprint too weak")
+
+    // ...and the banded join surfaces exactly the twin pairs
+    val media = Seq(1L -> a, 2L -> shifted, 3L -> gained, 4L -> other)
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.afpPairsOf(
+        Multimodal.afpFrame(spark, media))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"banded pairs wrong: $pairs")
+  }
+
+  test("audio fingerprint archive: ingest epochs merge, a tombstoned " +
+    "clip's pairs vanish immediately, and the fold is physical with " +
+    "the newest-epoch carry") {
+    import SparkSpec.spark.implicits._
+    def docs(ids: Long*) = ids.map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-afp-spec").toString
+    try {
+      // ids 100 and 200 share (frames, channels) — an amplitude-offset
+      // twin pair by the fixture formula; 17 is unrelated
+      Multimodal.buildAudioFpIndexTo(spark, docs(100L, 17L), idx)
+      Multimodal.ingestAudioFpIndex(spark, docs(200L), idx, epoch = 1L)
+      def pairs() = Multimodal.afpIndexedFrom(spark, idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs() == Set((100L, 200L)),
+        s"archive probe pairs wrong: ${pairs()}")
+      // replay: identical rows swap in
+      Multimodal.ingestAudioFpIndex(spark, docs(200L), idx, epoch = 1L)
+      assert(pairs() == Set((100L, 200L)), "epoch replay moved the archive")
+      // forget the build-layer twin: the pair vanishes at once
+      graft.io.Tables.ingestTombstones(Seq(100L).toDF("doc_id"),
+        s"$idx/tombstones", epoch = 1L)
+      assert(pairs().isEmpty, "tombstoned clip still pairs")
+      // fold: doc 100 (base layer) physically gone; doc 200 lives in
+      // the newest epoch so nothing is carried for it (untombstoned)
+      assert(Multimodal.compactAudioFpEpochs(spark, idx) == 1L)
+      val raw = graft.io.Tables.readManifested(spark, s"$idx/hashes")
+        .select("doc_id").as[Long].collect().toSet
+      assert(raw == Set(17L, 200L),
+        s"fold left the wrong physical rows: $raw")
+      assert(graft.io.Tables.readTombstones(spark,
+        s"$idx/tombstones", "doc_id").isEmpty,
+        "base-layer tombstone not retired by the fold")
+    } finally org.apache.hadoop.fs.FileUtil.fullyDelete(
+      new java.io.File(idx))
+  }
 }
