@@ -651,6 +651,143 @@ object ScaleOps {
       |FROM v WHERE alive = 1
       |ORDER BY c_custkey, effective_from""".stripMargin
 
+  // ---------- Archive health monitor ----------
+
+  /** One health row for a manifested archive — the operational
+    * metadata a fold/vacuum scheduler reads: live epoch count, live
+    * (tombstone-masked) row count, live tombstone keys, manifest
+    * version count, and the superseded data directories (with their
+    * bytes) no live manifest references — i.e. exactly what the next
+    * [[graft.io.Tables.vacuumManifested]] would reclaim. Epoch count,
+    * dead-dir discovery and version count are manifest/FS METADATA
+    * (driver-side, one listing — the compaction-service shape); the
+    * two row counts are distributed jobs. */
+  private[graft] final case class ArchiveHealth(
+      store: String, n_epochs: Int, n_live_rows: Long,
+      n_tombstones: Long, manifest_versions: Int,
+      n_dead_dirs: Int, dead_bytes: Long)
+
+  private[graft] def archiveHealth(s: SparkSession, store: String,
+      path: String, tombPath: String, keyCol: String): ArchiveHealth = {
+    val (_, parts) = Tables.resolveManifest(s, path)
+    val nEpochs = parts.keys
+      .map(_.takeWhile(_ != '/').stripPrefix("ingest_epoch=")).toSet.size
+    val live = Tables.minusTombstones(
+      Tables.readManifested(s, path), tombPath, keyCol).count()
+    val nTomb = Tables.readTombstones(s, tombPath, keyCol)
+      .map(_.count()).getOrElse(0L)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(root)
+      .count(_.getPath.getName.startsWith("_manifest-"))
+    // unreferenced leaf partition dirs under data/ — walk each
+    // version/attempt root, compare against the live manifest's
+    // relative paths
+    val referenced = parts.values.toSet
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$path/data")
+    def leaves(dir: org.apache.hadoop.fs.Path, rel: String)
+        : Seq[(String, Long)] = {
+      val kids = fs.listStatus(dir)
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      if (kids.isEmpty) Nil
+      else kids.flatMap { k =>
+        val childRel = s"$rel/${k.getPath.getName}"
+        val deeper = leaves(k.getPath, childRel)
+        if (deeper.nonEmpty) deeper
+        else Seq(childRel -> fs.getContentSummary(k.getPath).getLength)
+      }.toSeq
+    }
+    val dead =
+      if (!fs.exists(dataRoot)) Nil
+      else fs.listStatus(dataRoot).filter(_.isDirectory).toSeq
+        .flatMap(vd => leaves(vd.getPath, s"data/${vd.getPath.getName}"))
+        .filterNot { case (rel, _) => referenced.contains(rel) }
+    ArchiveHealth(store, nEpochs, live, nTomb, versions,
+      dead.size, dead.map(_._2).sum)
+  }
+
+  /** The three-stage construction behind [[qArchiveHealth]], one
+    * archive per lifecycle stage so the gated output SHOWS the
+    * fold/vacuum counters resetting: `staged` (build + two ingest
+    * epochs + a delete epoch), `folded` (the same archive after the
+    * shared epoch fold — epochs collapse, tombstones retire except
+    * the newest-epoch carry, superseded dirs appear), `vacuumed`
+    * (after [[graft.io.Tables.vacuumManifested]] — superseded dirs
+    * and old manifests reclaimed). Deterministic row content (bare
+    * doc_ids split by residue), so every reported integer is a
+    * closed-form function of the documents table and the query
+    * HASH-gates. */
+  private val healthMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def healthRoot(s: SparkSession, dir: String): String =
+    healthMemo.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-archive-health").toString
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      def stage(name: String): (String, String) = {
+        val p = s"$root/$name"
+        Tables.writeManifested(
+          ids.where(pmod(col("doc_id"), lit(10)) >= 2)
+            .withColumn("ingest_epoch", lit(0L)),
+          p, Seq("ingest_epoch"))
+        Seq(1L, 2L).foreach { e =>
+          Tables.upsertManifested(
+            ids.where(pmod(col("doc_id"), lit(10)) === lit(2L - e))
+              .withColumn("ingest_epoch", lit(e)),
+            p, Seq("ingest_epoch"), _ == s"ingest_epoch=$e")
+        }
+        Tables.ingestTombstones(
+          ids.where(pmod(col("doc_id"), lit(13)) === 0),
+          s"${p}_tombstones", epoch = 1L)
+        (p, s"${p}_tombstones")
+      }
+      stage("staged")
+      val (pf, tf) = stage("folded")
+      Tables.foldManifestedEpochs(s, pf, tf, "doc_id")
+      val (pv, tv) = stage("vacuumed")
+      Tables.foldManifestedEpochs(s, pv, tv, "doc_id")
+      Tables.vacuumManifested(s, pv)
+      root
+    })
+
+  /** Gated: archive health across the three lifecycle stages — the
+    * q_ann_drift discipline applied to archive hygiene. HASH-gated:
+    * every emitted stat is an integer with a closed form over the
+    * documents table (dead BYTES are physical-layout-dependent and
+    * stay out of the gated projection; LayoutSpec pins their
+    * fold-raises/vacuum-resets behavior instead). */
+  def qArchiveHealth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = healthRoot(s, dir)
+    Seq("folded", "staged", "vacuumed")
+      .map(n => archiveHealth(s, n, s"$root/$n",
+        s"$root/${n}_tombstones", "doc_id"))
+      .toDF()
+      .select(col("store"), col("n_epochs"), col("n_live_rows"),
+        col("n_tombstones"), col("manifest_versions"), col("n_dead_dirs"))
+      .orderBy("store")
+  }
+
+  val qArchiveHealthOracle: String =
+    """WITH n AS (
+      |  SELECT count(*) FILTER (WHERE doc_id % 13 <> 0) AS live,
+      |         count(*) FILTER (WHERE doc_id % 13 = 0) AS tomb,
+      |         count(*) FILTER (WHERE doc_id % 13 = 0
+      |                          AND doc_id % 10 = 0) AS carried
+      |  FROM documents)
+      |SELECT store, n_epochs, n_live_rows, n_tombstones,
+      |       manifest_versions, n_dead_dirs
+      |FROM (
+      |  SELECT 'staged' AS store, 3 AS n_epochs, live AS n_live_rows,
+      |         tomb AS n_tombstones, 3 AS manifest_versions,
+      |         0 AS n_dead_dirs FROM n
+      |  UNION ALL
+      |  SELECT 'folded', 2, live, carried, 4, 3 FROM n
+      |  UNION ALL
+      |  SELECT 'vacuumed', 2, live, carried, 1, 0 FROM n)
+      |ORDER BY store""".stripMargin
+
   // ---------- Registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -666,6 +803,7 @@ object ScaleOps {
     "q_compact_manifested" -> qCompactManifested,
     "q_zorder_layout" -> qZorderLayout,
     "q_ntile_scalable" -> qNtileScalable,
+    "q_archive_health" -> qArchiveHealth,
   )
 
   def oracles: Map[String, String] = Map(
@@ -680,6 +818,7 @@ object ScaleOps {
     "q_compact_files" -> qCompactFilesOracle,
     "q_compact_manifested" -> qCompactFilesOracle,
     "q_zorder_layout" -> qZorderLayoutOracle,
+    "q_archive_health" -> qArchiveHealthOracle,
     // the scalable twin runs against the SAME oracle as the global
     // ntile anchor — identical results from a one-reducer-free plan
     "q_ntile_scalable" -> Relational.qQuantileBinsOracle,

@@ -531,4 +531,43 @@ class LayoutSpec extends SparkSpec {
     } finally org.apache.hadoop.fs.FileUtil.fullyDelete(
       new java.io.File(path).getParentFile)
   }
+
+  test("archive health: a fold raises dead bytes pending vacuum, a " +
+    "vacuum resets them — and the counters track the lifecycle") {
+    import graft.SparkSpec.spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-health").toString + "/arch"
+    def health() = graft.ops.ScaleOps.archiveHealth(
+      spark, "t", path, path + "_tomb", "id")
+    try {
+      Tables.writeManifested((0L until 40L).toDF("id")
+        .withColumn("ingest_epoch", lit(0L)), path, Seq("ingest_epoch"))
+      Tables.upsertManifested((40L until 50L).toDF("id")
+        .withColumn("ingest_epoch", lit(1L)), path,
+        Seq("ingest_epoch"), _ == "ingest_epoch=1")
+      Tables.ingestTombstones(Seq(3L, 45L).toDF("id"),
+        path + "_tomb", epoch = 1L)
+      val staged = health()
+      assert(staged.n_epochs == 2 && staged.n_live_rows == 48 &&
+        staged.n_tombstones == 2 && staged.manifest_versions == 2 &&
+        staged.n_dead_dirs == 0 && staged.dead_bytes == 0L,
+        s"staged counters wrong: $staged")
+
+      Tables.foldManifestedEpochs(spark, path, path + "_tomb", "id")
+      val folded = health()
+      // epoch 0 folded (minus id 3), epoch 1 carried (id 45 stays
+      // tombstoned); the two pre-fold dirs are now dead mass
+      assert(folded.n_live_rows == 48 && folded.n_tombstones == 1,
+        s"folded counters wrong: $folded")
+      assert(folded.n_dead_dirs == 2 && folded.dead_bytes > 0L,
+        s"fold did not surface dead mass: $folded")
+
+      Tables.vacuumManifested(spark, path)
+      val vac = health()
+      assert(vac.n_dead_dirs == 0 && vac.dead_bytes == 0L &&
+        vac.manifest_versions == 1 && vac.n_live_rows == 48,
+        s"vacuum did not reset the counters: $vac")
+    } finally org.apache.hadoop.fs.FileUtil.fullyDelete(
+      new java.io.File(path).getParentFile)
+  }
 }
