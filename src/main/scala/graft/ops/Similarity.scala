@@ -913,7 +913,7 @@ object Similarity {
     * what makes the daily probe batch-proportional: a batch touches
     * only its own cells' partitions (DPP-pruned, the code-table scan
     * shape), never the archive's full width. */
-  private[ops] def buildSemDedupArchiveTo(corpus: DataFrame,
+  private[graft] def buildSemDedupArchiveTo(corpus: DataFrame,
                                           cents: DataFrame,
                                           idx: String): Unit = {
     val s = corpus.sparkSession
@@ -958,7 +958,7 @@ object Similarity {
     * cells of |cell|·|batch∩cell| candidate pairs — never an
     * archive-wide scan or recompute. Trained cells are hash-seeded →
     * rows-only driver check. */
-  private[ops] def dedupSemanticIncrementalFrom(batch: DataFrame,
+  private[graft] def dedupSemanticIncrementalFrom(batch: DataFrame,
       idx: String, epoch: Long,
       theta: Double = SemDedupTheta): DataFrame = {
     val s = batch.sparkSession

@@ -427,6 +427,61 @@ object StreamOps {
     q.stop()
   }
 
+  /** Streaming maintenance of the audio-fingerprint archive — the
+    * audio face of [[runPhashIngest]]: each micro-batch of documents
+    * decodes its clips ONCE and commits their 60-bit block-energy
+    * fingerprints under its own ingest epoch (+1 offset keeps the
+    * build layer's epoch 0). Replay contract as everywhere: decode is
+    * deterministic, so a crashed epoch recommits identical rows. With
+    * [[runDeleteStream]] on the same archive and
+    * [[graft.ops.Multimodal.compactAudioFpEpochs]]'s fold, the audio
+    * modality has the same ingest/delete/probe triangle as text
+    * fingerprints and image hashes. */
+  def runAudioFpIngest(docs: DataFrame, idx: String,
+                       checkpoint: String): Unit = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        graft.ops.Multimodal.ingestAudioFpIndex(
+          b.sparkSession, b, idx, epoch + 1)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Streaming semantic dedup — [[runNearDupProbe]]'s embedding-side
+    * sibling: each micro-batch of vectors probes the persisted
+    * SemDeDup assignment archive (frozen centroids; see
+    * [[graft.ops.Similarity.dedupSemanticIncrementalFrom]]), lands
+    * its kept/dropped verdicts under its epoch partition, and commits
+    * its own cell assignments so later batches dedup against
+    * everything that ever flowed. Verdicts before the NEXT batch's
+    * probe by construction (epoch self-exclusion); a crashed epoch
+    * replays both legs into exactly its own partitions (assignment is
+    * a pure function of the frozen artifact). The archive must
+    * already EXIST ([[graft.ops.Similarity.buildSemDedupArchiveTo]]
+    * is the one-time build). */
+  def runSemDedupProbe(vecs: DataFrame, idx: String, outPath: String,
+                       checkpoint: String): Unit = {
+    val q = vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        graft.ops.Similarity
+          .dedupSemanticIncrementalFrom(b, idx, epoch + 1)
+          .withColumn("ingest_epoch", lit(epoch + 1))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_epoch")
+          .parquet(outPath)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   // ---------- Streaming near-dup probe (fingerprint archive) ----------
 
   /** Streaming near-duplicate dedup over a document file stream: each
@@ -467,9 +522,9 @@ object StreamOps {
     *      ([[graft.ops.Curation.clusterIncrementalFrom]] — the
     *      cluster archive is the one stage needing a one-time build,
     *      [[graft.ops.Curation.buildClusterArchiveTo]]);
-    *   4. keep the BM25 token index and the image pHash archive
-    *      current (both bootstrap themselves on their first
-    *      non-empty epoch).
+    *   4. keep the BM25 token index, the image pHash archive and the
+    *      audio fingerprint archive current (all three bootstrap
+    *      themselves on their first non-empty epoch).
     *
     * Stages 2–4 consume the SURVIVORS read back from the corpus store
     * (`ingest_epoch = epoch`), not the raw batch: quality-failed and
@@ -481,7 +536,7 @@ object StreamOps {
     * including that every derived archive equals its one-shot build
     * over the corpus view). Layout under `root`:
     * `corpus`, `neardup`, `winnow/`, `clusters/`, `tokens/`,
-    * `phash/`. */
+    * `phash/`, `audio/`. */
   def runFrontDoor(docs: DataFrame, root: String,
                    checkpoint: String): Unit = {
     val q = docs.writeStream
@@ -509,6 +564,8 @@ object StreamOps {
             survivors, s"$root/tokens", e)
           graft.ops.Multimodal.ingestPhashIndex(
             s, survivors, s"$root/phash", e)
+          graft.ops.Multimodal.ingestAudioFpIndex(
+            s, survivors, s"$root/audio", e)
         }
         graft.ops.Ckpt.release(survivors)
         ()
@@ -521,8 +578,9 @@ object StreamOps {
   /** The front door's DELETE leg: one right-to-be-forgotten stream
     * that removes each micro-batch of doc keys from the ENTIRE
     * topology [[runFrontDoor]] maintains — corpus store, winnow
-    * fingerprints, cluster labels, token postings and pHash hashes —
-    * in one foreachBatch, under one delete epoch (+1000000 offset so
+    * fingerprints, cluster labels, token postings, pHash hashes and
+    * audio fingerprints — in one foreachBatch, under one delete
+    * epoch (+1000000 offset so
     * tombstone epochs can never collide with the ingest leg's on any
     * shared archive). Every read view masks the keys IMMEDIATELY
     * (deletion is idempotent, so a crashed micro-batch replays
@@ -553,6 +611,7 @@ object StreamOps {
         Tables.ingestTombstones(keys, s"$root/winnow/tombstones", e)
         Tables.ingestTombstones(keys, s"$root/tokens/tombstones", e)
         Tables.ingestTombstones(keys, s"$root/phash/tombstones", e)
+        Tables.ingestTombstones(keys, s"$root/audio/tombstones", e)
         Tables.ingestTombstones(keys, s"$root/clusters/tombstones", e)
         graft.ops.Ckpt.release(keys)
         ()

@@ -955,6 +955,8 @@ class StreamOpsSpec extends SparkSpec {
     graft.ops.TextOps.buildWinnowIndexTo(seedDocs, s"$root/winnow")
     graft.ops.TextOps.buildTokenIndexTo(seedDocs, s"$root/tokens")
     graft.ops.Multimodal.buildPhashIndexTo(spark, seedDocs, s"$root/phash")
+    graft.ops.Multimodal.buildAudioFpIndexTo(spark, seedDocs,
+      s"$root/audio")
 
     // f1: a clean new doc + an EXACT dup of seed doc 1 (must be
     // suppressed at the corpus gate and reach NO archive);
@@ -998,6 +1000,14 @@ class StreamOpsSpec extends SparkSpec {
     graft.ops.Multimodal.buildPhashIndexTo(spark, view, s"$root/phash-ref")
     assert(hashes(s"$root/phash") == hashes(s"$root/phash-ref"),
       "pHash archive diverges from its one-shot build")
+    def afps(i: String) = graft.io.Tables
+      .readManifested(spark, s"$i/hashes")
+      .select("doc_id", "afp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.ops.Multimodal.buildAudioFpIndexTo(spark, view,
+      s"$root/audio-ref")
+    assert(afps(s"$root/audio") == afps(s"$root/audio-ref"),
+      "audio fingerprint archive diverges from its one-shot build")
     def labels(i: String) = graft.ops.Curation
       .readClusterLabels(spark, i).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -1009,7 +1019,8 @@ class StreamOpsSpec extends SparkSpec {
 
     // idle restart: no new files → every store byte-identical
     val before = (corpusIds(), v, postings(s"$root/tokens"),
-      hashes(s"$root/phash"), labels(s"$root/clusters"))
+      hashes(s"$root/phash"), afps(s"$root/audio"),
+      labels(s"$root/clusters"))
     runFrontDoor(readDocuments(spark, stage, Some(1)), root,
       s"$root/ckpt")
     val after = (corpusIds(),
@@ -1018,7 +1029,7 @@ class StreamOpsSpec extends SparkSpec {
         .map(r => r.getLong(0) -> (r.getBoolean(1),
           if (r.isNullAt(2)) -1L else r.getLong(2))).toMap,
       postings(s"$root/tokens"), hashes(s"$root/phash"),
-      labels(s"$root/clusters"))
+      afps(s"$root/audio"), labels(s"$root/clusters"))
     assert(after == before, "idle restart moved the front door's stores")
 
     // DELETE leg: one RTBF stream masks the keys across the whole
@@ -1045,6 +1056,8 @@ class StreamOpsSpec extends SparkSpec {
       "token postings still serve deleted docs")
     assert(!maskedIds(s"$root/phash/hashes").exists(Set(1L, 3L)),
       "pHash archive still serves deleted docs")
+    assert(!maskedIds(s"$root/audio/hashes").exists(Set(1L, 3L)),
+      "audio fingerprint archive still serves deleted docs")
     assert(!maskedIds(s"$root/winnow/fingerprints").exists(Set(1L, 3L)),
       "winnow archive still serves deleted docs")
     assert(labels(s"$root/clusters").keySet == Set(2L, 5L),
@@ -1112,6 +1125,129 @@ class StreamOpsSpec extends SparkSpec {
     // carried tombstone keeps it invisible
     ingestBatch(docs(21L -> ta), 2L, corpus)
     assert(ids() == Set(2L), "replay resurrected a folded delete")
+  }
+
+  test("streaming audio-fingerprint ingest: stream-landed fingerprints " +
+    "equal a one-shot build over corpus + arrivals; a streamed delete " +
+    "masks the pair probe immediately") {
+    import spark.implicits._
+    def full(rows: Seq[Long]) = rows.map(id =>
+      (id, s"t$id", "en", "srcA", 1L))
+    val root0 = java.nio.file.Files.createTempDirectory("graft-afpstream")
+    val root = root0.toString
+    val stage = s"$root/stage"
+    new java.io.File(stage).mkdirs()
+    def land(name: String, ids: Seq[Long]): Unit = {
+      val tmp = root0.resolve(s"tmp-$name").toString
+      full(ids).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/$name.parquet"))
+    }
+    val idx = s"$root/audio"
+    // corpus seed: 100; arrivals: 200 (its amplitude-offset twin by
+    // the fixture formula) then 17 (unrelated shape)
+    graft.ops.Multimodal.buildAudioFpIndexTo(spark,
+      Seq((100L, "x")).toDF("doc_id", "text"), idx)
+    land("f1", Seq(200L))
+    land("f2", Seq(17L))
+    runAudioFpIngest(readDocuments(spark, stage, Some(1)), idx,
+      s"$root/ckpt")
+    def afps() = graft.io.Tables.readManifested(spark, s"$idx/hashes")
+      .select("doc_id", "afp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = afps()
+    graft.ops.Multimodal.buildAudioFpIndexTo(spark,
+      Seq((100L, "x"), (200L, "y"), (17L, "z")).toDF("doc_id", "text"),
+      s"$root/audio-ref")
+    val oneShot = graft.io.Tables
+      .readManifested(spark, s"$root/audio-ref/hashes")
+      .select("doc_id", "afp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == oneShot,
+      "streamed fingerprints diverge from the one-shot build")
+    def pairs() = graft.ops.Multimodal.afpIndexedFrom(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs() == Set((100L, 200L)), s"probe pairs: ${pairs()}")
+    // idle restart: nothing moves
+    runAudioFpIngest(readDocuments(spark, stage, Some(1)), idx,
+      s"$root/ckpt")
+    assert(afps() == streamed, "idle restart moved the archive")
+    // streamed RTBF: the twin's pairs vanish at once
+    val delStage = s"$root/del"
+    new java.io.File(delStage).mkdirs()
+    Seq(200L).toDF("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(root0.resolve("tmp-d").toString)
+    val dp = new java.io.File(root0.resolve("tmp-d").toString)
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(dp.toPath,
+      java.nio.file.Paths.get(s"$delStage/d1.parquet"))
+    runDeleteStream(
+      spark.readStream.schema("doc_id LONG").parquet(delStage),
+      idx, s"$root/ckpt-d")
+    assert(pairs().isEmpty, "deleted clip still pairs")
+  }
+
+  test("streaming semantic-dedup probe: cross-batch duplicates are " +
+    "flagged against everything that ever flowed; replay and idle " +
+    "restart are idempotent") {
+    import spark.implicits._
+    val root0 = java.nio.file.Files.createTempDirectory("graft-semstream")
+    val root = root0.toString
+    val idx = s"$root/sem"
+    // planted two-cell geometry (the SemDedupSpec fixture): archive
+    // holds 10 (cell 1) and 20 (cell 0)
+    graft.ops.Similarity.buildSemDedupArchiveTo(
+      Seq((10L, Seq(3.0, 4.0)), (20L, Seq(4.0, 3.0)))
+        .toDF("vec_id", "embedding"),
+      Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+        .toDF("cent_id", "cemb"),
+      idx)
+    val stage = s"$root/stage"
+    new java.io.File(stage).mkdirs()
+    def land(name: String, rows: Seq[(Long, Seq[Float], Int)]): Unit = {
+      val tmp = root0.resolve(s"tmp-$name").toString
+      rows.toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/$name.parquet"))
+    }
+    // batch 1: 30 duplicates archive-vec 20 (colinear, same cell 0);
+    // 40 lands in cell 1 but is EXACTLY orthogonal to its archive
+    // sibling 10 (cos 0 < θ) — genuinely new content.
+    // batch 2: 50 is colinear with BATCH-1's 40 (and orthogonal to
+    // 10) — its dup flag can only come from cross-batch accumulation.
+    land("b1", Seq((30L, Seq(8f, 6f), 0), (40L, Seq(-4f, 3f), 0)))
+    land("b2", Seq((50L, Seq(-8f, 6f), 0)))
+    runSemDedupProbe(readEmbeddings(spark, stage, Some(1)), idx,
+      s"$root/verdicts", s"$root/ckpt")
+    def verdicts() = spark.read.parquet(s"$root/verdicts")
+      .select("vec_id", "is_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val got = verdicts()
+    assert(got == Map(30L -> true, 40L -> false, 50L -> true),
+      s"streamed verdicts wrong: $got")
+    // 40 duplicates NOTHING in the archive build — 50's flag can only
+    // come from batch 1's committed assignments
+    // idle restart: no new files, verdicts unchanged
+    runSemDedupProbe(readEmbeddings(spark, stage, Some(1)), idx,
+      s"$root/verdicts", s"$root/ckpt")
+    assert(verdicts() == got, "idle restart moved the verdicts")
+    // crash-replay of the last micro-batch: same epoch, same rows
+    graft.ops.Similarity.dedupSemanticIncrementalFrom(
+        Seq((50L, Seq(-8.0, 6.0))).toDF("vec_id", "embedding"),
+        idx, epoch = 2L)
+      .collect()
+    assert(verdicts() == got, "epoch replay diverged")
+    val assigned = graft.io.Tables
+      .readManifested(spark, s"$idx/assigned")
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(assigned == Set(10L, 20L, 30L, 40L, 50L),
+      s"archive assignments wrong after replay: $assigned")
   }
 
   test("runCorpusDeleteStream targets the corpus' SIBLING tombstone " +
