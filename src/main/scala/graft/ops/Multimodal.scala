@@ -626,13 +626,17 @@ object Multimodal {
       |  doc_id = cluster_id AS keep
       |FROM cc ORDER BY doc_id""".stripMargin
 
-  val mmPhashNeardupOracle: String =
-    """WITH m AS (
+  /** The pHash relational-recompute CTE chain (`hh` ends holding
+    * (doc_id, hi, lo) — the 64-bit hash in two 32-bit halves, since
+    * bit 63 would overflow a signed BIGINT shift in SQL) — shared by
+    * the pair oracle and the cross-modal verdict oracle. */
+  private val phashHashCte: String =
+    """pm AS (
       |  SELECT doc_id,
       |    16 + doc_id % 32 AS w,
       |    16 + (doc_id * 7) % 24 AS h
       |  FROM documents),
-      |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM m),
+      |px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM pm),
       |cl AS (
       |  SELECT doc_id, w, h,
       |    (8 * (i // w) // h) * 8 + 8 * (i % w) // w AS c,
@@ -652,13 +656,16 @@ object Multimodal {
       |      AS hi,
       |    CAST(sum(CASE WHEN a.cs * t.n >= t.s * a.cc AND a.c < 32
       |      THEN (CAST(1 AS BIGINT) << a.c) ELSE 0 END) AS BIGINT) AS lo
-      |  FROM cagg a JOIN tot t USING (doc_id) GROUP BY 1)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  CAST(bit_count(xor(a.hi, b.hi))
-      |     + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
-      |FROM hh a JOIN hh b ON a.doc_id < b.doc_id
-      |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |  FROM cagg a JOIN tot t USING (doc_id) GROUP BY 1)""".stripMargin
+
+  val mmPhashNeardupOracle: String =
+    "WITH " + phashHashCte + "\n" +
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.hi, b.hi))
+        |     + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+        |FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin
 
   val mmPhashOracle: String =
     """WITH m AS (
@@ -1200,7 +1207,7 @@ object Multimodal {
     * the sawtooth sums; bits the convexity comparisons; the 60-bit
     * assembly stays positive in a signed BIGINT. */
   private val afpCte: String =
-    """m AS (SELECT doc_id,
+    """am AS (SELECT doc_id,
       |    1 + doc_id % 2 AS ch, 100 + doc_id % 50 AS frames
       |  FROM documents),
       |sp AS (SELECT doc_id,
@@ -1209,7 +1216,7 @@ object Multimodal {
       |        range(j * frames // 62, (j + 1) * frames // 62), f ->
       |          list_sum(list_transform(range(0, ch), c ->
       |            (doc_id + 7 * f + c) % 32768))))) AS e
-      |  FROM m),
+      |  FROM am),
       |fp AS (SELECT doc_id,
       |    CAST(list_sum(list_transform(range(0, 60), b ->
       |      CASE WHEN e[b + 1] + e[b + 3] > 2 * e[b + 2]
@@ -1229,6 +1236,77 @@ object Multimodal {
         |WHERE bit_count(xor(a.afp, b.afp)) <= 2
         |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------- Cross-modal dedup verdict ----------
+
+  /** The multimodal curation decision a 100 TB pipeline actually
+    * takes: per DOCUMENT, is it a near-duplicate of any lower-id doc
+    * in ANY modality — text (3-gram Jaccard ≥ 0.2 ground truth),
+    * image (pHash Hamming ≤ 2) or audio (block-energy fingerprint
+    * Hamming ≤ 2) — with per-modality provenance and the composed
+    * keep verdict (a doc survives iff NO modality finds a lower-id
+    * twin; the minimum of every cross-modal dup group always
+    * survives, the lower-id-wins rule each modality already
+    * guarantees). The image and audio legs read the PERSISTED
+    * fingerprint archives (decode amortized at build); the scale
+    * shape is three banded/DF-capped pair streams reduced to
+    * distinct dup-id sets and three doc-keyed left joins — nothing
+    * all-pairs, nothing payload-sized past the pair generators.
+    * HASH-gated: the oracle replays all three pair sets relationally
+    * (the shared shingle/pHash/afp CTEs) and composes the same
+    * flags. */
+  def mmDedupVerdict(s: SparkSession, dir: String): DataFrame = {
+    def dupIds(pairs: DataFrame) =
+      pairs.select(col("doc_b").as("doc_id")).distinct()
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(dupIds(graft.ops.TextOps.dedupNgramJaccard(s, dir))
+        .withColumn("__t", lit(true)), Seq("doc_id"), "left")
+      .join(dupIds(mmPhashIndexed(s, dir))
+        .withColumn("__i", lit(true)), Seq("doc_id"), "left")
+      .join(dupIds(mmAudioIndexed(s, dir))
+        .withColumn("__a", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__t"), lit(false)).as("text_dup"),
+        coalesce(col("__i"), lit(false)).as("image_dup"),
+        coalesce(col("__a"), lit(false)).as("audio_dup"))
+      .withColumn("n_dup_modalities",
+        col("text_dup").cast("int") + col("image_dup").cast("int") +
+          col("audio_dup").cast("int"))
+      .withColumn("keep",
+        !(col("text_dup") || col("image_dup") || col("audio_dup")))
+      .orderBy("doc_id")
+  }
+
+  val mmDedupVerdictOracle: String =
+    "WITH " + phashHashCte + ",\n" + afpCte + ",\n" +
+      graft.ops.TextOps.shinglePairsCte + ",\n" +
+      """tdup AS (SELECT DISTINCT doc_b AS doc_id FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
+        |        >= 0.2),
+        |idup AS (SELECT DISTINCT b.doc_id FROM hh a
+        |  JOIN hh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hi, b.hi))
+        |      + bit_count(xor(a.lo, b.lo)) <= 2),
+        |adup AS (SELECT DISTINCT b.doc_id FROM fp a
+        |  JOIN fp b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.afp, b.afp)) <= 2)
+        |SELECT d.doc_id,
+        |  t.doc_id IS NOT NULL AS text_dup,
+        |  i.doc_id IS NOT NULL AS image_dup,
+        |  a.doc_id IS NOT NULL AS audio_dup,
+        |  CAST(CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN i.doc_id IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END
+        |     AS INT) AS n_dup_modalities,
+        |  t.doc_id IS NULL AND i.doc_id IS NULL AND a.doc_id IS NULL
+        |    AS keep
+        |FROM documents d
+        |LEFT JOIN tdup t ON t.doc_id = d.doc_id
+        |LEFT JOIN idup i ON i.doc_id = d.doc_id
+        |LEFT JOIN adup a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> mmMetadata,
     "mm_resize" -> mmResize,
@@ -1245,6 +1323,7 @@ object Multimodal {
     "mm_audio_fp" -> mmAudioFp,
     "mm_audio_neardup" -> mmAudioNeardup,
     "mm_audio_indexed" -> mmAudioIndexed,
+    "mm_dedup_verdict" -> mmDedupVerdict,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1267,5 +1346,6 @@ object Multimodal {
     // the indexed variant changes only WHERE the fingerprints come
     // from (the persisted archive), never the pairs — shared oracle
     "mm_audio_indexed" -> mmAudioNeardupOracle,
+    "mm_dedup_verdict" -> mmDedupVerdictOracle,
   )
 }
