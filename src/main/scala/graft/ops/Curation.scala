@@ -720,7 +720,7 @@ object Curation {
     * entry point = one consistent cut across all three tables;
     * TombstoneSpec pins post-fold physical absence and that the fold
     * changes nothing any read view returns. */
-  private[ops] def compactClusterArchive(s: SparkSession,
+  private[graft] def compactClusterArchive(s: SparkSession,
                                          idx: String): Unit = {
     val tombPath = s"$idx/tombstones"
     val labels = s"$idx/labels"

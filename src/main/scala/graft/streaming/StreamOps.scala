@@ -621,6 +621,59 @@ object StreamOps {
     q.stop()
   }
 
+  // ---------- The maintenance window ----------
+
+  /** The front door's MAINTENANCE WINDOW as one entry point — the
+    * scheduled job that runs between streaming windows under the
+    * single-writer-per-window contract every fold documents: fold
+    * the corpus store's tombstones, fold every derived archive's
+    * epoch layers (physical deletes included, newest-epoch carry
+    * everywhere), vacuum superseded manifest versions, and return
+    * one [[graft.ops.ScaleOps.ArchiveHealth]] row per manifested
+    * store — the counters a scheduler alerts on if a sweep ever
+    * stops resetting them. Stores that never bootstrapped are
+    * skipped, not failed (a topology's archives appear on their
+    * first non-empty epoch). NOT included, deliberately: the cluster
+    * SPLIT repair ([[graft.ops.Curation.clusterDeleteIds]]) — it
+    * needs the delete KEYS, which the caller of the window supplies
+    * when RTBF requests arrived since the last window (see
+    * [[runFrontDoorDeletes]]); and [[graft.io.Tables
+    * .vacuumManifested]] of the POSTINGS archives, which are
+    * bucketed (their fold's staged swap reclaims superseded copies
+    * itself). StreamOpsSpec pins: every read view byte-identical
+    * across the sweep, every store's version/dead-dir counters
+    * reset, epoch layers collapsed. */
+  def runMaintenanceWindow(s: SparkSession, root: String): DataFrame = {
+    import s.implicits._
+    foldCorpusTombstones(s, s"$root/corpus")
+    if (Tables.manifestExists(s, s"$root/winnow/fingerprints"))
+      graft.ops.TextOps.compactFingerprintEpochs(s, s"$root/winnow")
+    if (Tables.manifestExists(s, s"$root/clusters/labels"))
+      graft.ops.Curation.compactClusterArchive(s, s"$root/clusters")
+    if (Tables.bucketedArchiveExists(s, s"$root/tokens/postings"))
+      graft.ops.TextOps.compactTokenIndexEpochs(s, s"$root/tokens")
+    if (Tables.manifestExists(s, s"$root/phash/hashes"))
+      graft.ops.Multimodal.compactPhashEpochs(s, s"$root/phash")
+    if (Tables.manifestExists(s, s"$root/audio/hashes"))
+      graft.ops.Multimodal.compactAudioFpEpochs(s, s"$root/audio")
+    val stores = Seq(
+      "winnow" -> s"$root/winnow/fingerprints",
+      "clusters" -> s"$root/clusters/labels",
+      "cluster_sizes" -> s"$root/clusters/sizes",
+      "doclen" -> s"$root/tokens/doclen",
+      "phash" -> s"$root/phash/hashes",
+      "audio" -> s"$root/audio/hashes")
+      .filter { case (_, p) => Tables.manifestExists(s, p) }
+    stores.foreach { case (_, p) => Tables.vacuumManifested(s, p) }
+    stores.map { case (name, p) =>
+      val tomb = p.split('/').dropRight(1).mkString("/") + "/tombstones"
+      // every front-door store keys on doc_id (the vec-keyed ANN/sem
+      // archives live outside this topology)
+      graft.ops.ScaleOps.archiveHealth(s, name, p, tomb, "doc_id")
+    }.toDF()
+      .orderBy("store")
+  }
+
   // ---------- Streaming cluster-label maintenance ----------
 
   /** Streaming maintenance of the CLUSTER archive — the near-dup

@@ -1072,6 +1072,40 @@ class StreamOpsSpec extends SparkSpec {
     val repaired = labels(s"$root/clusters")
     assert(repaired == Map(2L -> 2L, 5L -> 5L),
       s"carrier-delete repair failed: $repaired")
+
+    // the maintenance WINDOW: every fold + vacuum in one entry point.
+    // Every read view must be byte-identical across the sweep, and
+    // every manifested store's version/dead-dir counters reset.
+    val preCorpus = corpusIds()
+    val preWinnow = maskedIds(s"$root/winnow/fingerprints")
+    val preTokens = maskedIds(s"$root/tokens/postings")
+    val prePhash = maskedIds(s"$root/phash/hashes")
+    val preAudio = maskedIds(s"$root/audio/hashes")
+    val health = runMaintenanceWindow(spark, root).collect()
+      .map(r => r.getString(0) ->
+        (r.getInt(1), r.getInt(4), r.getInt(5), r.getLong(6))).toMap
+    assert(corpusIds() == preCorpus, "sweep moved the corpus view")
+    assert(labels(s"$root/clusters") == repaired,
+      "sweep moved the cluster labels")
+    assert(maskedIds(s"$root/winnow/fingerprints") == preWinnow &&
+      maskedIds(s"$root/tokens/postings") == preTokens &&
+      maskedIds(s"$root/phash/hashes") == prePhash &&
+      maskedIds(s"$root/audio/hashes") == preAudio,
+      "sweep changed a masked archive view")
+    assert(health.keySet == Set("winnow", "clusters", "cluster_sizes",
+      "doclen", "phash", "audio"), s"health stores: ${health.keySet}")
+    health.foreach { case (store, (nEpochs, versions, deadDirs, deadB)) =>
+      assert(versions == 1 && deadDirs == 0 && deadB == 0L,
+        s"$store counters not reset: v=$versions dead=$deadDirs/$deadB")
+      assert(nEpochs <= 2, s"$store still holds $nEpochs epoch layers")
+    }
+    // physical absence after the sweep: the RTBF'd docs are gone from
+    // disk in the folded archives (not merely masked)
+    val rawPhash = graft.io.Tables
+      .readManifested(spark, s"$root/phash/hashes")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(!rawPhash.contains(1L) || prePhash.contains(1L),
+      "fold left a deleted base-layer doc physical")
   }
 
   test("corpus deletion: a tombstoned doc leaves the corpus view and " +
