@@ -1545,7 +1545,7 @@ object Similarity {
     * level, and the manifest pointer is what lets
     * [[compactIndexEpochs]] fold accumulated epoch layers under live
     * readers. */
-  private[ops] def buildIndexTo(s: SparkSession, dir: String,
+  private[graft] def buildIndexTo(s: SparkSession, dir: String,
                                 idx: String): Unit =
     buildIndexWith(unitCorpus(s, dir), trainedCents(s, dir), idx)
 
@@ -1711,7 +1711,7 @@ object Similarity {
   private val servedCellCountMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  private[ops] def serveFrom(s: SparkSession, dir: String,
+  private[graft] def serveFrom(s: SparkSession, dir: String,
                              idx: String,
                              qFilter: Column = col("vec_id") % 100 === 0,
                              topK: Int = 5,

@@ -621,6 +621,67 @@ object StreamOps {
     q.stop()
   }
 
+  /** The VECTOR front door — the embedding stream's composed
+    * topology, mirroring [[runFrontDoor]]'s one-checkpoint/one-epoch
+    * contract for the vec-keyed archives: per micro-batch of newly
+    * embedded vectors, (1) encode against the persisted ANN index's
+    * FROZEN artifacts and commit the codes under the epoch
+    * ([[graft.ops.Similarity.ingestVectors]]), and (2) probe the
+    * SemDeDup assignment archive for kept/dropped verdicts and
+    * commit the batch's assignments
+    * ([[graft.ops.Similarity.dedupSemanticIncrementalFrom]] —
+    * verdicts land at `root/sem_verdicts` under the epoch's
+    * partition). Both archives must already EXIST (their one-time
+    * builds freeze the artifacts; the cluster-archive discipline).
+    * A crashed micro-batch replays both legs under the same epoch —
+    * encode and assignment are pure functions of the frozen
+    * artifacts, so replace-or-add recommits identical rows. Layout
+    * under `root`: `ann/`, `sem/`, `sem_verdicts`. */
+  def runVectorFrontDoor(vecs: DataFrame, root: String,
+                         checkpoint: String): Unit = {
+    val q = vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        val e = epoch + 1
+        graft.ops.Similarity.ingestVectors(b, s"$root/ann", e)
+        graft.ops.Similarity
+          .dedupSemanticIncrementalFrom(b, s"$root/sem", e)
+          .withColumn("ingest_epoch", lit(e))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_epoch")
+          .parquet(s"$root/sem_verdicts")
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** The vector front door's RTBF leg: one stream of vec keys
+    * tombstones the ANN code table and the SemDeDup assignment
+    * archive in one foreachBatch (+1000000 delete-epoch offset, the
+    * [[runFrontDoorDeletes]] contract) — the serve path and the
+    * witness probe mask the keys immediately; each archive's fold
+    * makes it physical. */
+  def runVectorFrontDoorDeletes(ids: DataFrame, root: String,
+                                checkpoint: String): Unit = {
+    val q = ids.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        val e = epoch + 1000000L
+        val keys = b.select(col("vec_id")).localCheckpoint()
+        Tables.ingestTombstones(keys, s"$root/ann/tombstones", e)
+        Tables.ingestTombstones(keys, s"$root/sem/tombstones", e)
+        graft.ops.Ckpt.release(keys)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   // ---------- The maintenance window ----------
 
   /** The front door's MAINTENANCE WINDOW as one entry point — the

@@ -1284,6 +1284,77 @@ class StreamOpsSpec extends SparkSpec {
       s"archive assignments wrong after replay: $assigned")
   }
 
+  test("vector front door: one embedding stream maintains the ANN code " +
+    "table and the SemDeDup archive in lockstep; the RTBF leg masks " +
+    "both; replay is idempotent") {
+    import spark.implicits._
+    val root0 = java.nio.file.Files.createTempDirectory("graft-vecfd")
+    val root = root0.toString
+    // one-time builds: ANN index over the real sf0.001 corpus, sem
+    // archive over the planted two-cell geometry
+    graft.ops.Similarity.buildIndexTo(spark, sf, s"$root/ann")
+    graft.ops.Similarity.buildSemDedupArchiveTo(
+      Seq((10L, Seq(3.0, 4.0)), (20L, Seq(4.0, 3.0)))
+        .toDF("vec_id", "embedding"),
+      Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+        .toDF("cent_id", "cemb"),
+      s"$root/sem")
+    val stage = s"$root/stage"
+    new java.io.File(stage).mkdirs()
+    def land(name: String, rows: Seq[(Long, Seq[Float], Int)]): Unit = {
+      val tmp = root0.resolve(s"tmp-$name").toString
+      rows.toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/$name.parquet"))
+    }
+    // 2000 duplicates archive-vec 20; 2001 is new (orthogonal to 10)
+    land("b1", Seq((2000L, Seq(8f, 6f), 0), (2001L, Seq(-4f, 3f), 0)))
+    runVectorFrontDoor(readEmbeddings(spark, stage, Some(1)), root,
+      s"$root/ckpt")
+    // leg 1: the codes table holds the streamed ids under epoch >= 1
+    def codeIds() = graft.io.Tables
+      .readManifested(spark, s"$root/ann/codes")
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(Set(2000L, 2001L).subsetOf(codeIds()),
+      "streamed vectors missing from the ANN code table")
+    // leg 2: verdicts landed per epoch
+    def verdicts() = spark.read.parquet(s"$root/sem_verdicts")
+      .select("vec_id", "is_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(verdicts() == Map(2000L -> true, 2001L -> false),
+      s"vector front door verdicts: ${verdicts()}")
+    // idle restart: nothing moves
+    val preCodes = codeIds()
+    runVectorFrontDoor(readEmbeddings(spark, stage, Some(1)), root,
+      s"$root/ckpt")
+    assert(codeIds() == preCodes && verdicts() ==
+      Map(2000L -> true, 2001L -> false), "idle restart moved a store")
+    // RTBF: one delete stream masks BOTH vec-keyed archives
+    val delStage = s"$root/del"
+    new java.io.File(delStage).mkdirs()
+    Seq(2000L).toDF("vec_id").coalesce(1)
+      .write.mode("overwrite").parquet(root0.resolve("tmp-d").toString)
+    val dp = new java.io.File(root0.resolve("tmp-d").toString)
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(dp.toPath,
+      java.nio.file.Paths.get(s"$delStage/d1.parquet"))
+    runVectorFrontDoorDeletes(
+      spark.readStream.schema("vec_id LONG").parquet(delStage),
+      root, s"$root/ckpt-del")
+    val served = graft.ops.Similarity.serveFrom(spark, sf, s"$root/ann")
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!served.contains(2000L),
+      "deleted vector still served as a neighbor")
+    val semTombs = graft.io.Tables.readTombstones(spark,
+      s"$root/sem/tombstones", "vec_id")
+      .map(_.as[Long].collect().toSet).getOrElse(Set.empty)
+    assert(semTombs == Set(2000L),
+      s"sem archive tombstones: $semTombs")
+  }
+
   test("runCorpusDeleteStream targets the corpus' SIBLING tombstone " +
     "table — the view masks streamed deletes immediately") {
     import spark.implicits._
