@@ -1829,7 +1829,7 @@ object Similarity {
     * planted-drift specs' entry point. Reads only broadcast-sized
     * artifacts plus the batch; cost scales with the batch, never the
     * corpus. */
-  private[ops] def annDriftFrom(s: SparkSession, idx: String,
+  private[graft] def annDriftFrom(s: SparkSession, idx: String,
                                 batch: DataFrame): DataFrame = {
     val cents = s.read.parquet(s"$idx/centroids")
     val stats = s.read.parquet(s"$idx/stats")

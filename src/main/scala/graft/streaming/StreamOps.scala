@@ -636,7 +636,8 @@ object StreamOps {
     * A crashed micro-batch replays both legs under the same epoch —
     * encode and assignment are pure functions of the frozen
     * artifacts, so replace-or-add recommits identical rows. Layout
-    * under `root`: `ann/`, `sem/`, `sem_verdicts`. */
+    * under `root`: `ann/`, `sem/`, `sem_verdicts`, `drift` (one
+    * retrain-trigger row per ingest epoch). */
   def runVectorFrontDoor(vecs: DataFrame, root: String,
                          checkpoint: String): Unit = {
     val q = vecs.writeStream
@@ -652,6 +653,20 @@ object StreamOps {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("ingest_epoch")
           .parquet(s"$root/sem_verdicts")
+        // the retrain trigger runs WHERE the data arrives: one
+        // monitor row per ingest epoch (q_ann_drift's body against
+        // the frozen artifacts — batch-proportional), so drift is
+        // caught at ingest time, not at the next offline audit; the
+        // index lifecycle reads root/drift before deciding to
+        // retrainIndexTo
+        if (!b.isEmpty)
+          graft.ops.Similarity.annDriftFrom(b.sparkSession,
+              s"$root/ann", b)
+            .withColumn("ingest_epoch", lit(e))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_epoch")
+            .parquet(s"$root/drift")
       }
       .start()
     q.processAllAvailable()
@@ -726,6 +741,14 @@ object StreamOps {
       "audio" -> s"$root/audio/hashes")
       .filter { case (_, p) => Tables.manifestExists(s, p) }
     stores.foreach { case (_, p) => Tables.vacuumManifested(s, p) }
+    // tombstone tables accumulate versions fastest of all (every
+    // delete epoch + every fold's clear/re-ingest is a commit) —
+    // vacuum them on the same schedule
+    (s"${corpusTombstonePath(s"$root/corpus")}" +:
+      Seq("winnow", "clusters", "tokens", "phash", "audio")
+        .map(n => s"$root/$n/tombstones"))
+      .filter(Tables.manifestExists(s, _))
+      .foreach(Tables.vacuumManifested(s, _))
     stores.map { case (name, p) =>
       val tomb = p.split('/').dropRight(1).mkString("/") + "/tombstones"
       // every front-door store keys on doc_id (the vec-keyed ANN/sem

@@ -1290,13 +1290,19 @@ class StreamOpsSpec extends SparkSpec {
     import spark.implicits._
     val root0 = java.nio.file.Files.createTempDirectory("graft-vecfd")
     val root = root0.toString
+    // dimensional honesty: the planted geometry lives in the e1/e2
+    // plane of the corpus' 64-dim space (zero-padded) — cosines are
+    // identical to the 2-dim fixture, and BOTH legs (the sf-trained
+    // ANN index and the planted sem archive) see true 64-dim vectors
+    def pad(v: Seq[Double]): Seq[Double] = v ++ Seq.fill(62)(0.0)
+    def padF(v: Seq[Float]): Seq[Float] = v ++ Seq.fill(62)(0f)
     // one-time builds: ANN index over the real sf0.001 corpus, sem
     // archive over the planted two-cell geometry
     graft.ops.Similarity.buildIndexTo(spark, sf, s"$root/ann")
     graft.ops.Similarity.buildSemDedupArchiveTo(
-      Seq((10L, Seq(3.0, 4.0)), (20L, Seq(4.0, 3.0)))
+      Seq((10L, pad(Seq(3.0, 4.0))), (20L, pad(Seq(4.0, 3.0))))
         .toDF("vec_id", "embedding"),
-      Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      Seq((0L, pad(Seq(1.0, 0.0))), (1L, pad(Seq(0.0, 1.0))))
         .toDF("cent_id", "cemb"),
       s"$root/sem")
     val stage = s"$root/stage"
@@ -1311,7 +1317,8 @@ class StreamOpsSpec extends SparkSpec {
         java.nio.file.Paths.get(s"$stage/$name.parquet"))
     }
     // 2000 duplicates archive-vec 20; 2001 is new (orthogonal to 10)
-    land("b1", Seq((2000L, Seq(8f, 6f), 0), (2001L, Seq(-4f, 3f), 0)))
+    land("b1", Seq((2000L, padF(Seq(8f, 6f)), 0),
+      (2001L, padF(Seq(-4f, 3f)), 0)))
     runVectorFrontDoor(readEmbeddings(spark, stage, Some(1)), root,
       s"$root/ckpt")
     // leg 1: the codes table holds the streamed ids under epoch >= 1
@@ -1326,6 +1333,14 @@ class StreamOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(verdicts() == Map(2000L -> true, 2001L -> false),
       s"vector front door verdicts: ${verdicts()}")
+    // leg 3: the retrain trigger ran at ingest — one monitor row for
+    // the epoch, fields populated (trip thresholds are SimilaritySpec's
+    // planted-drift territory; here the wiring is the claim)
+    val drift = spark.read.parquet(s"$root/drift").collect()
+    assert(drift.length == 1, s"drift rows: ${drift.length}")
+    assert(!drift.head.isNullAt(drift.head.fieldIndex("psi")) &&
+      !drift.head.isNullAt(drift.head.fieldIndex("retrain")),
+      s"drift monitor row incomplete: ${drift.head}")
     // idle restart: nothing moves
     val preCodes = codeIds()
     runVectorFrontDoor(readEmbeddings(spark, stage, Some(1)), root,
