@@ -31,7 +31,7 @@ object TextOps {
     * the Jaccard/MinHash family. Pure higher-order functions, no UDFs:
     * shingle_i = words[i] ++ words[i+1] ++ words[i+2].
     */
-  private[ops] def shingles(docs: DataFrame): DataFrame =
+  private[graft] def shingles(docs: DataFrame): DataFrame =
     docs
       .withColumn("ws", words(col("text")))
       .where(size(col("ws")) >= 3)

@@ -306,11 +306,39 @@ object StreamOps {
     maxE
   }
 
-  def ingestBatch(batch: DataFrame, epoch: Long, corpusPath: String): Unit = {
+  /** `benchmark`: an optional held-out eval corpus (doc_id, text) —
+    * when supplied, the gate ALSO drops arrivals whose distinct
+    * 3-gram shingles overlap the benchmark set at ratio ≥ 0.5 (the
+    * [[graft.ops.Curation.qDecontaminate]] rule run at INGEST time,
+    * where a production pipeline runs it: an eval leak caught at the
+    * gate never reaches the corpus store or any derived archive).
+    * The benchmark side is ≪ the stream by construction — its
+    * distinct shingles broadcast; per-batch cost is one
+    * batch-shingle pass. Deterministic, so crash-replay recomputes
+    * the identical survivor set. */
+  def ingestBatch(batch: DataFrame, epoch: Long, corpusPath: String,
+                  benchmark: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     val keep = graft.ops.TextOps.repetitionSignals(batch)
       .where(col("keep")).select(col("doc_id"))
-    val withFp = batch.join(keep, "doc_id")
+    val cleared = benchmark match {
+      case None => batch.join(keep, "doc_id")
+      case Some(bm) =>
+        val bsh = broadcast(graft.ops.TextOps.shingles(bm)
+          .select(col("shingle")).distinct())
+        val sh = graft.ops.TextOps.shingles(batch)
+        val contaminated = sh
+          .join(bsh, Seq("shingle"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+          .join(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")),
+            "doc_id")
+          // RAW-ratio threshold, the qDecontaminate discipline
+          .where(col("n_overlap") / col("n_sh").cast("double") >= 0.5)
+          .select(col("doc_id"))
+        batch.join(keep, "doc_id")
+          .join(contaminated, Seq("doc_id"), "left_anti")
+    }
+    val withFp = cleared
       .withColumn("fp", md5(col("text")))
     val wb = Window.partitionBy(col("fp"))
     val batchUnique = withFp
@@ -513,8 +541,9 @@ object StreamOps {
     * every other streaming entry point here is one leg of, composed
     * under ONE checkpoint and ONE epoch number per micro-batch:
     *
-    *   1. quality-filter + exact-dedup + land into the corpus store
-    *      ([[ingestBatch]]) — the gate everything downstream sees;
+    *   1. quality-filter (+ optional benchmark DECONTAMINATION — see
+    *      [[ingestBatch]]) + exact-dedup + land into the corpus
+    *      store — the gate everything downstream sees;
     *   2. probe + ingest the winnowing fingerprint archive with the
     *      epoch's SURVIVORS (near-dup verdicts land at
     *      `root/neardup`);
@@ -538,7 +567,8 @@ object StreamOps {
     * `corpus`, `neardup`, `winnow/`, `clusters/`, `tokens/`,
     * `phash/`, `audio/`. */
   def runFrontDoor(docs: DataFrame, root: String,
-                   checkpoint: String): Unit = {
+                   checkpoint: String,
+                   benchmark: Option[DataFrame] = None): Unit = {
     val q = docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -547,7 +577,7 @@ object StreamOps {
         // +1 offset on EVERY store, corpus included: epoch 0 is the
         // one-time seed/build layer across the whole topology
         val e = epoch + 1
-        ingestBatch(b, e, s"$root/corpus")
+        ingestBatch(b, e, s"$root/corpus", benchmark)
         // the epoch's survivors, read back from the store — exactly
         // what landed, identical on a crash-replay
         val survivors = corpusView(s, s"$root/corpus")

@@ -1284,6 +1284,54 @@ class StreamOpsSpec extends SparkSpec {
       s"archive assignments wrong after replay: $assigned")
   }
 
+  test("ingest-time decontamination: an arrival copying the benchmark " +
+    "is gated before it reaches the corpus or ANY derived archive") {
+    import spark.implicits._
+    def mk(p: String) = (0 until 60).map(i => s"$p$i").mkString(" ")
+    def full(rows: Seq[(Long, String)]) = rows.map { case (id, tx) =>
+      (id, tx, "en", "srcB", tx.length.toLong) }
+    val root0 = java.nio.file.Files.createTempDirectory("graft-decon")
+    val root = root0.toString
+    val stage = s"$root/stage"
+    new java.io.File(stage).mkdirs()
+    val benchText = mk("bench")
+    // copier: the benchmark's first 50 words verbatim + 10 fresh ones
+    // (~47/57 distinct-shingle overlap >= 0.5); clean: disjoint vocab
+    val copier = (benchText.split(" ").take(50) ++
+      (0 until 10).map(i => s"fresh$i")).mkString(" ")
+    val clean = mk("clean")
+    ingestBatch(full(Seq(1L -> mk("seed")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      0L, s"$root/corpus")
+    graft.ops.Curation.buildClusterArchiveTo(
+      Seq(1L -> mk("seed")).toDF("doc_id", "text"), s"$root/clusters")
+    val tmp = root0.resolve("tmp").toString
+    full(Seq(5L -> copier, 6L -> clean))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$stage/f1.parquet"))
+    runFrontDoor(readDocuments(spark, stage, Some(1)), root,
+      s"$root/ckpt",
+      benchmark = Some(Seq(9000L -> benchText).toDF("doc_id", "text")))
+    val ids = corpusView(spark, s"$root/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 6L),
+      s"benchmark copier reached the corpus store: $ids")
+    // ...and no derived archive ever saw it
+    val tokenIds = graft.io.Tables
+      .readBucketedArchive(spark, s"$root/tokens/postings")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(!tokenIds.contains(5L),
+      "benchmark copier leaked into the token index")
+    val verdictIds = spark.read.parquet(s"$root/neardup")
+      .select("doc_id").as[Long].collect().toSet
+    assert(verdictIds == Set(6L),
+      s"copier was probed instead of gated: $verdictIds")
+  }
+
   test("vector front door: one embedding stream maintains the ANN code " +
     "table and the SemDeDup archive in lockstep; the RTBF leg masks " +
     "both; replay is idempotent") {
