@@ -122,6 +122,56 @@ class ShuffleVolumeSpec extends SparkSpec {
       s"q_cluster_incremental shuffled $clu bytes — plan regression")
   }
 
+  test("bucketed postings arrive pre-partitioned: the non-broadcast " +
+    "probe shuffles batch-scale bytes, while the SAME probe against a " +
+    "plain-parquet copy of the archive shuffles the archive too") {
+    import org.apache.spark.sql.functions._
+    import graft.SparkSpec.spark.implicits._
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-bvol").toString
+    try {
+      TextOps.buildShinglePostingsTo(
+        TextOps.shingles(docs.where(col("doc_id") % 10 =!= 0)), idx)
+      // plain-parquet copy of the identical postings rows
+      val plain = s"$idx/plain"
+      graft.io.Tables.readBucketedArchive(spark, s"$idx/postings")
+        .write.parquet(plain)
+      val batch = TextOps.shingles(docs.where(col("doc_id") % 10 === 0))
+        .localCheckpoint() // identical probe side for both runs
+      val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        // broadcast + AQE off: this is the batch-outgrows-broadcast
+        // regime the bucketing exists for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val bucketed = shuffleBytes(() => batch
+          .join(TextOps.readShinglePostings(spark, idx, excludeEpoch = 1L),
+            "shingle"))
+        val flat = shuffleBytes(() => batch
+          .join(spark.read.parquet(plain)
+            .where(col("ingest_epoch") =!= 1L)
+            .select(col("doc_id"), col("shingle")), "shingle"))
+        info(s"probe shuffle bytes: bucketed=$bucketed plain=$flat")
+        // the plain copy must shuffle BOTH sides; the bucketed archive
+        // contributes zero exchange, so the gap is the archive's own
+        // exchange — strictly more than the whole bucketed probe
+        assert(bucketed > 0 && flat > 2 * bucketed,
+          s"bucketed layout did not remove the archive exchange: " +
+            s"bucketed=$bucketed plain=$flat")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+        spark.conf.set("spark.sql.adaptive.enabled", prevA)
+        graft.ops.Ckpt.release(batch)
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS " +
+        s"`${graft.io.Tables.bucketedArchName(s"$idx/postings")}`")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
+    }
+  }
+
   test("indexed BM25 shuffles strictly less than the from-text path: " +
     "tf pre-aggregation lives in the index, not in the query") {
     val text = shuffleBytes(() => TextOps.qBm25Topk(spark, sf))
