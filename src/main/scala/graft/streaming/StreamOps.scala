@@ -788,6 +788,38 @@ object StreamOps {
       .orderBy("store")
   }
 
+  /** [[runMaintenanceWindow]] for the VECTOR topology: fold the ANN
+    * code table ([[graft.ops.Similarity.compactIndexEpochs]] — the
+    * single-version result also restores scan-time DPP on `cell`)
+    * and the SemDeDup assignment archive (the shared
+    * [[graft.io.Tables.foldManifestedEpochs]] carry rule on vec_id),
+    * vacuum both plus their tombstone tables, and return the
+    * post-sweep health rows. Same single-writer-window contract;
+    * stores that never bootstrapped are skipped. */
+  def runVectorMaintenanceWindow(s: SparkSession,
+                                 root: String): DataFrame = {
+    import s.implicits._
+    if (Tables.manifestExists(s, s"$root/ann/codes"))
+      graft.ops.Similarity.compactIndexEpochs(s, s"$root/ann")
+    if (Tables.manifestExists(s, s"$root/sem/assigned"))
+      Tables.foldManifestedEpochs(s, s"$root/sem/assigned",
+        s"$root/sem/tombstones", "vec_id",
+        Seq("ingest_epoch", "cell"))
+    val stores = Seq(
+      "ann_codes" -> s"$root/ann/codes",
+      "sem_assigned" -> s"$root/sem/assigned")
+      .filter { case (_, p) => Tables.manifestExists(s, p) }
+    stores.foreach { case (_, p) => Tables.vacuumManifested(s, p) }
+    Seq(s"$root/ann/tombstones", s"$root/sem/tombstones")
+      .filter(Tables.manifestExists(s, _))
+      .foreach(Tables.vacuumManifested(s, _))
+    stores.map { case (name, p) =>
+      val tomb = p.split('/').dropRight(1).mkString("/") + "/tombstones"
+      graft.ops.ScaleOps.archiveHealth(s, name, p, tomb, "vec_id")
+    }.toDF()
+      .orderBy("store")
+  }
+
   // ---------- Streaming cluster-label maintenance ----------
 
   /** Streaming maintenance of the CLUSTER archive — the near-dup

@@ -1416,6 +1416,32 @@ class StreamOpsSpec extends SparkSpec {
       .map(_.as[Long].collect().toSet).getOrElse(Set.empty)
     assert(semTombs == Set(2000L),
       s"sem archive tombstones: $semTombs")
+
+    // the vector maintenance window: both folds + vacuums in one
+    // entry point — serve path identical across the sweep, counters
+    // reset, the deleted vector physically gone from the folded sem
+    // archive (epoch 1 was below the high-water mark... here epoch 1
+    // IS the newest, so it carries; assert the mask instead)
+    val preServe = graft.ops.Similarity
+      .serveFrom(spark, sf, s"$root/ann")
+      .collect().map(_.toSeq).toSet
+    val vh = runVectorMaintenanceWindow(spark, root).collect()
+      .map(r => r.getString(0) -> (r.getInt(4), r.getInt(5))).toMap
+    assert(vh.keySet == Set("ann_codes", "sem_assigned"),
+      s"vector health stores: ${vh.keySet}")
+    vh.foreach { case (store, (versions, deadDirs)) =>
+      assert(versions == 1 && deadDirs == 0,
+        s"$store counters not reset: v=$versions dead=$deadDirs")
+    }
+    assert(graft.ops.Similarity.serveFrom(spark, sf, s"$root/ann")
+      .collect().map(_.toSeq).toSet == preServe,
+      "vector sweep changed the serve results")
+    val semLive = graft.io.Tables.minusTombstones(
+        graft.io.Tables.readManifested(spark, s"$root/sem/assigned"),
+        s"$root/sem/tombstones", "vec_id")
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(!semLive.contains(2000L),
+      "deleted vector still visible in the sem archive after the sweep")
   }
 
   test("runCorpusDeleteStream targets the corpus' SIBLING tombstone " +
