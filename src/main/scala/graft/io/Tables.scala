@@ -337,19 +337,53 @@ object Tables {
       s"manifest v$version at $path was committed by another writer — " +
         "re-read the current manifest and retry the commit")
 
+  /** Atomically publish a fully-written `tmp` file at `dest`,
+    * failing if `dest` already exists — the single primitive every
+    * CAS commit here stands on. On the local filesystem a Hadoop
+    * rename silently overwrites (POSIX renameTo), so check-then-
+    * rename has a lost-update window; a HARD LINK is the POSIX
+    * atomic-exclusive publish: link(2) fails with EEXIST when the
+    * destination exists and otherwise makes the complete file
+    * visible in one syscall. On HDFS (and object-store connectors
+    * with HDFS rename semantics) rename itself refuses an existing
+    * destination, so the plain rename is already exclusive.
+    * Returns true on success, false when `dest` already existed
+    * (the CAS lost); `tmp` is consumed either way. */
+  private[graft] def publishExclusive(fs: org.apache.hadoop.fs.FileSystem,
+                                      tmp: org.apache.hadoop.fs.Path,
+                                      dest: org.apache.hadoop.fs.Path)
+      : Boolean =
+    if (fs.getScheme == "file") {
+      val won =
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dest.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      fs.delete(tmp, false)
+      won
+    } else {
+      // HDFS-semantics rename: fails (returns false) if dest exists
+      if (fs.exists(dest)) { fs.delete(tmp, false); false }
+      else if (fs.rename(tmp, dest)) true
+      else { fs.delete(tmp, false); false }
+    }
+
   /** Compare-and-set manifest commit: `version` is the EXPECTED next
-    * version. Fails with [[ManifestConflictException]] when that
-    * version already exists, and — because a local-FS rename can
-    * silently overwrite (POSIX renameTo) inside the tiny
-    * check-to-rename window — verifies its own bytes after the
-    * rename, so of two racers exactly one wins and the other always
-    * sees the conflict. */
+    * version. The pointer flip is [[publishExclusive]] — atomic and
+    * exclusive on both local FS (hard link, EEXIST on the loser) and
+    * HDFS (non-overwriting rename) — so of two racers exactly one
+    * wins and the other always throws [[ManifestConflictException]],
+    * deterministically, with no timing window. */
   private[graft] def commitManifest(fs: org.apache.hadoop.fs.FileSystem,
                                     root: org.apache.hadoop.fs.Path,
                                     version: Long,
                                     parts: Map[String, String]): Unit = {
     val dest = new org.apache.hadoop.fs.Path(root, manifestName(version))
-    if (fs.exists(dest))
+    if (fs.exists(dest)) // fast path: no need to write bytes to lose
       throw new ManifestConflictException(root.toString, version)
     val body = parts.toSeq.sorted
       .map { case (p, d) => s"$p\t$d" }.mkString("\n")
@@ -360,21 +394,7 @@ object Tables {
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8"))
     finally out.close()
-    // same-directory rename: atomic on HDFS and local — the manifest
-    // becomes visible complete or not at all
-    if (!fs.rename(tmp, dest)) {
-      fs.delete(tmp, false)
-      throw new ManifestConflictException(root.toString, version)
-    }
-    // read-back CAS verify: if a racer's rename overwrote ours (or
-    // ours overwrote theirs and a third won after), the loser throws
-    val in = fs.open(dest)
-    val after = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-      buf.toString("UTF-8")
-    } finally in.close()
-    if (after != body)
+    if (!publishExclusive(fs, tmp, dest))
       throw new ManifestConflictException(root.toString, version)
   }
 
@@ -700,6 +720,39 @@ object Tables {
   private def bucketSpecPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "_graft_bucketspec")
 
+  /** Bucket-count sizing law for the bucketed archives — the
+    * [[graft.ops.Similarity.planesFor]] discipline applied to the
+    * storage layout: instead of a hand-tuned constant, derive the
+    * bucket count from corpus stats at BUILD time so one bucket's
+    * file group lands near `targetBytes` (one comfortable scan/task
+    * unit), and record the inputs in the bucketspec sidecar. Shape:
+    * `pow2ceil(rows × avgRowBytes / targetBytes)` clamped to
+    * [minBuckets, 4096] —
+    *  - the FLOOR keeps small corpora at parallelism-sized bucket
+    *    counts (a 2-bucket table would serialize the probe), and is
+    *    what the gated SFs resolve to, so existing plan pins hold
+    *    without retuning;
+    *  - the LAW takes over once the postings outgrow
+    *    minBuckets × targetBytes: a 5 TB postings table at 128 MB
+    *    targets sizes to 4096 buckets (the cap — beyond that,
+    *    per-epoch file counts, not file sizes, dominate);
+    *  - power-of-two so doubling data doubles buckets instead of
+    *    re-hashing everything to an unrelated modulus.
+    * Build-time cost is one count/avg pass over the rows being
+    * archived — paid once per BUILD, never per probe. */
+  def bucketsFor(rows: Long, avgRowBytes: Double,
+                 minBuckets: Int,
+                 targetBytes: Long = 128L << 20): Int = {
+    require(minBuckets >= 1 && rows >= 0 && targetBytes > 0)
+    val need = math.ceil(
+      math.max(1.0, rows.toDouble * math.max(1.0, avgRowBytes)) /
+        targetBytes.toDouble)
+    val capped = math.min(4096.0, math.max(minBuckets.toDouble, need))
+    var p = 1
+    while (p < capped) p <<= 1
+    p
+  }
+
   /** Does a bucketed archive exist at `path`? Mirrors
     * [[manifestExists]]: only the genuine no-archive shapes answer
     * false. */
@@ -712,16 +765,19 @@ object Tables {
 
   private def writeBucketSpec(spark: SparkSession, path: String,
                               keyCol: String, buckets: Int,
-                              schema: StructType): Unit = {
+                              partCols: Seq[String],
+                              schema: StructType,
+                              sizingNote: String): Unit = {
     val p = bucketSpecPath(path)
     val out = fsFor(spark, p).create(p, true)
-    try out.write(s"$keyCol\n$buckets\n${schema.toDDL}"
-      .getBytes("UTF-8"))
+    try out.write(
+      (s"$keyCol\n$buckets\n${partCols.mkString(",")}\n${schema.toDDL}" +
+        s"\n$sizingNote").getBytes("UTF-8"))
     finally out.close()
   }
 
-  private def readBucketSpec(spark: SparkSession, path: String)
-      : (String, Int, StructType) = {
+  private[graft] def readBucketSpec(spark: SparkSession, path: String)
+      : (String, Int, Seq[String], StructType) = {
     val p = bucketSpecPath(path)
     val in = fsFor(spark, p).open(p)
     val body = try {
@@ -729,28 +785,29 @@ object Tables {
       org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
       buf.toString("UTF-8")
     } finally in.close()
-    val Array(key, n, ddl) = body.split("\n", 3)
-    (key, n.toInt, StructType.fromDDL(ddl))
+    // line 5 (the sizing note) is documentation, not configuration
+    val Array(key, n, pcs, ddl) = body.split("\n", 5).take(4)
+    (key, n.toInt, pcs.split(",").toSeq, StructType.fromDDL(ddl))
   }
 
   /** Register the catalog entry for an on-disk bucketed archive if
     * this session doesn't have it yet (a fresh JVM reading an
     * archive a previous one wrote), and return the table name. The
     * CREATE carries the bucket spec so the scan stays bucketed;
-    * REPAIR discovers the epoch partitions from the directory
-    * layout. */
+    * REPAIR discovers the (possibly nested) partitions from the
+    * directory layout. */
   private def ensureBucketedRegistered(spark: SparkSession,
                                        path: String): String = {
     val name = bucketedArchName(path)
     if (!spark.catalog.tableExists(name)) synchronized {
       if (!spark.catalog.tableExists(name)) {
-        val (key, buckets, schema) = readBucketSpec(spark, path)
-        val cols = schema.fields.filterNot(_.name == "ingest_epoch") :+
-          schema("ingest_epoch") // partition column last, saveAsTable-style
+        val (key, buckets, partCols, schema) = readBucketSpec(spark, path)
+        val cols = schema.fields.filterNot(f => partCols.contains(f.name)) ++
+          partCols.map(schema(_)) // partition columns last, saveAsTable-style
         spark.sql(
           s"""CREATE TABLE `$name` (${StructType(cols).toDDL})
              |USING parquet
-             |PARTITIONED BY (ingest_epoch)
+             |PARTITIONED BY (${partCols.map(c => s"`$c`").mkString(", ")})
              |CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS
              |LOCATION '$path'""".stripMargin)
         spark.sql(s"MSCK REPAIR TABLE `$name`")
@@ -760,12 +817,19 @@ object Tables {
   }
 
   /** Create (or recreate from scratch) a bucketed archive at `path`.
-    * `df` must carry an `ingest_epoch` column — the build layer
-    * conventionally commits as epoch 0. */
+    * `df` must carry every column in `partCols` (`ingest_epoch`
+    * first — the epoch machinery's contract; extra levels like the
+    * ANN `cell` nest below it). The build layer conventionally
+    * commits as epoch 0. `sizingNote` records how `buckets` was
+    * derived ([[bucketsFor]]) in the sidecar. */
   def writeBucketedArchive(df: DataFrame, path: String, keyCol: String,
-                           buckets: Int): Unit = {
-    require(df.columns.contains("ingest_epoch"),
-      "bucketed archives are epoch-partitioned; add ingest_epoch")
+                           buckets: Int,
+                           partCols: Seq[String] = Seq("ingest_epoch"),
+                           sizingNote: String = ""): Unit = {
+    require(partCols.headOption.contains("ingest_epoch"),
+      "bucketed archives are epoch-partitioned; ingest_epoch leads")
+    require(partCols.forall(df.columns.contains),
+      s"missing partition columns: ${partCols.filterNot(df.columns.contains)}")
     val spark = df.sparkSession
     val name = bucketedArchName(path)
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
@@ -773,36 +837,125 @@ object Tables {
     val fs = fsFor(spark, root)
     if (fs.exists(root)) fs.delete(root, true)
     df.write.mode(SaveMode.Overwrite).option("path", path)
-      .partitionBy("ingest_epoch")
+      .partitionBy(partCols: _*)
       .bucketBy(buckets, keyCol).sortBy(keyCol)
       .format("parquet").saveAsTable(name)
     // sidecar commits last: a crashed create reads as "no archive"
-    writeBucketSpec(spark, path, keyCol, buckets, df.schema)
+    writeBucketSpec(spark, path, keyCol, buckets, partCols, df.schema,
+      sizingNote)
+  }
+
+  /** Thrown when an epoch commit on a bucketed archive finds the
+    * epoch CLAIMED by another live (or crashed) writer. The bucketed
+    * commit is drop-partition-then-append — destructive, so unlike
+    * the manifested CAS (where the loser's data dir is simply
+    * orphaned) two interleaved writers would CORRUPT the partition;
+    * the claim therefore guards the whole commit window, not just
+    * the final pointer flip. */
+  final class ArchiveConflictException(path: String, epoch: Long,
+                                       holder: String)
+    extends RuntimeException(
+      s"ingest_epoch=$epoch at $path is claimed by writer '$holder' — " +
+        "another writer is mid-commit on this epoch, or a previous " +
+        "attempt crashed; if the holder is confirmed dead, run " +
+        "Tables.recoverEpochClaim and retry")
+
+  private[graft] def epochClaimPath(path: String, epoch: Long) =
+    new org.apache.hadoop.fs.Path(path, s"_graft_epoch_claim_$epoch")
+
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+  }
+
+  /** Atomically claim one epoch's commit window ([[publishExclusive]]
+    * — the same primitive as the manifest CAS, so of two racers
+    * exactly one wins). A claim already held by OUR OWN `writerId`
+    * is re-entered, not refused: that is a crash-replay of this
+    * writer's previous attempt, and the caller asserting a stable
+    * writerId (a Structured Streaming checkpoint location) is
+    * asserting the runtime's guarantee that no two attempts of the
+    * same query run concurrently. An anonymous writer (no stable id)
+    * gets a UUID — its own crash leaves a claim only
+    * [[recoverEpochClaim]] clears, deliberately loud. */
+  private[graft] def claimEpoch(fs: org.apache.hadoop.fs.FileSystem,
+                         path: String, epoch: Long,
+                         writerId: String): Unit = {
+    val claim = epochClaimPath(path, epoch)
+    val tmp = new org.apache.hadoop.fs.Path(path,
+      s"._claim_tmp_${epoch}_${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(writerId.getBytes("UTF-8")) finally out.close()
+    if (!publishExclusive(fs, tmp, claim)) {
+      val holder =
+        try readSmallFile(fs, claim)
+        catch { case _: java.io.IOException => "<unreadable>" }
+      if (holder != writerId)
+        throw new ArchiveConflictException(path, epoch, holder)
+      // our own previous (crashed) attempt — re-enter the window
+    }
+  }
+
+  /** Clear a crashed writer's epoch claim. OPERATOR/RUNTIME action
+    * with a precondition the filesystem cannot check: the holder
+    * must be confirmed dead. Calling this against a LIVE writer
+    * reintroduces exactly the silent interleaving the claim
+    * exists to prevent. */
+  def recoverEpochClaim(spark: SparkSession, path: String,
+                        epoch: Long): Unit = {
+    val claim = epochClaimPath(path, epoch)
+    fsFor(spark, claim).delete(claim, false)
+    ()
   }
 
   /** Commit ONE epoch into a bucketed archive, replace-or-add: the
-    * epoch's partition (catalog entry + directory) is dropped first,
-    * so a crash-replay rewrites exactly its own partition — identical
-    * rows for the pure-function-of-immutable-input archives this
-    * layout serves. A crash BETWEEN drop and append leaves the epoch
-    * missing, which the replay restores (the dynamic-partition-
-    * overwrite recovery contract). */
+    * epoch's partitions (catalog entries + directory) are dropped
+    * first, so a crash-replay rewrites exactly its own partition —
+    * identical rows for the pure-function-of-immutable-input
+    * archives this layout serves. A crash BETWEEN drop and append
+    * leaves the epoch missing, which the replay restores (the
+    * dynamic-partition-overwrite recovery contract).
+    *
+    * CONCURRENCY: the whole drop+append window runs under an
+    * atomic-exclusive per-epoch claim ([[claimEpoch]] — the
+    * manifest-CAS discipline), so two uncoordinated writers racing
+    * the same epoch are LOUD (exactly one proceeds, the other
+    * throws [[ArchiveConflictException]]) instead of silently
+    * interleaving files in the partition dir. The claim releases on
+    * completion (success or in-JVM failure — the partition is
+    * replayable either way); only a process crash leaves it held,
+    * and then a replay under the same stable `writerId` re-enters
+    * its own claim while everyone else stays blocked until
+    * [[recoverEpochClaim]]. */
   def ingestBucketedArchive(df: DataFrame, path: String,
-                            epoch: Long): Unit = {
+                            epoch: Long,
+                            writerId: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val name = ensureBucketedRegistered(spark, path)
-    val (key, buckets, _) = readBucketSpec(spark, path)
-    spark.sql(
-      s"ALTER TABLE `$name` DROP IF EXISTS PARTITION (ingest_epoch=$epoch)")
-    val part = new org.apache.hadoop.fs.Path(path, s"ingest_epoch=$epoch")
-    val fs = fsFor(spark, part)
-    if (fs.exists(part)) fs.delete(part, true)
-    spark.sql(s"REFRESH TABLE `$name`")
-    df.withColumn("ingest_epoch", lit(epoch))
-      .write.mode(SaveMode.Append)
-      .partitionBy("ingest_epoch")
-      .bucketBy(buckets, key).sortBy(key)
-      .format("parquet").saveAsTable(name)
+    val (key, buckets, partCols, _) = readBucketSpec(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, root)
+    claimEpoch(fs, path, epoch,
+      writerId.getOrElse(java.util.UUID.randomUUID.toString))
+    try {
+      // drop the epoch subtree on disk, then resync the catalog's
+      // partition list (SYNC handles nested levels a partial ALTER
+      // DROP PARTITION spec could not name)
+      val part = new org.apache.hadoop.fs.Path(root, s"ingest_epoch=$epoch")
+      if (fs.exists(part)) fs.delete(part, true)
+      spark.sql(s"MSCK REPAIR TABLE `$name` SYNC PARTITIONS")
+      spark.sql(s"REFRESH TABLE `$name`")
+      df.withColumn("ingest_epoch", lit(epoch))
+        .write.mode(SaveMode.Append)
+        .partitionBy(partCols: _*)
+        .bucketBy(buckets, key).sortBy(key)
+        .format("parquet").saveAsTable(name)
+    } finally recoverEpochClaim(spark, path, epoch)
   }
 
   /** The archive as a DataFrame whose scan reports the bucket
@@ -828,11 +981,11 @@ object Tables {
     if (!fs.exists(live) && fs.exists(old))
       require(fs.rename(old, live), s"fold recovery failed for $path")
     fs.delete(old, true)
-    val (key, buckets, _) = readBucketSpec(spark, path)
+    val (key, buckets, partCols, _) = readBucketSpec(spark, path)
     val tmp = path + ".fold_tmp"
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     spark.sql(s"DROP TABLE IF EXISTS `${bucketedArchName(tmp)}`")
-    writeBucketedArchive(df, tmp, key, buckets)
+    writeBucketedArchive(df, tmp, key, buckets, partCols)
     // swap: live aside → staged in → drop aside; catalog follows
     spark.sql(s"DROP TABLE IF EXISTS `${bucketedArchName(path)}`")
     require(fs.rename(live, old), s"fold swap: aside failed for $path")
@@ -960,6 +1113,45 @@ object Tables {
       if (!carried.isEmpty) ingestTombstones(carried, tombPath, epoch = 0L)
       graft.ops.Ckpt.release(carried)
     }
+    maxE
+  }
+
+  /** [[foldManifestedEpochs]] for a BUCKETED archive: same carry
+    * rule (epochs below high-water fold into the base layer, the
+    * newest epoch — still crash-replayable — keeps its own value;
+    * tombstones retire EXCEPT keys living in that carried epoch),
+    * rewritten through [[replaceBucketedArchive]]'s staged swap so
+    * the bucket layout survives the fold. The carry decision reads
+    * its snapshot BEFORE the rewrite — after it, the tombstoned keys
+    * are already masked out of the carried epoch and the carry would
+    * be vacuously empty (the resurrect-on-replay bug the rule
+    * exists to prevent). Returns the folded high-water epoch, -1
+    * for a no-op. */
+  private[graft] def foldBucketedEpochs(s: SparkSession, path: String,
+      tombPath: String, keyCol: String): Long = {
+    val arch = readBucketedArchive(s, path)
+    val maxE = arch.agg(
+      org.apache.spark.sql.functions.max(col("ingest_epoch")).cast("long"))
+      .head().getLong(0)
+    val tomb = readTombstones(s, tombPath, keyCol)
+    if (maxE <= 0L && tomb.isEmpty) return -1L
+    val preNewest = arch
+      .where(col("ingest_epoch") === maxE && lit(maxE > 0L))
+      .select(col(keyCol)).distinct().localCheckpoint()
+    replaceBucketedArchive(
+      minusTombstones(arch, tombPath, keyCol)
+        .withColumn("ingest_epoch",
+          when(col("ingest_epoch") < maxE, lit(0L))
+            .otherwise(col("ingest_epoch"))),
+      path)
+    tomb.foreach { td =>
+      val carried = td.join(preNewest, Seq(keyCol), "left_semi")
+        .localCheckpoint()
+      clearManifested(s, tombPath)
+      if (!carried.isEmpty) ingestTombstones(carried, tombPath, epoch = 0L)
+      graft.ops.Ckpt.release(carried)
+    }
+    graft.ops.Ckpt.release(preNewest)
     maxE
   }
 

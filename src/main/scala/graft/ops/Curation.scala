@@ -322,6 +322,14 @@ object Curation {
     }, "graft-cluster-index-cleanup"))
   }
 
+  /** Bucket-count floor for the label archive — parallelism-sized at
+    * the gated SFs; [[graft.io.Tables.bucketsFor]]'s law takes over
+    * once the label table outgrows floor × targetBytes. */
+  private val LabelBucketsFloor = 16
+
+  /** (doc_id, label, ingest_epoch) is three longs + parquet overhead. */
+  private val LabelRowBytes = 32.0
+
   /** Build the archive from scratch: the corpus' shingle POSTINGS +
     * per-doc sizes ([[TextOps.buildShinglePostingsTo]] — the persisted
     * substrate every later daily run probes instead of re-shingling
@@ -329,10 +337,16 @@ object Curation {
     * exact-Jaccard pair graph (the [[dedupClusters]] substrate). The
     * POSTINGS are a shingle-bucketed epoch-partitioned archive (the
     * probe-side layout; see [[graft.ops.TextOps.buildShinglePostingsTo]]);
-    * sizes and labels are manifested epoch-partitioned (build layer =
-    * epoch 0) — the winnowing-fingerprint contract. Every epoch
-    * commit is replace-or-add, so maintenance is replay-idempotent on
-    * all three. One corpus shingle pass feeds everything. */
+    * the LABELS are a doc_id-BUCKETED epoch-partitioned archive —
+    * label epochs are UPDATES resolved by a latest-per-doc aggregate
+    * on EVERY read ([[readClusterLabels]]), and bucketing by doc_id
+    * lets that aggregate reuse the scan's partitioning with no
+    * archive-wide exchange (plan-pinned in ClusterIndexSpec); at
+    * 100 TB the daily read was otherwise the one remaining
+    * archive-proportional shuffle between folds. Sizes stay
+    * manifested epoch-partitioned (tiny). Every epoch commit is
+    * replace-or-add, so maintenance is replay-idempotent on all
+    * three. One corpus shingle pass feeds everything. */
   private[graft] def buildClusterArchiveTo(corpus: DataFrame,
                                          idx: String): Unit = {
     val sh = TextOps.shingles(corpus).localCheckpoint()
@@ -341,10 +355,15 @@ object Curation {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val labels =
       connectedComponents(corpus.select(col("doc_id").as("id")), edges)
-    Tables.writeManifested(
-      labels.select(col("id").as("doc_id"), col("label"))
-        .withColumn("ingest_epoch", lit(0L)),
-      s"$idx/labels", Seq("ingest_epoch"))
+        .select(col("id").as("doc_id"), col("label"))
+        .withColumn("ingest_epoch", lit(0L))
+        .localCheckpoint() // consumed twice: sizing pass + write
+    val n = labels.count()
+    val buckets = Tables.bucketsFor(n, LabelRowBytes, LabelBucketsFloor)
+    Tables.writeBucketedArchive(labels, s"$idx/labels", "doc_id", buckets,
+      sizingNote = s"sized rows=$n avgRowBytes=$LabelRowBytes " +
+        s"floor=$LabelBucketsFloor -> buckets=$buckets")
+    Ckpt.release(labels)
     Ckpt.release(sh)
   }
 
@@ -400,7 +419,8 @@ object Curation {
   private[graft] def clusterIncrementalFrom(docs: DataFrame,
       idx: String,
       isBatch: Column => Column = _ % 10 === 0,
-      epoch: Long = 1L): DataFrame = {
+      epoch: Long = 1L,
+      writerId: Option[String] = None): DataFrame = {
     val s = docs.sparkSession
     // BATCH-ONLY shingle substrate: the corpus side comes from the
     // persisted postings index committed at archive build (and kept
@@ -413,7 +433,7 @@ object Curation {
     // postings + sizes commit under their epoch; every read below
     // self-excludes that epoch, so a crash-replay never probes its
     // own previous partial commit
-    TextOps.ingestShinglePostings(bsh, idx, epoch)
+    TextOps.ingestShinglePostings(bsh, idx, epoch, writerId)
     val arch = TextOps.readShinglePostings(s, idx, excludeEpoch = epoch)
     val bAsB = bsh.select(col("doc_id").as("b_id"), col("shingle"))
     // batch-vs-archive candidates: the postings archive is
@@ -458,7 +478,7 @@ object Curation {
     // commit) — so yesterday's merge commits are consumed today, and
     // a fold ([[compactLabelEpochs]]) changes nothing a reader sees
     val archive = Tables.minusTombstones(
-      Tables.readManifested(s, s"$idx/labels")
+      Tables.readBucketedArchive(s, s"$idx/labels")
         .where(col("ingest_epoch") =!= epoch)
         .groupBy(col("doc_id"))
         .agg(max_by(col("label"), col("ingest_epoch")).as("label")),
@@ -492,9 +512,9 @@ object Curation {
     // maintenance step: tomorrow's archive is current (the epoch
     // layer holds every re-labeled row; replay recomputes identical
     // rows and replace-or-adds the same partition)
-    Tables.upsertManifested(
+    Tables.ingestBucketedArchive(
       relabeled.withColumn("ingest_epoch", lit(epoch)),
-      s"$idx/labels", Seq("ingest_epoch"), _ == s"ingest_epoch=$epoch")
+      s"$idx/labels", epoch, writerId)
     merged
       .select(col("doc_id"), col("label").as("cluster_id"),
         isBatch(col("doc_id")).as("is_batch"),
@@ -518,16 +538,18 @@ object Curation {
   private[ops] def compactLabelEpochs(s: SparkSession,
                                       idx: String): Long = {
     val path = s"$idx/labels"
-    val (_, parts) = Tables.resolveManifest(s, path)
-    val maxE = parts.keys
-      .map(_.stripPrefix("ingest_epoch=").toLong).max
+    val arch = Tables.readBucketedArchive(s, path)
+    val maxE = arch.agg(max(col("ingest_epoch")).cast("long"))
+      .head().getLong(0)
     if (maxE <= 0L) return -1L
-    val current = Tables.readManifested(s, path)
+    // label epochs are UPDATES: the fold materializes latest-per-doc
+    // (exchange-free off the doc_id-bucketed scan) as the sole base
+    // layer, through the staged swap that preserves the bucket layout
+    val current = arch
       .groupBy(col("doc_id"))
       .agg(max_by(col("label"), col("ingest_epoch")).as("label"))
       .withColumn("ingest_epoch", lit(0L))
-    Tables.upsertManifested(current, path, Seq("ingest_epoch"),
-      _ => true)
+    Tables.replaceBucketedArchive(current, path)
     maxE
   }
 
@@ -636,7 +658,7 @@ object Curation {
     // label archive view: latest epoch per doc, self-excluding this
     // delete epoch (a crash-replay must not read its own previous
     // partial relabel commit); consumed four ways below — checkpoint
-    val archive = Tables.readManifested(s, s"$idx/labels")
+    val archive = Tables.readBucketedArchive(s, s"$idx/labels")
       .where(col("ingest_epoch") =!= epoch)
       .groupBy(col("doc_id"))
       .agg(max_by(col("label"), col("ingest_epoch")).as("label"))
@@ -685,9 +707,9 @@ object Curation {
     // repair commit: the epoch layer holds every re-labeled survivor;
     // a replay recomputes identical rows and replace-or-adds the same
     // partition
-    Tables.upsertManifested(
+    Tables.ingestBucketedArchive(
       relabeled.withColumn("ingest_epoch", lit(epoch)),
-      s"$idx/labels", Seq("ingest_epoch"), _ == s"ingest_epoch=$epoch")
+      s"$idx/labels", epoch)
     merged
       .select(col("doc_id"), col("label").as("cluster_id"),
         (col("doc_id") === col("label")).as("keep"))
@@ -701,7 +723,7 @@ object Curation {
   private[graft] def readClusterLabels(s: SparkSession,
                                      idx: String): DataFrame =
     Tables.minusTombstones(
-      Tables.readManifested(s, s"$idx/labels")
+      Tables.readBucketedArchive(s, s"$idx/labels")
         .groupBy(col("doc_id"))
         .agg(max_by(col("label"), col("ingest_epoch")).as("label")),
       s"$idx/tombstones", "doc_id")
@@ -725,13 +747,15 @@ object Curation {
     val tombPath = s"$idx/tombstones"
     val labels = s"$idx/labels"
     // labels: latest-per-doc minus tombstones becomes the base layer
+    // (aggregate exchange-free off the doc_id-bucketed scan; the
+    // staged-swap rewrite preserves the bucket layout)
     val current = Tables.minusTombstones(
-        Tables.readManifested(s, labels)
+        Tables.readBucketedArchive(s, labels)
           .groupBy(col("doc_id"))
           .agg(max_by(col("label"), col("ingest_epoch")).as("label")),
         tombPath, "doc_id")
       .withColumn("ingest_epoch", lit(0L))
-    Tables.upsertManifested(current, labels, Seq("ingest_epoch"), _ => true)
+    Tables.replaceBucketedArchive(current, labels)
     // postings + sizes: fold epochs below high-water into the base,
     // carry the newest, subtract tombstones physically. The bucketed
     // postings fold through the staged-swap rewrite (which preserves
@@ -748,7 +772,22 @@ object Curation {
           .otherwise(col("ingest_epoch"))))
       maxE
     }
-    val maxPost = foldEpochs(s"$idx/postings",
+    // PRE-fold snapshot of the newest postings epoch's doc set — the
+    // carry decision's input. Reading it AFTER replaceBucketedArchive
+    // would see the tombstoned keys already masked OUT of the carried
+    // epoch, so td ∩ replayable would always be empty, every
+    // tombstone would retire, and a foreachBatch crash-replay of that
+    // epoch (which recomputes its rows from source) would silently
+    // resurrect the folded deletes — exactly what the carry rule
+    // exists to prevent. Same discipline as foldManifestedEpochs'
+    // `all` pin and compactTokenIndexEpochs' `pre` snapshot.
+    val prePost = Tables.readBucketedArchive(s, s"$idx/postings")
+    val maxPostPre = prePost.agg(max(col("ingest_epoch")).cast("long"))
+      .head().getLong(0)
+    val preNewest = prePost
+      .where(col("ingest_epoch") === maxPostPre && lit(maxPostPre > 0L))
+      .select(col("doc_id")).distinct().localCheckpoint()
+    foldEpochs(s"$idx/postings",
       Tables.readBucketedArchive(s, s"$idx/postings"),
       Tables.replaceBucketedArchive(_, s"$idx/postings"))
     foldEpochs(s"$idx/sizes",
@@ -756,16 +795,14 @@ object Curation {
       Tables.upsertManifested(_, s"$idx/sizes",
         Seq("ingest_epoch"), _ => true))
     Tables.readTombstones(s, tombPath, "doc_id").foreach { td =>
-      val replayable = Tables.readBucketedArchive(s, s"$idx/postings")
-        .where(col("ingest_epoch") === maxPost && lit(maxPost > 0L))
-        .select(col("doc_id")).distinct()
-      val carried = td.join(replayable, Seq("doc_id"), "left_semi")
+      val carried = td.join(preNewest, Seq("doc_id"), "left_semi")
         .localCheckpoint()
       Tables.clearManifested(s, tombPath)
       if (!carried.isEmpty)
         Tables.ingestTombstones(carried, tombPath, epoch = 0L)
       Ckpt.release(carried)
     }
+    Ckpt.release(preNewest)
   }
 
   val qClusterDeleteOracle: String =

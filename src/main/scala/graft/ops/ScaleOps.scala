@@ -706,6 +706,29 @@ object ScaleOps {
       dead.size, dead.map(_._2).sum)
   }
 
+  /** [[archiveHealth]] for a BUCKETED archive (no manifest pointer):
+    * epochs are the partition directories, exactly one live version
+    * exists on disk by construction (the staged-swap fold replaces
+    * in place), and dead mass is fold scratch a crashed swap left
+    * behind (`.fold_tmp` / `.fold_old` siblings — the next fold's
+    * recovery preamble sweeps them; non-zero here means a fold
+    * crashed since). */
+  private[graft] def bucketedArchiveHealth(s: SparkSession, store: String,
+      path: String, tombPath: String, keyCol: String): ArchiveHealth = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val nEpochs = fs.listStatus(root).count(st =>
+      st.isDirectory && st.getPath.getName.startsWith("ingest_epoch="))
+    val live = Tables.minusTombstones(
+      Tables.readBucketedArchive(s, path), tombPath, keyCol).count()
+    val nTomb = Tables.readTombstones(s, tombPath, keyCol)
+      .map(_.count()).getOrElse(0L)
+    val scratch = Seq(path + ".fold_tmp", path + ".fold_old")
+      .map(new org.apache.hadoop.fs.Path(_)).filter(fs.exists)
+    ArchiveHealth(store, nEpochs, live, nTomb, 1, scratch.size,
+      scratch.map(p => fs.getContentSummary(p).getLength).sum)
+  }
+
   /** The three-stage construction behind [[qArchiveHealth]], one
     * archive per lifecycle stage so the gated output SHOWS the
     * fold/vacuum counters resetting: `staged` (build + two ingest
@@ -720,10 +743,23 @@ object ScaleOps {
   private val healthMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // end-of-process cleanup for the health fixture roots — the same
+  // shutdown-hook discipline every other memoized scratch dir rides
+  // (Similarity.auxTmpDirs, Curation.clusterIdxDirs)
+  private val healthDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      healthDirs.forEach(d =>
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(d)))
+    }, "graft-archive-health-cleanup"))
+  }
+
   private def healthRoot(s: SparkSession, dir: String): String =
     healthMemo.computeIfAbsent(dir, _ => {
       val root = java.nio.file.Files
         .createTempDirectory("graft-archive-health").toString
+      healthDirs.add(root)
       val ids = t(s, dir, "documents").select(col("doc_id"))
       def stage(name: String): (String, String) = {
         val p = s"$root/$name"

@@ -913,6 +913,14 @@ object Similarity {
     * what makes the daily probe batch-proportional: a batch touches
     * only its own cells' partitions (DPP-pruned, the code-table scan
     * shape), never the archive's full width. */
+  /** Bucket-count floor for the assignment archive — low, because
+    * file count multiplies as epochs × cells × buckets and the probe
+    * path is CELL-pruned, not vec-pruned; the vec_id bucketing earns
+    * its keep on the key-side maintenance joins (tombstone masks,
+    * fold carries) once they outgrow broadcast. The
+    * [[graft.io.Tables.bucketsFor]] law takes over at scale. */
+  private val AssignBucketsFloor = 4
+
   private[graft] def buildSemDedupArchiveTo(corpus: DataFrame,
                                           cents: DataFrame,
                                           idx: String): Unit = {
@@ -921,10 +929,26 @@ object Similarity {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$idx/centroids")
     val frozen = semArchCents(s, idx)
-    Tables.writeManifested(
-      coarseAssign(withNorm(corpus), frozen)
-        .withColumn("ingest_epoch", lit(0L)),
-      s"$idx/assigned", Seq("ingest_epoch", "cell"))
+    val assigned = coarseAssign(withNorm(corpus), frozen)
+      .withColumn("ingest_epoch", lit(0L))
+      .localCheckpoint() // consumed twice: sizing pass + write
+    // row bytes ≈ ids + the embedding payload (8 B/dim double array)
+    val st = assigned.agg(count(lit(1)).as("n"),
+      avg(size(col("emb"))).as("dim")).head()
+    val n = st.getLong(0)
+    val rowBytes = 48.0 +
+      8.0 * Option(st.get(1)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+    val buckets = Tables.bucketsFor(n, rowBytes, AssignBucketsFloor)
+    // vec_id-BUCKETED under the (ingest_epoch, cell) partitions: the
+    // witness probe keeps its cell-partition pruning, while every
+    // vec-keyed maintenance join (tombstone mask, fold carry) finds
+    // the archive side pre-partitioned — no archive-wide exchange
+    // even when the key set outgrows broadcast
+    Tables.writeBucketedArchive(assigned, s"$idx/assigned", "vec_id",
+      buckets, partCols = Seq("ingest_epoch", "cell"),
+      sizingNote = f"sized rows=$n avgRowBytes=$rowBytes%.1f " +
+        f"floor=$AssignBucketsFloor -> buckets=$buckets")
+    Ckpt.release(assigned)
   }
 
   /** The archive's frozen centroids, norms re-derived on read (sqrt
@@ -960,7 +984,8 @@ object Similarity {
     * rows-only driver check. */
   private[graft] def dedupSemanticIncrementalFrom(batch: DataFrame,
       idx: String, epoch: Long,
-      theta: Double = SemDedupTheta): DataFrame = {
+      theta: Double = SemDedupTheta,
+      writerId: Option[String] = None): DataFrame = {
     val s = batch.sparkSession
     val b = coarseAssign(withNorm(batch), semArchCents(s, idx))
       .localCheckpoint() // consumed thrice: commit, witnesses, verdicts
@@ -968,12 +993,11 @@ object Similarity {
     // maintenance first (the shingle-postings discipline): commit
     // under the batch's epoch; the read below self-excludes it so a
     // crash-replay never probes its own previous partial commit
-    Tables.upsertManifested(
+    Tables.ingestBucketedArchive(
       b.withColumn("ingest_epoch", lit(epoch)),
-      s"$idx/assigned", Seq("ingest_epoch", "cell"),
-      _.startsWith(s"ingest_epoch=$epoch/"))
+      s"$idx/assigned", epoch, writerId)
     val arch = Tables.minusTombstones(
-      Tables.readManifested(s, s"$idx/assigned")
+      Tables.readBucketedArchive(s, s"$idx/assigned")
         .where(col("ingest_epoch") =!= epoch),
       s"$idx/tombstones", "vec_id")
     // the batch's cells, broadcast: the archive side of this join is

@@ -879,13 +879,36 @@ object TextOps {
 
   // ---------- Persisted shingle postings index ----------
 
-  /** Bucket count for the shingle-postings archive. At the gated SFs
-    * this is parallelism-sized (16 buckets ≈ the probe's task count);
-    * at 100 TB the knob is sized so one bucket × epoch file group is
-    * a few hundred MB (shingle cardinality / target file size), and
-    * the one-sided probe exchange below scales with the BATCH, never
-    * the archive. */
-  private[ops] val ShingleBuckets = 16
+  /** Bucket-count FLOOR for the shingle-postings archive — the
+    * small-corpus regime, parallelism-sized (16 buckets ≈ the probe's
+    * task count), and what the gated SFs resolve to. The actual
+    * count is DERIVED at build time by [[postingsBucketsFor]] (the
+    * [[graft.io.Tables.bucketsFor]] sizing law), so a corpus whose
+    * postings outgrow 16 × targetBytes gets a bigger layout without
+    * anyone retuning a constant. */
+  private[ops] val ShingleBucketsFloor = 16
+
+  /** Parquet-side overhead per posting row beyond the key string
+    * (ids, offsets, encoding) — a sizing estimate, not an exact
+    * figure; the law only needs the right order of magnitude. */
+  private val PostingRowOverheadBytes = 16.0
+
+  /** Derive a postings archive's bucket count from the rows being
+    * archived: ONE count/avg pass (build-time only) feeds
+    * [[graft.io.Tables.bucketsFor]]; returns (buckets, sidecar
+    * sizing note) so the derivation is auditable on disk. An empty
+    * build frame sizes to the floor. */
+  private[ops] def postingsBucketsFor(rows: DataFrame, keyCol: String,
+                                      floor: Int): (Int, String) = {
+    val st = rows.agg(count(lit(1)).as("n"),
+        avg(length(col(keyCol))).as("kb"))
+      .head()
+    val n = st.getLong(0)
+    val kb = Option(st.get(1)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+    val rowBytes = kb + PostingRowOverheadBytes
+    val b = Tables.bucketsFor(n, rowBytes, floor)
+    (b, f"sized rows=$n avgRowBytes=$rowBytes%.1f floor=$floor -> buckets=$b")
+  }
 
   /** The plain-shingle sibling of the winnowing fingerprint index: an
     * epoch-ingested inverted index of (shingle → doc_id) postings
@@ -900,7 +923,7 @@ object TextOps {
     * archive-wide re-aggregate.
     *
     * LAYOUT: the postings table is written SHINGLE-BUCKETED
-    * ([[graft.io.Tables.writeBucketedArchive]], [[ShingleBuckets]]),
+    * ([[graft.io.Tables.writeBucketedArchive]], [[ShingleBucketsFloor]]),
     * so the daily probe join arrives with the archive side already
     * hash-partitioned on the key — the non-broadcast probe shuffles
     * only the BATCH side (one exchange to the bucket count;
@@ -915,8 +938,10 @@ object TextOps {
     * [[graft.io.Tables.writeBucketedArchive]]). */
   private[ops] def buildShinglePostingsTo(sh: DataFrame,
                                           idx: String): Unit = {
+    val (buckets, note) =
+      postingsBucketsFor(sh, "shingle", ShingleBucketsFloor)
     Tables.writeBucketedArchive(sh.withColumn("ingest_epoch", lit(0L)),
-      s"$idx/postings", "shingle", ShingleBuckets)
+      s"$idx/postings", "shingle", buckets, sizingNote = note)
     Tables.writeManifested(
       sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
         .withColumn("ingest_epoch", lit(0L)),
@@ -930,8 +955,10 @@ object TextOps {
     * manifest version on the sizes). Cost scales with the batch,
     * never the index. */
   private[ops] def ingestShinglePostings(batchSh: DataFrame, idx: String,
-                                         epoch: Long): Unit = {
-    Tables.ingestBucketedArchive(batchSh, s"$idx/postings", epoch)
+                                         epoch: Long,
+                                         writerId: Option[String] = None)
+      : Unit = {
+    Tables.ingestBucketedArchive(batchSh, s"$idx/postings", epoch, writerId)
     Tables.upsertManifested(
       batchSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
         .withColumn("ingest_epoch", lit(epoch)),
@@ -1601,12 +1628,13 @@ object TextOps {
 
   // ---------- BM25 served from a persisted token index ----------
 
-  /** Bucket count for the token-postings archive. More buckets than
+  /** Bucket-count FLOOR for the token-postings archive. Higher than
     * the shingle index's: a retrieval probe touches only its |q|
     * terms, so bucket PRUNING selectivity (≤ |q| of N buckets
-    * scanned) is the point; at 100 TB the knob sizes one
-    * bucket × epoch file group to a few hundred MB. */
-  private[ops] val TokenBuckets = 32
+    * scanned) is the point even at small corpus sizes. Above the
+    * floor the count is DERIVED by [[postingsBucketsFor]] — same
+    * sizing law, same sidecar audit trail. */
+  private[ops] val TokenBucketsFloor = 32
 
   /** Build the token-postings (ranked-retrieval) index: an
     * epoch-ingested inverted index of (token → doc_id, tf) postings
@@ -1617,7 +1645,7 @@ object TextOps {
     * stats come from the tiny doclen table.
     *
     * LAYOUT: the postings ARE token-bucketed on disk
-    * ([[graft.io.Tables.writeBucketedArchive]], [[TokenBuckets]]) —
+    * ([[graft.io.Tables.writeBucketedArchive]], [[postingsBucketsFor]]) —
     * a probe's term filter prunes to its terms' buckets at scan time
     * (`SelectedBucketsCount`, plan-pinned in PlanSpec) instead of
     * scanning the full postings table, and the candidate df/score
@@ -1634,11 +1662,15 @@ object TextOps {
   private[graft] def buildTokenIndexTo(docs: DataFrame, idx: String): Unit = {
     val tok = docs.select(col("doc_id"),
       explode(words(col("text"))).as("token"))
-    Tables.writeBucketedArchive(
-      tok.groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("tf"))
-        .withColumn("ingest_epoch", lit(0L)),
-      s"$idx/postings", "token", TokenBuckets)
+    val post = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("ingest_epoch", lit(0L))
+      .localCheckpoint() // consumed twice: sizing pass + write
+    val (buckets, note) =
+      postingsBucketsFor(post, "token", TokenBucketsFloor)
+    Tables.writeBucketedArchive(post,
+      s"$idx/postings", "token", buckets, sizingNote = note)
+    Ckpt.release(post)
     Tables.writeManifested(
       docs.select(col("doc_id"), size(words(col("text"))).as("dl"))
         .withColumn("ingest_epoch", lit(0L)),
@@ -1651,7 +1683,8 @@ object TextOps {
     * rows and swaps them in behind a new manifest version. Cost scales
     * with the batch, never the index. */
   private[graft] def ingestTokenIndex(batch: DataFrame, idx: String,
-                                    epoch: Long): Unit = {
+                                    epoch: Long,
+                                    writerId: Option[String] = None): Unit = {
     val s = batch.sparkSession
     // bootstrap-safe: a stream may be the archive's FIRST writer
     // (no build layer yet). An EMPTY first batch defers creation —
@@ -1669,12 +1702,16 @@ object TextOps {
         size(words(col("text"))).as("dl"))
       .withColumn("ingest_epoch", lit(epoch))
     if (hasArchive) {
-      Tables.ingestBucketedArchive(post, s"$idx/postings", epoch)
+      Tables.ingestBucketedArchive(post, s"$idx/postings", epoch, writerId)
       Tables.upsertManifested(dl,
         s"$idx/doclen", Seq("ingest_epoch"), _ == s"ingest_epoch=$epoch")
     } else {
+      // stream-bootstrap build: size off the first batch (the only
+      // stats that exist yet — later epochs reuse the sidecar count)
+      val (buckets, note) =
+        postingsBucketsFor(post, "token", TokenBucketsFloor)
       Tables.writeBucketedArchive(post, s"$idx/postings",
-        "token", TokenBuckets)
+        "token", buckets, sizingNote = note)
       Tables.writeManifested(dl, s"$idx/doclen", Seq("ingest_epoch"))
     }
   }
@@ -1693,7 +1730,7 @@ object TextOps {
     // literal IN-filter on the bucket key, not a join: the query's
     // terms are known at plan time, so the token-bucketed scan PRUNES
     // to the terms' buckets (SelectedBucketsCount ≤ |q| of
-    // TokenBuckets, plan-pinned) — at 100 TB the probe reads the
+    // the bucket count, plan-pinned) — at 100 TB the probe reads the
     // buckets its terms hash into, never the full postings table
     val terms = bm25QueryTerms.map(_._2).distinct
     val cand = post.where(col("token").isin(terms: _*))

@@ -422,7 +422,8 @@ object StreamOps {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, epoch: Long) =>
-        graft.ops.TextOps.ingestTokenIndex(b, idx, epoch + 1)
+        graft.ops.TextOps.ingestTokenIndex(b, idx, epoch + 1,
+          writerId = Some(checkpoint))
       }
       .start()
     q.processAllAvailable()
@@ -587,11 +588,16 @@ object StreamOps {
         if (!survivors.isEmpty) {
           graft.ops.TextOps.ingestAndProbeFingerprints(
             survivors, e, s"$root/winnow", s"$root/neardup")
+          // the checkpoint location IS the writer identity: Structured
+          // Streaming guarantees one live attempt per checkpoint, so a
+          // crash-replay may re-enter its own epoch claim on the
+          // bucketed archives while any OTHER writer stays loud
           graft.ops.Curation.clusterIncrementalFrom(
             survivors, s"$root/clusters",
-            isBatch = _ => lit(true), epoch = e)
+            isBatch = _ => lit(true), epoch = e,
+            writerId = Some(checkpoint))
           graft.ops.TextOps.ingestTokenIndex(
-            survivors, s"$root/tokens", e)
+            survivors, s"$root/tokens", e, writerId = Some(checkpoint))
           graft.ops.Multimodal.ingestPhashIndex(
             s, survivors, s"$root/phash", e)
           graft.ops.Multimodal.ingestAudioFpIndex(
@@ -677,7 +683,8 @@ object StreamOps {
         val e = epoch + 1
         graft.ops.Similarity.ingestVectors(b, s"$root/ann", e)
         graft.ops.Similarity
-          .dedupSemanticIncrementalFrom(b, s"$root/sem", e)
+          .dedupSemanticIncrementalFrom(b, s"$root/sem", e,
+            writerId = Some(checkpoint))
           .withColumn("ingest_epoch", lit(e))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -754,7 +761,7 @@ object StreamOps {
     foldCorpusTombstones(s, s"$root/corpus")
     if (Tables.manifestExists(s, s"$root/winnow/fingerprints"))
       graft.ops.TextOps.compactFingerprintEpochs(s, s"$root/winnow")
-    if (Tables.manifestExists(s, s"$root/clusters/labels"))
+    if (Tables.bucketedArchiveExists(s, s"$root/clusters/labels"))
       graft.ops.Curation.compactClusterArchive(s, s"$root/clusters")
     if (Tables.bucketedArchiveExists(s, s"$root/tokens/postings"))
       graft.ops.TextOps.compactTokenIndexEpochs(s, s"$root/tokens")
@@ -764,7 +771,6 @@ object StreamOps {
       graft.ops.Multimodal.compactAudioFpEpochs(s, s"$root/audio")
     val stores = Seq(
       "winnow" -> s"$root/winnow/fingerprints",
-      "clusters" -> s"$root/clusters/labels",
       "cluster_sizes" -> s"$root/clusters/sizes",
       "doclen" -> s"$root/tokens/doclen",
       "phash" -> s"$root/phash/hashes",
@@ -779,12 +785,20 @@ object StreamOps {
         .map(n => s"$root/$n/tombstones"))
       .filter(Tables.manifestExists(s, _))
       .foreach(Tables.vacuumManifested(s, _))
-    stores.map { case (name, p) =>
+    // the cluster LABELS are doc_id-bucketed (no manifest pointer;
+    // the staged-swap fold reclaims superseded copies itself, like
+    // the postings archives) — health comes from the bucketed variant
+    val bucketed =
+      if (Tables.bucketedArchiveExists(s, s"$root/clusters/labels"))
+        Seq(graft.ops.ScaleOps.bucketedArchiveHealth(s, "clusters",
+          s"$root/clusters/labels", s"$root/clusters/tombstones", "doc_id"))
+      else Nil
+    (stores.map { case (name, p) =>
       val tomb = p.split('/').dropRight(1).mkString("/") + "/tombstones"
       // every front-door store keys on doc_id (the vec-keyed ANN/sem
       // archives live outside this topology)
       graft.ops.ScaleOps.archiveHealth(s, name, p, tomb, "doc_id")
-    }.toDF()
+    } ++ bucketed).toDF()
       .orderBy("store")
   }
 
@@ -801,22 +815,27 @@ object StreamOps {
     import s.implicits._
     if (Tables.manifestExists(s, s"$root/ann/codes"))
       graft.ops.Similarity.compactIndexEpochs(s, s"$root/ann")
-    if (Tables.manifestExists(s, s"$root/sem/assigned"))
-      Tables.foldManifestedEpochs(s, s"$root/sem/assigned",
-        s"$root/sem/tombstones", "vec_id",
-        Seq("ingest_epoch", "cell"))
+    if (Tables.bucketedArchiveExists(s, s"$root/sem/assigned"))
+      Tables.foldBucketedEpochs(s, s"$root/sem/assigned",
+        s"$root/sem/tombstones", "vec_id")
     val stores = Seq(
-      "ann_codes" -> s"$root/ann/codes",
-      "sem_assigned" -> s"$root/sem/assigned")
+      "ann_codes" -> s"$root/ann/codes")
       .filter { case (_, p) => Tables.manifestExists(s, p) }
     stores.foreach { case (_, p) => Tables.vacuumManifested(s, p) }
     Seq(s"$root/ann/tombstones", s"$root/sem/tombstones")
       .filter(Tables.manifestExists(s, _))
       .foreach(Tables.vacuumManifested(s, _))
-    stores.map { case (name, p) =>
+    // the assignment archive is vec_id-bucketed (no pointer; its
+    // staged-swap fold reclaims superseded copies itself)
+    val bucketed =
+      if (Tables.bucketedArchiveExists(s, s"$root/sem/assigned"))
+        Seq(graft.ops.ScaleOps.bucketedArchiveHealth(s, "sem_assigned",
+          s"$root/sem/assigned", s"$root/sem/tombstones", "vec_id"))
+      else Nil
+    (stores.map { case (name, p) =>
       val tomb = p.split('/').dropRight(1).mkString("/") + "/tombstones"
       graft.ops.ScaleOps.archiveHealth(s, name, p, tomb, "vec_id")
-    }.toDF()
+    } ++ bucketed).toDF()
       .orderBy("store")
   }
 
@@ -854,7 +873,8 @@ object StreamOps {
         // epoch 0 is the archive's build layer — micro-batch epochs
         // start above it
         graft.ops.Curation.clusterIncrementalFrom(
-          b, idx, isBatch = _ => lit(true), epoch = epoch + 1)
+          b, idx, isBatch = _ => lit(true), epoch = epoch + 1,
+          writerId = Some(checkpoint))
         ()
       }
       .start()

@@ -532,6 +532,186 @@ class LayoutSpec extends SparkSpec {
       new java.io.File(path).getParentFile)
   }
 
+  test("bucket-count sizing law: floor at small corpora, the " +
+    "bytes/target law above it, power-of-two growth, capped at 4096") {
+    // floor regime — what every gated SF resolves to, so existing
+    // bucket-count plan pins hold with no retuning
+    assert(Tables.bucketsFor(1000L, 48.0, 16) == 16)
+    assert(Tables.bucketsFor(0L, 48.0, 32) == 32)
+    // law regime: rows worth 100 target-files size to the next pow2
+    val target = 128L << 20
+    val rows = (100.0 * target / 48.0).toLong
+    assert(Tables.bucketsFor(rows, 48.0, 16) == 128)
+    // doubling the corpus exactly doubles the layout (pow2 growth —
+    // never a rehash to an unrelated modulus)
+    assert(Tables.bucketsFor(rows * 2, 48.0, 16) == 256)
+    // a 100 TB-scale postings table hits the cap
+    assert(Tables.bucketsFor(100000000000L, 48.0, 16) == 4096)
+    // the same law at a second corpus size, no retuning: 10× the
+    // rows of the 128-bucket point lands at 1024 (pow2ceil(1000))
+    assert(Tables.bucketsFor(rows * 10, 48.0, 16) == 1024)
+  }
+
+  test("bucketspec sidecar: multi-level partitioning and the sizing " +
+    "note round-trip; a fresh registration rebuilds the nested " +
+    "partition layout") {
+    import graft.SparkSpec.spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-bspec").toString + "/arch"
+    try {
+      val df = (0L until 40L)
+        .map(i => (s"k${i % 5}", i, i % 3, 0L))
+        .toDF("key", "doc_id", "cell", "ingest_epoch")
+      Tables.writeBucketedArchive(df, path, "key", 4,
+        partCols = Seq("ingest_epoch", "cell"),
+        sizingNote = "sized rows=40 avgRowBytes=10.0 floor=4 -> buckets=4")
+      val (key, buckets, partCols, _) =
+        Tables.readBucketSpec(spark, path)
+      assert(key == "key" && buckets == 4 &&
+        partCols == Seq("ingest_epoch", "cell"))
+      // the sizing note is on disk for audit
+      val spec = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path, "_graft_bucketspec")), "UTF-8")
+      assert(spec.contains("sized rows=40"), s"sizing note missing:\n$spec")
+      // nested epoch commit replaces exactly its own subtree
+      Tables.ingestBucketedArchive(
+        Seq(("k9", 100L, 1L, 9L)).toDF("key", "doc_id", "cell",
+          "ingest_epoch"), path, 9L)
+      Tables.ingestBucketedArchive(
+        Seq(("k8", 200L, 2L, 9L)).toDF("key", "doc_id", "cell",
+          "ingest_epoch"), path, 9L) // replay: replace, not append
+      val got = Tables.readBucketedArchive(spark, path)
+        .where(col("ingest_epoch") === 9L)
+        .select("doc_id").as[Long].collect().toSeq
+      assert(got == Seq(200L), s"nested epoch replace failed: $got")
+      assert(Tables.readBucketedArchive(spark, path).count() == 41)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `${Tables.bucketedArchName(path)}`")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(
+        new java.io.File(path).getParentFile)
+    }
+  }
+
+  test("epoch claim: a held claim blocks every OTHER writer loudly, " +
+    "re-enters for its own writerId (crash-replay), releases on " +
+    "completion, and a claim stampede has exactly one winner") {
+    import graft.SparkSpec.spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-claim").toString + "/arch"
+    def epochDf(e: Long, ids: Seq[Long]) = ids
+      .map(i => (s"k${i % 4}", i, e)).toDF("key", "doc_id", "ingest_epoch")
+    try {
+      Tables.writeBucketedArchive(epochDf(0L, 0L until 20L), path, "key", 4)
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+      // writer A holds epoch 7's claim (its commit window is open):
+      // every other writer — anonymous or named — fails LOUDLY instead
+      // of interleaving files into the half-written partition
+      Tables.claimEpoch(fs, path, 7L, "writer-A")
+      intercept[Tables.ArchiveConflictException] {
+        Tables.ingestBucketedArchive(epochDf(7L, 100L to 102L), path, 7L)
+      }
+      intercept[Tables.ArchiveConflictException] {
+        Tables.ingestBucketedArchive(epochDf(7L, 100L to 102L), path, 7L,
+          writerId = Some("writer-B"))
+      }
+      // the SAME writerId re-enters its own (crashed) claim and
+      // completes — Structured Streaming's one-attempt-per-checkpoint
+      // guarantee made explicit
+      Tables.ingestBucketedArchive(epochDf(7L, 100L to 102L), path, 7L,
+        writerId = Some("writer-A"))
+      assert(Tables.readBucketedArchive(spark, path)
+        .where(col("ingest_epoch") === 7L).count() == 3)
+      // completion released the claim: replays stay allowed
+      assert(!fs.exists(Tables.epochClaimPath(path, 7L)))
+      Tables.ingestBucketedArchive(epochDf(7L, 200L to 201L), path, 7L)
+      assert(Tables.readBucketedArchive(spark, path)
+        .where(col("ingest_epoch") === 7L).count() == 2)
+
+      // a crashed ANONYMOUS writer stays blocking until the operator
+      // confirms it dead and recovers — deliberately loud
+      Tables.claimEpoch(fs, path, 8L, "dead-writer")
+      intercept[Tables.ArchiveConflictException] {
+        Tables.ingestBucketedArchive(epochDf(8L, 300L to 301L), path, 8L)
+      }
+      Tables.recoverEpochClaim(spark, path, 8L)
+      Tables.ingestBucketedArchive(epochDf(8L, 300L to 301L), path, 8L)
+
+      // claim stampede: N distinct writers race the same epoch's
+      // claim — the hard-link publish gives exactly one winner,
+      // deterministically
+      val n = 10
+      val gate = new java.util.concurrent.CyclicBarrier(n)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (0 until n).map { i =>
+        new Thread(() => {
+          gate.await()
+          try { Tables.claimEpoch(fs, path, 9L, s"w$i"); wins.incrementAndGet() }
+          catch { case _: Tables.ArchiveConflictException =>
+            losses.incrementAndGet() }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(wins.get() == 1 && losses.get() == n - 1,
+        s"claim stampede: ${wins.get()} winners, want exactly 1")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `${Tables.bucketedArchName(path)}`")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(
+        new java.io.File(path).getParentFile)
+    }
+  }
+
+  test("manifest CAS is ATOMIC under a same-version stampede: " +
+    "exactly one of N racers wins, every loser throws, and the " +
+    "committed bytes are the winner's — deterministically") {
+    import graft.SparkSpec.spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-cas-stampede").toString + "/table"
+    try {
+      Tables.writeManifested(
+        (0L until 5L).map((_, 0L)).toDF("id", "ingest_epoch"),
+        path, Seq("ingest_epoch"))
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (v, live) = Tables.resolveManifest(spark, path)
+      // the round-9 check-then-rename CAS only failed this race
+      // probabilistically (POSIX rename overwrites; the read-back
+      // verify raced a third writer) — the hard-link publish makes
+      // exactly-one-winner a property of the filesystem, not of
+      // timing, so a big simultaneous stampede pins it determinately
+      val n = 12
+      val gate = new java.util.concurrent.CyclicBarrier(n)
+      val results = new java.util.concurrent.ConcurrentHashMap[
+        Int, Boolean]()
+      val threads = (0 until n).map { i =>
+        new Thread(() => {
+          gate.await()
+          try {
+            Tables.commitManifest(fs, root, v + 1,
+              live + (s"ingest_epoch=${100 + i}" -> s"data/w$i/x"))
+            results.put(i, true)
+          } catch {
+            case _: Tables.ManifestConflictException =>
+              results.put(i, false)
+          }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val winners = (0 until n).filter(results.get(_))
+      assert(winners.size == 1,
+        s"stampede produced ${winners.size} winners, want exactly 1")
+      // the committed manifest is the winner's, byte-for-byte intact
+      val (v2, parts) = Tables.resolveManifest(spark, path)
+      assert(v2 == v + 1)
+      assert(parts == live +
+        (s"ingest_epoch=${100 + winners.head}" -> s"data/w${winners.head}/x"),
+        "the committed manifest is not the winner's content")
+    } finally org.apache.hadoop.fs.FileUtil.fullyDelete(
+      new java.io.File(path).getParentFile)
+  }
+
   test("archive health: a fold raises dead bytes pending vacuum, a " +
     "vacuum resets them — and the counters track the lifecycle") {
     import graft.SparkSpec.spark.implicits._

@@ -132,4 +132,45 @@ class ClusterIndexSpec extends SparkSpec {
       org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
     }
   }
+
+  test("label archive reads are exchange-free: the latest-per-doc " +
+    "aggregate reuses the doc_id-bucketed scan's partitioning") {
+    import SparkSpec.spark.implicits._
+    val docs = (1 to 60).map(i => (i.toLong, s"w$i x$i y$i z$i"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-cluster-planpin").toString
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      Curation.buildClusterArchiveTo(docs, idx)
+      // a label-UPDATE epoch on top, so latest-per-doc is non-trivial
+      Curation.clusterIncrementalFrom(
+        docs.unionByName(Seq((100L, "w7 x7 y7 z7 extra"))
+          .toDF("doc_id", "text")),
+        idx, isBatch = _ === 100L, epoch = 1L).collect()
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val view = graft.io.Tables
+        .readBucketedArchive(spark, s"$idx/labels")
+        .groupBy(col("doc_id"))
+        .agg(max_by(col("label"), col("ingest_epoch")).as("label"))
+      val plan = view.queryExecution.executedPlan.toString
+      // round 9 read this archive through the manifest pointer: a
+      // plain path-union scan reports no partitioning, so EVERY daily
+      // read paid an archive-wide doc_id exchange into the aggregate.
+      // The doc_id-bucketed layout hands the aggregate its required
+      // distribution straight off the scan — zero Exchange nodes
+      assert(plan.contains("Bucketed: true"),
+        s"label scan is not bucketed:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"latest-per-doc read still pays an archive exchange:\n$plan")
+      // and the exchange-free view is the CORRECT view (epoch 1 wins
+      // for the re-labeled docs)
+      val got = view.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got(100L) == got(7L),
+        "latest-per-doc view missed the update epoch")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
+    }
+  }
 }

@@ -255,12 +255,12 @@ class SemDedupSpec extends SparkSpec {
 
       // replay idempotence: same epoch, same verdicts, archive stable
       val rows = graft.io.Tables
-        .readManifested(spark, s"$idx/assigned").count()
+        .readBucketedArchive(spark, s"$idx/assigned").count()
       val again = Similarity.dedupSemanticIncrementalFrom(batch, idx, 1L, theta)
         .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
       assert(again == got, "epoch replay changed the verdicts")
       assert(graft.io.Tables
-        .readManifested(spark, s"$idx/assigned").count() == rows,
+        .readBucketedArchive(spark, s"$idx/assigned").count() == rows,
         "epoch replay grew the archive")
     } finally org.apache.hadoop.fs.FileUtil.fullyDelete(
       new java.io.File(idx))

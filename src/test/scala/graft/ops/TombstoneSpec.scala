@@ -71,10 +71,9 @@ class TombstoneSpec extends SparkSpec {
       // retired, read views unchanged
       Curation.compactClusterArchive(spark, idx)
       Seq("labels", "postings", "sizes").foreach { tbl =>
-        val raw =
-          if (tbl == "postings") // shingle-bucketed layout
-            Tables.readBucketedArchive(spark, s"$idx/$tbl")
-          else Tables.readManifested(spark, s"$idx/$tbl")
+        val raw = // labels + postings are bucketed; sizes manifested
+          if (tbl == "sizes") Tables.readManifested(spark, s"$idx/$tbl")
+          else Tables.readBucketedArchive(spark, s"$idx/$tbl")
         val ids = raw
           .select(col("doc_id")).distinct().as[Long].collect().toSet
         assert(!ids.contains(2L) && !ids.contains(4L),
@@ -85,6 +84,63 @@ class TombstoneSpec extends SparkSpec {
       val postFold = Curation.readClusterLabels(spark, idx).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(postFold == labels, "the fold changed what reads return")
+    } finally {
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
+    }
+  }
+
+  test("cluster fold carries tombstones living in the newest " +
+    "replayable postings epoch — a crash-replay cannot resurrect a " +
+    "folded delete; the NEXT fold retires them once superseded") {
+    import SparkSpec.spark.implicits._
+    val base = Seq(
+      (1L, "a b c d e"),
+      (2L, "p q r s t"),
+    ).toDF("doc_id", "text")
+    val batch8 = Seq((8L, "m n o u v w")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-tomb-carry").toString
+    try {
+      Curation.buildClusterArchiveTo(base, idx)
+      // epoch 1: doc 8 arrives through the real incremental path —
+      // its postings commit under epoch 1, the newest layer
+      Curation.clusterIncrementalFrom(base.unionByName(batch8), idx,
+        isBatch = _ === 8L, epoch = 1L).collect()
+      // epoch 2: doc 8 is forgotten
+      Curation.clusterDeleteIds(spark,
+        Seq(8L).toDF("doc_id"), idx, epoch = 2L).collect()
+      def probeIds(): Set[Long] =
+        TextOps.readShinglePostings(spark, idx, excludeEpoch = 99L)
+          .select(col("doc_id")).distinct().as[Long].collect().toSet
+      assert(!probeIds().contains(8L), "mask failed before the fold")
+
+      // FOLD 1: doc 8's key lives in the newest (still replayable)
+      // postings epoch, so its tombstone must be CARRIED — reading
+      // the carry input post-rewrite (the round-9 ordering) saw the
+      // masked archive, carried nothing, and the replay below would
+      // resurrect the delete
+      Curation.compactClusterArchive(spark, idx)
+      val carried = Tables.readTombstones(spark, s"$idx/tombstones",
+        "doc_id").map(_.as[Long].collect().toSet).getOrElse(Set.empty)
+      assert(carried.contains(8L),
+        "fold retired a tombstone whose key is still replayable")
+      // crash-replay of epoch 1 recommits doc 8's postings from text
+      TextOps.ingestShinglePostings(
+        TextOps.shingles(batch8), idx, epoch = 1L)
+      assert(!probeIds().contains(8L),
+        "replay of the carried epoch resurrected a folded delete")
+
+      // a LATER epoch supersedes epoch 1; the next fold can then
+      // make the delete physical and retire the tombstone
+      Curation.clusterIncrementalFrom(
+        base.unionByName(Seq((9L, "f g h i j k")).toDF("doc_id", "text")),
+        idx, isBatch = _ === 9L, epoch = 3L).collect()
+      Curation.compactClusterArchive(spark, idx)
+      assert(Tables.readTombstones(spark, s"$idx/tombstones",
+        "doc_id").isEmpty, "superseded tombstone not retired")
+      assert(!Tables.readBucketedArchive(spark, s"$idx/postings")
+        .select(col("doc_id")).distinct().as[Long].collect()
+        .toSet.contains(8L), "fold 2 left the deleted doc's postings")
     } finally {
       org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
     }

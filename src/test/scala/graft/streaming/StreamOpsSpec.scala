@@ -853,8 +853,10 @@ class StreamOpsSpec extends SparkSpec {
     // crash-replay of the LAST micro-batch (same epoch, same docs —
     // the checkpoint contract): the view must not move
     val maxEpoch = graft.io.Tables
-      .resolveManifest(spark, s"$idx/labels")._2.keys
-      .map(_.stripPrefix("ingest_epoch=").toLong).max
+      .readBucketedArchive(spark, s"$idx/labels")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("ingest_epoch")).cast("long"))
+      .head().getLong(0)
     graft.ops.Curation.clusterIncrementalFrom(
       full(f2).toDF("doc_id", "text", "lang", "source", "n_chars"),
       idx, isBatch = _ => lit(true), epoch = maxEpoch)
@@ -1278,7 +1280,7 @@ class StreamOpsSpec extends SparkSpec {
       .collect()
     assert(verdicts() == got, "epoch replay diverged")
     val assigned = graft.io.Tables
-      .readManifested(spark, s"$idx/assigned")
+      .readBucketedArchive(spark, s"$idx/assigned")
       .select("vec_id").distinct().as[Long].collect().toSet
     assert(assigned == Set(10L, 20L, 30L, 40L, 50L),
       s"archive assignments wrong after replay: $assigned")
@@ -1437,7 +1439,7 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet == preServe,
       "vector sweep changed the serve results")
     val semLive = graft.io.Tables.minusTombstones(
-        graft.io.Tables.readManifested(spark, s"$root/sem/assigned"),
+        graft.io.Tables.readBucketedArchive(spark, s"$root/sem/assigned"),
         s"$root/sem/tombstones", "vec_id")
       .select("vec_id").distinct().as[Long].collect().toSet
     assert(!semLive.contains(2000L),
