@@ -805,6 +805,103 @@ object ScaleOps {
       .orderBy("store")
   }
 
+  // ---------- Maintenance-due policy (monitor -> action) ----------
+
+  /** Policy thresholds for [[qMaintenanceDue]] — the missing half of
+    * the monitor loop: [[archiveHealth]] emits counters, these turn
+    * them into fold/vacuum DECISIONS the scheduler acts on (the
+    * [[graft.ops.Similarity.qAnnDrift]] trigger shape applied to
+    * archive hygiene). Kept deliberately integer-comparable so the
+    * decision row hash-gates:
+    *  - FOLD is due past [[FoldEpochsMax]] live epoch layers (each
+    *    layer fragments every scan and read-side union) or when
+    *    tombstones exceed 1/[[FoldTombDenom]] of the live rows (the
+    *    broadcast anti-join mask is paying for rows a physical fold
+    *    would simply drop);
+    *  - VACUUM is due past [[VacuumVersionsMax]] manifest versions
+    *    or whenever unreferenced data directories exist (dead bytes
+    *    on disk that only vacuum reclaims). */
+  private val FoldEpochsMax = 2
+  private val FoldTombDenom = 20 // tombstones > live/20 i.e. >5%
+  private val VacuumVersionsMax = 1
+
+  /** The decision row for one store's health counters. Integer
+    * arithmetic only (`n_tombstones * denom > n_live_rows`, never a
+    * float ratio), so the verdict is bit-identical on any engine. */
+  private[graft] def maintenanceDue(h: ArchiveHealth)
+      : (Boolean, String, Boolean, String) = {
+    val foldEpochs = h.n_epochs > FoldEpochsMax
+    val foldTombs = h.n_tombstones * FoldTombDenom > h.n_live_rows
+    val foldReason =
+      if (foldEpochs) "epoch_layers"
+      else if (foldTombs) "tombstone_mass" else "none"
+    val vacVersions = h.manifest_versions > VacuumVersionsMax
+    val vacDead = h.n_dead_dirs > 0
+    val vacReason =
+      if (vacVersions) "superseded_versions"
+      else if (vacDead) "dead_dirs" else "none"
+    (foldEpochs || foldTombs, foldReason, vacVersions || vacDead, vacReason)
+  }
+
+  /** Gated: the maintenance scheduler's work list — one decision row
+    * per store of the deterministic three-stage construction
+    * ([[healthRoot]]): `staged` trips BOTH rules (three epoch
+    * layers, three manifest versions), `folded` trips vacuum only
+    * (the fold collapsed the layers and retired the tombstone mass,
+    * but left four versions and three dead dirs), `vacuumed` trips
+    * neither — the full monitor→action→quiescent cycle in one
+    * result. HASH-gated: every counter is a closed form over the
+    * documents table and the policy is integer comparisons; the
+    * oracle applies the same rule to the same closed forms.
+    * ScaleOpsSpec additionally plants a store that trips the
+    * tombstone-mass rule specifically (the stage rows here trip the
+    * epoch rule first). */
+  def qMaintenanceDue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = healthRoot(s, dir)
+    Seq("folded", "staged", "vacuumed")
+      .map { n =>
+        val h = archiveHealth(s, n, s"$root/$n",
+          s"$root/${n}_tombstones", "doc_id")
+        val (fd, fr, vd, vr) = maintenanceDue(h)
+        (h.store, h.n_epochs, h.n_live_rows, h.n_tombstones,
+          h.manifest_versions, h.n_dead_dirs, fd, fr, vd, vr)
+      }
+      .toDF("store", "n_epochs", "n_live_rows", "n_tombstones",
+        "manifest_versions", "n_dead_dirs", "fold_due", "fold_reason",
+        "vacuum_due", "vacuum_reason")
+      .orderBy("store")
+  }
+
+  val qMaintenanceDueOracle: String =
+    """WITH n AS (
+      |  SELECT count(*) FILTER (WHERE doc_id % 13 <> 0) AS live,
+      |         count(*) FILTER (WHERE doc_id % 13 = 0) AS tomb,
+      |         count(*) FILTER (WHERE doc_id % 13 = 0
+      |                          AND doc_id % 10 = 0) AS carried
+      |  FROM documents),
+      |h AS (
+      |  SELECT 'staged' AS store, 3 AS n_epochs, live AS n_live_rows,
+      |         tomb AS n_tombstones, 3 AS manifest_versions,
+      |         0 AS n_dead_dirs FROM n
+      |  UNION ALL
+      |  SELECT 'folded', 2, live, carried, 4, 3 FROM n
+      |  UNION ALL
+      |  SELECT 'vacuumed', 2, live, carried, 1, 0 FROM n)
+      |SELECT store, n_epochs, n_live_rows, n_tombstones,
+      |       manifest_versions, n_dead_dirs,
+      |       (n_epochs > 2 OR n_tombstones * 20 > n_live_rows)
+      |         AS fold_due,
+      |       CASE WHEN n_epochs > 2 THEN 'epoch_layers'
+      |            WHEN n_tombstones * 20 > n_live_rows
+      |              THEN 'tombstone_mass'
+      |            ELSE 'none' END AS fold_reason,
+      |       (manifest_versions > 1 OR n_dead_dirs > 0) AS vacuum_due,
+      |       CASE WHEN manifest_versions > 1 THEN 'superseded_versions'
+      |            WHEN n_dead_dirs > 0 THEN 'dead_dirs'
+      |            ELSE 'none' END AS vacuum_reason
+      |FROM h ORDER BY store""".stripMargin
+
   val qArchiveHealthOracle: String =
     """WITH n AS (
       |  SELECT count(*) FILTER (WHERE doc_id % 13 <> 0) AS live,
@@ -840,6 +937,7 @@ object ScaleOps {
     "q_zorder_layout" -> qZorderLayout,
     "q_ntile_scalable" -> qNtileScalable,
     "q_archive_health" -> qArchiveHealth,
+    "q_maintenance_due" -> qMaintenanceDue,
   )
 
   def oracles: Map[String, String] = Map(
@@ -855,6 +953,7 @@ object ScaleOps {
     "q_compact_manifested" -> qCompactFilesOracle,
     "q_zorder_layout" -> qZorderLayoutOracle,
     "q_archive_health" -> qArchiveHealthOracle,
+    "q_maintenance_due" -> qMaintenanceDueOracle,
     // the scalable twin runs against the SAME oracle as the global
     // ntile anchor — identical results from a one-reducer-free plan
     "q_ntile_scalable" -> Relational.qQuantileBinsOracle,

@@ -1094,15 +1094,25 @@ object Similarity {
     * and embeddings share the id space by the doc-embedding
     * convention) — ranked by exact cosine over the corpus, the
     * [[simCosineTopk]] discipline at depth [[RrfTopK]]. */
-  private def exactSemanticLeg(s: SparkSession, dir: String): DataFrame = {
+  /** `allowed` (one doc_id column) restricts the CANDIDATE vectors
+    * — the doc-embedding id convention maps it onto vec_id — with
+    * ranks dense within the allowed set; queries stay the full
+    * serve set (a filtered search restricts results, not askers). */
+  private def exactSemanticLeg(s: SparkSession, dir: String,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val e = withNorm(t(s, dir, "embeddings")).repartition(col("vec_id"))
     val qv = e.where(col("vec_id").isin(100L, 200L, 300L))
       .select((col("vec_id") / 100).cast("int").as("qid"),
         col("vec_id").as("qvid"),
         col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val cands = allowed match {
+      case None => e
+      case Some(ok) => e.join(
+        ok.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    }
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("doc_id"))
-    e.join(broadcast(qv), col("vec_id") =!= col("qvid"))
+    cands.join(broadcast(qv), col("vec_id") =!= col("qvid"))
       .select(col("qid"), col("vec_id").as("doc_id"),
         graft.expr.Columns.roundQ(
           dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")), 4)
@@ -1146,6 +1156,81 @@ object Similarity {
           topK = RrfTopK)
         .select((col("qid") / 100).cast("int").as("qid"),
           col("neighbor_id").as("doc_id"), col("rn").as("rank")))
+
+  /** Filtered fused retrieval — [[qRetrievalFused]] under a metadata
+    * predicate (`documents.lang = 'en'`) applied to BOTH legs, the
+    * end-to-end production serving shape (a tenant/language/license
+    * restriction rides every real retrieval call): collection
+    * statistics stay global, each leg filters its CANDIDATES before
+    * its rank window (never the cut top-k — the starved-results
+    * trap), ranks are dense within the allowed set, and RRF fuses
+    * the two filtered rankings. HASH-gated like the unfiltered
+    * anchor: the lexical leg re-ranks the same `scored` CTE the
+    * anchor replays, the semantic leg is the exact-cosine oracle
+    * restricted to allowed ids, and the fusion arithmetic is
+    * unchanged. RetrievalPropSpec-style guarantees (every returned
+    * doc passes the predicate; a doc outside it never contributes a
+    * rank) follow from construction and are pinned in
+    * SimilaritySpec. */
+  def qRetrievalFusedFiltered(s: SparkSession, dir: String): DataFrame = {
+    val allowed = t(s, dir, "documents")
+      .where(col("lang") === "en").select(col("doc_id"))
+    rrfFuse(
+      TextOps.bm25IndexedTopkFiltered(s, dir, allowed)
+        .select(col("qid"), col("doc_id"), col("rn").as("rank")),
+      exactSemanticLeg(s, dir, Some(allowed)))
+  }
+
+  val qRetrievalFusedFilteredOracle: String =
+    "WITH " + TextOps.bm25ScoredCte + ",\n" +
+      """alw AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        |lex AS (SELECT qid, doc_id, rank_lex FROM (
+        |          SELECT qid, doc_id,
+        |            CAST(row_number() OVER (PARTITION BY qid
+        |              ORDER BY floor(raw * 10000 + 0.5) / 10000 DESC,
+        |                       doc_id) AS INT) AS rank_lex
+        |          FROM scored
+        |          WHERE doc_id IN (SELECT doc_id FROM alw))
+        |        WHERE rank_lex <= 10),
+        |qv AS (SELECT CAST(vec_id / 100 AS INT) AS qid,
+        |              vec_id AS qvid, embedding AS qe
+        |       FROM embeddings WHERE vec_id IN (100, 200, 300)),
+        |z AS (SELECT qv.qid, e.vec_id AS vid, unnest(qe) AS x,
+        |             unnest(e.embedding) AS y
+        |      FROM qv CROSS JOIN embeddings e WHERE e.vec_id <> qv.qvid),
+        |d AS (SELECT qid, vid,
+        |             sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot
+        |      FROM z GROUP BY 1, 2),
+        |n AS (SELECT vec_id,
+        |             sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        |      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+        |      GROUP BY 1
+        |      HAVING sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) > 0),
+        |c AS (SELECT d.qid, vid,
+        |             floor(dot / (nq.nrm * nv.nrm) * 10000 + 0.5) / 10000
+        |               AS cosine
+        |      FROM d JOIN n nq ON nq.vec_id = d.qid * 100
+        |             JOIN n nv ON nv.vec_id = vid),
+        |sem AS (SELECT qid, vid AS doc_id, rank_sem FROM (
+        |          SELECT qid, vid,
+        |            CAST(row_number() OVER (PARTITION BY qid
+        |              ORDER BY cosine DESC, vid) AS INT) AS rank_sem
+        |          FROM c WHERE vid IN (SELECT doc_id FROM alw))
+        |        WHERE rank_sem <= 10),
+        |u AS (SELECT coalesce(l.qid, s.qid) AS qid,
+        |             coalesce(l.doc_id, s.doc_id) AS doc_id,
+        |             l.rank_lex, s.rank_sem
+        |      FROM lex l FULL JOIN sem s
+        |        ON l.qid = s.qid AND l.doc_id = s.doc_id),
+        |f AS (SELECT qid, doc_id, rank_lex, rank_sem,
+        |        floor((coalesce(1.0 / (60 + rank_lex), 0.0)
+        |             + coalesce(1.0 / (60 + rank_sem), 0.0))
+        |              * 1000000 + 0.5) / 1000000 AS rrf
+        |      FROM u)
+        |SELECT qid, rank, doc_id, rank_lex, rank_sem, rrf FROM (
+        |  SELECT f.*, CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY rrf DESC, doc_id) AS INT) AS rank FROM f)
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
   val qRetrievalFusedOracle: String =
     "WITH " + TextOps.bm25ScoredCte + ",\n" +
@@ -1425,11 +1510,20 @@ object Similarity {
     * CODES of probed cells only (Σ_m table lookups — the corpus-side
     * scan never touches a vector), shortlist [[IvfPqCand]], exact
     * rerank. */
+  /** `cand` widens the ADC shortlist (the post-filter escalation
+    * knob); `candFilter` drops shortlisted ids not in the given
+    * one-column (vec_id) frame AFTER the shortlist cut and BEFORE
+    * the exact rerank — the post-filtering strategy of
+    * [[filteredServeFrom]]. Filtering after the TOP-K (instead of
+    * after the shortlist) is the classic filtered-ANN failure: a
+    * selective predicate starves the k rows to near-empty. */
   private def adcSearch(e: DataFrame, cents: DataFrame,
                         codebook: DataFrame, codes: DataFrame,
                         probes: Int,
                         qFilter: Column = col("vec_id") % 100 === 0,
-                        topK: Int = 5): DataFrame = {
+                        topK: Int = 5,
+                        cand: Int = IvfPqCand,
+                        candFilter: Option[DataFrame] = None): DataFrame = {
     val centsN = cents
       .withColumn("cnrm", sqrt(dot(col("cemb"), col("cemb"))))
       .select(col("cent_id"), col("cemb"), col("cnrm"))
@@ -1458,14 +1552,22 @@ object Similarity {
     // spans all IvfPqM subspaces
     val wCand = Window.partitionBy(col("qid"))
       .orderBy(col("approx_l2"), col("vec_id"))
-    val cands = codes
+    val shortlist = codes
       .join(broadcast(qTables), Seq("cell", "m", "code"))
       .where(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("qd2")).as("approx_l2"))
       .withColumn("crn", row_number().over(wCand))
-      .where(col("crn") <= IvfPqCand)
+      .where(col("crn") <= cand)
       .select(col("qid"), col("vec_id"))
+    // no broadcast hint: the allowed-id side is selectivity × corpus
+    // — AQE broadcasts it when small, and the fallback shuffles the
+    // SHORTLIST (per-query bounded, tiny) against it, never the codes
+    val cands = candFilter match {
+      case None => shortlist
+      case Some(allowed) =>
+        shortlist.join(allowed, Seq("vec_id"), "left_semi")
+    }
     val wRank = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     cands
@@ -1759,6 +1861,134 @@ object Similarity {
       qFilter, topK)
   }
 
+  // ---------- Attribute-filtered ANN (metadata predicate serving) ----------
+
+  /** One filtered-serving index per data dir (the [[buildIndex]]
+    * memo discipline). */
+  private val filteredIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build the FILTERED-serving variant of the persisted IVF-PQ
+    * index: identical artifacts (same training, same codebook), but
+    * the code table carries each vector's metadata `label` and is
+    * partitioned `(ingest_epoch, label, cell)` — so an equality/IN
+    * predicate on the label PRUNES the code scan to its partitions
+    * at plan time, before any IO. This is the production
+    * "pre-filterable index" layout: the metadata a deployment
+    * filters on routinely (language, license, split) is worth a
+    * partition level; everything else goes through the post-filter
+    * strategy below. */
+  private[graft] def buildFilteredIndexTo(s: SparkSession, dir: String,
+                                        idx: String): Unit = {
+    val e = unitCorpus(s, dir).localCheckpoint()
+    val cents = trainedCents(s, dir)
+    val resid = residuals(e, cents).localCheckpoint()
+    cents.write.mode("overwrite").parquet(s"$idx/centroids")
+    val codebook = pqCodebook(resid)
+    codebook.write.mode("overwrite").parquet(s"$idx/codebook")
+    val meta = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    Tables.writeManifested(
+      encodeResiduals(resid, codebook).join(meta, "vec_id")
+        .withColumn("ingest_epoch", lit(0L)),
+      s"$idx/codes", Seq("ingest_epoch", "label", "cell"))
+    Ckpt.release(e); Ckpt.release(resid)
+  }
+
+  private[ops] def filteredIndex(s: SparkSession, dir: String): String =
+    filteredIdxMemo.computeIfAbsent(dir, _ => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-filtered").toString
+      auxTmpDirs.add(idx)
+      buildFilteredIndexTo(s, dir, idx)
+      idx
+    })
+
+  /** Probe budget under a metadata filter: inside every probed cell
+    * only ~selectivity of the members pass the predicate, so holding
+    * the EXPECTED admitted candidate mass constant means probing
+    * ⌈base/selectivity⌉ cells, capped at all of them — the knob that
+    * keeps filtered recall from collapsing as predicates sharpen
+    * (the filtered-search analog of [[probesFor]]'s sizing rule). */
+  private[ops] def probesForFiltered(nCells: Long,
+                                     selectivity: Double): Int = {
+    require(selectivity > 0.0 && selectivity <= 1.0)
+    math.min(nCells,
+      math.ceil(probesFor(nCells) / selectivity).toLong).toInt
+  }
+
+  /** Serve ANN queries under a metadata predicate, strategy chosen
+    * by the caller per selectivity:
+    *
+    *  - `preFilter = true` (SELECTIVE predicates on the partition
+    *    label): push the predicate into the code scan — partition
+    *    pruning drops every non-matching `label=` directory at plan
+    *    time, so the scan reads ~selectivity of the code table; the
+    *    probe ring widens by 1/selectivity ([[probesForFiltered]])
+    *    to keep the admitted candidate mass at the unfiltered
+    *    design point. Plan-pinned in SimilaritySpec (the scan's
+    *    PartitionFilters carry the label predicate).
+    *  - `preFilter = false` (BROAD predicates, or ones not aligned
+    *    with the partition layout): scan as usual but ESCALATE the
+    *    ADC shortlist by 1/selectivity, drop non-matching ids after
+    *    the shortlist and before the exact rerank ([[adcSearch]]'s
+    *    candFilter) — post-filtering at depth, which keeps recall
+    *    because the shortlist was widened by exactly the mass the
+    *    filter removes in expectation.
+    *
+    * Both strategies guarantee every returned neighbor satisfies
+    * the predicate; recall floors vs the exact FILTERED brute force
+    * are measured in SimilaritySpec at two selectivities and two
+    * corpus sizes. Queries are the standard serve set (unfiltered —
+    * the predicate restricts the CANDIDATES, which is what filtered
+    * search means in production retrieval). */
+  private[graft] def filteredServeFrom(s: SparkSession, dir: String,
+      idx: String, pred: Column, selectivity: Double, preFilter: Boolean,
+      qFilter: Column = col("vec_id") % 100 === 0,
+      topK: Int = 5): DataFrame = {
+    val e = withNorm(t(s, dir, "embeddings")).repartition(col("vec_id"))
+    val cents = s.read.parquet(s"$idx/centroids")
+    val codebook = s.read.parquet(s"$idx/codebook")
+    val codes = Tables.minusTombstones(
+      Tables.readManifested(s, s"$idx/codes"), s"$idx/tombstones", "vec_id")
+    val nCells = servedCellCountMemo.computeIfAbsent(idx, _ =>
+      java.lang.Long.valueOf(cents.count())).longValue()
+    if (preFilter)
+      adcSearch(e, cents, codebook, codes.where(pred),
+        probesForFiltered(nCells, selectivity), qFilter, topK)
+    else
+      adcSearch(e, cents, codebook, codes,
+        probesForFiltered(nCells, selectivity), qFilter, topK,
+        cand = math.ceil(IvfPqCand / selectivity).toInt,
+        candFilter = Some(
+          t(s, dir, "embeddings").where(pred).select(col("vec_id"))))
+  }
+
+  /** Gated: attribute-filtered ANN over the persisted index — the
+    * one production vector-search shape the plain serve path lacks
+    * (a search almost always carries a language/license/split
+    * predicate, and naive post-filtering of an unfiltered top-k is
+    * where recall silently collapses). Two modes in one result set:
+    * `selective_pre` (label = 3, ~10% selectivity, predicate pushed
+    * into the partition-pruned code scan) and `broad_post`
+    * (label % 2 = 0, ~50%, shortlist-escalated post-filter).
+    * Approximate by design → rows-only driver check; SimilaritySpec
+    * pins the ≥ 0.6 filtered-recall floors at both selectivities
+    * and two corpus sizes, predicate satisfaction on every row, and
+    * the selective scan's partition pruning. */
+  def simAnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val idx = filteredIndex(s, dir)
+    filteredServeFrom(s, dir, idx, col("label") === 3, 0.1,
+        preFilter = true)
+      .withColumn("mode", lit("selective_pre"))
+      .unionByName(
+        filteredServeFrom(s, dir, idx, pmod(col("label"), lit(2)) === 0,
+            0.5, preFilter = false)
+          .withColumn("mode", lit("broad_post")))
+      .select(col("mode"), col("qid"), col("rn"), col("neighbor_id"),
+        col("cosine"))
+      .orderBy("mode", "qid", "rn")
+  }
+
   // ---------- Incremental index maintenance (batch-vs-index) ----------
 
   /** One persisted OLD-corpus index per data dir (vec_id % 17 ≠ 3,
@@ -1947,6 +2177,7 @@ object Similarity {
     "sim_ann_ivfpq" -> simAnnIvfPq,
     "sim_ann_incremental" -> simAnnIncremental,
     "sim_ann_served" -> simAnnServed,
+    "sim_ann_filtered" -> simAnnFiltered,
     "sim_ann_tombstone" -> simAnnTombstone,
     "q_ann_drift" -> qAnnDrift,
     "sim_ann_pq" -> simAnnPq,
@@ -1961,6 +2192,7 @@ object Similarity {
     "q_embed_centroids" -> qEmbedCentroids,
     "q_retrieval_fused" -> qRetrievalFused,
     "q_retrieval_fused_ann" -> qRetrievalFusedAnn,
+    "q_retrieval_fused_filtered" -> qRetrievalFusedFiltered,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1970,6 +2202,7 @@ object Similarity {
     "q_quantize_embed" -> qQuantizeEmbedOracle,
     "q_embed_centroids" -> qEmbedCentroidsOracle,
     "q_retrieval_fused" -> qRetrievalFusedOracle,
+    "q_retrieval_fused_filtered" -> qRetrievalFusedFilteredOracle,
     // q_retrieval_fused_ann: IVF-PQ semantic leg not SQL-expressible
     // → rows-only; SimilaritySpec pins the overlap floor vs the
     // hash-gated exact fusion.

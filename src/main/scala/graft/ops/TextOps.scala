@@ -1723,7 +1723,15 @@ object TextOps {
     * flip — the scores every surviving doc gets are exactly the
     * from-text scores over the corpus minus the deleted docs
     * (TokenIndexSpec pins that identity). */
-  private[graft] def bm25IndexedFrom(s: SparkSession, idx: String): DataFrame = {
+  private[graft] def bm25IndexedFrom(s: SparkSession, idx: String): DataFrame =
+    bm25TopkFrom(bm25IndexedScored(s, idx))
+
+  /** The indexed scoring WITHOUT the rank cut — shared by the plain
+    * top-k ([[bm25IndexedFrom]]) and the attribute-FILTERED ranking
+    * ([[bm25IndexedTopkFiltered]]), which must filter candidates
+    * BEFORE the rank window (filtering an already-cut top-k is the
+    * starved-results failure filtered retrieval exists to avoid). */
+  private def bm25IndexedScored(s: SparkSession, idx: String): DataFrame = {
     val post = Tables.minusTombstones(
       Tables.readBucketedArchive(s, s"$idx/postings"),
       s"$idx/tombstones", "doc_id")
@@ -1744,8 +1752,19 @@ object TextOps {
         Tables.readManifested(s, s"$idx/doclen"),
         s"$idx/tombstones", "doc_id")
       .select(col("doc_id"), col("dl").cast("double").as("dl"))
-    bm25TopkFrom(bm25ScoreFrom(s, tf, dfreq, dl))
+    bm25ScoreFrom(s, tf, dfreq, dl)
   }
+
+  /** Indexed BM25 ranking RESTRICTED to an allowed-doc set: the
+    * collection statistics stay GLOBAL (the index serves one corpus;
+    * a predicate restricts the RESULTS, not the collection — df/avgdl
+    * do not change per query), candidates filter before the rank
+    * window, ranks are dense within the allowed set. The filtered
+    * lexical leg of [[graft.ops.Similarity.qRetrievalFusedFiltered]]. */
+  private[graft] def bm25IndexedTopkFiltered(s: SparkSession, dir: String,
+                                           allowed: DataFrame): DataFrame =
+    bm25TopkFrom(bm25IndexedScored(s, tokenIndex(s, dir))
+      .join(allowed, Seq("doc_id"), "left_semi"))
 
   /** Physical tombstone fold for the token index — both tables
     * (postings + doclen) rewrite live-minus-tombstones, with every

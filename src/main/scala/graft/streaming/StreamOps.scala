@@ -734,6 +734,55 @@ object StreamOps {
     q.stop()
   }
 
+  /** UNIFIED right-to-be-forgotten: ONE forget-stream of document
+    * keys tombstones the ENTIRE estate — the document topology
+    * ([[runFrontDoorDeletes]]' six stores: corpus, winnow, tokens,
+    * pHash, audio, clusters) AND the victims' embedding rows in the
+    * vector topology ([[runVectorFrontDoorDeletes]]' two: ANN codes,
+    * SemDeDup assignments) — in one foreachBatch under one delete
+    * epoch. A real forget request names a DOCUMENT; its embedding
+    * rows live in different stores under a different key space, and
+    * two separate delete streams is exactly how one of them gets
+    * missed. The doc→vec key mapping defaults to the engine's
+    * doc-embedding id convention (documents and embeddings share the
+    * id space — the convention `q_retrieval_fused`'s legs rely on);
+    * a deployment with a different scheme passes its own column
+    * mapping. Same replay contract as every delete leg: deletion is
+    * idempotent, a crashed micro-batch recommits identical keys,
+    * and every read view masks immediately while each store's own
+    * fold makes the removal physical. */
+  def runUnifiedForgetStream(ids: DataFrame, docRoot: String,
+      vecRoot: String, checkpoint: String,
+      docToVec: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity): Unit = {
+    val q = ids.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        val e = epoch + 1000000L
+        val keys = b.select(col("doc_id")).localCheckpoint()
+        // document topology — the runFrontDoorDeletes set
+        Tables.ingestTombstones(keys,
+          corpusTombstonePath(s"$docRoot/corpus"), e)
+        Tables.ingestTombstones(keys, s"$docRoot/winnow/tombstones", e)
+        Tables.ingestTombstones(keys, s"$docRoot/tokens/tombstones", e)
+        Tables.ingestTombstones(keys, s"$docRoot/phash/tombstones", e)
+        Tables.ingestTombstones(keys, s"$docRoot/audio/tombstones", e)
+        Tables.ingestTombstones(keys, s"$docRoot/clusters/tombstones", e)
+        // vector topology — the same request's embedding rows
+        val vkeys = keys.select(docToVec(col("doc_id")).as("vec_id"))
+          .localCheckpoint()
+        Tables.ingestTombstones(vkeys, s"$vecRoot/ann/tombstones", e)
+        Tables.ingestTombstones(vkeys, s"$vecRoot/sem/tombstones", e)
+        graft.ops.Ckpt.release(keys)
+        graft.ops.Ckpt.release(vkeys)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   // ---------- The maintenance window ----------
 
   /** The front door's MAINTENANCE WINDOW as one entry point — the

@@ -211,4 +211,46 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(scalable == anchor)
   }
+
+  test("maintenance-due policy: tombstone mass trips the fold rule " +
+    "on its own (no excess epochs), a clean store trips nothing, " +
+    "and each gated stage trips exactly its documented rules") {
+    import org.apache.spark.sql.functions._
+    import graft.SparkSpec.spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-due").toString
+    try {
+      // heavy store: ONE epoch layer, but 6/40 > 1/20 of rows masked
+      // — the fold is due for tombstone mass alone
+      graft.io.Tables.writeManifested(
+        (0L until 40L).toDF("id").withColumn("ingest_epoch", lit(0L)),
+        s"$root/heavy", Seq("ingest_epoch"))
+      graft.io.Tables.ingestTombstones(
+        (0L until 6L).toDF("id"), s"$root/heavy_tomb", epoch = 1L)
+      val heavy = ScaleOps.maintenanceDue(ScaleOps.archiveHealth(
+        spark, "heavy", s"$root/heavy", s"$root/heavy_tomb", "id"))
+      assert(heavy == ((true, "tombstone_mass", false, "none")),
+        s"heavy store verdict: $heavy")
+      // clean store: one epoch, no tombstones, one version
+      graft.io.Tables.writeManifested(
+        (0L until 40L).toDF("id").withColumn("ingest_epoch", lit(0L)),
+        s"$root/clean", Seq("ingest_epoch"))
+      val clean = ScaleOps.maintenanceDue(ScaleOps.archiveHealth(
+        spark, "clean", s"$root/clean", s"$root/clean_tomb", "id"))
+      assert(clean == ((false, "none", false, "none")),
+        s"clean store verdict: $clean")
+      // the gated three-stage construction trips exactly as documented
+      val due = ScaleOps.qMaintenanceDue(spark, sf).collect()
+        .map(r => r.getString(0) ->
+          (r.getBoolean(6), r.getString(7), r.getBoolean(8),
+            r.getString(9))).toMap
+      assert(due("staged") == ((true, "epoch_layers", true,
+        "superseded_versions")), s"staged: ${due("staged")}")
+      assert(due("folded") == ((false, "none", true,
+        "superseded_versions")), s"folded: ${due("folded")}")
+      assert(due("vacuumed") == ((false, "none", false, "none")),
+        s"vacuumed: ${due("vacuumed")}")
+    } finally org.apache.hadoop.fs.FileUtil.fullyDelete(
+      new java.io.File(root))
+  }
 }

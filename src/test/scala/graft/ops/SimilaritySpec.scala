@@ -675,4 +675,100 @@ class SimilaritySpec extends SparkSpec {
     assert(perQid.forall(_ >= 0.6),
       s"ANN fusion diverged from exact fusion: $perQid")
   }
+
+  test("filtered fusion: every fused doc passes the predicate, the " +
+    "filter genuinely bites (an unfiltered winner is excluded), and " +
+    "ranks are dense within the allowed set") {
+    val allowed = spark.read.parquet(s"$sf/documents.parquet")
+      .where(org.apache.spark.sql.functions.col("lang") === "en")
+      .collect().map(_.getLong(0)).toSet
+    val fused = Similarity.qRetrievalFusedFiltered(spark, sf).collect()
+    assert(fused.nonEmpty)
+    // hard guarantee: nothing outside the predicate is ever returned
+    fused.foreach(r => assert(allowed.contains(r.getLong(2)),
+      s"fused result ${r.getLong(2)} violates the predicate"))
+    // non-vacuous: the unfiltered fusion ranks at least one doc the
+    // predicate excludes — so the filtered ranking is genuinely
+    // different work, not the same list relabeled
+    val unfiltered = Similarity.qRetrievalFused(spark, sf).collect()
+      .map(_.getLong(2)).toSet
+    assert((unfiltered -- allowed).nonEmpty,
+      "fixture vacuous: the unfiltered fusion already satisfies the predicate")
+    // dense ranks within the allowed set, 1..k per query
+    fused.groupBy(_.getInt(0)).foreach { case (q, grp) =>
+      val ranks = grp.map(_.getInt(1)).sorted.toSeq
+      assert(ranks == (1 to ranks.size), s"qid $q ranks not dense: $ranks")
+    }
+  }
+
+  test("filtered ANN: every neighbor satisfies the predicate, " +
+    "recall@5 >= 0.6 vs the exact FILTERED brute force at both " +
+    "selectivities and two corpus sizes, and the selective strategy " +
+    "partition-prunes the code scan") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    Seq(sf, "/root/testdata/sf0.1").foreach { dir =>
+      val idx = Similarity.filteredIndex(spark, dir)
+      val all = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+        .map { r =>
+          val emb = r.getSeq[Float](1).map(_.toDouble).toArray
+          (r.getLong(0), emb, r.getInt(2))
+        }
+      val byId = all.map(t => t._1 -> t).toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+        while (i < a.length) {
+          d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        d / math.sqrt(na * nb)
+      }
+      // exact FILTERED brute force: per query, top-5 by cosine among
+      // predicate-passing vectors (self excluded), engine tie order
+      def truth(pred: Int => Boolean): Map[Long, Set[Long]] =
+        all.filter(_._1 % 100 == 0).map { case (qid, qe, _) =>
+          qid -> all
+            .filter(t => t._1 != qid && pred(t._3))
+            .map(t => (t._1, cos(qe, t._2)))
+            .sortBy { case (id, c) => (-c, id) }
+            .take(5).map(_._1).toSet
+        }.toMap
+      def check(name: String,
+                res: Array[org.apache.spark.sql.Row],
+                pred: Int => Boolean): Unit = {
+        assert(res.nonEmpty, s"$name returned nothing ($dir)")
+        res.foreach { r =>
+          val nb = r.getLong(1) // (qid, neighbor_id, cosine, rn)
+          assert(pred(byId(nb)._3),
+            s"$name returned neighbor $nb violating the predicate ($dir)")
+        }
+        val t = truth(pred)
+        val perQ = res.groupBy(_.getLong(0)).map { case (q, grp) =>
+          grp.map(_.getLong(1)).count(t(q).contains).toDouble /
+            math.max(1, t(q).size)
+        }
+        val recall = perQ.sum / perQ.size
+        info(f"$name filtered recall@5 = $recall%.3f ($dir)")
+        assert(recall >= 0.6,
+          f"$name filtered recall too low: $recall%.3f ($dir)")
+      }
+      check("selective_pre",
+        Similarity.filteredServeFrom(spark, dir, idx,
+          col("label") === 3, 0.1, preFilter = true).collect(),
+        _ == 3)
+      check("broad_post",
+        Similarity.filteredServeFrom(spark, dir, idx,
+          pmod(col("label"), lit(2)) === 0, 0.5,
+          preFilter = false).collect(),
+        _ % 2 == 0)
+    }
+    // plan pin: the selective strategy's code scan carries the label
+    // predicate as a PARTITION filter — non-matching label= dirs are
+    // dropped at plan time, before any IO
+    val plan = Similarity.filteredServeFrom(spark, sf,
+        Similarity.filteredIndex(spark, sf),
+        col("label") === 3, 0.1, preFilter = true)
+      .queryExecution.executedPlan.toString
+    assert(raw"PartitionFilters: \[[^\]]*label[^\]]*=\s*3".r
+      .findFirstIn(plan).isDefined,
+      s"selective code scan does not partition-prune on label:\n$plan")
+  }
 }

@@ -1675,4 +1675,89 @@ class StreamOpsSpec extends SparkSpec {
     assert(postings(idx) == streamedP && doclen(idx) == streamedD,
       "idle restart moved the index")
   }
+
+  test("unified RTBF: one streamed forget-request tombstones all six " +
+    "document stores AND the victim's embedding rows in the vector " +
+    "topology, in the same sweep; replay is idempotent") {
+    import spark.implicits._
+    val root0 = java.nio.file.Files.createTempDirectory("graft-unified")
+    val droot = root0.resolve("docs").toString
+    val vroot = root0.resolve("vecs").toString
+    def pad(v: Seq[Double]): Seq[Double] = v ++ Seq.fill(62)(0.0)
+    // document topology: a live corpus with the victim in it (texts
+    // long enough to clear the ingest quality gate)
+    def mkTxt(p: String) = (0 until 60).map(i => s"$p$i").mkString(" ")
+    ingestBatch(
+      Seq((1L, mkTxt("u"), "en", "srcU", 300L),
+        (2L, mkTxt("v"), "en", "srcU", 300L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      0L, s"$droot/corpus")
+    // vector topology: the ANN index over the sf corpus (vec 100
+    // exists there — the doc-embedding id convention) and a planted
+    // sem archive
+    graft.ops.Similarity.buildIndexTo(spark, sf, s"$vroot/ann")
+    graft.ops.Similarity.buildSemDedupArchiveTo(
+      Seq((10L, pad(Seq(3.0, 4.0))), (20L, pad(Seq(4.0, 3.0))))
+        .toDF("vec_id", "embedding"),
+      Seq((0L, pad(Seq(1.0, 0.0))), (1L, pad(Seq(0.0, 1.0))))
+        .toDF("cent_id", "cemb"),
+      s"$vroot/sem")
+    val served0 = graft.ops.Similarity
+      .serveFrom(spark, sf, s"$vroot/ann")
+      .select("neighbor_id").as[Long].collect().toSet
+    // the victim doc: one whose embedding the index currently SERVES
+    // as a neighbor (the doc-embedding id convention — same id in
+    // both topologies)
+    val victim = served0.min
+    // one forget-request file: docs 1 and the victim
+    val stage = s"${root0.toString}/stage"
+    new java.io.File(stage).mkdirs()
+    Seq(1L, victim).toDF("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(root0.resolve("tmp").toString)
+    val part = new java.io.File(root0.resolve("tmp").toString)
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$stage/f1.parquet"))
+    runUnifiedForgetStream(
+      spark.readStream.schema("doc_id LONG").parquet(stage),
+      droot, vroot, s"${root0.toString}/ckpt")
+    // document side: the corpus view masks the victim immediately...
+    def corpusIds() = corpusView(spark, s"$droot/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpusIds() == Set(2L), s"corpus still serves: ${corpusIds()}")
+    // ...and every derived store's tombstone table carries BOTH keys
+    // (the mask applies the moment each archive is read)
+    def tombs(path: String, key: String) = graft.io.Tables
+      .readTombstones(spark, path, key)
+      .map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+    Seq("winnow", "tokens", "phash", "audio", "clusters").foreach { st =>
+      assert(tombs(s"$droot/$st/tombstones", "doc_id") == Set(1L, victim),
+        s"$st tombstones missing the forget keys")
+    }
+    // vector side, SAME sweep: the serve path stops returning the
+    // victim's embedding, the sem archive masks it
+    def served() = graft.ops.Similarity
+      .serveFrom(spark, sf, s"$vroot/ann")
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!served().contains(victim),
+      "ANN still serves the forgotten doc's embedding")
+    assert(tombs(s"$vroot/sem/tombstones", "vec_id") == Set(1L, victim),
+      "sem archive tombstones missing the forget keys")
+    // replay: idle restart moves nothing; re-landing the same keys
+    // is idempotent (deletion is)
+    val preServe = served()
+    runUnifiedForgetStream(
+      spark.readStream.schema("doc_id LONG").parquet(stage),
+      droot, vroot, s"${root0.toString}/ckpt")
+    assert(served() == preServe && corpusIds() == Set(2L),
+      "idle restart moved a store")
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$stage/f2.parquet"))
+    runUnifiedForgetStream(
+      spark.readStream.schema("doc_id LONG").parquet(stage),
+      droot, vroot, s"${root0.toString}/ckpt")
+    assert(served() == preServe && corpusIds() == Set(2L) &&
+      tombs(s"$vroot/ann/tombstones", "vec_id") == Set(1L, victim),
+      "re-landed forget request changed the masked state")
+  }
 }
