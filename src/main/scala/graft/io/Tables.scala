@@ -943,12 +943,27 @@ object Tables {
     claimEpoch(fs, path, epoch,
       writerId.getOrElse(java.util.UUID.randomUUID.toString))
     try {
-      // drop the epoch subtree on disk, then resync the catalog's
-      // partition list (SYNC handles nested levels a partial ALTER
-      // DROP PARTITION spec could not name)
+      // targeted drop of exactly the epoch's OWN partitions — one
+      // listing of the epoch subtree, never a full-table MSCK (at
+      // 100 TB the table holds thousands of partitions and a commit
+      // must not pay an O(table) listing): enumerate the epoch's
+      // leaf dirs, drop those catalog entries by full spec, delete
+      // the subtree
       val part = new org.apache.hadoop.fs.Path(root, s"ingest_epoch=$epoch")
-      if (fs.exists(part)) fs.delete(part, true)
-      spark.sql(s"MSCK REPAIR TABLE `$name` SYNC PARTITIONS")
+      if (fs.exists(part)) {
+        val specs =
+          if (partCols.length == 1) Seq(s"`ingest_epoch`='$epoch'")
+          else listPartDirs(fs, part, partCols.length - 1)
+            .map(rel => (s"ingest_epoch=$epoch/" + rel).split("/")
+              .map { kv =>
+                val Array(k, v) = kv.split("=", 2)
+                s"`$k`='$v'"
+              }.mkString(", "))
+        if (specs.nonEmpty)
+          spark.sql(s"ALTER TABLE `$name` DROP IF EXISTS " +
+            specs.map(sp => s"PARTITION ($sp)").mkString(", "))
+        fs.delete(part, true)
+      }
       spark.sql(s"REFRESH TABLE `$name`")
       df.withColumn("ingest_epoch", lit(epoch))
         .write.mode(SaveMode.Append)

@@ -1181,6 +1181,36 @@ object Similarity {
       exactSemanticLeg(s, dir, Some(allowed)))
   }
 
+  /** [[qRetrievalFusedFiltered]] with the semantic leg answered by
+    * the PERSISTED shared IVF-PQ index — the production steady state
+    * for filtered retrieval where the predicate (`lang`) is NOT the
+    * index's partition metadata, so the serve path runs the
+    * post-filter-at-depth strategy ([[serveFrom]]'s candFilter arm:
+    * probe ring + ADC shortlist escalated by 1/selectivity, allowed
+    * ids applied after the shortlist, before the rerank). The
+    * lexical leg is bit-identical to the hash-gated anchor's (same
+    * persisted token index, same re-rank). Approximate by design →
+    * rows-only driver check; SimilaritySpec pins predicate
+    * satisfaction, lexical-leg bit-identity, and a fused-overlap
+    * floor vs the exact filtered fusion. */
+  def qRetrievalFusedFilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    val allowed = t(s, dir, "documents")
+      .where(col("lang") === "en").select(col("doc_id"))
+    // ~44% of docs are 'en' at every SF (the corpus generator's lang
+    // mix); the strategy only needs the right order of magnitude
+    val sel = 0.4
+    rrfFuse(
+      TextOps.bm25IndexedTopkFiltered(s, dir, allowed)
+        .select(col("qid"), col("doc_id"), col("rn").as("rank")),
+      serveFrom(s, dir, buildIndex(s, dir),
+          qFilter = col("vec_id").isin(100L, 200L, 300L),
+          topK = RrfTopK,
+          candFilter = Some(allowed.select(col("doc_id").as("vec_id"))),
+          selectivity = sel)
+        .select((col("qid") / 100).cast("int").as("qid"),
+          col("neighbor_id").as("doc_id"), col("rn").as("rank")))
+  }
+
   val qRetrievalFusedFilteredOracle: String =
     "WITH " + TextOps.bm25ScoredCte + ",\n" +
       """alw AS (SELECT doc_id FROM documents WHERE lang = 'en'),
@@ -1837,11 +1867,19 @@ object Similarity {
   private val servedCellCountMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** `candFilter`+`selectivity`: serve under a metadata predicate
+    * the SHARED index's partition layout cannot pre-filter — the
+    * post-filter-at-depth strategy ([[filteredServeFrom]]'s broad
+    * arm): probe ring and ADC shortlist both escalate by
+    * 1/selectivity, non-matching ids drop after the shortlist and
+    * before the exact rerank. */
   private[graft] def serveFrom(s: SparkSession, dir: String,
                              idx: String,
                              qFilter: Column = col("vec_id") % 100 === 0,
                              topK: Int = 5,
-                             tombPath: String = null): DataFrame = {
+                             tombPath: String = null,
+                             candFilter: Option[DataFrame] = None,
+                             selectivity: Double = 1.0): DataFrame = {
     val e = withNorm(t(s, dir, "embeddings")).repartition(col("vec_id"))
     // the code scan subtracts live tombstones (deleted vectors stop
     // being candidates the moment their delete epoch commits; the
@@ -1850,15 +1888,18 @@ object Similarity {
     // query overrides it to mask the SHARED index through a private
     // side table without mutating it.
     val tp = Option(tombPath).getOrElse(s"$idx/tombstones")
+    val nCells = servedCellCountMemo.computeIfAbsent(idx, _ =>
+      java.lang.Long.valueOf(
+        s.read.parquet(s"$idx/centroids").count())).longValue()
     adcSearch(e,
       s.read.parquet(s"$idx/centroids"),
       s.read.parquet(s"$idx/codebook"),
       Tables.minusTombstones(
         Tables.readManifested(s, s"$idx/codes"), tp, "vec_id"),
-      probesFor(servedCellCountMemo.computeIfAbsent(idx, _ =>
-        java.lang.Long.valueOf(
-          s.read.parquet(s"$idx/centroids").count()))),
-      qFilter, topK)
+      probesForFiltered(nCells, selectivity),
+      qFilter, topK,
+      cand = math.ceil(IvfPqCand / selectivity).toInt,
+      candFilter = candFilter)
   }
 
   // ---------- Attribute-filtered ANN (metadata predicate serving) ----------
@@ -2193,6 +2234,7 @@ object Similarity {
     "q_retrieval_fused" -> qRetrievalFused,
     "q_retrieval_fused_ann" -> qRetrievalFusedAnn,
     "q_retrieval_fused_filtered" -> qRetrievalFusedFiltered,
+    "q_retrieval_fused_filtered_ann" -> qRetrievalFusedFilteredAnn,
   )
 
   def oracles: Map[String, String] = Map(

@@ -699,6 +699,31 @@ class SimilaritySpec extends SparkSpec {
       val ranks = grp.map(_.getInt(1)).sorted.toSeq
       assert(ranks == (1 to ranks.size), s"qid $q ranks not dense: $ranks")
     }
+
+    // the served-ANN sibling: same predicate, same lexical leg
+    // bit-for-bit (same persisted token index), semantic leg through
+    // the shared IVF-PQ index's post-filter-at-depth strategy —
+    // every row passes the predicate, fused overlap clears the floor
+    val ann = Similarity.qRetrievalFusedFilteredAnn(spark, sf).collect()
+    assert(ann.nonEmpty)
+    ann.foreach(r => assert(allowed.contains(r.getLong(2)),
+      s"ann-fused result ${r.getLong(2)} violates the predicate"))
+    def lexRanks(rows: Array[org.apache.spark.sql.Row]) = rows
+      .filter(!_.isNullAt(3))
+      .map(r => (r.getInt(0), r.getLong(2)) -> r.getInt(3)).toMap
+    val (el, al) = (lexRanks(fused), lexRanks(ann))
+    val shared = el.keySet.intersect(al.keySet)
+    assert(shared.nonEmpty)
+    assert(shared.forall(k => el(k) == al(k)),
+      "filtered lexical ranks diverge between exact and ANN fusion")
+    val perQid = (1 to 3).map { q =>
+      val e = fused.filter(_.getInt(0) == q).map(_.getLong(2)).toSet
+      val a = ann.filter(_.getInt(0) == q).map(_.getLong(2)).toSet
+      if (e.isEmpty) 1.0 else e.intersect(a).size.toDouble / e.size
+    }
+    info(s"filtered fused overlap per qid: ${perQid.mkString(", ")}")
+    assert(perQid.forall(_ >= 0.6),
+      s"filtered ANN fusion diverged from the exact filtered fusion: $perQid")
   }
 
   test("filtered ANN: every neighbor satisfies the predicate, " +
