@@ -851,6 +851,131 @@ object StreamOps {
       .orderBy("store")
   }
 
+  /** The POLICY-DRIVEN maintenance window — [[runMaintenanceWindow]]
+    * with [[graft.ops.ScaleOps.maintenanceDue]] consulted BEFORE
+    * each store's fold/vacuum instead of sweeping unconditionally:
+    * the monitor→decision→action loop closed. Per store group the
+    * PRE-sweep health row decides; a store that trips neither rule
+    * is not touched at all (no rewrite, no new manifest version, no
+    * IO beyond the health read) — at 100 TB an unconditional nightly
+    * sweep rewrites every archive whether or not it accumulated
+    * anything, and the fold IS the expensive step. Grouped archives
+    * fold together the way their maintenance entry points do (the
+    * cluster fold spans labels+postings+sizes; the token fold spans
+    * postings+doclen — the group acts when its DECIDING store is
+    * due). The corpus store folds when it has live tombstones
+    * (trivially "due": its fold only does delete work). Returns one
+    * row per store: the pre-sweep counters, the decisions, and
+    * whether the group acted. StreamOpsSpec pins: due stores fold
+    * (epoch layers collapse), quiescent stores keep their manifest
+    * version untouched, and the returned decisions match what
+    * happened. */
+  def runMaintenanceWindowIfDue(s: SparkSession, root: String): DataFrame = {
+    import s.implicits._
+    if (Tables.readTombstones(s,
+        corpusTombstonePath(s"$root/corpus"), "doc_id").nonEmpty)
+      foldCorpusTombstones(s, s"$root/corpus")
+    // (store, deciding health, group fold action)
+    val groups = Seq(
+      ("winnow", s"$root/winnow/fingerprints", s"$root/winnow/tombstones",
+        false, () => {
+          graft.ops.TextOps.compactFingerprintEpochs(s, s"$root/winnow"); ()
+        }),
+      ("clusters", s"$root/clusters/labels", s"$root/clusters/tombstones",
+        true, () => graft.ops.Curation.compactClusterArchive(
+          s, s"$root/clusters")),
+      ("tokens", s"$root/tokens/postings", s"$root/tokens/tombstones",
+        true, () => {
+          graft.ops.TextOps.compactTokenIndexEpochs(s, s"$root/tokens"); ()
+        }),
+      ("phash", s"$root/phash/hashes", s"$root/phash/tombstones",
+        false, () => {
+          graft.ops.Multimodal.compactPhashEpochs(s, s"$root/phash"); ()
+        }),
+      ("audio", s"$root/audio/hashes", s"$root/audio/tombstones",
+        false, () => {
+          graft.ops.Multimodal.compactAudioFpEpochs(s, s"$root/audio"); ()
+        }))
+    val rows = groups.flatMap { case (name, path, tomb, bucketed, fold) =>
+      val exists =
+        if (bucketed) Tables.bucketedArchiveExists(s, path)
+        else Tables.manifestExists(s, path)
+      if (!exists) None
+      else {
+        val h =
+          if (bucketed)
+            graft.ops.ScaleOps.bucketedArchiveHealth(s, name, path,
+              tomb, "doc_id")
+          else graft.ops.ScaleOps.archiveHealth(s, name, path,
+            tomb, "doc_id")
+        val (foldDue, foldReason, vacDue, vacReason) =
+          graft.ops.ScaleOps.maintenanceDue(h)
+        if (foldDue) fold()
+        // vacuum applies to manifested pointers only (bucketed folds
+        // reclaim their own superseded copies in the staged swap)
+        if (vacDue && !bucketed) Tables.vacuumManifested(s, path)
+        if (foldDue || vacDue)
+          Seq(tomb).filter(Tables.manifestExists(s, _))
+            .foreach(Tables.vacuumManifested(s, _))
+        Some((h.store, h.n_epochs, h.n_live_rows, h.n_tombstones,
+          h.manifest_versions, h.n_dead_dirs,
+          foldDue, foldReason, vacDue, vacReason, foldDue || vacDue))
+      }
+    }
+    rows.toDF("store", "n_epochs", "n_live_rows", "n_tombstones",
+        "manifest_versions", "n_dead_dirs", "fold_due", "fold_reason",
+        "vacuum_due", "vacuum_reason", "acted")
+      .orderBy("store")
+  }
+
+  /** [[runMaintenanceWindowIfDue]] for the VECTOR topology — the
+    * same monitor→decision→action gating over the vec-keyed stores:
+    * the ANN code table (manifested; fold = compactIndexEpochs) and
+    * the SemDeDup assignment archive (vec_id-bucketed; fold =
+    * foldBucketedEpochs). A quiescent index is not rewritten. */
+  def runVectorMaintenanceWindowIfDue(s: SparkSession,
+                                      root: String): DataFrame = {
+    import s.implicits._
+    val groups = Seq(
+      ("ann_codes", s"$root/ann/codes", s"$root/ann/tombstones",
+        false, () => {
+          graft.ops.Similarity.compactIndexEpochs(s, s"$root/ann"); ()
+        }),
+      ("sem_assigned", s"$root/sem/assigned", s"$root/sem/tombstones",
+        true, () => {
+          Tables.foldBucketedEpochs(s, s"$root/sem/assigned",
+            s"$root/sem/tombstones", "vec_id"); ()
+        }))
+    val rows = groups.flatMap { case (name, path, tomb, bucketed, fold) =>
+      val exists =
+        if (bucketed) Tables.bucketedArchiveExists(s, path)
+        else Tables.manifestExists(s, path)
+      if (!exists) None
+      else {
+        val h =
+          if (bucketed)
+            graft.ops.ScaleOps.bucketedArchiveHealth(s, name, path,
+              tomb, "vec_id")
+          else graft.ops.ScaleOps.archiveHealth(s, name, path,
+            tomb, "vec_id")
+        val (foldDue, foldReason, vacDue, vacReason) =
+          graft.ops.ScaleOps.maintenanceDue(h)
+        if (foldDue) fold()
+        if (vacDue && !bucketed) Tables.vacuumManifested(s, path)
+        if (foldDue || vacDue)
+          Seq(tomb).filter(Tables.manifestExists(s, _))
+            .foreach(Tables.vacuumManifested(s, _))
+        Some((h.store, h.n_epochs, h.n_live_rows, h.n_tombstones,
+          h.manifest_versions, h.n_dead_dirs,
+          foldDue, foldReason, vacDue, vacReason, foldDue || vacDue))
+      }
+    }
+    rows.toDF("store", "n_epochs", "n_live_rows", "n_tombstones",
+        "manifest_versions", "n_dead_dirs", "fold_due", "fold_reason",
+        "vacuum_due", "vacuum_reason", "acted")
+      .orderBy("store")
+  }
+
   /** [[runMaintenanceWindow]] for the VECTOR topology: fold the ANN
     * code table ([[graft.ops.Similarity.compactIndexEpochs]] — the
     * single-version result also restores scan-time DPP on `cell`)

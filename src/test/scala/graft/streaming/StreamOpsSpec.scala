@@ -1676,6 +1676,77 @@ class StreamOpsSpec extends SparkSpec {
       "idle restart moved the index")
   }
 
+  test("policy-driven maintenance window: a due store folds, a " +
+    "quiescent store is not touched at all, and the returned " +
+    "decision rows match what happened") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-duewin").toString
+    def mk(p: String) = (0 until 12).map(i => s"$p$i").mkString(" ")
+    // DUE store: winnow with 3 ingest epochs above the build layer
+    // (epoch_layers rule) plus a tombstone
+    graft.ops.TextOps.buildWinnowIndexTo(
+      Seq((1L, mk("a")), (2L, mk("b"))).toDF("doc_id", "text"),
+      s"$root/winnow")
+    (1L to 3L).foreach { e =>
+      graft.ops.TextOps.ingestAndProbeFingerprints(
+        Seq((100L + e, mk(s"e$e"))).toDF("doc_id", "text"),
+        e, s"$root/winnow", s"$root/neardup")
+    }
+    graft.io.Tables.ingestTombstones(Seq(2L).toDF("doc_id"),
+      s"$root/winnow/tombstones", epoch = 9L)
+    // QUIESCENT store: a pHash archive with only its build layer
+    graft.ops.Multimodal.buildPhashIndexTo(spark,
+      Seq((1L, mk("a")), (2L, mk("b"))).toDF("doc_id", "text"),
+      s"$root/phash")
+    val phashVer = graft.io.Tables
+      .resolveManifest(spark, s"$root/phash/hashes")._1
+
+    val rows = runMaintenanceWindowIfDue(spark, root).collect()
+      .map(r => r.getString(0) ->
+        (r.getBoolean(6), r.getBoolean(8), r.getBoolean(10))).toMap
+    assert(rows.keySet == Set("winnow", "phash"), s"stores: ${rows.keySet}")
+    assert(rows("winnow")._1 && rows("winnow")._3,
+      s"winnow should be fold-due and acted: ${rows("winnow")}")
+    assert(rows("phash") == ((false, false, false)),
+      s"phash should be quiescent: ${rows("phash")}")
+    // the due store actually folded: epoch layers collapsed to the
+    // base + the newest (carry rule)
+    val winnowEpochs = graft.io.Tables
+      .readManifested(spark, s"$root/winnow/fingerprints")
+      .select("ingest_epoch").distinct().as[Long].collect().toSet
+    assert(winnowEpochs == Set(0L, 3L),
+      s"winnow epochs after the due-fold: $winnowEpochs")
+    // the quiescent store was NOT touched: same manifest version,
+    // no rewrite committed
+    assert(graft.io.Tables
+      .resolveManifest(spark, s"$root/phash/hashes")._1 == phashVer,
+      "quiescent store's manifest moved — the policy did not gate it")
+    // a second window on the now-quiet topology acts nowhere
+    val again = runMaintenanceWindowIfDue(spark, root).collect()
+      .map(r => r.getString(0) -> r.getBoolean(10)).toMap
+    assert(again.values.forall(_ == false),
+      s"second window still acted: $again")
+
+    // vector sibling: an index with three ingest epochs is due and
+    // folds; a second window on the folded index acts nowhere
+    graft.ops.Similarity.buildIndexTo(spark, sf, s"$root/v/ann")
+    (1L to 3L).foreach { e =>
+      graft.ops.Similarity.ingestVectors(
+        spark.read.parquet(s"$sf/embeddings.parquet")
+          .where(col("vec_id") % 50 === e),
+        s"$root/v/ann", e)
+    }
+    val v1 = runVectorMaintenanceWindowIfDue(spark, s"$root/v").collect()
+      .map(r => r.getString(0) -> r.getBoolean(10)).toMap
+    assert(v1("ann_codes"), s"epoch-heavy index should act: $v1")
+    val v2 = runVectorMaintenanceWindowIfDue(spark, s"$root/v").collect()
+      .map(r => r.getString(0) -> r.getBoolean(10)).toMap
+    assert(v2.values.forall(_ == false),
+      s"second vector window still acted: $v2")
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+  }
+
   test("unified RTBF: one streamed forget-request tombstones all six " +
     "document stores AND the victim's embedding rows in the vector " +
     "topology, in the same sweep; replay is idempotent") {
