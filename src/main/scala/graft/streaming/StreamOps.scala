@@ -875,28 +875,32 @@ object StreamOps {
     if (Tables.readTombstones(s,
         corpusTombstonePath(s"$root/corpus"), "doc_id").nonEmpty)
       foldCorpusTombstones(s, s"$root/corpus")
-    // (store, deciding health, group fold action)
+    // (store, deciding health, group fold action, group's secondary
+    // manifested tables — folded alongside, so they vacuum whenever
+    // the group acts or their versions would accumulate unbounded)
     val groups = Seq(
       ("winnow", s"$root/winnow/fingerprints", s"$root/winnow/tombstones",
         false, () => {
           graft.ops.TextOps.compactFingerprintEpochs(s, s"$root/winnow"); ()
-        }),
+        }, Nil),
       ("clusters", s"$root/clusters/labels", s"$root/clusters/tombstones",
         true, () => graft.ops.Curation.compactClusterArchive(
-          s, s"$root/clusters")),
+          s, s"$root/clusters"),
+        Seq(s"$root/clusters/sizes")),
       ("tokens", s"$root/tokens/postings", s"$root/tokens/tombstones",
         true, () => {
           graft.ops.TextOps.compactTokenIndexEpochs(s, s"$root/tokens"); ()
-        }),
+        }, Seq(s"$root/tokens/doclen")),
       ("phash", s"$root/phash/hashes", s"$root/phash/tombstones",
         false, () => {
           graft.ops.Multimodal.compactPhashEpochs(s, s"$root/phash"); ()
-        }),
+        }, Nil),
       ("audio", s"$root/audio/hashes", s"$root/audio/tombstones",
         false, () => {
           graft.ops.Multimodal.compactAudioFpEpochs(s, s"$root/audio"); ()
-        }))
-    val rows = groups.flatMap { case (name, path, tomb, bucketed, fold) =>
+        }, Nil))
+    val rows = groups.flatMap {
+      case (name, path, tomb, bucketed, fold, secondaries) =>
       val exists =
         if (bucketed) Tables.bucketedArchiveExists(s, path)
         else Tables.manifestExists(s, path)
@@ -915,7 +919,7 @@ object StreamOps {
         // reclaim their own superseded copies in the staged swap)
         if (vacDue && !bucketed) Tables.vacuumManifested(s, path)
         if (foldDue || vacDue)
-          Seq(tomb).filter(Tables.manifestExists(s, _))
+          (tomb +: secondaries).filter(Tables.manifestExists(s, _))
             .foreach(Tables.vacuumManifested(s, _))
         Some((h.store, h.n_epochs, h.n_live_rows, h.n_tombstones,
           h.manifest_versions, h.n_dead_dirs,
