@@ -986,7 +986,19 @@ object Tables {
     * on disk at every instant; a crash between the renames is
     * recovered by the next call's preamble (aside copy restored when
     * the live dir is missing). Single-writer per maintenance window,
-    * like every fold here. */
+    * like every fold here.
+    *
+    * DELIBERATELY NOT claim-guarded (unlike [[ingestBucketedArchive]]'s
+    * epoch commits): the fold's crash story is the recovery preamble —
+    * the NEXT window's fold restores the aside copy and proceeds —
+    * and an exists→throw claim marker would turn every crashed fold
+    * into an operator page ([[recoverEpochClaim]]-style) for a
+    * situation the preamble already handles safely. The race a claim
+    * would catch (two maintenance windows folding the same archive
+    * concurrently) is precluded by the windows' own scheduling
+    * contract, which every fold in the engine shares; the ingest
+    * claim exists because ingest has many uncoordinated POTENTIAL
+    * writers, folds have exactly one scheduled one. */
   def replaceBucketedArchive(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
     val live = new org.apache.hadoop.fs.Path(path)
