@@ -1920,20 +1920,56 @@ object Similarity {
     * partition level; everything else goes through the post-filter
     * strategy below. */
   private[graft] def buildFilteredIndexTo(s: SparkSession, dir: String,
-                                        idx: String): Unit = {
-    val e = unitCorpus(s, dir).localCheckpoint()
+      idx: String,
+      where: Column = lit(true)): Unit = {
+    val raw = t(s, dir, "embeddings").where(where)
+    val e = unitize(raw.repartition(col("vec_id"))).localCheckpoint()
     val cents = trainedCents(s, dir)
     val resid = residuals(e, cents).localCheckpoint()
     cents.write.mode("overwrite").parquet(s"$idx/centroids")
     val codebook = pqCodebook(resid)
     codebook.write.mode("overwrite").parquet(s"$idx/codebook")
-    val meta = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val meta = raw.select(col("vec_id"), col("label"))
     Tables.writeManifested(
       encodeResiduals(resid, codebook).join(meta, "vec_id")
         .withColumn("ingest_epoch", lit(0L)),
       s"$idx/codes", Seq("ingest_epoch", "label", "cell"))
     Ckpt.release(e); Ckpt.release(resid)
   }
+
+  /** [[ingestVectors]] for the FILTERED-serving index: encode one
+    * batch against the frozen artifacts and land the codes WITH
+    * their metadata label under `(ingest_epoch=epoch, label, cell)`
+    * — replace-or-add, pure function of the frozen artifacts, so a
+    * crash-replay recommits identical rows; the filtered serve
+    * paths (both strategies) pick the new vectors up on their next
+    * codes read, label partitions included. Completes the filtered
+    * index's lifecycle to parity with the plain served index
+    * (build → serve → ingest → delete → fold). */
+  def ingestFilteredVectors(batch: DataFrame, idx: String,
+                            epoch: Long): Unit = {
+    val s = batch.sparkSession
+    val cents = s.read.parquet(s"$idx/centroids")
+    val codebook = s.read.parquet(s"$idx/codebook")
+    val unit = withNorm(batch)
+      .withColumn("nemb", transform(col("emb"), x => x / col("nrm")))
+    val meta = batch.select(col("vec_id"), col("label"))
+    Tables.upsertManifested(
+      encodeResiduals(residuals(unit, cents), codebook)
+        .join(meta, "vec_id")
+        .withColumn("ingest_epoch", lit(epoch)),
+      s"$idx/codes", Seq("ingest_epoch", "label", "cell"),
+      _.startsWith(s"ingest_epoch=$epoch/"))
+    ()
+  }
+
+  /** Epoch fold for the filtered index's code table — the shared
+    * carry rule with the `(label, cell)` sub-partitioning preserved,
+    * so the single-version result restores the selective strategy's
+    * label partition pruning that a many-epoch union fragments. */
+  def compactFilteredIndexEpochs(s: SparkSession, idx: String): Long =
+    Tables.foldManifestedEpochs(s, s"$idx/codes", s"$idx/tombstones",
+      "vec_id", Seq("ingest_epoch", "label", "cell"))
 
   private[ops] def filteredIndex(s: SparkSession, dir: String): String =
     filteredIdxMemo.computeIfAbsent(dir, _ => {

@@ -726,6 +726,83 @@ class SimilaritySpec extends SparkSpec {
       s"filtered ANN fusion diverged from the exact filtered fusion: $perQid")
   }
 
+  test("filtered index lifecycle: an ingested batch merges to the " +
+    "full-corpus encode under the frozen artifacts, replay is " +
+    "idempotent, deletes mask both strategies, and the fold is " +
+    "invisible to serves") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import graft.SparkSpec.spark.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-filtered-life").toString
+    try {
+      // old corpus only (the simAnnIncremental split); artifacts
+      // train on the FULL corpus (frozen-artifact discipline — the
+      // spec pins merge identity under whatever artifacts are frozen)
+      Similarity.buildFilteredIndexTo(spark, sf, idx,
+        where = pmod(col("vec_id"), lit(17)) =!= 3)
+      val batch = spark.read.parquet(s"$sf/embeddings.parquet")
+        .where(pmod(col("vec_id"), lit(17)) === 3)
+      Similarity.ingestFilteredVectors(batch, idx, epoch = 1L)
+      def normed(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("vec_id").cast("long"), col("cell").cast("long"),
+          col("m").cast("int"), col("code").cast("long"),
+          col("label").cast("int")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3), r.getInt(4))).toSet
+      def codes() = normed(graft.io.Tables
+        .readManifested(spark, s"$idx/codes"))
+      val merged = codes()
+      // merge identity: ingested-old+new == one encode of the FULL
+      // corpus under the same frozen artifacts
+      val full = spark.read.parquet(s"$sf/embeddings.parquet")
+      val cents = spark.read.parquet(s"$idx/centroids")
+      val cb = spark.read.parquet(s"$idx/codebook")
+      val expect = normed(Similarity.encodeResiduals(
+          Similarity.residuals(Similarity.unitize(full), cents), cb)
+        .join(full.select(col("vec_id"), col("label")), "vec_id"))
+      assert(merged == expect,
+        "merged filtered index diverges from the full-corpus encode")
+      // replay: identical rows replace-or-add
+      Similarity.ingestFilteredVectors(batch, idx, epoch = 1L)
+      assert(codes() == merged, "ingest replay changed the index")
+
+      // both strategies see (and only see) live vectors; a delete
+      // masks them in the same read
+      def serveSel() = Similarity.filteredServeFrom(spark, sf, idx,
+        col("label") === 3, 0.1, preFilter = true).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val pre = serveSel()
+      val victim = pre.map(_._2).min
+      graft.io.Tables.ingestTombstones(Seq(victim).toDF("vec_id"),
+        s"$idx/tombstones", epoch = 2L)
+      val maskedSel = serveSel()
+      assert(maskedSel.forall(_._2 != victim),
+        "selective strategy served a deleted vector")
+      val maskedBroad = Similarity.filteredServeFrom(spark, sf, idx,
+        pmod(col("label"), lit(2)) === 0, 0.5, preFilter = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(maskedBroad.forall(_._2 != victim),
+        "broad strategy served a deleted vector")
+
+      // fold: serves identical across it, victim physically gone,
+      // epochs collapsed with the (label, cell) layout intact
+      Similarity.compactFilteredIndexEpochs(spark, idx)
+      assert(serveSel().sameElements(maskedSel),
+        "the fold changed the selective serve")
+      val ids = graft.io.Tables.readManifested(spark, s"$idx/codes")
+        .select("vec_id").distinct().as[Long].collect().toSet
+      assert(!ids.contains(victim), "fold left the deleted codes")
+      // and the selective plan still partition-prunes on label
+      val plan = Similarity.filteredServeFrom(spark, sf, idx,
+          col("label") === 3, 0.1, preFilter = true)
+        .queryExecution.executedPlan.toString
+      assert(raw"PartitionFilters: \[[^\]]*label[^\]]*=\s*3".r
+        .findFirstIn(plan).isDefined,
+        s"post-fold selective scan lost its label pruning:\n$plan")
+    } finally org.apache.hadoop.fs.FileUtil.fullyDelete(
+      new java.io.File(idx))
+  }
+
   test("filtered ANN: every neighbor satisfies the predicate, " +
     "recall@5 >= 0.6 vs the exact FILTERED brute force at both " +
     "selectivities and two corpus sizes, and the selective strategy " +
