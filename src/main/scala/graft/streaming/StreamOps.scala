@@ -682,6 +682,11 @@ object StreamOps {
       .foreachBatch { (b: DataFrame, epoch: Long) =>
         val e = epoch + 1
         graft.ops.Similarity.ingestVectors(b, s"$root/ann", e)
+        // optional third store: a FILTERED-serving index at
+        // `root/fann` joins the topology the moment its one-time
+        // build exists — same epoch, same replay contract
+        if (Tables.manifestExists(b.sparkSession, s"$root/fann/codes"))
+          graft.ops.Similarity.ingestFilteredVectors(b, s"$root/fann", e)
         graft.ops.Similarity
           .dedupSemanticIncrementalFrom(b, s"$root/sem", e,
             writerId = Some(checkpoint))
@@ -726,6 +731,8 @@ object StreamOps {
         val keys = b.select(col("vec_id")).localCheckpoint()
         Tables.ingestTombstones(keys, s"$root/ann/tombstones", e)
         Tables.ingestTombstones(keys, s"$root/sem/tombstones", e)
+        if (Tables.manifestExists(b.sparkSession, s"$root/fann/codes"))
+          Tables.ingestTombstones(keys, s"$root/fann/tombstones", e)
         graft.ops.Ckpt.release(keys)
         ()
       }
@@ -774,6 +781,8 @@ object StreamOps {
           .localCheckpoint()
         Tables.ingestTombstones(vkeys, s"$vecRoot/ann/tombstones", e)
         Tables.ingestTombstones(vkeys, s"$vecRoot/sem/tombstones", e)
+        if (Tables.manifestExists(b.sparkSession, s"$vecRoot/fann/codes"))
+          Tables.ingestTombstones(vkeys, s"$vecRoot/fann/tombstones", e)
         graft.ops.Ckpt.release(keys)
         graft.ops.Ckpt.release(vkeys)
         ()
@@ -945,6 +954,11 @@ object StreamOps {
         false, () => {
           graft.ops.Similarity.compactIndexEpochs(s, s"$root/ann"); ()
         }),
+      ("fann_codes", s"$root/fann/codes", s"$root/fann/tombstones",
+        false, () => {
+          graft.ops.Similarity.compactFilteredIndexEpochs(
+            s, s"$root/fann"); ()
+        }),
       ("sem_assigned", s"$root/sem/assigned", s"$root/sem/tombstones",
         true, () => {
           Tables.foldBucketedEpochs(s, s"$root/sem/assigned",
@@ -993,14 +1007,18 @@ object StreamOps {
     import s.implicits._
     if (Tables.manifestExists(s, s"$root/ann/codes"))
       graft.ops.Similarity.compactIndexEpochs(s, s"$root/ann")
+    if (Tables.manifestExists(s, s"$root/fann/codes"))
+      graft.ops.Similarity.compactFilteredIndexEpochs(s, s"$root/fann")
     if (Tables.bucketedArchiveExists(s, s"$root/sem/assigned"))
       Tables.foldBucketedEpochs(s, s"$root/sem/assigned",
         s"$root/sem/tombstones", "vec_id")
     val stores = Seq(
-      "ann_codes" -> s"$root/ann/codes")
+      "ann_codes" -> s"$root/ann/codes",
+      "fann_codes" -> s"$root/fann/codes")
       .filter { case (_, p) => Tables.manifestExists(s, p) }
     stores.foreach { case (_, p) => Tables.vacuumManifested(s, p) }
-    Seq(s"$root/ann/tombstones", s"$root/sem/tombstones")
+    Seq(s"$root/ann/tombstones", s"$root/sem/tombstones",
+        s"$root/fann/tombstones")
       .filter(Tables.manifestExists(s, _))
       .foreach(Tables.vacuumManifested(s, _))
     // the assignment archive is vec_id-bucketed (no pointer; its

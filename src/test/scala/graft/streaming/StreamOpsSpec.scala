@@ -1349,6 +1349,9 @@ class StreamOpsSpec extends SparkSpec {
     // one-time builds: ANN index over the real sf0.001 corpus, sem
     // archive over the planted two-cell geometry
     graft.ops.Similarity.buildIndexTo(spark, sf, s"$root/ann")
+    // optional third store: the filtered-serving index joins the
+    // topology because its build exists before the stream runs
+    graft.ops.Similarity.buildFilteredIndexTo(spark, sf, s"$root/fann")
     graft.ops.Similarity.buildSemDedupArchiveTo(
       Seq((10L, pad(Seq(3.0, 4.0))), (20L, pad(Seq(4.0, 3.0))))
         .toDF("vec_id", "embedding"),
@@ -1377,6 +1380,14 @@ class StreamOpsSpec extends SparkSpec {
       .select("vec_id").distinct().as[Long].collect().toSet
     assert(Set(2000L, 2001L).subsetOf(codeIds()),
       "streamed vectors missing from the ANN code table")
+    // the filtered leg landed the same batch WITH its labels
+    val fannRows = graft.io.Tables
+      .readManifested(spark, s"$root/fann/codes")
+      .where(col("vec_id") >= 2000L)
+      .select(col("vec_id"), col("label").cast("int")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fannRows == Map(2000L -> 0, 2001L -> 0),
+      s"filtered index missed the streamed batch: $fannRows")
     // leg 2: verdicts landed per epoch
     def verdicts() = spark.read.parquet(s"$root/sem_verdicts")
       .select("vec_id", "is_dup").collect()
@@ -1418,6 +1429,13 @@ class StreamOpsSpec extends SparkSpec {
       .map(_.as[Long].collect().toSet).getOrElse(Set.empty)
     assert(semTombs == Set(2000L),
       s"sem archive tombstones: $semTombs")
+    // ...and the filtered index's masked read in the same sweep
+    val fannLive = graft.io.Tables.minusTombstones(
+        graft.io.Tables.readManifested(spark, s"$root/fann/codes"),
+        s"$root/fann/tombstones", "vec_id")
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(!fannLive.contains(2000L),
+      "filtered index still serves the deleted vector")
 
     // the vector maintenance window: both folds + vacuums in one
     // entry point — serve path identical across the sweep, counters
@@ -1429,7 +1447,7 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     val vh = runVectorMaintenanceWindow(spark, root).collect()
       .map(r => r.getString(0) -> (r.getInt(4), r.getInt(5))).toMap
-    assert(vh.keySet == Set("ann_codes", "sem_assigned"),
+    assert(vh.keySet == Set("ann_codes", "fann_codes", "sem_assigned"),
       s"vector health stores: ${vh.keySet}")
     vh.foreach { case (store, (versions, deadDirs)) =>
       assert(versions == 1 && deadDirs == 0,
