@@ -337,6 +337,17 @@ object Tables {
       s"manifest v$version at $path was committed by another writer — " +
         "re-read the current manifest and retry the commit")
 
+  /** Schemes whose rename refuses an existing destination — the
+    * property the non-local [[publishExclusive]] branch stands on.
+    * Object-store connectors (s3a, gs, abfs…) emulate rename as
+    * copy+delete with NO exclusivity, which would silently degrade
+    * the manifest CAS and the epoch-claim mutual exclusion to
+    * best-effort check-then-rename; the one-time warning below makes
+    * that degradation loud instead of latent. */
+  private val ExclusiveRenameSchemes = Set("hdfs", "viewfs")
+  private val warnedSchemes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Atomically publish a fully-written `tmp` file at `dest`,
     * failing if `dest` already exists — the single primitive every
     * CAS commit here stands on. On the local filesystem a Hadoop
@@ -346,7 +357,9 @@ object Tables {
     * destination exists and otherwise makes the complete file
     * visible in one syscall. On HDFS (and object-store connectors
     * with HDFS rename semantics) rename itself refuses an existing
-    * destination, so the plain rename is already exclusive.
+    * destination, so the plain rename is already exclusive — schemes
+    * WITHOUT that guarantee (S3A and friends rename by copy+delete)
+    * get a one-time loud warning that CAS is best-effort there.
     * Returns true on success, false when `dest` already existed
     * (the CAS lost); `tmp` is consumed either way. */
   private[graft] def publishExclusive(fs: org.apache.hadoop.fs.FileSystem,
@@ -366,6 +379,16 @@ object Tables {
       fs.delete(tmp, false)
       won
     } else {
+      val scheme = fs.getScheme
+      if (!ExclusiveRenameSchemes.contains(scheme) &&
+          warnedSchemes.add(scheme))
+        org.slf4j.LoggerFactory.getLogger("graft.io.Tables").warn(
+          s"publishExclusive on scheme '$scheme': rename is not known " +
+            "to refuse an existing destination, so CAS commits and " +
+            "epoch claims degrade to best-effort check-then-rename — " +
+            "use an FS with exclusive-rename semantics " +
+            s"(${ExclusiveRenameSchemes.mkString("/")}) or local file " +
+            "for correctness under concurrent writers")
       // HDFS-semantics rename: fails (returns false) if dest exists
       if (fs.exists(dest)) { fs.delete(tmp, false); false }
       else if (fs.rename(tmp, dest)) true
@@ -786,8 +809,19 @@ object Tables {
       buf.toString("UTF-8")
     } finally in.close()
     // line 5 (the sizing note) is documentation, not configuration
-    val Array(key, n, pcs, ddl) = body.split("\n", 5).take(4)
-    (key, n.toInt, pcs.split(",").toSeq, StructType.fromDDL(ddl))
+    val lines = body.split("\n", 5)
+    if (lines.length >= 4)
+      (lines(0), lines(1).toInt, lines(2).split(",").toSeq,
+        StructType.fromDDL(lines(3)))
+    else if (lines.length == 3)
+      // pre-partCols sidecar (key/buckets/DDL): those archives were
+      // all epoch-only layouts, so the historical default applies
+      (lines(0), lines(1).toInt, Seq("ingest_epoch"),
+        StructType.fromDDL(lines(2)))
+    else
+      throw new IllegalStateException(
+        s"unreadable bucket spec at $path (${lines.length} lines) — " +
+          "rebuild this archive via writeBucketedArchive")
   }
 
   /** Register the catalog entry for an on-disk bucketed archive if
@@ -913,6 +947,68 @@ object Tables {
     ()
   }
 
+  /** Thrown when a maintenance window finds its topology root LEASED
+    * by another window. Folds are deliberately not claim-guarded per
+    * archive (their staged-swap crash story is the recovery
+    * preamble), which leaves one race the scheduling contract alone
+    * was carrying: two concurrently-scheduled WINDOWS folding the
+    * same topology could interleave staged swaps silently. The
+    * window-level lease makes that contract a mechanism — one claim
+    * per topology root, held for the whole sweep. */
+  final class MaintenanceLeaseException(root: String, holder: String)
+    extends RuntimeException(
+      s"maintenance window at $root is leased by '$holder' — another " +
+        "window is mid-sweep on this topology, or a previous one " +
+        "crashed; if the holder is confirmed dead, run " +
+        "Tables.recoverMaintenanceLease and retry")
+
+  private[graft] def maintenanceLeasePath(root: String) =
+    new org.apache.hadoop.fs.Path(root, "_graft_window_lease")
+
+  /** Atomically lease a topology root's maintenance window
+    * ([[publishExclusive]] — the epoch-claim discipline one level
+    * up): of two concurrently-scheduled windows exactly one
+    * proceeds, the other throws [[MaintenanceLeaseException]]
+    * naming the holder. A lease already held by OUR OWN `holderId`
+    * is re-entered (a crashed window's scheduler retrying under its
+    * stable identity); the lease releases when the window completes
+    * (success or in-JVM failure), so only a process crash leaves it
+    * held — and then [[recoverMaintenanceLease]] is the documented,
+    * deliberately-loud operator recovery. */
+  private[graft] def claimMaintenanceWindow(spark: SparkSession,
+      root: String, holderId: String): Unit = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = fsFor(spark, rootP)
+    if (!fs.exists(rootP)) fs.mkdirs(rootP)
+    val lease = maintenanceLeasePath(root)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"._lease_tmp_${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(holderId.getBytes("UTF-8")) finally out.close()
+    if (!publishExclusive(fs, tmp, lease)) {
+      val holder =
+        try readSmallFile(fs, lease)
+        catch { case _: java.io.IOException => "<unreadable>" }
+      if (holder != holderId)
+        throw new MaintenanceLeaseException(root, holder)
+      // our own previous (crashed) window — re-enter the lease
+    }
+  }
+
+  private[graft] def releaseMaintenanceWindow(spark: SparkSession,
+                                              root: String): Unit = {
+    val lease = maintenanceLeasePath(root)
+    fsFor(spark, lease).delete(lease, false)
+    ()
+  }
+
+  /** Clear a crashed window's topology lease — the
+    * [[recoverEpochClaim]] contract at window scope: OPERATOR action,
+    * only after confirming the holder named by
+    * [[MaintenanceLeaseException]] is dead. */
+  def recoverMaintenanceLease(spark: SparkSession, root: String): Unit =
+    releaseMaintenanceWindow(spark, root)
+
   /** Commit ONE epoch into a bucketed archive, replace-or-add: the
     * epoch's partitions (catalog entries + directory) are dropped
     * first, so a crash-replay rewrites exactly its own partition —
@@ -978,6 +1074,40 @@ object Tables {
     * top; both preserve the scan's output partitioning). */
   def readBucketedArchive(spark: SparkSession, path: String): DataFrame =
     spark.table(ensureBucketedRegistered(spark, path))
+
+  /** High-water ingest epoch of an epoch-partitioned frame, read
+    * NULLABLE: -1 for an archive with no live rows (every fold here
+    * treats that as a no-op instead of NPEing on `max() = NULL`). */
+  private[graft] def maxIngestEpoch(df: DataFrame): Long = {
+    val row = df.agg(
+      org.apache.spark.sql.functions.max(col("ingest_epoch"))
+        .cast("long")).head()
+    if (row.isNullAt(0)) -1L else row.getLong(0)
+  }
+
+  /** Reclaim a bucketed archive's fold scratch siblings
+    * (`.fold_tmp` / `.fold_old`) — the vacuum verb for the bucketed
+    * layout, where dead mass is a crashed staged swap's leftovers
+    * rather than superseded manifest versions. Only safe while the
+    * LIVE directory exists: a missing live dir means the crash
+    * happened mid-swap and `.fold_old` IS the recovery copy
+    * ([[replaceBucketedArchive]]'s preamble restores it), so this
+    * sweeps nothing and leaves recovery to the next fold. Returns
+    * the number of scratch dirs removed. */
+  private[graft] def sweepBucketedScratch(spark: SparkSession,
+                                          path: String): Int = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, live)
+    if (!fs.exists(live)) 0
+    else Seq(".fold_tmp", ".fold_old").count { suf =>
+      val p = new org.apache.hadoop.fs.Path(path + suf)
+      fs.exists(p) && {
+        // a crashed fold can also leave the staged table registered
+        spark.sql(s"DROP TABLE IF EXISTS `${bucketedArchName(path + suf)}`")
+        fs.delete(p, true)
+      }
+    }
+  }
 
   /** Full-rewrite maintenance (the epoch FOLD): stage the rewritten
     * archive as a complete bucketed table at a scratch sibling, then
@@ -1117,6 +1247,12 @@ object Tables {
     require(partCols.headOption.contains("ingest_epoch"),
       "foldManifestedEpochs needs ingest_epoch as the first level")
     val (_, parts) = resolveManifest(s, path)
+    // an archive whose every row was physically deleted (full-corpus
+    // RTBF followed by a fold, or clearManifested) has no partitions:
+    // nothing to fold, and its tombstones stay — an empty archive has
+    // no replayable newest epoch to decide a carry against, so
+    // retiring them here could let a later epoch replay resurrect
+    if (parts.isEmpty) return -1L
     val maxE = parts.keys
       .map(_.takeWhile(_ != '/').stripPrefix("ingest_epoch=").toLong).max
     val tomb = readTombstones(s, tombPath, keyCol)
@@ -1157,9 +1293,11 @@ object Tables {
   private[graft] def foldBucketedEpochs(s: SparkSession, path: String,
       tombPath: String, keyCol: String): Long = {
     val arch = readBucketedArchive(s, path)
-    val maxE = arch.agg(
-      org.apache.spark.sql.functions.max(col("ingest_epoch")).cast("long"))
-      .head().getLong(0)
+    // max() over an archive whose rows were all physically deleted is
+    // NULL — an empty archive is a fold no-op ([[maxIngestEpoch]]'s
+    // -1), not an NPE at the next maintenance window
+    val maxE = maxIngestEpoch(arch)
+    if (maxE < 0L) return -1L
     val tomb = readTombstones(s, tombPath, keyCol)
     if (maxE <= 0L && tomb.isEmpty) return -1L
     val preNewest = arch

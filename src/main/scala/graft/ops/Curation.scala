@@ -539,8 +539,9 @@ object Curation {
                                       idx: String): Long = {
     val path = s"$idx/labels"
     val arch = Tables.readBucketedArchive(s, path)
-    val maxE = arch.agg(max(col("ingest_epoch")).cast("long"))
-      .head().getLong(0)
+    // nullable read: an archive emptied by a full-corpus RTBF + fold
+    // has max() = NULL, and the next window's fold must no-op, not NPE
+    val maxE = Tables.maxIngestEpoch(arch)
     if (maxE <= 0L) return -1L
     // label epochs are UPDATES: the fold materializes latest-per-doc
     // (exchange-free off the doc_id-bucketed scan) as the sole base

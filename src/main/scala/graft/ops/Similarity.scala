@@ -1013,7 +1013,9 @@ object Similarity {
         Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("__dup"), lit(false)).as("is_dup"),
-        !coalesce(col("__dup"), lit(false)).as("keep"))
+        // parenthesized: `!x.as("keep")` negates the ALIASED column
+        // and the alias is lost to an auto-generated name
+        (!coalesce(col("__dup"), lit(false))).as("keep"))
       .orderBy("vec_id")
   }
 

@@ -1779,8 +1779,11 @@ object TextOps {
   private[graft] def compactTokenIndexEpochs(s: SparkSession,
                                              idx: String): Long = {
     val tombPath = s"$idx/tombstones"
-    val maxE = Tables.readBucketedArchive(s, s"$idx/postings")
-      .agg(max(col("ingest_epoch")).cast("long")).head().getLong(0)
+    // nullable read: a postings archive emptied by a full-corpus RTBF
+    // + fold has max() = NULL — the fold no-ops instead of NPEing
+    val maxE = Tables.maxIngestEpoch(
+      Tables.readBucketedArchive(s, s"$idx/postings"))
+    if (maxE < 0L) return -1L
     val tomb = Tables.readTombstones(s, tombPath, "doc_id")
     if (maxE <= 0L && tomb.isEmpty) return -1L
     // pre-fold doclen snapshot: reader isolation pins its partition

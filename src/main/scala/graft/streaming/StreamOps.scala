@@ -750,18 +750,24 @@ object StreamOps {
     * epoch. A real forget request names a DOCUMENT; its embedding
     * rows live in different stores under a different key space, and
     * two separate delete streams is exactly how one of them gets
-    * missed. The doc→vec key mapping defaults to the engine's
-    * doc-embedding id convention (documents and embeddings share the
-    * id space — the convention `q_retrieval_fused`'s legs rely on);
-    * a deployment with a different scheme passes its own column
-    * mapping. Same replay contract as every delete leg: deletion is
+    * missed. The doc→vec key mapping is `docVecMap`, a
+    * (doc_id, vec_id) DataFrame — 1:N by nature, because the
+    * production shape is one document fanning out to N chunk
+    * embeddings, and a scalar column mapping cannot express it (a
+    * forget-request must take ALL the chunks with it). It defaults
+    * to the engine's doc-embedding id convention (documents and
+    * embeddings share the id space — the convention
+    * `q_retrieval_fused`'s legs rely on, i.e. the identity 1:1
+    * mapping); `docToVec` remains for 1:1 key-arithmetic schemes.
+    * Same replay contract as every delete leg: deletion is
     * idempotent, a crashed micro-batch recommits identical keys,
     * and every read view masks immediately while each store's own
     * fold makes the removal physical. */
   def runUnifiedForgetStream(ids: DataFrame, docRoot: String,
       vecRoot: String, checkpoint: String,
       docToVec: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        identity): Unit = {
+        identity,
+      docVecMap: Option[DataFrame] = None): Unit = {
     val q = ids.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -776,9 +782,17 @@ object StreamOps {
         Tables.ingestTombstones(keys, s"$docRoot/phash/tombstones", e)
         Tables.ingestTombstones(keys, s"$docRoot/audio/tombstones", e)
         Tables.ingestTombstones(keys, s"$docRoot/clusters/tombstones", e)
-        // vector topology — the same request's embedding rows
-        val vkeys = keys.select(docToVec(col("doc_id")).as("vec_id"))
-          .localCheckpoint()
+        // vector topology — the same request's embedding rows: the
+        // batch of doc keys joins the mapping (equi-join on doc_id;
+        // the batch side is tiny, so AQE broadcasts it against a
+        // mapping of any size), fanning each doc out to ALL its
+        // chunk vec_ids; the scalar fallback keeps 1:1 schemes
+        val vkeys = (docVecMap match {
+          case Some(m) => keys
+            .join(m.select(col("doc_id"), col("vec_id")), Seq("doc_id"))
+            .select(col("vec_id")).distinct()
+          case None => keys.select(docToVec(col("doc_id")).as("vec_id"))
+        }).localCheckpoint()
         Tables.ingestTombstones(vkeys, s"$vecRoot/ann/tombstones", e)
         Tables.ingestTombstones(vkeys, s"$vecRoot/sem/tombstones", e)
         if (Tables.manifestExists(b.sparkSession, s"$vecRoot/fann/codes"))
@@ -793,6 +807,20 @@ object StreamOps {
   }
 
   // ---------- The maintenance window ----------
+
+  /** One topology-root lease held across a whole maintenance window
+    * ([[graft.io.Tables.claimMaintenanceWindow]]): the
+    * single-writer-per-window contract every fold documents, as a
+    * MECHANISM — two concurrently-scheduled windows on the same root
+    * are loud (the second throws, naming the holder) instead of
+    * racing staged swaps; a scheduler retrying its own crashed
+    * window re-enters under its stable `holderId`; a single
+    * scheduler sees zero behavior change (claim, sweep, release). */
+  private def withWindowLease[T](s: SparkSession, root: String,
+                                 holderId: String)(body: => T): T = {
+    Tables.claimMaintenanceWindow(s, root, holderId)
+    try body finally Tables.releaseMaintenanceWindow(s, root)
+  }
 
   /** The front door's MAINTENANCE WINDOW as one entry point — the
     * scheduled job that runs between streaming windows under the
@@ -814,7 +842,9 @@ object StreamOps {
     * itself). StreamOpsSpec pins: every read view byte-identical
     * across the sweep, every store's version/dead-dir counters
     * reset, epoch layers collapsed. */
-  def runMaintenanceWindow(s: SparkSession, root: String): DataFrame = {
+  def runMaintenanceWindow(s: SparkSession, root: String,
+      holderId: String = java.util.UUID.randomUUID.toString): DataFrame =
+      withWindowLease(s, root, holderId) {
     import s.implicits._
     foldCorpusTombstones(s, s"$root/corpus")
     if (Tables.manifestExists(s, s"$root/winnow/fingerprints"))
@@ -879,7 +909,9 @@ object StreamOps {
     * (epoch layers collapse), quiescent stores keep their manifest
     * version untouched, and the returned decisions match what
     * happened. */
-  def runMaintenanceWindowIfDue(s: SparkSession, root: String): DataFrame = {
+  def runMaintenanceWindowIfDue(s: SparkSession, root: String,
+      holderId: String = java.util.UUID.randomUUID.toString): DataFrame =
+      withWindowLease(s, root, holderId) {
     import s.implicits._
     if (Tables.readTombstones(s,
         corpusTombstonePath(s"$root/corpus"), "doc_id").nonEmpty)
@@ -924,9 +956,15 @@ object StreamOps {
         val (foldDue, foldReason, vacDue, vacReason) =
           graft.ops.ScaleOps.maintenanceDue(h)
         if (foldDue) fold()
-        // vacuum applies to manifested pointers only (bucketed folds
-        // reclaim their own superseded copies in the staged swap)
-        if (vacDue && !bucketed) Tables.vacuumManifested(s, path)
+        // vacuum: manifested stores reclaim superseded versions; a
+        // bucketed store's only reclaimable dead mass is crashed-fold
+        // scratch (.fold_tmp/.fold_old), which nothing but this sweep
+        // or a future fold's preamble would ever remove — without it
+        // the vacuum_due flag stays latched and every window re-acts
+        if (vacDue) {
+          if (bucketed) Tables.sweepBucketedScratch(s, path)
+          else Tables.vacuumManifested(s, path)
+        }
         if (foldDue || vacDue)
           (tomb +: secondaries).filter(Tables.manifestExists(s, _))
             .foreach(Tables.vacuumManifested(s, _))
@@ -946,8 +984,9 @@ object StreamOps {
     * the ANN code table (manifested; fold = compactIndexEpochs) and
     * the SemDeDup assignment archive (vec_id-bucketed; fold =
     * foldBucketedEpochs). A quiescent index is not rewritten. */
-  def runVectorMaintenanceWindowIfDue(s: SparkSession,
-                                      root: String): DataFrame = {
+  def runVectorMaintenanceWindowIfDue(s: SparkSession, root: String,
+      holderId: String = java.util.UUID.randomUUID.toString): DataFrame =
+      withWindowLease(s, root, holderId) {
     import s.implicits._
     val groups = Seq(
       ("ann_codes", s"$root/ann/codes", s"$root/ann/tombstones",
@@ -979,7 +1018,12 @@ object StreamOps {
         val (foldDue, foldReason, vacDue, vacReason) =
           graft.ops.ScaleOps.maintenanceDue(h)
         if (foldDue) fold()
-        if (vacDue && !bucketed) Tables.vacuumManifested(s, path)
+        // bucketed vacuum = sweep crashed-fold scratch (see the doc
+        // topology window above for why skipping it latches the flag)
+        if (vacDue) {
+          if (bucketed) Tables.sweepBucketedScratch(s, path)
+          else Tables.vacuumManifested(s, path)
+        }
         if (foldDue || vacDue)
           Seq(tomb).filter(Tables.manifestExists(s, _))
             .foreach(Tables.vacuumManifested(s, _))
@@ -1002,8 +1046,9 @@ object StreamOps {
     * vacuum both plus their tombstone tables, and return the
     * post-sweep health rows. Same single-writer-window contract;
     * stores that never bootstrapped are skipped. */
-  def runVectorMaintenanceWindow(s: SparkSession,
-                                 root: String): DataFrame = {
+  def runVectorMaintenanceWindow(s: SparkSession, root: String,
+      holderId: String = java.util.UUID.randomUUID.toString): DataFrame =
+      withWindowLease(s, root, holderId) {
     import s.implicits._
     if (Tables.manifestExists(s, s"$root/ann/codes"))
       graft.ops.Similarity.compactIndexEpochs(s, s"$root/ann")

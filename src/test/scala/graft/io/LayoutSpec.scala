@@ -750,4 +750,98 @@ class LayoutSpec extends SparkSpec {
     } finally org.apache.hadoop.fs.FileUtil.fullyDelete(
       new java.io.File(path).getParentFile)
   }
+
+  test("bucket-spec migration: a legacy 3-line sidecar reads with the " +
+    "historical epoch-only partCols; a garbled one fails loudly") {
+    import graft.SparkSpec.spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bspec-mig").toString
+    val path = s"$root/arch"
+    try {
+      val df = (0L until 40L).map(i => (i, s"k${i % 7}", 0L))
+        .toDF("doc_id", "key", "ingest_epoch")
+      Tables.writeBucketedArchive(df, path, "key", 4)
+      // rewrite the sidecar in the PRE-partCols format (key/buckets/
+      // DDL) — what an archive written before the layout change
+      // carries on disk
+      val (key, buckets, _, schema) = Tables.readBucketSpec(spark, path)
+      val sidecar = new org.apache.hadoop.fs.Path(path, "_graft_bucketspec")
+      val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def rewrite(body: String): Unit = {
+        val out = fs.create(sidecar, true)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+      }
+      rewrite(s"$key\n$buckets\n${schema.toDDL}")
+      val (k2, b2, pcs2, sch2) = Tables.readBucketSpec(spark, path)
+      assert(k2 == key && b2 == buckets && sch2 == schema,
+        "legacy sidecar did not round-trip key/buckets/schema")
+      assert(pcs2 == Seq("ingest_epoch"),
+        s"legacy sidecar must default to epoch-only partCols, got $pcs2")
+      // a fresh catalog re-registers from the legacy sidecar and reads
+      spark.sql(s"DROP TABLE IF EXISTS `${Tables.bucketedArchName(path)}`")
+      assert(Tables.readBucketedArchive(spark, path).count() == 40L,
+        "legacy-sidecar archive unreadable after re-registration")
+      // garbled sidecar (too few lines): loud, actionable failure
+      rewrite("key\n4")
+      val ex = intercept[IllegalStateException] {
+        Tables.readBucketSpec(spark, path)
+      }
+      assert(ex.getMessage.contains("rebuild"),
+        s"garbled sidecar error not actionable: ${ex.getMessage}")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `${Tables.bucketedArchName(path)}`")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    }
+  }
+
+  test("emptied archives: folds no-op (max epoch is NULL, not an NPE) " +
+    "and the scratch sweep reclaims crashed-fold leftovers without " +
+    "touching a recovery copy") {
+    import graft.SparkSpec.spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-empty-fold").toString
+    val path = s"$root/arch"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val df = (0L until 30L).map(i => (i, s"k${i % 5}", 0L))
+        .toDF("doc_id", "key", "ingest_epoch")
+      Tables.writeBucketedArchive(df, path, "key", 4)
+      // full-corpus RTBF: tombstone every key, fold it physical —
+      // the archive is now EMPTY (zero live partitions)
+      Tables.ingestTombstones((0L until 30L).toDF("doc_id"),
+        s"$root/tomb", epoch = 1L)
+      Tables.foldBucketedEpochs(spark, path, s"$root/tomb", "doc_id")
+      assert(Tables.readBucketedArchive(spark, path).count() == 0L,
+        "full-corpus fold left live rows")
+      // the NEXT maintenance window's fold must be a -1 no-op
+      assert(Tables.foldBucketedEpochs(
+        spark, path, s"$root/tomb", "doc_id") == -1L,
+        "fold over an emptied archive must no-op")
+
+      // crashed-fold scratch next to a LIVE archive: sweep reclaims it
+      fs.mkdirs(new org.apache.hadoop.fs.Path(path + ".fold_tmp"))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(path + ".fold_old"))
+      assert(Tables.sweepBucketedScratch(spark, path) == 2,
+        "sweep must reclaim both scratch dirs")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".fold_tmp"))
+        && !fs.exists(new org.apache.hadoop.fs.Path(path + ".fold_old")),
+        "scratch dirs survived the sweep")
+
+      // crash mid-swap (live dir missing, .fold_old IS the archive):
+      // the sweep must NOT delete the recovery copy
+      require(fs.rename(new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.fs.Path(path + ".fold_old")))
+      assert(Tables.sweepBucketedScratch(spark, path) == 0,
+        "sweep deleted a mid-swap recovery copy")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(path + ".fold_old")),
+        "recovery copy gone after sweep")
+      // restore live for cleanup symmetry
+      require(fs.rename(new org.apache.hadoop.fs.Path(path + ".fold_old"),
+        new org.apache.hadoop.fs.Path(path)))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `${Tables.bucketedArchName(path)}`")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    }
+  }
 }

@@ -1849,4 +1849,136 @@ class StreamOpsSpec extends SparkSpec {
       tombs(s"$vroot/ann/tombstones", "vec_id") == Set(1L, victim),
       "re-landed forget request changed the masked state")
   }
+
+  test("unified RTBF 1:N mapping: one forget-request for a doc with " +
+    "three chunk embeddings masks all three in the ANN serve path AND " +
+    "the SemDeDup witness probe in the same sweep; replay idempotent") {
+    import spark.implicits._
+    val root0 = java.nio.file.Files.createTempDirectory("graft-fanout")
+    val droot = root0.resolve("docs").toString
+    val vroot = root0.resolve("vecs").toString
+    def pad(v: Seq[Double]): Seq[Double] = v ++ Seq.fill(62)(0.0)
+    def mkTxt(p: String) = (0 until 60).map(i => s"$p$i").mkString(" ")
+    ingestBatch(
+      Seq((777L, mkTxt("w"), "en", "srcW", 300L),
+        (778L, mkTxt("x"), "en", "srcW", 300L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      0L, s"$droot/corpus")
+    graft.ops.Similarity.buildIndexTo(spark, sf, s"$vroot/ann")
+    def served() = graft.ops.Similarity
+      .serveFrom(spark, sf, s"$vroot/ann")
+      .select("neighbor_id").as[Long].collect().toSet
+    // doc 777's three chunk embeddings: vectors the index currently
+    // SERVES as neighbors — all three must disappear in one sweep
+    val chunks = served().toSeq.sorted.take(3)
+    assert(chunks.size == 3, "need three served chunk vectors")
+    // sem archive containing the three chunks (cell 0) plus an
+    // innocent bystander (cell 1)
+    graft.ops.Similarity.buildSemDedupArchiveTo(
+      (chunks.map(v => (v, pad(Seq(5.0, 0.0)))) :+
+        ((4000L, pad(Seq(0.0, 5.0)))))
+        .toDF("vec_id", "embedding"),
+      Seq((0L, pad(Seq(1.0, 0.0))), (1L, pad(Seq(0.0, 1.0))))
+        .toDF("cent_id", "cemb"),
+      s"$vroot/sem")
+    // ONE forget request: doc 777, fanned to its three chunks by the
+    // 1:N mapping frame (the production doc→chunk shape)
+    val mapping = chunks.map(v => (777L, v)).toDF("doc_id", "vec_id")
+    val stage = s"${root0.toString}/stage"
+    new java.io.File(stage).mkdirs()
+    Seq(777L).toDF("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(root0.resolve("tmp").toString)
+    val part = new java.io.File(root0.resolve("tmp").toString)
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$stage/f1.parquet"))
+    runUnifiedForgetStream(
+      spark.readStream.schema("doc_id LONG").parquet(stage),
+      droot, vroot, s"${root0.toString}/ckpt", docVecMap = Some(mapping))
+    // doc side: 777 masked everywhere
+    assert(corpusView(spark, s"$droot/corpus")
+      .select("doc_id").as[Long].collect().toSet == Set(778L),
+      "corpus still serves the forgotten doc")
+    // ANN serve path: none of the three chunks ever returned again
+    val post = served()
+    assert(chunks.forall(!post.contains(_)),
+      s"ANN still serves a forgotten chunk: ${chunks.filter(post)}")
+    // sem tombstones carry exactly the fan-out
+    def semTombs() = graft.io.Tables
+      .readTombstones(spark, s"$vroot/sem/tombstones", "vec_id")
+      .map(_.as[Long].collect().toSet).getOrElse(Set.empty)
+    assert(semTombs() == chunks.toSet,
+      s"sem tombstones != chunk fan-out: ${semTombs()}")
+    // witness probe, same sweep: a new vector identical to a masked
+    // chunk is KEPT (its would-be witness is forgotten), while one
+    // identical to the bystander is still caught as a dup
+    val verdicts = graft.ops.Similarity.dedupSemanticIncrementalFrom(
+      Seq((9001L, pad(Seq(5.0, 0.0))), (9002L, pad(Seq(0.0, 5.0))))
+        .toDF("vec_id", "embedding"),
+      s"$vroot/sem", epoch = 5L)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(verdicts(9001L),
+      "witness probe still dropped against a forgotten chunk")
+    assert(!verdicts(9002L),
+      "witness probe lost an unforgotten witness")
+    // replay: re-landing the same forget request is idempotent
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$stage/f2.parquet"))
+    runUnifiedForgetStream(
+      spark.readStream.schema("doc_id LONG").parquet(stage),
+      droot, vroot, s"${root0.toString}/ckpt", docVecMap = Some(mapping))
+    assert(served() == post && semTombs() == chunks.toSet,
+      "re-landed 1:N forget request changed the masked state")
+    org.apache.hadoop.fs.FileUtil.fullyDelete(root0.toFile)
+  }
+
+  test("maintenance-window lease: an overlapping window throws naming " +
+    "the holder, the same holder re-enters after a crash, and a " +
+    "single scheduler sees no behavior change") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-lease").toString
+    def mk(p: String) = (0 until 12).map(i => s"$p$i").mkString(" ")
+    // one real store so the window has work to decide over
+    graft.ops.TextOps.buildWinnowIndexTo(
+      Seq((1L, mk("a")), (2L, mk("b"))).toDF("doc_id", "text"),
+      s"$root/winnow")
+    val leaseFile = graft.io.Tables.maintenanceLeasePath(root)
+    val fs = leaseFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // overlap: window-A holds the lease; window-B is LOUD, not racing
+    graft.io.Tables.claimMaintenanceWindow(spark, root, "window-A")
+    val ex = intercept[graft.io.Tables.MaintenanceLeaseException] {
+      runMaintenanceWindowIfDue(spark, root, holderId = "window-B")
+    }
+    assert(ex.getMessage.contains("window-A"),
+      s"conflict must name the holder: ${ex.getMessage}")
+    assert(fs.exists(leaseFile),
+      "the losing window must not clear the winner's lease")
+
+    // crash recovery: holder confirmed dead → operator recovers,
+    // window-B proceeds and releases on completion
+    graft.io.Tables.recoverMaintenanceLease(spark, root)
+    runMaintenanceWindowIfDue(spark, root, holderId = "window-B")
+    assert(!fs.exists(leaseFile), "lease must release after the sweep")
+
+    // re-entry: window-B's own crashed lease does not block its retry
+    graft.io.Tables.claimMaintenanceWindow(spark, root, "window-B")
+    runMaintenanceWindowIfDue(spark, root, holderId = "window-B")
+    assert(!fs.exists(leaseFile), "re-entered lease must still release")
+
+    // the vector window shares the mechanism on its own root
+    graft.io.Tables.claimMaintenanceWindow(spark, s"$root/v", "window-A")
+    intercept[graft.io.Tables.MaintenanceLeaseException] {
+      runVectorMaintenanceWindowIfDue(spark, s"$root/v",
+        holderId = "window-B")
+    }
+    graft.io.Tables.recoverMaintenanceLease(spark, s"$root/v")
+
+    // single scheduler, default anonymous holder: claim, sweep,
+    // release — indistinguishable from the pre-lease behavior
+    runMaintenanceWindowIfDue(spark, root)
+    assert(!fs.exists(leaseFile), "anonymous window must release too")
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+  }
 }
