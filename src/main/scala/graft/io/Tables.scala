@@ -1320,6 +1320,65 @@ object Tables {
     maxE
   }
 
+  // ---------- Topology commit watermark (cross-store consistency) ----------
+
+  private[graft] def commitMarkerDir(root: String) =
+    new org.apache.hadoop.fs.Path(root, "_commits")
+
+  /** Mark one front-door epoch as FULLY committed across a topology —
+    * written LAST, after every store's own commit, so the marker's
+    * existence certifies all of them. Each store's commit is
+    * crash-safe on its own (replace-or-add, manifest CAS), but the
+    * topology commits its stores SEQUENTIALLY under one epoch: a
+    * reader between commits sees store A at epoch N and store B at
+    * N−1, and without a topology-level marker a consumer joining
+    * across archives cannot tell a settled epoch from a half-landed
+    * one. Plain overwrite, not CAS: a crash-replay of the epoch
+    * recommits every store with identical rows and re-marks —
+    * idempotent by the same argument as the stores themselves. */
+  def commitEpochMarker(spark: SparkSession, root: String,
+                        epoch: Long): Unit = {
+    val dir = commitMarkerDir(root)
+    val fs = fsFor(spark, dir)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dir, f"epoch-$epoch%019d"), true)
+    try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Highest fully-committed front-door epoch of a topology — the
+    * read watermark for consumers that join across its archives.
+    * None when the topology predates markers (no `_commits` dir yet):
+    * [[consistentView]] then passes reads through ungated, so
+    * enabling watermarks on an existing topology is backward
+    * compatible. */
+  def committedWatermark(spark: SparkSession, root: String)
+      : Option[Long] = {
+    val dir = commitMarkerDir(root)
+    try {
+      val es = fsFor(spark, dir).listStatus(dir)
+        .map(_.getPath.getName).filter(_.startsWith("epoch-"))
+        .map(_.stripPrefix("epoch-").toLong)
+      if (es.isEmpty) None else Some(es.max)
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** Cross-store read consistency: gate an epoch-partitioned store
+    * view to ingest epochs at or below the topology's committed
+    * watermark. A consumer that reads ONE store can take the plain
+    * view (each store is internally consistent); a consumer that
+    * JOINS across stores applies this to every side so all of them
+    * resolve at the same highest fully-committed epoch — a
+    * half-landed epoch (crash mid-topology) is invisible until its
+    * replay completes and the marker appears. Fold-collapsed layers
+    * (epoch 0) always pass; delete epochs live in tombstone tables,
+    * which this never gates. */
+  def consistentView(df: DataFrame, root: String): DataFrame =
+    committedWatermark(df.sparkSession, root) match {
+      case None => df
+      case Some(wm) => df.where(col("ingest_epoch").cast("long") <= wm)
+    }
+
   /** Register every testdata table as a temp view so `spark.sql` works
     * (ref A6: arbitrary SQL pushed to the warehouse). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -805,6 +805,105 @@ object ScaleOps {
       .orderBy("store")
   }
 
+  // ---------- Topology commit watermark (gated construction) ----------
+
+  /** The deterministic two-phase construction behind
+    * [[qConsistentView]]: a topology of two epoch-partitioned stores
+    * committed SEQUENTIALLY under shared front-door epochs, with the
+    * commit marker written last ([[graft.io.Tables
+    * .commitEpochMarker]]). Phase `partial` crashes mid-topology —
+    * epoch 2 landed in `alpha` but never reached `beta`, marker
+    * absent — the exact on-disk state a killed front-door batch
+    * leaves; phase `replayed` is the same topology after the
+    * crash-replay completed epoch 2 everywhere and marked it.
+    * Deterministic row content (doc_ids by residue), so every count
+    * is a closed form over the documents table and the query
+    * HASH-gates. */
+  private def consistencyRoot(s: SparkSession, dir: String): String =
+    healthMemo.computeIfAbsent(dir + "#consistency", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-consistency").toString
+      healthDirs.add(root)
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      def stage(phase: String, replayCompleted: Boolean): Unit = {
+        val r = s"$root/$phase"
+        Seq("alpha", "beta").foreach { st =>
+          val p = s"$r/$st"
+          Tables.writeManifested(
+            ids.where(pmod(col("doc_id"), lit(10)) >= 2)
+              .withColumn("ingest_epoch", lit(0L)),
+            p, Seq("ingest_epoch"))
+          Tables.upsertManifested(
+            ids.where(pmod(col("doc_id"), lit(10)) === 1)
+              .withColumn("ingest_epoch", lit(1L)),
+            p, Seq("ingest_epoch"), _ == "ingest_epoch=1")
+        }
+        Tables.commitEpochMarker(s, r, 0L)
+        Tables.commitEpochMarker(s, r, 1L)
+        // epoch 2: alpha commits, then the crash — beta and the
+        // marker only exist once the replay completed
+        def epoch2(st: String): Unit = Tables.upsertManifested(
+          ids.where(pmod(col("doc_id"), lit(10)) === 0)
+            .withColumn("ingest_epoch", lit(2L)),
+          s"$r/$st", Seq("ingest_epoch"), _ == "ingest_epoch=2")
+        epoch2("alpha")
+        if (replayCompleted) {
+          epoch2("beta")
+          Tables.commitEpochMarker(s, r, 2L)
+        }
+      }
+      stage("partial", replayCompleted = false)
+      stage("replayed", replayCompleted = true)
+      root
+    })
+
+  /** Gated: cross-store read consistency under a mid-topology crash —
+    * per (phase, store), the PLAIN per-store view (sees the
+    * half-landed epoch where it landed) against the CONSISTENT view
+    * gated at the topology's committed watermark (excludes it on
+    * every store until the replay completes and the marker appears).
+    * HASH-gated: every count is a closed form over the documents
+    * table. StreamOpsSpec drives the same property through the REAL
+    * front door (stream, kill, replay). */
+  def qConsistentView(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = consistencyRoot(s, dir)
+    (for {
+      phase <- Seq("partial", "replayed")
+      store <- Seq("alpha", "beta")
+    } yield {
+      val r = s"$root/$phase"
+      val df = Tables.readManifested(s, s"$r/$store")
+      (phase, store, df.count(),
+        Tables.consistentView(df, r).count(),
+        Tables.committedWatermark(s, r).getOrElse(-1L))
+    }).toDF("phase", "store", "plain_rows", "consistent_rows",
+      "watermark")
+      .orderBy("phase", "store")
+  }
+
+  val qConsistentViewOracle: String =
+    """WITH n AS (
+      |  SELECT count(*) FILTER (WHERE doc_id % 10 >= 2) AS n0,
+      |         count(*) FILTER (WHERE doc_id % 10 = 1) AS n1,
+      |         count(*) FILTER (WHERE doc_id % 10 = 0) AS n2
+      |  FROM documents)
+      |SELECT phase, store, plain_rows, consistent_rows, watermark
+      |FROM (
+      |  SELECT 'partial' AS phase, 'alpha' AS store,
+      |         n0 + n1 + n2 AS plain_rows, n0 + n1 AS consistent_rows,
+      |         CAST(1 AS BIGINT) AS watermark FROM n
+      |  UNION ALL
+      |  SELECT 'partial', 'beta', n0 + n1, n0 + n1,
+      |         CAST(1 AS BIGINT) FROM n
+      |  UNION ALL
+      |  SELECT 'replayed', 'alpha', n0 + n1 + n2, n0 + n1 + n2,
+      |         CAST(2 AS BIGINT) FROM n
+      |  UNION ALL
+      |  SELECT 'replayed', 'beta', n0 + n1 + n2, n0 + n1 + n2,
+      |         CAST(2 AS BIGINT) FROM n)
+      |ORDER BY phase, store""".stripMargin
+
   // ---------- Maintenance-due policy (monitor -> action) ----------
 
   /** Policy thresholds for [[qMaintenanceDue]] — the missing half of
@@ -938,6 +1037,7 @@ object ScaleOps {
     "q_ntile_scalable" -> qNtileScalable,
     "q_archive_health" -> qArchiveHealth,
     "q_maintenance_due" -> qMaintenanceDue,
+    "q_consistent_view" -> qConsistentView,
   )
 
   def oracles: Map[String, String] = Map(
@@ -954,6 +1054,7 @@ object ScaleOps {
     "q_zorder_layout" -> qZorderLayoutOracle,
     "q_archive_health" -> qArchiveHealthOracle,
     "q_maintenance_due" -> qMaintenanceDueOracle,
+    "q_consistent_view" -> qConsistentViewOracle,
     // the scalable twin runs against the SAME oracle as the global
     // ntile anchor — identical results from a one-reducer-free plan
     "q_ntile_scalable" -> Relational.qQuantileBinsOracle,

@@ -230,6 +230,15 @@ object StreamOps {
       spark.read.parquet(corpusPath),
       corpusTombstonePath(corpusPath), "doc_id")
 
+  /** [[corpusView]] at the topology's committed watermark — the view
+    * for consumers that JOIN the corpus against the derived archives:
+    * all sides gated by [[graft.io.Tables.consistentView]] resolve at
+    * the same highest fully-committed front-door epoch, so an epoch
+    * half-landed by a mid-topology crash is invisible until its
+    * replay completes ([[runFrontDoor]] writes the marker last). */
+  def consistentCorpusView(spark: SparkSession, root: String): DataFrame =
+    Tables.consistentView(corpusView(spark, s"$root/corpus"), root)
+
   /** Physical tombstone fold for the corpus store — the same verb the
     * manifested archives get from their epoch compactions, adapted to
     * the corpus' plain epoch-partitioned layout: every epoch below the
@@ -603,6 +612,12 @@ object StreamOps {
           graft.ops.Multimodal.ingestAudioFpIndex(
             s, survivors, s"$root/audio", e)
         }
+        // topology commit marker, written LAST: certifies every store
+        // above landed this epoch — cross-store readers resolve at
+        // the highest marked epoch (Tables.consistentView), so a
+        // crash between store commits leaves the half-landed epoch
+        // invisible to them until the replay completes and re-marks
+        Tables.commitEpochMarker(s, root, e)
         graft.ops.Ckpt.release(survivors)
         ()
       }
@@ -681,7 +696,13 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, epoch: Long) =>
         val e = epoch + 1
-        graft.ops.Similarity.ingestVectors(b, s"$root/ann", e)
+        // pointer-aware: a VERSIONED index root (retrain lifecycle)
+        // resolves to its current version; a plain dir is itself —
+        // after a retrain flip, the next batch encodes against the
+        // new version's artifacts with no topology change
+        val annIdx = graft.ops.Similarity
+          .resolveIndexDir(b.sparkSession, s"$root/ann")
+        graft.ops.Similarity.ingestVectors(b, annIdx, e)
         // optional third store: a FILTERED-serving index at
         // `root/fann` joins the topology the moment its one-time
         // build exists — same epoch, same replay contract
@@ -703,12 +724,16 @@ object StreamOps {
         // retrainIndexTo
         if (!b.isEmpty)
           graft.ops.Similarity.annDriftFrom(b.sparkSession,
-              s"$root/ann", b)
+              annIdx, b)
             .withColumn("ingest_epoch", lit(e))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest_epoch")
             .parquet(s"$root/drift")
+        // topology commit marker LAST (the runFrontDoor contract):
+        // cross-store readers of ann/sem/drift resolve at the highest
+        // fully-committed epoch via Tables.consistentView
+        Tables.commitEpochMarker(b.sparkSession, root, e)
       }
       .start()
     q.processAllAvailable()
@@ -729,7 +754,9 @@ object StreamOps {
       .foreachBatch { (b: DataFrame, epoch: Long) =>
         val e = epoch + 1000000L
         val keys = b.select(col("vec_id")).localCheckpoint()
-        Tables.ingestTombstones(keys, s"$root/ann/tombstones", e)
+        Tables.ingestTombstones(keys,
+          graft.ops.Similarity.resolveIndexDir(b.sparkSession,
+            s"$root/ann") + "/tombstones", e)
         Tables.ingestTombstones(keys, s"$root/sem/tombstones", e)
         if (Tables.manifestExists(b.sparkSession, s"$root/fann/codes"))
           Tables.ingestTombstones(keys, s"$root/fann/tombstones", e)
@@ -793,7 +820,9 @@ object StreamOps {
             .select(col("vec_id")).distinct()
           case None => keys.select(docToVec(col("doc_id")).as("vec_id"))
         }).localCheckpoint()
-        Tables.ingestTombstones(vkeys, s"$vecRoot/ann/tombstones", e)
+        Tables.ingestTombstones(vkeys,
+          graft.ops.Similarity.resolveIndexDir(b.sparkSession,
+            s"$vecRoot/ann") + "/tombstones", e)
         Tables.ingestTombstones(vkeys, s"$vecRoot/sem/tombstones", e)
         if (Tables.manifestExists(b.sparkSession, s"$vecRoot/fann/codes"))
           Tables.ingestTombstones(vkeys, s"$vecRoot/fann/tombstones", e)
@@ -988,10 +1017,12 @@ object StreamOps {
       holderId: String = java.util.UUID.randomUUID.toString): DataFrame =
       withWindowLease(s, root, holderId) {
     import s.implicits._
+    // pointer-aware: maintenance targets the CURRENT index version
+    val annIdx = graft.ops.Similarity.resolveIndexDir(s, s"$root/ann")
     val groups = Seq(
-      ("ann_codes", s"$root/ann/codes", s"$root/ann/tombstones",
+      ("ann_codes", s"$annIdx/codes", s"$annIdx/tombstones",
         false, () => {
-          graft.ops.Similarity.compactIndexEpochs(s, s"$root/ann"); ()
+          graft.ops.Similarity.compactIndexEpochs(s, annIdx); ()
         }),
       ("fann_codes", s"$root/fann/codes", s"$root/fann/tombstones",
         false, () => {
@@ -1050,19 +1081,21 @@ object StreamOps {
       holderId: String = java.util.UUID.randomUUID.toString): DataFrame =
       withWindowLease(s, root, holderId) {
     import s.implicits._
-    if (Tables.manifestExists(s, s"$root/ann/codes"))
-      graft.ops.Similarity.compactIndexEpochs(s, s"$root/ann")
+    // pointer-aware: maintenance targets the CURRENT index version
+    val annIdx = graft.ops.Similarity.resolveIndexDir(s, s"$root/ann")
+    if (Tables.manifestExists(s, s"$annIdx/codes"))
+      graft.ops.Similarity.compactIndexEpochs(s, annIdx)
     if (Tables.manifestExists(s, s"$root/fann/codes"))
       graft.ops.Similarity.compactFilteredIndexEpochs(s, s"$root/fann")
     if (Tables.bucketedArchiveExists(s, s"$root/sem/assigned"))
       Tables.foldBucketedEpochs(s, s"$root/sem/assigned",
         s"$root/sem/tombstones", "vec_id")
     val stores = Seq(
-      "ann_codes" -> s"$root/ann/codes",
+      "ann_codes" -> s"$annIdx/codes",
       "fann_codes" -> s"$root/fann/codes")
       .filter { case (_, p) => Tables.manifestExists(s, p) }
     stores.foreach { case (_, p) => Tables.vacuumManifested(s, p) }
-    Seq(s"$root/ann/tombstones", s"$root/sem/tombstones",
+    Seq(s"$annIdx/tombstones", s"$root/sem/tombstones",
         s"$root/fann/tombstones")
       .filter(Tables.manifestExists(s, _))
       .foreach(Tables.vacuumManifested(s, _))

@@ -803,10 +803,11 @@ class SimilaritySpec extends SparkSpec {
       new java.io.File(idx))
   }
 
-  test("filtered ANN: every neighbor satisfies the predicate, " +
-    "recall@5 >= 0.6 vs the exact FILTERED brute force at both " +
-    "selectivities and two corpus sizes, and the selective strategy " +
-    "partition-prunes the code scan") {
+  test("filtered ANN: every neighbor satisfies the predicate (both " +
+    "conjuncts for compound), recall@5 >= 0.6 vs the exact FILTERED " +
+    "brute force at all three selectivity shapes and two corpus " +
+    "sizes, the auto estimate matches the true fraction, and the " +
+    "selective strategy partition-prunes the code scan") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     Seq(sf, "/root/testdata/sf0.1").foreach { dir =>
       val idx = Similarity.filteredIndex(spark, dir)
@@ -825,21 +826,21 @@ class SimilaritySpec extends SparkSpec {
       }
       // exact FILTERED brute force: per query, top-5 by cosine among
       // predicate-passing vectors (self excluded), engine tie order
-      def truth(pred: Int => Boolean): Map[Long, Set[Long]] =
+      def truth(pred: (Long, Int) => Boolean): Map[Long, Set[Long]] =
         all.filter(_._1 % 100 == 0).map { case (qid, qe, _) =>
           qid -> all
-            .filter(t => t._1 != qid && pred(t._3))
+            .filter(t => t._1 != qid && pred(t._1, t._3))
             .map(t => (t._1, cos(qe, t._2)))
             .sortBy { case (id, c) => (-c, id) }
             .take(5).map(_._1).toSet
         }.toMap
       def check(name: String,
                 res: Array[org.apache.spark.sql.Row],
-                pred: Int => Boolean): Unit = {
+                pred: (Long, Int) => Boolean): Unit = {
         assert(res.nonEmpty, s"$name returned nothing ($dir)")
         res.foreach { r =>
           val nb = r.getLong(1) // (qid, neighbor_id, cosine, rn)
-          assert(pred(byId(nb)._3),
+          assert(pred(nb, byId(nb)._3),
             s"$name returned neighbor $nb violating the predicate ($dir)")
         }
         val t = truth(pred)
@@ -852,25 +853,231 @@ class SimilaritySpec extends SparkSpec {
         assert(recall >= 0.6,
           f"$name filtered recall too low: $recall%.3f ($dir)")
       }
+      // the engine's selectivity estimates vs the true fractions
+      val nAll = all.length.toDouble
+      val sel3 = Similarity.estimatedLabelSelectivity(spark, idx,
+        col("label") === 3)
+      val true3 = all.count(_._3 == 3) / nAll
+      assert(math.abs(sel3 - true3) <= 0.2 * true3,
+        f"label=3 estimate off: $sel3%.4f vs true $true3%.4f ($dir)")
+      val selEven = Similarity.estimatedLabelSelectivity(spark, idx,
+        pmod(col("label"), lit(2)) === 0)
+      val trueEven = all.count(_._3 % 2 == 0) / nAll
+      assert(math.abs(selEven - trueEven) <= 0.2 * trueEven,
+        f"even-label estimate off: $selEven%.4f vs $trueEven%.4f ($dir)")
+      // the estimates pick the right strategy on each side of the
+      // pre-filter threshold
+      assert(sel3 <= 0.25 && selEven > 0.25,
+        f"fixture selectivities straddle the threshold: $sel3 / $selEven")
       check("selective_pre",
-        Similarity.filteredServeFrom(spark, dir, idx,
-          col("label") === 3, 0.1, preFilter = true).collect(),
-        _ == 3)
+        Similarity.autoFilteredServeFrom(spark, dir, idx,
+          col("label") === 3).collect(),
+        (_, l) => l == 3)
       check("broad_post",
-        Similarity.filteredServeFrom(spark, dir, idx,
-          pmod(col("label"), lit(2)) === 0, 0.5,
-          preFilter = false).collect(),
-        _ % 2 == 0)
+        Similarity.autoFilteredServeFrom(spark, dir, idx,
+          pmod(col("label"), lit(2)) === 0).collect(),
+        (_, l) => l % 2 == 0)
+      // compound: aligned conjunct prunes, non-aligned residual
+      // post-filters at depth — every row satisfies BOTH
+      check("compound",
+        Similarity.autoFilteredServeFrom(spark, dir, idx,
+          col("label") === 3,
+          residPred = Some(pmod(col("vec_id"), lit(3)) === 0)).collect(),
+        (id, l) => l == 3 && id % 3 == 0)
     }
-    // plan pin: the selective strategy's code scan carries the label
+    // plan pins: BOTH label-pruned strategies carry the label
     // predicate as a PARTITION filter — non-matching label= dirs are
     // dropped at plan time, before any IO
-    val plan = Similarity.filteredServeFrom(spark, sf,
-        Similarity.filteredIndex(spark, sf),
-        col("label") === 3, 0.1, preFilter = true)
-      .queryExecution.executedPlan.toString
-    assert(raw"PartitionFilters: \[[^\]]*label[^\]]*=\s*3".r
-      .findFirstIn(plan).isDefined,
-      s"selective code scan does not partition-prune on label:\n$plan")
+    Seq(
+      "auto selective" -> Similarity.autoFilteredServeFrom(spark, sf,
+        Similarity.filteredIndex(spark, sf), col("label") === 3),
+      "compound" -> Similarity.autoFilteredServeFrom(spark, sf,
+        Similarity.filteredIndex(spark, sf), col("label") === 3,
+        residPred = Some(pmod(col("vec_id"), lit(3)) === 0))
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(raw"PartitionFilters: \[[^\]]*label[^\]]*=\s*3".r
+        .findFirstIn(plan).isDefined,
+        s"$name code scan does not partition-prune on label:\n$plan")
+    }
+  }
+
+  test("retrain ACTION leg: the policy reads the drift store the " +
+    "vector front door writes — an in-distribution stream leaves the " +
+    "versioned index untouched; a drifted stream retrains into a NEW " +
+    "version, validates held-out recall, and flips the pointer; serve " +
+    "continuity across flip and rollback; post-flip drift reads clean") {
+    import org.apache.spark.sql.functions._
+    import graft.SparkSpec.spark.implicits._
+    val root0 = java.nio.file.Files.createTempDirectory("graft-retrainloop")
+    val root = root0.toString
+    try {
+      // versioned index root (v1) + the sem archive the front door needs
+      Similarity.initIndexRoot(spark, sf, s"$root/ann")
+      def pad(v: Seq[Double]): Seq[Double] = v ++ Seq.fill(62)(0.0)
+      Similarity.buildSemDedupArchiveTo(
+        Seq((10L, pad(Seq(3.0, 4.0)))).toDF("vec_id", "embedding"),
+        Seq((0L, pad(Seq(1.0, 0.0))), (1L, pad(Seq(0.0, 1.0))))
+          .toDF("cent_id", "cemb"),
+        s"$root/sem")
+      assert(Similarity.currentIndexDir(spark, s"$root/ann")
+        .endsWith("/v1"))
+      val emb = graft.io.Tables.load(spark, sf, "embeddings")
+        .select("vec_id", "embedding", "label")
+      val stage = s"$root/stage"
+      new java.io.File(stage).mkdirs()
+      def land(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val tmp = root0.resolve(s"tmp-$name").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(s"$stage/$name.parquet"))
+      }
+      def frontDoor(): Unit = graft.streaming.StreamOps
+        .runVectorFrontDoor(
+          graft.streaming.StreamOps.readEmbeddings(spark, stage, Some(1)),
+          root, s"$root/ckpt")
+      def retrainIfDue() = Similarity.runRetrainIfDue(spark,
+        s"$root/ann", s"$root/drift",
+        emb.select("vec_id", "embedding")
+          .unionByName(spark.read.parquet(stage)
+            .select("vec_id", "embedding")),
+        qFilter = pmod(col("vec_id"), lit(20)) === 0).collect().head
+
+      // epoch 1: an IN-DISTRIBUTION stream (same population, new ids)
+      land("b1", emb.where(pmod(col("vec_id"), lit(17)) === 3)
+        .withColumn("vec_id", col("vec_id") + 20000000L))
+      frontDoor()
+      val r1 = retrainIfDue()
+      assert(!r1.getAs[Boolean]("retrain_due") &&
+        !r1.getAs[Boolean]("flipped") &&
+        r1.getAs[String]("current_version") == "v1",
+        s"in-distribution stream moved the index: $r1")
+      assert(!new java.io.File(s"$root/ann/v2").exists(),
+        "in-distribution policy run built a version directory")
+
+      // epoch 2: a DRIFTED stream (shifted population, new ids)
+      land("b2", emb.where(pmod(col("vec_id"), lit(17)) === 3)
+        .withColumn("vec_id", col("vec_id") + 10000000L)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(2.0f))))
+      frontDoor()
+      // pre-flip serve baseline, through the pointer (v1 + epochs 1-2)
+      def serveNow() = Similarity.serveFrom(spark, sf,
+        Similarity.resolveIndexDir(spark, s"$root/ann")).collect()
+      val baseline = serveNow()
+      assert(baseline.nonEmpty, "pre-flip serve returned nothing")
+
+      val r2 = retrainIfDue()
+      assert(r2.getAs[Boolean]("retrain_due") &&
+        r2.getAs[Boolean]("flipped") &&
+        r2.getAs[String]("current_version") == "v2",
+        s"drifted stream did not retrain+flip: $r2")
+      assert(r2.getAs[Double]("new_recall") >=
+        r2.getAs[Double]("old_recall") - 0.05,
+        s"flip committed despite recall regression: $r2")
+      assert(Similarity.currentIndexDir(spark, s"$root/ann")
+        .endsWith("/v2"))
+      // the OLD version stays readable until vacuum (time travel)
+      assert(Similarity.indexDirAt(spark, s"$root/ann", 1L)
+        .endsWith("/v1"))
+      assert(Similarity.serveFrom(spark, sf, s"$root/ann/v1")
+        .collect().nonEmpty, "pre-flip version no longer serves")
+      // serve continuity: the pointer path serves from v2 now
+      assert(serveNow().nonEmpty, "post-flip serve returned nothing")
+
+      // epoch 3: a representative slice of the NEW mixed distribution
+      // through the front door — the drift row is monitored against
+      // the FLIPPED version and reads clean
+      land("b3", emb.where(pmod(col("vec_id"), lit(17)) === 5)
+        .withColumn("vec_id", col("vec_id") + 30000000L))
+      frontDoor()
+      val post = spark.read.parquet(s"$root/drift")
+        .orderBy(col("ingest_epoch").cast("long").desc).collect().head
+      assert(!post.getAs[Boolean]("retrain"),
+        s"post-flip drift row not clean: $post")
+
+      // rollback: one pointer flip restores the pre-retrain serve
+      // bit-for-bit (v1 untouched since the flip)
+      Similarity.rollbackIndex(spark, s"$root/ann")
+      assert(Similarity.currentIndexDir(spark, s"$root/ann")
+        .endsWith("/v1"))
+      assert(serveNow().map(_.toString).toSeq ==
+        baseline.map(_.toString).toSeq,
+        "rollback did not restore the pre-retrain serve")
+      // vacuum ends time travel: only the current target survives
+      assert(Similarity.vacuumIndexVersions(spark, s"$root/ann") >= 1)
+      assert(!new java.io.File(s"$root/ann/v2").exists(),
+        "vacuum left the superseded version on disk")
+      assert(serveNow().map(_.toString).toSeq ==
+        baseline.map(_.toString).toSeq,
+        "vacuum disturbed the current version's serve")
+    } finally
+      org.apache.hadoop.fs.FileUtil.fullyDelete(root0.toFile)
+  }
+
+  test("skewed-label filtered ANN: a label holding ~1% of the index " +
+    "still clears the recall floor at the auto-sized budget, with " +
+    "the estimate read from the index's own partition stats") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-skewed-fann").toString
+    try {
+      // skew the corpus INSIDE the index: label 3 keeps only every
+      // tenth vector, so its share drops from ~10% to ~1%
+      val keep = col("label") =!= 3 ||
+        pmod(col("vec_id"), lit(10)) === 0
+      Similarity.buildFilteredIndexTo(spark, sf, idx, where = keep)
+      val member = spark.read.parquet(s"$sf/embeddings.parquet")
+        .where(keep).collect()
+        .map { r =>
+          (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+            r.getInt(2))
+        }
+      val rareShare = member.count(_._3 == 3).toDouble / member.length
+      assert(rareShare < 0.02, f"fixture not skewed: $rareShare%.4f")
+      val est = Similarity.estimatedLabelSelectivity(spark, idx,
+        col("label") === 3)
+      assert(math.abs(est - rareShare) <= 0.2 * rareShare,
+        f"stats-derived estimate off: $est%.4f vs true $rareShare%.4f")
+      // recall vs the exact brute force over the INDEX members
+      val queries = spark.read.parquet(s"$sf/embeddings.parquet")
+        .where(col("vec_id") % 100 === 0).collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toArray))
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+        while (i < a.length) {
+          d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        d / math.sqrt(na * nb)
+      }
+      val truth = queries.map { case (qid, qe) =>
+        qid -> member
+          .filter(t => t._1 != qid && t._3 == 3)
+          .map(t => (t._1, cos(qe, t._2)))
+          .sortBy { case (id, c) => (-c, id) }
+          .take(5).map(_._1).toSet
+      }.toMap
+      val res = Similarity.autoFilteredServeFrom(spark, sf, idx,
+        col("label") === 3).collect()
+      assert(res.nonEmpty, "skewed label served nothing")
+      res.foreach { r =>
+        val nb = r.getLong(1)
+        assert(member.exists(t => t._1 == nb && t._3 == 3),
+          s"neighbor $nb outside the rare label")
+      }
+      val perQ = res.groupBy(_.getLong(0)).map { case (q, grp) =>
+        grp.map(_.getLong(1)).count(truth(q).contains).toDouble /
+          math.max(1, truth(q).size)
+      }
+      val recall = perQ.sum / perQ.size
+      info(f"skewed-label recall@5 = $recall%.3f (share $rareShare%.4f)")
+      assert(recall >= 0.6,
+        f"skewed-label recall too low at the auto budget: $recall%.3f")
+    } finally {
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(idx))
+    }
   }
 }

@@ -1850,6 +1850,86 @@ class StreamOpsSpec extends SparkSpec {
       "re-landed forget request changed the masked state")
   }
 
+  test("topology commit watermark: a mid-topology crash leaves the " +
+    "half-landed epoch invisible to consistent readers on every store " +
+    "while plain views see it; the stream replay completes the epoch " +
+    "and the marker appears") {
+    import spark.implicits._
+    def mk(p: String) = (0 until 60).map(i => s"$p$i").mkString(" ")
+    def full(rows: Seq[(Long, String)]) = rows.map { case (id, tx) =>
+      (id, tx, "en", "srcW", tx.length.toLong) }
+    val root0 = java.nio.file.Files.createTempDirectory("graft-wm")
+    val root = root0.toString
+    val stage = s"$root/stage"
+    new java.io.File(stage).mkdirs()
+    def land(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = root0.resolve(s"tmp-$name").toString
+      full(rows).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/$name.parquet"))
+    }
+    // seed the topology at epoch 0 so every derived archive exists
+    val seed = Seq(1L -> mk("wa"), 2L -> mk("wb"))
+    val seedDocs = seed.toDF("doc_id", "text")
+    ingestBatch(full(seed).toDF("doc_id", "text", "lang", "source",
+      "n_chars"), 0L, s"$root/corpus")
+    graft.ops.Curation.buildClusterArchiveTo(seedDocs, s"$root/clusters")
+    graft.ops.TextOps.buildWinnowIndexTo(seedDocs, s"$root/winnow")
+    graft.ops.TextOps.buildTokenIndexTo(seedDocs, s"$root/tokens")
+    graft.ops.Multimodal.buildPhashIndexTo(spark, seedDocs, s"$root/phash")
+    graft.ops.Multimodal.buildAudioFpIndexTo(spark, seedDocs,
+      s"$root/audio")
+    // epoch 1 lands through the REAL front door → marker appears
+    land("f1", Seq(3L -> mk("wc")))
+    runFrontDoor(readDocuments(spark, stage, Some(1)), root, s"$root/ckpt")
+    assert(graft.io.Tables.committedWatermark(spark, root) == Some(1L),
+      "completed front-door epoch not marked")
+    def plainIds() = corpusView(spark, s"$root/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    def consIds() = consistentCorpusView(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+    assert(plainIds() == Set(1L, 2L, 3L) && consIds() == plainIds(),
+      "settled topology: consistent view must equal the plain view")
+
+    // CRASH mid-topology: epoch 2 reaches the corpus store (the first
+    // commit of the sequence) and nothing else — no derived store, no
+    // marker. Exactly the on-disk prefix a killed batch leaves.
+    ingestBatch(full(Seq(7L -> mk("wd")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      2L, s"$root/corpus")
+    assert(plainIds() == Set(1L, 2L, 3L, 7L),
+      "plain per-store view must see the half-landed epoch")
+    assert(consIds() == Set(1L, 2L, 3L),
+      "consistent view must exclude the half-landed epoch")
+    assert(graft.io.Tables.committedWatermark(spark, root) == Some(1L),
+      "watermark must not move on a partial epoch")
+    // cross-store coherence at the watermark: the consistent corpus
+    // and the consistently-read fingerprint archive agree on the doc
+    // set — the join a plain read would get wrong
+    def winnowDocs() = graft.io.Tables.consistentView(
+      graft.io.Tables.readManifested(spark, s"$root/winnow/fingerprints"),
+      root).select("doc_id").as[Long].collect().toSet
+    assert(winnowDocs() == consIds(),
+      s"consistent corpus/fingerprint doc sets diverge: ${winnowDocs()}")
+
+    // REPLAY: the same doc arrives as the stream's next micro-batch
+    // (same epoch 2) — replace-or-add overwrites the partial corpus
+    // commit, every derived store lands, and the marker is written
+    // LAST
+    land("f2", Seq(7L -> mk("wd")))
+    runFrontDoor(readDocuments(spark, stage, Some(1)), root, s"$root/ckpt")
+    assert(graft.io.Tables.committedWatermark(spark, root) == Some(2L),
+      "replayed epoch not marked")
+    assert(consIds() == Set(1L, 2L, 3L, 7L) && plainIds() == consIds(),
+      "replayed epoch must be visible to consistent readers")
+    assert(winnowDocs() == Set(1L, 2L, 3L, 7L),
+      "replayed epoch missing from the consistently-read archive")
+    org.apache.hadoop.fs.FileUtil.fullyDelete(root0.toFile)
+  }
+
   test("unified RTBF 1:N mapping: one forget-request for a doc with " +
     "three chunk embeddings masks all three in the ANN serve path AND " +
     "the SemDeDup witness probe in the same sweep; replay idempotent") {
