@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.functions.{broadcast, col, hash, lit, pmod, when}
 import org.apache.spark.sql.types.StructType
 
 /** Table IO for the engine.
@@ -589,13 +589,39 @@ object Tables {
     require(parts.nonEmpty,
       s"manifest at $path lists no partitions — nothing was ever " +
         "written, or the table was created from an empty DataFrame")
-    parts.values.groupBy(_.split("/").take(2).mkString("/")).toSeq
+    // ADDITIVE SCHEMA EVOLUTION: commits may carry a superset of an
+    // older commit's columns (a pipeline that starts extracting a new
+    // field mid-history). mergeSchema unifies WITHIN a version base
+    // (compaction can co-locate partitions of different vintages
+    // under one base), unionByName(allowMissingColumns) unifies
+    // ACROSS bases — missing columns read as null. Incompatible TYPE
+    // changes still fail loudly in both layers: evolution here is
+    // add-a-column, never change-a-column.
+    val frames = parts.values
+      .groupBy(_.split("/").take(2).mkString("/")).toSeq
       .sortBy(_._1)
       .map { case (base, dirs) =>
         spark.read.option("basePath", s"$path/$base")
+          .option("mergeSchema", "true")
           .parquet(dirs.toSeq.sorted.map(d => s"$path/$d"): _*)
       }
-      .reduce(_.unionByName(_))
+    // union TYPE COERCION would silently read a retyped column as a
+    // widened common type (int lang under a string history reads as
+    // "7") — a wrong answer, not evolution; refuse it by name
+    val seen = scala.collection.mutable.Map[String,
+      org.apache.spark.sql.types.DataType]()
+    frames.foreach(_.schema.fields.foreach { f =>
+      seen.get(f.name) match {
+        case Some(t) if t != f.dataType =>
+          throw new IllegalStateException(
+            s"column ${f.name} at $path has conflicting types across " +
+              s"commits ($t vs ${f.dataType}) — a type change is not " +
+              "additive evolution; rewrite the offending epoch with " +
+              "the original type")
+        case _ => seen(f.name) = f.dataType
+      }
+    })
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Reader-isolated compaction: rewrite every oversized partition
@@ -1033,7 +1059,7 @@ object Tables {
                             writerId: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val name = ensureBucketedRegistered(spark, path)
-    val (key, buckets, partCols, _) = readBucketSpec(spark, path)
+    val (key, buckets, partCols, schema) = readBucketSpec(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsFor(spark, root)
     claimEpoch(fs, path, epoch,
@@ -1061,12 +1087,54 @@ object Tables {
         fs.delete(part, true)
       }
       spark.sql(s"REFRESH TABLE `$name`")
-      df.withColumn("ingest_epoch", lit(epoch))
+      alignToArchiveSchema(df.withColumn("ingest_epoch", lit(epoch)),
+          schema, path)
         .write.mode(SaveMode.Append)
         .partitionBy(partCols: _*)
         .bucketBy(buckets, key).sortBy(key)
         .format("parquet").saveAsTable(name)
     } finally recoverEpochClaim(spark, path, epoch)
+  }
+
+  /** Conform an ingest frame to the archive's sidecar schema:
+    * columns the frame doesn't carry yet read as null (an OLD writer
+    * keeps committing after [[evolveBucketedArchive]] widened the
+    * archive under it), columns the archive doesn't know FAIL loudly
+    * with the evolution recipe — silently dropping a writer's data
+    * is the one wrong answer here. */
+  private def alignToArchiveSchema(df: DataFrame, schema: StructType,
+                                   path: String): DataFrame = {
+    val extra = df.columns.filterNot(schema.fieldNames.contains)
+    require(extra.isEmpty,
+      s"columns [${extra.mkString(",")}] are not in the archive schema " +
+        s"at $path — additive evolution is explicit: evolveBucketedArchive " +
+        "first, then re-ingest")
+    df.select(schema.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** Add columns to a bucketed archive — the explicit evolution verb
+    * for the layout whose schema is part of the PHYSICAL contract
+    * (catalog DDL + bucketspec sidecar pin it; a manifested archive
+    * evolves implicitly because [[readFromParts]] merges by name).
+    * Rewrites through the fold's staged swap with the new columns
+    * null-filled, so bucket layout, partitioning and reader
+    * isolation hold; sidecar + catalog pick up the superset schema
+    * from the rewrite. Add-a-column only — an existing name is
+    * refused, never retyped. */
+  def evolveBucketedArchive(spark: SparkSession, path: String,
+                            newCols: StructType): Unit = {
+    val (_, _, _, schema) = readBucketSpec(spark, path)
+    val clash = newCols.fieldNames.filter(schema.fieldNames.contains)
+    require(clash.isEmpty,
+      s"columns [${clash.mkString(",")}] already exist at $path — " +
+        "evolution is add-a-column, never change-a-column")
+    require(newCols.fields.nonEmpty, "no columns to add")
+    val widened = newCols.fields.foldLeft(readBucketedArchive(spark, path))(
+      (d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    replaceBucketedArchive(widened, path)
   }
 
   /** The archive as a DataFrame whose scan reports the bucket
@@ -1196,6 +1264,21 @@ object Tables {
         .select(col(keyCol)).distinct())
     }
 
+  /** Live tombstones WITH their delete epochs — the change-feed's
+    * delete stream. [[readTombstones]] strips to bare keys because
+    * the masking anti-join doesn't care WHEN a key died; the feed
+    * does: `ingest_epoch` on a tombstone row is the DELETE epoch
+    * ([[ingestTombstones]] stamps it), attribution a fold destroys
+    * ([[recordFoldHorizon]]). */
+  private def readTombstonesWithEpochs(spark: SparkSession,
+                                       path: String): Option[DataFrame] =
+    if (!manifestExists(spark, path)) None
+    else {
+      val (_, parts) = resolveManifest(spark, path)
+      if (parts.isEmpty) None
+      else Some(readFromParts(spark, path, parts))
+    }
+
   /** The tombstone-masked read view: subtract an archive's live
     * tombstones from `df` on `keyCol`. Tombstones are deletes — tiny
     * relative to the archive by construction — so the anti-join
@@ -1257,6 +1340,11 @@ object Tables {
       .map(_.takeWhile(_ != '/').stripPrefix("ingest_epoch=").toLong).max
     val tomb = readTombstones(s, tombPath, keyCol)
     if (maxE <= 0L && tomb.isEmpty) return -1L
+    // the fold destroys change attribution: epochs below high-water
+    // collapse into the base layer, applied tombstones retire — the
+    // feed horizon ([[recordFoldHorizon]]) must cover both
+    val maxTombE = readTombstonesWithEpochs(s, tombPath)
+      .map(maxIngestEpoch).getOrElse(-1L)
     // readManifested resolves the pointer NOW, so this frame pins the
     // pre-fold snapshot — the carry decision below still sees the
     // newest epoch's keys after the rewrite flips the pointer
@@ -1276,6 +1364,10 @@ object Tables {
       if (!carried.isEmpty) ingestTombstones(carried, tombPath, epoch = 0L)
       graft.ops.Ckpt.release(carried)
     }
+    // inserts at the KEPT newest epoch stay attributable (cursor
+    // maxE-1 still feeds them); retired deletes do not (cursor must
+    // clear the highest retired delete epoch)
+    recordFoldHorizon(s, path, math.max(maxE - 1L, maxTombE))
     maxE
   }
 
@@ -1300,6 +1392,9 @@ object Tables {
     if (maxE < 0L) return -1L
     val tomb = readTombstones(s, tombPath, keyCol)
     if (maxE <= 0L && tomb.isEmpty) return -1L
+    // same feed-horizon rule as the manifested fold
+    val maxTombE = readTombstonesWithEpochs(s, tombPath)
+      .map(maxIngestEpoch).getOrElse(-1L)
     val preNewest = arch
       .where(col("ingest_epoch") === maxE && lit(maxE > 0L))
       .select(col(keyCol)).distinct().localCheckpoint()
@@ -1317,7 +1412,276 @@ object Tables {
       graft.ops.Ckpt.release(carried)
     }
     graft.ops.Ckpt.release(preNewest)
+    recordFoldHorizon(s, path, math.max(maxE - 1L, maxTombE))
     maxE
+  }
+
+  // ---------- Change-data-feed (incremental consumers) ----------
+
+  // SIBLING of the archive dir, not inside it: a bucketed fold swaps
+  // the whole live directory ([[replaceBucketedArchive]]), and losing
+  // the marker history there could REGRESS the horizon (an old
+  // maxTombE marker above the next fold's own value) — exactly the
+  // silent-skip the horizon exists to prevent
+  private[graft] def horizonDir(path: String) =
+    new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".changes_horizon")
+
+  /** Record that a physical fold destroyed per-epoch change
+    * attribution up to `epoch` — append-only marker files (the
+    * [[commitEpochMarker]] shape), horizon = max, so recording is
+    * idempotent and monotonic without read-modify-write. Folds call
+    * this AFTER their rewrite commits: a crash before the marker
+    * leaves the horizon stale-low, which fails SAFE — a feed cursor
+    * the crashed fold actually invalidated is re-invalidated when
+    * the fold replays and re-records. */
+  private[graft] def recordFoldHorizon(spark: SparkSession, path: String,
+                                       epoch: Long): Unit = {
+    if (epoch < 0L) return
+    val dir = horizonDir(path)
+    val fs = fsFor(spark, dir)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dir, f"epoch-$epoch%019d"), true)
+    try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The fold horizon of an archive: the highest epoch whose change
+    * attribution a physical fold has compacted away. None for an
+    * archive never folded — every cursor is then valid. */
+  def foldHorizon(spark: SparkSession, path: String): Option[Long] = {
+    val dir = horizonDir(path)
+    try {
+      val es = fsFor(spark, dir).listStatus(dir)
+        .map(_.getPath.getName).filter(_.startsWith("epoch-"))
+        .map(_.stripPrefix("epoch-").toLong)
+      if (es.isEmpty) None else Some(es.max)
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** Change-data-feed over an epoch-partitioned archive: every change
+    * with epoch strictly above the consumer's cursor, as one frame of
+    * the archive's columns plus `_change_type` ('insert' | 'delete')
+    * and `_change_epoch`. The incremental-consumer contract the
+    * epoch machinery already almost keeps — this makes it a read
+    * path instead of a convention:
+    *
+    *  - INSERTS: live rows with `ingest_epoch > sinceEpoch`,
+    *    tombstone-MASKED — a row both ingested and deleted since the
+    *    cursor nets to its delete row only, so consumers never apply
+    *    feed rows in an order that resurrects a deleted key. An
+    *    'insert' for a key the consumer already holds is an UPSERT
+    *    (archives are replace-or-add; a replayed epoch re-emits
+    *    identical rows, so feed replay is idempotent under keyed
+    *    apply).
+    *  - DELETES: tombstone rows with delete epoch `> sinceEpoch`,
+    *    key column populated, every other archive column null.
+    *    Deletes are key-level (the [[minusTombstones]] semantics)
+    *    and idempotent; a delete for a key the consumer never held
+    *    is a no-op.
+    *
+    * The consumer identity this keeps, spec-pinned: a MASKED
+    * snapshot taken at cursor `c`, minus the feed's delete keys,
+    * plus the feed's insert rows, equals the archive's current
+    * masked view — exactly-once change application without reading
+    * the archive twice.
+    *
+    * VALIDITY: a physical fold collapses epochs below its high-water
+    * into the base layer and retires applied tombstones — change
+    * attribution below the recorded [[foldHorizon]] is GONE, so a
+    * cursor below it fails loudly with the re-sync recipe instead of
+    * silently skipping the compacted changes. At 100 TB this is the
+    * CDC contract a transactional table format publishes: feeds are
+    * valid between compactions, and a consumer that falls behind the
+    * maintenance schedule re-syncs from a snapshot. */
+  def changesSince(arch: DataFrame, tombPath: String, keyCol: String,
+                   sinceEpoch: Long, archPath: String,
+                   untilEpoch: Option[Long] = None): DataFrame = {
+    val spark = arch.sparkSession
+    foldHorizon(spark, archPath).foreach { h =>
+      require(sinceEpoch >= h,
+        s"change feed at $archPath: cursor $sinceEpoch predates the " +
+          s"fold horizon $h — per-epoch attribution below it was " +
+          "physically compacted; re-sync with a full snapshot read " +
+          "(readManifested/readBucketedArchive + minusTombstones) and " +
+          "resume from the archive's current max ingest epoch")
+    }
+    def gate(df: DataFrame): DataFrame = untilEpoch match {
+      case None => df
+      case Some(u) => df.where(col("ingest_epoch").cast("long") <= u)
+    }
+    val inserts = minusTombstones(
+      gate(arch.where(col("ingest_epoch").cast("long") > sinceEpoch)),
+      tombPath, keyCol)
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_change_epoch", col("ingest_epoch").cast("long"))
+    readTombstonesWithEpochs(spark, tombPath) match {
+      case None => inserts
+      case Some(t) =>
+        val deletes = gate(t)
+          .where(col("ingest_epoch").cast("long") > sinceEpoch)
+          .select(col(keyCol),
+            lit("delete").as("_change_type"),
+            col("ingest_epoch").cast("long").as("_change_epoch"))
+          .distinct()
+        inserts.unionByName(deletes, allowMissingColumns = true)
+    }
+  }
+
+  /** [[changesSince]] over a manifested archive. `untilEpoch` gates
+    * the feed at an upper epoch — pass the topology's
+    * [[committedWatermark]] so a cross-store consumer never ingests
+    * a half-landed front-door epoch (the [[consistentView]] rule
+    * applied to the feed). */
+  def readChangesSince(spark: SparkSession, path: String,
+                       tombPath: String, keyCol: String,
+                       sinceEpoch: Long,
+                       untilEpoch: Option[Long] = None): DataFrame =
+    changesSince(readManifested(spark, path), tombPath, keyCol,
+      sinceEpoch, path, untilEpoch)
+
+  /** [[changesSince]] over a bucketed archive — the feed's insert
+    * side rides the bucketed scan, so a downstream keyed apply
+    * (join on `keyCol`) still sees the bucket partitioning. */
+  def readBucketedChangesSince(spark: SparkSession, path: String,
+                               tombPath: String, keyCol: String,
+                               sinceEpoch: Long,
+                               untilEpoch: Option[Long] = None): DataFrame =
+    changesSince(readBucketedArchive(spark, path), tombPath, keyCol,
+      sinceEpoch, path, untilEpoch)
+
+  // ---------- Incremental mirror (engine-driven CDC consumer) ----------
+
+  /** One [[syncMirror]] outcome: what the sync did and how much it
+    * moved — `mode` is full (first sync), incremental (feed
+    * applied), resync (cursor fell behind the fold horizon, the
+    * loud error's recipe AUTOMATED), or noop (source quiet;
+    * nothing rewritten). */
+  final case class SyncReport(mode: String, cursorFrom: Long,
+                              cursorTo: Long, bucketsRewritten: Int,
+                              feedInserts: Long, feedDeletes: Long)
+
+  private def cursorPath(mirrorPath: String) =
+    new org.apache.hadoop.fs.Path(
+      mirrorPath.stripSuffix("/") + ".feed_cursor")
+
+  /** The mirror's persisted consumer cursor (epoch, bucket count).
+    * None = never synced. A garbled sidecar fails loudly — delete it
+    * to force a full re-sync. */
+  def mirrorCursor(spark: SparkSession, mirrorPath: String)
+      : Option[(Long, Int)] = {
+    val p = cursorPath(mirrorPath)
+    val fs = fsFor(spark, p)
+    if (!fs.exists(p)) None
+    else readSmallFile(fs, p).split("\n") match {
+      case Array(e, b) => Some((e.toLong, b.toInt))
+      case other => throw new IllegalStateException(
+        s"garbled mirror cursor at $p (${other.length} lines) — delete " +
+          "it to force a full re-sync")
+    }
+  }
+
+  private def writeMirrorCursor(spark: SparkSession, mirrorPath: String,
+                                epoch: Long, buckets: Int): Unit = {
+    val p = cursorPath(mirrorPath)
+    val out = fsFor(spark, p).create(p, true)
+    try out.write(s"$epoch\n$buckets".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The mirror's rows without its internal bucketing column. */
+  def readMirror(spark: SparkSession, mirrorPath: String): DataFrame =
+    readManifested(spark, mirrorPath).drop("kb")
+
+  /** Engine-driven incremental mirror of an epoch archive — the
+    * change-feed's consumer side, managed: mirror a source archive
+    * (tombstone-masked) into a KEY-HASH-BUCKETED manifested table,
+    * rewriting ONLY the buckets containing changed keys per sync.
+    * This is the shape that scales: a 100 TB mirror with a 0.1%
+    * daily delta rewrites the touched fraction of its `buckets`
+    * partitions, not the table — and the untouched buckets' data
+    * dirs are carried by manifest reference, never rewritten
+    * (spec-pinned).
+    *
+    * Lifecycle per call: no cursor → FULL build (snapshot read);
+    * cursor behind the source's [[foldHorizon]] → automatic full
+    * RESYNC (the stale-cursor error's documented recipe, executed
+    * instead of thrown — the mirror owns its cursor, so unlike an
+    * external consumer it can always rebuild); otherwise the feed
+    * above the cursor applies as keyed delete+upsert. The cursor
+    * (and bucket count, pinned against accidental re-bucketing)
+    * commits AFTER the data — a crash between the two replays the
+    * same feed, and keyed apply is idempotent, so the mirror is
+    * exactly-once-effective without coordination.
+    *
+    * CONTRACT: source keys are whole-state-per-epoch (each ingest
+    * carries a key's complete row set — the engine's document/label
+    * archives), because apply REPLACES a changed key's rows. */
+  def syncMirror(spark: SparkSession, srcPath: String, srcTomb: String,
+                 keyCol: String, mirrorPath: String,
+                 buckets: Int = 32): SyncReport = {
+    require(buckets >= 1, "buckets must be positive")
+    val arch = readManifested(spark, srcPath)
+    val srcMax = math.max(maxIngestEpoch(arch),
+      readTombstonesWithEpochs(spark, srcTomb)
+        .map(maxIngestEpoch).getOrElse(-1L))
+    def kb(df: DataFrame): DataFrame =
+      df.withColumn("kb", pmod(hash(col(keyCol)), lit(buckets)))
+    def fullBuild(mode: String, from: Long): SyncReport = {
+      val snap = kb(minusTombstones(arch, srcTomb, keyCol))
+      if (manifestExists(spark, mirrorPath))
+        upsertManifested(snap, mirrorPath, Seq("kb"), _ => true)
+      else writeManifested(snap, mirrorPath, Seq("kb"))
+      // a fold can push the horizon PAST the source's own max epoch
+      // (delete epochs above the last ingest); park the cursor at
+      // whichever is higher — epochs are topology-monotonic, so no
+      // future commit lands at or below the horizon, and a cursor
+      // below it would re-trigger resync forever
+      val target = math.max(srcMax,
+        foldHorizon(spark, srcPath).getOrElse(-1L))
+      writeMirrorCursor(spark, mirrorPath, target, buckets)
+      SyncReport(mode, from, target, buckets, -1L, -1L)
+    }
+    mirrorCursor(spark, mirrorPath) match {
+      case None => fullBuild("full", -1L)
+      case Some((cursor, b)) =>
+        require(b == buckets,
+          s"mirror at $mirrorPath was built with $b buckets, sync asked " +
+            s"for $buckets — re-bucketing must be explicit (delete the " +
+            "mirror and its cursor to rebuild)")
+        if (foldHorizon(spark, srcPath).exists(cursor < _))
+          fullBuild("resync", cursor)
+        else {
+          val feed = changesSince(arch, srcTomb, keyCol, cursor, srcPath)
+            .localCheckpoint()
+          try {
+            val nIns = feed.where(col("_change_type") === "insert").count()
+            val nDel = feed.where(col("_change_type") === "delete").count()
+            if (nIns == 0 && nDel == 0) {
+              if (srcMax > cursor)
+                writeMirrorCursor(spark, mirrorPath, srcMax, buckets)
+              SyncReport("noop", cursor, math.max(cursor, srcMax), 0, 0L, 0L)
+            } else {
+              val touchedKeys = kb(feed.select(col(keyCol)).distinct())
+              val kbs = touchedKeys.select("kb").distinct()
+                .collect().map(_.getInt(0)).toSet // ≤ `buckets` values
+              val carried = readManifested(spark, mirrorPath)
+                .where(col("kb").cast("int").isin(kbs.toSeq: _*))
+                .join(broadcast(touchedKeys.select(col(keyCol))),
+                  Seq(keyCol), "left_anti")
+              val applied = carried.unionByName(
+                kb(feed.where(col("_change_type") === "insert")
+                  .drop("_change_type", "_change_epoch")),
+                allowMissingColumns = true)
+              upsertManifested(
+                applied.withColumn("kb", col("kb").cast("int")),
+                mirrorPath, Seq("kb"),
+                p => kbs.contains(p.stripPrefix("kb=").toInt))
+              writeMirrorCursor(spark, mirrorPath, srcMax, buckets)
+              SyncReport("incremental", cursor, srcMax, kbs.size, nIns, nDel)
+            }
+          } finally graft.ops.Ckpt.release(feed)
+        }
+    }
   }
 
   // ---------- Topology commit watermark (cross-store consistency) ----------

@@ -904,6 +904,233 @@ object ScaleOps {
       |         CAST(2 AS BIGINT) FROM n)
       |ORDER BY phase, store""".stripMargin
 
+  // ---------- Change-data-feed (gated construction) ----------
+
+  /** Deterministic archive history behind [[qChangesSince]]: three
+    * ingest epochs split by doc_id residue, then two DELETE epochs
+    * ([[graft.io.Tables.ingestTombstones]]) — epoch 3 tombstones a
+    * slice of the base layer, epoch 4 tombstones ALL of ingest
+    * epoch 1, so the feed's insert-netting rule (a row both ingested
+    * and deleted since the cursor emits only its delete) shows up as
+    * a VANISHED insert group in the gated counts. */
+  private def changesRoot(s: SparkSession, dir: String): String =
+    healthMemo.computeIfAbsent(dir + "#changes", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-changes").toString
+      healthDirs.add(root)
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val p = s"$root/arch"
+      Tables.writeManifested(
+        ids.where(pmod(col("doc_id"), lit(10)) >= 2)
+          .withColumn("ingest_epoch", lit(0L)),
+        p, Seq("ingest_epoch"))
+      Tables.upsertManifested(
+        ids.where(pmod(col("doc_id"), lit(10)) === 1)
+          .withColumn("ingest_epoch", lit(1L)),
+        p, Seq("ingest_epoch"), _ == "ingest_epoch=1")
+      Tables.upsertManifested(
+        ids.where(pmod(col("doc_id"), lit(10)) === 0)
+          .withColumn("ingest_epoch", lit(2L)),
+        p, Seq("ingest_epoch"), _ == "ingest_epoch=2")
+      Tables.ingestTombstones(
+        ids.where(pmod(col("doc_id"), lit(20)) === 2),
+        s"$root/arch_tombstones", epoch = 3L)
+      Tables.ingestTombstones(
+        ids.where(pmod(col("doc_id"), lit(10)) === 1),
+        s"$root/arch_tombstones", epoch = 4L)
+      root
+    })
+
+  /** Gated: the change-data-feed ([[graft.io.Tables
+    * .readChangesSince]]) at two consumer cursors over the same
+    * deterministic history — per (cursor, change type, change
+    * epoch), the row count and key sum the feed emits. Cursor 0
+    * shows the netting rule: ingest epoch 1 is fully tombstoned at
+    * delete epoch 4, so its insert group is ABSENT (only the delete
+    * group survives) while epoch 2's inserts come through; cursor 3
+    * sees only the one delete epoch above it. HASH-gated — every
+    * group is a residue-class aggregate over the documents table.
+    * LayoutSpec pins the rest of the contract: the
+    * snapshot+changes=current identity, fold-horizon invalidation,
+    * and the bucketed variant. */
+  def qChangesSince(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = changesRoot(s, dir)
+    Seq(0L, 3L).map { cursor =>
+      Tables.readChangesSince(s, s"$root/arch",
+          s"$root/arch_tombstones", "doc_id", cursor)
+        .groupBy(col("_change_type").as("change_type"),
+          col("_change_epoch").as("change_epoch"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).cast("long").as("key_sum"))
+        .withColumn("cursor_epoch", lit(cursor))
+    }.reduce(_.unionByName(_))
+      .select("cursor_epoch", "change_type", "change_epoch", "n", "key_sum")
+      .orderBy("cursor_epoch", "change_type", "change_epoch")
+  }
+
+  val qChangesSinceOracle: String =
+    """WITH g AS (
+      |  SELECT CAST(0 AS BIGINT) AS cursor_epoch, 'insert' AS change_type,
+      |         CAST(2 AS BIGINT) AS change_epoch,
+      |         count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS key_sum
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT 0, 'delete', 3, count(*), CAST(sum(doc_id) AS BIGINT)
+      |  FROM documents WHERE doc_id % 20 = 2
+      |  UNION ALL
+      |  SELECT 0, 'delete', 4, count(*), CAST(sum(doc_id) AS BIGINT)
+      |  FROM documents WHERE doc_id % 10 = 1
+      |  UNION ALL
+      |  SELECT 3, 'delete', 4, count(*), CAST(sum(doc_id) AS BIGINT)
+      |  FROM documents WHERE doc_id % 10 = 1)
+      |SELECT cursor_epoch, change_type, change_epoch, n, key_sum FROM g
+      |ORDER BY cursor_epoch, change_type, change_epoch""".stripMargin
+
+  // ---------- Incremental mirror (gated construction) ----------
+
+  /** [[qMirrorSync]]'s staged lifecycle: build the source archive
+    * (epoch 0), FULL-sync the mirror, land an ingest epoch and a
+    * delete epoch, INCREMENTAL-sync, then sync a third time against
+    * the now-quiet source (NOOP). Memoized so the three reports are
+    * stable within a session. */
+  private def mirrorRoot(s: SparkSession, dir: String)
+      : (String, Seq[Tables.SyncReport]) = {
+    val root = healthMemo.computeIfAbsent(dir + "#mirror", _ => {
+      val r = java.nio.file.Files
+        .createTempDirectory("graft-mirror").toString
+      healthDirs.add(r)
+      r
+    })
+    mirrorMemo.computeIfAbsent(root, _ => {
+      val ids = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val p = s"$root/arch"
+      val tomb = s"$root/arch_tombstones"
+      val m = s"$root/mirror"
+      Tables.writeManifested(
+        ids.where(pmod(col("doc_id"), lit(10)) >= 2)
+          .withColumn("ingest_epoch", lit(0L)),
+        p, Seq("ingest_epoch"))
+      val r1 = Tables.syncMirror(s, p, tomb, "doc_id", m, buckets = 8)
+      Tables.upsertManifested(
+        ids.where(pmod(col("doc_id"), lit(10)) === 1)
+          .withColumn("ingest_epoch", lit(1L)),
+        p, Seq("ingest_epoch"), _ == "ingest_epoch=1")
+      Tables.ingestTombstones(
+        ids.where(pmod(col("doc_id"), lit(20)) === 4).select("doc_id"),
+        tomb, epoch = 2L)
+      val r2 = Tables.syncMirror(s, p, tomb, "doc_id", m, buckets = 8)
+      val r3 = Tables.syncMirror(s, p, tomb, "doc_id", m, buckets = 8)
+      Seq(r1, r2, r3)
+    })
+    (root, mirrorMemo.get(root))
+  }
+
+  private val mirrorMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Seq[Tables.SyncReport]]()
+
+  /** Gated: the engine-driven CDC consumer ([[graft.io.Tables
+    * .syncMirror]]) — per sync, the mode/cursor the engine chose and
+    * the mirror's row count and key sum AFTER it. Full build, then
+    * an incremental sync that applies one ingest + one delete epoch
+    * through the feed, then a NOOP against the quiet source (the
+    * mirror is not rewritten at all — MirrorSpec pins the untouched
+    * buckets' data dirs carried by reference). HASH-gated: modes and
+    * cursors are deterministic, and the mirror states are residue
+    * aggregates over the documents table. */
+  def qMirrorSync(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (root, reports) = mirrorRoot(s, dir)
+    // the staged lifecycle leaves the mirror at its FINAL state; the
+    // per-sync states are closed forms, so gate mode+cursor per sync
+    // and content once
+    val fin = Tables.readMirror(s, s"$root/mirror")
+      .agg(count(lit(1)).cast("long"), sum(col("doc_id")).cast("long"))
+      .head()
+    reports.zipWithIndex.map { case (r, i) =>
+      (i + 1L, r.mode, r.cursorFrom, r.cursorTo,
+        fin.getLong(0), fin.getLong(1))
+    }.toDF("sync_id", "mode", "cursor_from", "cursor_to",
+      "final_rows", "final_key_sum")
+      .orderBy("sync_id")
+  }
+
+  val qMirrorSyncOracle: String =
+    """WITH n AS (
+      |  SELECT count(*) FILTER (WHERE doc_id % 10 >= 2
+      |                            AND doc_id % 20 <> 4)
+      |           + count(*) FILTER (WHERE doc_id % 10 = 1) AS rows_,
+      |         CAST(sum(doc_id) FILTER (WHERE (doc_id % 10 >= 2
+      |                            AND doc_id % 20 <> 4)
+      |                            OR doc_id % 10 = 1) AS BIGINT) AS ks
+      |  FROM documents)
+      |SELECT CAST(1 AS BIGINT) AS sync_id, 'full' AS mode,
+      |       CAST(-1 AS BIGINT) AS cursor_from, CAST(0 AS BIGINT) AS cursor_to,
+      |       rows_ AS final_rows, ks AS final_key_sum FROM n
+      |UNION ALL
+      |SELECT 2, 'incremental', 0, 2, rows_, ks FROM n
+      |UNION ALL
+      |SELECT 3, 'noop', 2, 2, rows_, ks FROM n
+      |ORDER BY sync_id""".stripMargin
+
+  // ---------- Additive schema evolution (gated construction) ----------
+
+  /** [[qSchemaEvolution]]'s history: ingest epoch 0 writes
+    * (doc_id, n_chars) for even doc_ids — the pipeline BEFORE it
+    * extracted language — epoch 1 writes (doc_id, n_chars, lang)
+    * for odd ones. One archive, two schema vintages. */
+  private def evolutionRoot(s: SparkSession, dir: String): String =
+    healthMemo.computeIfAbsent(dir + "#evolution", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-evolution").toString
+      healthDirs.add(root)
+      val docs = t(s, dir, "documents")
+      val p = s"$root/arch"
+      Tables.writeManifested(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id"), col("n_chars"))
+          .withColumn("ingest_epoch", lit(0L)),
+        p, Seq("ingest_epoch"))
+      Tables.upsertManifested(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("doc_id"), col("n_chars"), col("lang"))
+          .withColumn("ingest_epoch", lit(1L)),
+        p, Seq("ingest_epoch"), _ == "ingest_epoch=1")
+      root
+    })
+
+  /** Gated: additive schema evolution on the manifested layout — an
+    * epoch that starts carrying a NEW column unions with the
+    * pre-evolution history by name, old rows reading the column as
+    * null ([[graft.io.Tables.readManifested]]'s merge discipline).
+    * The aggregate pins the unified schema end-to-end: total rows
+    * across both vintages, null/set split of the evolved column,
+    * its distinct values, and a sum over a column both vintages
+    * share. HASH-gated — every figure is a parity-class aggregate
+    * over the documents table. LayoutSpec pins the rest: fold
+    * preserves the superset schema, type CONFLICTS stay loud, and
+    * the bucketed layout's explicit evolution verb
+    * ([[graft.io.Tables.evolveBucketedArchive]]). */
+  def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = evolutionRoot(s, dir)
+    Tables.readManifested(s, s"$root/arch")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("lang").isNull, 1)).as("n_lang_null"),
+        count(col("lang")).as("n_lang_set"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).cast("long").as("chars_sum"))
+  }
+
+  val qSchemaEvolutionOracle: String =
+    """SELECT count(*) AS n_rows,
+      |       count(*) FILTER (WHERE doc_id % 2 = 0) AS n_lang_null,
+      |       count(*) FILTER (WHERE doc_id % 2 = 1) AS n_lang_set,
+      |       count(DISTINCT lang) FILTER (WHERE doc_id % 2 = 1) AS n_langs,
+      |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+      |FROM documents""".stripMargin
+
   // ---------- Maintenance-due policy (monitor -> action) ----------
 
   /** Policy thresholds for [[qMaintenanceDue]] — the missing half of
@@ -1038,6 +1265,9 @@ object ScaleOps {
     "q_archive_health" -> qArchiveHealth,
     "q_maintenance_due" -> qMaintenanceDue,
     "q_consistent_view" -> qConsistentView,
+    "q_changes_since" -> qChangesSince,
+    "q_schema_evolution" -> qSchemaEvolution,
+    "q_mirror_sync" -> qMirrorSync,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1055,6 +1285,9 @@ object ScaleOps {
     "q_archive_health" -> qArchiveHealthOracle,
     "q_maintenance_due" -> qMaintenanceDueOracle,
     "q_consistent_view" -> qConsistentViewOracle,
+    "q_changes_since" -> qChangesSinceOracle,
+    "q_schema_evolution" -> qSchemaEvolutionOracle,
+    "q_mirror_sync" -> qMirrorSyncOracle,
     // the scalable twin runs against the SAME oracle as the global
     // ntile anchor — identical results from a one-reducer-free plan
     "q_ntile_scalable" -> Relational.qQuantileBinsOracle,
