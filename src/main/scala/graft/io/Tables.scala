@@ -1,7 +1,8 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, hash, lit, pmod, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count,
+  expr, greatest, hash, input_file_name, lit, max, min, pmod, sum, when}
 import org.apache.spark.sql.types.StructType
 
 /** Table IO for the engine.
@@ -1681,6 +1682,356 @@ object Tables {
             }
           } finally graft.ops.Ckpt.release(feed)
         }
+    }
+  }
+
+  // ---------- Incremental aggregate maintenance (IVM over the feed) ----------
+
+  /** One [[syncAggregate]] outcome — the [[SyncReport]] shape for the
+    * aggregate consumer: `groupsTouched` is how many group rows this
+    * sync re-derived (feed-bounded, never the table). */
+  final case class AggSyncReport(mode: String, cursorFrom: Long,
+                                 cursorTo: Long, groupsTouched: Long,
+                                 bucketsRewritten: Int)
+
+  /** The keyed CURRENT state of `keys`' rows as of `atEpoch` (None =
+    * now): per key, the row set of its LATEST ingest epoch at or
+    * below the gate, minus tombstones whose DELETE epoch is at or
+    * below it — the state a keyed consumer (mirror, aggregate) held
+    * after applying the feed up to that epoch. `keys` is feed-bounded
+    * and broadcasts; the archive side is one semi-join-pruned scan,
+    * so recovering before-images costs O(touched keys' rows), never
+    * the corpus. */
+  private def keyedStateAt(arch: DataFrame, tombPath: String,
+                           keyCol: String, atEpoch: Option[Long],
+                           keys: DataFrame): DataFrame = {
+    val spark = arch.sparkSession
+    val gated = atEpoch.fold(arch)(e =>
+      arch.where(col("ingest_epoch").cast("long") <= e))
+    val mine = gated.join(broadcast(keys.select(col(keyCol))),
+      Seq(keyCol), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val latest = mine
+      .withColumn("_e", col("ingest_epoch").cast("long"))
+      .withColumn("_max_e", max(col("_e")).over(w))
+      .where(col("_e") === col("_max_e")).drop("_e", "_max_e")
+    readTombstonesWithEpochs(spark, tombPath) match {
+      case None => latest
+      case Some(t) =>
+        val tg = atEpoch.fold(t)(e =>
+          t.where(col("ingest_epoch").cast("long") <= e))
+        latest.join(
+          broadcast(tg.select(col(keyCol)).distinct()),
+          Seq(keyCol), "left_anti")
+    }
+  }
+
+  /** Engine-maintained MATERIALIZED AGGREGATE over an epoch archive —
+    * incremental view maintenance driven by the change feed: keep
+    * `SELECT groupCols, count(*), sum(sumCols…) GROUP BY groupCols`
+    * over the archive's keyed live view current WITHOUT recomputing
+    * it, re-deriving only the groups the feed touched.
+    *
+    * Per incremental sync the engine reads the feed above the cursor,
+    * recovers before-images for the touched KEYS from the archive
+    * itself (one semi-join-pruned scan — [[keyedStateAt]] at the
+    * cursor), computes per-group deltas (new − old; a key whose group
+    * VALUE changed moves its contribution between both groups), and
+    * merges them into the group-hash-bucketed aggregate table,
+    * rewriting only buckets containing touched groups. At 100 TB a
+    * 0.1% daily delta costs a feed read + a touched-key lookup + a
+    * k-row merge — the full groupBy runs exactly once, at first
+    * build.
+    *
+    * EXACTLY-ONCE: unlike the mirror's keyed replace, a delta merge
+    * is not naturally idempotent, so every group row carries `_asof`
+    * — the source epoch its value reflects. The apply is one manifest
+    * CAS (no partially-applied state exists), so if any row's `_asof`
+    * exceeds the cursor, the previous sync's data landed IN FULL and
+    * only its cursor write was lost: the sync repairs the cursor from
+    * the table's `_asof` high-water before reading the feed — an
+    * exact crash-replay collapses to a noop, and a replay that
+    * interleaves with epochs committed since the crash resumes from
+    * the repaired cursor instead of double-applying the old window.
+    * The per-group `_asof >= target` skip in the merge is
+    * defense-in-depth behind that repair.
+    *
+    * Aggregate semantics: per key, only its LATEST live epoch's rows
+    * contribute (the [[syncMirror]] keyed-upsert view — spec-pinned
+    * identical to aggregating [[readMirror]]); group columns may be
+    * null (null-safe group equality throughout); `count(*)` is kept
+    * as `n_rows` and each `sumCols` column as `sum_<name>`; a group
+    * whose count reaches zero leaves the table. Cursor discipline,
+    * fold-horizon resync, and noop behavior are [[syncMirror]]'s. */
+  def syncAggregate(spark: SparkSession, srcPath: String, srcTomb: String,
+                    keyCol: String, groupCols: Seq[String],
+                    sumCols: Seq[String], aggPath: String,
+                    buckets: Int = 32): AggSyncReport = {
+    require(buckets >= 1, "buckets must be positive")
+    require(groupCols.nonEmpty, "syncAggregate needs group columns")
+    val arch = readManifested(spark, srcPath)
+    val srcMax = math.max(maxIngestEpoch(arch),
+      readTombstonesWithEpochs(spark, srcTomb)
+        .map(maxIngestEpoch).getOrElse(-1L))
+    def kbOf(df: DataFrame): DataFrame =
+      df.withColumn("kb",
+        pmod(hash(groupCols.map(df(_)): _*), lit(buckets)))
+    def aggExprs = count(lit(1)).as("n_rows") +:
+      sumCols.map(c => sum(col(c)).as(s"sum_$c"))
+    def fullBuild(mode: String, from: Long): AggSyncReport = {
+      // first build pays the one full groupBy (and the latest-per-key
+      // window) the incremental path exists to avoid
+      val allKeys = arch.select(col(keyCol)).distinct()
+      val snap = keyedStateAt(arch, srcTomb, keyCol, None, allKeys)
+        .groupBy(groupCols.map(col): _*)
+        .agg(aggExprs.head, aggExprs.tail: _*)
+        .withColumn("_asof", lit(math.max(srcMax, 0L)))
+      val target = math.max(srcMax,
+        foldHorizon(spark, srcPath).getOrElse(-1L))
+      val out = kbOf(snap)
+      if (manifestExists(spark, aggPath))
+        upsertManifested(out, aggPath, Seq("kb"), _ => true)
+      else writeManifested(out, aggPath, Seq("kb"))
+      writeMirrorCursor(spark, aggPath, target, buckets)
+      AggSyncReport(mode, from, target, -1L, buckets)
+    }
+    mirrorCursor(spark, aggPath) match {
+      case None => fullBuild("full", -1L)
+      case Some((cursor0, b)) =>
+        require(b == buckets,
+          s"aggregate at $aggPath was built with $b buckets, sync asked " +
+            s"for $buckets — re-bucketing must be explicit (delete the " +
+            "table and its cursor to rebuild)")
+        // cursor repair: the apply is one manifest CAS, so if any row
+        // says _asof above the cursor, the previous sync's DATA landed
+        // in full and only its cursor write was lost to a crash —
+        // resume from the table's own high-water instead of re-deriving
+        // a feed window part of which was already applied (the _asof
+        // guard below would catch an exact replay, but not one that
+        // interleaves with epochs committed since the crash)
+        val asofRow = readManifested(spark, aggPath)
+          .agg(max(col("_asof").cast("long"))).head()
+        val tblAsof = if (asofRow.isNullAt(0)) -1L else asofRow.getLong(0)
+        val cursor =
+          if (tblAsof > cursor0) {
+            writeMirrorCursor(spark, aggPath, tblAsof, buckets)
+            tblAsof
+          } else cursor0
+        if (foldHorizon(spark, srcPath).exists(cursor < _))
+          fullBuild("resync", cursor)
+        else {
+          val feed = changesSince(arch, srcTomb, keyCol, cursor, srcPath)
+            .select(col(keyCol)).distinct().localCheckpoint()
+          try {
+            if (feed.isEmpty) {
+              if (srcMax > cursor)
+                writeMirrorCursor(spark, aggPath, srcMax, buckets)
+              AggSyncReport("noop", cursor, math.max(cursor, srcMax), 0L, 0)
+            } else {
+              val oldS = keyedStateAt(arch, srcTomb, keyCol,
+                Some(cursor), feed)
+              val newS = keyedStateAt(arch, srcTomb, keyCol, None, feed)
+              def signed(df: DataFrame, sgn: Long) = df.select(
+                groupCols.map(col) ++ sumCols.map(col) :+
+                  lit(sgn).as("_sgn"): _*)
+              val delta = signed(newS, 1L)
+                .unionByName(signed(oldS, -1L))
+                .groupBy(groupCols.map(col): _*)
+                .agg(
+                  sum(col("_sgn")).as("dn"),
+                  sumCols.map(c =>
+                    sum(col(c) * col("_sgn")).as(s"d_$c")): _*)
+                .localCheckpoint() // ≤ |touched groups| rows
+              val kbs = kbOf(delta).select("kb").distinct()
+                .collect().map(_.getInt(0)).toSet
+              val nTouched = delta.count()
+              val cur = readManifested(spark, aggPath)
+                .where(col("kb").cast("int").isin(kbs.toSeq: _*))
+              // null-safe full outer on the group columns: untouched
+              // groups sharing a bucket pass through with a null delta
+              val cond = groupCols.map(c => cur(c) <=> delta(c))
+                .reduce(_ && _)
+              val applied = delta("dn").isNotNull &&
+                (cur("_asof").isNull || cur("_asof") < lit(srcMax))
+              val merged = cur.join(delta, cond, "full_outer").select(
+                groupCols.map(c => coalesce(cur(c), delta(c)).as(c)) ++
+                  Seq(when(applied,
+                      coalesce(cur("n_rows"), lit(0L)) + delta("dn"))
+                    .otherwise(cur("n_rows")).as("n_rows")) ++
+                  // d_<c> is null when every touched row's value was
+                  // null (sum over nothing) — a zero delta, not a
+                  // null-out of the stored sum
+                  sumCols.map(c => when(applied,
+                      coalesce(cur(s"sum_$c"), lit(0L)) +
+                        coalesce(delta(s"d_$c"), lit(0L)))
+                    .otherwise(cur(s"sum_$c")).as(s"sum_$c")) :+
+                  when(delta("dn").isNotNull,
+                    greatest(coalesce(cur("_asof"), lit(-1L)), lit(srcMax)))
+                    .otherwise(cur("_asof")).as("_asof"): _*)
+                .where(col("n_rows") > 0)
+              upsertManifested(kbOf(merged), aggPath, Seq("kb"),
+                p => kbs.contains(p.stripPrefix("kb=").toInt))
+              writeMirrorCursor(spark, aggPath, srcMax, buckets)
+              AggSyncReport("incremental", cursor, srcMax, nTouched,
+                kbs.size)
+            }
+          } finally graft.ops.Ckpt.release(feed)
+        }
+    }
+  }
+
+  /** The aggregate table's rows without its internal columns. */
+  def readAggregate(spark: SparkSession, aggPath: String): DataFrame =
+    readManifested(spark, aggPath).drop("kb", "_asof")
+
+  // ---------- Zone maps (file-level data skipping) ----------
+
+  /** One column's range constraint for [[readManifestedSkipping]]:
+    * keep files that may contain `lo <= colName <= hi` (either bound
+    * optional). Bounds are range semantics — rows with a NULL value
+    * never match, so the caller's row-level filter must be the same
+    * range predicate. */
+  final case class ZoneBound(colName: String,
+                             lo: Option[Any], hi: Option[Any])
+
+  private def fileStatsPtr(path: String) =
+    new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "/_file_stats_ptr")
+
+  /** The current stats sidecar: (stats dir, statted columns), or None
+    * if the archive was never analyzed. A garbled pointer fails
+    * loudly — delete it and re-run [[computeFileStats]]. */
+  def fileStats(spark: SparkSession, path: String)
+      : Option[(String, Seq[String])] = {
+    val p = fileStatsPtr(path)
+    val fs = fsFor(spark, p)
+    if (!fs.exists(p)) None
+    else readSmallFile(fs, p).split("\n") match {
+      case Array(dir, cols) => Some((dir, cols.split(",").toSeq))
+      case other => throw new IllegalStateException(
+        s"garbled file-stats pointer at $p (${other.length} lines) — " +
+          "delete it and re-run computeFileStats")
+    }
+  }
+
+  /** ANALYZE for file-level data skipping: compute per-FILE min/max
+    * of `statsCols` over the archive's current live files and publish
+    * them as a zone-map sidecar ([[readManifestedSkipping]] reads
+    * it). One column-pruned scan of the archive — paid explicitly,
+    * like any ANALYZE — producing one row per live file (a 100 TB
+    * archive at 128 MB files is ~800k rows: driver-prunable, the
+    * same order a transactional table format's file manifest holds).
+    *
+    * Stats are an OVERLAY, never a correctness dependency: the
+    * skipping read keeps any live file the sidecar doesn't cover
+    * (commits landed after the analyze; a fold rewrote files), so
+    * stale stats degrade to less pruning, never to missing rows.
+    * Re-run after layout-changing maintenance to restore pruning.
+    * The sidecar lands in a fresh uniquely-named dir and the pointer
+    * flips last ([[writeManifested]]'s commit discipline in
+    * miniature); superseded stats dirs are tiny and reclaimed on the
+    * next analyze. */
+  def computeFileStats(spark: SparkSession, path: String,
+                       statsCols: Seq[String]): Long = {
+    require(statsCols.nonEmpty, "computeFileStats needs columns")
+    val live = readManifested(spark, path)
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val stats = live
+      .withColumn("_f", input_file_name())
+      .groupBy(col("_f")).agg(aggs.head, aggs.tail: _*)
+      .withColumn("file", expr("parse_url(_f, 'PATH')"))
+      .withColumn("file",
+        coalesce(col("file"), col("_f"))) // non-URI names pass through
+      .drop("_f")
+    val dir = s"${path.stripSuffix("/")}/_file_stats/" +
+      s"s${java.util.UUID.randomUUID.toString.take(8)}"
+    stats.write.mode(SaveMode.Overwrite).parquet(dir)
+    val n = spark.read.parquet(dir).count()
+    val prev = fileStats(spark, path).map(_._1)
+    val ptr = fileStatsPtr(path)
+    val fs = fsFor(spark, ptr)
+    val out = fs.create(ptr, true)
+    try out.write(s"$dir\n${statsCols.mkString(",")}".getBytes("UTF-8"))
+    finally out.close()
+    prev.foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    n
+  }
+
+  /** The surviving (file, base) pairs of a skipping read, plus how
+    * many live files were statted/pruned — split out so specs can pin
+    * the pruning itself, not just the row identity. Base = the
+    * file's manifest version root (partition-column reconstruction
+    * needs it as `basePath`). */
+  private[graft] def zonemapSurvivors(spark: SparkSession, path: String,
+      bounds: Seq[ZoneBound]): (Seq[(String, String)], Long, Long) = {
+    val (_, parts) = resolveManifest(spark, path)
+    val root = path.stripSuffix("/")
+    val fs = fsFor(spark, new org.apache.hadoop.fs.Path(root))
+    // live files, each with its version-base for basePath
+    val liveFiles: Seq[(String, String)] = parts.values.toSeq.flatMap {
+      rel =>
+        val base = s"$root/${rel.split("/").take(2).mkString("/")}"
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel"))
+          .toSeq
+          .filter { f =>
+            val n = f.getPath.getName
+            f.isFile && !n.startsWith(".") && !n.startsWith("_")
+          }
+          .map(f => f.getPath.toUri.getPath -> base)
+    }
+    fileStats(spark, path) match {
+      case None => (liveFiles, 0L, 0L)
+      case Some((dir, cols)) =>
+        bounds.foreach(b => require(cols.contains(b.colName),
+          s"zone-map sidecar at $path covers [${cols.mkString(",")}] " +
+            s"but the read bounds ${b.colName} — re-run " +
+            "computeFileStats with it"))
+        val stats = spark.read.parquet(dir)
+        // a file whose min/max are NULL (all values null) or absent
+        // stays IN: pruning is only ever the provably-impossible
+        val keepExpr = bounds.map { b =>
+          val tests = b.lo.map(v => !(col(s"max_${b.colName}") < lit(v))) ++
+            b.hi.map(v => !(col(s"min_${b.colName}") > lit(v)))
+          tests.reduceOption(_ && _).getOrElse(lit(true))
+        }.reduceOption(_ && _).getOrElse(lit(true))
+        val keep = stats
+          .where(coalesce(keepExpr, lit(true)))
+          .select("file").collect().map(_.getString(0)).toSet
+        val statted = stats.select("file").collect()
+          .map(_.getString(0)).toSet
+        val survivors = liveFiles.filter { case (f, _) =>
+          !statted(f) || keep(f) }
+        (survivors, liveFiles.count(f => statted(f._1)).toLong,
+          (liveFiles.size - survivors.size).toLong)
+    }
+  }
+
+  /** Zone-map-pruned snapshot read: [[readManifested]] restricted to
+    * files whose analyzed min/max ranges can intersect `bounds` —
+    * file-level data skipping for predicates on NON-partition
+    * columns, the scan-reduction half of the z-order/range layout
+    * story (clustered layouts make per-file ranges narrow; this makes
+    * the read actually skip the disjoint files, before any task is
+    * scheduled). Files the sidecar doesn't cover are always read, so
+    * the result is exactly [[readManifested]]'s rows whenever every
+    * row matching `bounds` is wanted — apply the same range predicate
+    * row-level on top (files keep their non-matching rows). */
+  def readManifestedSkipping(spark: SparkSession, path: String,
+                             bounds: Seq[ZoneBound]): DataFrame = {
+    val (survivors, _, pruned) = zonemapSurvivors(spark, path, bounds)
+    if (pruned == 0L) readManifested(spark, path)
+    else if (survivors.isEmpty)
+      readManifested(spark, path).where(lit(false))
+    else {
+      val frames = survivors.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (base, fz) =>
+          spark.read.option("basePath", base)
+            .option("mergeSchema", "true")
+            .parquet(fz.map(_._1).sorted: _*)
+        }
+      frames.reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
 

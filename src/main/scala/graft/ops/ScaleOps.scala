@@ -1074,6 +1074,170 @@ object ScaleOps {
       |SELECT 3, 'noop', 2, 2, rows_, ks FROM n
       |ORDER BY sync_id""".stripMargin
 
+  // ---------- Zone-map file skipping (gated construction) ----------
+
+  /** [[qZonemapSkip]]'s archive: epoch 0 range-clusters even doc_ids
+    * into files with disjoint doc_id ranges and ANALYZEs them
+    * ([[graft.io.Tables.computeFileStats]]); epoch 1 lands odd
+    * doc_ids AFTER the analyze — live files the sidecar doesn't
+    * cover, which the skipping read must keep unconditionally. */
+  private def zonemapRoot(s: SparkSession, dir: String): String =
+    healthMemo.computeIfAbsent(dir + "#zonemap", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-zonemap").toString
+      healthDirs.add(root)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val p = s"$root/arch"
+      Tables.writeManifested(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .repartitionByRange(8, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .withColumn("ingest_epoch", lit(0L)),
+        p, Seq("ingest_epoch"))
+      Tables.computeFileStats(s, p, Seq("doc_id"))
+      Tables.upsertManifested(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1)
+          .withColumn("ingest_epoch", lit(1L)),
+        p, Seq("ingest_epoch"), _ == "ingest_epoch=1")
+      root
+    })
+
+  /** Gated: zone-map file skipping ([[graft.io.Tables
+    * .readManifestedSkipping]]) — a range predicate on a
+    * NON-partition column prunes the scan to files whose analyzed
+    * min/max can intersect it, before any task is scheduled (the
+    * scan-reduction half of the range-clustered layout story), while
+    * files committed AFTER the analyze are read unconditionally, so
+    * the pruned read plus the row-level filter equals the plain
+    * filtered read exactly. HASH-gated: the per-lang aggregate over
+    * `doc_id BETWEEN 100 AND 299` spans both the statted epoch (even
+    * ids, pruned) and the unstatted one (odd ids, kept). ZoneMapSpec
+    * pins the pruning itself: most statted files are skipped under a
+    * controlled 8-file range layout, all-null and missing stats stay
+    * conservative, and a fold's rewrite degrades to a full (still
+    * correct) read until re-analyzed. */
+  def qZonemapSkip(s: SparkSession, dir: String): DataFrame = {
+    val root = zonemapRoot(s, dir)
+    Tables.readManifestedSkipping(s, s"$root/arch",
+        Seq(Tables.ZoneBound("doc_id", Some(100L), Some(299L))))
+      .where(col("doc_id").between(100L, 299L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("long").as("chars_sum"))
+      .orderBy("lang")
+  }
+
+  val qZonemapSkipOracle: String =
+    """SELECT lang, count(*) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+      |FROM documents WHERE doc_id BETWEEN 100 AND 299
+      |GROUP BY 1 ORDER BY lang""".stripMargin
+
+  // ---------- Incremental aggregate (gated construction) ----------
+
+  private val aggMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Seq[Tables.AggSyncReport]]()
+
+  /** [[qIncrAgg]]'s staged lifecycle: build the source archive
+    * (epoch 0 = doc_id%10 >= 2), FULL-build the per-lang aggregate,
+    * then land one ingest epoch that both ADDS keys (%10 = 1) and
+    * RE-INGESTS existing ones under a NEW group (%20 = 6 move to
+    * lang 'xx' with n_chars+100 — the group-migration case: their
+    * contribution must LEAVE the old language and ARRIVE at 'xx'),
+    * one delete epoch (%20 = 4), INCREMENTAL-sync, then sync against
+    * the quiet source (NOOP). Memoized per session. */
+  private def incrAggRoot(s: SparkSession, dir: String)
+      : (String, Seq[Tables.AggSyncReport]) = {
+    val root = healthMemo.computeIfAbsent(dir + "#incragg", _ => {
+      val r = java.nio.file.Files
+        .createTempDirectory("graft-incragg").toString
+      healthDirs.add(r)
+      r
+    })
+    aggMemo.computeIfAbsent(root, _ => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val p = s"$root/arch"
+      val tomb = s"$root/arch_tombstones"
+      val agg = s"$root/agg"
+      def sync() = Tables.syncAggregate(s, p, tomb, "doc_id",
+        Seq("lang"), Seq("n_chars"), agg, buckets = 8)
+      Tables.writeManifested(
+        docs.where(pmod(col("doc_id"), lit(10)) >= 2)
+          .withColumn("ingest_epoch", lit(0L)),
+        p, Seq("ingest_epoch"))
+      val r1 = sync()
+      Tables.upsertManifested(
+        docs.where(pmod(col("doc_id"), lit(10)) === 1)
+          .unionByName(docs.where(pmod(col("doc_id"), lit(20)) === 6)
+            .withColumn("lang", lit("xx"))
+            .withColumn("n_chars", col("n_chars") + 100L))
+          .withColumn("ingest_epoch", lit(1L)),
+        p, Seq("ingest_epoch"), _ == "ingest_epoch=1")
+      Tables.ingestTombstones(
+        docs.where(pmod(col("doc_id"), lit(20)) === 4).select("doc_id"),
+        tomb, epoch = 2L)
+      val r2 = sync()
+      val r3 = sync()
+      Seq(r1, r2, r3)
+    })
+    (root, aggMemo.get(root))
+  }
+
+  /** Gated: engine-maintained materialized aggregate
+    * ([[graft.io.Tables.syncAggregate]] — incremental view
+    * maintenance over the change feed). Per sync the mode/cursor the
+    * engine chose, crossed with the aggregate table's FINAL per-lang
+    * rows: the full build, then ONE incremental sync that applies an
+    * insert epoch, a group migration (keys moving between languages
+    * carry their count and char-sum with them), and a delete epoch
+    * through feed deltas — never a recompute — then a NOOP that
+    * rewrites nothing. HASH-gated: modes and cursors are
+    * deterministic and the final per-lang (count, char-sum) rows are
+    * residue-class aggregates over the documents table. IncrAggSpec
+    * pins the rest: incremental ≡ recompute identity, untouched
+    * buckets carried by reference, crash-replay exactly-once (the
+    * `_asof` guard and the cursor repair), group deletion, and the
+    * fold-horizon resync. */
+  def qIncrAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (root, reports) = incrAggRoot(s, dir)
+    val fin = Tables.readAggregate(s, s"$root/agg")
+      .select(col("lang"), col("n_rows"),
+        col("sum_n_chars").cast("long").as("sum_chars"))
+    val syncs = reports.zipWithIndex.map { case (r, i) =>
+      (i + 1L, r.mode, r.cursorFrom, r.cursorTo)
+    }.toDF("sync_id", "mode", "cursor_from", "cursor_to")
+    syncs.crossJoin(fin)
+      .select("sync_id", "mode", "cursor_from", "cursor_to",
+        "lang", "n_rows", "sum_chars")
+      .orderBy("sync_id", "lang")
+  }
+
+  val qIncrAggOracle: String =
+    """WITH live AS (
+      |  SELECT lang, n_chars FROM documents
+      |  WHERE doc_id % 10 >= 2 AND doc_id % 20 <> 6 AND doc_id % 20 <> 4
+      |  UNION ALL
+      |  SELECT 'xx' AS lang, n_chars + 100 FROM documents
+      |  WHERE doc_id % 20 = 6
+      |  UNION ALL
+      |  SELECT lang, n_chars FROM documents WHERE doc_id % 10 = 1),
+      |agg AS (
+      |  SELECT lang, count(*) AS n_rows,
+      |         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |  FROM live GROUP BY 1),
+      |syncs(sync_id, mode, cursor_from, cursor_to) AS (VALUES
+      |  (CAST(1 AS BIGINT), 'full', CAST(-1 AS BIGINT), CAST(0 AS BIGINT)),
+      |  (2, 'incremental', 0, 2),
+      |  (3, 'noop', 2, 2))
+      |SELECT s.sync_id, s.mode, s.cursor_from, s.cursor_to,
+      |       a.lang, a.n_rows, a.sum_chars
+      |FROM syncs s CROSS JOIN agg a
+      |ORDER BY sync_id, lang""".stripMargin
+
   // ---------- Additive schema evolution (gated construction) ----------
 
   /** [[qSchemaEvolution]]'s history: ingest epoch 0 writes
@@ -1268,6 +1432,8 @@ object ScaleOps {
     "q_changes_since" -> qChangesSince,
     "q_schema_evolution" -> qSchemaEvolution,
     "q_mirror_sync" -> qMirrorSync,
+    "q_incr_agg" -> qIncrAgg,
+    "q_zonemap_skip" -> qZonemapSkip,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1288,6 +1454,8 @@ object ScaleOps {
     "q_changes_since" -> qChangesSinceOracle,
     "q_schema_evolution" -> qSchemaEvolutionOracle,
     "q_mirror_sync" -> qMirrorSyncOracle,
+    "q_incr_agg" -> qIncrAggOracle,
+    "q_zonemap_skip" -> qZonemapSkipOracle,
     // the scalable twin runs against the SAME oracle as the global
     // ntile anchor — identical results from a one-reducer-free plan
     "q_ntile_scalable" -> Relational.qQuantileBinsOracle,

@@ -1,0 +1,148 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Zone-map file skipping ([[Tables.computeFileStats]] /
+  * [[Tables.readManifestedSkipping]]):
+  *
+  *  - IDENTITY: the pruned read plus the row-level range filter
+  *    equals the plain filtered read, in every staleness state;
+  *  - the pruning is REAL: under a controlled 8-file range-clustered
+  *    layout, a narrow range keeps a strict minority of the statted
+  *    files (the spec counts survivors, not just rows);
+  *  - conservative by construction: files committed AFTER the
+  *    analyze are always read; an all-null stats column keeps its
+  *    file; an un-analyzed archive reads in full; bounding a column
+  *    the sidecar doesn't cover is loud;
+  *  - a fold's rewrite orphans the sidecar's file names → the read
+  *    degrades to a full (still correct) scan until re-analyzed,
+  *    after which pruning returns.
+  */
+class ZoneMapSpec extends SparkSpec {
+
+  import Tables.ZoneBound
+
+  private def mkArchive(nFiles: Int): (String, DataFrame) = {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-zonemap-s").toString
+    val p = s"$root/arch"
+    val df = (0L until 800L).map(i => (i, i % 7, s"g${i % 3}"))
+      .toDF("k", "v", "g")
+    Tables.writeManifested(
+      df.repartitionByRange(nFiles, col("k")).sortWithinPartitions("k")
+        .withColumn("ingest_epoch", lit(0L)),
+      p, Seq("ingest_epoch"))
+    (p, df)
+  }
+
+  private def norm(df: DataFrame): DataFrame =
+    df.select(col("k").cast("long"), col("v").cast("long"), col("g"))
+
+  private def assertSame(a: DataFrame, b: DataFrame, hint: String): Unit = {
+    val (x, y) = (norm(a), norm(b))
+    assert(x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty,
+      s"$hint: pruned read diverges from plain filtered read")
+    assert(x.count() > 0, s"$hint: vacuous")
+  }
+
+  test("pruned+filter == plain+filter, and the pruning actually " +
+    "skips most statted files under a range-clustered layout") {
+    val (p, _) = mkArchive(8)
+    assert(Tables.computeFileStats(spark, p, Seq("k")) >= 8L)
+    val bounds = Seq(ZoneBound("k", Some(100L), Some(199L)))
+    val (survivors, statted, pruned) =
+      Tables.zonemapSurvivors(spark, p, bounds)
+    assert(statted >= 8L && pruned > 0L &&
+      survivors.size.toLong <= statted - pruned,
+      s"no real pruning: statted=$statted pruned=$pruned " +
+        s"survivors=${survivors.size}")
+    assert(survivors.size * 2 <= statted,
+      s"a 1/8th range kept ${survivors.size} of $statted statted files")
+    assertSame(
+      Tables.readManifestedSkipping(spark, p, bounds)
+        .where(col("k").between(100L, 199L)),
+      Tables.readManifested(spark, p)
+        .where(col("k").between(100L, 199L)),
+      "clustered")
+    // an empty range prunes everything and still answers correctly
+    val none = Tables.readManifestedSkipping(spark, p,
+      Seq(ZoneBound("k", Some(5000L), None)))
+    assert(none.where(col("k") >= 5000L).count() == 0)
+  }
+
+  test("conservative: post-analyze commits always read; all-null " +
+    "stats keep their file; un-analyzed reads whole; unknown bound " +
+    "column is loud") {
+    import spark.implicits._
+    val (p, _) = mkArchive(4)
+    // un-analyzed: no sidecar → plain read, zero pruned
+    val (s0, statted0, pruned0) = Tables.zonemapSurvivors(spark, p,
+      Seq(ZoneBound("k", Some(0L), Some(10L))))
+    assert(statted0 == 0L && pruned0 == 0L && s0.nonEmpty)
+
+    Tables.computeFileStats(spark, p, Seq("k", "v"))
+    // epoch 1 lands AFTER the analyze, far outside every statted
+    // range — skipping must still surface its rows
+    Tables.upsertManifested(
+      (10000L until 10050L).map(i => (i, i % 7, "late"))
+        .toDF("k", "v", "g").withColumn("ingest_epoch", lit(1L)),
+      p, Seq("ingest_epoch"), _ == "ingest_epoch=1")
+    val got = Tables.readManifestedSkipping(spark, p,
+        Seq(ZoneBound("k", Some(10000L), None)))
+      .where(col("k") >= 10000L)
+    assert(got.count() == 50L,
+      "rows committed after the analyze were pruned away")
+
+    // all-null stats column: min/max are null → the file stays in
+    val p2root = java.nio.file.Files
+      .createTempDirectory("graft-zonemap-n").toString
+    val p2 = s"$p2root/arch"
+    Tables.writeManifested(
+      Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+        .toDF("k", "v").repartition(1)
+        .withColumn("ingest_epoch", lit(0L)),
+      p2, Seq("ingest_epoch"))
+    Tables.computeFileStats(spark, p2, Seq("v"))
+    val (s2, statted2, pruned2) = Tables.zonemapSurvivors(spark, p2,
+      Seq(ZoneBound("v", Some(0L), Some(100L))))
+    assert(statted2 == 1L && pruned2 == 0L && s2.size == 1,
+      "an all-null stats column must keep its file")
+
+    // bounding an un-statted column is loud
+    val ex = intercept[IllegalArgumentException] {
+      Tables.readManifestedSkipping(spark, p,
+        Seq(ZoneBound("g", Some("a"), Some("z"))))
+    }
+    assert(ex.getMessage.contains("computeFileStats"),
+      s"unknown bound column must name the fix: ${ex.getMessage}")
+  }
+
+  test("a fold orphans the sidecar: the read degrades to full but " +
+    "stays correct, and a re-analyze restores pruning") {
+    val (p, _) = mkArchive(8)
+    val tomb = p + "_tombstones"
+    Tables.computeFileStats(spark, p, Seq("k"))
+    val bounds = Seq(ZoneBound("k", Some(0L), Some(99L)))
+    assert(Tables.zonemapSurvivors(spark, p, bounds)._3 > 0L)
+
+    // fold rewrites the base layer into new files the sidecar has
+    // never seen — nothing prunable anymore, nothing lost either
+    Tables.ingestTombstones(
+      spark.range(1).select(lit(5L).as("k")), tomb, epoch = 1L)
+    Tables.foldManifestedEpochs(spark, p, tomb, "k")
+    val (_, _, prunedStale) = Tables.zonemapSurvivors(spark, p, bounds)
+    assert(prunedStale == 0L, "stale stats pruned freshly-folded files")
+    val afterFold = Tables.readManifestedSkipping(spark, p, bounds)
+      .where(col("k").between(0L, 99L))
+    assert(afterFold.count() == 99L) // 100 ids minus the tombstoned 5
+
+    Tables.computeFileStats(spark, p, Seq("k"))
+    assert(Tables.zonemapSurvivors(spark, p, bounds)._3 > 0L,
+      "re-analyze did not restore pruning")
+    assert(Tables.readManifestedSkipping(spark, p, bounds)
+      .where(col("k").between(0L, 99L)).count() == 99L)
+  }
+}
