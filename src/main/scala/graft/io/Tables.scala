@@ -634,8 +634,20 @@ object Tables {
     * [[compactPartitions]]; a partition already at its target is
     * carried into the new manifest unchanged (and if NOTHING needs
     * rewriting, no new manifest is written at all — idempotence). */
+  /** `clusterCols`: when set, rewritten partitions are RANGE-
+    * CLUSTERED on those columns (repartitionByRange + sorted files)
+    * instead of size-balanced at random — the maintenance half of the
+    * zone-map story: a plain `repartition` compaction scatters every
+    * file across the full value range, silently destroying the
+    * disjoint per-file min/max that [[readManifestedSkipping]] prunes
+    * on, so clustered archives must compact WITH their cluster
+    * columns (and re-run [[computeFileStats]] after — new files, new
+    * sidecar). Same rewrite trigger either way: only oversized
+    * partitions pay. */
   def compactManifested(spark: SparkSession, path: String,
-                        targetBytes: Long): Map[String, CompactStats] = {
+                        targetBytes: Long,
+                        clusterCols: Seq[String] = Nil)
+      : Map[String, CompactStats] = {
     require(targetBytes > 0, "targetBytes must be positive")
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -660,9 +672,12 @@ object Tables {
           (part, rel, CompactStats(bytes, dataFiles.size, dataFiles.size))
         else {
           val newRel = s"data/v$next/$part"
-          spark.read.parquet(dir.toString)
-            .repartition(target)
-            .write.mode(SaveMode.Overwrite).parquet(s"$path/$newRel")
+          val df = spark.read.parquet(dir.toString)
+          val shaped =
+            if (clusterCols.isEmpty) df.repartition(target)
+            else df.repartitionByRange(target, clusterCols.map(col): _*)
+              .sortWithinPartitions(clusterCols.map(col): _*)
+          shaped.write.mode(SaveMode.Overwrite).parquet(s"$path/$newRel")
           fs.delete(new org.apache.hadoop.fs.Path(
             s"$path/$newRel/_SUCCESS"), false)
           (part, newRel, CompactStats(bytes, dataFiles.size, target))
@@ -1271,8 +1286,8 @@ object Tables {
     * does: `ingest_epoch` on a tombstone row is the DELETE epoch
     * ([[ingestTombstones]] stamps it), attribution a fold destroys
     * ([[recordFoldHorizon]]). */
-  private def readTombstonesWithEpochs(spark: SparkSession,
-                                       path: String): Option[DataFrame] =
+  private[graft] def readTombstonesWithEpochs(spark: SparkSession,
+                                              path: String): Option[DataFrame] =
     if (!manifestExists(spark, path)) None
     else {
       val (_, parts) = resolveManifest(spark, path)
@@ -1510,15 +1525,24 @@ object Tables {
       case None => df
       case Some(u) => df.where(col("ingest_epoch").cast("long") <= u)
     }
-    val inserts = minusTombstones(
-      gate(arch.where(col("ingest_epoch").cast("long") > sinceEpoch)),
-      tombPath, keyCol)
+    // the insert mask must be AT the gate, not at now: a key ingested
+    // at epoch <= until and deleted at epoch > until is LIVE in the
+    // view this feed window reproduces — its delete arrives in a
+    // later window, once the consumer's gate passes the delete epoch
+    // (without a gate, masking by all live tombstones nets the same
+    // final state, so the ungated behavior is unchanged)
+    val tombs = readTombstonesWithEpochs(spark, tombPath).map(gate)
+    val insBase =
+      gate(arch.where(col("ingest_epoch").cast("long") > sinceEpoch))
+    val inserts = tombs.fold(insBase)(t =>
+        insBase.join(broadcast(t.select(col(keyCol)).distinct()),
+          Seq(keyCol), "left_anti"))
       .withColumn("_change_type", lit("insert"))
       .withColumn("_change_epoch", col("ingest_epoch").cast("long"))
-    readTombstonesWithEpochs(spark, tombPath) match {
+    tombs match {
       case None => inserts
       case Some(t) =>
-        val deletes = gate(t)
+        val deletes = t
           .where(col("ingest_epoch").cast("long") > sinceEpoch)
           .select(col(keyCol),
             lit("delete").as("_change_type"),
@@ -1617,18 +1641,36 @@ object Tables {
     * CONTRACT: source keys are whole-state-per-epoch (each ingest
     * carries a key's complete row set — the engine's document/label
     * archives), because apply REPLACES a changed key's rows. */
+  /** `untilEpoch`: cap the sync at a topology watermark
+    * ([[committedWatermark]]) — a cross-store consumer that mirrors
+    * several archives of one front door passes the same watermark to
+    * each, so no mirror ever ingests a half-landed epoch and all of
+    * them resolve coherently; the cursor parks at the watermark and
+    * the next sync (with a later watermark) picks up from there. */
   def syncMirror(spark: SparkSession, srcPath: String, srcTomb: String,
                  keyCol: String, mirrorPath: String,
-                 buckets: Int = 32): SyncReport = {
+                 buckets: Int = 32,
+                 untilEpoch: Option[Long] = None): SyncReport = {
     require(buckets >= 1, "buckets must be positive")
     val arch = readManifested(spark, srcPath)
-    val srcMax = math.max(maxIngestEpoch(arch),
+    val rawMax = math.max(maxIngestEpoch(arch),
       readTombstonesWithEpochs(spark, srcTomb)
         .map(maxIngestEpoch).getOrElse(-1L))
+    val srcMax = untilEpoch.fold(rawMax)(math.min(rawMax, _))
+    def gate(df: DataFrame): DataFrame = untilEpoch.fold(df)(u =>
+      df.where(col("ingest_epoch").cast("long") <= u))
     def kb(df: DataFrame): DataFrame =
       df.withColumn("kb", pmod(hash(col(keyCol)), lit(buckets)))
     def fullBuild(mode: String, from: Long): SyncReport = {
-      val snap = kb(minusTombstones(arch, srcTomb, keyCol))
+      // the snapshot AT the gate: inserts above it excluded, and keys
+      // deleted above it still live (their delete feeds later)
+      val masked = readTombstonesWithEpochs(spark, srcTomb).map(gate) match {
+        case None => gate(arch)
+        case Some(t) => gate(arch).join(
+          broadcast(t.select(col(keyCol)).distinct()),
+          Seq(keyCol), "left_anti")
+      }
+      val snap = kb(masked)
       if (manifestExists(spark, mirrorPath))
         upsertManifested(snap, mirrorPath, Seq("kb"), _ => true)
       else writeManifested(snap, mirrorPath, Seq("kb"))
@@ -1652,7 +1694,8 @@ object Tables {
         if (foldHorizon(spark, srcPath).exists(cursor < _))
           fullBuild("resync", cursor)
         else {
-          val feed = changesSince(arch, srcTomb, keyCol, cursor, srcPath)
+          val feed = changesSince(arch, srcTomb, keyCol, cursor, srcPath,
+              untilEpoch)
             .localCheckpoint()
           try {
             val nIns = feed.where(col("_change_type") === "insert").count()
@@ -1766,13 +1809,29 @@ object Tables {
   def syncAggregate(spark: SparkSession, srcPath: String, srcTomb: String,
                     keyCol: String, groupCols: Seq[String],
                     sumCols: Seq[String], aggPath: String,
-                    buckets: Int = 32): AggSyncReport = {
+                    buckets: Int = 32,
+                    untilEpoch: Option[Long] = None): AggSyncReport =
+    syncAggregateFrom(spark, readManifested(spark, srcPath), srcPath,
+      srcTomb, keyCol, groupCols, sumCols, aggPath, buckets, untilEpoch)
+
+  /** [[syncAggregate]] over an EXPLICIT source frame — the same
+    * engine for epoch-partitioned stores that are not manifested
+    * (the streaming corpus store's plain layout): `arch` must carry
+    * a long-comparable `ingest_epoch`, and `srcPath` still anchors
+    * the fold horizon ([[foldHorizon]]) and the resync rule.
+    * `untilEpoch` is [[syncMirror]]'s watermark cap. */
+  private[graft] def syncAggregateFrom(spark: SparkSession,
+                    arch: DataFrame, srcPath: String, srcTomb: String,
+                    keyCol: String, groupCols: Seq[String],
+                    sumCols: Seq[String], aggPath: String,
+                    buckets: Int = 32,
+                    untilEpoch: Option[Long] = None): AggSyncReport = {
     require(buckets >= 1, "buckets must be positive")
     require(groupCols.nonEmpty, "syncAggregate needs group columns")
-    val arch = readManifested(spark, srcPath)
-    val srcMax = math.max(maxIngestEpoch(arch),
+    val rawMax = math.max(maxIngestEpoch(arch),
       readTombstonesWithEpochs(spark, srcTomb)
         .map(maxIngestEpoch).getOrElse(-1L))
+    val srcMax = untilEpoch.fold(rawMax)(math.min(rawMax, _))
     def kbOf(df: DataFrame): DataFrame =
       df.withColumn("kb",
         pmod(hash(groupCols.map(df(_)): _*), lit(buckets)))
@@ -1780,9 +1839,10 @@ object Tables {
       sumCols.map(c => sum(col(c)).as(s"sum_$c"))
     def fullBuild(mode: String, from: Long): AggSyncReport = {
       // first build pays the one full groupBy (and the latest-per-key
-      // window) the incremental path exists to avoid
+      // window) the incremental path exists to avoid; the state is
+      // taken AT the watermark when one is set
       val allKeys = arch.select(col(keyCol)).distinct()
-      val snap = keyedStateAt(arch, srcTomb, keyCol, None, allKeys)
+      val snap = keyedStateAt(arch, srcTomb, keyCol, untilEpoch, allKeys)
         .groupBy(groupCols.map(col): _*)
         .agg(aggExprs.head, aggExprs.tail: _*)
         .withColumn("_asof", lit(math.max(srcMax, 0L)))
@@ -1820,7 +1880,8 @@ object Tables {
         if (foldHorizon(spark, srcPath).exists(cursor < _))
           fullBuild("resync", cursor)
         else {
-          val feed = changesSince(arch, srcTomb, keyCol, cursor, srcPath)
+          val feed = changesSince(arch, srcTomb, keyCol, cursor, srcPath,
+              untilEpoch)
             .select(col(keyCol)).distinct().localCheckpoint()
           try {
             if (feed.isEmpty) {
@@ -1830,7 +1891,8 @@ object Tables {
             } else {
               val oldS = keyedStateAt(arch, srcTomb, keyCol,
                 Some(cursor), feed)
-              val newS = keyedStateAt(arch, srcTomb, keyCol, None, feed)
+              val newS = keyedStateAt(arch, srcTomb, keyCol,
+                untilEpoch, feed)
               def signed(df: DataFrame, sgn: Long) = df.select(
                 groupCols.map(col) ++ sumCols.map(col) :+
                   lit(sgn).as("_sgn"): _*)

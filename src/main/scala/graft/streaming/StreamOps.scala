@@ -300,6 +300,10 @@ object StreamOps {
         s"ingest_epoch=$e"), true)
     }
     // retire every tombstone except newest-epoch victims (carry rule)
+    val maxTombE = Tables.readTombstonesWithEpochs(spark, tombPath)
+      .map(t => t.agg(max(col("ingest_epoch").cast("long"))).head())
+      .collect { case r if !r.isNullAt(0) => r.getLong(0) }
+      .getOrElse(-1L)
     val carried = td.join(
         all.where(col("ingest_epoch") === maxE)
           .select(col("doc_id")).distinct(),
@@ -307,6 +311,13 @@ object StreamOps {
     Tables.clearManifested(spark, tombPath)
     if (!carried.isEmpty)
       Tables.ingestTombstones(carried, tombPath, epoch = 0L)
+    // the retire destroys DELETE attribution (cleared outright, or
+    // carried tombstones re-stamped at epoch 0): record the horizon
+    // so a corpus change-feed consumer ([[syncCorpusAggregate]])
+    // behind it resyncs loudly instead of missing deletes — insert
+    // attribution is untouched (epochs keep their values here), so
+    // the horizon only needs to clear the retired delete epochs
+    if (maxTombE >= 0L) Tables.recordFoldHorizon(spark, corpusPath, maxTombE)
     // deterministic block release: Dataset.unpersist is a documented
     // NO-OP for localCheckpoint'd frames (Ckpt.scala) — on this
     // long-running maintenance path the blocks must not wait for the
@@ -314,6 +325,25 @@ object StreamOps {
     graft.ops.Ckpt.release(td); graft.ops.Ckpt.release(carried)
     maxE
   }
+
+  /** Engine-maintained GROUP BY aggregate over the corpus store —
+    * [[graft.io.Tables.syncAggregate]] (incremental view maintenance
+    * over the change feed) adapted to the corpus' plain
+    * epoch-partitioned layout: corpus statistics a 100 TB deployment
+    * watches continuously (per-language/per-source row and byte
+    * counts) stay current for the cost of each sync's feed delta, and
+    * a [[foldCorpusTombstones]] that retired delete attribution the
+    * consumer hadn't seen forces a loud full RESYNC via the fold
+    * horizon the fold now records. */
+  def syncCorpusAggregate(spark: SparkSession, corpusPath: String,
+                          groupCols: Seq[String], sumCols: Seq[String],
+                          aggPath: String, buckets: Int = 32)
+      : Tables.AggSyncReport =
+    Tables.syncAggregateFrom(spark,
+      spark.read.parquet(corpusPath)
+        .withColumn("ingest_epoch", col("ingest_epoch").cast("long")),
+      corpusPath, corpusTombstonePath(corpusPath), "doc_id",
+      groupCols, sumCols, aggPath, buckets)
 
   /** `benchmark`: an optional held-out eval corpus (doc_id, text) —
     * when supplied, the gate ALSO drops arrivals whose distinct

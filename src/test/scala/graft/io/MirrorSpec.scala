@@ -103,6 +103,92 @@ class MirrorSpec extends SparkSpec {
       s"bucket mismatch must be loud: ${ex.getMessage}")
   }
 
+  test("watermark-capped sync: a half-landed front-door epoch stays " +
+    "out of the mirror AND the aggregate until its marker commits, " +
+    "and a delete above the watermark stays pending — the consumer " +
+    "tracks the view AT the watermark, not at now") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mirror-w").toString
+    val p = s"$root/arch"
+    val tomb = s"$root/arch_tombstones"
+    val m = s"$root/mirror"
+    val agg = s"$root/agg"
+    val rows = ids.withColumn("g", pmod(col("doc_id"), lit(3)))
+    def wm = Tables.committedWatermark(spark, root)
+    def syncBoth(): (Tables.SyncReport, Tables.AggSyncReport) = (
+      Tables.syncMirror(spark, p, tomb, "doc_id", m, buckets = 8,
+        untilEpoch = wm),
+      Tables.syncAggregate(spark, p, tomb, "doc_id", Seq("g"),
+        Seq("n_chars"), agg, buckets = 8, untilEpoch = wm))
+    // the view AT watermark w: epochs <= w, minus deletes <= w
+    def viewAt(w: Long) = {
+      val a = Tables.readManifested(spark, p)
+        .where(col("ingest_epoch").cast("long") <= w)
+      Tables.readTombstonesWithEpochs(spark, tomb) match {
+        case None => a
+        case Some(t) => a.join(
+          t.where(col("ingest_epoch").cast("long") <= w)
+            .select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      }
+    }
+    def assertAt(w: Long, hint: String): Unit = {
+      val mv = Tables.readMirror(spark, m)
+        .select(col("doc_id").cast("long")).orderBy("doc_id")
+      val ev = viewAt(w)
+        .select(col("doc_id").cast("long")).orderBy("doc_id")
+      assert(mv.exceptAll(ev).isEmpty && ev.exceptAll(mv).isEmpty &&
+        mv.count() > 0, s"$hint: mirror is not the view at epoch $w")
+      val av = Tables.readAggregate(spark, agg)
+        .select(col("g").cast("long"), col("n_rows").cast("long"),
+          col("sum_n_chars").cast("long"))
+      val aw = viewAt(w).groupBy(col("g"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("n_chars")).cast("long").as("s"))
+        .select(col("g").cast("long"), col("n"), col("s"))
+      assert(av.exceptAll(aw).isEmpty && aw.exceptAll(av).isEmpty,
+        s"$hint: aggregate is not the view at epoch $w")
+    }
+
+    Tables.writeManifested(
+      rows.where(pmod(col("doc_id"), lit(10)) >= 2)
+        .withColumn("ingest_epoch", lit(0L)),
+      p, Seq("ingest_epoch"))
+    Tables.commitEpochMarker(spark, root, 0L)
+    val (r1, a1) = syncBoth()
+    assert(r1.mode == "full" && a1.mode == "full" && r1.cursorTo == 0L)
+    assertAt(0L, "after epoch 0")
+
+    // epoch 1 (ingest) and epoch 2 (delete of epoch-0 keys) land, but
+    // their topology markers do NOT — both consumers must hold at 0
+    Tables.upsertManifested(
+      rows.where(pmod(col("doc_id"), lit(10)) === 1)
+        .withColumn("ingest_epoch", lit(1L)),
+      p, Seq("ingest_epoch"), _ == "ingest_epoch=1")
+    Tables.ingestTombstones(
+      rows.where(pmod(col("doc_id"), lit(20)) === 4).select("doc_id"),
+      tomb, epoch = 2L)
+    val (r2, a2) = syncBoth()
+    assert(r2.mode == "noop" && a2.mode == "noop",
+      s"half-landed epochs must not sync: $r2 / $a2")
+    assertAt(0L, "half-landed")
+    // the doomed keys are deleted ABOVE the watermark — still served
+    assert(Tables.readMirror(spark, m)
+      .where(pmod(col("doc_id"), lit(20)) === 4).count() > 0,
+      "a delete above the watermark must stay pending")
+
+    // markers commit → the watermark advances → one sync catches up
+    Tables.commitEpochMarker(spark, root, 1L)
+    Tables.commitEpochMarker(spark, root, 2L)
+    val (r3, a3) = syncBoth()
+    assert(r3.mode == "incremental" && a3.mode == "incremental" &&
+      r3.cursorTo == 2L && a3.cursorTo == 2L)
+    assertAt(2L, "after markers")
+    assert(Tables.readMirror(spark, m)
+      .where(pmod(col("doc_id"), lit(20)) === 4).count() == 0,
+      "the gated delete must apply once the watermark passes it")
+  }
+
   test("a cursor stranded behind the fold horizon RESYNCS in full " +
     "instead of throwing or silently skipping") {
     val root = java.nio.file.Files

@@ -120,6 +120,48 @@ class ZoneMapSpec extends SparkSpec {
       s"unknown bound column must name the fix: ${ex.getMessage}")
   }
 
+  test("clustered compaction: a scattered archive prunes nothing; " +
+    "compacting WITH cluster columns then re-analyzing makes the " +
+    "same range prune most files, rows identical throughout") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-zonemap-c").toString
+    val p = s"$root/arch"
+    val df = (0L until 800L).map(i => (i, i % 7, s"g${i % 3}"))
+      .toDF("k", "v", "g")
+    // 16 hash-scattered files: every file spans ~the full k range
+    Tables.writeManifested(
+      df.repartition(16).withColumn("ingest_epoch", lit(0L)),
+      p, Seq("ingest_epoch"))
+    Tables.computeFileStats(spark, p, Seq("k"))
+    val bounds = Seq(Tables.ZoneBound("k", Some(100L), Some(199L)))
+    val (_, _, prunedScattered) = Tables.zonemapSurvivors(spark, p, bounds)
+    val before = Tables.readManifestedSkipping(spark, p, bounds)
+      .where(col("k").between(100L, 199L))
+    assert(before.count() == 100L)
+
+    // compact WITH the cluster column: files become range-disjoint
+    val stats = Tables.compactManifested(spark, p, targetBytes = 4096L,
+      clusterCols = Seq("k"))
+    assert(stats.values.exists(s => s.filesAfter < s.filesBefore),
+      s"compaction never triggered — fixture too small: $stats")
+    // stale sidecar names dead files → conservative full read, correct
+    assert(Tables.zonemapSurvivors(spark, p, bounds)._3 == 0L)
+    assert(Tables.readManifestedSkipping(spark, p, bounds)
+      .where(col("k").between(100L, 199L)).count() == 100L)
+
+    Tables.computeFileStats(spark, p, Seq("k"))
+    val (survivors, statted, pruned) =
+      Tables.zonemapSurvivors(spark, p, bounds)
+    assert(statted >= 3L && pruned > prunedScattered &&
+      survivors.size * 2 <= statted,
+      s"clustered compaction did not concentrate the range: " +
+        s"statted=$statted pruned=$pruned survivors=${survivors.size} " +
+        s"(scattered pruned $prunedScattered)")
+    assert(Tables.readManifestedSkipping(spark, p, bounds)
+      .where(col("k").between(100L, 199L)).count() == 100L)
+  }
+
   test("a fold orphans the sidecar: the read degrades to full but " +
     "stays correct, and a re-analyze restores pruning") {
     val (p, _) = mkArchive(8)

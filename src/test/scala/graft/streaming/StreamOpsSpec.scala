@@ -2061,4 +2061,59 @@ class StreamOpsSpec extends SparkSpec {
     assert(!fs.exists(leaseFile), "anonymous window must release too")
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
   }
+
+  test("corpus aggregate: the per-lang stats table stays equal to the " +
+    "corpus view through real ingest and delete epochs, and a " +
+    "tombstone fold that retired delete attribution forces a loud " +
+    "full resync via the horizon the fold records") {
+    import spark.implicits._
+    def mk(p: String) = (0 until 60).map(i => s"$p$i").mkString(" ")
+    def doc(id: Long, lang: String) =
+      (id, mk(s"t$id"), lang, "srcA", 100L + id)
+    val root = java.nio.file.Files.createTempDirectory("graft-corpagg")
+    val corpus = root.resolve("corpus").toString
+    val agg = root.resolve("agg").toString
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    def sync() = syncCorpusAggregate(spark, corpus,
+      Seq("lang"), Seq("n_chars"), agg, buckets = 8)
+    def assertAgg(hint: String): Unit = {
+      val got = graft.io.Tables.readAggregate(spark, agg)
+        .select(col("lang"), col("n_rows").cast("long"),
+          col("sum_n_chars").cast("long"))
+      val want = corpusView(spark, corpus)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("n_chars")).cast("long").as("sum_n_chars"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"$hint: corpus aggregate diverges from the corpus view")
+      assert(got.count() > 0, s"$hint: vacuous")
+    }
+
+    ingestBatch(Seq(doc(1, "en"), doc(2, "en"), doc(3, "de"))
+      .toDF(cols: _*), 0L, corpus)
+    assert(sync().mode == "full")
+    assertAgg("after full")
+
+    // one ingest + one RTBF delete, applied through the feed
+    ingestBatch(Seq(doc(4, "fr"), doc(5, "en")).toDF(cols: _*), 1L, corpus)
+    graft.io.Tables.ingestTombstones(Seq(2L).toDF("doc_id"),
+      corpusTombstonePath(corpus), epoch = 2L)
+    val r2 = sync()
+    assert(r2.mode == "incremental" && r2.cursorTo == 2L)
+    assertAgg("after incremental")
+
+    // the corpus moves on without the consumer: ingest, delete, FOLD —
+    // the fold physically removes the victims and retires their
+    // delete attribution, so the consumer's cursor (2) is now invalid
+    ingestBatch(Seq(doc(6, "de"), doc(7, "zh")).toDF(cols: _*), 3L, corpus)
+    graft.io.Tables.ingestTombstones(Seq(4L).toDF("doc_id"),
+      corpusTombstonePath(corpus), epoch = 4L)
+    foldCorpusTombstones(spark, corpus)
+    assert(graft.io.Tables.foldHorizon(spark, corpus).contains(4L),
+      "fold must record the retired delete attribution horizon")
+    val r3 = sync()
+    assert(r3.mode == "resync", s"expected loud full resync, got $r3")
+    assertAgg("after resync")
+    assert(sync().mode == "noop")
+  }
 }
