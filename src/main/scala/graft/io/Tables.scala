@@ -647,6 +647,33 @@ object Tables {
   def compactManifested(spark: SparkSession, path: String,
                         targetBytes: Long,
                         clusterCols: Seq[String] = Nil)
+      : Map[String, CompactStats] =
+    compactManifestedShaped(spark, path, targetBytes, (df, n) =>
+      if (clusterCols.isEmpty) df.repartition(n)
+      else df.repartitionByRange(n, clusterCols.map(col): _*)
+        .sortWithinPartitions(clusterCols.map(col): _*))
+
+  /** [[compactManifested]] shaped by a Z-ORDER curve: rewritten
+    * partitions are range-partitioned and sorted by
+    * [[zValue]](xCol, yCol) — every output file covers a compact
+    * z-range, i.e. a tight bounding box in BOTH dimensions, so a
+    * 2-D box predicate through [[readManifestedSkipping]] (bounds on
+    * both columns, stats on both) prunes to the files whose boxes
+    * intersect it. The multi-dimensional member of the clustered-
+    * compaction family for archives queried by more than one key. */
+  def compactManifestedZOrdered(spark: SparkSession, path: String,
+                                targetBytes: Long, xCol: String,
+                                yCol: String, bits: Int = 16)
+      : Map[String, CompactStats] =
+    compactManifestedShaped(spark, path, targetBytes, (df, n) =>
+      df.withColumn("__z", zValue(col(xCol), col(yCol), bits))
+        .repartitionByRange(n, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z"))
+
+  private def compactManifestedShaped(spark: SparkSession, path: String,
+                        targetBytes: Long,
+                        shape: (DataFrame, Int) => DataFrame)
       : Map[String, CompactStats] = {
     require(targetBytes > 0, "targetBytes must be positive")
     import scala.concurrent.{Await, ExecutionContext, Future}
@@ -672,12 +699,8 @@ object Tables {
           (part, rel, CompactStats(bytes, dataFiles.size, dataFiles.size))
         else {
           val newRel = s"data/v$next/$part"
-          val df = spark.read.parquet(dir.toString)
-          val shaped =
-            if (clusterCols.isEmpty) df.repartition(target)
-            else df.repartitionByRange(target, clusterCols.map(col): _*)
-              .sortWithinPartitions(clusterCols.map(col): _*)
-          shaped.write.mode(SaveMode.Overwrite).parquet(s"$path/$newRel")
+          shape(spark.read.parquet(dir.toString), target)
+            .write.mode(SaveMode.Overwrite).parquet(s"$path/$newRel")
           fs.delete(new org.apache.hadoop.fs.Path(
             s"$path/$newRel/_SUCCESS"), false)
           (part, newRel, CompactStats(bytes, dataFiles.size, target))
