@@ -2093,6 +2093,34 @@ object Tables {
     }
   }
 
+  /** Sidecar coverage: (live files the sidecar covers, live files).
+    * Coverage drops whenever maintenance rewrites files (fold,
+    * compaction, vacuumed bases) or commits land after the analyze —
+    * the uncovered files read unpruned, so coverage is the fraction
+    * of the archive the zone maps can still skip over. */
+  def fileStatsCoverage(spark: SparkSession, path: String)
+      : (Long, Long) = {
+    val (survivors, statted, _) = zonemapSurvivors(spark, path, Nil)
+    (statted, survivors.size.toLong)
+  }
+
+  /** The analyze-after-maintenance loop, closed: when an archive HAS
+    * a stats sidecar and maintenance has eroded its coverage below
+    * `minCoverage`, re-run [[computeFileStats]] with the SAME columns
+    * the pointer records (the sidecar is self-describing, so the
+    * maintenance window needs no per-store configuration). A store
+    * never analyzed, or one still fully covered, is not touched.
+    * Returns whether a re-analyze ran. */
+  def refreshFileStatsIfStale(spark: SparkSession, path: String,
+                              minCoverage: Double = 1.0): Boolean =
+    fileStats(spark, path) match {
+      case None => false
+      case Some((_, cols)) =>
+        val (statted, live) = fileStatsCoverage(spark, path)
+        if (live == 0L || statted.toDouble / live >= minCoverage) false
+        else { computeFileStats(spark, path, cols); true }
+    }
+
   /** Zone-map-pruned snapshot read: [[readManifested]] restricted to
     * files whose analyzed min/max ranges can intersect `bounds` —
     * file-level data skipping for predicates on NON-partition

@@ -1032,6 +1032,16 @@ object StreamOps {
           foldDue, foldReason, vacDue, vacReason, foldDue || vacDue))
       }
     }
+    // zone-map upkeep: a fold/vacuum that rewrote files orphans any
+    // stats sidecar (the skipping read degrades to full scans until
+    // re-analyzed) — refresh every ANALYZED manifested store whose
+    // coverage the sweep eroded, with the columns its own pointer
+    // records; never-analyzed stores and fully-covered sidecars are
+    // untouched, so the upkeep costs nothing on a quiescent topology
+    groups.foreach { case (_, path, _, bucketed, _, _) =>
+      if (!bucketed && Tables.manifestExists(s, path))
+        Tables.refreshFileStatsIfStale(s, path)
+    }
     rows.toDF("store", "n_epochs", "n_live_rows", "n_tombstones",
         "manifest_versions", "n_dead_dirs", "fold_due", "fold_reason",
         "vacuum_due", "vacuum_reason", "acted")
@@ -1092,6 +1102,12 @@ object StreamOps {
           h.manifest_versions, h.n_dead_dirs,
           foldDue, foldReason, vacDue, vacReason, foldDue || vacDue))
       }
+    }
+    // same zone-map upkeep as the document window: analyzed manifested
+    // stores whose coverage the sweep eroded re-analyze themselves
+    groups.foreach { case (_, path, _, bucketed, _) =>
+      if (!bucketed && Tables.manifestExists(s, path))
+        Tables.refreshFileStatsIfStale(s, path)
     }
     rows.toDF("store", "n_epochs", "n_live_rows", "n_tombstones",
         "manifest_versions", "n_dead_dirs", "fold_due", "fold_reason",

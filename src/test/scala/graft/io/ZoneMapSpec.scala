@@ -211,10 +211,19 @@ class ZoneMapSpec extends SparkSpec {
       .where(col("k").between(0L, 99L))
     assert(afterFold.count() == 99L) // 100 ids minus the tombstoned 5
 
-    Tables.computeFileStats(spark, p, Seq("k"))
+    // the managed path: refreshIfStale re-analyzes with the pointer's
+    // own columns — and a second refresh on full coverage is a no-op
+    // (same stats dir, no rewrite)
+    assert(Tables.refreshFileStatsIfStale(spark, p),
+      "eroded coverage must trigger the refresh")
     assert(Tables.zonemapSurvivors(spark, p, bounds)._3 > 0L,
       "re-analyze did not restore pruning")
     assert(Tables.readManifestedSkipping(spark, p, bounds)
       .where(col("k").between(0L, 99L)).count() == 99L)
+    val dirBefore = Tables.fileStats(spark, p).get._1
+    assert(!Tables.refreshFileStatsIfStale(spark, p),
+      "full coverage must not re-analyze")
+    assert(Tables.fileStats(spark, p).get._1 == dirBefore,
+      "no-op refresh rewrote the sidecar")
   }
 }

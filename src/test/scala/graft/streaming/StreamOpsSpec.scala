@@ -1719,6 +1719,10 @@ class StreamOpsSpec extends SparkSpec {
       s"$root/phash")
     val phashVer = graft.io.Tables
       .resolveManifest(spark, s"$root/phash/hashes")._1
+    // ANALYZE the due store before the window: the fold will rewrite
+    // its files, and the window itself must restore coverage
+    graft.io.Tables.computeFileStats(spark,
+      s"$root/winnow/fingerprints", Seq("doc_id"))
 
     val rows = runMaintenanceWindowIfDue(spark, root).collect()
       .map(r => r.getString(0) ->
@@ -1740,6 +1744,16 @@ class StreamOpsSpec extends SparkSpec {
     assert(graft.io.Tables
       .resolveManifest(spark, s"$root/phash/hashes")._1 == phashVer,
       "quiescent store's manifest moved — the policy did not gate it")
+    // zone-map upkeep: the fold rewrote the analyzed store's files —
+    // the window itself must have re-analyzed it back to full
+    // coverage (and left the never-analyzed phash store pointerless)
+    val (statted, live) = graft.io.Tables
+      .fileStatsCoverage(spark, s"$root/winnow/fingerprints")
+    assert(live > 0L && statted == live,
+      s"window did not restore stats coverage: $statted/$live")
+    assert(graft.io.Tables
+      .fileStats(spark, s"$root/phash/hashes").isEmpty,
+      "the window must not analyze a store nobody asked it to")
     // a second window on the now-quiet topology acts nowhere
     val again = runMaintenanceWindowIfDue(spark, root).collect()
       .map(r => r.getString(0) -> r.getBoolean(10)).toMap
