@@ -2,7 +2,8 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, coalesce, col, count,
-  expr, greatest, hash, input_file_name, lit, max, min, pmod, sum, when}
+  expr, greatest, hash, input_file_name, lit, max, min, pmod, sum, when,
+  xxhash64}
 import org.apache.spark.sql.types.StructType
 
 /** Table IO for the engine.
@@ -2049,23 +2050,45 @@ object Tables {
     * the pruning itself, not just the row identity. Base = the
     * file's manifest version root (partition-column reconstruction
     * needs it as `basePath`). */
-  private[graft] def zonemapSurvivors(spark: SparkSession, path: String,
-      bounds: Seq[ZoneBound]): (Seq[(String, String)], Long, Long) = {
+  /** Every live data file of the archive, each with its manifest
+    * version-base (the `basePath` partition-column reconstruction
+    * needs) — the file-level ground truth both skipping sidecars
+    * (zone maps, Blooms) prune against. */
+  private def liveFilesWithBases(spark: SparkSession, path: String)
+      : Seq[(String, String)] = {
     val (_, parts) = resolveManifest(spark, path)
     val root = path.stripSuffix("/")
     val fs = fsFor(spark, new org.apache.hadoop.fs.Path(root))
-    // live files, each with its version-base for basePath
-    val liveFiles: Seq[(String, String)] = parts.values.toSeq.flatMap {
-      rel =>
-        val base = s"$root/${rel.split("/").take(2).mkString("/")}"
-        fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel"))
-          .toSeq
-          .filter { f =>
-            val n = f.getPath.getName
-            f.isFile && !n.startsWith(".") && !n.startsWith("_")
-          }
-          .map(f => f.getPath.toUri.getPath -> base)
+    parts.values.toSeq.flatMap { rel =>
+      val base = s"$root/${rel.split("/").take(2).mkString("/")}"
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel"))
+        .toSeq
+        .filter { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith(".") && !n.startsWith("_")
+        }
+        .map(f => f.getPath.toUri.getPath -> base)
     }
+  }
+
+  /** Assemble the snapshot from an explicit surviving-file list (the
+    * output shape of a skipping prune): group by version base so
+    * partition columns reconstruct, union across bases by name. */
+  private def readFromFiles(spark: SparkSession,
+                            survivors: Seq[(String, String)]): DataFrame = {
+    val frames = survivors.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (base, fz) =>
+        spark.read.option("basePath", base)
+          .option("mergeSchema", "true")
+          .parquet(fz.map(_._1).sorted: _*)
+      }
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  private[graft] def zonemapSurvivors(spark: SparkSession, path: String,
+      bounds: Seq[ZoneBound]): (Seq[(String, String)], Long, Long) = {
+    // live files, each with its version-base for basePath
+    val liveFiles = liveFilesWithBases(spark, path)
     fileStats(spark, path) match {
       case None => (liveFiles, 0L, 0L)
       case Some((dir, cols)) =>
@@ -2137,15 +2160,261 @@ object Tables {
     if (pruned == 0L) readManifested(spark, path)
     else if (survivors.isEmpty)
       readManifested(spark, path).where(lit(false))
-    else {
-      val frames = survivors.groupBy(_._2).toSeq.sortBy(_._1)
-        .map { case (base, fz) =>
-          spark.read.option("basePath", base)
-            .option("mergeSchema", "true")
-            .parquet(fz.map(_._1).sorted: _*)
-        }
-      frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    else readFromFiles(spark, survivors)
+  }
+
+  // ---------- Bloom sidecars (point-lookup file skipping) ----------
+
+  private def fileBloomsPtr(path: String) =
+    new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "/_file_blooms_ptr")
+
+  /** The current Bloom sidecar: (sidecar dir, key column, hash
+    * count), or None if never analyzed. Garbled pointers fail loudly
+    * — delete and re-run [[computeFileBlooms]]. */
+  def fileBlooms(spark: SparkSession, path: String)
+      : Option[(String, String, Int)] = {
+    val p = fileBloomsPtr(path)
+    val fs = fsFor(spark, p)
+    if (!fs.exists(p)) None
+    else readSmallFile(fs, p).split("\n") match {
+      case Array(dir, keyCol, k) => Some((dir, keyCol, k.toInt))
+      case other => throw new IllegalStateException(
+        s"garbled file-blooms pointer at $p (${other.length} lines) — " +
+          "delete it and re-run computeFileBlooms")
     }
+  }
+
+  /** ANALYZE for POINT-LOOKUP file skipping: build one Bloom filter
+    * per live file over `keyCol` and publish them as a sidecar
+    * ([[readManifestedPointLookup]] reads it). The zone-map sidecar
+    * ([[computeFileStats]]) prunes RANGE predicates and only bites
+    * when the layout clusters the column; Blooms prune high-
+    * cardinality EQUALITY lookups on ANY layout — a key that exists
+    * in one file is rejected by every other file's filter with
+    * probability 1−fpp, so a k-key lookup over an unclustered
+    * archive reads ~k files instead of all of them. That is the
+    * needle-in-100 TB shape (fetch these doc_ids) that min/max can
+    * never serve on a hash-scattered layout.
+    *
+    * One column-pruned scan building `numBits`-bit filters under
+    * ObjectHashAggregate (map-side partial merge — one bitset per
+    * file crosses the shuffle); sizing is [[graft.expr.BloomAgg
+    * .bitsFor]] at `fpp` for `expectedItemsPerFile` (an overfull
+    * file degrades its false-positive rate, never correctness).
+    * Same overlay contract as zone maps: files the sidecar doesn't
+    * cover are always read, so staleness costs pruning, not rows;
+    * pointer flips last; the superseded sidecar dir is reclaimed. */
+  def computeFileBlooms(spark: SparkSession, path: String, keyCol: String,
+                        expectedItemsPerFile: Long = 1000000L,
+                        fpp: Double = 0.01): Long = {
+    val numBits = graft.expr.BloomAgg.bitsFor(expectedItemsPerFile, fpp)
+    val k = graft.expr.BloomAgg.hashesFor(numBits, expectedItemsPerFile)
+    val live = readManifested(spark, path)
+    val blooms = live
+      .withColumn("_f", input_file_name())
+      .withColumn("_h", xxhash64(col(keyCol)))
+      .groupBy(col("_f"))
+      .agg(graft.expr.BloomAgg.bloom(col("_h"), numBits, k).as("bloom"))
+      .withColumn("file", expr("parse_url(_f, 'PATH')"))
+      .withColumn("file", coalesce(col("file"), col("_f")))
+      .drop("_f")
+    val dir = s"${path.stripSuffix("/")}/_file_blooms/" +
+      s"b${java.util.UUID.randomUUID.toString.take(8)}"
+    blooms.write.mode(SaveMode.Overwrite).parquet(dir)
+    val n = spark.read.parquet(dir).count()
+    val prev = fileBlooms(spark, path).map(_._1)
+    val ptr = fileBloomsPtr(path)
+    val fs = fsFor(spark, ptr)
+    val out = fs.create(ptr, true)
+    try out.write(s"$dir\n$keyCol\n$k".getBytes("UTF-8"))
+    finally out.close()
+    prev.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    n
+  }
+
+  /** The surviving (file, base) pairs of a Bloom-pruned point
+    * lookup, plus (statted, pruned) counts — the [[zonemapSurvivors]]
+    * split for the equality sidecar. `keyHashes` are the sought
+    * keys' `xxhash64` values; a covered file survives iff ANY sought
+    * key might be in it; uncovered files always survive. */
+  private[graft] def bloomSurvivors(spark: SparkSession, path: String,
+      keyHashes: Array[Long]): (Seq[(String, String)], Long, Long) = {
+    val liveFiles = liveFilesWithBases(spark, path)
+    fileBlooms(spark, path) match {
+      case None => (liveFiles, 0L, 0L)
+      case Some((dir, _, k)) =>
+        val rows = spark.read.parquet(dir)
+          .select(col("file"), col("bloom")).collect()
+        val keep = rows.iterator.filter { r =>
+          val b = r.getAs[Array[Byte]]("bloom")
+          b == null || keyHashes.exists(
+            graft.expr.BloomAgg.mightContain(b, _, k))
+        }.map(_.getString(0)).toSet
+        val statted = rows.iterator.map(_.getString(0)).toSet
+        val survivors = liveFiles.filter { case (f, _) =>
+          !statted(f) || keep(f) }
+        (survivors, liveFiles.count(f => statted(f._1)).toLong,
+          (liveFiles.size - survivors.size).toLong)
+    }
+  }
+
+  /** Bloom sidecar coverage — the [[fileStatsCoverage]] twin:
+    * (covered live files, live files). */
+  def fileBloomCoverage(spark: SparkSession, path: String)
+      : (Long, Long) = {
+    val (survivors, statted, _) =
+      bloomSurvivors(spark, path, Array.empty)
+    // with zero sought keys every covered file is PRUNED, so the
+    // survivor list is exactly the uncovered files
+    (statted, statted + survivors.size.toLong)
+  }
+
+  /** Re-analyze the Bloom sidecar when maintenance eroded its
+    * coverage — the [[refreshFileStatsIfStale]] twin, with the key
+    * column read from the pointer itself. Never-analyzed stores are
+    * not touched. Returns whether a re-analyze ran. */
+  def refreshFileBloomsIfStale(spark: SparkSession, path: String,
+                               minCoverage: Double = 1.0,
+                               expectedItemsPerFile: Long = 1000000L,
+                               fpp: Double = 0.01): Boolean =
+    fileBlooms(spark, path) match {
+      case None => false
+      case Some((_, keyCol, _)) =>
+        val (statted, live) = fileBloomCoverage(spark, path)
+        if (live == 0L || statted.toDouble / live >= minCoverage) false
+        else {
+          computeFileBlooms(spark, path, keyCol,
+            expectedItemsPerFile, fpp)
+          true
+        }
+    }
+
+  /** Bloom-pruned point lookup: [[readManifested]] restricted to
+    * files whose Bloom filter might contain AT LEAST ONE of the
+    * sought keys. `keys` is a (small — its distinct hashes are
+    * collected to the driver, like the sidecar rows themselves) one-
+    * column DataFrame whose column matches the analyzed key column's
+    * name and type; hashing the keys through the same Spark
+    * `xxhash64` the build used is what guarantees build/probe hash
+    * parity. Surviving files keep ALL their rows — apply the
+    * equality/IN predicate row-level on top, exactly like
+    * [[readManifestedSkipping]]'s contract. */
+  def readManifestedPointLookup(spark: SparkSession, path: String,
+                                keys: DataFrame): DataFrame = {
+    val keyCol = fileBlooms(spark, path) match {
+      case Some((_, c, _)) => c
+      case None =>
+        return readManifested(spark, path) // no sidecar: full scan
+    }
+    val hashes = keys.select(xxhash64(col(keyCol)).as("_h"))
+      .distinct().collect().map(_.getLong(0))
+    val (survivors, _, pruned) = bloomSurvivors(spark, path, hashes)
+    if (pruned == 0L) readManifested(spark, path)
+    else if (survivors.isEmpty)
+      readManifested(spark, path).where(lit(false))
+    else readFromFiles(spark, survivors)
+  }
+
+  // ---------- Row-level MERGE (copy-on-write, partition-targeted) ----------
+
+  /** What a [[mergeIntoManifested]] commit did: partitions rewritten
+    * vs carried untouched by manifest reference, and the committed
+    * manifest version. */
+  final case class MergeReport(rewrittenPartitions: Long,
+                               carriedPartitions: Long,
+                               version: Long)
+
+  /** Row-level MERGE INTO a manifested archive — UPDATE matched keys,
+    * DELETE matched keys flagged in `deletedCol`, INSERT unmatched
+    * rows — copy-on-write at partition granularity: only partitions
+    * that CONTAIN a matched key or RECEIVE a change row are
+    * rewritten; every other partition is carried into the new
+    * manifest by reference (its entry string is byte-identical across
+    * versions — spec-pinned), so a small change batch against a
+    * 100 TB archive rewrites a handful of partitions, not the table.
+    *
+    * `changes` carries the archive's full row schema (plus the
+    * optional boolean `deletedCol`); an update may MOVE a row across
+    * partitions (its old partition drops it as a matched key, its new
+    * one receives it as a change row — both are in the touched set by
+    * construction). Latest-wins per key within the touched rewrite;
+    * `changes` must hold at most one row per key.
+    *
+    * Finding the touched partitions costs ONE key+partition-column
+    * scan of the archive, and when a Bloom sidecar on the merge key
+    * exists ([[computeFileBlooms]]) and the change batch is small,
+    * that scan first prunes to the files that might contain a
+    * changed key — the point-lookup sidecar feeding the write path.
+    * Readers stay isolated the usual way: data lands first, one
+    * manifest CAS flips, old versions remain until vacuum.
+    *
+    * Partition VALUES must round-trip through their directory-name
+    * form (`col=value`) — true for the engine's numeric/simple-string
+    * partition columns; exotic values needing path escaping are not
+    * supported here. */
+  def mergeIntoManifested(spark: SparkSession, path: String,
+                          changes: DataFrame, key: String,
+                          partCols: Seq[String],
+                          deletedCol: Option[String] = None,
+                          bloomProbeMaxKeys: Long = 100000L): MergeReport = {
+    require(partCols.nonEmpty, "mergeIntoManifested needs partition columns")
+    val chg = changes.localCheckpoint()
+    val changeKeys = chg.select(col(key)).distinct()
+    // the archive side of partition discovery: Bloom-prune the scan
+    // to candidate files when the sidecar covers the merge key and
+    // the batch is small enough to probe with
+    val scanSide = fileBlooms(spark, path) match {
+      case Some((_, c, _)) if c == key &&
+          changeKeys.limit((bloomProbeMaxKeys + 1).toInt).count()
+            <= bloomProbeMaxKeys =>
+        readManifestedPointLookup(spark, path, changeKeys)
+      case _ => readManifested(spark, path)
+    }
+    val partColsStr = partCols.map(c => col(c).cast("string"))
+    // partitions holding a matched key (update AND delete targets)…
+    val matchedParts = scanSide
+      .join(changeKeys, Seq(key), "left_semi")
+      .select(partColsStr: _*).distinct().collect()
+    // …plus partitions receiving a surviving change row (inserts and
+    // cross-partition moves; a delete of an unmatched key touches
+    // nothing)
+    val liveChanges = deletedCol match {
+      case Some(d) => chg.where(!coalesce(col(d), lit(false))).drop(d)
+      case None => chg
+    }
+    val receiveParts = liveChanges
+      .select(partColsStr: _*).distinct().collect()
+    val touched: Set[Seq[String]] =
+      (matchedParts ++ receiveParts)
+        .map(r => partCols.indices.map(r.getString)).toSet
+    val (liveVersion, liveParts) = resolveManifest(spark, path)
+    if (touched.isEmpty)
+      return MergeReport(0L, liveParts.size.toLong, liveVersion)
+    val touchedKeys: Set[String] =
+      touched.map(vs => partCols.zip(vs)
+        .map { case (c, v) => s"$c=$v" }.mkString("/"))
+    // rewrite = touched partitions' live rows minus matched keys,
+    // plus the surviving change rows (latest-wins by construction:
+    // the anti-join removes every matched key's old copy). The
+    // touched set is a STATIC OR-of-equalities predicate on the
+    // partition columns, so the rewrite scan partition-prunes at
+    // plan time -- it never reads a carried partition
+    val touchedPred = touched.toSeq.map(vs =>
+        partCols.zip(vs)
+          .map { case (c, v) => col(c).cast("string") === lit(v) }
+          .reduce(_ && _))
+      .reduce(_ || _)
+    val keep = readManifested(spark, path).where(touchedPred)
+      .join(changeKeys, Seq(key), "left_anti")
+    val newContent = keep.unionByName(
+      liveChanges.select(keep.columns.map(col): _*),
+      allowMissingColumns = true)
+    val version = upsertManifested(newContent, path, partCols,
+      dropPart = touchedKeys.contains)
+    MergeReport(touchedKeys.size.toLong,
+      (liveParts.size - liveParts.keys.count(touchedKeys)).toLong,
+      version)
   }
 
   // ---------- Topology commit watermark (cross-store consistency) ----------

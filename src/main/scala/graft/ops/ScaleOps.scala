@@ -1134,6 +1134,142 @@ object ScaleOps {
       |FROM documents WHERE doc_id BETWEEN 100 AND 299
       |GROUP BY 1 ORDER BY lang""".stripMargin
 
+  // ---------- Bloom point-lookup skipping (gated construction) ----------
+
+  /** [[qBloomSkip]]'s archive: epoch 0 HASH-scatters even doc_ids
+    * across 8 files — the layout where zone-map min/max can prune
+    * nothing (every file spans the full id range) but per-file Bloom
+    * filters still reject files that don't hold a sought key —
+    * then ANALYZEs them ([[graft.io.Tables.computeFileBlooms]]);
+    * epoch 1 lands odd doc_ids AFTER the analyze, so the lookup must
+    * read those uncovered files unconditionally. */
+  private def bloomRoot(s: SparkSession, dir: String): String =
+    healthMemo.computeIfAbsent(dir + "#bloomskip", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bloomskip").toString
+      healthDirs.add(root)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val p = s"$root/arch"
+      Tables.writeManifested(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .repartition(8, col("doc_id"))
+          .withColumn("ingest_epoch", lit(0L)),
+        p, Seq("ingest_epoch"))
+      Tables.computeFileBlooms(s, p, "doc_id",
+        expectedItemsPerFile = 4096L, fpp = 0.01)
+      Tables.upsertManifested(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1)
+          .withColumn("ingest_epoch", lit(1L)),
+        p, Seq("ingest_epoch"), _ == "ingest_epoch=1")
+      root
+    })
+
+  /** The sought keys of the gated point lookup: four even ids (in the
+    * Bloom-covered epoch — the lookup keeps ~their files and prunes
+    * the rest), two odd ids (landed after the analyze — served by the
+    * uncovered files' unconditional read), and two absent ids (pruned
+    * everywhere but in the row filter's hands either way). */
+  private val BloomLookupIds: Seq[Long] =
+    Seq(42L, 100L, 250L, 498L, 7L, 333L, 100000L, 100001L)
+
+  /** Gated: Bloom-filter point-lookup file skipping
+    * ([[graft.io.Tables.readManifestedPointLookup]]) — the equality
+    * sibling of [[qZonemapSkip]]: per-file Bloom sidecars prune a
+    * multi-key lookup to the files that might hold a sought key, on
+    * a HASH-SCATTERED layout where min/max zone maps are useless,
+    * while files committed after the analyze are read
+    * unconditionally — so the pruned read plus the row-level IN
+    * equals the plain filtered read exactly. That is the fetch-
+    * these-doc_ids needle shape at 100 TB: ~k files read instead of
+    * the archive. BloomSkipSpec pins the pruning itself (most
+    * covered files skipped), zero false negatives across key sets,
+    * staleness and fold degradation staying conservative, and the
+    * maintenance window's re-analyze restoring coverage. */
+  def qBloomSkip(s: SparkSession, dir: String): DataFrame = {
+    val root = bloomRoot(s, dir)
+    import s.implicits._
+    val keys = BloomLookupIds.toDF("doc_id")
+    Tables.readManifestedPointLookup(s, s"$root/arch", keys)
+      .where(col("doc_id").isin(BloomLookupIds: _*))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val qBloomSkipOracle: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id IN (42, 100, 250, 498, 7, 333, 100000, 100001)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------- Copy-on-write MERGE (gated construction) ----------
+
+  /** [[qMergeCow]]'s archive: documents partitioned by `lang`, then
+    * ONE [[graft.io.Tables.mergeIntoManifested]] batch exercising all
+    * four MERGE verbs at once — in-place updates (doc_id%10=3 gain
+    * 1000 chars, same lang), cross-partition moves (doc_id%20=8
+    * migrate to lang 'xx'), deletes (doc_id%20=14 flagged), and
+    * inserts (ten fresh ids under a NEW lang 'zz'). Memoized: the
+    * merge commits once per session; the gate reads the result. */
+  private def mergeCowRoot(s: SparkSession, dir: String): String =
+    healthMemo.computeIfAbsent(dir + "#mergecow", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-mergecow").toString
+      healthDirs.add(root)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val p = s"$root/arch"
+      Tables.writeManifested(docs, p, Seq("lang"))
+      val updates = docs.where(pmod(col("doc_id"), lit(10)) === 3)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .withColumn("_deleted", lit(false))
+      val moves = docs.where(pmod(col("doc_id"), lit(20)) === 8)
+        .withColumn("lang", lit("xx"))
+        .withColumn("_deleted", lit(false))
+      val dels = docs.where(pmod(col("doc_id"), lit(20)) === 14)
+        .withColumn("_deleted", lit(true))
+      val inserts = s.range(10).select(
+        (col("id") + 10000L).as("doc_id"), lit("zz").as("lang"),
+        (col("id") + 100L).as("n_chars"), lit(false).as("_deleted"))
+      Tables.mergeIntoManifested(s, p,
+        updates.unionByName(moves).unionByName(dels)
+          .unionByName(inserts),
+        "doc_id", Seq("lang"), deletedCol = Some("_deleted"))
+      root
+    })
+
+  /** Gated: row-level MERGE INTO a manifested archive, copy-on-write
+    * at partition granularity ([[graft.io.Tables
+    * .mergeIntoManifested]]) — updates, deletes, cross-partition
+    * moves and inserts land in ONE commit that rewrites only the
+    * touched `lang=` partitions; untouched languages are carried
+    * into the new manifest by reference (entry strings byte-
+    * identical — MergeSpec pins it, plus latest-wins, no duplicate
+    * after a move, and the Bloom-assisted touched-partition
+    * discovery equaling the plain scan). HASH-gated per-lang
+    * aggregate over the merged snapshot vs the closed-form oracle. */
+  def qMergeCow(s: SparkSession, dir: String): DataFrame = {
+    val root = mergeCowRoot(s, dir)
+    Tables.readManifested(s, s"$root/arch")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("long").as("chars_sum"))
+      .orderBy("lang")
+  }
+
+  val qMergeCowOracle: String =
+    """WITH merged AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 20 = 8 THEN 'xx' ELSE lang END AS lang,
+      |    CASE WHEN doc_id % 10 = 3 THEN n_chars + 1000
+      |         ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 20 <> 14
+      |  UNION ALL
+      |  SELECT 10000 + i, 'zz', 100 + i
+      |  FROM (SELECT unnest(generate_series(0, 9)) AS i))
+      |SELECT lang, count(*) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+      |FROM merged GROUP BY 1 ORDER BY lang""".stripMargin
+
   // ---------- Incremental aggregate (gated construction) ----------
 
   private val aggMemo =
@@ -1434,6 +1570,8 @@ object ScaleOps {
     "q_mirror_sync" -> qMirrorSync,
     "q_incr_agg" -> qIncrAgg,
     "q_zonemap_skip" -> qZonemapSkip,
+    "q_bloom_skip" -> qBloomSkip,
+    "q_merge_cow" -> qMergeCow,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1456,6 +1594,8 @@ object ScaleOps {
     "q_mirror_sync" -> qMirrorSyncOracle,
     "q_incr_agg" -> qIncrAggOracle,
     "q_zonemap_skip" -> qZonemapSkipOracle,
+    "q_bloom_skip" -> qBloomSkipOracle,
+    "q_merge_cow" -> qMergeCowOracle,
     // the scalable twin runs against the SAME oracle as the global
     // ntile anchor — identical results from a one-reducer-free plan
     "q_ntile_scalable" -> Relational.qQuantileBinsOracle,

@@ -1039,8 +1039,13 @@ object StreamOps {
     // records; never-analyzed stores and fully-covered sidecars are
     // untouched, so the upkeep costs nothing on a quiescent topology
     groups.foreach { case (_, path, _, bucketed, _, _) =>
-      if (!bucketed && Tables.manifestExists(s, path))
+      if (!bucketed && Tables.manifestExists(s, path)) {
         Tables.refreshFileStatsIfStale(s, path)
+        // same loop for the point-lookup sidecar: Blooms orphaned by
+        // a fold's rewrite re-analyze with the key their own pointer
+        // records; never-analyzed stores are untouched
+        Tables.refreshFileBloomsIfStale(s, path)
+      }
     }
     rows.toDF("store", "n_epochs", "n_live_rows", "n_tombstones",
         "manifest_versions", "n_dead_dirs", "fold_due", "fold_reason",
@@ -1106,8 +1111,10 @@ object StreamOps {
     // same zone-map upkeep as the document window: analyzed manifested
     // stores whose coverage the sweep eroded re-analyze themselves
     groups.foreach { case (_, path, _, bucketed, _) =>
-      if (!bucketed && Tables.manifestExists(s, path))
+      if (!bucketed && Tables.manifestExists(s, path)) {
         Tables.refreshFileStatsIfStale(s, path)
+        Tables.refreshFileBloomsIfStale(s, path)
+      }
     }
     rows.toDF("store", "n_epochs", "n_live_rows", "n_tombstones",
         "manifest_versions", "n_dead_dirs", "fold_due", "fold_reason",
