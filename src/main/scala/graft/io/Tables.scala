@@ -584,6 +584,22 @@ object Tables {
     readFromParts(spark, path, readManifestFile(fs, mf))
   }
 
+  /** Resolve one manifest entry to its absolute (dir, version base).
+    * A local entry is `data/vN/part=...` under this table's root; a
+    * zero-copy clone's entry is `<absSrcRoot>::<rel>` — the same
+    * relative shape resolved against the SOURCE root
+    * ([[cloneManifested]]). The base is the entry's version root
+    * (first two segments), the `basePath` partition reconstruction
+    * needs. */
+  private def entryDirAndBase(root: String, entry: String)
+      : (String, String) = {
+    val (r, rel) = entry.split("::", 2) match {
+      case Array(er, erel) => (er, erel)
+      case _ => (root.stripSuffix("/"), entry)
+    }
+    (s"$r/$rel", s"$r/${rel.split("/").take(2).mkString("/")}")
+  }
+
   private def readFromParts(spark: SparkSession, path: String,
                             parts: Map[String, String]): DataFrame = {
     // an empty manifest would otherwise surface as an opaque
@@ -599,13 +615,14 @@ object Tables {
     // ACROSS bases — missing columns read as null. Incompatible TYPE
     // changes still fail loudly in both layers: evolution here is
     // add-a-column, never change-a-column.
-    val frames = parts.values
-      .groupBy(_.split("/").take(2).mkString("/")).toSeq
+    val frames = parts.values.toSeq
+      .map(d => entryDirAndBase(path, d))
+      .groupBy(_._2).toSeq
       .sortBy(_._1)
-      .map { case (base, dirs) =>
-        spark.read.option("basePath", s"$path/$base")
+      .map { case (base, dz) =>
+        spark.read.option("basePath", base)
           .option("mergeSchema", "true")
-          .parquet(dirs.toSeq.sorted.map(d => s"$path/$d"): _*)
+          .parquet(dz.map(_._1).sorted: _*)
       }
     // union TYPE COERCION would silently read a retyped column as a
     // widened common type (int lang under a string history reads as
@@ -689,7 +706,11 @@ object Tables {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val futures = parts.toSeq.map { case (part, rel) => Future {
-        val dir = new org.apache.hadoop.fs.Path(s"$path/$rel")
+        // a clone's external entry resolves against its source root;
+        // its rewrite (below) lands LOCALLY — compaction doubles as
+        // the clone's gradual materialization
+        val dir = new org.apache.hadoop.fs.Path(
+          entryDirAndBase(path, rel)._1)
         val dataFiles = fs.listStatus(dir).toSeq.filter { f =>
           val n = f.getPath.getName
           f.isFile && !n.startsWith(".") && !n.startsWith("_")
@@ -733,7 +754,16 @@ object Tables {
     val manifests = fs.listStatus(root)
       .filter(_.getPath.getName.startsWith("_manifest-"))
       .sortBy(_.getPath.getName).reverse
-    val (keep, drop) = manifests.splitAt(keepManifests)
+    // retention pins: a zero-copy clone pinned the manifest version
+    // it references ([[cloneManifested]]) — that version's manifest
+    // and every dir it names survive vacuum until the pin is
+    // released, no matter how far the table has moved on
+    val pinned = pinnedVersions(fs, root)
+    val (keepHead, tail) = manifests.splitAt(keepManifests)
+    val keep = keepHead ++ tail.filter(m => pinned.contains(
+      m.getPath.getName.stripPrefix("_manifest-").toLong))
+    val drop = tail.filterNot(m => pinned.contains(
+      m.getPath.getName.stripPrefix("_manifest-").toLong))
     // one manifest parser (readManifestFile) — a format change must
     // not be able to desync vacuum's view of what is referenced
     val referenced: Set[String] =
@@ -760,6 +790,85 @@ object Tables {
           .forall(st => !st.isDirectory)) fs.delete(vd.getPath, true)
       }
     drop.foreach(m => fs.delete(m.getPath, false))
+  }
+
+  // ---------- Zero-copy clone (manifest-reference snapshots) ----------
+
+  private def pinsDir(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_pins")
+
+  private def pinnedVersions(fs: org.apache.hadoop.fs.FileSystem,
+                             root: org.apache.hadoop.fs.Path): Set[Long] = {
+    val d = pinsDir(root)
+    if (!fs.exists(d)) Set.empty
+    else fs.listStatus(d)
+      .filter(_.getPath.getName.startsWith("pin-"))
+      .map(p => readSmallFile(fs, p.getPath).trim.toLong).toSet
+  }
+
+  /** Zero-copy CLONE of a manifested table: `dst` gets a manifest v1
+    * whose entries REFERENCE the source's current version dirs
+    * (`<absSrcRoot>::<rel>` — [[entryDirAndBase]] resolves them), so
+    * the clone costs one manifest write regardless of table size —
+    * the dev/test-sandbox verb a 100 TB archive needs (clone, run the
+    * experiment against real data, throw the clone away; nothing was
+    * copied). The clone is a fully independent table from its first
+    * commit: writes ([[upsertManifested]], merges, folds) land in
+    * clone-local version dirs, and [[compactManifested]] rewrites
+    * externally-referenced partitions into local ones — compaction
+    * doubles as gradual materialization, after which the clone
+    * survives its source's vacuum on its own.
+    *
+    * Until then the source must not reclaim what the clone
+    * references: cloning PINS the source's current manifest version
+    * (a `_pins/pin-*` file, written BEFORE the clone's manifest
+    * commits, so there is no window where vacuum could race the
+    * clone into dangling references); [[vacuumManifested]] keeps
+    * pinned versions' manifests and dirs alive; [[releaseClonePin]]
+    * lifts the pin when the clone is dropped or fully materialized.
+    * Clone-side vacuum is safe by construction — its sweep walks only
+    * clone-local `data/v*` dirs, and external entries can never match
+    * a local path. Source and clone must live on the same
+    * FileSystem. Returns the pin id. */
+  def cloneManifested(spark: SparkSession, src: String,
+                      dst: String): String = {
+    require(!manifestExists(spark, dst),
+      s"clone target $dst already has a manifest")
+    val srcRoot = new org.apache.hadoop.fs.Path(src)
+    val fs = fsFor(spark, srcRoot)
+    val srcAbs = fs.makeQualified(srcRoot).toUri.getPath
+    val (v, parts) = resolveManifest(spark, src)
+    // pin FIRST: between this write and the clone's manifest commit a
+    // vacuum sees the pin and keeps v — the reverse order has a
+    // window where v could vanish under the freshly-cloned manifest
+    val pinId = s"pin-${java.util.UUID.randomUUID.toString.take(8)}"
+    val pd = pinsDir(srcRoot)
+    if (!fs.exists(pd)) fs.mkdirs(pd)
+    val out = fs.create(new org.apache.hadoop.fs.Path(pd, pinId), true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    val dstRoot = new org.apache.hadoop.fs.Path(dst)
+    if (!fs.exists(dstRoot)) fs.mkdirs(dstRoot)
+    commitManifest(fs, dstRoot, 1L, parts.map { case (p, d) =>
+      // a clone OF a clone keeps the original external refs — the
+      // pin chain is per-source, each clone pins what IT read
+      p -> (if (d.contains("::")) d else s"$srcAbs::$d")
+    })
+    pinId
+  }
+
+  /** Release a clone's retention pin on its source — the clone was
+    * dropped, or compaction materialized every external reference.
+    * The next source vacuum reclaims whatever only the pinned
+    * version referenced. Unknown pin ids are a loud error (a typo'd
+    * release that silently "succeeded" would leave the real pin
+    * latched forever). */
+  def releaseClonePin(spark: SparkSession, src: String,
+                      pinId: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(src)
+    val fs = fsFor(spark, root)
+    val p = new org.apache.hadoop.fs.Path(pinsDir(root), pinId)
+    require(fs.exists(p), s"no pin $pinId at $src")
+    fs.delete(p, false)
   }
 
   // ---------- Bucketed archive tables (postings layout at scale) ----------
@@ -2060,8 +2169,8 @@ object Tables {
     val root = path.stripSuffix("/")
     val fs = fsFor(spark, new org.apache.hadoop.fs.Path(root))
     parts.values.toSeq.flatMap { rel =>
-      val base = s"$root/${rel.split("/").take(2).mkString("/")}"
-      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel"))
+      val (dir, base) = entryDirAndBase(root, rel)
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
         .toSeq
         .filter { f =>
           val n = f.getPath.getName

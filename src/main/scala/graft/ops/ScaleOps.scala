@@ -1201,6 +1201,79 @@ object ScaleOps {
       |WHERE doc_id IN (42, 100, 250, 498, 7, 333, 100000, 100001)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------- Zero-copy clone (gated construction) ----------
+
+  /** [[qCloneDiverge]]'s fixture: a documents archive partitioned by
+    * lang, a zero-copy clone of it, then full divergence — the
+    * SOURCE rewrites its largest partition (every doc's n_chars
+    * doubles) and VACUUMS (the pin is what keeps the clone's
+    * referenced version alive through it); the CLONE gains a new
+    * lang 'qq' (every doc_id%5==0 re-keyed +20000 with n_chars+7).
+    * Memoized: one clone + divergence per session. */
+  private def cloneRoot(s: SparkSession, dir: String): String =
+    healthMemo.computeIfAbsent(dir + "#clone", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-clone").toString
+      healthDirs.add(root)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val src = s"$root/src"
+      val dst = s"$root/dst"
+      Tables.writeManifested(docs, src, Seq("lang"))
+      Tables.cloneManifested(s, src, dst)
+      // clone-side divergence: a new partition, clone-local
+      Tables.upsertManifested(
+        docs.where(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 20000L).as("doc_id"),
+            lit("qq").as("lang"), (col("n_chars") + 7L).as("n_chars")),
+        dst, Seq("lang"), _ == "lang=qq")
+      // source-side divergence + vacuum: rewrite EVERY lang partition
+      // and reclaim — without the pin this would dangle the clone
+      Tables.upsertManifested(
+        docs.withColumn("n_chars", col("n_chars") * 2L),
+        src, Seq("lang"), _ => true)
+      Tables.vacuumManifested(s, src)
+      root
+    })
+
+  /** Gated: zero-copy clone independence ([[graft.io.Tables
+    * .cloneManifested]]) — the clone answers from the SNAPSHOT it
+    * pinned (original n_chars) plus its own divergence (lang 'qq'),
+    * even though the source has since rewritten every partition it
+    * referenced AND vacuumed; the source, read side by side, shows
+    * the doubled values and no 'qq'. One result frame unions both
+    * reads under a `side` tag, so the hash gate covers the isolation
+    * in BOTH directions. ClonePinSpec drives the lifecycle edges
+    * (release-then-reclaim, loud dangling reads, clone-side vacuum
+    * safety, compaction-as-materialization). */
+  def qCloneDiverge(s: SparkSession, dir: String): DataFrame = {
+    val root = cloneRoot(s, dir)
+    val read = (p: String, side: String) =>
+      Tables.readManifested(s, s"$root/$p")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("chars_sum"))
+        .withColumn("side", lit(side))
+    read("dst", "clone").unionByName(read("src", "source"))
+      .select(col("side"), col("lang"), col("n"), col("chars_sum"))
+      .orderBy("side", "lang")
+  }
+
+  val qCloneDivergeOracle: String =
+    """WITH clone AS (
+      |  SELECT lang, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT 'qq', n_chars + 7 FROM documents WHERE doc_id % 5 = 0),
+      |source AS (
+      |  SELECT lang, n_chars * 2 AS n_chars FROM documents),
+      |tagged AS (
+      |  SELECT 'clone' AS side, lang, n_chars FROM clone
+      |  UNION ALL
+      |  SELECT 'source', lang, n_chars FROM source)
+      |SELECT side, lang, count(*) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+      |FROM tagged GROUP BY 1, 2 ORDER BY side, lang""".stripMargin
+
   // ---------- Copy-on-write MERGE (gated construction) ----------
 
   /** [[qMergeCow]]'s archive: documents partitioned by `lang`, then
@@ -1572,6 +1645,7 @@ object ScaleOps {
     "q_zonemap_skip" -> qZonemapSkip,
     "q_bloom_skip" -> qBloomSkip,
     "q_merge_cow" -> qMergeCow,
+    "q_clone_diverge" -> qCloneDiverge,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1596,6 +1670,7 @@ object ScaleOps {
     "q_zonemap_skip" -> qZonemapSkipOracle,
     "q_bloom_skip" -> qBloomSkipOracle,
     "q_merge_cow" -> qMergeCowOracle,
+    "q_clone_diverge" -> qCloneDivergeOracle,
     // the scalable twin runs against the SAME oracle as the global
     // ntile anchor — identical results from a one-reducer-free plan
     "q_ntile_scalable" -> Relational.qQuantileBinsOracle,
