@@ -792,6 +792,42 @@ object Tables {
     drop.foreach(m => fs.delete(m.getPath, false))
   }
 
+  // ---------- Commit history (DESCRIBE HISTORY for manifested tables) ----------
+
+  /** The table's commit history as a DataFrame — one row per RETAINED
+    * manifest version (vacuum prunes history; pinned versions stay),
+    * with the structural diff against its predecessor: partitions
+    * added / removed / changed (same partition key, different data
+    * dir — a rewrite), plus how many entries still reference a clone
+    * source externally. Driver-side over the manifest files
+    * themselves (each is one small pointer file; retained count is
+    * bounded by vacuum policy), so history costs no data IO at any
+    * table size. The audit face of the manifest discipline: every
+    * upsert, compaction, merge, fold and clone is one version here. */
+  def manifestHistory(spark: SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, root)
+    val manifests = fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith("_manifest-"))
+      .sortBy(_.getPath.getName)
+    require(manifests.nonEmpty, s"no manifest at $path")
+    val versions = manifests.toSeq.map { m =>
+      (m.getPath.getName.stripPrefix("_manifest-").toLong,
+        readManifestFile(fs, m.getPath))
+    }
+    val rows = versions.zip(Map.empty[String, String] +: versions.map(_._2))
+      .map { case ((v, parts), prev) =>
+        val added = parts.keySet.diff(prev.keySet).size.toLong
+        val removed = prev.keySet.diff(parts.keySet).size.toLong
+        val changed = parts.keySet.intersect(prev.keySet)
+          .count(k => parts(k) != prev(k)).toLong
+        (v, parts.size.toLong, added, removed, changed,
+          parts.values.count(_.contains("::")).toLong)
+      }
+    spark.createDataFrame(rows).toDF("version", "n_partitions",
+      "n_added", "n_removed", "n_changed", "n_external")
+  }
+
   // ---------- Zero-copy clone (manifest-reference snapshots) ----------
 
   private def pinsDir(root: org.apache.hadoop.fs.Path) =

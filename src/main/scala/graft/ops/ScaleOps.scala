@@ -1274,6 +1274,58 @@ object ScaleOps {
       |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
       |FROM tagged GROUP BY 1, 2 ORDER BY side, lang""".stripMargin
 
+  // ---------- Commit history (gated construction) ----------
+
+  /** [[qTableHistory]]'s fixture: three commits with three distinct
+    * structural shapes — create (every lang partition added), an
+    * in-place rewrite of `lang=en` (one entry CHANGED, none added or
+    * removed), and a brand-new `lang=zz` partition (one added). */
+  private def historyRoot(s: SparkSession, dir: String): String =
+    healthMemo.computeIfAbsent(dir + "#history", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-history").toString
+      healthDirs.add(root)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val p = s"$root/arch"
+      Tables.writeManifested(docs, p, Seq("lang"))
+      Tables.upsertManifested(
+        docs.where(col("lang") === "en")
+          .withColumn("n_chars", col("n_chars") + 1L),
+        p, Seq("lang"), _ == "lang=en")
+      Tables.upsertManifested(
+        docs.limit(5).select(col("doc_id"), lit("zz").as("lang"),
+          col("n_chars")),
+        p, Seq("lang"), _ == "lang=zz")
+      root
+    })
+
+  /** Gated: queryable commit history ([[graft.io.Tables
+    * .manifestHistory]]) — DESCRIBE HISTORY for manifested tables,
+    * computed from the retained manifest pointer files alone (no
+    * data IO at any table size): per version, the partition count
+    * and the structural diff vs its predecessor (added / removed /
+    * changed entries, plus external clone references). The gate's
+    * three commits pin the three shapes: create = all-added, an
+    * in-place partition rewrite = exactly one changed, a new
+    * partition = exactly one added. */
+  def qTableHistory(s: SparkSession, dir: String): DataFrame = {
+    val root = historyRoot(s, dir)
+    Tables.manifestHistory(s, s"$root/arch")
+      .orderBy("version")
+  }
+
+  val qTableHistoryOracle: String =
+    """WITH l AS (SELECT count(DISTINCT lang) AS nl FROM documents)
+      |SELECT * FROM (
+      |  SELECT 1 AS version, nl AS n_partitions, nl AS n_added,
+      |         0 AS n_removed, 0 AS n_changed, 0 AS n_external FROM l
+      |  UNION ALL
+      |  SELECT 2, nl, 0, 0, 1, 0 FROM l
+      |  UNION ALL
+      |  SELECT 3, nl + 1, 1, 0, 0, 0 FROM l)
+      |ORDER BY version""".stripMargin
+
   // ---------- Copy-on-write MERGE (gated construction) ----------
 
   /** [[qMergeCow]]'s archive: documents partitioned by `lang`, then
@@ -1646,6 +1698,7 @@ object ScaleOps {
     "q_bloom_skip" -> qBloomSkip,
     "q_merge_cow" -> qMergeCow,
     "q_clone_diverge" -> qCloneDiverge,
+    "q_table_history" -> qTableHistory,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1671,6 +1724,7 @@ object ScaleOps {
     "q_bloom_skip" -> qBloomSkipOracle,
     "q_merge_cow" -> qMergeCowOracle,
     "q_clone_diverge" -> qCloneDivergeOracle,
+    "q_table_history" -> qTableHistoryOracle,
     // the scalable twin runs against the SAME oracle as the global
     // ntile anchor — identical results from a one-reducer-free plan
     "q_ntile_scalable" -> Relational.qQuantileBinsOracle,
