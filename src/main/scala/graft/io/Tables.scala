@@ -792,6 +792,129 @@ object Tables {
     drop.foreach(m => fs.delete(m.getPath, false))
   }
 
+  // ---------- Ingest expectations (declared data-quality gates) ----------
+
+  private def expectationsPtr(path: String) =
+    new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "/_expectations")
+
+  /** Declare row-level CHECK expectations on a manifested archive:
+    * ordered (name, SQL predicate) pairs persisted as a sidecar, so
+    * the contract belongs to the TABLE, not to whichever session
+    * happens to write it — every [[ingestExpected]] commit from any
+    * writer enforces the same rules. Re-declaring replaces the set
+    * (the rules are policy, not data; versioning them is the
+    * caller's history). */
+  def declareExpectations(spark: SparkSession, path: String,
+                          rules: Seq[(String, String)]): Unit = {
+    require(rules.nonEmpty, "declareExpectations needs rules")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "expectation names must be unique")
+    rules.foreach { case (n, p) =>
+      require(!n.exists(c => c == '\t' || c == '\n') &&
+        !p.exists(c => c == '\t' || c == '\n'),
+        s"expectation '$n' contains tab/newline") }
+    val ptr = expectationsPtr(path)
+    val fs = fsFor(spark, ptr)
+    val out = fs.create(ptr, true)
+    try out.write(rules.map { case (n, p) => s"$n\t$p" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The archive's declared expectations, in declaration order;
+    * empty if none were declared. */
+  def expectations(spark: SparkSession, path: String)
+      : Seq[(String, String)] = {
+    val ptr = expectationsPtr(path)
+    val fs = fsFor(spark, ptr)
+    if (!fs.exists(ptr)) Nil
+    else readSmallFile(fs, ptr).split("\n").toSeq.filter(_.nonEmpty)
+      .map { line =>
+        val Array(n, p) = line.split("\t", 2)
+        n -> p
+      }
+  }
+
+  /** What an [[ingestExpected]] commit did: rows admitted vs
+    * quarantined, per-rule violation counts, and the committed
+    * archive version (-1 when nothing clean landed on a fresh
+    * table, or fail-mode aborted). */
+  final case class ExpectReport(clean: Long, quarantined: Long,
+                                byRule: Map[String, Long],
+                                version: Long)
+
+  /** Ingest one batch THROUGH the archive's declared expectations —
+    * the data-quality gate at the front door: rows passing every
+    * rule commit to the archive (replace-or-add under `dropPart`,
+    * the usual crash-replay contract); rows failing any rule divert
+    * to a QUARANTINE archive (manifested, epoch-partitioned, each
+    * row carrying the full `_violations` list) instead of silently
+    * polluting 100 TB of training data — quarantine is a table you
+    * can inspect, re-ingest after fixing, or expire. A NULL
+    * predicate result is a violation (an expectation you cannot
+    * evaluate is not met). One pass over the batch (flagged once,
+    * counted and split from the same checkpoint).
+    *
+    * `failOnViolation` flips quarantine mode to abort mode: any
+    * violation throws BEFORE anything is written — for archives
+    * where a bad row means a bad upstream, not a bad row. Replay of
+    * an epoch recommits identical rows on both stores (the flagging
+    * is a pure function of the batch and the declared rules). */
+  def ingestExpected(df: DataFrame, path: String, partCols: Seq[String],
+                     dropPart: String => Boolean, epoch: Long,
+                     quarantinePath: String = null,
+                     failOnViolation: Boolean = false): ExpectReport = {
+    val spark = df.sparkSession
+    val rules = expectations(spark, path)
+    require(rules.nonEmpty,
+      s"no expectations declared at $path — declareExpectations first")
+    val qp = Option(quarantinePath)
+      .getOrElse(path.stripSuffix("/") + "_quarantine")
+    val vio = rules.map { case (n, p) =>
+      when(!coalesce(expr(p), lit(false)), lit(n)) }
+    val flagged = df.withColumn("_violations",
+      org.apache.spark.sql.functions.filter(
+        org.apache.spark.sql.functions.array(vio: _*), _.isNotNull))
+      .localCheckpoint()
+    val countAggs = count(lit(1)).as("_n") +:
+      rules.map { case (n, _) =>
+        sum(when(org.apache.spark.sql.functions
+          .array_contains(col("_violations"), n), 1L).otherwise(0L))
+          .as(s"_r_$n") }
+    val badAgg = flagged
+      .where(org.apache.spark.sql.functions.size(col("_violations")) > 0)
+      .agg(countAggs.head, countAggs.tail: _*).head()
+    val nBad = badAgg.getLong(0)
+    val byRule = rules.zipWithIndex.map { case ((n, _), i) =>
+      n -> (if (nBad == 0L) 0L else badAgg.getLong(i + 1)) }.toMap
+    if (failOnViolation && nBad > 0L)
+      throw new IllegalStateException(
+        s"expectation violations in epoch $epoch at $path " +
+          s"(${byRule.filter(_._2 > 0L).map { case (n, c) => s"$n=$c" }
+            .mkString(", ")}) — fail-mode ingest aborted, nothing " +
+          "was written")
+    if (nBad > 0L) {
+      val bad = flagged
+        .where(org.apache.spark.sql.functions.size(col("_violations")) > 0)
+        .withColumn("ingest_epoch", lit(epoch))
+      if (manifestExists(spark, qp))
+        upsertManifested(bad, qp, Seq("ingest_epoch"),
+          _ == s"ingest_epoch=$epoch")
+      else writeManifested(bad, qp, Seq("ingest_epoch"))
+    }
+    val clean = flagged
+      .where(org.apache.spark.sql.functions.size(col("_violations")) === 0)
+      .drop("_violations")
+    val nClean = clean.count()
+    val version =
+      if (nClean == 0L && !manifestExists(spark, path)) -1L
+      else if (manifestExists(spark, path))
+        upsertManifested(clean, path, partCols, dropPart)
+      else { writeManifested(clean, path, partCols); 1L }
+    ExpectReport(nClean, nBad, byRule, version)
+  }
+
   // ---------- Commit history (DESCRIBE HISTORY for manifested tables) ----------
 
   /** The table's commit history as a DataFrame — one row per RETAINED

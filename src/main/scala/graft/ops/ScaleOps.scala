@@ -1274,6 +1274,87 @@ object ScaleOps {
       |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
       |FROM tagged GROUP BY 1, 2 ORDER BY side, lang""".stripMargin
 
+  // ---------- Ingest expectations (gated construction) ----------
+
+  /** [[qIngestQuarantine]]'s fixture: declare two CHECK expectations
+    * on a fresh archive (`doc_id % 11 <> 5`, `n_chars % 7 <> 3` —
+    * deterministic, overlapping violation sets), then ingest the
+    * whole documents table through the gate once. Clean rows land in
+    * the archive; violators land in the quarantine store with their
+    * full violation lists. */
+  private def quarantineRoot(s: SparkSession, dir: String): String =
+    healthMemo.computeIfAbsent(dir + "#quarantine", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-quarantine").toString
+      healthDirs.add(root)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val p = s"$root/arch"
+      Tables.declareExpectations(s, p, Seq(
+        "id_mod" -> "doc_id % 11 <> 5",
+        "chars_mod" -> "n_chars % 7 <> 3"))
+      Tables.ingestExpected(
+        docs.withColumn("ingest_epoch", lit(0L)),
+        p, Seq("ingest_epoch"), _ == "ingest_epoch=0", epoch = 0L)
+      root
+    })
+
+  /** Gated: declared ingest expectations with quarantine
+    * ([[graft.io.Tables.declareExpectations]] /
+    * [[graft.io.Tables.ingestExpected]]) — the data-quality gate at
+    * the archive front door: rules live in a table sidecar (every
+    * writer enforces the same contract), passing rows commit,
+    * failing rows divert to an inspectable quarantine archive with
+    * per-row violation lists, and fail-mode aborts before any write
+    * (ExpectationSpec). The gate hashes the clean aggregate, the
+    * quarantine aggregate, and both per-rule violation counts read
+    * back from the quarantine's own `_violations` arrays. */
+  def qIngestQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val root = quarantineRoot(s, dir)
+    val clean = Tables.readManifested(s, s"$root/arch")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("long").as("chars_sum"))
+      .withColumn("side", lit("clean"))
+    val quar = Tables.readManifested(s, s"$root/arch_quarantine")
+    val qAgg = quar
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("long").as("chars_sum"))
+      .withColumn("side", lit("quarantined"))
+    val rules = quar.select(
+      sum(when(array_contains(col("_violations"), "id_mod"), 1L)
+        .otherwise(0L)).as("id_mod"),
+      sum(when(array_contains(col("_violations"), "chars_mod"), 1L)
+        .otherwise(0L)).as("chars_mod"))
+    val ruleRows = rules
+      .select(col("id_mod").as("n"), lit(0L).as("chars_sum"),
+        lit("rule_id_mod").as("side"))
+      .unionByName(rules
+        .select(col("chars_mod").as("n"), lit(0L).as("chars_sum"),
+          lit("rule_chars_mod").as("side")))
+    clean.unionByName(qAgg).unionByName(ruleRows)
+      .select(col("side"), col("n"), col("chars_sum"))
+      .orderBy("side")
+  }
+
+  val qIngestQuarantineOracle: String =
+    """WITH flags AS (
+      |  SELECT n_chars,
+      |    (doc_id % 11 <> 5) AS p1,
+      |    (n_chars % 7 <> 3) AS p2
+      |  FROM documents)
+      |SELECT * FROM (
+      |  SELECT 'clean' AS side, count(*) AS n,
+      |         CAST(sum(n_chars) AS BIGINT) AS chars_sum
+      |  FROM flags WHERE p1 AND p2
+      |  UNION ALL
+      |  SELECT 'quarantined', count(*), CAST(sum(n_chars) AS BIGINT)
+      |  FROM flags WHERE NOT (p1 AND p2)
+      |  UNION ALL
+      |  SELECT 'rule_id_mod', count(*), 0 FROM flags WHERE NOT p1
+      |  UNION ALL
+      |  SELECT 'rule_chars_mod', count(*), 0 FROM flags WHERE NOT p2)
+      |ORDER BY side""".stripMargin
+
   // ---------- Commit history (gated construction) ----------
 
   /** [[qTableHistory]]'s fixture: three commits with three distinct
@@ -1699,6 +1780,7 @@ object ScaleOps {
     "q_merge_cow" -> qMergeCow,
     "q_clone_diverge" -> qCloneDiverge,
     "q_table_history" -> qTableHistory,
+    "q_ingest_quarantine" -> qIngestQuarantine,
   )
 
   def oracles: Map[String, String] = Map(
@@ -1725,6 +1807,7 @@ object ScaleOps {
     "q_merge_cow" -> qMergeCowOracle,
     "q_clone_diverge" -> qCloneDivergeOracle,
     "q_table_history" -> qTableHistoryOracle,
+    "q_ingest_quarantine" -> qIngestQuarantineOracle,
     // the scalable twin runs against the SAME oracle as the global
     // ntile anchor — identical results from a one-reducer-free plan
     "q_ntile_scalable" -> Relational.qQuantileBinsOracle,
