@@ -681,6 +681,32 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** The same band join as [[qJoinRange]], written the way a user
+    * WOULD write it — one declarative inequality join, no manual
+    * binning — and planned scalably by [[graft.plans.RangeBinJoin]],
+    * which performs the explode-into-bins rewrite in the optimizer.
+    * Sharing `qJoinRange`'s oracle makes the rule's semantics-
+    * preservation part of the differential gate, not just a spec
+    * claim; `RangeBinJoinSpec` separately pins that the optimized
+    * plan really is the binned equi-join (bin key present, no
+    * per-key quadratic fallback). */
+  def qJoinRangeAuto(s: SparkSession, dir: String): DataFrame = {
+    val bandUs = 600000000L // 10 minutes in microseconds
+    val ev = t(s, dir, "events").select(col("user_id"),
+      col("event_id"), unix_micros(col("ts")).as("us"))
+    val a = ev
+    val b = ev.select(col("user_id").as("uid_b"),
+      col("event_id").as("eid_b"), col("us").as("us_b"))
+    a.join(b,
+        a("user_id") === b("uid_b") &&
+          a("event_id") < b("eid_b") &&
+          b("us_b") >= a("us") &&
+          b("us_b") <= a("us") + bandUs)
+      .groupBy(a("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
   // compares at MICROsecond precision (epoch_us of the us-truncated
   // timestamp) to mirror the Spark side, where Tables.load truncates
   // the file's TIMESTAMP(NANOS) to micros — full-ns interval
@@ -1461,6 +1487,7 @@ object Relational {
     "q_join_anti" -> qJoinAnti,
     "q_join_cross" -> qJoinCross,
     "q_join_range" -> qJoinRange,
+    "q_join_range_auto" -> qJoinRangeAuto,
     "q_join_asof" -> qJoinAsof,
     "q_pivot" -> qPivot,
     "q_stats_agg" -> qStatsAgg,
@@ -1513,6 +1540,7 @@ object Relational {
     "q_join_anti" -> qJoinAntiOracle,
     "q_join_cross" -> qJoinCrossOracle,
     "q_join_range" -> qJoinRangeOracle,
+    "q_join_range_auto" -> qJoinRangeOracle,
     "q_join_asof" -> qJoinAsofOracle,
     "q_pivot" -> qPivotOracle,
     "q_stats_agg" -> qStatsAggOracle,

@@ -1201,6 +1201,23 @@ object ScaleOps {
       |WHERE doc_id IN (42, 100, 250, 498, 7, 333, 100000, 100001)
       |ORDER BY doc_id""".stripMargin
 
+  /** The same point lookup as [[qBloomSkip]], written the way a user
+    * WOULD write it — a plain [[graft.io.Tables.readManifested]] with
+    * an IN filter, no explicit sidecar API — and pruned at plan time
+    * by [[graft.plans.AutoFileSkip]], which routes the filter through
+    * the archive's Bloom sidecar automatically. Shares `qBloomSkip`'s
+    * oracle, so the rule's never-drops-a-row contract (covered files
+    * Bloom-probed, the post-analyze epoch read unconditionally) is
+    * part of the differential gate; `AutoFileSkipSpec` pins the
+    * pruning itself. */
+  def qSkippingAuto(s: SparkSession, dir: String): DataFrame = {
+    val root = bloomRoot(s, dir)
+    Tables.readManifested(s, s"$root/arch")
+      .where(col("doc_id").isin(BloomLookupIds: _*))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   // ---------- Zero-copy clone (gated construction) ----------
 
   /** [[qCloneDiverge]]'s fixture: a documents archive partitioned by
@@ -1777,6 +1794,7 @@ object ScaleOps {
     "q_incr_agg" -> qIncrAgg,
     "q_zonemap_skip" -> qZonemapSkip,
     "q_bloom_skip" -> qBloomSkip,
+    "q_skipping_auto" -> qSkippingAuto,
     "q_merge_cow" -> qMergeCow,
     "q_clone_diverge" -> qCloneDiverge,
     "q_table_history" -> qTableHistory,
@@ -1804,6 +1822,7 @@ object ScaleOps {
     "q_incr_agg" -> qIncrAggOracle,
     "q_zonemap_skip" -> qZonemapSkipOracle,
     "q_bloom_skip" -> qBloomSkipOracle,
+    "q_skipping_auto" -> qBloomSkipOracle,
     "q_merge_cow" -> qMergeCowOracle,
     "q_clone_diverge" -> qCloneDivergeOracle,
     "q_table_history" -> qTableHistoryOracle,
