@@ -877,6 +877,7 @@ object Tables {
       org.apache.spark.sql.functions.filter(
         org.apache.spark.sql.functions.array(vio: _*), _.isNotNull))
       .localCheckpoint()
+    try {
     val countAggs = count(lit(1)).as("_n") +:
       rules.map { case (n, _) =>
         sum(when(org.apache.spark.sql.functions
@@ -913,6 +914,10 @@ object Tables {
         upsertManifested(clean, path, partCols, dropPart)
       else { writeManifested(clean, path, partCols); 1L }
     ExpectReport(nClean, nBad, byRule, version)
+    // deterministic block release on this long-lived ingest path
+    // (Dataset.unpersist is a documented no-op for localCheckpoint'd
+    // frames — Ckpt.scala); the abort path releases too
+    } finally graft.ops.Ckpt.release(flagged)
   }
 
   // ---------- Commit history (DESCRIBE HISTORY for manifested tables) ----------
@@ -981,8 +986,12 @@ object Tables {
     * Until then the source must not reclaim what the clone
     * references: cloning PINS the source's current manifest version
     * (a `_pins/pin-*` file, written BEFORE the clone's manifest
-    * commits, so there is no window where vacuum could race the
-    * clone into dangling references); [[vacuumManifested]] keeps
+    * commits, so any vacuum that reads pins after this point keeps
+    * the version; a vacuum ALREADY PAST its pin read when the pin
+    * lands can still reclaim it, so the clone re-checks every
+    * referenced dir after committing and unwinds loudly if one
+    * vanished — the retry's pin then precedes any later vacuum's
+    * read); [[vacuumManifested]] keeps
     * pinned versions' manifests and dirs alive; [[releaseClonePin]]
     * lifts the pin when the clone is dropped or fully materialized.
     * Clone-side vacuum is safe by construction — its sweep walks only
@@ -1012,6 +1021,25 @@ object Tables {
       // pin chain is per-source, each clone pins what IT read
       p -> (if (d.contains("::")) d else s"$srcAbs::$d")
     })
+    // a vacuum already past its pin read when the pin landed could
+    // have reclaimed v's dirs between resolve and commit — verify
+    // every referenced dir still exists and unwind loudly if not
+    // (data dirs are deleted before manifests, so a surviving dir
+    // set means the racing vacuum, if any, kept the version)
+    val gone = parts.values.toSeq.distinct.filterNot { rel =>
+      val (dir, _) = entryDirAndBase(src, rel)
+      fs.exists(new org.apache.hadoop.fs.Path(dir))
+    }
+    if (gone.nonEmpty) {
+      fs.delete(new org.apache.hadoop.fs.Path(dstRoot, manifestName(1L)),
+        false)
+      releaseClonePin(spark, src, pinId)
+      throw new IllegalStateException(
+        s"cloneManifested $src -> $dst raced a vacuum that read pins " +
+          s"before the clone's pin landed: ${gone.size} referenced " +
+          "dir(s) vanished; the partial clone was unwound — retry " +
+          "(the retry's pin precedes any later vacuum's pin read)")
+    }
     pinId
   }
 
@@ -1461,6 +1489,36 @@ object Tables {
     if (row.isNullAt(0)) -1L else row.getLong(0)
   }
 
+  /** Epochs form TWO lanes sharing one number line. The INGEST lane
+    * (< DeleteEpochBase) carries front-door ingest epochs and
+    * batch-API tombstones — one topology-monotonic logical order.
+    * The streaming DELETE lane (≥ DeleteEpochBase) carries the
+    * delete legs' tombstones: their checkpoints count independently
+    * from 0, so the offset keeps every streaming delete sorting
+    * AFTER every ingest epoch (the fold/mask attribution rule —
+    * a delete stamped below the doc it masks could be retired too
+    * early and resurrect the doc). The price is that the two lanes
+    * are NOT mutually monotonic — a later ingest epoch sorts below
+    * an earlier streaming delete — so every feed cursor, fold
+    * horizon and before-image gate tracks the lanes SEPARATELY
+    * ([[changesSince]], [[syncMirror]], [[syncAggregate]]); folding
+    * them into one max would freeze the ingest side of a consumer
+    * the first time a streaming delete lands. */
+  val DeleteEpochBase = 1000000L
+
+  /** Per-lane max epochs of a frame carrying `ingest_epoch`:
+    * (ingest-lane max, delete-lane max), -1 for an empty lane. */
+  private[graft] def laneMaxes(df: DataFrame): (Long, Long) = {
+    val e = col("ingest_epoch").cast("long")
+    val row = df.agg(
+      org.apache.spark.sql.functions.max(
+        when(e < DeleteEpochBase, e)),
+      org.apache.spark.sql.functions.max(
+        when(e >= DeleteEpochBase, e))).head()
+    (if (row.isNullAt(0)) -1L else row.getLong(0),
+     if (row.isNullAt(1)) -1L else row.getLong(1))
+  }
+
   /** Reclaim a bucketed archive's fold scratch siblings
     * (`.fold_tmp` / `.fold_old`) — the vacuum verb for the bucketed
     * layout, where dead mass is a crashed staged swap's leftovers
@@ -1650,9 +1708,11 @@ object Tables {
     if (maxE <= 0L && tomb.isEmpty) return -1L
     // the fold destroys change attribution: epochs below high-water
     // collapse into the base layer, applied tombstones retire — the
-    // feed horizon ([[recordFoldHorizon]]) must cover both
-    val maxTombE = readTombstonesWithEpochs(s, tombPath)
-      .map(maxIngestEpoch).getOrElse(-1L)
+    // feed horizon ([[recordFoldHorizon]]) must cover both, per LANE
+    // (a single max would let a streaming-delete epoch swallow the
+    // ingest-lane record)
+    val (insTombMax, delTombMax) = readTombstonesWithEpochs(s, tombPath)
+      .map(laneMaxes).getOrElse((-1L, -1L))
     // readManifested resolves the pointer NOW, so this frame pins the
     // pre-fold snapshot — the carry decision below still sees the
     // newest epoch's keys after the rewrite flips the pointer
@@ -1673,9 +1733,10 @@ object Tables {
       graft.ops.Ckpt.release(carried)
     }
     // inserts at the KEPT newest epoch stay attributable (cursor
-    // maxE-1 still feeds them); retired deletes do not (cursor must
-    // clear the highest retired delete epoch)
-    recordFoldHorizon(s, path, math.max(maxE - 1L, maxTombE))
+    // maxE-1 still feeds them); retired deletes do not (each lane's
+    // cursor must clear its own highest retired delete epoch)
+    recordFoldHorizon(s, path, math.max(maxE - 1L, insTombMax))
+    recordFoldHorizon(s, path, delTombMax)
     maxE
   }
 
@@ -1700,9 +1761,9 @@ object Tables {
     if (maxE < 0L) return -1L
     val tomb = readTombstones(s, tombPath, keyCol)
     if (maxE <= 0L && tomb.isEmpty) return -1L
-    // same feed-horizon rule as the manifested fold
-    val maxTombE = readTombstonesWithEpochs(s, tombPath)
-      .map(maxIngestEpoch).getOrElse(-1L)
+    // same per-lane feed-horizon rule as the manifested fold
+    val (insTombMax, delTombMax) = readTombstonesWithEpochs(s, tombPath)
+      .map(laneMaxes).getOrElse((-1L, -1L))
     val preNewest = arch
       .where(col("ingest_epoch") === maxE && lit(maxE > 0L))
       .select(col(keyCol)).distinct().localCheckpoint()
@@ -1720,7 +1781,8 @@ object Tables {
       graft.ops.Ckpt.release(carried)
     }
     graft.ops.Ckpt.release(preNewest)
-    recordFoldHorizon(s, path, math.max(maxE - 1L, maxTombE))
+    recordFoldHorizon(s, path, math.max(maxE - 1L, insTombMax))
+    recordFoldHorizon(s, path, delTombMax)
     maxE
   }
 
@@ -1734,18 +1796,12 @@ object Tables {
   private[graft] def horizonDir(path: String) =
     new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".changes_horizon")
 
-  /** Record that a physical fold destroyed per-epoch change
-    * attribution up to `epoch` — append-only marker files (the
-    * [[commitEpochMarker]] shape), horizon = max, so recording is
-    * idempotent and monotonic without read-modify-write. Folds call
-    * this AFTER their rewrite commits: a crash before the marker
-    * leaves the horizon stale-low, which fails SAFE — a feed cursor
-    * the crashed fold actually invalidated is re-invalidated when
-    * the fold replays and re-records. */
-  private[graft] def recordFoldHorizon(spark: SparkSession, path: String,
-                                       epoch: Long): Unit = {
-    if (epoch < 0L) return
-    val dir = horizonDir(path)
+  /** Append-only epoch-marker write — the shared mechanism behind
+    * fold horizons and topology commit markers: one `epoch-%019d`
+    * file per recorded epoch, reads take the max, so recording is
+    * idempotent and monotonic without read-modify-write. */
+  private def writeEpochMarker(spark: SparkSession,
+      dir: org.apache.hadoop.fs.Path, epoch: Long): Unit = {
     val fs = fsFor(spark, dir)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val out = fs.create(
@@ -1753,17 +1809,44 @@ object Tables {
     try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
   }
 
-  /** The fold horizon of an archive: the highest epoch whose change
-    * attribution a physical fold has compacted away. None for an
-    * archive never folded — every cursor is then valid. */
-  def foldHorizon(spark: SparkSession, path: String): Option[Long] = {
-    val dir = horizonDir(path)
+  /** Every epoch recorded under a marker dir; Nil when absent. */
+  private def epochMarkers(spark: SparkSession,
+      dir: org.apache.hadoop.fs.Path): Seq[Long] =
     try {
-      val es = fsFor(spark, dir).listStatus(dir)
+      fsFor(spark, dir).listStatus(dir).toSeq
         .map(_.getPath.getName).filter(_.startsWith("epoch-"))
         .map(_.stripPrefix("epoch-").toLong)
-      if (es.isEmpty) None else Some(es.max)
-    } catch { case _: java.io.FileNotFoundException => None }
+    } catch { case _: java.io.FileNotFoundException => Nil }
+
+  /** Record that a physical fold destroyed per-epoch change
+    * attribution up to `epoch` (in whichever lane `epoch` lives —
+    * [[foldHorizons]] splits on read). Folds call this AFTER their
+    * rewrite commits: a crash before the marker leaves the horizon
+    * stale-low, which fails SAFE — a feed cursor the crashed fold
+    * actually invalidated is re-invalidated when the fold replays
+    * and re-records. */
+  private[graft] def recordFoldHorizon(spark: SparkSession, path: String,
+                                       epoch: Long): Unit =
+    if (epoch >= 0L) writeEpochMarker(spark, horizonDir(path), epoch)
+
+  /** The fold horizon of an archive in the INGEST lane: the highest
+    * ingest/batch-delete epoch whose change attribution a physical
+    * fold has compacted away. None for an archive never folded —
+    * every cursor is then valid. The streaming-delete lane has its
+    * own horizon ([[foldHorizons]]). */
+  def foldHorizon(spark: SparkSession, path: String): Option[Long] =
+    foldHorizons(spark, path)._1
+
+  /** Both lanes' fold horizons: (ingest lane, streaming-delete
+    * lane). A feed cursor is valid iff each lane's position is at
+    * or above that lane's horizon. */
+  def foldHorizons(spark: SparkSession, path: String)
+      : (Option[Long], Option[Long]) = {
+    val es = epochMarkers(spark, horizonDir(path))
+    (es.filter(_ < DeleteEpochBase) match {
+      case Nil => None; case xs => Some(xs.max) },
+     es.filter(_ >= DeleteEpochBase) match {
+      case Nil => None; case xs => Some(xs.max) })
   }
 
   /** Change-data-feed over an epoch-partitioned archive: every change
@@ -1801,11 +1884,19 @@ object Tables {
     * CDC contract a transactional table format publishes: feeds are
     * valid between compactions, and a consumer that falls behind the
     * maintenance schedule re-syncs from a snapshot. */
+  /** `sinceDeleteEpoch`: the consumer's cursor in the STREAMING
+    * delete lane ([[DeleteEpochBase]]) — the two lanes are not
+    * mutually monotonic, so one cursor cannot position both. The
+    * default (-1) replays the whole delete lane, which keyed
+    * consumers absorb (deleting an absent key is a no-op); the
+    * managed consumers track both lanes. */
   def changesSince(arch: DataFrame, tombPath: String, keyCol: String,
                    sinceEpoch: Long, archPath: String,
-                   untilEpoch: Option[Long] = None): DataFrame = {
+                   untilEpoch: Option[Long] = None,
+                   sinceDeleteEpoch: Long = -1L): DataFrame = {
     val spark = arch.sparkSession
-    foldHorizon(spark, archPath).foreach { h =>
+    val (insH, delH) = foldHorizons(spark, archPath)
+    insH.foreach { h =>
       require(sinceEpoch >= h,
         s"change feed at $archPath: cursor $sinceEpoch predates the " +
           s"fold horizon $h — per-epoch attribution below it was " +
@@ -1813,9 +1904,21 @@ object Tables {
           "(readManifested/readBucketedArchive + minusTombstones) and " +
           "resume from the archive's current max ingest epoch")
     }
+    delH.foreach { h =>
+      require(sinceDeleteEpoch >= h,
+        s"change feed at $archPath: delete-lane cursor " +
+          s"$sinceDeleteEpoch predates the delete-lane fold horizon " +
+          s"$h — the retired streaming-delete epochs were physically " +
+          "compacted; re-sync with a full snapshot read and resume " +
+          "both lanes from the archive's current maxima")
+    }
+    val e = col("ingest_epoch").cast("long")
+    // the until gate caps the INGEST lane (it is a front-door
+    // watermark); streaming deletes are their own stream — they
+    // apply as soon as visible, in every window
     def gate(df: DataFrame): DataFrame = untilEpoch match {
       case None => df
-      case Some(u) => df.where(col("ingest_epoch").cast("long") <= u)
+      case Some(u) => df.where(e <= u || e >= DeleteEpochBase)
     }
     // the insert mask must be AT the gate, not at now: a key ingested
     // at epoch <= until and deleted at epoch > until is LIVE in the
@@ -1824,8 +1927,8 @@ object Tables {
     // (without a gate, masking by all live tombstones nets the same
     // final state, so the ungated behavior is unchanged)
     val tombs = readTombstonesWithEpochs(spark, tombPath).map(gate)
-    val insBase =
-      gate(arch.where(col("ingest_epoch").cast("long") > sinceEpoch))
+    val insBase = untilEpoch.fold(arch)(u => arch.where(e <= u))
+      .where(e > sinceEpoch)
     val inserts = tombs.fold(insBase)(t =>
         insBase.join(broadcast(t.select(col(keyCol)).distinct()),
           Seq(keyCol), "left_anti"))
@@ -1835,7 +1938,8 @@ object Tables {
       case None => inserts
       case Some(t) =>
         val deletes = t
-          .where(col("ingest_epoch").cast("long") > sinceEpoch)
+          .where((e < DeleteEpochBase && e > sinceEpoch) ||
+            (e >= DeleteEpochBase && e > sinceDeleteEpoch))
           .select(col(keyCol),
             lit("delete").as("_change_type"),
             col("ingest_epoch").cast("long").as("_change_epoch"))
@@ -1852,9 +1956,10 @@ object Tables {
   def readChangesSince(spark: SparkSession, path: String,
                        tombPath: String, keyCol: String,
                        sinceEpoch: Long,
-                       untilEpoch: Option[Long] = None): DataFrame =
+                       untilEpoch: Option[Long] = None,
+                       sinceDeleteEpoch: Long = -1L): DataFrame =
     changesSince(readManifested(spark, path), tombPath, keyCol,
-      sinceEpoch, path, untilEpoch)
+      sinceEpoch, path, untilEpoch, sinceDeleteEpoch)
 
   /** [[changesSince]] over a bucketed archive — the feed's insert
     * side rides the bucketed scan, so a downstream keyed apply
@@ -1862,9 +1967,10 @@ object Tables {
   def readBucketedChangesSince(spark: SparkSession, path: String,
                                tombPath: String, keyCol: String,
                                sinceEpoch: Long,
-                               untilEpoch: Option[Long] = None): DataFrame =
+                               untilEpoch: Option[Long] = None,
+                               sinceDeleteEpoch: Long = -1L): DataFrame =
     changesSince(readBucketedArchive(spark, path), tombPath, keyCol,
-      sinceEpoch, path, untilEpoch)
+      sinceEpoch, path, untilEpoch, sinceDeleteEpoch)
 
   // ---------- Incremental mirror (engine-driven CDC consumer) ----------
 
@@ -1881,16 +1987,25 @@ object Tables {
     new org.apache.hadoop.fs.Path(
       mirrorPath.stripSuffix("/") + ".feed_cursor")
 
-  /** The mirror's persisted consumer cursor (epoch, bucket count).
-    * None = never synced. A garbled sidecar fails loudly — delete it
-    * to force a full re-sync. */
+  /** The mirror's persisted consumer cursor (ingest-lane epoch,
+    * streaming-delete-lane epoch, bucket count). None = never
+    * synced. Legacy single-epoch sidecars read with an empty
+    * delete-lane position when the single value is a sane ingest
+    * epoch, and as never-synced (forcing the managed consumer's
+    * automatic full rebuild) when it was contaminated by a
+    * delete-lane epoch — the single-cursor bug the two-lane format
+    * exists to fix. A garbled sidecar fails loudly — delete it to
+    * force a full re-sync. */
   def mirrorCursor(spark: SparkSession, mirrorPath: String)
-      : Option[(Long, Int)] = {
+      : Option[(Long, Long, Int)] = {
     val p = cursorPath(mirrorPath)
     val fs = fsFor(spark, p)
     if (!fs.exists(p)) None
     else readSmallFile(fs, p).split("\n") match {
-      case Array(e, b) => Some((e.toLong, b.toInt))
+      case Array(e, d, b) => Some((e.toLong, d.toLong, b.toInt))
+      case Array(e, b) if e.toLong < DeleteEpochBase =>
+        Some((e.toLong, -1L, b.toInt))
+      case Array(_, _) => None // contaminated legacy cursor: rebuild
       case other => throw new IllegalStateException(
         s"garbled mirror cursor at $p (${other.length} lines) — delete " +
           "it to force a full re-sync")
@@ -1898,10 +2013,11 @@ object Tables {
   }
 
   private def writeMirrorCursor(spark: SparkSession, mirrorPath: String,
-                                epoch: Long, buckets: Int): Unit = {
+                                epoch: Long, delEpoch: Long,
+                                buckets: Int): Unit = {
     val p = cursorPath(mirrorPath)
     val out = fsFor(spark, p).create(p, true)
-    try out.write(s"$epoch\n$buckets".getBytes("UTF-8"))
+    try out.write(s"$epoch\n$delEpoch\n$buckets".getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -1945,57 +2061,66 @@ object Tables {
                  untilEpoch: Option[Long] = None): SyncReport = {
     require(buckets >= 1, "buckets must be positive")
     val arch = readManifested(spark, srcPath)
-    val rawMax = math.max(maxIngestEpoch(arch),
+    val (insTombMax, delTombMax) =
       readTombstonesWithEpochs(spark, srcTomb)
-        .map(maxIngestEpoch).getOrElse(-1L))
-    val srcMax = untilEpoch.fold(rawMax)(math.min(rawMax, _))
-    def gate(df: DataFrame): DataFrame = untilEpoch.fold(df)(u =>
-      df.where(col("ingest_epoch").cast("long") <= u))
+        .map(laneMaxes).getOrElse((-1L, -1L))
+    val rawInsMax = math.max(maxIngestEpoch(arch), insTombMax)
+    // the watermark caps the INGEST lane; the streaming-delete lane
+    // is its own stream and applies as soon as visible
+    val insMax = untilEpoch.fold(rawInsMax)(math.min(rawInsMax, _))
+    val delMax = delTombMax
     def kb(df: DataFrame): DataFrame =
       df.withColumn("kb", pmod(hash(col(keyCol)), lit(buckets)))
+    def parkTargets(): (Long, Long) = {
+      // a fold can push a horizon PAST the source's own lane max
+      // (delete epochs above the last ingest); park each lane at
+      // whichever is higher — lanes are individually monotonic, so
+      // no future commit lands at or below its lane's horizon, and
+      // a cursor below it would re-trigger resync forever
+      val (hIns, hDel) = foldHorizons(spark, srcPath)
+      (math.max(insMax, hIns.getOrElse(-1L)),
+       math.max(delMax, hDel.getOrElse(-1L)))
+    }
     def fullBuild(mode: String, from: Long): SyncReport = {
-      // the snapshot AT the gate: inserts above it excluded, and keys
-      // deleted above it still live (their delete feeds later)
-      val masked = readTombstonesWithEpochs(spark, srcTomb).map(gate) match {
-        case None => gate(arch)
-        case Some(t) => gate(arch).join(
-          broadcast(t.select(col(keyCol)).distinct()),
-          Seq(keyCol), "left_anti")
-      }
-      val snap = kb(masked)
+      // keyed LATEST state at the gate — the mirror's own contract
+      // (apply REPLACES a changed key's rows), so a key re-ingested
+      // across epochs holds only its newest rows and the full build
+      // is path-independent with any incremental history; inserts
+      // above the gate excluded, keys deleted above it still live
+      // (their delete feeds later)
+      val allKeys = arch.select(col(keyCol)).distinct()
+      val snap = kb(keyedStateAt(arch, srcTomb, keyCol, untilEpoch,
+        None, allKeys))
       if (manifestExists(spark, mirrorPath))
         upsertManifested(snap, mirrorPath, Seq("kb"), _ => true)
       else writeManifested(snap, mirrorPath, Seq("kb"))
-      // a fold can push the horizon PAST the source's own max epoch
-      // (delete epochs above the last ingest); park the cursor at
-      // whichever is higher — epochs are topology-monotonic, so no
-      // future commit lands at or below the horizon, and a cursor
-      // below it would re-trigger resync forever
-      val target = math.max(srcMax,
-        foldHorizon(spark, srcPath).getOrElse(-1L))
-      writeMirrorCursor(spark, mirrorPath, target, buckets)
-      SyncReport(mode, from, target, buckets, -1L, -1L)
+      val (insTarget, delTarget) = parkTargets()
+      writeMirrorCursor(spark, mirrorPath, insTarget, delTarget, buckets)
+      SyncReport(mode, from, insTarget, buckets, -1L, -1L)
     }
     mirrorCursor(spark, mirrorPath) match {
       case None => fullBuild("full", -1L)
-      case Some((cursor, b)) =>
+      case Some((cursor, delCursor, b)) =>
         require(b == buckets,
           s"mirror at $mirrorPath was built with $b buckets, sync asked " +
             s"for $buckets — re-bucketing must be explicit (delete the " +
             "mirror and its cursor to rebuild)")
-        if (foldHorizon(spark, srcPath).exists(cursor < _))
+        val (hIns, hDel) = foldHorizons(spark, srcPath)
+        if (hIns.exists(cursor < _) || hDel.exists(delCursor < _))
           fullBuild("resync", cursor)
         else {
           val feed = changesSince(arch, srcTomb, keyCol, cursor, srcPath,
-              untilEpoch)
+              untilEpoch, delCursor)
             .localCheckpoint()
           try {
             val nIns = feed.where(col("_change_type") === "insert").count()
             val nDel = feed.where(col("_change_type") === "delete").count()
             if (nIns == 0 && nDel == 0) {
-              if (srcMax > cursor)
-                writeMirrorCursor(spark, mirrorPath, srcMax, buckets)
-              SyncReport("noop", cursor, math.max(cursor, srcMax), 0, 0L, 0L)
+              if (insMax > cursor || delMax > delCursor)
+                writeMirrorCursor(spark, mirrorPath,
+                  math.max(cursor, insMax), math.max(delCursor, delMax),
+                  buckets)
+              SyncReport("noop", cursor, math.max(cursor, insMax), 0, 0L, 0L)
             } else {
               val touchedKeys = kb(feed.select(col(keyCol)).distinct())
               val kbs = touchedKeys.select("kb").distinct()
@@ -2004,16 +2129,27 @@ object Tables {
                 .where(col("kb").cast("int").isin(kbs.toSeq: _*))
                 .join(broadcast(touchedKeys.select(col(keyCol))),
                   Seq(keyCol), "left_anti")
-              val applied = carried.unionByName(
-                kb(feed.where(col("_change_type") === "insert")
-                  .drop("_change_type", "_change_epoch")),
+              // keyed REPLACE with each key's LATEST feed epoch only:
+              // two re-ingests of one key inside a single window must
+              // not stack both epochs' rows in the mirror
+              val ins = feed.where(col("_change_type") === "insert")
+              val wk = org.apache.spark.sql.expressions.Window
+                .partitionBy(col(keyCol))
+              val insLatest = ins
+                .withColumn("_me", max(col("_change_epoch")).over(wk))
+                .where(col("_change_epoch") === col("_me"))
+                .drop("_me", "_change_type", "_change_epoch")
+              val applied = carried.unionByName(kb(insLatest),
                 allowMissingColumns = true)
               upsertManifested(
                 applied.withColumn("kb", col("kb").cast("int")),
                 mirrorPath, Seq("kb"),
                 p => kbs.contains(p.stripPrefix("kb=").toInt))
-              writeMirrorCursor(spark, mirrorPath, srcMax, buckets)
-              SyncReport("incremental", cursor, srcMax, kbs.size, nIns, nDel)
+              writeMirrorCursor(spark, mirrorPath,
+                math.max(cursor, insMax), math.max(delCursor, delMax),
+                buckets)
+              SyncReport("incremental", cursor, math.max(cursor, insMax),
+                kbs.size, nIns, nDel)
             }
           } finally graft.ops.Ckpt.release(feed)
         }
@@ -2039,10 +2175,11 @@ object Tables {
     * the corpus. */
   private def keyedStateAt(arch: DataFrame, tombPath: String,
                            keyCol: String, atEpoch: Option[Long],
+                           delAtEpoch: Option[Long],
                            keys: DataFrame): DataFrame = {
     val spark = arch.sparkSession
-    val gated = atEpoch.fold(arch)(e =>
-      arch.where(col("ingest_epoch").cast("long") <= e))
+    val e = col("ingest_epoch").cast("long")
+    val gated = atEpoch.fold(arch)(x => arch.where(e <= x))
     val mine = gated.join(broadcast(keys.select(col(keyCol))),
       Seq(keyCol), "left_semi")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
@@ -2053,10 +2190,14 @@ object Tables {
     readTombstonesWithEpochs(spark, tombPath) match {
       case None => latest
       case Some(t) =>
-        val tg = atEpoch.fold(t)(e =>
-          t.where(col("ingest_epoch").cast("long") <= e))
+        // each tombstone lane gated by ITS cursor (None = all apply)
+        val insApplies = atEpoch
+          .fold(e < DeleteEpochBase)(x => e < DeleteEpochBase && e <= x)
+        val delApplies = delAtEpoch
+          .fold(e >= DeleteEpochBase)(x => e >= DeleteEpochBase && e <= x)
         latest.join(
-          broadcast(tg.select(col(keyCol)).distinct()),
+          broadcast(t.where(insApplies || delApplies)
+            .select(col(keyCol)).distinct()),
           Seq(keyCol), "left_anti")
     }
   }
@@ -2120,71 +2261,90 @@ object Tables {
                     untilEpoch: Option[Long] = None): AggSyncReport = {
     require(buckets >= 1, "buckets must be positive")
     require(groupCols.nonEmpty, "syncAggregate needs group columns")
-    val rawMax = math.max(maxIngestEpoch(arch),
+    val (insTombMax, delTombMax) =
       readTombstonesWithEpochs(spark, srcTomb)
-        .map(maxIngestEpoch).getOrElse(-1L))
-    val srcMax = untilEpoch.fold(rawMax)(math.min(rawMax, _))
+        .map(laneMaxes).getOrElse((-1L, -1L))
+    val rawInsMax = math.max(maxIngestEpoch(arch), insTombMax)
+    val insMax = untilEpoch.fold(rawInsMax)(math.min(rawInsMax, _))
+    val delMax = delTombMax
     def kbOf(df: DataFrame): DataFrame =
       df.withColumn("kb",
         pmod(hash(groupCols.map(df(_)): _*), lit(buckets)))
     def aggExprs = count(lit(1)).as("n_rows") +:
       sumCols.map(c => sum(col(c)).as(s"sum_$c"))
+    def parkTargets(): (Long, Long) = {
+      val (hIns, hDel) = foldHorizons(spark, srcPath)
+      (math.max(insMax, hIns.getOrElse(-1L)),
+       math.max(delMax, hDel.getOrElse(-1L)))
+    }
     def fullBuild(mode: String, from: Long): AggSyncReport = {
       // first build pays the one full groupBy (and the latest-per-key
       // window) the incremental path exists to avoid; the state is
       // taken AT the watermark when one is set
+      val (insTarget, delTarget) = parkTargets()
       val allKeys = arch.select(col(keyCol)).distinct()
-      val snap = keyedStateAt(arch, srcTomb, keyCol, untilEpoch, allKeys)
+      val snap = keyedStateAt(arch, srcTomb, keyCol, untilEpoch, None,
+          allKeys)
         .groupBy(groupCols.map(col): _*)
         .agg(aggExprs.head, aggExprs.tail: _*)
-        .withColumn("_asof", lit(math.max(srcMax, 0L)))
-      val target = math.max(srcMax,
-        foldHorizon(spark, srcPath).getOrElse(-1L))
+        .withColumn("_asof", lit(math.max(insTarget, 0L)))
+        .withColumn("_asof_del", lit(delTarget))
       val out = kbOf(snap)
       if (manifestExists(spark, aggPath))
         upsertManifested(out, aggPath, Seq("kb"), _ => true)
       else writeManifested(out, aggPath, Seq("kb"))
-      writeMirrorCursor(spark, aggPath, target, buckets)
-      AggSyncReport(mode, from, target, -1L, buckets)
+      writeMirrorCursor(spark, aggPath, insTarget, delTarget, buckets)
+      AggSyncReport(mode, from, insTarget, -1L, buckets)
     }
     mirrorCursor(spark, aggPath) match {
       case None => fullBuild("full", -1L)
-      case Some((cursor0, b)) =>
+      case Some((cursor0, delCursor0, b)) =>
         require(b == buckets,
           s"aggregate at $aggPath was built with $b buckets, sync asked " +
             s"for $buckets — re-bucketing must be explicit (delete the " +
             "table and its cursor to rebuild)")
         // cursor repair: the apply is one manifest CAS, so if any row
-        // says _asof above the cursor, the previous sync's DATA landed
-        // in full and only its cursor write was lost to a crash —
-        // resume from the table's own high-water instead of re-deriving
-        // a feed window part of which was already applied (the _asof
-        // guard below would catch an exact replay, but not one that
-        // interleaves with epochs committed since the crash)
+        // says _asof above the cursor (in either lane), the previous
+        // sync's DATA landed in full and only its cursor write was
+        // lost to a crash — resume from the table's own high-water
+        // instead of re-deriving a feed window part of which was
+        // already applied (the _asof guard below would catch an exact
+        // replay, but not one that interleaves with epochs committed
+        // since the crash)
         val asofRow = readManifested(spark, aggPath)
-          .agg(max(col("_asof").cast("long"))).head()
+          .agg(max(col("_asof").cast("long")),
+            max(col("_asof_del").cast("long"))).head()
         val tblAsof = if (asofRow.isNullAt(0)) -1L else asofRow.getLong(0)
-        val cursor =
-          if (tblAsof > cursor0) {
-            writeMirrorCursor(spark, aggPath, tblAsof, buckets)
-            tblAsof
-          } else cursor0
-        if (foldHorizon(spark, srcPath).exists(cursor < _))
+        val tblAsofDel =
+          if (asofRow.isNullAt(1)) -1L else asofRow.getLong(1)
+        val (cursor, delCursor) =
+          if (tblAsof > cursor0 || tblAsofDel > delCursor0) {
+            val c = math.max(tblAsof, cursor0)
+            val d = math.max(tblAsofDel, delCursor0)
+            writeMirrorCursor(spark, aggPath, c, d, buckets)
+            (c, d)
+          } else (cursor0, delCursor0)
+        val (hIns, hDel) = foldHorizons(spark, srcPath)
+        if (hIns.exists(cursor < _) || hDel.exists(delCursor < _))
           fullBuild("resync", cursor)
         else {
           val feed = changesSince(arch, srcTomb, keyCol, cursor, srcPath,
-              untilEpoch)
+              untilEpoch, delCursor)
             .select(col(keyCol)).distinct().localCheckpoint()
           try {
             if (feed.isEmpty) {
-              if (srcMax > cursor)
-                writeMirrorCursor(spark, aggPath, srcMax, buckets)
-              AggSyncReport("noop", cursor, math.max(cursor, srcMax), 0L, 0)
+              if (insMax > cursor || delMax > delCursor)
+                writeMirrorCursor(spark, aggPath,
+                  math.max(cursor, insMax), math.max(delCursor, delMax),
+                  buckets)
+              AggSyncReport("noop", cursor, math.max(cursor, insMax), 0L, 0)
             } else {
+              val insTarget = math.max(cursor, insMax)
+              val delTarget = math.max(delCursor, delMax)
               val oldS = keyedStateAt(arch, srcTomb, keyCol,
-                Some(cursor), feed)
+                Some(cursor), Some(delCursor), feed)
               val newS = keyedStateAt(arch, srcTomb, keyCol,
-                untilEpoch, feed)
+                untilEpoch, None, feed)
               def signed(df: DataFrame, sgn: Long) = df.select(
                 groupCols.map(col) ++ sumCols.map(col) :+
                   lit(sgn).as("_sgn"): _*)
@@ -2196,6 +2356,7 @@ object Tables {
                   sumCols.map(c =>
                     sum(col(c) * col("_sgn")).as(s"d_$c")): _*)
                 .localCheckpoint() // ≤ |touched groups| rows
+              try {
               val kbs = kbOf(delta).select("kb").distinct()
                 .collect().map(_.getInt(0)).toSet
               val nTouched = delta.count()
@@ -2205,8 +2366,14 @@ object Tables {
               // groups sharing a bucket pass through with a null delta
               val cond = groupCols.map(c => cur(c) <=> delta(c))
                 .reduce(_ && _)
+              // a row already reflects this sync iff BOTH lanes'
+              // as-of are at their targets (a delete-only window
+              // advances only the delete lane — the ins-lane as-of
+              // alone cannot tell it from an exact replay)
               val applied = delta("dn").isNotNull &&
-                (cur("_asof").isNull || cur("_asof") < lit(srcMax))
+                (cur("_asof").isNull || cur("_asof") < lit(insTarget) ||
+                  cur("_asof_del").isNull ||
+                  cur("_asof_del") < lit(delTarget))
               val merged = cur.join(delta, cond, "full_outer").select(
                 groupCols.map(c => coalesce(cur(c), delta(c)).as(c)) ++
                   Seq(when(applied,
@@ -2220,14 +2387,21 @@ object Tables {
                         coalesce(delta(s"d_$c"), lit(0L)))
                     .otherwise(cur(s"sum_$c")).as(s"sum_$c")) :+
                   when(delta("dn").isNotNull,
-                    greatest(coalesce(cur("_asof"), lit(-1L)), lit(srcMax)))
-                    .otherwise(cur("_asof")).as("_asof"): _*)
+                    greatest(coalesce(cur("_asof"), lit(-1L)),
+                      lit(insTarget)))
+                    .otherwise(cur("_asof")).as("_asof") :+
+                  when(delta("dn").isNotNull,
+                    greatest(coalesce(cur("_asof_del"), lit(-1L)),
+                      lit(delTarget)))
+                    .otherwise(cur("_asof_del")).as("_asof_del"): _*)
                 .where(col("n_rows") > 0)
               upsertManifested(kbOf(merged), aggPath, Seq("kb"),
                 p => kbs.contains(p.stripPrefix("kb=").toInt))
-              writeMirrorCursor(spark, aggPath, srcMax, buckets)
-              AggSyncReport("incremental", cursor, srcMax, nTouched,
+              writeMirrorCursor(spark, aggPath, insTarget, delTarget,
+                buckets)
+              AggSyncReport("incremental", cursor, insTarget, nTouched,
                 kbs.size)
+              } finally graft.ops.Ckpt.release(delta)
             }
           } finally graft.ops.Ckpt.release(feed)
         }
@@ -2236,7 +2410,7 @@ object Tables {
 
   /** The aggregate table's rows without its internal columns. */
   def readAggregate(spark: SparkSession, aggPath: String): DataFrame =
-    readManifested(spark, aggPath).drop("kb", "_asof")
+    readManifested(spark, aggPath).drop("kb", "_asof", "_asof_del")
 
   // ---------- Zone maps (file-level data skipping) ----------
 
@@ -2310,6 +2484,9 @@ object Tables {
     finally out.close()
     prev.foreach(d =>
       fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    // a scan of this archive may have cached "no sidecar here" —
+    // drop that so AutoFileSkip prunes immediately in-session
+    graft.plans.AutoFileSkip.invalidateMisses()
     n
   }
 
@@ -2498,6 +2675,7 @@ object Tables {
     try out.write(s"$dir\n$keyCol\n$k".getBytes("UTF-8"))
     finally out.close()
     prev.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    graft.plans.AutoFileSkip.invalidateMisses()
     n
   }
 
@@ -2628,6 +2806,7 @@ object Tables {
                           bloomProbeMaxKeys: Long = 100000L): MergeReport = {
     require(partCols.nonEmpty, "mergeIntoManifested needs partition columns")
     val chg = changes.localCheckpoint()
+    try {
     val changeKeys = chg.select(col(key)).distinct()
     // the archive side of partition discovery: Bloom-prune the scan
     // to candidate files when the sidecar covers the merge key and
@@ -2653,6 +2832,19 @@ object Tables {
     }
     val receiveParts = liveChanges
       .select(partColsStr: _*).distinct().collect()
+    // a NULL partition value does not round-trip through the
+    // touched-set rewrite (Spark writes it as the Hive default
+    // partition name, but the carry predicate's `=== lit(null)` never
+    // matches), so a merge touching one would silently drop the null
+    // partition's pre-existing rows — refuse loudly instead
+    (matchedParts ++ receiveParts).foreach { r =>
+      partCols.indices.foreach(i => require(!r.isNullAt(i),
+        s"mergeIntoManifested at $path: NULL value in partition " +
+          s"column '${partCols(i)}' (in the archive or the change " +
+          "batch) — null partition values do not survive the " +
+          "copy-on-write rewrite; coalesce the partition column to a " +
+          "sentinel before merging"))
+    }
     val touched: Set[Seq[String]] =
       (matchedParts ++ receiveParts)
         .map(r => partCols.indices.map(r.getString)).toSet
@@ -2676,13 +2868,16 @@ object Tables {
     val keep = readManifested(spark, path).where(touchedPred)
       .join(changeKeys, Seq(key), "left_anti")
     val newContent = keep.unionByName(
-      liveChanges.select(keep.columns.map(col): _*),
+      liveChanges.select(keep.columns.toIndexedSeq.map(col): _*),
       allowMissingColumns = true)
     val version = upsertManifested(newContent, path, partCols,
       dropPart = touchedKeys.contains)
     MergeReport(touchedKeys.size.toLong,
       (liveParts.size - liveParts.keys.count(touchedKeys)).toLong,
       version)
+    // deterministic block release (unpersist is a no-op for
+    // localCheckpoint'd frames); covers the no-touch early return too
+    } finally graft.ops.Ckpt.release(chg)
   }
 
   // ---------- Topology commit watermark (cross-store consistency) ----------
@@ -2702,14 +2897,8 @@ object Tables {
     * recommits every store with identical rows and re-marks —
     * idempotent by the same argument as the stores themselves. */
   def commitEpochMarker(spark: SparkSession, root: String,
-                        epoch: Long): Unit = {
-    val dir = commitMarkerDir(root)
-    val fs = fsFor(spark, dir)
-    if (!fs.exists(dir)) fs.mkdirs(dir)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(dir, f"epoch-$epoch%019d"), true)
-    try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
-  }
+                        epoch: Long): Unit =
+    writeEpochMarker(spark, commitMarkerDir(root), epoch)
 
   /** Highest fully-committed front-door epoch of a topology — the
     * read watermark for consumers that join across its archives.
@@ -2718,15 +2907,11 @@ object Tables {
     * enabling watermarks on an existing topology is backward
     * compatible. */
   def committedWatermark(spark: SparkSession, root: String)
-      : Option[Long] = {
-    val dir = commitMarkerDir(root)
-    try {
-      val es = fsFor(spark, dir).listStatus(dir)
-        .map(_.getPath.getName).filter(_.startsWith("epoch-"))
-        .map(_.stripPrefix("epoch-").toLong)
-      if (es.isEmpty) None else Some(es.max)
-    } catch { case _: java.io.FileNotFoundException => None }
-  }
+      : Option[Long] =
+    epochMarkers(spark, commitMarkerDir(root)) match {
+      case Nil => None
+      case es => Some(es.max)
+    }
 
   /** Cross-store read consistency: gate an epoch-partitioned store
     * view to ingest epochs at or below the topology's committed

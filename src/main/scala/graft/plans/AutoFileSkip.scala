@@ -99,6 +99,10 @@ case class AutoFileSkip(spark: SparkSession) extends Rule[LogicalPlan]
       hashes = bloomKeyHashes(conjuncts, l, keyCol)
       if hashes.nonEmpty
     } {
+      // a re-analyze is a NEW dir: evict this archive's superseded
+      // entry so the cache holds at most one sidecar per archive
+      bloomCache.keySet.removeIf(k0 =>
+        k0 != dir && k0.startsWith(root + "/"))
       val sidecar = bloomCache.computeIfAbsent(dir, d =>
         spark.read.parquet(d).select(col("file"), col("bloom"))
           .collect().map(r =>
@@ -123,6 +127,11 @@ case class AutoFileSkip(spark: SparkSession) extends Rule[LogicalPlan]
           hi.map(v => col(s"min_$c") > lit(v))
         tests.reduce(_ || _)
       }.reduce(_ || _)
+      // same per-archive eviction; the predicate-keyed entries are
+      // additionally size-bounded (distinct constants accumulate)
+      zoneCache.keySet.removeIf(k0 =>
+        !k0.startsWith(dir + "#") && k0.startsWith(root + "/"))
+      if (zoneCache.size > 512) zoneCache.clear()
       val statsDoomed = zoneCache.computeIfAbsent(
         dir + "#" + bounds.toString, _ =>
           spark.read.parquet(dir).where(doomExpr)
@@ -213,13 +222,23 @@ case class AutoFileSkip(spark: SparkSession) extends Rule[LogicalPlan]
 
   /** The archive root above the scan: the nearest ancestor of the
     * scan's first root path carrying a sidecar pointer. Positive hits
-    * are cached (a root that has a pointer keeps having one — pointer
-    * CONTENTS are re-read per query, so a re-analyze is picked up);
-    * misses are re-probed so "analyze then query" works in-session. */
+    * are cached forever (a root that has a pointer keeps having one —
+    * pointer CONTENTS are re-read per query, so a re-analyze is
+    * picked up). Misses are cached too — otherwise every filtered
+    * scan of every plain parquet table in the session pays the
+    * ancestor walk's metadata round-trips at plan time — but only
+    * briefly, and the miss cache is dropped outright whenever this
+    * JVM runs an ANALYZE ([[AutoFileSkip.invalidateMisses]], called
+    * by `computeFileStats`/`computeFileBlooms`), so "analyze then
+    * query" prunes immediately; a cross-JVM analyze is picked up
+    * when the TTL lapses. */
   private def archiveRoot(fsRel: HadoopFsRelation): Option[String] = {
     val start = fsRel.location.rootPaths.head
     val cached = rootCache.get(start.toString)
     if (cached != null) return Some(cached)
+    val missAt = missCache.get(start.toString)
+    if (missAt != null &&
+        System.currentTimeMillis() - missAt < MissTtlMs) return None
     val fs = start.getFileSystem(spark.sessionState.newHadoopConf())
     val status = try fs.getFileStatus(start) catch {
       case _: java.io.FileNotFoundException => return None
@@ -236,6 +255,8 @@ case class AutoFileSkip(spark: SparkSession) extends Rule[LogicalPlan]
       p = p.getParent
       depth += 1
     }
+    if (missCache.size > 4096) missCache.clear()
+    missCache.put(start.toString, System.currentTimeMillis())
     None
   }
 
@@ -247,9 +268,18 @@ object AutoFileSkip {
   val EnabledKey = "spark.graft.autoFileSkip.enabled"
 
   // sidecar dirs are immutable (re-analyze = new dir + pointer flip),
-  // so these caches can never serve stale pruning decisions
+  // so these caches can never serve stale pruning decisions; the
+  // prune path evicts an archive's superseded dirs, bounding the
+  // resident set to one sidecar per live archive
   private val bloomCache =
     new ConcurrentHashMap[String, Array[(String, Array[Byte])]]()
   private val zoneCache = new ConcurrentHashMap[String, Array[String]]()
   private val rootCache = new ConcurrentHashMap[String, String]()
+  private val missCache = new ConcurrentHashMap[String, java.lang.Long]()
+  private val MissTtlMs = 60000L
+
+  /** Drop the negative root-probe cache — called by the ANALYZE
+    * entry points so a freshly-built sidecar prunes immediately
+    * in-session instead of waiting out the miss TTL. */
+  def invalidateMisses(): Unit = missCache.clear()
 }

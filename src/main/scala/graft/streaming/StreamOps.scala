@@ -160,7 +160,7 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, epoch: Long) =>
         graft.io.Tables.ingestTombstones(
-          b, s"$archivePath/tombstones", epoch + 1000000L)
+          b, s"$archivePath/tombstones", epoch + Tables.DeleteEpochBase)
       }
       .start()
     q.processAllAvailable()
@@ -182,7 +182,7 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, epoch: Long) =>
         graft.io.Tables.ingestTombstones(
-          b, corpusTombstonePath(corpusPath), epoch + 1000000L)
+          b, corpusTombstonePath(corpusPath), epoch + Tables.DeleteEpochBase)
       }
       .start()
     q.processAllAvailable()
@@ -300,10 +300,9 @@ object StreamOps {
         s"ingest_epoch=$e"), true)
     }
     // retire every tombstone except newest-epoch victims (carry rule)
-    val maxTombE = Tables.readTombstonesWithEpochs(spark, tombPath)
-      .map(t => t.agg(max(col("ingest_epoch").cast("long"))).head())
-      .collect { case r if !r.isNullAt(0) => r.getLong(0) }
-      .getOrElse(-1L)
+    val (insTombMax, delTombMax) =
+      Tables.readTombstonesWithEpochs(spark, tombPath)
+        .map(Tables.laneMaxes).getOrElse((-1L, -1L))
     val carried = td.join(
         all.where(col("ingest_epoch") === maxE)
           .select(col("doc_id")).distinct(),
@@ -314,10 +313,12 @@ object StreamOps {
     // the retire destroys DELETE attribution (cleared outright, or
     // carried tombstones re-stamped at epoch 0): record the horizon
     // so a corpus change-feed consumer ([[syncCorpusAggregate]])
-    // behind it resyncs loudly instead of missing deletes — insert
-    // attribution is untouched (epochs keep their values here), so
-    // the horizon only needs to clear the retired delete epochs
-    if (maxTombE >= 0L) Tables.recordFoldHorizon(spark, corpusPath, maxTombE)
+    // behind it resyncs loudly instead of missing deletes — per LANE
+    // (batch-API vs streaming-offset delete epochs have separate
+    // cursors); insert attribution is untouched (epochs keep their
+    // values here), so only the retired delete epochs record
+    Tables.recordFoldHorizon(spark, corpusPath, insTombMax)
+    Tables.recordFoldHorizon(spark, corpusPath, delTombMax)
     // deterministic block release: Dataset.unpersist is a documented
     // NO-OP for localCheckpoint'd frames (Ckpt.scala) — on this
     // long-running maintenance path the blocks must not wait for the
@@ -686,7 +687,7 @@ object StreamOps {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, epoch: Long) =>
-        val e = epoch + 1000000L
+        val e = epoch + Tables.DeleteEpochBase
         val keys = b.select(col("doc_id")).localCheckpoint()
         Tables.ingestTombstones(keys, corpusTombstonePath(s"$root/corpus"), e)
         Tables.ingestTombstones(keys, s"$root/winnow/tombstones", e)
@@ -782,7 +783,7 @@ object StreamOps {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, epoch: Long) =>
-        val e = epoch + 1000000L
+        val e = epoch + Tables.DeleteEpochBase
         val keys = b.select(col("vec_id")).localCheckpoint()
         Tables.ingestTombstones(keys,
           graft.ops.Similarity.resolveIndexDir(b.sparkSession,
@@ -829,7 +830,7 @@ object StreamOps {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, epoch: Long) =>
-        val e = epoch + 1000000L
+        val e = epoch + Tables.DeleteEpochBase
         val keys = b.select(col("doc_id")).localCheckpoint()
         // document topology — the runFrontDoorDeletes set
         Tables.ingestTombstones(keys,
@@ -1034,17 +1035,26 @@ object StreamOps {
     }
     // zone-map upkeep: a fold/vacuum that rewrote files orphans any
     // stats sidecar (the skipping read degrades to full scans until
-    // re-analyzed) — refresh every ANALYZED manifested store whose
-    // coverage the sweep eroded, with the columns its own pointer
-    // records; never-analyzed stores and fully-covered sidecars are
-    // untouched, so the upkeep costs nothing on a quiescent topology
+    // re-analyzed) — refresh an ANALYZED manifested store with the
+    // columns its own pointer records. An ANALYZE is a full-archive
+    // scan, so it is gated twice: a store this window REWROTE
+    // restores full coverage (the analyze-after-maintenance loop);
+    // a store that merely kept ingesting re-analyzes only once its
+    // coverage halves (each re-scan buys a doubling of commits —
+    // amortized log-many full scans, not one per window). Never-
+    // analyzed stores are untouched either way.
+    val pathByName = groups.map(g => g._1 -> g._2).toMap
+    val actedPaths = rows.collect {
+      case r if r._11 => pathByName(r._1)
+    }.toSet
     groups.foreach { case (_, path, _, bucketed, _, _) =>
       if (!bucketed && Tables.manifestExists(s, path)) {
-        Tables.refreshFileStatsIfStale(s, path)
-        // same loop for the point-lookup sidecar: Blooms orphaned by
-        // a fold's rewrite re-analyze with the key their own pointer
-        // records; never-analyzed stores are untouched
-        Tables.refreshFileBloomsIfStale(s, path)
+        val cov = if (actedPaths.contains(path)) 1.0 else 0.5
+        Tables.refreshFileStatsIfStale(s, path, cov)
+        // same gating for the point-lookup sidecar: Blooms orphaned
+        // by a fold's rewrite re-analyze with the key their own
+        // pointer records
+        Tables.refreshFileBloomsIfStale(s, path, cov)
       }
     }
     rows.toDF("store", "n_epochs", "n_live_rows", "n_tombstones",
@@ -1108,12 +1118,18 @@ object StreamOps {
           foldDue, foldReason, vacDue, vacReason, foldDue || vacDue))
       }
     }
-    // same zone-map upkeep as the document window: analyzed manifested
-    // stores whose coverage the sweep eroded re-analyze themselves
+    // same double-gated sidecar upkeep as the document window: a
+    // store this window rewrote restores full coverage; one that
+    // merely ingested re-analyzes only once coverage halves
+    val pathByName = groups.map(g => g._1 -> g._2).toMap
+    val actedPaths = rows.collect {
+      case r if r._11 => pathByName(r._1)
+    }.toSet
     groups.foreach { case (_, path, _, bucketed, _) =>
       if (!bucketed && Tables.manifestExists(s, path)) {
-        Tables.refreshFileStatsIfStale(s, path)
-        Tables.refreshFileBloomsIfStale(s, path)
+        val cov = if (actedPaths.contains(path)) 1.0 else 0.5
+        Tables.refreshFileStatsIfStale(s, path, cov)
+        Tables.refreshFileBloomsIfStale(s, path, cov)
       }
     }
     rows.toDF("store", "n_epochs", "n_live_rows", "n_tombstones",
