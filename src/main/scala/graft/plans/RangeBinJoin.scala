@@ -33,10 +33,16 @@ import org.apache.spark.sql.types._
   *
   * Shape matched: an inner join whose condition contains two conjuncts
   * {{{ x >= lo   and   x <= hi }}}
-  * (strict variants accepted) where `x` is an integral-typed expression
-  * from one side and `lo`/`hi` are `core + c1` / `core + c2` over a
-  * shared integral `core` from the other side with foldable integral
-  * offsets `c1 < c2`. The bin width is the band span `W = c2 − c1`:
+  * (strict variants accepted) where `x` is an integral- or
+  * timestamp-typed expression from one side and `lo`/`hi` are
+  * `core + c1` / `core + c2` over a shared same-axis `core` from the
+  * other side with foldable offsets `c1 < c2` — integral literals on
+  * an integral axis, `INTERVAL` additions (day-time, or micros-only
+  * calendar — month/day components are calendar-dependent, not a
+  * fixed width) on a timestamp axis, where bins are computed on exact
+  * epoch microseconds. `b.ts BETWEEN a.ts AND a.ts + INTERVAL 10
+  * MINUTES` — the natural event-time band-join phrasing — rewrites
+  * without the user extracting epoch numbers first. The bin width is the band span `W = c2 − c1`:
   * then `floorDiv(hi, W) = floorDiv(lo, W) + 1` exactly, so the
   * interval side explodes into EXACTLY two bins and the point side
   * lands in one — each qualifying pair meets in precisely one bin (no
@@ -97,12 +103,23 @@ object RangeBinJoin extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  /** Strip a trailing foldable integral offset: core + c / c + core /
-    * core − c → (core, ±c); anything else → (e, 0). */
+  /** Strip a trailing foldable offset: core + c / c + core / core − c
+    * for integral axes, and `ts + INTERVAL …` (analyzer:
+    * TimestampAddInterval with a day-time or micros-only calendar
+    * interval — month/day components are calendar-dependent, not a
+    * fixed width, so they don't qualify) for timestamp axes;
+    * anything else → (e, 0). Offsets are in axis units (raw for
+    * integrals, microseconds for timestamps). */
   private def strip(e: Expression): (Expression, Long) = e match {
     case Add(c, Literal(v, t), _) if integral(t) => (c, toL(v))
     case Add(Literal(v, t), c, _) if integral(t) => (c, toL(v))
     case Subtract(c, Literal(v, t), _) if integral(t) => (c, -toL(v))
+    case TimestampAddInterval(c, Literal(v: Long, _: DayTimeIntervalType), _)
+      => (c, v)
+    case TimestampAddInterval(c,
+        Literal(i: org.apache.spark.unsafe.types.CalendarInterval,
+          CalendarIntervalType), _)
+        if i.months == 0 && i.days == 0 => (c, i.microseconds)
     case other => (other, 0L)
   }
 
@@ -124,7 +141,7 @@ object RangeBinJoin extends Rule[LogicalPlan] with PredicateHelper {
       val (coreLo, c1) = strip(lo)
       val (coreHi, c2) = strip(hi)
       if (!coreLo.semanticEquals(coreHi) || c2 <= c1) None
-      else if (!integral(x.dataType) || !integral(coreLo.dataType)) None
+      else if (axisLong(x).isEmpty || axisLong(coreLo).isEmpty) None
       else if (!x.deterministic || !coreLo.deterministic) None
       else {
         val xRefs = x.references
@@ -141,8 +158,15 @@ object RangeBinJoin extends Rule[LogicalPlan] with PredicateHelper {
     }.nextOption()
   }
 
-  private def asLong(e: Expression): Expression =
-    if (e.dataType == LongType) e else Cast(e, LongType)
+  /** The band axis as a long: integrals widen, timestamps become
+    * exact epoch microseconds (the unit interval offsets strip to);
+    * any other type disqualifies the band. */
+  private def axisLong(e: Expression): Option[Expression] = e.dataType match {
+    case LongType => Some(e)
+    case IntegerType => Some(Cast(e, LongType))
+    case TimestampType => Some(UnixMicros(e))
+    case _ => None
+  }
 
   /** Exact floor(v / w) for longs: (v − pmod(v, w)) div w. pmod is
     * non-negative for positive w, so the subtraction lands on the
@@ -157,14 +181,14 @@ object RangeBinJoin extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rewrite(j: Join, cond: Expression, b: Band): LogicalPlan = {
     val w = b.c2 - b.c1
-    val core = asLong(b.core)
+    val core = axisLong(b.core).get
     // interval [core+c1, core+c2] spans exactly bins floorDiv(lo) and
     // floorDiv(lo)+1 (= floorDiv(hi), since the span equals the width)
     val lo = new Add(core, Literal(b.c1, LongType))
     val hi = new Add(core, Literal(b.c2, LongType))
     val gen = Explode(CreateArray(Seq(floorDiv(lo, w), floorDiv(hi, w))))
     val binAttr = AttributeReference(BinCol, LongType, nullable = true)()
-    val ptAlias = Alias(floorDiv(asLong(b.x), w), BinCol + "_pt")()
+    val ptAlias = Alias(floorDiv(axisLong(b.x).get, w), BinCol + "_pt")()
 
     val (newLeft, newRight) =
       if (b.intervalOnLeft)

@@ -121,6 +121,26 @@ class RangeBinJoinSpec extends SparkSpec {
       "a (interval, point) pair met in more than one bin")
   }
 
+  test("timestamp band join (INTERVAL bounds) binds on exact epoch micros") {
+    val ts = Seq(1L, 2L, 3L, 4L, 5L, 6L).zip(Seq(
+        "2024-01-01 00:00:00", "2024-01-01 00:04:00",
+        "2024-01-01 00:09:59", "2024-01-01 00:10:00",
+        "2024-01-01 00:10:01", "2024-01-01 01:00:00"))
+      .toDF("id", "s")
+      .select(col("id"), col("s").cast("timestamp").as("ts"))
+    val b = ts.select(col("id").as("id_b"), col("ts").as("ts_b"))
+    def q = ts.join(b,
+        col("id") =!= col("id_b") &&
+          col("ts_b") >= col("ts") &&
+          col("ts_b") <= col("ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("id"), col("id_b"))
+    assert(binned(q), "timestamp band must bind through the interval form")
+    val got = rows(q)
+    assert(got === withRuleDisabled { rows(q) })
+    // inclusive 10-minute boundary in, one second past out
+    assert(got.contains(Seq(1L, 4L)) && !got.contains(Seq(1L, 5L)))
+  }
+
   test("q_join_range_auto fires the rule and matches the manual binned query") {
     val auto = graft.ops.Relational.qJoinRangeAuto(spark, sf)
     assert(binned(auto), "the gated query must plan through the rewrite")
