@@ -30,7 +30,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Session.local()
     spark.sparkContext.setLogLevel("ERROR")
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // optional args: restrict to the named queries (a debugging run —
+    // the keep-best artifact below is NEVER written for a partial set)
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered =
+      if (args.isEmpty) all else all.filter(q => args.contains(q._1))
     // warm on the sibling sf0.01 of whatever root sfDir lives in,
     // falling back to sfDir itself (never a hardcoded path — a custom
     // SPARK_GRAFT_SF_DIR must still get warmed)
@@ -99,6 +103,9 @@ object Bench {
       "\"value\":([0-9.eE+-]+)".r.findFirstMatchIn(j)
         .map(_.group(1).toDouble).getOrElse(Double.MaxValue)
     try {
+      if (args.nonEmpty)
+        throw new IllegalStateException(
+          "partial run (query filter) — artifact not persisted")
       val p = java.nio.file.Paths.get(out)
       val prior = if (java.nio.file.Files.exists(p))
         Some(java.nio.file.Files.readString(p)) else None

@@ -22,7 +22,7 @@ object Session {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
   def local(appName: String = "graft"): SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,7 +30,14 @@ object Session {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // debugging hook: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" overlays
+    // session confs (e.g. toggling an optimizer rule for an A/B run)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';')
+      .filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k.trim, v.trim)
+      })
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
