@@ -32,13 +32,41 @@ object Session {
       .config("spark.ui.enabled", "false")
     // debugging hook: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" overlays
     // session confs (e.g. toggling an optimizer rule for an A/B run)
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';')
-      .filter(_.contains('=')).foreach { kv =>
+    val overlay = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(';').filter(_.contains('=')).map { kv =>
         val Array(k, v) = kv.split("=", 2)
-        b.config(k.trim, v.trim)
+        k.trim -> v.trim
       })
+    overlay.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()
+    // getOrCreate applies MODIFIABLE confs to a pre-existing session
+    // but silently drops STATIC ones (spark.sql.extensions, master,
+    // …) — an A/B overlay or extension toggle that didn't take would
+    // corrupt a bench comparison while looking like a clean run, so
+    // verify every explicitly-requested key actually landed and fail
+    // loudly when a pre-existing session swallowed one
+    val wanted = overlay :+
+      ("spark.sql.extensions" -> "graft.plans.GraftExtensions")
+    val swallowed = swallowedConfs(s, wanted)
+    if (swallowed.nonEmpty)
+      throw new IllegalStateException(
+        "a pre-existing SparkSession swallowed requested conf(s) " +
+          swallowed.map { case (k, v) => s"$k=$v" }.mkString(", ") +
+          " — static confs cannot be applied to a live session; stop " +
+          "it (or run in a fresh JVM) before an A/B or extension " +
+          "toggle, or the comparison silently measures the old conf")
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** The subset of `wanted` (key, value) pairs the session does NOT
+    * carry — non-empty exactly when a pre-existing session swallowed
+    * a static conf that a fresh session would have honored. */
+  private[graft] def swallowedConfs(s: SparkSession,
+      wanted: Seq[(String, String)]): Seq[(String, String)] =
+    wanted.filter { case (k, v) =>
+      !s.conf.getOption(k).contains(v) &&
+        // runtime conf misses static SparkConf-only keys; check there
+        !s.sparkContext.getConf.getOption(k).contains(v)
+    }
 }

@@ -766,8 +766,19 @@ object Tables {
       m.getPath.getName.stripPrefix("_manifest-").toLong))
     // one manifest parser (readManifestFile) — a format change must
     // not be able to desync vacuum's view of what is referenced
-    val referenced: Set[String] =
+    val referenced0: Set[String] =
       keep.flatMap(m => readManifestFile(fs, m.getPath).values).toSet
+    // second pin read IMMEDIATELY before the destructive sweep: a
+    // clone whose pin landed after the first read (its manifest
+    // resolve may already be in flight) is honored here, shrinking
+    // the race window from the whole vacuum to the sweep itself —
+    // the residual tail is caught by cloneManifested's post-commit
+    // dir check, which unwinds the clone loudly
+    val latePins = pinnedVersions(fs, root) -- pinned
+    val lateKeep = drop.filter(m => latePins.contains(
+      m.getPath.getName.stripPrefix("_manifest-").toLong))
+    val referenced: Set[String] = referenced0 ++
+      lateKeep.flatMap(m => readManifestFile(fs, m.getPath).values)
     // nested-partition-aware walk: delete a partition dir only when
     // NO referenced leaf equals it or lives under it; recurse into
     // partially-live subtrees (e.g. data/vN/ingest_epoch=0 when only
@@ -789,7 +800,8 @@ object Tables {
         if (fs.listStatus(vd.getPath)
           .forall(st => !st.isDirectory)) fs.delete(vd.getPath, true)
       }
-    drop.foreach(m => fs.delete(m.getPath, false))
+    drop.filterNot(lateKeep.contains).foreach(m =>
+      fs.delete(m.getPath, false))
   }
 
   // ---------- Ingest expectations (declared data-quality gates) ----------
@@ -1021,11 +1033,17 @@ object Tables {
       // pin chain is per-source, each clone pins what IT read
       p -> (if (d.contains("::")) d else s"$srcAbs::$d")
     })
-    // a vacuum already past its pin read when the pin landed could
+    // a vacuum already past its pin reads when the pin landed could
     // have reclaimed v's dirs between resolve and commit — verify
-    // every referenced dir still exists and unwind loudly if not
-    // (data dirs are deleted before manifests, so a surviving dir
-    // set means the racing vacuum, if any, kept the version)
+    // every referenced dir still exists and unwind loudly if not.
+    // NOT airtight: vacuumManifested re-reads pins immediately
+    // before its sweep, so the residual race is a pin landing
+    // DURING a sweep that has not yet reached v's dirs — all dirs
+    // exist at this check and vanish moments later, leaving a
+    // dangling clone. Closing that tail needs a read lease or a
+    // vacuum lock; until then, run vacuum and clone under the same
+    // maintenance window ([[claimMaintenanceWindow]]) when clones
+    // are taken concurrently with retention maintenance.
     val gone = parts.values.toSeq.distinct.filterNot { rel =>
       val (dir, _) = entryDirAndBase(src, rel)
       fs.exists(new org.apache.hadoop.fs.Path(dir))
@@ -2088,9 +2106,8 @@ object Tables {
       // is path-independent with any incremental history; inserts
       // above the gate excluded, keys deleted above it still live
       // (their delete feeds later)
-      val allKeys = arch.select(col(keyCol)).distinct()
       val snap = kb(keyedStateAt(arch, srcTomb, keyCol, untilEpoch,
-        None, allKeys))
+        None, None))
       if (manifestExists(spark, mirrorPath))
         upsertManifested(snap, mirrorPath, Seq("kb"), _ => true)
       else writeManifested(snap, mirrorPath, Seq("kb"))
@@ -2169,19 +2186,26 @@ object Tables {
     * now): per key, the row set of its LATEST ingest epoch at or
     * below the gate, minus tombstones whose DELETE epoch is at or
     * below it — the state a keyed consumer (mirror, aggregate) held
-    * after applying the feed up to that epoch. `keys` is feed-bounded
-    * and broadcasts; the archive side is one semi-join-pruned scan,
-    * so recovering before-images costs O(touched keys' rows), never
-    * the corpus. */
+    * after applying the feed up to that epoch. `keys` (when given) is
+    * feed-bounded and broadcasts; the archive side is one
+    * semi-join-pruned scan, so recovering before-images costs
+    * O(touched keys' rows), never the corpus. Full builds pass None:
+    * every key participates, so there is nothing to prune — and
+    * broadcasting the whole key set would not survive 100 TB. */
   private def keyedStateAt(arch: DataFrame, tombPath: String,
                            keyCol: String, atEpoch: Option[Long],
                            delAtEpoch: Option[Long],
-                           keys: DataFrame): DataFrame = {
+                           keys: Option[DataFrame]): DataFrame = {
     val spark = arch.sparkSession
     val e = col("ingest_epoch").cast("long")
     val gated = atEpoch.fold(arch)(x => arch.where(e <= x))
-    val mine = gated.join(broadcast(keys.select(col(keyCol))),
-      Seq(keyCol), "left_semi")
+    // keys = None is the FULL-BUILD path: every archive key
+    // participates, so a semi-join would filter nothing — and
+    // broadcasting the whole key set of a 100 TB archive is a
+    // driver OOM, not an optimization
+    val mine = keys.fold(gated)(k =>
+      gated.join(broadcast(k.select(col(keyCol))), Seq(keyCol),
+        "left_semi"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
     val latest = mine
       .withColumn("_e", col("ingest_epoch").cast("long"))
@@ -2282,9 +2306,8 @@ object Tables {
       // window) the incremental path exists to avoid; the state is
       // taken AT the watermark when one is set
       val (insTarget, delTarget) = parkTargets()
-      val allKeys = arch.select(col(keyCol)).distinct()
       val snap = keyedStateAt(arch, srcTomb, keyCol, untilEpoch, None,
-          allKeys)
+          None)
         .groupBy(groupCols.map(col): _*)
         .agg(aggExprs.head, aggExprs.tail: _*)
         .withColumn("_asof", lit(math.max(insTarget, 0L)))
@@ -2298,6 +2321,14 @@ object Tables {
     }
     mirrorCursor(spark, aggPath) match {
       case None => fullBuild("full", -1L)
+      case Some(_) if manifestExists(spark, aggPath) &&
+          !readManifested(spark, aggPath).columns.contains("_asof_del") =>
+        // legacy aggregate built before the two-lane feed: it has no
+        // `_asof_del` column, so neither the cursor repair below nor
+        // the delta merge can resolve against it — rebuild once (the
+        // upsert rewrites every bucket, adding the column); later
+        // syncs are incremental again
+        fullBuild("upgrade", -1L)
       case Some((cursor0, delCursor0, b)) =>
         require(b == buckets,
           s"aggregate at $aggPath was built with $b buckets, sync asked " +
@@ -2342,9 +2373,9 @@ object Tables {
               val insTarget = math.max(cursor, insMax)
               val delTarget = math.max(delCursor, delMax)
               val oldS = keyedStateAt(arch, srcTomb, keyCol,
-                Some(cursor), Some(delCursor), feed)
+                Some(cursor), Some(delCursor), Some(feed))
               val newS = keyedStateAt(arch, srcTomb, keyCol,
-                untilEpoch, None, feed)
+                untilEpoch, None, Some(feed))
               def signed(df: DataFrame, sgn: Long) = df.select(
                 groupCols.map(col) ++ sumCols.map(col) :+
                   lit(sgn).as("_sgn"): _*)

@@ -83,6 +83,23 @@ case class AutoFileSkip(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
+  /** Run a sidecar access, degrading to "no sidecar" on any
+    * non-fatal error (a racing re-analyze deleted a superseded dir,
+    * a transient FS failure): the overlay contract is that a sidecar
+    * problem costs pruning, never the query. */
+  private def tolerant[T](body: => Option[T]): Option[T] =
+    try body catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"AutoFileSkip: sidecar read failed (pruning " +
+          s"skipped, scan unpruned): $e")
+        None
+    }
+
+  /** [[tolerant]] for a pruning block: a failed load contributes no
+    * doomed files and the query plans as an unpruned scan. */
+  private def tolerant(body: => Unit)(implicit d: DummyImplicit): Unit =
+    tolerant(Option(body))
+
   private def prune(f: Filter, cond: Expression, l: LogicalRelation,
                     fsRel: HadoopFsRelation): Option[LogicalPlan] = {
     val root = archiveRoot(fsRel).getOrElse(return None)
@@ -94,11 +111,17 @@ case class AutoFileSkip(spark: SparkSession) extends Rule[LogicalPlan]
     val doomed = scala.collection.mutable.Set[String]()
 
     // ----- Bloom: equality / IN on the analyzed key column -----
+    // Sidecar loads degrade, never fail: a re-analyze in ANOTHER
+    // JVM deletes the superseded sidecar dir right after flipping
+    // the pointer, so a planner that read the old pointer just
+    // before can hit FileNotFound here. The overlay contract says
+    // staleness costs pruning, never rows — so any sidecar read
+    // error falls back to a full scan instead of failing the query.
     for {
-      (dir, keyCol, k) <- Tables.fileBlooms(spark, root)
+      (dir, keyCol, k) <- tolerant(Tables.fileBlooms(spark, root))
       hashes = bloomKeyHashes(conjuncts, l, keyCol)
       if hashes.nonEmpty
-    } {
+    } tolerant {
       // a re-analyze is a NEW dir: evict this archive's superseded
       // entry so the cache holds at most one sidecar per archive
       bloomCache.keySet.removeIf(k0 =>
@@ -116,10 +139,10 @@ case class AutoFileSkip(spark: SparkSession) extends Rule[LogicalPlan]
 
     // ----- Zone maps: range / equality on analyzed columns -----
     for {
-      (dir, statsCols) <- Tables.fileStats(spark, root)
+      (dir, statsCols) <- tolerant(Tables.fileStats(spark, root))
       bounds = zoneBounds(conjuncts, l, statsCols.toSet)
       if bounds.nonEmpty
-    } {
+    } tolerant {
       // a file is doomed iff some bound is provably disjoint from its
       // [min, max]; NULL stats (all-null file) keep the file in
       val doomExpr = bounds.map { case (c, lo, hi) =>

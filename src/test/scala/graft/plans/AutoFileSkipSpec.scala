@@ -155,4 +155,32 @@ class AutoFileSkipSpec extends SparkSpec {
         .where(col("id") === 42L)))
     }
   }
+
+  test("a sidecar dir vanished under its pointer (racing re-analyze): " +
+    "the query degrades to an unpruned scan, never fails") {
+    // fresh archive so no cache entry can mask the broken dir
+    val root = tmpRoot("graft-autoskip-gone")
+    val p = s"$root/arch"
+    val docs = (0L until 100L).map(i => (i, i * 2))
+      .toDF("id", "v")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .withColumn("ingest_epoch", lit(0L))
+    Tables.writeManifested(docs, p, Seq("ingest_epoch"))
+    Tables.computeFileStats(spark, p, Seq("id"))
+    Tables.computeFileBlooms(spark, p, "id",
+      expectedItemsPerFile = 1024L, fpp = 0.01)
+    // delete BOTH sidecar dirs out from under their live pointers —
+    // the window another JVM's planner sees mid-re-analyze
+    for (ptr <- Seq(Tables.fileStats(spark, p).map(_._1),
+        Tables.fileBlooms(spark, p).map(_._1)); dir <- ptr) {
+      val hp = new org.apache.hadoop.fs.Path(dir)
+      hp.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(hp, true)
+    }
+    def q = Tables.readManifested(spark, p)
+      .where(col("id") === 42L).select(col("id"), col("v"))
+    // the overlay contract: a sidecar problem costs pruning, not rows
+    assert(rows(q) === Set(Seq(42L, 84L)))
+    assert(!pruned(q), "a failed sidecar load must not claim pruning")
+  }
 }
