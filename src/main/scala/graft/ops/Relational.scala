@@ -723,6 +723,44 @@ object Relational {
       |     <= epoch_us(CAST(a.ts AS TIMESTAMP)) + 600000000
       |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
 
+  /** LEFT OUTER band join — "each event with its strict followers
+    * within 10 minutes, KEEPING events that have none" (the shape a
+    * plain inner band join silently drops): per event, the count of
+    * same-user events strictly later but within the window; a user's
+    * last event has no follower and must survive with n_follow = 0.
+    * Declarative inequality join — [[graft.plans.RangeBinJoin]]
+    * plans it as a binned equi-join with the explode on the
+    * NON-PRESERVED (right / point) side, which is the rewrite an
+    * outer band join needs: exploding the preserved side would
+    * duplicate unmatched rows. Without the rule this is the classic
+    * BNLJ cliff. */
+  def qJoinRangeLeft(s: SparkSession, dir: String): DataFrame = {
+    val bandUs = 600000000L // 10 minutes in microseconds
+    val ev = t(s, dir, "events").select(col("user_id"),
+      col("event_id"), unix_micros(col("ts")).as("us"))
+    val b = ev.select(col("user_id").as("uid_b"),
+      col("event_id").as("eid_b"), col("us").as("us_b"))
+    ev.join(b,
+        col("user_id") === col("uid_b") &&
+          col("us_b") > col("us") &&
+          col("us_b") <= col("us") + bandUs,
+        "left_outer")
+      .groupBy(col("user_id"), col("event_id"))
+      .agg(count(col("eid_b")).as("n_follow"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val qJoinRangeLeftOracle: String =
+    """SELECT a.user_id, a.event_id, count(b.event_id) AS n_follow
+      |FROM events a LEFT JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND epoch_us(CAST(b.ts AS TIMESTAMP))
+      |     > epoch_us(CAST(a.ts AS TIMESTAMP))
+      | AND epoch_us(CAST(b.ts AS TIMESTAMP))
+      |     <= epoch_us(CAST(a.ts AS TIMESTAMP)) + 600000000
+      |GROUP BY a.user_id, a.event_id
+      |ORDER BY a.user_id, a.event_id""".stripMargin
+
   /** As-of join: each 'error' event picks the latest prior-or-same
     * 'signup' of the same user. Implemented with the union+window
     * idiom (one shuffle, no nested loop): carry signup timestamps down
@@ -1488,6 +1526,7 @@ object Relational {
     "q_join_cross" -> qJoinCross,
     "q_join_range" -> qJoinRange,
     "q_join_range_auto" -> qJoinRangeAuto,
+    "q_join_range_left" -> qJoinRangeLeft,
     "q_join_asof" -> qJoinAsof,
     "q_pivot" -> qPivot,
     "q_stats_agg" -> qStatsAgg,
@@ -1541,6 +1580,7 @@ object Relational {
     "q_join_cross" -> qJoinCrossOracle,
     "q_join_range" -> qJoinRangeOracle,
     "q_join_range_auto" -> qJoinRangeOracle,
+    "q_join_range_left" -> qJoinRangeLeftOracle,
     "q_join_asof" -> qJoinAsofOracle,
     "q_pivot" -> qPivotOracle,
     "q_stats_agg" -> qStatsAggOracle,

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
@@ -54,12 +54,29 @@ import org.apache.spark.sql.types._
   * (`(v − pmod(v, W)) div W` — correct for negatives, no double
   * rounding above 2^53 the way `floor(v / W)` on casts would be).
   *
+  * Join types: besides Inner, the rewrite covers LEFT OUTER, RIGHT
+  * OUTER, LEFT SEMI and LEFT ANTI band joins — the "events with no
+  * match within the window" family, which otherwise plans BNLJ. The
+  * explode must land on the NON-PRESERVED side (duplicating a
+  * preserved row would corrupt outer/semi/anti semantics), so the
+  * rule picks per join type which side carries it: an interval
+  * `[core+c1, core+c2]` spans exactly bins `floorDiv(lo)` and
+  * `floorDiv(lo)+1`, and dually a point in bin `p` can only meet
+  * intervals whose low bin is `p−1` or `p` — EITHER side can be the
+  * exploded one, and each qualifying pair still meets in exactly one
+  * bin pair. Full outer is skipped (both sides preserved — nowhere
+  * to put the explode).
+  *
   * The rule leaves the plan alone when: the band shape is absent, a
   * broadcast hint names either side (the user chose replication — a
   * broadcast nested-loop join over a small side is fine and the hint
-  * must win), the types are non-integral, or a previous application
+  * must win), the types are non-integral, a previous application
   * already planted its bin column (the rule runs inside the operator-
-  * optimization fixpoint batch, so it must be idempotent).
+  * optimization fixpoint batch, so it must be idempotent), or the
+  * join is ALREADY manually binned — an equi conjunct that is a
+  * floor-division of the band axis at the band width means the user
+  * hand-built the rewrite, and re-binning would double the explode
+  * on the interval side for nothing.
   *
   * Disable with `spark.graft.rangeBinJoin.enabled=false`.
   */
@@ -71,10 +88,18 @@ object RangeBinJoin extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
     plan.transformUp {
-      case j @ Join(_, _, Inner, Some(cond), hint)
-          if j.resolved && !broadcastHinted(hint) && !alreadyBinned(j) =>
-        findBand(j, cond).map(rewrite(j, cond, _)).getOrElse(j)
+      case j @ Join(_, _, jt, Some(cond), hint)
+          if j.resolved && supportedType(jt) && !broadcastHinted(hint) &&
+            !alreadyBinned(j) =>
+        findBand(j, cond)
+          .filterNot(b => preBinned(j, cond, b))
+          .map(rewrite(j, cond, _)).getOrElse(j)
     }
+  }
+
+  private def supportedType(jt: JoinType): Boolean = jt match {
+    case Inner | LeftOuter | RightOuter | LeftSemi | LeftAnti => true
+    case _ => false
   }
 
   private def broadcastHinted(h: JoinHint): Boolean =
@@ -158,6 +183,110 @@ object RangeBinJoin extends Rule[LogicalPlan] with PredicateHelper {
     }.nextOption()
   }
 
+  /** The join is ALREADY manually binned: some equi conjunct is a
+    * floor-division of the band axis at the band width — the
+    * hand-built version of this rule's own rewrite (`qJoinRange`'s
+    * idiom: explode into `floor(v/W)`±1 bins, equi-join on the bin,
+    * re-check the band). Firing again would stack a second ×2
+    * explode on the interval side: same answers, doubled candidate
+    * volume — the optimizer penalizing exactly the users who already
+    * did the right thing. Detection is best-effort over both common
+    * idioms (`floor(v / W)` via double division, `v div W`, and this
+    * rule's own exact form), resolving condition attributes through
+    * each side's projections and explode elements; a miss merely
+    * costs the redundancy, never correctness. */
+  private def preBinned(j: Join, cond: Expression, b: Band): Boolean = {
+    val w = b.c2 - b.c1
+    // the band's axes (point and interval core), alias-resolved into
+    // each side so they compare equal to a bin expression's argument
+    val axes = Seq(b.x, b.core).flatMap(ax =>
+      Seq(ax, resolveThrough(j.left, ax), resolveThrough(j.right, ax)))
+      .map(stripCasts)
+    def isAxis(v: Expression): Boolean = {
+      val s = stripCasts(v)
+      axes.exists(_.semanticEquals(s))
+    }
+    splitConjunctivePredicates(cond).exists {
+      case EqualTo(l, r) =>
+        Seq(l, r).exists(side =>
+          Seq(resolveThrough(j.left, side), resolveThrough(j.right, side))
+            .flatMap(binArg(_, w)).exists(isAxis))
+      case _ => false
+    }
+  }
+
+  /** Best-effort resolution of `e`'s attributes to their defining
+    * expressions inside `plan` — through Project aliases, Generate
+    * explode elements, and pass-through unary nodes. Used only by
+    * [[preBinned]], where an unresolved attribute just means the
+    * guard doesn't fire. */
+  private def resolveThrough(plan: LogicalPlan, e: Expression): Expression = {
+    def defOf(p: LogicalPlan, a: Attribute, depth: Int): Expression =
+      if (depth <= 0) a
+      else p match {
+        case pr: Project =>
+          pr.projectList.collectFirst {
+            case al: Alias if al.exprId == a.exprId =>
+              resolveThrough(pr.child, al.child)
+          }.getOrElse(defOf(pr.child, a, depth - 1))
+        case g: Generate if g.generatorOutput.exists(_.exprId == a.exprId) =>
+          g.generator match {
+            case Explode(CreateArray(els, _)) if els.nonEmpty =>
+              resolveThrough(g.child, els.head)
+            case _ => a
+          }
+        case u: UnaryNode => defOf(u.child, a, depth - 1)
+        case _ => a
+      }
+    e.transformUp { case a: Attribute => defOf(plan, a, 12) }
+  }
+
+  private def stripCasts(e: Expression): Expression = e match {
+    case Cast(c, _, _, _) => stripCasts(c)
+    case _ => e
+  }
+
+  /** If `e` is semantically `floor(axis / w)` — in any common idiom,
+    * with an optional trailing ± integer bin shift (the explode's
+    * neighbor bin) and outer casts — the raw axis argument. */
+  private def binArg(e0: Expression, w: Long): Option[Expression] = {
+    def isW(l: Literal): Boolean = l match {
+      case Literal(d: Double, DoubleType) => d == w.toDouble
+      case Literal(v, t) if integral(t) => toL(v) == w
+      case _ => false
+    }
+    // strip casts and ± integer bin shifts, remembering whether an
+    // integral cast was crossed (a bare double division only counts
+    // as binning when something truncates it back to an integer)
+    def peel(e: Expression, sawIntCast: Boolean): (Expression, Boolean) =
+      e match {
+        case Cast(c, t, _, _) => peel(c, sawIntCast || integral(t))
+        case Add(c, Literal(_, t), _) if integral(t) => peel(c, sawIntCast)
+        case Add(Literal(_, t), c, _) if integral(t) => peel(c, sawIntCast)
+        case Subtract(c, Literal(_, t), _) if integral(t) =>
+          peel(c, sawIntCast)
+        case other => (other, sawIntCast)
+      }
+    // `v − pmod(v, w)` is the largest multiple of w ≤ v — dividing
+    // it by w bins v itself (this rule's own exact form)
+    def deMultiple(e: Expression): Expression = stripCasts(e) match {
+      case Subtract(v, Pmod(v2, l: Literal, _), _)
+          if isW(l) && stripCasts(v).semanticEquals(stripCasts(v2)) =>
+        stripCasts(v)
+      case other => other
+    }
+    val (core, sawIntCast) = peel(e0, sawIntCast = false)
+    core match {
+      case IntegralDivide(v, l: Literal, _) if isW(l) =>
+        Some(deMultiple(v))
+      case Floor(Divide(v, l: Literal, _)) if isW(l) =>
+        Some(deMultiple(v))
+      case Divide(v, l: Literal, _) if isW(l) && sawIntCast =>
+        Some(deMultiple(v))
+      case _ => None
+    }
+  }
+
   /** The band axis as a long: integrals widen, timestamps become
     * exact epoch microseconds (the unit interval offsets strip to);
     * any other type disqualifies the band. */
@@ -182,24 +311,45 @@ object RangeBinJoin extends Rule[LogicalPlan] with PredicateHelper {
   private def rewrite(j: Join, cond: Expression, b: Band): LogicalPlan = {
     val w = b.c2 - b.c1
     val core = axisLong(b.core).get
+    val x = axisLong(b.x).get
+    // which child carries the explode: for inner either side works
+    // (keep the interval side — the canonical two-bin formulation);
+    // for outer/semi/anti it MUST be the non-preserved side, because
+    // duplicating a preserved row corrupts the join's semantics
+    val explodeLeft = j.joinType match {
+      case RightOuter => true
+      case LeftOuter | LeftSemi | LeftAnti => false
+      case _ => b.intervalOnLeft
+    }
+    val explodeInterval = explodeLeft == b.intervalOnLeft
     // interval [core+c1, core+c2] spans exactly bins floorDiv(lo) and
-    // floorDiv(lo)+1 (= floorDiv(hi), since the span equals the width)
+    // floorDiv(lo)+1 (= floorDiv(hi), since the span equals the
+    // width); dually, a point in bin p meets only intervals whose low
+    // bin is p−1 or p. Explode whichever side must carry it; each
+    // qualifying pair still meets in exactly one bin pair.
     val lo = new Add(core, Literal(b.c1, LongType))
     val hi = new Add(core, Literal(b.c2, LongType))
-    val gen = Explode(CreateArray(Seq(floorDiv(lo, w), floorDiv(hi, w))))
+    val (genBins, singleBin) =
+      if (explodeInterval)
+        (Seq(floorDiv(lo, w), floorDiv(hi, w)), floorDiv(x, w))
+      else
+        (Seq(new Subtract(floorDiv(x, w), Literal(1L, LongType)),
+          floorDiv(x, w)), floorDiv(lo, w))
+    val gen = Explode(CreateArray(genBins))
     val binAttr = AttributeReference(BinCol, LongType, nullable = true)()
-    val ptAlias = Alias(floorDiv(axisLong(b.x).get, w), BinCol + "_pt")()
+    val single = Alias(singleBin, BinCol + "_pt")()
 
     val (newLeft, newRight) =
-      if (b.intervalOnLeft)
+      if (explodeLeft)
         (Generate(gen, Nil, outer = false, None, Seq(binAttr), j.left),
-         Project(j.right.output :+ ptAlias, j.right))
+         Project(j.right.output :+ single, j.right))
       else
-        (Project(j.left.output :+ ptAlias, j.left),
+        (Project(j.left.output :+ single, j.left),
          Generate(gen, Nil, outer = false, None, Seq(binAttr), j.right))
 
-    val newCond = And(EqualTo(binAttr, ptAlias.toAttribute), cond)
+    val newCond = And(EqualTo(binAttr, single.toAttribute), cond)
     // restore the original output (the bin columns are plumbing)
-    Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), j.hint))
+    Project(j.output,
+      Join(newLeft, newRight, j.joinType, Some(newCond), j.hint))
   }
 }

@@ -148,6 +148,130 @@ class RangeBinJoinSpec extends SparkSpec {
     assert(rows(auto) === rows(manual))
   }
 
+  test("manually-binned joins are NOT re-binned: qJoinRange keeps " +
+    "exactly one Generate while qJoinRangeAuto keeps rewriting") {
+    val manual = graft.ops.Relational.qJoinRange(spark, sf)
+    val gens = manual.queryExecution.optimizedPlan.collect {
+      case g: Generate => g }
+    assert(gens.size == 1,
+      s"expected the user's single bin explode, got ${gens.size} — " +
+        "the rule re-binned a hand-binned join")
+    val auto = graft.ops.Relational.qJoinRangeAuto(spark, sf)
+    val autoGens = auto.queryExecution.optimizedPlan.collect {
+      case g: Generate => g }
+    assert(autoGens.size == 1 && binned(auto),
+      "the declarative query must still rewrite (guard overreach)")
+    assert(rows(manual) === rows(auto))
+  }
+
+  test("the in-JVM pre-binned idiom (long div) is recognized too") {
+    val a = points
+    val b = points.select(col("id").as("id_b"), col("v").as("v_b"))
+    // hand-binned with integer division: explode a.v's bins, equi on
+    // bin, residual band — the rule must leave it alone
+    val e1 = a.select(col("id"), col("v"),
+      explode(array((col("v") - pmod(col("v"), lit(10L))) / lit(10L)
+          cast "long",
+        ((col("v") - pmod(col("v"), lit(10L))) / lit(10L) cast "long")
+          + 1L)).as("bin"))
+    val e2 = b.select(col("id_b"), col("v_b"),
+      ((col("v_b") - pmod(col("v_b"), lit(10L))) / lit(10L) cast "long")
+        .as("bin"))
+    val q = e1.join(e2, e1("bin") === e2("bin") &&
+        col("v_b") >= col("v") && col("v_b") <= col("v") + 10L)
+      .select(col("id"), col("id_b"))
+    val gens = q.queryExecution.optimizedPlan.collect {
+      case g: Generate => g }
+    assert(gens.size == 1,
+      s"hand-binned (div idiom) join re-binned: ${gens.size} Generates")
+  }
+
+  test("left-outer band join rewrites (explode on the non-preserved " +
+    "side), keeps unmatched rows, avoids BNLJ") {
+    val a = points
+    val b = points.select(col("id").as("id_b"), col("k").as("k_b"),
+      col("v").as("v_b"))
+    // each a-row with its strict followers within 10; id 7 (v=21,k=1),
+    // id 10 (v=40,k=2), id 12 (v=7,k=3) have none → preserved as null
+    def q = a.join(b, col("k") === col("k_b") &&
+        col("v_b") > col("v") && col("v_b") <= col("v") + 10L,
+      "left_outer").select(col("id"), col("id_b"))
+    assert(binned(q), "left-outer band must rewrite")
+    val phys = q.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoop") &&
+      !phys.contains("CartesianProduct"),
+      s"expected an equi join on the bin, got:\n$phys")
+    val got = rows(q)
+    assert(got === withRuleDisabled { rows(q) })
+    assert(got.contains(Seq(7L, null)) && got.contains(Seq(10L, null)) &&
+      got.contains(Seq(12L, null)), "unmatched interval rows must survive")
+    assert(!got.exists { r => r.head == 3L && r(1) == null },
+      "a matched row must not also appear null-extended")
+  }
+
+  test("right-outer band join rewrites with the explode on the left") {
+    val a = points
+    val b = points.select(col("id").as("id_b"), col("k").as("k_b"),
+      col("v").as("v_b"))
+    def q = a.join(b, col("k") === col("k_b") &&
+        col("v_b") > col("v") && col("v_b") <= col("v") + 10L,
+      "right_outer").select(col("id"), col("id_b"))
+    assert(binned(q))
+    assert(rows(q) === withRuleDisabled { rows(q) })
+  }
+
+  test("left-semi and left-anti band joins rewrite without " +
+    "duplicating or losing preserved rows") {
+    val a = points
+    val b = points.select(col("id").as("id_b"), col("k").as("k_b"),
+      col("v").as("v_b"))
+    def semi = a.join(b, col("k") === col("k_b") &&
+        col("v_b") > col("v") && col("v_b") <= col("v") + 10L,
+      "left_semi").select(col("id"))
+    def anti = a.join(b, col("k") === col("k_b") &&
+        col("v_b") > col("v") && col("v_b") <= col("v") + 10L,
+      "left_anti").select(col("id"))
+    assert(binned(semi) && binned(anti))
+    // semi: a row appears AT MOST once even when it matches b rows
+    // through both of its candidate bins
+    val semiIds = semi.collect().map(_.getLong(0)).toSeq
+    assert(semiIds.size == semiIds.distinct.size,
+      "semi duplicated a preserved row")
+    assert(rows(semi) === withRuleDisabled { rows(semi) })
+    assert(rows(anti) === withRuleDisabled { rows(anti) })
+    // anti ∪ semi = all of a, disjoint
+    assert(rows(semi) ++ rows(anti) === rows(a.select(col("id"))))
+    assert(rows(semi).intersect(rows(anti)).isEmpty)
+  }
+
+  test("full-outer band join is left alone (both sides preserved)") {
+    val a = points
+    val b = points.select(col("id").as("id_b"), col("k").as("k_b"),
+      col("v").as("v_b"))
+    def q = a.join(b, col("k") === col("k_b") &&
+        col("v_b") >= col("v") && col("v_b") <= col("v") + 10L,
+      "full_outer").select(col("id"), col("id_b"))
+    assert(!binned(q), "full outer has no non-preserved side to explode")
+    assert(rows(q) === withRuleDisabled { rows(q) })
+  }
+
+  test("q_join_range_left: the gated left-outer band query rewrites, " +
+    "avoids BNLJ, keeps follower-less events, equals the naive plan") {
+    def q = graft.ops.Relational.qJoinRangeLeft(spark, sf)
+    assert(binned(q), "gated left-outer band query must rewrite")
+    val phys = q.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoop") &&
+      !phys.contains("CartesianProduct"),
+      s"expected an equi join on the bin, got:\n$phys")
+    val got = q.collect()
+    assert(got.nonEmpty)
+    val unmatched = got.count(_.getAs[Long]("n_follow") == 0L)
+    assert(unmatched > 0,
+      "fixture vacuous: every event has a follower — the outer leg " +
+        "is untested")
+    assert(rows(q) === withRuleDisabled { rows(q) })
+  }
+
   test("rewritten plan carries the generate + both original range predicates") {
     val df = bandJoin()
     val gens = df.queryExecution.optimizedPlan.collect { case g: Generate => g }
