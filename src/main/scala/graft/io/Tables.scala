@@ -1,9 +1,9 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, count,
-  expr, greatest, hash, input_file_name, lit, max, min, pmod, sum, when,
-  xxhash64}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col,
+  collect_list, count, expr, greatest, hash, input_file_name, lit, max,
+  min, pmod, sort_array, sum, when, xxhash64}
 import org.apache.spark.sql.types.StructType
 
 /** Table IO for the engine.
@@ -600,6 +600,14 @@ object Tables {
     (s"$r/$rel", s"$r/${rel.split("/").take(2).mkString("/")}")
   }
 
+  /** A manifest entry VALUE is one or more `||`-separated paths —
+    * normally a single partition DIRECTORY; after a file-local
+    * tombstone retirement ([[retireTombstonesFileLocal]]) a mix of
+    * carried individual FILES and the rewrite's new dir. Each path
+    * may carry the clone `src::rel` prefix independently. */
+  private[graft] def entryPaths(value: String): Seq[String] =
+    value.split("\\|\\|").toSeq.filter(_.nonEmpty)
+
   private def readFromParts(spark: SparkSession, path: String,
                             parts: Map[String, String]): DataFrame = {
     // an empty manifest would otherwise surface as an opaque
@@ -615,7 +623,10 @@ object Tables {
     // ACROSS bases — missing columns read as null. Incompatible TYPE
     // changes still fail loudly in both layers: evolution here is
     // add-a-column, never change-a-column.
-    val frames = parts.values.toSeq
+    // each entry path may be a dir or an individual file — Spark's
+    // parquet reader takes both, and basePath reconstructs partition
+    // columns for files exactly as for dirs
+    val frames = parts.values.toSeq.flatMap(entryPaths)
       .map(d => entryDirAndBase(path, d))
       .groupBy(_._2).toSeq
       .sortBy(_._1)
@@ -708,20 +719,29 @@ object Tables {
       val futures = parts.toSeq.map { case (part, rel) => Future {
         // a clone's external entry resolves against its source root;
         // its rewrite (below) lands LOCALLY — compaction doubles as
-        // the clone's gradual materialization
-        val dir = new org.apache.hadoop.fs.Path(
-          entryDirAndBase(path, rel)._1)
-        val dataFiles = fs.listStatus(dir).toSeq.filter { f =>
-          val n = f.getPath.getName
-          f.isFile && !n.startsWith(".") && !n.startsWith("_")
+        // the clone's gradual materialization. A multi-path entry
+        // (file-local retirement carried individual files) collapses
+        // back to one dir whenever it qualifies for rewrite.
+        val subs = entryPaths(rel).map(sp => new org.apache.hadoop.fs.Path(
+          entryDirAndBase(path, sp)._1))
+        val dataFiles = subs.flatMap { p =>
+          val st = fs.getFileStatus(p)
+          if (st.isFile) Seq(st)
+          else fs.listStatus(p).toSeq.filter { f =>
+            val n = f.getPath.getName
+            f.isFile && !n.startsWith(".") && !n.startsWith("_")
+          }
         }
         val bytes = dataFiles.map(_.getLen).sum
         val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-        if (dataFiles.size <= target || dataFiles.isEmpty)
+        // a file-carrying entry always rewrites: leaving it alone
+        // would pin the superseded dir's mixed liveness forever
+        val fragmented = entryPaths(rel).size > 1
+        if ((dataFiles.size <= target && !fragmented) || dataFiles.isEmpty)
           (part, rel, CompactStats(bytes, dataFiles.size, dataFiles.size))
         else {
           val newRel = s"data/v$next/$part"
-          shape(spark.read.parquet(dir.toString), target)
+          shape(spark.read.parquet(subs.map(_.toString): _*), target)
             .write.mode(SaveMode.Overwrite).parquet(s"$path/$newRel")
           fs.delete(new org.apache.hadoop.fs.Path(
             s"$path/$newRel/_SUCCESS"), false)
@@ -767,7 +787,8 @@ object Tables {
     // one manifest parser (readManifestFile) — a format change must
     // not be able to desync vacuum's view of what is referenced
     val referenced0: Set[String] =
-      keep.flatMap(m => readManifestFile(fs, m.getPath).values).toSet
+      keep.flatMap(m => readManifestFile(fs, m.getPath).values
+        .flatMap(entryPaths)).toSet
     // second pin read IMMEDIATELY before the destructive sweep: a
     // clone whose pin landed after the first read (its manifest
     // resolve may already be in flight) is honored here, shrinking
@@ -778,21 +799,32 @@ object Tables {
     val lateKeep = drop.filter(m => latePins.contains(
       m.getPath.getName.stripPrefix("_manifest-").toLong))
     val referenced: Set[String] = referenced0 ++
-      lateKeep.flatMap(m => readManifestFile(fs, m.getPath).values)
+      lateKeep.flatMap(m => readManifestFile(fs, m.getPath).values
+        .flatMap(entryPaths))
     // nested-partition-aware walk: delete a partition dir only when
     // NO referenced leaf equals it or lives under it; recurse into
     // partially-live subtrees (e.g. data/vN/ingest_epoch=0 when only
-    // some of its cell= children are still referenced)
+    // some of its cell= children are still referenced). A file-local
+    // retirement leaves FILE references into superseded dirs —
+    // inside a partially-referenced dir, files not referenced
+    // themselves are dead (the retired victims' originals) and are
+    // reclaimed individually.
     def sweep(dir: org.apache.hadoop.fs.Path, rel: String): Unit =
-      fs.listStatus(dir)
-        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-        .foreach { pd =>
-          val childRel = s"$rel/${pd.getPath.getName}"
+      fs.listStatus(dir).foreach { pd =>
+        val childRel = s"$rel/${pd.getPath.getName}"
+        if (pd.isDirectory && pd.getPath.getName.contains("=")) {
           if (referenced.contains(childRel)) () // live leaf — keep
           else if (referenced.exists(_.startsWith(childRel + "/")))
             sweep(pd.getPath, childRel) // some descendants live
           else fs.delete(pd.getPath, true)
+        } else if (pd.isFile && !pd.getPath.getName.startsWith(".") &&
+            !pd.getPath.getName.startsWith("_") &&
+            !referenced.contains(childRel)) {
+          // reached only inside a partially-referenced dir (a fully
+          // referenced dir never recurses): unreferenced file = dead
+          fs.delete(pd.getPath, false)
         }
+      }
     val dataRoot = new org.apache.hadoop.fs.Path(s"$path/data")
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot)
       .filter(_.getPath.getName.startsWith("v")).foreach { vd =>
@@ -1030,8 +1062,10 @@ object Tables {
     if (!fs.exists(dstRoot)) fs.mkdirs(dstRoot)
     commitManifest(fs, dstRoot, 1L, parts.map { case (p, d) =>
       // a clone OF a clone keeps the original external refs — the
-      // pin chain is per-source, each clone pins what IT read
-      p -> (if (d.contains("::")) d else s"$srcAbs::$d")
+      // pin chain is per-source, each clone pins what IT read;
+      // multi-path entries prefix each subpath independently
+      p -> entryPaths(d).map(sp =>
+        if (sp.contains("::")) sp else s"$srcAbs::$sp").mkString("||")
     })
     // a vacuum already past its pin reads when the pin landed could
     // have reclaimed v's dirs between resolve and commit — verify
@@ -1044,10 +1078,11 @@ object Tables {
     // vacuum lock; until then, run vacuum and clone under the same
     // maintenance window ([[claimMaintenanceWindow]]) when clones
     // are taken concurrently with retention maintenance.
-    val gone = parts.values.toSeq.distinct.filterNot { rel =>
-      val (dir, _) = entryDirAndBase(src, rel)
-      fs.exists(new org.apache.hadoop.fs.Path(dir))
-    }
+    val gone = parts.values.toSeq.flatMap(entryPaths).distinct
+      .filterNot { rel =>
+        val (dir, _) = entryDirAndBase(src, rel)
+        fs.exists(new org.apache.hadoop.fs.Path(dir))
+      }
     if (gone.nonEmpty) {
       fs.delete(new org.apache.hadoop.fs.Path(dstRoot, manifestName(1L)),
         false)
@@ -1103,16 +1138,20 @@ object Tables {
     * sidecar commits LAST at create time, so a crashed create reads
     * as "no archive" — the writeManifested discipline.
     *
-    * What this layout deliberately TRADES AWAY versus the manifested
-    * tables: reader isolation during maintenance. Epoch commits are
-    * drop-partition-then-append (replace-or-add; a crashed or
-    * replayed epoch rewrites exactly its own partition — the dynamic
-    * partition overwrite contract the corpus store uses), and the
-    * fold is a staged full rewrite with an atomic-rename swap
-    * ([[replaceBucketedArchive]]). The postings archives are the
-    * ingest pipeline's internal probe substrate, single-writer per
-    * maintenance window by the same contract as the corpus store;
-    * the SERVED label/verdict tables stay manifested. */
+    * Maintenance isolation matches the manifested tables: the layout
+    * is VERSIONED (version dirs + append-only markers at the root —
+    * see the versioning section below), so a fold stages the rewrite
+    * as the next complete version and flips a marker while concurrent
+    * readers keep scanning the previous version's untouched dir, and
+    * [[readBucketedArchiveAt]] gives time travel over retained
+    * versions. Epoch commits stay drop-partition-then-append INSIDE
+    * the current version (replace-or-add; a crashed or replayed
+    * epoch rewrites exactly its own partition — the dynamic partition
+    * overwrite contract the corpus store uses). The postings archives
+    * are the ingest pipeline's internal probe substrate,
+    * single-writer per maintenance window by the same contract as
+    * the corpus store; the SERVED label/verdict tables stay
+    * manifested. */
   private[graft] def bucketedArchName(path: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(path.getBytes("UTF-8"))
@@ -1120,8 +1159,74 @@ object Tables {
     s"graft_arch_${digest.take(16)}"
   }
 
+  /** Catalog name for one VERSION of a bucketed archive — the
+    * versioned layout registers each version as its own external
+    * table over its own complete directory, so a reader's resolved
+    * plan keeps working while a fold commits the next version. */
+  private[graft] def bucketedArchName(path: String, version: Long): String =
+    s"${bucketedArchName(path)}_v$version"
+
   private def bucketSpecPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "_graft_bucketspec")
+
+  // ---------- Bucketed-archive versioning (manifest discipline) ----------
+  // A versioned bucketed archive's root holds append-only version
+  // markers `_bucketv-%019d` (the [[commitManifest]] discipline:
+  // resolve = max marker, commit = exclusive-publish of the next one)
+  // and version dirs `v<N>/`, each a COMPLETE bucketed table carrying
+  // its own `_graft_bucketspec`. Epoch commits mutate the CURRENT
+  // version in place (replace-or-add per partition — unchanged); a
+  // FOLD stages the rewritten archive as the NEXT version dir and
+  // flips the marker, so concurrent readers hold a complete snapshot
+  // for as long as superseded dirs are retained
+  // ([[sweepBucketedScratch]] is the reclaim verb — run it after a
+  // grace period, like [[vacuumManifested]]). The LEGACY layout
+  // (data + sidecar directly at the root, no markers) keeps reading
+  // and ingesting; its first fold migrates it to v1.
+
+  private def bucketVersionMarker(root: org.apache.hadoop.fs.Path,
+                                  v: Long) =
+    new org.apache.hadoop.fs.Path(root, f"_bucketv-$v%019d")
+
+  /** Committed versions of a bucketed archive, ascending; empty for
+    * a legacy (unversioned) or absent archive. */
+  private[graft] def bucketedVersions(spark: SparkSession,
+                                      path: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, root)
+    try fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_bucketv-"))
+      .map(_.stripPrefix("_bucketv-").toLong).sorted
+    catch { case _: java.io.FileNotFoundException => Nil }
+  }
+
+  /** The archive's CURRENT version (max committed marker); None for
+    * a legacy or absent archive. */
+  private[graft] def bucketedCurrentVersion(spark: SparkSession,
+                                            path: String): Option[Long] =
+    bucketedVersions(spark, path).lastOption
+
+  private[graft] def bucketedVersionDir(path: String, v: Long): String =
+    s"${path.stripSuffix("/")}/v$v"
+
+  /** Commit version `v` of a bucketed archive: exclusive-publish its
+    * marker (two concurrent folds racing the same next version are
+    * LOUD — exactly one wins, the epoch-claim discipline one level
+    * up). */
+  private def commitBucketVersion(spark: SparkSession, path: String,
+                                  v: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, root)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"._bucketv_tmp_${v}_${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    if (!publishExclusive(fs, tmp, bucketVersionMarker(root, v)))
+      throw new IllegalStateException(
+        s"bucketed archive $path: version $v was committed by a " +
+          "concurrent fold — two maintenance windows are folding the " +
+          "same archive (the window lease should have precluded this)")
+  }
 
   /** Bucket-count sizing law for the bucketed archives — the
     * [[graft.ops.Similarity.planesFor]] discipline applied to the
@@ -1160,11 +1265,20 @@ object Tables {
     * [[manifestExists]]: only the genuine no-archive shapes answer
     * false. */
   private[graft] def bucketedArchiveExists(spark: SparkSession,
-                                           path: String): Boolean = {
-    val p = bucketSpecPath(path)
-    try fsFor(spark, p).exists(p)
-    catch { case _: java.io.FileNotFoundException => false }
-  }
+                                           path: String): Boolean =
+    bucketedCurrentVersion(spark, path).nonEmpty || {
+      // legacy layout: sidecar directly at the root
+      val p = bucketSpecPath(path)
+      try fsFor(spark, p).exists(p)
+      catch { case _: java.io.FileNotFoundException => false }
+    }
+
+  /** The directory holding the archive's CURRENT complete table —
+    * the current version dir, or the root itself for a legacy
+    * archive. */
+  private def bucketedLiveDir(spark: SparkSession, path: String): String =
+    bucketedCurrentVersion(spark, path)
+      .map(bucketedVersionDir(path, _)).getOrElse(path)
 
   private def writeBucketSpec(spark: SparkSession, path: String,
                               keyCol: String, buckets: Int,
@@ -1179,9 +1293,17 @@ object Tables {
     finally out.close()
   }
 
+  /** The archive's current bucket spec — resolved through the
+    * version pointer (the current version dir's sidecar), with the
+    * root sidecar as the legacy fallback. */
   private[graft] def readBucketSpec(spark: SparkSession, path: String)
+      : (String, Int, Seq[String], StructType) =
+    readBucketSpecAtDir(spark, bucketedLiveDir(spark, path), path)
+
+  private def readBucketSpecAtDir(spark: SparkSession, dir: String,
+                                  path: String)
       : (String, Int, Seq[String], StructType) = {
-    val p = bucketSpecPath(path)
+    val p = bucketSpecPath(dir)
     val in = fsFor(spark, p).open(p)
     val body = try {
       val buf = new java.io.ByteArrayOutputStream()
@@ -1211,11 +1333,35 @@ object Tables {
     * REPAIR discovers the (possibly nested) partitions from the
     * directory layout. */
   private def ensureBucketedRegistered(spark: SparkSession,
-                                       path: String): String = {
-    val name = bucketedArchName(path)
+                                       path: String): String =
+    bucketedCurrentVersion(spark, path) match {
+      case Some(v) => ensureBucketedRegisteredAt(spark, path, v)
+      case None => // legacy layout: the root IS the table
+        registerBucketedDir(spark, path, path, bucketedArchName(path))
+    }
+
+  /** Register (if this session hasn't yet) the catalog entry for one
+    * VERSION of the archive and return its name — the time-travel
+    * entry point; [[ensureBucketedRegistered]] resolves the current
+    * version through it. */
+  private def ensureBucketedRegisteredAt(spark: SparkSession,
+                                         path: String, v: Long): String = {
+    require(bucketedVersions(spark, path).contains(v),
+      s"bucketed archive $path has no committed version $v")
+    val dir = bucketedVersionDir(path, v)
+    require(fsFor(spark, new org.apache.hadoop.fs.Path(dir))
+        .exists(new org.apache.hadoop.fs.Path(dir)),
+      s"version $v of $path was reclaimed (sweepBucketedScratch) — " +
+        "retained versions only")
+    registerBucketedDir(spark, path, dir, bucketedArchName(path, v))
+  }
+
+  private def registerBucketedDir(spark: SparkSession, path: String,
+                                  dir: String, name: String): String = {
     if (!spark.catalog.tableExists(name)) synchronized {
       if (!spark.catalog.tableExists(name)) {
-        val (key, buckets, partCols, schema) = readBucketSpec(spark, path)
+        val (key, buckets, partCols, schema) =
+          readBucketSpecAtDir(spark, dir, path)
         val cols = schema.fields.filterNot(f => partCols.contains(f.name)) ++
           partCols.map(schema(_)) // partition columns last, saveAsTable-style
         spark.sql(
@@ -1223,7 +1369,7 @@ object Tables {
              |USING parquet
              |PARTITIONED BY (${partCols.map(c => s"`$c`").mkString(", ")})
              |CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS
-             |LOCATION '$path'""".stripMargin)
+             |LOCATION '$dir'""".stripMargin)
         spark.sql(s"MSCK REPAIR TABLE `$name`")
       }
     }
@@ -1245,17 +1391,40 @@ object Tables {
     require(partCols.forall(df.columns.contains),
       s"missing partition columns: ${partCols.filterNot(df.columns.contains)}")
     val spark = df.sparkSession
-    val name = bucketedArchName(path)
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsFor(spark, root)
+    // recreate from scratch: previous generations' catalog entries
+    // (legacy + any versions this session registered) must go with
+    // the dirs, or a stale entry would point into the void
+    spark.sql(s"DROP TABLE IF EXISTS `${bucketedArchName(path)}`")
+    bucketedVersions(spark, path).foreach(v =>
+      spark.sql(s"DROP TABLE IF EXISTS `${bucketedArchName(path, v)}`"))
     if (fs.exists(root)) fs.delete(root, true)
-    df.write.mode(SaveMode.Overwrite).option("path", path)
+    writeBucketedVersionDir(df, path, 1L, keyCol, buckets, partCols,
+      sizingNote)
+    // the version marker commits last: a crashed create has a v1 dir
+    // but no marker and reads as "no archive"
+    commitBucketVersion(spark, path, 1L)
+  }
+
+  /** Write one complete bucketed table as version `v`'s dir (catalog
+    * entry included), sidecar inside — the staging half of both
+    * CREATE and FOLD; the caller commits the marker. */
+  private def writeBucketedVersionDir(df: DataFrame, path: String,
+      v: Long, keyCol: String, buckets: Int, partCols: Seq[String],
+      sizingNote: String = ""): Unit = {
+    val spark = df.sparkSession
+    val dir = bucketedVersionDir(path, v)
+    val name = bucketedArchName(path, v)
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val dirP = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsFor(spark, dirP)
+    if (fs.exists(dirP)) fs.delete(dirP, true)
+    df.write.mode(SaveMode.Overwrite).option("path", dir)
       .partitionBy(partCols: _*)
       .bucketBy(buckets, keyCol).sortBy(keyCol)
       .format("parquet").saveAsTable(name)
-    // sidecar commits last: a crashed create reads as "no archive"
-    writeBucketSpec(spark, path, keyCol, buckets, partCols, df.schema,
+    writeBucketSpec(spark, dir, keyCol, buckets, partCols, df.schema,
       sizingNote)
   }
 
@@ -1414,8 +1583,12 @@ object Tables {
     val spark = df.sparkSession
     val name = ensureBucketedRegistered(spark, path)
     val (key, buckets, partCols, schema) = readBucketSpec(spark, path)
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = fsFor(spark, root)
+    // epoch data lands in the CURRENT version dir (the root itself on
+    // a legacy layout); claims stay at table-root scope — one epoch
+    // number line per archive, whatever version is live
+    val live = new org.apache.hadoop.fs.Path(
+      bucketedLiveDir(spark, path))
+    val fs = fsFor(spark, live)
     claimEpoch(fs, path, epoch,
       writerId.getOrElse(java.util.UUID.randomUUID.toString))
     try {
@@ -1425,7 +1598,7 @@ object Tables {
       // must not pay an O(table) listing): enumerate the epoch's
       // leaf dirs, drop those catalog entries by full spec, delete
       // the subtree
-      val part = new org.apache.hadoop.fs.Path(root, s"ingest_epoch=$epoch")
+      val part = new org.apache.hadoop.fs.Path(live, s"ingest_epoch=$epoch")
       if (fs.exists(part)) {
         val specs =
           if (partCols.length == 1) Seq(s"`ingest_epoch`='$epoch'")
@@ -1497,6 +1670,16 @@ object Tables {
   def readBucketedArchive(spark: SparkSession, path: String): DataFrame =
     spark.table(ensureBucketedRegistered(spark, path))
 
+  /** Time travel over a versioned bucketed archive: the archive as
+    * of committed version `v` — a complete bucketed table while its
+    * dir is retained (reclaim = [[sweepBucketedScratch]], which
+    * keeps only the current version; run it after a grace period,
+    * the [[vacuumManifested]] contract). [[bucketedVersions]] lists
+    * what's committed; retained ⊆ committed. */
+  def readBucketedArchiveAt(spark: SparkSession, path: String,
+                            v: Long): DataFrame =
+    spark.table(ensureBucketedRegisteredAt(spark, path, v))
+
   /** High-water ingest epoch of an epoch-partitioned frame, read
     * NULLABLE: -1 for an archive with no live rows (every fold here
     * treats that as a no-op instead of NPEing on `max() = NULL`). */
@@ -1537,21 +1720,27 @@ object Tables {
      if (row.isNullAt(1)) -1L else row.getLong(1))
   }
 
-  /** Reclaim a bucketed archive's fold scratch siblings
-    * (`.fold_tmp` / `.fold_old`) — the vacuum verb for the bucketed
-    * layout, where dead mass is a crashed staged swap's leftovers
-    * rather than superseded manifest versions. Only safe while the
-    * LIVE directory exists: a missing live dir means the crash
-    * happened mid-swap and `.fold_old` IS the recovery copy
-    * ([[replaceBucketedArchive]]'s preamble restores it), so this
-    * sweeps nothing and leaves recovery to the next fold. Returns
-    * the number of scratch dirs removed. */
+  /** Reclaim a bucketed archive's dead mass — the vacuum verb for
+    * the bucketed layout: every version dir EXCEPT the current one
+    * (superseded versions a fold retained for concurrent readers,
+    * and crashed stages that never got a marker), plus any
+    * pre-versioned fold scratch siblings (`.fold_tmp` / `.fold_old`)
+    * a legacy crashed swap left behind. Run AFTER a grace period
+    * longer than the slowest reader's resolve-to-read window — the
+    * [[vacuumManifested]] contract: until this runs, readers that
+    * resolved the previous version (and [[readBucketedArchiveAt]]
+    * time travelers) keep a complete snapshot. Returns the number of
+    * dirs removed. Legacy-layout archives only sweep scratch (their
+    * live data IS the root; a missing live dir there means a
+    * crashed legacy swap whose `.fold_old` is the recovery copy —
+    * left for the next fold's preamble). */
   private[graft] def sweepBucketedScratch(spark: SparkSession,
                                           path: String): Int = {
-    val live = new org.apache.hadoop.fs.Path(path)
-    val fs = fsFor(spark, live)
-    if (!fs.exists(live)) 0
-    else Seq(".fold_tmp", ".fold_old").count { suf =>
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, root)
+    if (!fs.exists(root)) return 0
+    val cur = bucketedCurrentVersion(spark, path)
+    val scratch = Seq(".fold_tmp", ".fold_old").count { suf =>
       val p = new org.apache.hadoop.fs.Path(path + suf)
       fs.exists(p) && {
         // a crashed fold can also leave the staged table registered
@@ -1559,49 +1748,80 @@ object Tables {
         fs.delete(p, true)
       }
     }
+    val versions = cur.fold(0) { c =>
+      val vdirs = fs.listStatus(root).toSeq.filter(st =>
+        st.isDirectory && st.getPath.getName.matches("v\\d+"))
+        .map(st => st.getPath.getName.stripPrefix("v").toLong)
+        .filter(_ != c)
+      vdirs.foreach { v =>
+        spark.sql(s"DROP TABLE IF EXISTS `${bucketedArchName(path, v)}`")
+        fs.delete(new org.apache.hadoop.fs.Path(
+          bucketedVersionDir(path, v)), true)
+        fs.delete(bucketVersionMarker(root, v), false)
+      }
+      vdirs.size
+    }
+    scratch + versions
   }
 
   /** Full-rewrite maintenance (the epoch FOLD): stage the rewritten
-    * archive as a complete bucketed table at a scratch sibling, then
-    * swap directories — rename live aside, rename staged in, drop the
-    * aside copy — and re-point the catalog. SOME complete copy exists
-    * on disk at every instant; a crash between the renames is
-    * recovered by the next call's preamble (aside copy restored when
-    * the live dir is missing). Single-writer per maintenance window,
-    * like every fold here.
+    * archive as a COMPLETE bucketed table in the NEXT version dir,
+    * then flip the version marker — the [[writeManifested]] pointer
+    * discipline applied to the bucketed layout. Concurrent readers
+    * are isolated for real: a reader that resolved the previous
+    * version keeps scanning its complete, untouched dir (retained
+    * until [[sweepBucketedScratch]] reclaims it after a grace
+    * period), and [[readBucketedArchiveAt]] time-travels over
+    * whatever versions are still retained. A crash before the marker
+    * flip leaves an unreferenced stage dir (dead mass for the sweep;
+    * the next fold stages ABOVE it); a crash after the flip is a
+    * completed fold. The marker commit is exclusive-publish, so even
+    * two folds racing past the window lease fail loudly rather than
+    * interleave.
     *
     * DELIBERATELY NOT claim-guarded (unlike [[ingestBucketedArchive]]'s
-    * epoch commits): the fold's crash story is the recovery preamble —
-    * the NEXT window's fold restores the aside copy and proceeds —
-    * and an exists→throw claim marker would turn every crashed fold
-    * into an operator page ([[recoverEpochClaim]]-style) for a
-    * situation the preamble already handles safely. The race a claim
-    * would catch (two maintenance windows folding the same archive
-    * concurrently) is precluded by the windows' own scheduling
-    * contract, which every fold in the engine shares; the ingest
-    * claim exists because ingest has many uncoordinated POTENTIAL
-    * writers, folds have exactly one scheduled one. */
+    * epoch commits): the fold's crash story is stage-then-flip — a
+    * crashed fold costs one dead stage dir and nothing else — and
+    * the race a claim would catch (two maintenance windows folding
+    * the same archive) is precluded by the window lease and caught
+    * loudly by the marker publish regardless.
+    *
+    * A LEGACY archive (data at the root, no markers) migrates here:
+    * the rewrite stages as v1, the marker commits, and the legacy
+    * root-level partition dirs + sidecar are dropped — one fold and
+    * the archive is versioned. */
   def replaceBucketedArchive(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
-    val live = new org.apache.hadoop.fs.Path(path)
-    val fs = fsFor(spark, live)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, root)
+    // legacy recovery preamble: a PRE-VERSIONED fold crashed between
+    // its renames — the aside copy is the only complete archive
     val old = new org.apache.hadoop.fs.Path(path + ".fold_old")
-    // recovery preamble: a previous fold crashed between the renames
-    if (!fs.exists(live) && fs.exists(old))
-      require(fs.rename(old, live), s"fold recovery failed for $path")
-    fs.delete(old, true)
+    if (!fs.exists(root) && fs.exists(old))
+      require(fs.rename(old, root), s"fold recovery failed for $path")
     val (key, buckets, partCols, _) = readBucketSpec(spark, path)
-    val tmp = path + ".fold_tmp"
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    spark.sql(s"DROP TABLE IF EXISTS `${bucketedArchName(tmp)}`")
-    writeBucketedArchive(df, tmp, key, buckets, partCols)
-    // swap: live aside → staged in → drop aside; catalog follows
-    spark.sql(s"DROP TABLE IF EXISTS `${bucketedArchName(path)}`")
-    require(fs.rename(live, old), s"fold swap: aside failed for $path")
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), live),
-      s"fold swap: commit failed for $path")
-    fs.delete(old, true)
-    spark.sql(s"DROP TABLE IF EXISTS `${bucketedArchName(tmp)}`")
+    val cur = bucketedCurrentVersion(spark, path)
+    // stage above BOTH the current version and any crashed stage
+    val staged = try fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+        .map(_.getPath.getName.stripPrefix("v").toLong)
+      catch { case _: java.io.FileNotFoundException => Nil }
+    val next = (cur.getOrElse(0L) +: staged).max + 1L
+    // `df` usually READS the version being replaced — safe without a
+    // checkpoint, because the stage writes into a NEW dir while the
+    // source version's files stay untouched until the sweep
+    writeBucketedVersionDir(df, path, next, key, buckets, partCols)
+    commitBucketVersion(spark, path, next)
+    if (cur.isEmpty) {
+      // legacy migration: drop the root-level table + its data dirs
+      // (the sidecar last, so a crash mid-cleanup still resolves the
+      // new version first and re-runs this sweep harmlessly)
+      spark.sql(s"DROP TABLE IF EXISTS `${bucketedArchName(path)}`")
+      fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .foreach(st => fs.delete(st.getPath, true))
+      fs.delete(bucketSpecPath(path), false)
+    }
     ensureBucketedRegistered(spark, path)
     ()
   }
@@ -1688,6 +1908,283 @@ object Tables {
     val fs = fsFor(spark, root)
     val (version, _) = resolveManifest(spark, path)
     commitManifest(fs, root, version + 1, Map.empty)
+  }
+
+  // ---------- Deletion vectors (file-local tombstone retirement) ----------
+
+  private def dvPtrPath(path: String) =
+    new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "/_dv_ptr")
+
+  /** What one [[retireTombstonesFileLocal]] did: which files paid a
+    * rewrite and which were carried untouched by reference — the
+    * cost pin for the ≥5× sparse-victim claim lives on these
+    * numbers. */
+  final case class DvRetireReport(mode: String, partsTouched: Int,
+      filesRewritten: Int, filesCarried: Int, bytesRewritten: Long,
+      bytesCarried: Long, usedSidecar: Boolean)
+
+  /** The snapshot with per-row FILE LINEAGE (`_file`, `_pos` from
+    * parquet `_metadata`) — projected per parquet relation BEFORE
+    * the cross-base union, because the hidden metadata column does
+    * not resolve through a Union. */
+  private def readWithLineage(spark: SparkSession, path: String,
+                              parts: Map[String, String]): DataFrame = {
+    val frames = parts.values.toSeq.flatMap(entryPaths)
+      .map(d => entryDirAndBase(path, d))
+      .groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (base, dz) =>
+        spark.read.option("basePath", base)
+          .option("mergeSchema", "true")
+          .parquet(dz.map(_._1).sorted: _*)
+          .select(col("*"), col("_metadata.file_path").as("_file"),
+            col("_metadata.row_index").as("_pos"))
+      }
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Build the archive's DELETION-VECTOR sidecar for the CURRENT
+    * tombstone set: one row per live file holding a victim —
+    * `(file, positions, n_victims)` with `positions` the sorted
+    * `_metadata.row_index` values of the victim rows (the row-mask
+    * artifact of the transactional table formats). Written AT DELETE
+    * TIME (call right after [[ingestTombstones]]): the scan that
+    * locates victims is paid once when the delete lands, so the
+    * physical retirement knows which files carry victims without
+    * re-scanning the archive at maintenance time. Same overlay
+    * discipline as the zone-map sidecars: fresh uniquely-named dir,
+    * pointer flips last, and the pointer records the tombstone lane
+    * maxes + archive high-water it covers — retirement checks the
+    * coverage and falls back to its own scan when the sidecar is
+    * stale, so staleness costs a scan, never rows. Returns the
+    * number of victim-carrying files. */
+  def computeDeletionVectors(spark: SparkSession, path: String,
+                             tombPath: String, keyCol: String): Long =
+    readTombstones(spark, tombPath, keyCol) match {
+      case None => 0L
+      case Some(tomb) =>
+        val (_, parts) = resolveManifest(spark, path)
+        if (parts.isEmpty) return 0L
+        val (insTombMax, delTombMax) =
+          readTombstonesWithEpochs(spark, tombPath)
+            .map(laneMaxes).getOrElse((-1L, -1L))
+        val archMax = maxIngestEpoch(readManifested(spark, path))
+        val dv = readWithLineage(spark, path, parts)
+          .select(col(keyCol), col("_file").as("file"),
+            col("_pos").as("pos"))
+          .join(broadcast(tomb), Seq(keyCol), "left_semi")
+          .groupBy(col("file"))
+          .agg(sort_array(collect_list(col("pos"))).as("positions"),
+            count(lit(1)).as("n_victims"))
+        val dir = s"${path.stripSuffix("/")}/_dv/" +
+          java.util.UUID.randomUUID.toString.take(8)
+        dv.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+        val ptr = dvPtrPath(path)
+        val fs = fsFor(spark, ptr)
+        val prev =
+          if (fs.exists(ptr)) readSmallFile(fs, ptr).split("\n").headOption
+          else None
+        val out = fs.create(ptr, true)
+        try out.write(s"$dir\n$insTombMax\n$delTombMax\n$archMax"
+          .getBytes("UTF-8"))
+        finally out.close()
+        prev.foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(d), true))
+        spark.read.parquet(dir).count()
+    }
+
+  /** The current deletion-vector sidecar:
+    * (dir, covered ingest-lane max, covered delete-lane max, covered
+    * archive high-water), or None if never built / dropped by a
+    * retirement. */
+  def deletionVectors(spark: SparkSession, path: String)
+      : Option[(String, Long, Long, Long)] = {
+    val ptr = dvPtrPath(path)
+    val fs = fsFor(spark, ptr)
+    if (!fs.exists(ptr)) None
+    else readSmallFile(fs, ptr).split("\n") match {
+      case Array(dir, i, d, a) => Some((dir, i.toLong, d.toLong, a.toLong))
+      case other => throw new IllegalStateException(
+        s"garbled deletion-vector pointer at $ptr (${other.length} " +
+          "lines) — delete it and re-run computeDeletionVectors")
+    }
+  }
+
+  private def dropDeletionVectors(spark: SparkSession,
+                                  path: String): Unit = {
+    val ptr = dvPtrPath(path)
+    val fs = fsFor(spark, ptr)
+    deletionVectors(spark, path).foreach { case (dir, _, _, _) =>
+      fs.delete(ptr, false)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
+  /** FILE-LOCAL physical tombstone retirement — the deletion-vector
+    * fold: rewrite ONLY the files that carry victim rows, carry every
+    * other file of the touched partitions BY REFERENCE (multi-path
+    * manifest entries — [[entryPaths]]) and untouched partitions as
+    * whole-dir references, in ONE manifest CAS. At 100 TB RTBF volume
+    * this is the cost gap to [[foldManifestedEpochs]]: a sparse
+    * victim set rewrites the victim files' bytes, not every epoch
+    * partition below high-water.
+    *
+    * Differences from the epoch fold, by design:
+    *  - NO epoch collapse: every surviving row keeps its epoch, so
+    *    ingest-lane change attribution is preserved and no ingest
+    *    fold-horizon advances past existing cursors for the ingest
+    *    side beyond the retired batch tombstones themselves;
+    *  - the replay/carry rule is the fold's, unchanged: tombstone
+    *    keys living in the newest (still crash-replayable) epoch are
+    *    re-ingested as carry tombstones after the clear — a replay
+    *    that recomputes that epoch's rows from source stays masked;
+    *  - rewritten victim files land under a fresh attempt dir via
+    *    the upsert discipline (data first, one pointer flip);
+    *    superseded victim files stay on disk for concurrent readers
+    *    until [[vacuumManifested]], whose file-granular sweep
+    *    reclaims exactly them.
+    *
+    * Victim files come from the [[computeDeletionVectors]] sidecar
+    * when its recorded coverage (both tombstone lanes + archive
+    * high-water) is current; otherwise from one semi-join scan. */
+  def retireTombstonesFileLocal(spark: SparkSession, path: String,
+      tombPath: String, keyCol: String,
+      partCols: Seq[String] = Seq("ingest_epoch")): DvRetireReport = {
+    require(partCols.headOption.contains("ingest_epoch"),
+      "retireTombstonesFileLocal needs ingest_epoch as the first level")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, root)
+    val (version, parts) = resolveManifest(spark, path)
+    val tombOpt = readTombstones(spark, tombPath, keyCol)
+    if (parts.isEmpty || tombOpt.isEmpty)
+      return DvRetireReport("noop", 0, 0, 0, 0L, 0L, usedSidecar = false)
+    val tomb = tombOpt.get
+    val (insTombMax, delTombMax) =
+      readTombstonesWithEpochs(spark, tombPath)
+        .map(laneMaxes).getOrElse((-1L, -1L))
+    val maxE = parts.keys
+      .map(_.takeWhile(_ != '/').stripPrefix("ingest_epoch=").toLong).max
+    // pre-retire snapshot (resolved NOW): the carry decision below
+    // must see the newest epoch's keys after the pointer flips
+    val all = readManifested(spark, path)
+
+    def norm(p: String): String =
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val dvOpt = deletionVectors(spark, path)
+    val usedSidecar = dvOpt.exists { case (_, i, d, a) =>
+      i >= insTombMax && d >= delTombMax && a >= maxE }
+    val victimFiles: Set[String] =
+      (if (usedSidecar)
+        spark.read.parquet(dvOpt.get._1).select("file")
+          .collect().map(_.getString(0)).toSeq
+      else
+        readWithLineage(spark, path, parts)
+          .select(col(keyCol), col("_file").as("file"))
+          .join(broadcast(tomb), Seq(keyCol), "left_semi")
+          .select("file").distinct()
+          .collect().map(_.getString(0)).toSeq)
+        .map(norm).toSet
+
+    // classify each partition's files: victim files rewrite, the
+    // rest carry — as the whole dir when the dir holds no victim,
+    // as individual file refs when it does
+    case class PartPlan(keptRefs: String, victims: Seq[(String, String)],
+        keptBytes: Long, keptFiles: Int, victimBytes: Long)
+    val plans: Map[String, PartPlan] = parts.map { case (part, value) =>
+      var keptRefs = Vector.empty[String]
+      var victims = Vector.empty[(String, String)] // (absFile, base)
+      var keptBytes = 0L; var keptFiles = 0; var victimBytes = 0L
+      entryPaths(value).foreach { sub =>
+        val (abs, base) = entryDirAndBase(path, sub)
+        val p = new org.apache.hadoop.fs.Path(abs)
+        val st = fs.getFileStatus(p)
+        if (st.isFile) {
+          if (victimFiles.contains(norm(abs))) {
+            victims :+= ((abs, base)); victimBytes += st.getLen
+          } else {
+            keptRefs :+= sub; keptBytes += st.getLen; keptFiles += 1
+          }
+        } else {
+          val files = fs.listStatus(p).toSeq.filter { f =>
+            val n = f.getPath.getName
+            f.isFile && !n.startsWith(".") && !n.startsWith("_")
+          }
+          val (bad, good) = files.partition(f =>
+            victimFiles.contains(f.getPath.toUri.getPath))
+          if (bad.isEmpty) {
+            keptRefs :+= sub
+            keptBytes += good.map(_.getLen).sum; keptFiles += good.size
+          } else {
+            victims ++= bad.map(f => (f.getPath.toString, base))
+            victimBytes += bad.map(_.getLen).sum
+            keptRefs ++= good.map(f => s"$sub/${f.getPath.getName}")
+            keptBytes += good.map(_.getLen).sum; keptFiles += good.size
+          }
+        }
+      }
+      part -> PartPlan(keptRefs.mkString("||"), victims,
+        keptBytes, keptFiles, victimBytes)
+    }
+    val touched = plans.filter(_._2.victims.nonEmpty)
+    val carryAndClear = () => {
+      val carried = tomb.join(
+        all.where(col("ingest_epoch") === maxE && lit(maxE > 0L))
+          .select(col(keyCol)).distinct(),
+        Seq(keyCol), "left_semi").localCheckpoint()
+      try {
+        clearManifested(spark, tombPath)
+        if (!carried.isEmpty)
+          ingestTombstones(carried, tombPath, epoch = 0L)
+      } finally graft.ops.Ckpt.release(carried)
+      recordFoldHorizon(spark, path, insTombMax)
+      recordFoldHorizon(spark, path, delTombMax)
+      dropDeletionVectors(spark, path)
+    }
+    if (touched.isEmpty) {
+      // tombstoned keys have no physical rows (already retired, or
+      // never ingested): nothing to rewrite, but the tombstones
+      // still retire under the fold's carry discipline
+      carryAndClear()
+      return DvRetireReport("clear_only", 0, 0, 0, 0L, 0L, usedSidecar)
+    }
+
+    // ONE masked rewrite of exactly the victim files, partitioned
+    // into a fresh attempt dir (upsert discipline: data first, one
+    // pointer flip); bases group so partition columns reconstruct
+    val attempt =
+      s"v${version + 1}w${java.util.UUID.randomUUID.toString.take(8)}"
+    val victimsByBase = touched.values.flatMap(_.victims).toSeq
+      .groupBy(_._2)
+    val victimRows = victimsByBase.toSeq.sortBy(_._1).map {
+      case (base, fz) =>
+        spark.read.option("basePath", base)
+          .option("mergeSchema", "true")
+          .parquet(fz.map(_._1).sorted: _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    victimRows.join(broadcast(tomb), Seq(keyCol), "left_anti")
+      .write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
+      .parquet(s"$path/data/$attempt")
+    val rewritten = listPartDirs(fs,
+      new org.apache.hadoop.fs.Path(s"$path/data/$attempt"),
+      partCols.length)
+      .map(p => p -> s"data/$attempt/$p").toMap
+
+    val newParts = parts.flatMap { case (part, value) =>
+      val plan = plans(part)
+      if (plan.victims.isEmpty) Some(part -> value)
+      else {
+        val refs = Seq(plan.keptRefs, rewritten.getOrElse(part, ""))
+          .filter(_.nonEmpty)
+        if (refs.isEmpty) None // every row of the partition died
+        else Some(part -> refs.mkString("||"))
+      }
+    }
+    commitManifest(fs, root, version + 1, newParts)
+    carryAndClear()
+    DvRetireReport("retired", touched.size,
+      touched.values.map(_.victims.size).sum,
+      plans.values.map(_.keptFiles).sum,
+      touched.values.map(_.victimBytes).sum,
+      plans.values.map(_.keptBytes).sum, usedSidecar)
   }
 
   /** Shared epoch-fold-with-carry for a MANIFESTED epoch-partitioned
@@ -2535,9 +3032,12 @@ object Tables {
     val (_, parts) = resolveManifest(spark, path)
     val root = path.stripSuffix("/")
     val fs = fsFor(spark, new org.apache.hadoop.fs.Path(root))
-    parts.values.toSeq.flatMap { rel =>
+    parts.values.toSeq.flatMap(entryPaths).flatMap { rel =>
       val (dir, base) = entryDirAndBase(root, rel)
-      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val st = fs.getFileStatus(p)
+      if (st.isFile) Seq(st.getPath.toUri.getPath -> base)
+      else fs.listStatus(p)
         .toSeq
         .filter { f =>
           val n = f.getPath.getName

@@ -683,7 +683,10 @@ object ScaleOps {
     // unreferenced leaf partition dirs under data/ — walk each
     // version/attempt root, compare against the live manifest's
     // relative paths
-    val referenced = parts.values.toSet
+    // entry values may be multi-path (file-local retirement): a leaf
+    // dir is live when referenced itself OR when any reference
+    // points INTO it (carried files)
+    val referenced = parts.values.flatMap(Tables.entryPaths).toSet
     val dataRoot = new org.apache.hadoop.fs.Path(s"$path/data")
     def leaves(dir: org.apache.hadoop.fs.Path, rel: String)
         : Seq[(String, Long)] = {
@@ -701,32 +704,43 @@ object ScaleOps {
       if (!fs.exists(dataRoot)) Nil
       else fs.listStatus(dataRoot).filter(_.isDirectory).toSeq
         .flatMap(vd => leaves(vd.getPath, s"data/${vd.getPath.getName}"))
-        .filterNot { case (rel, _) => referenced.contains(rel) }
+        .filterNot { case (rel, _) => referenced.contains(rel) ||
+          referenced.exists(_.startsWith(rel + "/")) }
     ArchiveHealth(store, nEpochs, live, nTomb, versions,
       dead.size, dead.map(_._2).sum)
   }
 
-  /** [[archiveHealth]] for a BUCKETED archive (no manifest pointer):
-    * epochs are the partition directories, exactly one live version
-    * exists on disk by construction (the staged-swap fold replaces
-    * in place), and dead mass is fold scratch a crashed swap left
-    * behind (`.fold_tmp` / `.fold_old` siblings — the next fold's
-    * recovery preamble sweeps them; non-zero here means a fold
-    * crashed since). */
+  /** [[archiveHealth]] for a BUCKETED archive: epochs are the
+    * partition directories of the CURRENT version, `versions` counts
+    * retained version dirs (the versioned fold keeps superseded
+    * versions for concurrent readers), and dead mass is every
+    * non-current version dir plus any legacy crashed-swap scratch
+    * (`.fold_tmp` / `.fold_old`) — all reclaimed by
+    * [[graft.io.Tables.sweepBucketedScratch]], the layout's vacuum
+    * verb. */
   private[graft] def bucketedArchiveHealth(s: SparkSession, store: String,
       path: String, tombPath: String, keyCol: String): ArchiveHealth = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val nEpochs = fs.listStatus(root).count(st =>
+    val cur = Tables.bucketedCurrentVersion(s, path)
+    val liveDir = cur.fold(root)(v => new org.apache.hadoop.fs.Path(
+      Tables.bucketedVersionDir(path, v)))
+    val nEpochs = fs.listStatus(liveDir).count(st =>
       st.isDirectory && st.getPath.getName.startsWith("ingest_epoch="))
     val live = Tables.minusTombstones(
       Tables.readBucketedArchive(s, path), tombPath, keyCol).count()
     val nTomb = Tables.readTombstones(s, tombPath, keyCol)
       .map(_.count()).getOrElse(0L)
+    val vdirs = fs.listStatus(root).toSeq.filter(st =>
+      st.isDirectory && st.getPath.getName.matches("v\\d+"))
+    val deadVersions = cur.fold(Seq.empty[org.apache.hadoop.fs.Path])(c =>
+      vdirs.filter(_.getPath.getName != s"v$c").map(_.getPath))
     val scratch = Seq(path + ".fold_tmp", path + ".fold_old")
       .map(new org.apache.hadoop.fs.Path(_)).filter(fs.exists)
-    ArchiveHealth(store, nEpochs, live, nTomb, 1, scratch.size,
-      scratch.map(p => fs.getContentSummary(p).getLength).sum)
+    val dead = deadVersions ++ scratch
+    ArchiveHealth(store, nEpochs, live, nTomb,
+      math.max(1, vdirs.size), dead.size,
+      dead.map(p => fs.getContentSummary(p).getLength).sum)
   }
 
   /** The three-stage construction behind [[qArchiveHealth]], one
@@ -804,6 +818,58 @@ object ScaleOps {
         col("n_tombstones"), col("manifest_versions"), col("n_dead_dirs"))
       .orderBy("store")
   }
+
+  // ---------- Deletion vectors (gated construction) ----------
+
+  /** The deterministic fixture behind [[qDeleteVectors]]: a
+    * documents archive whose base epoch is RANGE-CLUSTERED on doc_id
+    * into many files, so a narrow victim band lives in few of them —
+    * the sparse-RTBF shape file-local retirement exists for. The
+    * lifecycle runs in full: tombstones commit, the deletion-vector
+    * sidecar builds AT DELETE TIME, and
+    * [[graft.io.Tables.retireTombstonesFileLocal]] rewrites only the
+    * victim-carrying files (DeleteVectorSpec pins the ≥5× rewritten-
+    * bytes drop vs the whole-partition fold and the replay/carry
+    * rules; the gate pins the ANSWER: the physical post-retirement
+    * rows, read with NO tombstone mask, equal the oracle's
+    * survivors). */
+  private def deleteVectorRoot(s: SparkSession, dir: String): String =
+    healthMemo.computeIfAbsent(dir + "#dv", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-dv").toString
+      healthDirs.add(root)
+      val p = s"$root/arch"
+      val tomb = s"$root/tomb"
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Tables.writeManifested(
+        docs.repartitionByRange(8, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .withColumn("ingest_epoch", lit(0L)),
+        p, Seq("ingest_epoch"))
+      Tables.ingestTombstones(
+        docs.where(col("doc_id").between(10L, 59L)).select("doc_id"),
+        tomb, epoch = 1L)
+      Tables.computeDeletionVectors(s, p, tomb, "doc_id")
+      Tables.retireTombstonesFileLocal(s, p, tomb, "doc_id")
+      root
+    })
+
+  /** Gated: file-local tombstone retirement answers — the PHYSICAL
+    * state after [[graft.io.Tables.retireTombstonesFileLocal]], read
+    * with no mask: the victims are gone from disk, everything else
+    * survives byte-identically. */
+  def qDeleteVectors(s: SparkSession, dir: String): DataFrame = {
+    val root = deleteVectorRoot(s, dir)
+    Tables.readManifested(s, s"$root/arch")
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val qDeleteVectorsOracle: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE doc_id NOT BETWEEN 10 AND 59
+      |ORDER BY doc_id""".stripMargin
 
   // ---------- Topology commit watermark (gated construction) ----------
 
@@ -1787,6 +1853,7 @@ object ScaleOps {
     "q_ntile_scalable" -> qNtileScalable,
     "q_archive_health" -> qArchiveHealth,
     "q_maintenance_due" -> qMaintenanceDue,
+    "q_delete_vectors" -> qDeleteVectors,
     "q_consistent_view" -> qConsistentView,
     "q_changes_since" -> qChangesSince,
     "q_schema_evolution" -> qSchemaEvolution,
@@ -1815,6 +1882,7 @@ object ScaleOps {
     "q_zorder_layout" -> qZorderLayoutOracle,
     "q_archive_health" -> qArchiveHealthOracle,
     "q_maintenance_due" -> qMaintenanceDueOracle,
+    "q_delete_vectors" -> qDeleteVectorsOracle,
     "q_consistent_view" -> qConsistentViewOracle,
     "q_changes_since" -> qChangesSinceOracle,
     "q_schema_evolution" -> qSchemaEvolutionOracle,

@@ -933,9 +933,18 @@ object StreamOps {
         .map(n => s"$root/$n/tombstones"))
       .filter(Tables.manifestExists(s, _))
       .foreach(Tables.vacuumManifested(s, _))
-    // the cluster LABELS are doc_id-bucketed (no manifest pointer;
-    // the staged-swap fold reclaims superseded copies itself, like
-    // the postings archives) — health comes from the bucketed variant
+    // bucketed archives RETAIN superseded version dirs for reader
+    // isolation ([[Tables.replaceBucketedArchive]]'s pointer-flip
+    // fold); this unconditional window quiesces everything, so
+    // reclaim them now — the same immediate-reclaim semantics as the
+    // manifested vacuums above (the policy-driven IfDue variant
+    // instead leaves them one window-cadence of grace)
+    Seq(s"$root/clusters/labels", s"$root/clusters/postings",
+        s"$root/tokens/postings")
+      .filter(Tables.bucketedArchiveExists(s, _))
+      .foreach(Tables.sweepBucketedScratch(s, _))
+    // the cluster LABELS are doc_id-bucketed (no manifest pointer) —
+    // health comes from the bucketed variant
     val bucketed =
       if (Tables.bucketedArchiveExists(s, s"$root/clusters/labels"))
         Seq(graft.ops.ScaleOps.bucketedArchiveHealth(s, "clusters",
@@ -1016,11 +1025,12 @@ object StreamOps {
         val (foldDue, foldReason, vacDue, vacReason) =
           graft.ops.ScaleOps.maintenanceDue(h)
         if (foldDue) fold()
-        // vacuum: manifested stores reclaim superseded versions; a
-        // bucketed store's only reclaimable dead mass is crashed-fold
-        // scratch (.fold_tmp/.fold_old), which nothing but this sweep
-        // or a future fold's preamble would ever remove — without it
-        // the vacuum_due flag stays latched and every window re-acts
+        // vacuum: manifested stores reclaim superseded manifest
+        // versions; bucketed stores reclaim superseded/crashed
+        // version dirs (the versioned fold retains them for
+        // concurrent readers) plus legacy swap scratch — without the
+        // sweep the vacuum_due flag stays latched and every window
+        // re-acts
         if (vacDue) {
           if (bucketed) Tables.sweepBucketedScratch(s, path)
           else Tables.vacuumManifested(s, path)
@@ -1168,8 +1178,11 @@ object StreamOps {
         s"$root/fann/tombstones")
       .filter(Tables.manifestExists(s, _))
       .foreach(Tables.vacuumManifested(s, _))
-    // the assignment archive is vec_id-bucketed (no pointer; its
-    // staged-swap fold reclaims superseded copies itself)
+    // the assignment archive is vec_id-bucketed; its pointer-flip
+    // fold retained the superseded version for readers — reclaim it
+    // now, this unconditional window's immediate-reclaim semantics
+    if (Tables.bucketedArchiveExists(s, s"$root/sem/assigned"))
+      Tables.sweepBucketedScratch(s, s"$root/sem/assigned")
     val bucketed =
       if (Tables.bucketedArchiveExists(s, s"$root/sem/assigned"))
         Seq(graft.ops.ScaleOps.bucketedArchiveHealth(s, "sem_assigned",

@@ -569,9 +569,12 @@ class LayoutSpec extends SparkSpec {
         Tables.readBucketSpec(spark, path)
       assert(key == "key" && buckets == 4 &&
         partCols == Seq("ingest_epoch", "cell"))
-      // the sizing note is on disk for audit
+      // the sizing note is on disk for audit (sidecar lives inside
+      // the current version dir under the versioned layout)
+      val vdir = Tables.bucketedVersionDir(path,
+        Tables.bucketedCurrentVersion(spark, path).get)
       val spec = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path, "_graft_bucketspec")), "UTF-8")
+        java.nio.file.Paths.get(vdir, "_graft_bucketspec")), "UTF-8")
       assert(spec.contains("sized rows=40"), s"sizing note missing:\n$spec")
       // nested epoch commit replaces exactly its own subtree
       Tables.ingestBucketedArchive(
@@ -751,6 +754,155 @@ class LayoutSpec extends SparkSpec {
       new java.io.File(path).getParentFile)
   }
 
+  test("bucketed fold isolation: mid-fold readers always see a " +
+    "complete snapshot (the manifested-compaction hammer, ported); " +
+    "time travel reads the retained version; the sweep reclaims it") {
+    import graft.SparkSpec.spark.implicits._
+    val root0 = java.nio.file.Files
+      .createTempDirectory("graft-bfold-iso").toString
+    val path = s"$root0/arch"
+    val tomb = s"$root0/tomb"
+    try {
+      val df = (0L until 4000L).map(i => (i, s"k${i % 97}", 0L))
+        .toDF("doc_id", "key", "ingest_epoch")
+      Tables.writeBucketedArchive(df, path, "key", 8)
+      (1L to 3L).foreach(e => Tables.ingestBucketedArchive(
+        ((e * 10000L) until (e * 10000L + 500L)).map(i => (i, s"k${i % 97}", e))
+          .toDF("doc_id", "key", "ingest_epoch"), path, e))
+      val expected = Tables.readBucketedArchive(spark, path).count()
+      assert(expected == 5500L)
+
+      // reader hammer: resolve + count in a tight loop WHILE the fold
+      // rewrites and flips the version marker — the old in-place swap
+      // provably fails this (live dir missing mid-rename); the
+      // versioned layout must never show a partial table. Counts may
+      // legitimately see the PRE-fold or POST-fold total (both 5500:
+      // folds move rows between epochs, never drop live ones), but
+      // never anything else.
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      @volatile var stop = false
+      val reader = new Thread(() => {
+        while (!stop) {
+          val n = Tables.readBucketedArchive(spark, path).count()
+          if (n != expected)
+            failures.add(s"mid-fold reader saw $n rows, expected $expected")
+        }
+      })
+      reader.start()
+      val folded = try Tables.foldBucketedEpochs(spark, path, tomb, "doc_id")
+        finally { stop = true; reader.join() }
+      assert(folded == 3L)
+      assert(failures.isEmpty, s"isolation violated: ${failures.peek()}")
+      assert(Tables.readBucketedArchive(spark, path).count() == expected)
+
+      // the fold committed v2 and RETAINED v1: time travel reads the
+      // pre-fold snapshot (epochs still unfolded there)
+      assert(Tables.bucketedVersions(spark, path) == Seq(1L, 2L))
+      val v1 = Tables.readBucketedArchiveAt(spark, path, 1L)
+      assert(v1.count() == expected)
+      assert(v1.select("ingest_epoch").distinct().count() == 4L,
+        "v1 must still hold the unfolded epoch layout")
+      assert(Tables.readBucketedArchive(spark, path)
+        .select("ingest_epoch").distinct().count() == 2L,
+        "current version must hold the folded layout (base + carry)")
+      // the versioned scan is still a BUCKETED catalog scan: a key
+      // probe prunes to its buckets (autoBucketedScan off, as in the
+      // epoch-lifecycle pin — a bare filter isn't "bucketing
+      // beneficial" to the planner, pruning is)
+      val prevAuto = spark.conf
+        .get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val probe = Tables.readBucketedArchive(spark, path)
+          .where(col("key") === "k13")
+        assert(probe.queryExecution.executedPlan.toString
+            .contains("SelectedBucketsCount"),
+          "versioned read lost the bucketed-scan pruning contract")
+      } finally spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+
+      // sweep reclaims the superseded version; time travel to it is
+      // then a loud failure, the live read untouched
+      assert(Tables.sweepBucketedScratch(spark, path) == 1)
+      intercept[IllegalArgumentException] {
+        Tables.readBucketedArchiveAt(spark, path, 1L)
+      }
+      assert(Tables.readBucketedArchive(spark, path).count() == expected)
+    } finally {
+      (1L to 3L).foreach(v => spark.sql(
+        s"DROP TABLE IF EXISTS `${Tables.bucketedArchName(path, v)}`"))
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root0))
+    }
+  }
+
+  test("legacy (unversioned) bucketed archive: reads and epoch " +
+    "commits keep working in place; the first fold migrates it to " +
+    "the versioned layout") {
+    import graft.SparkSpec.spark.implicits._
+    val root0 = java.nio.file.Files
+      .createTempDirectory("graft-blegacy").toString
+    val vsrc = s"$root0/vsrc"
+    val path = s"$root0/arch"
+    val fs = new org.apache.hadoop.fs.Path(root0)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      // construct a genuine LEGACY archive: build versioned, then
+      // move the v1 contents (partition dirs + sidecar) to the root
+      // of a fresh path — data + sidecar at the root, no markers
+      val df = (0L until 300L).map(i => (i, s"k${i % 11}", 0L))
+        .toDF("doc_id", "key", "ingest_epoch")
+      Tables.writeBucketedArchive(df, vsrc, "key", 4)
+      val v1dir = new org.apache.hadoop.fs.Path(
+        Tables.bucketedVersionDir(vsrc, 1L))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+      fs.listStatus(v1dir).foreach { st =>
+        require(fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
+          path, st.getPath.getName)))
+      }
+      assert(Tables.bucketedCurrentVersion(spark, path).isEmpty,
+        "fixture must be a legacy (marker-less) archive")
+
+      // legacy reads + replace-or-add epoch commits work in place
+      assert(Tables.readBucketedArchive(spark, path).count() == 300L)
+      Tables.ingestBucketedArchive(
+        (1000L until 1050L).map(i => (i, s"k${i % 11}", 1L))
+          .toDF("doc_id", "key", "ingest_epoch"), path, 1L)
+      assert(Tables.readBucketedArchive(spark, path).count() == 350L)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+          s"$path/ingest_epoch=1")),
+        "legacy ingest must land in the root-level layout")
+
+      // first fold: migrate to v1, root-level data dirs + sidecar gone
+      Tables.foldBucketedEpochs(spark, path, s"$root0/tomb", "doc_id")
+      assert(Tables.bucketedCurrentVersion(spark, path).contains(1L),
+        "fold must migrate a legacy archive to the versioned layout")
+      assert(Tables.readBucketedArchive(spark, path).count() == 350L)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$path/ingest_epoch=0")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(
+          s"$path/_graft_bucketspec")),
+        "legacy root-level data/sidecar must be dropped after migration")
+      // and the migrated archive keeps ingesting + folding versioned
+      Tables.ingestBucketedArchive(
+        (2000L until 2020L).map(i => (i, s"k${i % 11}", 2L))
+          .toDF("doc_id", "key", "ingest_epoch"), path, 2L)
+      assert(Tables.readBucketedArchive(spark, path).count() == 370L)
+      Tables.foldBucketedEpochs(spark, path, s"$root0/tomb", "doc_id")
+      assert(Tables.bucketedCurrentVersion(spark, path).contains(2L))
+      assert(Tables.readBucketedArchive(spark, path).count() == 370L)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `${Tables.bucketedArchName(path)}`")
+      (1L to 3L).foreach { v =>
+        spark.sql(
+          s"DROP TABLE IF EXISTS `${Tables.bucketedArchName(path, v)}`")
+        spark.sql(
+          s"DROP TABLE IF EXISTS `${Tables.bucketedArchName(vsrc, v)}`")
+      }
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root0))
+    }
+  }
+
   test("bucket-spec migration: a legacy 3-line sidecar reads with the " +
     "historical epoch-only partCols; a garbled one fails loudly") {
     import graft.SparkSpec.spark.implicits._
@@ -763,9 +915,12 @@ class LayoutSpec extends SparkSpec {
       Tables.writeBucketedArchive(df, path, "key", 4)
       // rewrite the sidecar in the PRE-partCols format (key/buckets/
       // DDL) — what an archive written before the layout change
-      // carries on disk
+      // carries on disk; under the versioned layout the sidecar
+      // lives in the current version dir
       val (key, buckets, _, schema) = Tables.readBucketSpec(spark, path)
-      val sidecar = new org.apache.hadoop.fs.Path(path, "_graft_bucketspec")
+      val vdir = Tables.bucketedVersionDir(path,
+        Tables.bucketedCurrentVersion(spark, path).get)
+      val sidecar = new org.apache.hadoop.fs.Path(vdir, "_graft_bucketspec")
       val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
       def rewrite(body: String): Unit = {
         val out = fs.create(sidecar, true)
@@ -778,7 +933,7 @@ class LayoutSpec extends SparkSpec {
       assert(pcs2 == Seq("ingest_epoch"),
         s"legacy sidecar must default to epoch-only partCols, got $pcs2")
       // a fresh catalog re-registers from the legacy sidecar and reads
-      spark.sql(s"DROP TABLE IF EXISTS `${Tables.bucketedArchName(path)}`")
+      spark.sql(s"DROP TABLE IF EXISTS `${Tables.bucketedArchName(path, 1L)}`")
       assert(Tables.readBucketedArchive(spark, path).count() == 40L,
         "legacy-sidecar archive unreadable after re-registration")
       // garbled sidecar (too few lines): loud, actionable failure
@@ -819,14 +974,21 @@ class LayoutSpec extends SparkSpec {
         spark, path, s"$root/tomb", "doc_id") == -1L,
         "fold over an emptied archive must no-op")
 
-      // crashed-fold scratch next to a LIVE archive: sweep reclaims it
+      // crashed-fold scratch next to a LIVE archive: sweep reclaims
+      // it, together with the superseded version dir the fold
+      // retained (v1; the fold committed v2)
       fs.mkdirs(new org.apache.hadoop.fs.Path(path + ".fold_tmp"))
       fs.mkdirs(new org.apache.hadoop.fs.Path(path + ".fold_old"))
-      assert(Tables.sweepBucketedScratch(spark, path) == 2,
-        "sweep must reclaim both scratch dirs")
+      assert(Tables.sweepBucketedScratch(spark, path) == 3,
+        "sweep must reclaim both scratch dirs + the superseded version")
       assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".fold_tmp"))
         && !fs.exists(new org.apache.hadoop.fs.Path(path + ".fold_old")),
         "scratch dirs survived the sweep")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+          Tables.bucketedVersionDir(path, 1L))),
+        "superseded version dir survived the sweep")
+      assert(Tables.readBucketedArchive(spark, path).count() == 0L,
+        "sweep broke the live (current-version) read")
 
       // crash mid-swap (live dir missing, .fold_old IS the archive):
       // the sweep must NOT delete the recovery copy
