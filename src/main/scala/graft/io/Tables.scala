@@ -502,6 +502,9 @@ object Tables {
       new org.apache.hadoop.fs.Path(s"$path/data/v1"), partCols.length)
       .map(p => p -> s"data/v1/$p").toMap
     commitManifest(fs, root, 1L, parts)
+    if (commitStatsEnabled(df.sparkSession, path))
+      publishCommitStats(df.sparkSession, path, 1L, parts,
+        s"$path/data/v1", partCols)
   }
 
   /** Replace-or-add commit: write `df` (partitioned by `partCols`)
@@ -540,8 +543,12 @@ object Tables {
     while (true) {
       attempts += 1
       try {
-        commitManifest(fs, root, version + 1,
-          live.filterNot { case (p, _) => dropPart(p) } ++ added)
+        val committed = live.filterNot { case (p, _) => dropPart(p) } ++
+          added
+        commitManifest(fs, root, version + 1, committed)
+        if (commitStatsEnabled(spark, path))
+          publishCommitStats(spark, path, version + 1, committed,
+            s"$path/data/$attempt", partCols)
         return version + 1
       } catch {
         case e: ManifestConflictException =>
@@ -1908,6 +1915,214 @@ object Tables {
     val fs = fsFor(spark, root)
     val (version, _) = resolveManifest(spark, path)
     commitManifest(fs, root, version + 1, Map.empty)
+  }
+
+  // ---------- Commit-time statistics (CBO without ANALYZE) ----------
+  // A transactional table format gathers table statistics AS IT
+  // WRITES, so the optimizer's cost model never needs a separate
+  // full-table ANALYZE pass. The manifested layout does the same,
+  // opt-in per table: with the `_commit_stats` marker present, every
+  // writeManifested/upsertManifested commit aggregates its OWN fresh
+  // data once (rows, per-column ndv/nulls/min/max/lengths — one job
+  // over just-written, cache-hot files) and publishes a per-partition
+  // stats sidecar `_stats-<version>` next to the manifest it
+  // describes; carried partitions carry their stats lines, dropped
+  // ones drop. The [[graft.plans.ManifestStatsRule]] optimizer rule
+  // feeds the merged numbers into Catalyst's cost model
+  // (CatalogStatistics on the scan), so under CBO a selectively
+  // filtered dim flips to broadcast with NO ANALYZE — at 100 TB
+  // that's the difference between shuffling the fact table and not,
+  // available the moment a commit lands. Stats are an overlay: a
+  // missing/stale sidecar (version mismatch after a non-stats
+  // commit) costs the estimate, never rows.
+
+  private def commitStatsMarker(path: String) =
+    new org.apache.hadoop.fs.Path(path.stripSuffix("/"), "_commit_stats")
+
+  /** Opt a manifested table into commit-time statistics. */
+  def enableCommitStats(spark: SparkSession, path: String): Unit = {
+    val m = commitStatsMarker(path)
+    val fs = fsFor(spark, m)
+    if (!fs.exists(m.getParent)) fs.mkdirs(m.getParent)
+    val out = fs.create(m, true)
+    try out.write("1".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def commitStatsEnabled(spark: SparkSession,
+                                 path: String): Boolean = {
+    val m = commitStatsMarker(path)
+    try fsFor(spark, m).exists(m)
+    catch { case _: java.io.FileNotFoundException => false }
+  }
+
+  private def statsFilePath(root: org.apache.hadoop.fs.Path, v: Long) =
+    new org.apache.hadoop.fs.Path(root, f"_stats-$v%09d")
+
+  /** One partition's commit-time stats: rows, bytes, and per
+    * data-column (ndv, nulls, min, max, avgLen, maxLen) — min/max
+    * recorded for numeric columns only (exactly the types whose
+    * external string form Catalyst parses back losslessly). */
+  private[graft] case class PartStats(rows: Long, bytes: Long,
+      cols: Map[String, (Long, Long, Option[String], Option[String],
+        Long, Long)])
+
+  /** Aggregate the stats of a FRESHLY WRITTEN dir, per partition —
+    * one job over only the new data. */
+  private def freshPartStats(spark: SparkSession, dir: String,
+      partCols: Seq[String]): Map[String, PartStats] = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{approx_count_distinct, avg,
+      length}
+    val df = spark.read.option("basePath", dir).parquet(dir)
+    val statable = df.schema.fields.toSeq
+      .filterNot(f => partCols.contains(f.name))
+      .filter(f => !f.name.contains("|") && !f.name.contains(";") &&
+        (f.dataType match {
+        case _: NumericType | StringType | BooleanType | DateType |
+             TimestampType => true
+        case _ => false
+      }))
+    val aggs = statable.flatMap { f =>
+      val c = col(f.name)
+      val numeric = f.dataType.isInstanceOf[NumericType]
+      Seq(
+        approx_count_distinct(c).as(s"ndv|${f.name}"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"nul|${f.name}"),
+        (if (numeric) min(c).cast("string")
+         else lit(null).cast("string")).as(s"min|${f.name}"),
+        (if (numeric) max(c).cast("string")
+         else lit(null).cast("string")).as(s"max|${f.name}"),
+        (f.dataType match {
+          case StringType => coalesce(avg(length(c)), lit(0.0))
+          case t => lit(t.defaultSize.toDouble)
+        }).as(s"avg|${f.name}"),
+        (f.dataType match {
+          case StringType =>
+            coalesce(max(length(c)).cast("long"), lit(0L))
+          case t => lit(t.defaultSize.toLong)
+        }).as(s"len|${f.name}"))
+    }
+    if (aggs.isEmpty) return Map.empty
+    val grouped = df.groupBy(partCols.map(col): _*)
+      .agg(count(lit(1)).as("rows|"), aggs: _*).collect()
+    val fs = fsFor(spark, new org.apache.hadoop.fs.Path(dir))
+    grouped.flatMap { r =>
+      val kvs = partCols.map(pc => pc -> r.getAs[Any](pc))
+      if (kvs.exists(_._2 == null)) None // null partition value: skip
+      else {
+        val part = kvs.map { case (k, v) => s"$k=$v" }.mkString("/")
+        val pBytes =
+          try fs.getContentSummary(new org.apache.hadoop.fs.Path(
+            s"${dir.stripSuffix("/")}/$part")).getLength
+          catch { case _: java.io.FileNotFoundException => 0L }
+        val cols = statable.map { f =>
+          f.name -> ((r.getAs[Long](s"ndv|${f.name}"),
+            r.getAs[Long](s"nul|${f.name}"),
+            Option(r.getAs[String](s"min|${f.name}")),
+            Option(r.getAs[String](s"max|${f.name}")),
+            math.ceil(r.getAs[Double](s"avg|${f.name}")).toLong,
+            r.getAs[Long](s"len|${f.name}")))
+        }.toMap
+        Some(part -> PartStats(r.getAs[Long]("rows|"), pBytes, cols))
+      }
+    }.toMap
+  }
+
+  private def encodeStats(lines: Map[String, PartStats]): String =
+    lines.toSeq.sortBy(_._1).map { case (part, st) =>
+      val cols = st.cols.toSeq.sortBy(_._1).map {
+        case (n, (ndv, nul, mn, mx, avg, len)) =>
+          Seq(n, ndv.toString, nul.toString, mn.getOrElse(""),
+            mx.getOrElse(""), avg.toString, len.toString).mkString("|")
+      }.mkString(";")
+      s"$part\t${st.rows}\t${st.bytes}\t$cols"
+    }.mkString("\n")
+
+  private def decodeStats(body: String): Map[String, PartStats] =
+    body.split("\n").filter(_.nonEmpty).map { line =>
+      val Array(part, rows, bytes, colBlob) = line.split("\t", 4)
+      val cols = colBlob.split(";").filter(_.nonEmpty).map { cb =>
+        val f = cb.split("\\|", 7)
+        f(0) -> ((f(1).toLong, f(2).toLong,
+          Some(f(3)).filter(_.nonEmpty), Some(f(4)).filter(_.nonEmpty),
+          f(5).toLong, f(6).toLong))
+      }.toMap
+      part -> PartStats(rows.toLong, bytes.toLong, cols)
+    }.toMap
+
+  /** Publish version `v`'s stats sidecar: fresh stats for this
+    * commit's own partitions over `freshDir`, carried lines from the
+    * previous version's sidecar for everything else still live.
+    * Best-effort AFTER the manifest commit — a crash in between
+    * leaves a version without stats, which reads as "no estimate",
+    * never as wrong rows. */
+  private def publishCommitStats(spark: SparkSession, path: String,
+      v: Long, liveParts: Map[String, String], freshDir: String,
+      partCols: Seq[String]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, root)
+    val fresh = freshPartStats(spark, freshDir, partCols)
+    val prevFile = statsFilePath(root, v - 1)
+    val prev =
+      if (v > 1 && fs.exists(prevFile))
+        decodeStats(readSmallFile(fs, prevFile))
+      else Map.empty[String, PartStats]
+    val lines = liveParts.keys.toSeq.flatMap { part =>
+      fresh.get(part).orElse(prev.get(part)).map(part -> _)
+    }.toMap
+    val out = fs.create(statsFilePath(root, v), true)
+    try out.write(encodeStats(lines).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The merged commit-time stats restricted to the partitions whose
+    * entry dirs the caller scans (`dirs`, absolute URI paths) —
+    * None when the table has no current sidecar, or any requested
+    * partition lacks a stats line (a partial estimate would be a
+    * wrong estimate). Returns (rows, bytes, per-column merged
+    * stats). */
+  private[graft] def manifestStatsFor(spark: SparkSession, path: String,
+      dirs: Set[String])
+      : Option[(Long, Long, Map[String, (Long, Long, Option[String],
+        Option[String], Long, Long)])] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, root)
+    if (!commitStatsEnabled(spark, path)) return None
+    val (v, parts) = resolveManifest(spark, path)
+    val sf = statsFilePath(root, v)
+    if (!fs.exists(sf)) return None
+    val lines = decodeStats(readSmallFile(fs, sf))
+    def normP(p: String) =
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val wanted = parts.filter { case (_, value) =>
+      val subs = entryPaths(value)
+      subs.nonEmpty && subs.forall(sp =>
+        dirs.contains(normP(entryDirAndBase(path, sp)._1)))
+    }
+    if (wanted.isEmpty || !wanted.keys.forall(lines.contains)) return None
+    val sel = wanted.keys.toSeq.map(lines)
+    val rows = sel.map(_.rows).sum
+    val bytes = sel.map(_.bytes).sum
+    val allCols = sel.flatMap(_.cols.keys).distinct
+    // a column missing from ANY selected partition's line has no
+    // sound merge — drop it from the estimate
+    val merged = allCols.flatMap { c =>
+      val per = sel.map(_.cols.get(c))
+      if (per.exists(_.isEmpty)) None
+      else {
+        val vs = per.map(_.get)
+        val mins = vs.map(_._3)
+        val maxs = vs.map(_._4)
+        val (mn, mx) =
+          if (mins.exists(_.isEmpty) || maxs.exists(_.isEmpty))
+            (None, None)
+          else (Some(mins.flatten.map(BigDecimal(_)).min.toString),
+            Some(maxs.flatten.map(BigDecimal(_)).max.toString))
+        Some(c -> ((vs.map(_._1).max, vs.map(_._2).sum, mn, mx,
+          vs.map(_._5).max, vs.map(_._6).max)))
+      }
+    }.toMap
+    Some((rows, bytes, merged))
   }
 
   // ---------- Deletion vectors (file-local tombstone retirement) ----------

@@ -15,10 +15,14 @@ import org.apache.spark.sql.SparkSessionExtensions
   *  - [[AutoFileSkip]] — filters over scans of analyzed manifested
   *    archives prune their file lists through the Bloom / zone-map
   *    sidecars at plan time, without the caller asking.
+  *  - [[ManifestStatsRule]] — under CBO, scans of commit-stats
+  *    archives carry the row counts / column stats their commits
+  *    recorded, so selective dims flip to broadcast with no ANALYZE.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => RangeBinJoin)
     extensions.injectOptimizerRule(session => AutoFileSkip(session))
+    extensions.injectOptimizerRule(session => ManifestStatsRule(session))
   }
 }

@@ -296,6 +296,67 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("manifest-stats CBO: commit-recorded statistics flip a " +
+    "filtered dim to broadcast with NO ANALYZE pass") {
+    // the ANALYZE-based pin above, reproduced from the commit-time
+    // stats sidecar alone: the table opted into commit stats, every
+    // write recorded its own rows/ndv/min-max, and ManifestStatsRule
+    // feeds them to the cost model — no ANALYZE TABLE anywhere
+    val keys = Seq("spark.sql.cbo.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled")
+    val restore = keys.map(k => k -> spark.conf.get(k))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mstats").toString
+    val dim = s"$root/dim"
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      Tables.enableCommitStats(spark, dim)
+      Tables.writeManifested(
+        Tables.load(spark, sf, "orders").withColumn("ingest_epoch", lit(0L)),
+        dim, Seq("ingest_epoch"))
+      val fact = Tables.load(spark, sf, "lineitem")
+      def dimSel = Tables.readManifested(spark, dim)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .where(col("o_custkey") === 7)
+      def joined = fact.join(dimSel,
+        col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      // rule OFF: the Filter passes its child's size estimate
+      // through, so with the threshold set under it nothing
+      // broadcasts — the exact no-stats baseline of the ANALYZE pin
+      spark.conf.set(graft.plans.ManifestStatsRule.EnabledKey, "false")
+      val noStatsEst = try
+        dimSel.queryExecution.optimizedPlan.stats.sizeInBytes
+      finally spark.conf.set(
+        graft.plans.ManifestStatsRule.EnabledKey, "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (noStatsEst / 2).toString)
+      spark.conf.set(graft.plans.ManifestStatsRule.EnabledKey, "false")
+      val before = try planString(joined)
+        finally spark.conf.set(
+          graft.plans.ManifestStatsRule.EnabledKey, "true")
+      assert(!before.contains("BroadcastHashJoin"),
+        s"dim broadcast even without stats — threshold not biting:\n$before")
+      // rule ON: commit stats shrink the filtered dim estimate and
+      // the join flips — same outcome as ANALYZE, zero extra scans
+      val after = planString(joined)
+      assert(after.contains("BroadcastHashJoin"),
+        s"commit stats did not flip the filtered dim to broadcast:\n$after")
+      // and the answer is identical either way
+      val a = joined.collect().map(_.toSeq).toSet
+      spark.conf.set(graft.plans.ManifestStatsRule.EnabledKey, "false")
+      val b = try joined.collect().map(_.toSeq).toSet
+        finally spark.conf.set(
+          graft.plans.ManifestStatsRule.EnabledKey, "true")
+      assert(a == b, "stats injection changed the answer")
+    } finally {
+      restore.foreach { case (k, v) => spark.conf.set(k, v) }
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    }
+  }
+
   test("explicit bloom join: might_contain prunes the fact side of a " +
     "shuffled join") {
     val plan = planString(ops.ScaleOps.qJoinBloom(spark, sf))
