@@ -1412,6 +1412,8 @@ object Tables {
     // the version marker commits last: a crashed create has a v1 dir
     // but no marker and reads as "no archive"
     commitBucketVersion(spark, path, 1L)
+    refreshBucketedBlooms(spark, path)
+    ()
   }
 
   /** Write one complete bucketed table as version `v`'s dir (catalog
@@ -1627,6 +1629,8 @@ object Tables {
         .partitionBy(partCols: _*)
         .bucketBy(buckets, key).sortBy(key)
         .format("parquet").saveAsTable(name)
+      refreshBucketedBlooms(spark, path)
+      ()
     } finally recoverEpochClaim(spark, path, epoch)
   }
 
@@ -1830,8 +1834,121 @@ object Tables {
       fs.delete(bucketSpecPath(path), false)
     }
     ensureBucketedRegistered(spark, path)
+    refreshBucketedBlooms(spark, path)
     ()
   }
+
+  // ---------- Commit-time Blooms for bucketed archives ----------
+  // Bucket pruning cuts an equality/IN probe to its bucket(s); these
+  // per-FILE Blooms then cut each bucket's epoch × writer-task file
+  // matrix to the files that might actually hold the key — the same
+  // [[AutoFileSkip]] service manifested archives get from
+  // [[computeFileBlooms]], maintained INCREMENTALLY at commit time
+  // (create / epoch ingest / fold each refresh coverage for exactly
+  // their fresh files, which they just wrote and are cache-hot).
+  // The sidecar publishes under the same `_file_blooms_ptr` overlay
+  // at the ARCHIVE ROOT, so AutoFileSkip consumes it unchanged; the
+  // overlay contract holds (uncovered files always survive — a
+  // crash between data commit and refresh costs pruning, not rows).
+
+  private def commitBloomsMarker(path: String) =
+    new org.apache.hadoop.fs.Path(path.stripSuffix("/"), "_commit_blooms")
+
+  /** Opt a bucketed archive into commit-time file Blooms on its
+    * bucket key, and build initial coverage for the files already on
+    * disk. */
+  def enableCommitBlooms(spark: SparkSession, path: String,
+                         expectedItemsPerFile: Long = 100000L,
+                         fpp: Double = 0.01): Long = {
+    val m = commitBloomsMarker(path)
+    val fs = fsFor(spark, m)
+    if (!fs.exists(m.getParent)) fs.mkdirs(m.getParent)
+    val out = fs.create(m, true)
+    try out.write(s"$expectedItemsPerFile\n$fpp".getBytes("UTF-8"))
+    finally out.close()
+    refreshBucketedBlooms(spark, path)
+  }
+
+  private def commitBloomsParams(spark: SparkSession, path: String)
+      : Option[(Long, Double)] = {
+    val m = commitBloomsMarker(path)
+    val fs = fsFor(spark, m)
+    val exists = try fs.exists(m)
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!exists) None
+    else readSmallFile(fs, m).split("\n") match {
+      case Array(items, fpp) => Some((items.toLong, fpp.toDouble))
+      case _ => throw new IllegalStateException(
+        s"garbled commit-blooms marker at $m — delete it and re-run " +
+          "enableCommitBlooms")
+    }
+  }
+
+  /** Refresh the bucketed archive's Bloom sidecar to cover its
+    * current live files: blooms are BUILT only for files not yet
+    * covered (a commit's fresh files; after a fold, the whole new
+    * version), carried rows for still-live files are reused, and
+    * rows for dead files are dropped. No-op without the opt-in
+    * marker. Returns covered-file count. */
+  private[graft] def refreshBucketedBlooms(spark: SparkSession,
+                                           path: String): Long =
+    commitBloomsParams(spark, path) match {
+      case None => 0L
+      case Some((items, fpp)) =>
+        val (key, _, _, _) = readBucketSpec(spark, path)
+        val liveDir = new org.apache.hadoop.fs.Path(
+          bucketedLiveDir(spark, path))
+        val fs = fsFor(spark, liveDir)
+        def walk(d: org.apache.hadoop.fs.Path)
+            : Seq[org.apache.hadoop.fs.FileStatus] =
+          fs.listStatus(d).toSeq.flatMap { st =>
+            val n = st.getPath.getName
+            if (st.isDirectory) walk(st.getPath)
+            else if (st.isFile && !n.startsWith(".") &&
+              !n.startsWith("_")) Seq(st)
+            else Nil
+          }
+        val live = walk(liveDir).map(_.getPath.toUri.getPath).toSet
+        val numBits = graft.expr.BloomAgg.bitsFor(items, fpp)
+        val k = graft.expr.BloomAgg.hashesFor(numBits, items)
+        val prev = fileBlooms(spark, path)
+        val carried = prev.map { case (dir, _, _) =>
+          spark.read.parquet(dir).select(col("file"), col("bloom"))
+            .where(col("file").isin(live.toSeq: _*))
+        }
+        val coveredFiles = carried.map(_.select("file").collect()
+          .map(_.getString(0)).toSet).getOrElse(Set.empty)
+        val fresh = (live -- coveredFiles).toSeq.sorted
+        if (fresh.isEmpty && prev.nonEmpty &&
+            coveredFiles.size == live.size) return live.size.toLong
+        val freshBlooms =
+          if (fresh.isEmpty) None
+          else Some(spark.read.parquet(fresh: _*)
+            .withColumn("_f", input_file_name())
+            .withColumn("_h", xxhash64(col(key)))
+            .groupBy(col("_f"))
+            .agg(graft.expr.BloomAgg.bloom(col("_h"), numBits, k)
+              .as("bloom"))
+            .withColumn("file", expr("parse_url(_f, 'PATH')"))
+            .withColumn("file", coalesce(col("file"), col("_f")))
+            .select(col("file"), col("bloom")))
+        val all = (carried.toSeq ++ freshBlooms.toSeq)
+          .reduceOption(_.unionByName(_))
+          .getOrElse(return 0L)
+        val dir = s"${path.stripSuffix("/")}/_file_blooms/" +
+          s"b${java.util.UUID.randomUUID.toString.take(8)}"
+        all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+        val n = spark.read.parquet(dir).count()
+        val ptr = fileBloomsPtr(path)
+        val pfs = fsFor(spark, ptr)
+        val out = pfs.create(ptr, true)
+        try out.write(s"$dir\n$key\n$k".getBytes("UTF-8"))
+        finally out.close()
+        prev.foreach { case (d, _, _) =>
+          pfs.delete(new org.apache.hadoop.fs.Path(d), true) }
+        graft.plans.AutoFileSkip.invalidateMisses()
+        n
+    }
 
   // ---------- Tombstone lifecycle (delete epochs) ----------
 

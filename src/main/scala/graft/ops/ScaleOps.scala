@@ -871,6 +871,49 @@ object ScaleOps {
       |WHERE doc_id NOT BETWEEN 10 AND 59
       |ORDER BY doc_id""".stripMargin
 
+  // ---------- Bucketed commit-blooms (gated construction) ----------
+
+  /** The fixture behind [[qBloomSkipBucketed]]: a doc_id-bucketed
+    * archive over the documents table with COMMIT-TIME Blooms
+    * ([[graft.io.Tables.enableCommitBlooms]]) and a second ingest
+    * epoch, so a point probe prunes buckets (bucket layout) AND
+    * files within them (Blooms, via AutoFileSkip) — the plan pins
+    * live in AutoFileSkipSpec; the gate pins the ANSWER. */
+  private def bloomBucketRoot(s: SparkSession, dir: String): String =
+    healthMemo.computeIfAbsent(dir + "#bblooms", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bblooms").toString
+      healthDirs.add(root)
+      val p = s"$root/arch"
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Tables.writeBucketedArchive(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .withColumn("ingest_epoch", lit(0L)),
+        p, "doc_id", 8)
+      Tables.enableCommitBlooms(s, p, expectedItemsPerFile = 65536L)
+      Tables.ingestBucketedArchive(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1)
+          .withColumn("ingest_epoch", lit(1L)), p, 1L)
+      root
+    })
+
+  /** Gated: point lookups over a commit-bloomed bucketed archive —
+    * the probe plans through bucket pruning + Bloom file skipping
+    * and must return exactly the sought rows. */
+  def qBloomSkipBucketed(s: SparkSession, dir: String): DataFrame = {
+    val root = bloomBucketRoot(s, dir)
+    Tables.readBucketedArchive(s, s"$root/arch")
+      .where(col("doc_id").isin(3L, 4L, 17L, 42L, 101L))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val qBloomSkipBucketedOracle: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id IN (3, 4, 17, 42, 101)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------- Topology commit watermark (gated construction) ----------
 
   /** The deterministic two-phase construction behind
@@ -1854,6 +1897,7 @@ object ScaleOps {
     "q_archive_health" -> qArchiveHealth,
     "q_maintenance_due" -> qMaintenanceDue,
     "q_delete_vectors" -> qDeleteVectors,
+    "q_bloom_skip_bucketed" -> qBloomSkipBucketed,
     "q_consistent_view" -> qConsistentView,
     "q_changes_since" -> qChangesSince,
     "q_schema_evolution" -> qSchemaEvolution,
@@ -1883,6 +1927,7 @@ object ScaleOps {
     "q_archive_health" -> qArchiveHealthOracle,
     "q_maintenance_due" -> qMaintenanceDueOracle,
     "q_delete_vectors" -> qDeleteVectorsOracle,
+    "q_bloom_skip_bucketed" -> qBloomSkipBucketedOracle,
     "q_consistent_view" -> qConsistentViewOracle,
     "q_changes_since" -> qChangesSinceOracle,
     "q_schema_evolution" -> qSchemaEvolutionOracle,

@@ -170,8 +170,17 @@ case class AutoFileSkip(spark: SparkSession) extends Rule[LogicalPlan]
     if (survivors.isEmpty)
       Some(f.copy(child = LocalRelation(l.output)))
     else {
+      // partition-column reconstruction over an explicit FILE list
+      // needs a basePath: manifested reads carry one in their options
+      // already; a catalog (bucketed-archive) scan doesn't, so anchor
+      // it at the table location — without it the pruned index infers
+      // zero partition columns and the scan asserts at read time
+      val params =
+        if (fsRel.options.contains("basePath")) fsRel.options
+        else fsRel.options +
+          ("basePath" -> fsRel.location.rootPaths.head.toString)
       val idx = new GraftPrunedFileIndex(fsRel.sparkSession,
-        survivors.map(new Path(_)), fsRel.options, Some(fsRel.schema))
+        survivors.map(new Path(_)), params, Some(fsRel.schema))
       Some(f.copy(child =
         l.copy(relation = fsRel.copy(location = idx)(fsRel.sparkSession))))
     }

@@ -156,6 +156,47 @@ class AutoFileSkipSpec extends SparkSpec {
     }
   }
 
+  test("bucketed archive with commit-time blooms: a point probe " +
+    "prunes FILES within the selected buckets — bucket pruning and " +
+    "file skipping compose") {
+    val root = tmpRoot("graft-autoskip-bkt")
+    val p = s"$root/post"
+    // postings-like: bucketed by token; epochs carry DISJOINT token
+    // ranges, so a given token's rows live in exactly one epoch's
+    // files — the shape where bucket pruning alone still reads every
+    // epoch of the bucket and per-file blooms cut the rest
+    def epochDf(e: Long, lo: Long, hi: Long) =
+      (lo until hi).flatMap(t => (0L until 4L).map(d =>
+        (s"tk_$t", t * 100 + d, e)))
+        .toDF("token", "doc_id", "ingest_epoch")
+    Tables.writeBucketedArchive(epochDf(0L, 0L, 50L), p, "token", 8)
+    Tables.enableCommitBlooms(spark, p, expectedItemsPerFile = 4096L)
+    (1L to 3L).foreach(e => Tables.ingestBucketedArchive(
+      epochDf(e, e * 1000L, e * 1000L + 50L), p, e))
+
+    val prevAuto = spark.conf
+      .get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      def q = Tables.readBucketedArchive(spark, p)
+        .where(col("token") === "tk_2005")
+        .select(col("token"), col("doc_id"), col("ingest_epoch"))
+      assert(pruned(q), "expected the marker index on the bucketed scan")
+      val phys = q.queryExecution.executedPlan.toString
+      assert(phys.contains("SelectedBucketsCount"),
+        s"file skipping must not cost bucket pruning:\n$phys")
+      val before = withRuleDisabled { scanFiles(q).map(_.size).sum }
+      val after = scanFiles(q).map(_.size).sum
+      assert(after < before,
+        s"no files pruned within the buckets ($after of $before)")
+      assert(rows(q) === withRuleDisabled { rows(q) })
+      assert(rows(q) === (0L until 4L).map(d =>
+        Seq[Any]("tk_2005", 200500L + d, 2L)).toSet)
+    } finally spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+  }
+
   test("a sidecar dir vanished under its pointer (racing re-analyze): " +
     "the query degrades to an unpruned scan, never fails") {
     // fresh archive so no cache entry can mask the broken dir
