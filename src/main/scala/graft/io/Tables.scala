@@ -3776,21 +3776,60 @@ object Tables {
       case es => Some(es.max)
     }
 
+  private[graft] def abortMarkerDir(root: String) =
+    new org.apache.hadoop.fs.Path(root, "_aborts")
+
+  /** ABORT a half-landed front-door epoch — the two-phase extension
+    * of the commit watermark: without it, a crashed epoch N blocks
+    * the topology forever (the watermark cannot pass an epoch that
+    * never completes, and if a later epoch's marker DID land, the
+    * watermark would jump over N and expose its partial store
+    * commits). Aborting declares N dead: [[consistentView]] masks
+    * N's rows on every store EVEN AFTER the watermark moves past it,
+    * so the topology proceeds with N+1 while N's partial commits sit
+    * inert awaiting either vacuum-by-replay or nothing at all. A
+    * later RE-LAND of N (the stream replay, or an operator
+    * recommitting every store and the marker) SUPERSEDES the abort —
+    * commit markers always win, because a committed epoch means
+    * every store holds its complete rows (replace-or-add overwrote
+    * the partials). Aborting an epoch that is already committed is
+    * refused loudly: committed history is immutable. */
+  def abortEpoch(spark: SparkSession, root: String, epoch: Long): Unit = {
+    require(!epochMarkers(spark, commitMarkerDir(root)).contains(epoch),
+      s"epoch $epoch at $root is COMMITTED — committed history is " +
+        "immutable; abort is for half-landed epochs only")
+    writeEpochMarker(spark, abortMarkerDir(root), epoch)
+  }
+
+  /** Epochs aborted and not (yet) superseded by a completed re-land. */
+  def abortedEpochs(spark: SparkSession, root: String): Set[Long] =
+    epochMarkers(spark, abortMarkerDir(root)).toSet --
+      epochMarkers(spark, commitMarkerDir(root)).toSet
+
   /** Cross-store read consistency: gate an epoch-partitioned store
     * view to ingest epochs at or below the topology's committed
-    * watermark. A consumer that reads ONE store can take the plain
-    * view (each store is internally consistent); a consumer that
-    * JOINS across stores applies this to every side so all of them
-    * resolve at the same highest fully-committed epoch — a
-    * half-landed epoch (crash mid-topology) is invisible until its
-    * replay completes and the marker appears. Fold-collapsed layers
-    * (epoch 0) always pass; delete epochs live in tombstone tables,
-    * which this never gates. */
-  def consistentView(df: DataFrame, root: String): DataFrame =
-    committedWatermark(df.sparkSession, root) match {
+    * watermark, excluding ABORTED epochs (an aborted epoch's partial
+    * store commits stay invisible even after later epochs commit and
+    * the watermark passes it — see [[abortEpoch]]). A consumer that
+    * reads ONE store can take the plain view (each store is
+    * internally consistent); a consumer that JOINS across stores
+    * applies this to every side so all of them resolve at the same
+    * highest fully-committed epoch — a half-landed epoch (crash
+    * mid-topology) is invisible until its replay completes and the
+    * marker appears. Fold-collapsed layers (epoch 0) always pass;
+    * delete epochs live in tombstone tables, which this never
+    * gates. */
+  def consistentView(df: DataFrame, root: String): DataFrame = {
+    val spark = df.sparkSession
+    val gated = committedWatermark(spark, root) match {
       case None => df
       case Some(wm) => df.where(col("ingest_epoch").cast("long") <= wm)
     }
+    val aborted = abortedEpochs(spark, root)
+    if (aborted.isEmpty) gated
+    else gated.where(!col("ingest_epoch").cast("long")
+      .isin(aborted.toSeq: _*))
+  }
 
   /** Register every testdata table as a temp view so `spark.sql` works
     * (ref A6: arbitrary SQL pushed to the warehouse). */

@@ -1944,6 +1944,84 @@ class StreamOpsSpec extends SparkSpec {
     org.apache.hadoop.fs.FileUtil.fullyDelete(root0.toFile)
   }
 
+  test("abortable topology epoch: kill -> abort -> the topology moves " +
+    "on past the dead epoch (consistent views never expose it, even " +
+    "after the watermark passes it) -> a re-land supersedes the abort") {
+    import spark.implicits._
+    def mk(p: String) = (0 until 60).map(i => s"$p$i").mkString(" ")
+    def full(rows: Seq[(Long, String)]) = rows.map { case (id, tx) =>
+      (id, tx, "en", "srcA", tx.length.toLong) }
+    val root0 = java.nio.file.Files.createTempDirectory("graft-abort")
+    val root = root0.toString
+    val stage = s"$root/stage"
+    new java.io.File(stage).mkdirs()
+    def land(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = root0.resolve(s"tmp-$name").toString
+      full(rows).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$stage/$name.parquet"))
+    }
+    val seed = Seq(11L -> mk("aa"), 12L -> mk("ab"))
+    ingestBatch(full(seed).toDF("doc_id", "text", "lang", "source",
+      "n_chars"), 0L, s"$root/corpus")
+    val seedDocs = seed.toDF("doc_id", "text")
+    graft.ops.Curation.buildClusterArchiveTo(seedDocs, s"$root/clusters")
+    graft.ops.TextOps.buildWinnowIndexTo(seedDocs, s"$root/winnow")
+    graft.ops.TextOps.buildTokenIndexTo(seedDocs, s"$root/tokens")
+    graft.ops.Multimodal.buildPhashIndexTo(spark, seedDocs, s"$root/phash")
+    graft.ops.Multimodal.buildAudioFpIndexTo(spark, seedDocs,
+      s"$root/audio")
+    land("a1", Seq(13L -> mk("ac")))
+    runFrontDoor(readDocuments(spark, stage, Some(1)), root, s"$root/ckpt")
+    assert(graft.io.Tables.committedWatermark(spark, root) == Some(1L))
+    def plainIds() = corpusView(spark, s"$root/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    def consIds() = consistentCorpusView(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+
+    // KILL: epoch 2 reaches the corpus store only — then the operator
+    // decides the batch will never replay and ABORTS it
+    ingestBatch(full(Seq(17L -> mk("ad")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      2L, s"$root/corpus")
+    graft.io.Tables.abortEpoch(spark, root, 2L)
+    assert(graft.io.Tables.abortedEpochs(spark, root) == Set(2L))
+    assert(consIds() == Set(11L, 12L, 13L),
+      "aborted epoch visible to a consistent reader")
+
+    // MOVE ON: epoch 3 commits fully and the watermark PASSES the
+    // dead epoch — without the abort mask this is exactly where the
+    // watermark gate alone would expose epoch 2's partial rows
+    ingestBatch(full(Seq(19L -> mk("ae")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      3L, s"$root/corpus")
+    graft.io.Tables.commitEpochMarker(spark, root, 3L)
+    assert(graft.io.Tables.committedWatermark(spark, root) == Some(3L))
+    assert(plainIds() == Set(11L, 12L, 13L, 17L, 19L),
+      "plain view must still see the aborted epoch's partial rows")
+    assert(consIds() == Set(11L, 12L, 13L, 19L),
+      "consistent view exposed an aborted epoch below the watermark")
+
+    // RE-LAND: the stream replay arrives after all (its checkpoint
+    // still owes batch 2) — replace-or-add overwrites the partial
+    // commit, every store lands, the marker supersedes the abort
+    land("a2", Seq(17L -> mk("ad")))
+    runFrontDoor(readDocuments(spark, stage, Some(1)), root, s"$root/ckpt")
+    assert(graft.io.Tables.abortedEpochs(spark, root).isEmpty,
+      "a completed re-land must supersede the abort")
+    assert(consIds() == Set(11L, 12L, 13L, 17L, 19L),
+      "re-landed epoch missing from the consistent view")
+
+    // committed history is immutable: abort refuses
+    intercept[IllegalArgumentException] {
+      graft.io.Tables.abortEpoch(spark, root, 3L)
+    }
+    org.apache.hadoop.fs.FileUtil.fullyDelete(root0.toFile)
+  }
+
   test("unified RTBF 1:N mapping: one forget-request for a doc with " +
     "three chunk embeddings masks all three in the ANN serve path AND " +
     "the SemDeDup witness probe in the same sweep; replay idempotent") {
