@@ -761,6 +761,52 @@ object Relational {
       |GROUP BY a.user_id, a.event_id
       |ORDER BY a.user_id, a.event_id""".stripMargin
 
+  /** Gated: FULL-OUTER band join — purchases against the errors that
+    * follow them within 10 minutes for the same user, BOTH sides
+    * preserved. Declaratively this is the one band-join type with no
+    * direct binned rewrite (nowhere to put the explode), so
+    * [[graft.plans.RangeBinJoin]] decomposes it:
+    * left-outer leg ∪ null-padded right-anti leg, each leg then
+    * binned — RangeBinJoinSpec pins the no-BNLJ plan; this gate pins
+    * the answer (matched pairs + unmatched counts from both sides,
+    * the full-outer semantics in one row). */
+  def qJoinRangeFull(s: SparkSession, dir: String): DataFrame = {
+    val bandUs = 600000000L // 10 minutes in microseconds
+    val ev = t(s, dir, "events")
+    val a = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("eid_a"),
+        unix_micros(col("ts")).as("us_a"))
+    val b = ev.where(col("event_type") === "error")
+      .select(col("user_id").as("uid_b"),
+        col("event_id").as("eid_b"), unix_micros(col("ts")).as("us_b"))
+    a.join(b,
+        col("user_id") === col("uid_b") &&
+          col("us_b") >= col("us_a") &&
+          col("us_b") <= col("us_a") + bandUs,
+        "full_outer")
+      .agg(
+        count(when(col("eid_a").isNotNull && col("eid_b").isNotNull,
+          lit(1))).as("n_pairs"),
+        count(when(col("eid_b").isNull, lit(1))).as("a_unmatched"),
+        count(when(col("eid_a").isNull, lit(1))).as("b_unmatched"))
+  }
+
+  val qJoinRangeFullOracle: String =
+    """WITH a AS (SELECT user_id, event_id AS eid_a,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us_a
+      |  FROM events WHERE event_type = 'purchase'),
+      |b AS (SELECT user_id AS uid_b, event_id AS eid_b,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us_b
+      |  FROM events WHERE event_type = 'error')
+      |SELECT
+      |  count(CASE WHEN eid_a IS NOT NULL AND eid_b IS NOT NULL
+      |    THEN 1 END) AS n_pairs,
+      |  count(CASE WHEN eid_b IS NULL THEN 1 END) AS a_unmatched,
+      |  count(CASE WHEN eid_a IS NULL THEN 1 END) AS b_unmatched
+      |FROM a FULL JOIN b
+      |  ON a.user_id = uid_b
+      | AND us_b >= us_a AND us_b <= us_a + 600000000""".stripMargin
+
   /** As-of join: each 'error' event picks the latest prior-or-same
     * 'signup' of the same user. Implemented with the union+window
     * idiom (one shuffle, no nested loop): carry signup timestamps down
@@ -1527,6 +1573,7 @@ object Relational {
     "q_join_range" -> qJoinRange,
     "q_join_range_auto" -> qJoinRangeAuto,
     "q_join_range_left" -> qJoinRangeLeft,
+    "q_join_range_full" -> qJoinRangeFull,
     "q_join_asof" -> qJoinAsof,
     "q_pivot" -> qPivot,
     "q_stats_agg" -> qStatsAgg,
@@ -1581,6 +1628,7 @@ object Relational {
     "q_join_range" -> qJoinRangeOracle,
     "q_join_range_auto" -> qJoinRangeOracle,
     "q_join_range_left" -> qJoinRangeLeftOracle,
+    "q_join_range_full" -> qJoinRangeFullOracle,
     "q_join_asof" -> qJoinAsofOracle,
     "q_pivot" -> qPivotOracle,
     "q_stats_agg" -> qStatsAggOracle,

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
@@ -64,8 +64,11 @@ import org.apache.spark.sql.types._
   * `floorDiv(lo)+1`, and dually a point in bin `p` can only meet
   * intervals whose low bin is `p−1` or `p` — EITHER side can be the
   * exploded one, and each qualifying pair still meets in exactly one
-  * bin pair. Full outer is skipped (both sides preserved — nowhere
-  * to put the explode).
+  * bin pair. FULL OUTER has both sides preserved — nowhere to put
+  * the explode — so it decomposes instead:
+  * `A FULL B ≡ (A LEFT-OUTER B) ∪ (nulls ++ (B ANTI A))`, two legs
+  * this rule then bins individually; each side scans twice (linear)
+  * where the BNLJ it replaces was quadratic.
   *
   * The rule leaves the plan alone when: the band shape is absent, a
   * broadcast hint names either side (the user chose replication — a
@@ -88,6 +91,24 @@ object RangeBinJoin extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
     plan.transformUp {
+      // FULL OUTER: both sides preserved, so NEITHER may carry the
+      // explode — no direct rewrite exists. Decompose instead:
+      //   A FULL B ≡ (A LEFT-OUTER B) ∪ (nulls ++ (B ANTI A))
+      // — each leg is a band join this rule covers (explode lands on
+      // the leg's non-preserved side on the next fixpoint pass), so
+      // the full-outer family gets the shuffle-bounded plan too, at
+      // the price of scanning each side twice (linear; the BNLJ this
+      // replaces is quadratic). Guarded by the same band match as
+      // the direct rewrite: a non-band full outer is left alone.
+      case j @ Join(l, r, FullOuter, Some(cond), hint)
+          if j.resolved && !broadcastHinted(hint) && !alreadyBinned(j)
+            && findBand(j, cond).exists(!preBinned(j, cond, _)) =>
+        val leftLeg = Join(l, r, LeftOuter, Some(cond), hint)
+        val rightLeg = Project(
+          l.output.map(a =>
+            Alias(Literal(null, a.dataType), a.name)()) ++ r.output,
+          Join(r, l, LeftAnti, Some(cond), JoinHint.NONE))
+        Union(Seq(leftLeg, rightLeg))
       case j @ Join(_, _, jt, Some(cond), hint)
           if j.resolved && supportedType(jt) && !broadcastHinted(hint) &&
             !alreadyBinned(j) =>

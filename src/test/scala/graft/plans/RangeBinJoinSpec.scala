@@ -244,14 +244,44 @@ class RangeBinJoinSpec extends SparkSpec {
     assert(rows(semi).intersect(rows(anti)).isEmpty)
   }
 
-  test("full-outer band join is left alone (both sides preserved)") {
-    val a = points
-    val b = points.select(col("id").as("id_b"), col("k").as("k_b"),
-      col("v").as("v_b"))
+  test("full-outer band join decomposes into binned left-outer + " +
+    "null-padded anti legs — no quadratic physical join, rows " +
+    "bit-identical to the naive full outer") {
+    val a = points.where(col("id") <= 8L)
+    val b = points.where(col("id") >= 5L)
+      .select(col("id").as("id_b"), col("k").as("k_b"),
+        col("v").as("v_b"))
     def q = a.join(b, col("k") === col("k_b") &&
         col("v_b") >= col("v") && col("v_b") <= col("v") + 10L,
       "full_outer").select(col("id"), col("id_b"))
-    assert(!binned(q), "full outer has no non-preserved side to explode")
+    assert(binned(q),
+      "expected the decomposition's legs to carry the bin equi-key")
+    val phys = q.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoop") &&
+      !phys.contains("CartesianProduct"),
+      s"full-outer band join still plans a quadratic join:\n$phys")
+    assert(phys.contains("Union"),
+      s"expected the left-outer ∪ anti decomposition:\n$phys")
+    val got = rows(q)
+    assert(got === withRuleDisabled { rows(q) },
+      "decomposition changed the full-outer answer")
+    // non-vacuous: unmatched rows survive from BOTH sides
+    assert(got.exists(r => r.head != null && r(1) == null),
+      "fixture vacuous: no left-unmatched row")
+    assert(got.exists(r => r.head == null && r(1) != null),
+      "fixture vacuous: no right-unmatched row")
+  }
+
+  test("non-band full-outer joins are left alone") {
+    val a = points
+    val b = points.select(col("id").as("id_b"), col("k").as("k_b"),
+      col("v").as("v_b"))
+    def q = a.join(b, col("k") === col("k_b") && col("v") < col("v_b"),
+      "full_outer").select(col("id"), col("id_b"))
+    assert(!binned(q), "no band shape — nothing to decompose")
+    val phys = q.queryExecution.executedPlan.toString
+    assert(!phys.contains("Union"),
+      s"non-band full outer must not decompose:\n$phys")
     assert(rows(q) === withRuleDisabled { rows(q) })
   }
 
