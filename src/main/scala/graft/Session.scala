@@ -65,8 +65,19 @@ object Session {
   private[graft] def swallowedConfs(s: SparkSession,
       wanted: Seq[(String, String)]): Seq[(String, String)] =
     wanted.filter { case (k, v) =>
-      !s.conf.getOption(k).contains(v) &&
+      !confCarries(k, s.conf.getOption(k), v) &&
         // runtime conf misses static SparkConf-only keys; check there
-        !s.sparkContext.getConf.getOption(k).contains(v)
+        !confCarries(k, s.sparkContext.getConf.getOption(k), v)
     }
+
+  /** Does a session conf value honor the requested one?
+    * `spark.sql.extensions` is a comma-separated LIST: a session
+    * that carries ours alongside other extensions has honored the
+    * request (the extensions are all active) — membership, not
+    * whole-string equality. Every other key compares exactly. */
+  private[graft] def confCarries(k: String, actual: Option[String],
+      v: String): Boolean =
+    if (k == "spark.sql.extensions")
+      actual.exists(_.split(',').map(_.trim).contains(v))
+    else actual.contains(v)
 }

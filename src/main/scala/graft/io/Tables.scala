@@ -1,9 +1,10 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col,
-  collect_list, count, expr, greatest, hash, input_file_name, lit, max,
-  min, pmod, sort_array, sum, when, xxhash64}
+import org.apache.spark.sql.functions.{array_contains, broadcast,
+  coalesce, col, collect_list, count, expr, greatest, hash,
+  input_file_name, least, lit, max, min, pmod, sort_array, sum, when,
+  xxhash64}
 import org.apache.spark.sql.types.StructType
 
 /** Table IO for the engine.
@@ -564,14 +565,65 @@ object Tables {
     -1L // unreachable
   }
 
+  // ---------- Plan-time snapshot memoization ----------
+  // Constructing a manifested read costs per-base parquet footer /
+  // schema resolution (mergeSchema) and file listing at PLAN time —
+  // a driver-side constant that compounds when serve-shaped queries
+  // (indexed ANN, BM25 probes, incremental consumers) re-read the
+  // same immutable snapshot on every query. A manifest VERSION's
+  // file set is immutable (commits make new versions; vacuum only
+  // reclaims superseded ones), so the resolved DataFrame is
+  // reusable verbatim until the pointer moves: memo keyed by
+  // (session, path, version). Correctness is free — a key is only
+  // ever served for the version the caller just resolved, and that
+  // version's files cannot change. Bounded; cross-session entries
+  // die with their key's session component.
+  private val snapshotMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def readPartsCached(spark: SparkSession, path: String,
+      version: Long, parts: Map[String, String]): DataFrame = {
+    val key =
+      s"${System.identityHashCode(spark)}#$path@$version"
+    val hit = snapshotMemo.get(key)
+    if (hit != null) hit
+    else {
+      val df = readFromParts(spark, path, parts)
+      if (snapshotMemo.size > 256) snapshotMemo.clear()
+      snapshotMemo.put(key, df)
+      df
+    }
+  }
+
   /** Snapshot read through the pointer: resolve the latest manifest,
     * group its directories by version (each version root is one
     * `basePath`, so partition-column reconstruction works), union.
     * Every directory a resolved manifest references is guaranteed
     * live — commits never delete, only vacuum does. */
   def readManifested(spark: SparkSession, path: String): DataFrame = {
-    val (_, parts) = resolveManifest(spark, path)
-    readFromParts(spark, path, parts)
+    val (v, parts) = resolveManifest(spark, path)
+    readPartsCached(spark, path, v, parts)
+  }
+
+  /** Memoized read of a SMALL immutable artifact directory (index
+    * centroids/codebooks, persisted stats) — the serve-path sibling
+    * of the snapshot memo: artifacts are rewritten wholesale (never
+    * appended), so the dir's modification time stamps the content
+    * and the resolved DataFrame is reusable until it changes. One
+    * file-status probe per query replaces a listing + footer read. */
+  def readArtifactCached(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsFor(spark, p)
+    val stamp = fs.getFileStatus(p).getModificationTime
+    val key = s"${System.identityHashCode(spark)}#art#$dir@$stamp"
+    val hit = snapshotMemo.get(key)
+    if (hit != null) hit
+    else {
+      val df = spark.read.parquet(dir)
+      if (snapshotMemo.size > 256) snapshotMemo.clear()
+      snapshotMemo.put(key, df)
+      df
+    }
   }
 
   /** Time-travel read: the snapshot as of manifest version `asOf`.
@@ -841,6 +893,20 @@ object Tables {
       }
     drop.filterNot(lateKeep.contains).foreach(m =>
       fs.delete(m.getPath, false))
+    // deletion-vector dead mass: every _dv subdir except the one the
+    // current pointer names (superseded rebuilds, and masks whose
+    // pointer a retirement dropped) — same retained-until-vacuum
+    // grace the data dirs get, so a reader holding an old pointer
+    // never loses its files mid-scan
+    val dvRoot = new org.apache.hadoop.fs.Path(
+      s"${path.stripSuffix("/")}/_dv")
+    if (fs.exists(dvRoot)) {
+      val live = deletionVectors(spark, path)
+        .map(p => new org.apache.hadoop.fs.Path(p.dir).getName).toSet
+      fs.listStatus(dvRoot)
+        .filter(st => !live.contains(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, true))
+    }
   }
 
   // ---------- Ingest expectations (declared data-quality gates) ----------
@@ -1772,7 +1838,18 @@ object Tables {
       }
       vdirs.size
     }
-    scratch + versions
+    // legacy remnants: a migrated archive's root-level partition
+    // dirs + root sidecar, retained through the migration's grace
+    // period (readers that resolved the legacy root), reclaimed here
+    val legacy = cur.fold(0) { _ =>
+      val dead = fs.listStatus(root).toSeq.filter(st =>
+        st.isDirectory && st.getPath.getName.contains("="))
+      dead.foreach(st => fs.delete(st.getPath, true))
+      val spec = bucketSpecPath(path)
+      if (dead.nonEmpty || fs.exists(spec)) fs.delete(spec, false)
+      dead.size
+    }
+    scratch + versions + legacy
   }
 
   /** Full-rewrite maintenance (the epoch FOLD): stage the rewritten
@@ -1824,14 +1901,14 @@ object Tables {
     writeBucketedVersionDir(df, path, next, key, buckets, partCols)
     commitBucketVersion(spark, path, next)
     if (cur.isEmpty) {
-      // legacy migration: drop the root-level table + its data dirs
-      // (the sidecar last, so a crash mid-cleanup still resolves the
-      // new version first and re-runs this sweep harmlessly)
+      // legacy migration: drop only the legacy CATALOG entry now.
+      // The root-level partition dirs + sidecar stay as dead mass —
+      // version markers resolve first, so every versioned reader
+      // already ignores them, and a concurrent reader that resolved
+      // the LEGACY root keeps a complete snapshot mid-scan (the same
+      // retained-version grace period a superseded version dir
+      // gets); [[sweepBucketedScratch]] reclaims them after it
       spark.sql(s"DROP TABLE IF EXISTS `${bucketedArchName(path)}`")
-      fs.listStatus(root)
-        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-        .foreach(st => fs.delete(st.getPath, true))
-      fs.delete(bucketSpecPath(path), false)
     }
     ensureBucketedRegistered(spark, path)
     refreshBucketedBlooms(spark, path)
@@ -1986,9 +2063,9 @@ object Tables {
                      keyCol: String): Option[DataFrame] =
     if (!manifestExists(spark, path)) None
     else {
-      val (_, parts) = resolveManifest(spark, path)
+      val (v, parts) = resolveManifest(spark, path)
       if (parts.isEmpty) None // cleared by a physical fold
-      else Some(readFromParts(spark, path, parts)
+      else Some(readPartsCached(spark, path, v, parts)
         .select(col(keyCol)).distinct())
     }
 
@@ -2002,9 +2079,9 @@ object Tables {
                                               path: String): Option[DataFrame] =
     if (!manifestExists(spark, path)) None
     else {
-      val (_, parts) = resolveManifest(spark, path)
+      val (v, parts) = resolveManifest(spark, path)
       if (parts.isEmpty) None
-      else Some(readFromParts(spark, path, parts))
+      else Some(readPartsCached(spark, path, v, parts))
     }
 
   /** The tombstone-masked read view: subtract an archive's live
@@ -2021,6 +2098,105 @@ object Tables {
       case Some(t) => df.join(
         org.apache.spark.sql.functions.broadcast(t), Seq(keyCol), "left_anti")
     }
+
+  /** The tombstone-masked snapshot read that CONSUMES the
+    * deletion-vector sidecar at scan time — the read-side half of
+    * the DV story ([[computeDeletionVectors]] is the write side).
+    *
+    * [[minusTombstones]] masks by KEY: a broadcast anti-join whose
+    * build side grows with every RTBF delete until the next physical
+    * fold — at 100 TB delete volume that broadcast is the OOM shape,
+    * and every read pays a per-row key hash against it. When a
+    * CURRENT sidecar exists (its recorded manifest version equals
+    * the version this read resolves — any later commit may have
+    * replaced files the mask indexes by position), the mask is
+    * positional instead: one broadcast of (victim file → sorted
+    * row-index array) joined on the scan's `_metadata.file_path`,
+    * with rows dropped when their `_metadata.row_index` sits in the
+    * file's array. The broadcast is one row per VICTIM FILE of
+    * packed longs — bounded by victims, compact, and key-free. A
+    * key anti-join remains ONLY for tombstones that landed AFTER
+    * the sidecar's recorded lane coverage (the delete-after-DV
+    * window), and is skipped outright when there are none — the
+    * steady state between a delete's DV build and its retirement.
+    *
+    * Overlay discipline: no sidecar, a pre-versioned pointer, a
+    * version mismatch, or a vanished mask dir all degrade to
+    * [[minusTombstones]] — staleness costs the positional fast
+    * path, never rows. Row-identical to the key mask by
+    * construction (the DV was built from the same tombstone set
+    * against the same files). */
+  def readManifestedMasked(spark: SparkSession, path: String,
+      tombPath: String, keyCol: String): DataFrame = {
+    val tombE = readTombstonesWithEpochs(spark, tombPath)
+    if (tombE.isEmpty) return readManifested(spark, path)
+    val (version, parts) = resolveManifest(spark, path)
+    def keyMasked = minusTombstones(
+      readFromParts(spark, path, parts), tombPath, keyCol)
+    val dvOpt = deletionVectors(spark, path)
+      .filter(_.version == version)
+    if (dvOpt.isEmpty) return keyMasked
+    val dvp = dvOpt.get
+    val dv = try
+      spark.read.parquet(dvp.dir)
+        .select(col("file").as("_dv_file"),
+          col("positions").as("_dv_positions"))
+    catch {
+      // the mask dir can vanish under a racing vacuum after a
+      // retirement dropped the pointer this read already resolved
+      case scala.util.control.NonFatal(_) => return keyMasked
+    }
+    val base = readWithLineage(spark, path, parts)
+    val masked = base
+      .join(broadcast(dv), base("_file") === col("_dv_file"),
+        "left_outer")
+      .where(col("_dv_positions").isNull ||
+        !array_contains(col("_dv_positions"), col("_pos")))
+      .drop("_file", "_pos", "_dv_file", "_dv_positions")
+    // tombstones landed after the DV build: key-mask exactly those
+    val e = col("ingest_epoch").cast("long")
+    val fresh = tombE.get.where(
+      (e < lit(DeleteEpochBase) && e > lit(dvp.insCovered)) ||
+        (e >= lit(DeleteEpochBase) && e > lit(dvp.delCovered)))
+      .select(col(keyCol)).distinct()
+    val (fi, fd) = laneMaxes(tombE.get)
+    if (fi <= dvp.insCovered && fd <= dvp.delCovered) masked
+    else masked.join(broadcast(fresh), Seq(keyCol), "left_anti")
+  }
+
+  /** Register a manifested archive as a SQL-visible (temp) view, so
+    * `spark.sql("SELECT … FROM name")` and any session-attached SQL
+    * tooling reach the store — the catalog surface manifested
+    * archives otherwise lack (bucketed archives are real catalog
+    * tables already; manifested stores were API-only).
+    *
+    * The view is the SAME logical plan the API read produces, so the
+    * whole optimizer surface carries over unchanged: [[graft.plans
+    * .AutoFileSkip]] prunes files through the sidecars when a SQL
+    * WHERE pushes down, [[graft.plans.ManifestStatsRule]] attaches
+    * commit-time stats under CBO, and with `tombPath`/`keyCol` the
+    * view serves the tombstone-masked (DV-consuming,
+    * [[readManifestedMasked]]) live state.
+    *
+    * SNAPSHOT semantics: the view resolves the manifest AT
+    * REGISTRATION — exactly the consistent-read contract
+    * ([[readManifested]]); commits after registration are not seen
+    * until re-registration (call again to advance — cheap, one
+    * manifest read). That is a feature at 100 TB: a BI dashboard
+    * never reads a half-landed commit. Session-scoped: each JVM
+    * registers its own views (the catalog entry is metadata only —
+    * zero data movement). */
+  def registerManifestedSql(spark: SparkSession, name: String,
+      path: String, tombPath: Option[String] = None,
+      keyCol: Option[String] = None): Unit = {
+    val df = (tombPath, keyCol) match {
+      case (Some(t), Some(k)) => readManifestedMasked(spark, path, t, k)
+      case (None, None) => readManifested(spark, path)
+      case _ => throw new IllegalArgumentException(
+        "tombPath and keyCol come together (both or neither)")
+    }
+    df.createOrReplaceTempView(name)
+  }
 
   /** Empty an archive's auxiliary table in ONE pointer flip — used by
     * physical folds to retire tombstones they just applied. Data dirs
@@ -2063,6 +2239,9 @@ object Tables {
     if (!fs.exists(m.getParent)) fs.mkdirs(m.getParent)
     val out = fs.create(m, true)
     try out.write("1".getBytes("UTF-8")) finally out.close()
+    // a scan of this table planned before the opt-in cached it as a
+    // miss — drop the negative cache so the next plan estimates
+    graft.plans.ManifestStatsRule.invalidateMisses()
   }
 
   private def commitStatsEnabled(spark: SparkSession,
@@ -2075,21 +2254,37 @@ object Tables {
   private def statsFilePath(root: org.apache.hadoop.fs.Path, v: Long) =
     new org.apache.hadoop.fs.Path(root, f"_stats-$v%09d")
 
-  /** One partition's commit-time stats: rows, bytes, and per
-    * data-column (ndv, nulls, min, max, avgLen, maxLen) — min/max
-    * recorded for numeric columns only (exactly the types whose
-    * external string form Catalyst parses back losslessly). */
+  /** One column's commit-time stats. `min`/`max` are recorded for
+    * numeric columns only (exactly the types whose external string
+    * form Catalyst parses back losslessly); `smin`/`smax` are STRING
+    * bounds, base64-encoded so arbitrary content survives the
+    * sidecar's `|`/`;`/tab field syntax; `hist` is the column's
+    * equi-height histogram — (rows per bin, bins as (lo, hi, ndv)) —
+    * built at commit time over the fresh data, the input CBO skew
+    * selectivity needs and ANALYZE would otherwise have to scan
+    * for. */
+  private[graft] case class ColStat(ndv: Long, nulls: Long,
+      min: Option[String], max: Option[String],
+      avgLen: Long, maxLen: Long,
+      hist: Option[(Double, Seq[(Double, Double, Long)])] = None,
+      smin: Option[String] = None, smax: Option[String] = None)
+
+  /** One partition's commit-time stats: rows, bytes, per-column. */
   private[graft] case class PartStats(rows: Long, bytes: Long,
-      cols: Map[String, (Long, Long, Option[String], Option[String],
-        Long, Long)])
+      cols: Map[String, ColStat])
+
+  /** Equi-height histogram bin count — Spark's ANALYZE default. */
+  private val HistBins = 32
 
   /** Aggregate the stats of a FRESHLY WRITTEN dir, per partition —
-    * one job over only the new data. */
+    * one pass over only the new data for counts/ndv/bounds +
+    * per-column percentile boundaries, and one stacked pass for
+    * per-bin ndv (the equi-height histogram bodies). */
   private def freshPartStats(spark: SparkSession, dir: String,
       partCols: Seq[String]): Map[String, PartStats] = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions.{approx_count_distinct, avg,
-      length}
+      base64, concat_ws, expr, length}
     val df = spark.read.option("basePath", dir).parquet(dir)
     val statable = df.schema.fields.toSeq
       .filterNot(f => partCols.contains(f.name))
@@ -2099,6 +2294,10 @@ object Tables {
              TimestampType => true
         case _ => false
       }))
+    val numericCols = statable
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name)
+    val pctArray = (0 to HistBins)
+      .map(i => i.toDouble / HistBins).mkString("array(", ",", ")")
     val aggs = statable.flatMap { f =>
       val c = col(f.name)
       val numeric = f.dataType.isInstanceOf[NumericType]
@@ -2117,40 +2316,117 @@ object Tables {
           case StringType =>
             coalesce(max(length(c)).cast("long"), lit(0L))
           case t => lit(t.defaultSize.toLong)
-        }).as(s"len|${f.name}"))
+        }).as(s"len|${f.name}"),
+        (f.dataType match {
+          // string BOUNDS, base64-coded so arbitrary content
+          // survives the sidecar's field separators
+          case StringType => base64(min(c).cast("binary"))
+          case _ => lit(null).cast("string")
+        }).as(s"smn|${f.name}"),
+        (f.dataType match {
+          case StringType => base64(max(c).cast("binary"))
+          case _ => lit(null).cast("string")
+        }).as(s"smx|${f.name}"),
+        (if (numeric)
+          expr(s"approx_percentile(cast(`${f.name}` as double), " +
+            s"$pctArray, 10000)")
+         else lit(null).cast("array<double>")).as(s"pct|${f.name}"))
     }
     if (aggs.isEmpty) return Map.empty
     val grouped = df.groupBy(partCols.map(col): _*)
       .agg(count(lit(1)).as("rows|"), aggs: _*).collect()
+    def partKeyOf(r: org.apache.spark.sql.Row): Option[String] = {
+      val kvs = partCols.map(pc => pc -> r.getAs[Any](pc))
+      if (kvs.exists(_._2 == null)) None
+      else Some(kvs.map { case (k, v) => s"$k=$v" }.mkString("/"))
+    }
+    // per-bin ndv: one stacked pass assigning each numeric value to
+    // its partition's percentile bin (matching the boundary layout
+    // above), then approx-distinct per (partition, column, bin) —
+    // the exact second pass ANALYZE's histogram runs, over only the
+    // fresh data
+    val binNdv: Map[(String, String, Int), Long] =
+      if (numericCols.isEmpty) Map.empty
+      else {
+        val bounds = grouped.flatMap { r =>
+          partKeyOf(r).toSeq.flatMap { pk =>
+            numericCols.flatMap { n =>
+              Option(r.getAs[scala.collection.Seq[Double]](s"pct|$n"))
+                .map(bs => (pk, n, bs.toSeq))
+            }
+          }
+        }.toSeq
+        if (bounds.isEmpty) Map.empty
+        else {
+          import spark.implicits._
+          val boundsDf = bounds.toDF("pk", "cname", "bounds")
+          val stackExpr = s"stack(${numericCols.size}, " +
+            numericCols.map(n => s"'$n', cast(`$n` as double)")
+              .mkString(",") + ") as (cname, v)"
+          val pkCol = concat_ws("/", partCols.map(pc =>
+            concat_ws("=", lit(pc), col(pc).cast("string"))): _*)
+          val stacked = df
+            .select(partCols.map(col) :+ expr(stackExpr): _*)
+            .withColumn("pk", pkCol)
+            .where(col("v").isNotNull)
+          stacked.join(broadcast(boundsDf), Seq("pk", "cname"))
+            .withColumn("bin", least(
+              lit(HistBins - 1),
+              expr(s"aggregate(slice(bounds, 2, ${HistBins - 1}), " +
+                "0, (acc, b) -> acc + if(v >= b, 1, 0))")))
+            .groupBy(col("pk"), col("cname"), col("bin"))
+            .agg(approx_count_distinct(col("v")).as("bndv"))
+            .collect()
+            .map(r => ((r.getString(0), r.getString(1), r.getInt(2)),
+              r.getLong(3))).toMap
+        }
+      }
     val fs = fsFor(spark, new org.apache.hadoop.fs.Path(dir))
     grouped.flatMap { r =>
-      val kvs = partCols.map(pc => pc -> r.getAs[Any](pc))
-      if (kvs.exists(_._2 == null)) None // null partition value: skip
-      else {
-        val part = kvs.map { case (k, v) => s"$k=$v" }.mkString("/")
+      partKeyOf(r).map { part =>
         val pBytes =
           try fs.getContentSummary(new org.apache.hadoop.fs.Path(
             s"${dir.stripSuffix("/")}/$part")).getLength
           catch { case _: java.io.FileNotFoundException => 0L }
+        val rows = r.getAs[Long]("rows|")
         val cols = statable.map { f =>
-          f.name -> ((r.getAs[Long](s"ndv|${f.name}"),
-            r.getAs[Long](s"nul|${f.name}"),
+          val nulls = r.getAs[Long](s"nul|${f.name}")
+          val hist = Option(
+            r.getAs[scala.collection.Seq[Double]](s"pct|${f.name}"))
+            .filter(_.size == HistBins + 1).map { bs =>
+              val binRows = (rows - nulls).toDouble / HistBins
+              val bins = (0 until HistBins).map { i =>
+                (bs(i), bs(i + 1), math.max(1L,
+                  binNdv.getOrElse((part, f.name, i), 0L)))
+              }
+              (binRows, bins: Seq[(Double, Double, Long)])
+            }
+          f.name -> ColStat(
+            r.getAs[Long](s"ndv|${f.name}"), nulls,
             Option(r.getAs[String](s"min|${f.name}")),
             Option(r.getAs[String](s"max|${f.name}")),
             math.ceil(r.getAs[Double](s"avg|${f.name}")).toLong,
-            r.getAs[Long](s"len|${f.name}")))
+            r.getAs[Long](s"len|${f.name}"),
+            hist,
+            Option(r.getAs[String](s"smn|${f.name}")),
+            Option(r.getAs[String](s"smx|${f.name}")))
         }.toMap
-        Some(part -> PartStats(r.getAs[Long]("rows|"), pBytes, cols))
+        part -> PartStats(rows, pBytes, cols)
       }
     }.toMap
   }
 
   private def encodeStats(lines: Map[String, PartStats]): String =
     lines.toSeq.sortBy(_._1).map { case (part, st) =>
-      val cols = st.cols.toSeq.sortBy(_._1).map {
-        case (n, (ndv, nul, mn, mx, avg, len)) =>
-          Seq(n, ndv.toString, nul.toString, mn.getOrElse(""),
-            mx.getOrElse(""), avg.toString, len.toString).mkString("|")
+      val cols = st.cols.toSeq.sortBy(_._1).map { case (n, c) =>
+        val histBlob = c.hist.map { case (binRows, bins) =>
+          binRows.toString + "~" + bins.map { case (lo, hi, ndv) =>
+            s"$lo:$hi:$ndv" }.mkString(",")
+        }.getOrElse("")
+        Seq(n, c.ndv.toString, c.nulls.toString, c.min.getOrElse(""),
+          c.max.getOrElse(""), c.avgLen.toString, c.maxLen.toString,
+          histBlob, c.smin.getOrElse(""), c.smax.getOrElse(""))
+          .mkString("|")
       }.mkString(";")
       s"$part\t${st.rows}\t${st.bytes}\t$cols"
     }.mkString("\n")
@@ -2159,13 +2435,75 @@ object Tables {
     body.split("\n").filter(_.nonEmpty).map { line =>
       val Array(part, rows, bytes, colBlob) = line.split("\t", 4)
       val cols = colBlob.split(";").filter(_.nonEmpty).map { cb =>
-        val f = cb.split("\\|", 7)
-        f(0) -> ((f(1).toLong, f(2).toLong,
+        val f = cb.split("\\|", 10)
+        val hist =
+          if (f.length < 8 || f(7).isEmpty) None
+          else f(7).split("~", 2) match {
+            case Array(h, bz) => Some((h.toDouble,
+              bz.split(",").toSeq.filter(_.nonEmpty).map { b =>
+                val Array(lo, hi, ndv) = b.split(":", 3)
+                (lo.toDouble, hi.toDouble, ndv.toLong)
+              }))
+            case _ => None
+          }
+        f(0) -> ColStat(f(1).toLong, f(2).toLong,
           Some(f(3)).filter(_.nonEmpty), Some(f(4)).filter(_.nonEmpty),
-          f(5).toLong, f(6).toLong))
+          f(5).toLong, f(6).toLong, hist,
+          if (f.length > 8) Some(f(8)).filter(_.nonEmpty) else None,
+          if (f.length > 9) Some(f(9)).filter(_.nonEmpty) else None)
       }.toMap
       part -> PartStats(rows.toLong, bytes.toLong, cols)
     }.toMap
+
+  /** Merge per-partition equi-height histograms into one — each
+    * input bin treated as uniform density, output re-binned to
+    * [[HistBins]] equal-mass bins with ndv apportioned by span
+    * overlap. Exact when one partition is selected; the standard
+    * mass-weighted approximation across several. */
+  private def mergeHists(
+      hists: Seq[(Double, Seq[(Double, Double, Long)])])
+      : Option[(Double, Seq[(Double, Double, Long)])] = {
+    if (hists.isEmpty) return None
+    if (hists.size == 1) return Some(hists.head)
+    val inBins = hists.flatMap { case (h, bins) =>
+      bins.map { case (lo, hi, ndv) => (lo, hi, h, ndv) } }
+      .sortBy(b => (b._1, b._2))
+    val total = inBins.map(_._3).sum
+    if (total <= 0) return None
+    val target = total / HistBins
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Double, Double, Long)]
+    var curLo = inBins.head._1
+    var acc = 0.0
+    var ndvAcc = 0.0
+    inBins.foreach { case (lo, hi, mass, ndv) =>
+      var remainingMass = mass
+      var remainingNdv = ndv.toDouble
+      var pos = lo
+      while (remainingMass > 1e-9 && out.size < HistBins - 1) {
+        val need = target - acc
+        if (remainingMass <= need + 1e-9) {
+          acc += remainingMass; ndvAcc += remainingNdv
+          pos = hi; remainingMass = 0.0; remainingNdv = 0.0
+        } else {
+          val frac = need / remainingMass
+          val cut =
+            if (hi > pos) pos + (hi - pos) * frac else hi
+          ndvAcc += remainingNdv * frac
+          out += ((curLo, cut, math.max(1L, math.round(ndvAcc))))
+          curLo = cut; pos = cut
+          remainingNdv *= (1 - frac); remainingMass -= need
+          acc = 0.0; ndvAcc = 0.0
+        }
+      }
+      if (out.size >= HistBins - 1) {
+        acc += remainingMass; ndvAcc += remainingNdv
+      }
+    }
+    val lastHi = inBins.map(_._2).max
+    out += ((curLo, lastHi, math.max(1L, math.round(ndvAcc))))
+    Some((target, out.toSeq))
+  }
 
   /** Publish version `v`'s stats sidecar: fresh stats for this
     * commit's own partitions over `freshDir`, carried lines from the
@@ -2200,8 +2538,7 @@ object Tables {
     * stats). */
   private[graft] def manifestStatsFor(spark: SparkSession, path: String,
       dirs: Set[String])
-      : Option[(Long, Long, Map[String, (Long, Long, Option[String],
-        Option[String], Long, Long)])] = {
+      : Option[(Long, Long, Map[String, ColStat])] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsFor(spark, root)
     if (!commitStatsEnabled(spark, path)) return None
@@ -2211,11 +2548,19 @@ object Tables {
     val lines = decodeStats(readSmallFile(fs, sf))
     def normP(p: String) =
       new org.apache.hadoop.fs.Path(p).toUri.getPath
-    val wanted = parts.filter { case (_, value) =>
-      val subs = entryPaths(value)
-      subs.nonEmpty && subs.forall(sp =>
-        dirs.contains(normP(entryDirAndBase(path, sp)._1)))
+    val partDirs: Map[String, Set[String]] = parts.map {
+      case (part, value) => part -> entryPaths(value)
+        .map(sp => normP(entryDirAndBase(path, sp)._1)).toSet
     }
+    // every partition the scan TOUCHES must be fully contained in the
+    // scanned dirs: a fragmented (multi-base) entry splits across two
+    // per-base relations, and counting its whole stats line for one
+    // branch — or skipping the line while the branch still scans the
+    // partition's carried files — both misestimate; a partial
+    // estimate is a wrong estimate, so degrade to none
+    val wanted = partDirs.filter { case (_, ds) =>
+      ds.nonEmpty && ds.exists(dirs.contains) }
+    if (wanted.exists { case (_, ds) => !ds.subsetOf(dirs) }) return None
     if (wanted.isEmpty || !wanted.keys.forall(lines.contains)) return None
     val sel = wanted.keys.toSeq.map(lines)
     val rows = sel.map(_.rows).sum
@@ -2228,18 +2573,60 @@ object Tables {
       if (per.exists(_.isEmpty)) None
       else {
         val vs = per.map(_.get)
-        val mins = vs.map(_._3)
-        val maxs = vs.map(_._4)
+        val mins = vs.map(_.min)
+        val maxs = vs.map(_.max)
         val (mn, mx) =
           if (mins.exists(_.isEmpty) || maxs.exists(_.isEmpty))
             (None, None)
           else (Some(mins.flatten.map(BigDecimal(_)).min.toString),
             Some(maxs.flatten.map(BigDecimal(_)).max.toString))
-        Some(c -> ((vs.map(_._1).max, vs.map(_._2).sum, mn, mx,
-          vs.map(_._5).max, vs.map(_._6).max)))
+        // histogram: only a FULL set merges — a partition without
+        // one would make the merged shape silently partial
+        val hist =
+          if (vs.exists(_.hist.isEmpty)) None
+          else mergeHists(vs.map(_.hist.get))
+        def b64(s: String) = new String(
+          java.util.Base64.getDecoder.decode(s), "UTF-8")
+        def enc(s: String) = java.util.Base64.getEncoder
+          .encodeToString(s.getBytes("UTF-8"))
+        val smins = vs.map(_.smin)
+        val smaxs = vs.map(_.smax)
+        val (smn, smx) =
+          if (smins.exists(_.isEmpty) || smaxs.exists(_.isEmpty))
+            (None, None)
+          else (Some(enc(smins.flatten.map(b64).min)),
+            Some(enc(smaxs.flatten.map(b64).max)))
+        Some(c -> ColStat(vs.map(_.ndv).max, vs.map(_.nulls).sum,
+          mn, mx, vs.map(_.avgLen).max, vs.map(_.maxLen).max,
+          hist, smn, smx))
       }
     }.toMap
     Some((rows, bytes, merged))
+  }
+
+  /** The merged STRING bounds of a column over the scanned
+    * partitions, decoded — the sidecar's base64 `smin`/`smax` as
+    * plain strings. Spark's cost model ignores string min/max, so
+    * these serve engine-side consumers (partition-level pruning
+    * decisions, data validation) rather than CatalogColumnStat. */
+  def commitStringBounds(spark: SparkSession, path: String,
+      column: String): Option[(String, String)] = {
+    val (_, parts) = resolveManifest(spark, path)
+    def normP(p: String) =
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val allDirs = parts.values.flatMap(entryPaths)
+      .map(sp => normP(entryDirAndBase(path, sp)._1)).toSet
+    manifestStatsFor(spark, path, allDirs).flatMap {
+      case (_, _, cols) =>
+        cols.get(column).flatMap { cs =>
+          def b64(s: String) = new String(
+            java.util.Base64.getDecoder.decode(s), "UTF-8")
+          (cs.smin, cs.smax) match {
+            case (Some(a), Some(b)) => Some((b64(a), b64(b)))
+            case _ => None
+          }
+        }
+    }
   }
 
   // ---------- Deletion vectors (file-local tombstone retirement) ----------
@@ -2294,7 +2681,7 @@ object Tables {
     readTombstones(spark, tombPath, keyCol) match {
       case None => 0L
       case Some(tomb) =>
-        val (_, parts) = resolveManifest(spark, path)
+        val (version, parts) = resolveManifest(spark, path)
         if (parts.isEmpty) return 0L
         val (insTombMax, delTombMax) =
           readTombstonesWithEpochs(spark, tombPath)
@@ -2309,32 +2696,47 @@ object Tables {
             count(lit(1)).as("n_victims"))
         val dir = s"${path.stripSuffix("/")}/_dv/" +
           java.util.UUID.randomUUID.toString.take(8)
-        dv.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+        // no coalesce(1): the groupBy has already hash-partitioned
+        // the mask by file, so the sidecar lands partitioned by
+        // file-hash (AQE coalesces the small tail) — one funnel task
+        // for a 100 TB archive's whole victim mask would be the
+        // bottleneck the sidecar exists to remove
+        dv.write.mode(SaveMode.Overwrite).parquet(dir)
         val ptr = dvPtrPath(path)
         val fs = fsFor(spark, ptr)
-        val prev =
-          if (fs.exists(ptr)) readSmallFile(fs, ptr).split("\n").headOption
-          else None
         val out = fs.create(ptr, true)
-        try out.write(s"$dir\n$insTombMax\n$delTombMax\n$archMax"
+        try out.write(s"$dir\n$insTombMax\n$delTombMax\n$archMax\n$version"
           .getBytes("UTF-8"))
         finally out.close()
-        prev.foreach(d =>
-          fs.delete(new org.apache.hadoop.fs.Path(d), true))
+        // the superseded sidecar dir stays as dead mass for readers
+        // that resolved the old pointer (the overlay discipline every
+        // other sidecar follows); [[vacuumManifested]] reclaims it
         spark.read.parquet(dir).count()
     }
 
-  /** The current deletion-vector sidecar:
-    * (dir, covered ingest-lane max, covered delete-lane max, covered
-    * archive high-water), or None if never built / dropped by a
-    * retirement. */
+  /** A deletion-vector sidecar pointer: where the mask lives and
+    * what it covers. `version` is the MANIFEST version the mask was
+    * computed against — any later commit (append, compaction, even
+    * one that touches no tombstone lane) replaces files the mask
+    * indexes by position, so consumers require `version` to equal
+    * the current manifest version, not just lane/epoch currency. */
+  final case class DvPointer(dir: String, insCovered: Long,
+      delCovered: Long, archCovered: Long, version: Long)
+
+  /** The current deletion-vector sidecar pointer, or None if never
+    * built / dropped by a retirement. Pre-versioned pointers (no
+    * manifest version recorded) read as version -1: never current,
+    * so every consumer degrades to its scan/key-join fallback. */
   def deletionVectors(spark: SparkSession, path: String)
-      : Option[(String, Long, Long, Long)] = {
+      : Option[DvPointer] = {
     val ptr = dvPtrPath(path)
     val fs = fsFor(spark, ptr)
     if (!fs.exists(ptr)) None
     else readSmallFile(fs, ptr).split("\n") match {
-      case Array(dir, i, d, a) => Some((dir, i.toLong, d.toLong, a.toLong))
+      case Array(dir, i, d, a, v) =>
+        Some(DvPointer(dir, i.toLong, d.toLong, a.toLong, v.toLong))
+      case Array(dir, i, d, a) =>
+        Some(DvPointer(dir, i.toLong, d.toLong, a.toLong, -1L))
       case other => throw new IllegalStateException(
         s"garbled deletion-vector pointer at $ptr (${other.length} " +
           "lines) — delete it and re-run computeDeletionVectors")
@@ -2345,10 +2747,9 @@ object Tables {
                                   path: String): Unit = {
     val ptr = dvPtrPath(path)
     val fs = fsFor(spark, ptr)
-    deletionVectors(spark, path).foreach { case (dir, _, _, _) =>
-      fs.delete(ptr, false)
-      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    }
+    // pointer only: the mask dir stays for concurrent readers that
+    // already resolved it; vacuumManifested sweeps unreferenced dirs
+    if (fs.exists(ptr)) fs.delete(ptr, false)
   }
 
   /** FILE-LOCAL physical tombstone retirement — the deletion-vector
@@ -2402,11 +2803,18 @@ object Tables {
     def norm(p: String): String =
       new org.apache.hadoop.fs.Path(p).toUri.getPath
     val dvOpt = deletionVectors(spark, path)
-    val usedSidecar = dvOpt.exists { case (_, i, d, a) =>
-      i >= insTombMax && d >= delTombMax && a >= maxE }
+    // currency needs the MANIFEST VERSION too, not just the lanes and
+    // epoch high-water: a compaction (or any same-epoch replace)
+    // bumps the version and swaps files without touching either lane,
+    // and a sidecar naming the swapped-out victims would match no
+    // current file — the retirement would report clear_only and the
+    // tombstones would clear with their victims still physically live
+    val usedSidecar = dvOpt.exists { p =>
+      p.version == version && p.insCovered >= insTombMax &&
+        p.delCovered >= delTombMax && p.archCovered >= maxE }
     val victimFiles: Set[String] =
       (if (usedSidecar)
-        spark.read.parquet(dvOpt.get._1).select("file")
+        spark.read.parquet(dvOpt.get.dir).select("file")
           .collect().map(_.getString(0)).toSeq
       else
         readWithLineage(spark, path, parts)
@@ -3826,6 +4234,44 @@ object Tables {
       case Some(wm) => df.where(col("ingest_epoch").cast("long") <= wm)
     }
     val aborted = abortedEpochs(spark, root)
+    if (aborted.isEmpty) gated
+    else gated.where(!col("ingest_epoch").cast("long")
+      .isin(aborted.toSeq: _*))
+  }
+
+  /** CROSS-TOPOLOGY read consistency: gate an epoch-partitioned
+    * store view to the epochs every listed topology root has fully
+    * committed — the [[consistentView]] contract extended over
+    * SEVERAL roots for consumers that join ACROSS topologies (a
+    * cross-modal dedup verdict reads text + image + audio archives;
+    * the unified RTBF spans document and vector topologies). Each
+    * root's own watermark only certifies its own stores: topology A
+    * at watermark 5 and topology B half-landed at 4 means the PAIR
+    * is settled only through 3 — a consumer joining A and B must
+    * resolve BOTH at the mutual point, or it joins A's epoch-4 rows
+    * against a B that never finished landing theirs.
+    *
+    * The gate: ingest epochs at or below the MINIMUM of the roots'
+    * committed watermarks, excluding every epoch ABORTED in ANY root
+    * — an epoch whose batch died in one topology is a dead PAIR for
+    * cross-modal consumers even where the other topology committed
+    * it (single-topology consumers of that root still see it via
+    * [[consistentView]]); a completed re-land supersedes the abort
+    * everywhere, commit-markers-win. Roots that predate markers (no
+    * `_commits` dir) contribute no watermark — the gate holds at the
+    * min of the roots that have one, ungated if none do (backward
+    * compatible, same as [[consistentView]]). Apply to EVERY side of
+    * the cross-topology join. Fold-collapsed layers (epoch 0) always
+    * pass; delete epochs live in tombstone tables, never gated. */
+  def consistentViewAcross(df: DataFrame,
+                           roots: Seq[String]): DataFrame = {
+    require(roots.nonEmpty, "consistentViewAcross needs roots")
+    val spark = df.sparkSession
+    val wms = roots.flatMap(committedWatermark(spark, _))
+    val gated =
+      if (wms.isEmpty) df
+      else df.where(col("ingest_epoch").cast("long") <= wms.min)
+    val aborted = roots.flatMap(abortedEpochs(spark, _)).toSet
     if (aborted.isEmpty) gated
     else gated.where(!col("ingest_epoch").cast("long")
       .isin(aborted.toSeq: _*))

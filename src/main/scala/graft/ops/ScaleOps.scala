@@ -871,6 +871,56 @@ object ScaleOps {
       |WHERE doc_id NOT BETWEEN 10 AND 59
       |ORDER BY doc_id""".stripMargin
 
+  /** The fixture behind [[qDvMaskedRead]]: the same sparse-RTBF
+    * archive, but the deletion vectors stay LIVE (no retirement) and
+    * a SECOND delete wave lands after the DV build — the steady
+    * state [[graft.io.Tables.readManifestedMasked]] serves between a
+    * delete and its physical fold: the covered wave masks
+    * positionally through the sidecar (no key join for it — the
+    * plan pin lives in DeleteVectorSpec), the post-build wave masks
+    * through the residual key anti-join. */
+  private def dvMaskedRoot(s: SparkSession, dir: String): String =
+    healthMemo.computeIfAbsent(dir + "#dvread", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-dvread").toString
+      healthDirs.add(root)
+      val p = s"$root/arch"
+      val tomb = s"$root/tomb"
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Tables.writeManifested(
+        docs.repartitionByRange(8, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .withColumn("ingest_epoch", lit(0L)),
+        p, Seq("ingest_epoch"))
+      Tables.ingestTombstones(
+        docs.where(col("doc_id").between(10L, 59L)).select("doc_id"),
+        tomb, epoch = 1L)
+      Tables.computeDeletionVectors(s, p, tomb, "doc_id")
+      // the delete-after-DV window: these keys are NOT in the sidecar
+      Tables.ingestTombstones(
+        docs.where(col("doc_id").between(200L, 219L)).select("doc_id"),
+        tomb, epoch = 2L)
+      root
+    })
+
+  /** Gated: the DV-consuming masked read — live view between a
+    * delete and its retirement, positional mask for the covered
+    * wave + key mask for the post-build wave. */
+  def qDvMaskedRead(s: SparkSession, dir: String): DataFrame = {
+    val root = dvMaskedRoot(s, dir)
+    Tables.readManifestedMasked(s, s"$root/arch", s"$root/tomb",
+      "doc_id")
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val qDvMaskedReadOracle: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE doc_id NOT BETWEEN 10 AND 59
+      |  AND doc_id NOT BETWEEN 200 AND 219
+      |ORDER BY doc_id""".stripMargin
+
   // ---------- Bucketed commit-blooms (gated construction) ----------
 
   /** The fixture behind [[qBloomSkipBucketed]]: a doc_id-bucketed
@@ -1012,6 +1062,103 @@ object ScaleOps {
       |  SELECT 'replayed', 'beta', n0 + n1 + n2, n0 + n1 + n2,
       |         CAST(2 AS BIGINT) FROM n)
       |ORDER BY phase, store""".stripMargin
+
+  /** [[qConsistentCross]]'s fixture: TWO topologies (docs, vecs)
+    * whose front doors share epoch numbers, staged at three
+    * lifecycle phases. Epochs carry doc_id residues (0 → %10∈5..9,
+    * 1 → %10=1, 2 → %10=2, 3 → %10=3), so every count is a closed
+    * form over the documents table.
+    *  - `partial`: docs committed through 2; the VECTOR land of 2
+    *    died after its store commit, before the marker — the
+    *    cross-modal gate must hold BOTH sides at mutual point 1;
+    *  - `aborted`: vecs aborted its dead 2, both topologies moved
+    *    on and committed 3 — the pair {2} stays dead on both sides
+    *    even though docs committed it;
+    *  - `replayed`: the vector replay re-landed 2 and its marker
+    *    superseded the abort — everything through 3 visible. */
+  private def crossConsistencyRoot(s: SparkSession,
+                                   dir: String): String =
+    healthMemo.computeIfAbsent(dir + "#xconsistency", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-xconsistency").toString
+      healthDirs.add(root)
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      def epochRows(e: Long) = (
+        if (e == 0L) ids.where(pmod(col("doc_id"), lit(10)) >= 5)
+        else ids.where(pmod(col("doc_id"), lit(10)) === e)
+        ).withColumn("ingest_epoch", lit(e))
+      def stage(phase: String, vecReplayed: Boolean,
+                vecAborted: Boolean): Unit = {
+        val dr = s"$root/$phase/docs"
+        val vr = s"$root/$phase/vecs"
+        Seq(dr, vr).foreach { topo =>
+          Tables.writeManifested(epochRows(0L), s"$topo/store",
+            Seq("ingest_epoch"))
+          Tables.commitEpochMarker(s, topo, 0L)
+          Tables.upsertManifested(epochRows(1L), s"$topo/store",
+            Seq("ingest_epoch"), _ == "ingest_epoch=1")
+          Tables.commitEpochMarker(s, topo, 1L)
+        }
+        def land(topo: String, e: Long, marker: Boolean): Unit = {
+          Tables.upsertManifested(epochRows(e), s"$topo/store",
+            Seq("ingest_epoch"), _ == s"ingest_epoch=$e")
+          if (marker) Tables.commitEpochMarker(s, topo, e)
+        }
+        // epoch 2: docs completes; the vec land dies pre-marker
+        land(dr, 2L, marker = true)
+        land(vr, 2L, marker = vecReplayed)
+        if (vecAborted && !vecReplayed) Tables.abortEpoch(s, vr, 2L)
+        if (vecAborted || vecReplayed) {
+          // both topologies move on: epoch 3 commits everywhere
+          land(dr, 3L, marker = true)
+          land(vr, 3L, marker = true)
+        }
+      }
+      stage("partial", vecReplayed = false, vecAborted = false)
+      stage("aborted", vecReplayed = false, vecAborted = true)
+      stage("replayed", vecReplayed = true, vecAborted = false)
+      root
+    })
+
+  /** Gated: CROSS-TOPOLOGY consistency
+    * ([[graft.io.Tables.consistentViewAcross]]) — per (phase, side),
+    * the cross-modal gated count: the pair resolves at the MUTUAL
+    * committed point, an epoch aborted in one topology is dead for
+    * the pair on both sides, a completed re-land revives it.
+    * StreamOpsSpec drives the same property through live kills and
+    * replays; this pins the answers into the differential gate. */
+  def qConsistentCross(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = crossConsistencyRoot(s, dir)
+    (for {
+      phase <- Seq("aborted", "partial", "replayed")
+      side <- Seq("docs", "vecs")
+    } yield {
+      val roots = Seq(s"$root/$phase/docs", s"$root/$phase/vecs")
+      val n = Tables.consistentViewAcross(
+        Tables.readManifested(s, s"$root/$phase/$side/store"),
+        roots).count()
+      (phase, side, n)
+    }).toDF("phase", "side", "cross_rows")
+      .orderBy("phase", "side")
+  }
+
+  val qConsistentCrossOracle: String =
+    """WITH n AS (
+      |  SELECT count(*) FILTER (WHERE doc_id % 10 >= 5) AS e0,
+      |         count(*) FILTER (WHERE doc_id % 10 = 1) AS e1,
+      |         count(*) FILTER (WHERE doc_id % 10 = 2) AS e2,
+      |         count(*) FILTER (WHERE doc_id % 10 = 3) AS e3
+      |  FROM documents)
+      |SELECT phase, side, cross_rows FROM (
+      |  SELECT 'partial' AS phase, 'docs' AS side,
+      |         e0 + e1 AS cross_rows FROM n
+      |  UNION ALL SELECT 'partial', 'vecs', e0 + e1 FROM n
+      |  UNION ALL SELECT 'aborted', 'docs', e0 + e1 + e3 FROM n
+      |  UNION ALL SELECT 'aborted', 'vecs', e0 + e1 + e3 FROM n
+      |  UNION ALL SELECT 'replayed', 'docs', e0 + e1 + e2 + e3 FROM n
+      |  UNION ALL SELECT 'replayed', 'vecs', e0 + e1 + e2 + e3 FROM n)
+      |ORDER BY phase, side""".stripMargin
 
   // ---------- Change-data-feed (gated construction) ----------
 
@@ -1325,6 +1472,21 @@ object ScaleOps {
       .where(col("doc_id").isin(BloomLookupIds: _*))
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy("doc_id")
+  }
+
+  /** Gated: the SQL/catalog surface for manifested archives —
+    * [[qSkippingAuto]]'s point lookup written as PLAIN SQL against a
+    * registered view ([[graft.io.Tables.registerManifestedSql]]).
+    * Shares [[qBloomSkip]]'s oracle, so the SQL path's answer is
+    * part of the differential gate; AutoFileSkipSpec pins that the
+    * Bloom file pruning itself survives the view indirection. */
+  def qSqlArchive(s: SparkSession, dir: String): DataFrame = {
+    val root = bloomRoot(s, dir)
+    Tables.registerManifestedSql(s, "graft_sql_arch", s"$root/arch")
+    s.sql(
+      """SELECT doc_id, lang, n_chars FROM graft_sql_arch
+        |WHERE doc_id IN (42, 100, 250, 498, 7, 333, 100000, 100001)
+        |ORDER BY doc_id""".stripMargin)
   }
 
   // ---------- Zero-copy clone (gated construction) ----------
@@ -1897,8 +2059,10 @@ object ScaleOps {
     "q_archive_health" -> qArchiveHealth,
     "q_maintenance_due" -> qMaintenanceDue,
     "q_delete_vectors" -> qDeleteVectors,
+    "q_dv_masked_read" -> qDvMaskedRead,
     "q_bloom_skip_bucketed" -> qBloomSkipBucketed,
     "q_consistent_view" -> qConsistentView,
+    "q_consistent_cross" -> qConsistentCross,
     "q_changes_since" -> qChangesSince,
     "q_schema_evolution" -> qSchemaEvolution,
     "q_mirror_sync" -> qMirrorSync,
@@ -1906,6 +2070,7 @@ object ScaleOps {
     "q_zonemap_skip" -> qZonemapSkip,
     "q_bloom_skip" -> qBloomSkip,
     "q_skipping_auto" -> qSkippingAuto,
+    "q_sql_archive" -> qSqlArchive,
     "q_merge_cow" -> qMergeCow,
     "q_clone_diverge" -> qCloneDiverge,
     "q_table_history" -> qTableHistory,
@@ -1927,8 +2092,10 @@ object ScaleOps {
     "q_archive_health" -> qArchiveHealthOracle,
     "q_maintenance_due" -> qMaintenanceDueOracle,
     "q_delete_vectors" -> qDeleteVectorsOracle,
+    "q_dv_masked_read" -> qDvMaskedReadOracle,
     "q_bloom_skip_bucketed" -> qBloomSkipBucketedOracle,
     "q_consistent_view" -> qConsistentViewOracle,
+    "q_consistent_cross" -> qConsistentCrossOracle,
     "q_changes_since" -> qChangesSinceOracle,
     "q_schema_evolution" -> qSchemaEvolutionOracle,
     "q_mirror_sync" -> qMirrorSyncOracle,
@@ -1936,6 +2103,7 @@ object ScaleOps {
     "q_zonemap_skip" -> qZonemapSkipOracle,
     "q_bloom_skip" -> qBloomSkipOracle,
     "q_skipping_auto" -> qBloomSkipOracle,
+    "q_sql_archive" -> qBloomSkipOracle,
     "q_merge_cow" -> qMergeCowOracle,
     "q_clone_diverge" -> qCloneDivergeOracle,
     "q_table_history" -> qTableHistoryOracle,

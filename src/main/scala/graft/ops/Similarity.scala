@@ -955,7 +955,7 @@ object Similarity {
     * of a dot product of parquet-round-tripped doubles — bit-stable,
     * so a fresh session assigns identically to the builder). */
   private def semArchCents(s: SparkSession, idx: String): DataFrame =
-    s.read.parquet(s"$idx/centroids")
+    Tables.readArtifactCached(s, s"$idx/centroids")
       .withColumn("cnrm", sqrt(dot(col("cemb"), col("cemb"))))
 
   /** Incremental SemDeDup — [[dedupSemantic]] run the way a daily
@@ -1761,8 +1761,8 @@ object Similarity {
     * vectors up on its next codes read with no index rebuild. */
   def ingestVectors(batch: DataFrame, idx: String, epoch: Long): Unit = {
     val s = batch.sparkSession
-    val cents = s.read.parquet(s"$idx/centroids")
-    val codebook = s.read.parquet(s"$idx/codebook")
+    val cents = Tables.readArtifactCached(s, s"$idx/centroids")
+    val codebook = Tables.readArtifactCached(s, s"$idx/codebook")
     val unit = withNorm(batch)
       .withColumn("nemb", transform(col("emb"), x => x / col("nrm")))
     // manifested replace-or-add: a replay of epoch E drops E's live
@@ -1892,10 +1892,10 @@ object Similarity {
     val tp = Option(tombPath).getOrElse(s"$idx/tombstones")
     val nCells = servedCellCountMemo.computeIfAbsent(idx, _ =>
       java.lang.Long.valueOf(
-        s.read.parquet(s"$idx/centroids").count())).longValue()
+        Tables.readArtifactCached(s, s"$idx/centroids").count())).longValue()
     adcSearch(e,
-      s.read.parquet(s"$idx/centroids"),
-      s.read.parquet(s"$idx/codebook"),
+      Tables.readArtifactCached(s, s"$idx/centroids"),
+      Tables.readArtifactCached(s, s"$idx/codebook"),
       Tables.minusTombstones(
         Tables.readManifested(s, s"$idx/codes"), tp, "vec_id"),
       probesForFiltered(nCells, selectivity),
@@ -1951,8 +1951,8 @@ object Similarity {
   def ingestFilteredVectors(batch: DataFrame, idx: String,
                             epoch: Long): Unit = {
     val s = batch.sparkSession
-    val cents = s.read.parquet(s"$idx/centroids")
-    val codebook = s.read.parquet(s"$idx/codebook")
+    val cents = Tables.readArtifactCached(s, s"$idx/centroids")
+    val codebook = Tables.readArtifactCached(s, s"$idx/codebook")
     val unit = withNorm(batch)
       .withColumn("nemb", transform(col("emb"), x => x / col("nrm")))
     val meta = batch.select(col("vec_id"), col("label"))
@@ -2025,8 +2025,8 @@ object Similarity {
       qFilter: Column = col("vec_id") % 100 === 0,
       topK: Int = 5): DataFrame = {
     val e = withNorm(t(s, dir, "embeddings")).repartition(col("vec_id"))
-    val cents = s.read.parquet(s"$idx/centroids")
-    val codebook = s.read.parquet(s"$idx/codebook")
+    val cents = Tables.readArtifactCached(s, s"$idx/centroids")
+    val codebook = Tables.readArtifactCached(s, s"$idx/codebook")
     val codes = Tables.minusTombstones(
       Tables.readManifested(s, s"$idx/codes"), s"$idx/tombstones", "vec_id")
     val nCells = servedCellCountMemo.computeIfAbsent(idx, _ =>
@@ -2143,7 +2143,7 @@ object Similarity {
           .getOrElse(estimatedResidualSelectivity(s, dir, rp))
         val e = withNorm(t(s, dir, "embeddings"))
           .repartition(col("vec_id"))
-        val cents = s.read.parquet(s"$idx/centroids")
+        val cents = Tables.readArtifactCached(s, s"$idx/centroids")
         val nCells = servedCellCountMemo.computeIfAbsent(idx, _ =>
           java.lang.Long.valueOf(cents.count())).longValue()
         // composed: the aligned conjunct prunes the scan and widens
@@ -2151,7 +2151,7 @@ object Similarity {
         // back at the design point); the residual widens the
         // shortlist by ITS share and post-filters at depth
         adcSearch(e, cents,
-          s.read.parquet(s"$idx/codebook"),
+          Tables.readArtifactCached(s, s"$idx/codebook"),
           Tables.minusTombstones(
             Tables.readManifested(s, s"$idx/codes"),
             s"$idx/tombstones", "vec_id").where(labelPred),
@@ -2292,8 +2292,8 @@ object Similarity {
     * corpus. */
   private[graft] def annDriftFrom(s: SparkSession, idx: String,
                                 batch: DataFrame): DataFrame = {
-    val cents = s.read.parquet(s"$idx/centroids")
-    val stats = s.read.parquet(s"$idx/stats")
+    val cents = Tables.readArtifactCached(s, s"$idx/centroids")
+    val stats = Tables.readArtifactCached(s, s"$idx/stats")
     val unit = withNorm(batch)
       .withColumn("nemb", transform(col("emb"), x => x / col("nrm")))
     // one pass over the batch: coarse cell + squared residual per row
@@ -2470,10 +2470,10 @@ object Similarity {
       .withColumn("trn", row_number().over(wT))
       .where(col("trn") <= topK)
       .select(col("qid"), col("vec_id"))
-    val nCells = s.read.parquet(s"$idxDir/centroids").count()
+    val nCells = Tables.readArtifactCached(s, s"$idxDir/centroids").count()
     val served = adcSearch(e,
-      s.read.parquet(s"$idxDir/centroids"),
-      s.read.parquet(s"$idxDir/codebook"),
+      Tables.readArtifactCached(s, s"$idxDir/centroids"),
+      Tables.readArtifactCached(s, s"$idxDir/codebook"),
       Tables.minusTombstones(
         Tables.readManifested(s, s"$idxDir/codes"),
         s"$idxDir/tombstones", "vec_id"),

@@ -357,6 +357,149 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("manifest-stats CBO: enabling commit stats AFTER a scan was " +
+    "already planned still estimates — the miss cache invalidates") {
+    // regression pin: the rule's negative root-probe cache used to be
+    // permanent, so a table first scanned BEFORE enableCommitStats
+    // silently never estimated for the rest of the session
+    val keys = Seq("spark.sql.cbo.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled")
+    val restore = keys.map(k => k -> spark.conf.get(k))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mstats-warm").toString
+    val dim = s"$root/dim"
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val dimRows = Tables.load(spark, sf, "orders")
+        .withColumn("ingest_epoch", lit(0L))
+      // table written BEFORE opting in: no marker, no sidecar
+      Tables.writeManifested(dimRows, dim, Seq("ingest_epoch"))
+      val fact = Tables.load(spark, sf, "lineitem")
+      def dimSel = Tables.readManifested(spark, dim)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .where(col("o_custkey") === 7)
+      def joined = fact.join(dimSel,
+        col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val noStatsEst =
+        dimSel.queryExecution.optimizedPlan.stats.sizeInBytes
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (noStatsEst / 2).toString)
+      // this plan caches the table as a rule miss (no marker yet)
+      val before = planString(joined)
+      assert(!before.contains("BroadcastHashJoin"),
+        s"dim broadcast even without stats — threshold not biting:\n$before")
+      // NOW opt in and land a stats-carrying commit — the enable
+      // must drop the negative cache so the very next plan estimates
+      Tables.enableCommitStats(spark, dim)
+      Tables.upsertManifested(dimRows, dim, Seq("ingest_epoch"),
+        _ == "ingest_epoch=0")
+      val after = planString(joined)
+      assert(after.contains("BroadcastHashJoin"),
+        "stats enabled mid-session did not reach the planner — " +
+          s"the rule's miss cache went stale:\n$after")
+    } finally {
+      restore.foreach { case (k, v) => spark.conf.set(k, v) }
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    }
+  }
+
+  test("manifest-stats CBO: commit-time HISTOGRAMS sharpen a skewed " +
+    "predicate's estimate — the rare-value filter flips to broadcast " +
+    "only when histograms attach; ndv-uniform stats alone do not") {
+    import spark.implicits._
+    val keys = Seq("spark.sql.cbo.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled",
+      graft.plans.ManifestStatsRule.HistKey)
+    val restore = keys.map(k =>
+      k -> spark.conf.getOption(k).getOrElse("true"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mstats-hist").toString
+    val dim = s"$root/dim"
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      Tables.enableCommitStats(spark, dim)
+      // SKEW: 90% of rows carry skew_key = 0; the rest spread
+      // uniformly over 1..10 — an ndv-uniform estimate (1/11) is ~9%
+      // for ANY literal, an order off for both the hot and the rare
+      // value; the equi-height histogram tells them apart
+      val dimRows = (0L until 20000L).map { i =>
+        val v = if (i % 100 < 90) 0L else 1L + (i / 100) % 10
+        (i, v, s"p$i")
+      }.toDF("d_id", "skew_key", "payload")
+        .withColumn("ingest_epoch", lit(0L))
+      Tables.writeManifested(dimRows, dim, Seq("ingest_epoch"))
+      // fact side big enough that ITS estimate never broadcasts —
+      // only the dim estimate decides the join shape
+      val fact = spark.range(0L, 2000000L).toDF("f_id")
+      def dimSel = Tables.readManifested(spark, dim)
+        .select(col("d_id"), col("skew_key"))
+        .where(col("skew_key") === 7L)
+      def estimate: BigInt =
+        dimSel.queryExecution.optimizedPlan.stats.sizeInBytes
+      spark.conf.set(graft.plans.ManifestStatsRule.HistKey, "false")
+      val ndvUniform = estimate
+      spark.conf.set(graft.plans.ManifestStatsRule.HistKey, "true")
+      val histAware = estimate
+      assert(histAware * 2 <= ndvUniform,
+        s"histogram did not sharpen the rare-value estimate " +
+          s"(ndv-uniform $ndvUniform, hist $histAware)")
+      // threshold between the two estimates: the join flips to
+      // broadcast exactly when the histogram attaches
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        ((ndvUniform + histAware) / 2).toString)
+      def joined = fact.join(dimSel,
+        col("f_id") % 20000L === col("d_id"))
+        .groupBy(col("skew_key")).agg(count(lit(1)).as("n"))
+      spark.conf.set(graft.plans.ManifestStatsRule.HistKey, "false")
+      val without = planString(joined)
+      spark.conf.set(graft.plans.ManifestStatsRule.HistKey, "true")
+      assert(!without.contains("BroadcastHashJoin"),
+        s"ndv-uniform stats alone must not broadcast here:\n$without")
+      val withHist = planString(joined)
+      assert(withHist.contains("BroadcastHashJoin"),
+        s"histogram estimate did not flip the join:\n$withHist")
+      // and the answer is identical either way
+      val a = joined.collect().map(_.toSeq).toSet
+      spark.conf.set(graft.plans.ManifestStatsRule.HistKey, "false")
+      val b = joined.collect().map(_.toSeq).toSet
+      spark.conf.set(graft.plans.ManifestStatsRule.HistKey, "true")
+      assert(a == b, "histogram attachment changed the answer")
+    } finally {
+      restore.foreach { case (k, v) => spark.conf.set(k, v) }
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    }
+  }
+
+  test("commit-time string bounds: min/max survive the sidecar's " +
+    "field syntax byte-exactly (separators, tabs, newlines, unicode) " +
+    "and merge across partitions") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mstats-str").toString
+    val dim = s"$root/dim"
+    try {
+      Tables.enableCommitStats(spark, dim)
+      // hostile content: every sidecar separator, control chars,
+      // multibyte — base64 must carry all of it losslessly
+      val rows = Seq(
+        (1L, "aaa|b;c\td\ne", 0L), (2L, "zzzé中文", 0L),
+        (3L, "mid", 1L), (4L, "ctl", 1L))
+        .toDF("id", "s", "grp")
+        .withColumn("ingest_epoch", col("grp"))
+        .drop("grp")
+      Tables.writeManifested(rows, dim, Seq("ingest_epoch"))
+      val bounds = Tables.commitStringBounds(spark, dim, "s")
+      assert(bounds.contains(("aaa|b;c\td\ne", "zzzé中文")),
+        s"string bounds wrong or lossy: $bounds")
+    } finally org.apache.hadoop.fs.FileUtil
+      .fullyDelete(new java.io.File(root))
+  }
+
   test("explicit bloom join: might_contain prunes the fact side of a " +
     "shuffled join") {
     val plan = planString(ops.ScaleOps.qJoinBloom(spark, sf))

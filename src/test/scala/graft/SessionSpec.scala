@@ -22,4 +22,21 @@ class SessionSpec extends SparkSpec {
     assert(Session.swallowedConfs(spark, wanted).map(_._1).toSet ===
       Set("spark.sql.extensions", "spark.graft.made.up.key"))
   }
+
+  test("spark.sql.extensions is list-valued: a session carrying ours " +
+    "in a comma-separated list alongside another extension is NOT " +
+    "swallowed, and a list without ours IS") {
+    val k = "spark.sql.extensions"
+    val ours = "graft.plans.GraftExtensions"
+    assert(Session.confCarries(k,
+      Some(s"other.Ext, $ours"), ours))
+    assert(Session.confCarries(k,
+      Some(s"$ours,other.Ext"), ours))
+    assert(!Session.confCarries(k, Some("other.Ext,another.Ext"), ours))
+    assert(!Session.confCarries(k, None, ours))
+    // non-extension keys still compare exactly — a partial match is
+    // not a carried conf
+    assert(!Session.confCarries("spark.sql.shuffle.partitions",
+      Some("4,8"), "4"))
+  }
 }

@@ -180,4 +180,143 @@ class DeleteVectorSpec extends SparkSpec {
     assert(Tables.readTombstones(spark, tomb, "doc_id")
       .forall(_.isEmpty), "rowless tombstones must clear")
   }
+
+  test("a same-epoch file rewrite (compaction) after the DV build " +
+    "stales the sidecar by MANIFEST VERSION — the retirement falls " +
+    "back to a scan instead of trusting vanished victim paths") {
+    // regression pin: coverage used to check only the tombstone
+    // lanes + epoch high-water, both of which a compaction leaves
+    // untouched while replacing every file the sidecar names — the
+    // retirement then matched no current file, reported clear_only,
+    // and cleared the tombstones with their victims physically live
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dv-compact").toString
+    val (p, tomb) = buildFixture(root)
+    Tables.ingestTombstones(
+      (100L until 150L).toDF("doc_id"), tomb, epoch = 2L)
+    Tables.computeDeletionVectors(spark, p, tomb, "doc_id")
+    // same-epoch rewrite: version bumps, files swap, lanes untouched
+    Tables.compactManifested(spark, p, 256L << 20)
+    val preMasked = snap(Tables.minusTombstones(
+      Tables.readManifested(spark, p), tomb, "doc_id"))
+    val r = Tables.retireTombstonesFileLocal(spark, p, tomb, "doc_id")
+    assert(!r.usedSidecar,
+      "a sidecar predating a compaction must not be trusted")
+    assert(r.mode == "retired",
+      s"victims have live rows — clear_only means they resurrected: $r")
+    val physical = snap(Tables.readManifested(spark, p))
+    assert(physical == preMasked,
+      "post-compaction retirement resurrected deleted rows")
+    assert(!physical.exists(_.head == 120L))
+  }
+
+  test("DV-consuming read: positional mask replaces the key anti-join " +
+    "for covered tombstones, a post-build delete adds ONLY the " +
+    "residual key join, and staleness degrades — never wrong rows") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dv-read").toString
+    val (p, tomb) = buildFixture(root)
+    def keyView = Tables.minusTombstones(
+      Tables.readManifested(spark, p), tomb, "doc_id")
+    def dvView = Tables.readManifestedMasked(spark, p, tomb, "doc_id")
+    def plan(df: DataFrame) = df.queryExecution.executedPlan.toString
+
+    // no tombstones at all: plain read, no mask machinery
+    assert(snap(dvView) == snap(Tables.readManifested(spark, p)))
+
+    // covered steady state: delete lands, DV builds — the read must
+    // mask positionally with NO tombstone-key join anywhere
+    Tables.ingestTombstones(
+      ((100L until 150L) :+ 10005L).toDF("doc_id"), tomb, epoch = 2L)
+    Tables.computeDeletionVectors(spark, p, tomb, "doc_id")
+    val covered = dvView
+    val coveredPlan = plan(covered)
+    assert(!coveredPlan.contains("LeftAnti"),
+      s"covered read still plans a key anti-join:\n$coveredPlan")
+    assert(coveredPlan.contains("array_contains"),
+      s"covered read lost the positional mask:\n$coveredPlan")
+    assert(snap(covered) == snap(keyView),
+      "positional mask diverged from the key mask")
+    assert(!snap(covered).exists(_.head == 120L))
+
+    // delete-after-DV: a second wave lands after the build — the
+    // residual key join returns, restricted to the fresh keys, and
+    // the answer still matches the full key mask
+    Tables.ingestTombstones(
+      (2000L until 2020L).toDF("doc_id"), tomb, epoch = 3L)
+    val mixed = dvView
+    val mixedPlan = plan(mixed)
+    assert(mixedPlan.contains("LeftAnti") &&
+      mixedPlan.contains("array_contains"),
+      s"post-build deletes need mask + residual join:\n$mixedPlan")
+    assert(snap(mixed) == snap(keyView),
+      "residual masking diverged from the key mask")
+
+    // version mismatch: ANY archive commit after the build (here an
+    // epoch-2 upsert) degrades the whole read to the key mask
+    Tables.upsertManifested(
+      Seq((20000L, "fresh", 1L)).toDF("doc_id", "body", "grp")
+        .withColumn("ingest_epoch", lit(2L)),
+      p, Seq("ingest_epoch"), _ == "ingest_epoch=2")
+    val stale = dvView
+    assert(!plan(stale).contains("array_contains"),
+      "a version-stale sidecar must not positionally mask")
+    assert(snap(stale) == snap(keyView))
+
+    // re-build, then vanish the mask dir out from under the pointer:
+    // the read degrades to the key mask instead of failing
+    Tables.computeDeletionVectors(spark, p, tomb, "doc_id")
+    val ptr = Tables.deletionVectors(spark, p).get
+    val fs = new org.apache.hadoop.fs.Path(ptr.dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(ptr.dir), true)
+    val vanished = dvView
+    assert(snap(vanished) == snap(keyView),
+      "vanished mask dir must degrade, not fail or drop rows")
+
+    // fold boundary: retirement clears tombstones and drops the
+    // pointer — the masked read serves the plain physical snapshot
+    Tables.computeDeletionVectors(spark, p, tomb, "doc_id")
+    Tables.retireTombstonesFileLocal(spark, p, tomb, "doc_id")
+    assert(snap(dvView) == snap(Tables.readManifested(spark, p)),
+      "post-retirement masked read diverged from the physical state")
+  }
+
+  test("the DV sidecar is multi-file (no single-task funnel) and a " +
+    "superseded mask dir survives until vacuum reclaims it") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dv-dist").toString
+    val (p, tomb) = buildFixture(root)
+    val restore = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // AQE off so the mask keeps its natural by-file-hash shuffle
+      // partitioning in the written layout
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      Tables.ingestTombstones(
+        ((0L until 3200L by 100L) ++ Seq(10005L, 10205L))
+          .toDF("doc_id"), tomb, epoch = 2L)
+      Tables.computeDeletionVectors(spark, p, tomb, "doc_id")
+      val dv1 = Tables.deletionVectors(spark, p).get
+      val fs = new org.apache.hadoop.fs.Path(dv1.dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val dataFiles = fs.listStatus(
+        new org.apache.hadoop.fs.Path(dv1.dir))
+        .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      assert(dataFiles > 1,
+        s"victims spanning many files wrote a $dataFiles-file sidecar" +
+          " — the coalesce(1) funnel is back")
+      // rebuild: pointer flips, the superseded dir must remain
+      Tables.computeDeletionVectors(spark, p, tomb, "doc_id")
+      val dv2 = Tables.deletionVectors(spark, p).get
+      assert(dv2.dir != dv1.dir)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(dv1.dir)),
+        "superseded mask dir deleted before vacuum — a reader " +
+          "holding the old pointer loses its files mid-scan")
+      Tables.vacuumManifested(spark, p)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(dv1.dir)),
+        "vacuum left the superseded mask dir as permanent dead mass")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(dv2.dir)),
+        "vacuum reclaimed the LIVE mask dir")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", restore)
+  }
 }

@@ -873,16 +873,27 @@ class LayoutSpec extends SparkSpec {
           s"$path/ingest_epoch=1")),
         "legacy ingest must land in the root-level layout")
 
-      // first fold: migrate to v1, root-level data dirs + sidecar gone
+      // first fold: migrate to v1 — the legacy root-level data dirs
+      // + sidecar RETAIN (a concurrent reader that resolved the
+      // legacy root keeps a complete snapshot mid-scan; markers
+      // resolve first so versioned readers ignore them), and the
+      // scratch sweep reclaims them after the grace period
       Tables.foldBucketedEpochs(spark, path, s"$root0/tomb", "doc_id")
       assert(Tables.bucketedCurrentVersion(spark, path).contains(1L),
         "fold must migrate a legacy archive to the versioned layout")
       assert(Tables.readBucketedArchive(spark, path).count() == 350L)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+          s"$path/ingest_epoch=0")),
+        "legacy root dirs must retain until the sweep — deleting " +
+          "them at the marker flip breaks mid-scan legacy readers")
+      assert(Tables.sweepBucketedScratch(spark, path) > 0,
+        "sweep must count the reclaimed legacy remnants")
       assert(!fs.exists(new org.apache.hadoop.fs.Path(
           s"$path/ingest_epoch=0")) &&
         !fs.exists(new org.apache.hadoop.fs.Path(
           s"$path/_graft_bucketspec")),
-        "legacy root-level data/sidecar must be dropped after migration")
+        "legacy root-level data/sidecar must be reclaimed by the sweep")
+      assert(Tables.readBucketedArchive(spark, path).count() == 350L)
       // and the migrated archive keeps ingesting + folding versioned
       Tables.ingestBucketedArchive(
         (2000L until 2020L).map(i => (i, s"k${i % 11}", 2L))

@@ -139,6 +139,37 @@ class AutoFileSkipSpec extends SparkSpec {
     assert(rows(q) === Set(Seq(250L, 750L)))
   }
 
+  test("SQL surface: the same point lookup written as plain SQL " +
+    "against a registered archive view prunes files identically") {
+    // the q_skipping_auto pin reproduced through the SQL path: a
+    // registered view is the same logical plan, so AutoFileSkip
+    // fires when the SQL WHERE pushes down to the scan
+    Tables.registerManifestedSql(spark, "afs_sql_arch", bloomArch)
+    def q = spark.sql(
+      "SELECT id, body FROM afs_sql_arch WHERE id IN (7, 42, 199, 5555)")
+    assert(pruned(q), "SQL-path lookup lost the sidecar pruning")
+    val before = withRuleDisabled { scanFiles(q).map(_.size).sum }
+    val after = scanFiles(q).map(_.size).sum
+    assert(after < before,
+      s"no files pruned through the view ($after of $before)")
+    assert(rows(q) === withRuleDisabled { rows(q) })
+    assert(rows(q) ===
+      Set(Seq(7L, "d7"), Seq(42L, "d42"), Seq(199L, "d199")))
+    // snapshot semantics: a commit after registration is invisible
+    // until re-registration, then visible
+    Tables.upsertManifested(
+      Seq((7777L, "d7777", 0L)).toDF("id", "body", "grp")
+        .withColumn("ingest_epoch", lit(2L)),
+      bloomArch, Seq("ingest_epoch"), _ == "ingest_epoch=2")
+    assert(spark.sql(
+      "SELECT id FROM afs_sql_arch WHERE id = 7777").isEmpty,
+      "a registered view must hold its registration-time snapshot")
+    Tables.registerManifestedSql(spark, "afs_sql_arch", bloomArch)
+    assert(spark.sql(
+      "SELECT id FROM afs_sql_arch WHERE id = 7777").count() == 1L,
+      "re-registration must advance the view to the new snapshot")
+  }
+
   test("non-analyzed columns and archives are left alone") {
     // filter on a column no sidecar covers
     assert(!pruned(Tables.readManifested(spark, bloomArch)

@@ -2022,6 +2022,94 @@ class StreamOpsSpec extends SparkSpec {
     org.apache.hadoop.fs.FileUtil.fullyDelete(root0.toFile)
   }
 
+  test("cross-topology consistent view: a vector-topology epoch " +
+    "killed mid-land holds every cross-modal read at the last " +
+    "MUTUALLY committed point (even where the document topology " +
+    "committed); replay converges; an abort in one topology kills " +
+    "the PAIR until a re-land supersedes it") {
+    import spark.implicits._
+    import graft.io.Tables
+    val root0 = java.nio.file.Files.createTempDirectory("graft-xtopo")
+    val droot = root0.resolve("docs").toString
+    val vroot = root0.resolve("vecs").toString
+    val roots = Seq(droot, vroot)
+    def docRows(e: Long, ids: Long*) = ids.map(i => (i, s"t$i"))
+      .toDF("doc_id", "text").withColumn("ingest_epoch", lit(e))
+    def vecRows(e: Long, ids: Long*) = ids.map(i => (i * 10, i))
+      .toDF("vec_id", "doc_id").withColumn("ingest_epoch", lit(e))
+    def landDocs(e: Long, ids: Long*): Unit = {
+      if (Tables.manifestExists(spark, s"$droot/corpus"))
+        Tables.upsertManifested(docRows(e, ids: _*), s"$droot/corpus",
+          Seq("ingest_epoch"), _ == s"ingest_epoch=$e")
+      else Tables.writeManifested(docRows(e, ids: _*),
+        s"$droot/corpus", Seq("ingest_epoch"))
+    }
+    def landVecs(e: Long, ids: Long*): Unit = {
+      if (Tables.manifestExists(spark, s"$vroot/codes"))
+        Tables.upsertManifested(vecRows(e, ids: _*), s"$vroot/codes",
+          Seq("ingest_epoch"), _ == s"ingest_epoch=$e")
+      else Tables.writeManifested(vecRows(e, ids: _*),
+        s"$vroot/codes", Seq("ingest_epoch"))
+    }
+    // the cross-modal consumer: docs ⋈ vecs, EVERY side gated at the
+    // topologies' mutual point
+    def crossIds(): Set[Long] =
+      Tables.consistentViewAcross(
+          Tables.readManifested(spark, s"$droot/corpus"), roots)
+        .join(Tables.consistentViewAcross(
+          Tables.readManifested(spark, s"$vroot/codes"), roots)
+          .select("doc_id"), Seq("doc_id"))
+        .select("doc_id").as[Long].collect().toSet
+    def docsOwnView(): Set[Long] =
+      Tables.consistentView(
+          Tables.readManifested(spark, s"$droot/corpus"), droot)
+        .select("doc_id").as[Long].collect().toSet
+
+    // epoch 1 lands fully on BOTH topologies
+    landDocs(1L, 1L, 2L); Tables.commitEpochMarker(spark, droot, 1L)
+    landVecs(1L, 1L, 2L); Tables.commitEpochMarker(spark, vroot, 1L)
+    assert(crossIds() == Set(1L, 2L))
+
+    // KILL: epoch 2 completes on the document topology, but the
+    // vector topology's land dies after its store commit, BEFORE the
+    // marker — the mutual point stays at 1, and even the DOCUMENT
+    // side's committed epoch-2 rows are invisible to the pair
+    landDocs(2L, 3L); Tables.commitEpochMarker(spark, droot, 2L)
+    landVecs(2L, 3L) // no marker: killed mid-land
+    assert(crossIds() == Set(1L, 2L),
+      "cross-modal read exposed an epoch the vector topology never " +
+        "finished landing")
+    assert(docsOwnView() == Set(1L, 2L, 3L),
+      "the document topology's OWN consistent view must still see " +
+        "its committed epoch")
+
+    // REPLAY: the vector land completes; the pair converges
+    landVecs(2L, 3L); Tables.commitEpochMarker(spark, vroot, 2L)
+    assert(crossIds() == Set(1L, 2L, 3L),
+      "replayed vector epoch missing from the cross-modal read")
+
+    // ABORT: epoch 3 commits on docs, dies on vectors, the operator
+    // aborts it THERE and both topologies move on to epoch 4 — the
+    // watermark passes 3 but the PAIR stays dead on every side
+    landDocs(3L, 4L); Tables.commitEpochMarker(spark, droot, 3L)
+    landVecs(3L, 4L) // killed again
+    Tables.abortEpoch(spark, vroot, 3L)
+    landDocs(4L, 5L); Tables.commitEpochMarker(spark, droot, 4L)
+    landVecs(4L, 5L); Tables.commitEpochMarker(spark, vroot, 4L)
+    assert(crossIds() == Set(1L, 2L, 3L, 5L),
+      "an epoch aborted in ONE topology must stay a dead pair for " +
+        "cross-modal reads even after the watermark passes it")
+    assert(docsOwnView() == Set(1L, 2L, 3L, 4L, 5L),
+      "single-topology consumers must keep their committed epoch")
+
+    // RE-LAND: the vector replay arrives after all — commit markers
+    // win, the pair revives
+    landVecs(3L, 4L); Tables.commitEpochMarker(spark, vroot, 3L)
+    assert(crossIds() == Set(1L, 2L, 3L, 4L, 5L),
+      "a re-landed abort must revive the pair")
+    org.apache.hadoop.fs.FileUtil.fullyDelete(root0.toFile)
+  }
+
   test("unified RTBF 1:N mapping: one forget-request for a doc with " +
     "three chunk embeddings masks all three in the ANN serve path AND " +
     "the SemDeDup witness probe in the same sweep; replay idempotent") {
