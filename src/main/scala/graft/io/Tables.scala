@@ -565,6 +565,70 @@ object Tables {
     -1L // unreachable
   }
 
+  /** FAST-APPEND commit: land `df` in a fresh attempt dir and MERGE
+    * its partition entries into the live manifest BY REFERENCE
+    * (multi-path entries, `||`-joined — the same mechanism
+    * file-local retirement uses), so appending into an EXISTING
+    * partition rewrites NOTHING: bytes landed are exactly the new
+    * rows' bytes. This is the append commit of the transactional
+    * formats, and the verb [[upsertManifested]] cannot express — its
+    * replace-or-add merge makes a same-key entry REPLACE the old dir
+    * (correct for dynamic partition overwrite, a silent drop for an
+    * append), so growing a lang-partitioned corpus previously meant
+    * either rewriting whole partitions or contorting the layout into
+    * per-commit epoch partitions. At 100 TB the difference is the
+    * write amplification: append cost proportional to the appended
+    * data, never to the partitions it lands in.
+    *
+    * Fragmentation is bounded by maintenance, not by readers:
+    * [[compactManifested]] already collapses multi-path entries back
+    * to single clustered dirs when they exceed the size target, and
+    * every sidecar treats the new files as uncovered-until-reanalyze
+    * (staleness costs pruning, never rows). Commit-time stats MERGE
+    * the partition's carried line with the fresh one — rows/bytes/
+    * nulls sum, bounds widen, histograms mass-merge, and ndv unions
+    * EXACTLY via the per-line HLL sketches. Same crash-safety and
+    * optimistic-CAS retry as upsert: data first, pointer flip last,
+    * losers re-merge onto the winner's snapshot. Returns the
+    * committed version. */
+  def appendManifested(df: DataFrame, path: String,
+                       partCols: Seq[String]): Long = {
+    require(partCols.nonEmpty, "appendManifested needs a partition column")
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, root)
+    var (version, live) = resolveManifest(spark, path)
+    val attempt =
+      s"v${version + 1}a${java.util.UUID.randomUUID.toString.take(8)}"
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
+      .parquet(s"$path/data/$attempt")
+    val added = listPartDirs(fs,
+      new org.apache.hadoop.fs.Path(s"$path/data/$attempt"), partCols.length)
+      .map(p => p -> s"data/$attempt/$p").toMap
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try {
+        val committed = live ++ added.map { case (p, d) =>
+          p -> live.get(p).map(old => s"$old||$d").getOrElse(d)
+        }
+        commitManifest(fs, root, version + 1, committed)
+        if (commitStatsEnabled(spark, path))
+          publishCommitStats(spark, path, version + 1, committed,
+            s"$path/data/$attempt", partCols, combine = true)
+        return version + 1
+      } catch {
+        case e: ManifestConflictException =>
+          require(attempts < 20,
+            s"manifest commit at $path still conflicting after " +
+              s"$attempts attempts: ${e.getMessage}")
+          val cur = resolveManifest(spark, path)
+          version = cur._1; live = cur._2
+      }
+    }
+    -1L // unreachable
+  }
+
   // ---------- Plan-time snapshot memoization ----------
   // Constructing a manifested read costs per-base parquet footer /
   // schema resolution (mergeSchema) and file listing at PLAN time —
@@ -2147,11 +2211,17 @@ object Tables {
       case scala.util.control.NonFatal(_) => return keyMasked
     }
     val base = readWithLineage(spark, path, parts)
+    // binary-search probe ([[graft.expr.SortedArrayContains]]): the
+    // positions array is ascending-sorted by construction
+    // ([[computeDeletionVectors]]'s sort_array), and a heavily-
+    // deleted file's array is exactly where a linear array_contains
+    // probe would turn the mask into an O(rows × deletes) filter
     val masked = base
       .join(broadcast(dv), base("_file") === col("_dv_file"),
         "left_outer")
       .where(col("_dv_positions").isNull ||
-        !array_contains(col("_dv_positions"), col("_pos")))
+        !graft.expr.SortedSearch.sortedArrayContains(
+          col("_dv_positions"), col("_pos")))
       .drop("_file", "_pos", "_dv_file", "_dv_positions")
     // tombstones landed after the DV build: key-mask exactly those
     val e = col("ingest_epoch").cast("long")
@@ -2197,6 +2267,31 @@ object Tables {
     }
     df.createOrReplaceTempView(name)
   }
+
+  /** Register a manifested archive as a LIVE SQL relation: the name
+    * resolves to the archive's CURRENT manifest at analysis time of
+    * every query (via [[graft.plans.ResolveLiveArchives]]), so
+    * `spark.sql("… FROM name")` tracks commits with no
+    * re-registration — the always-current sibling of the snapshot
+    * view [[registerManifestedSql]] publishes. Each query still
+    * reads ONE consistent snapshot (the manifest CAS is the
+    * atomicity); `tombPath`/`keyCol` serve the tombstone-masked
+    * (DV-consuming) live state; `asOf` pins a manifest version that
+    * is re-resolved per query (a reproducible relation that, unlike
+    * a snapshot view, survives catalog churn and later commits
+    * without drifting). Temp views and catalog tables with the same
+    * name shadow a live registration — Spark's own resolution runs
+    * first. Session-scoped, metadata-only. */
+  def registerManifestedLiveSql(spark: SparkSession, name: String,
+      path: String, tombPath: Option[String] = None,
+      keyCol: Option[String] = None, asOf: Option[Long] = None): Unit =
+    graft.plans.LiveArchives.register(spark, name,
+      graft.plans.LiveArchives.LiveReg(path, tombPath, keyCol, asOf))
+
+  /** Drop a live SQL registration; the name stops resolving. */
+  def unregisterManifestedLiveSql(spark: SparkSession,
+                                  name: String): Unit =
+    graft.plans.LiveArchives.unregister(spark, name)
 
   /** Empty an archive's auxiliary table in ONE pointer flip — used by
     * physical folds to retire tombstones they just applied. Data dirs
@@ -2262,12 +2357,20 @@ object Tables {
     * equi-height histogram — (rows per bin, bins as (lo, hi, ndv)) —
     * built at commit time over the fresh data, the input CBO skew
     * selectivity needs and ANALYZE would otherwise have to scan
-    * for. */
+    * for; `sketch` is the column's base64 HLL sketch (DataSketches,
+    * the library Spark's own hll_sketch_agg ships), so cross-
+    * partition ndv merges EXACTLY by sketch union — the scalar ndv
+    * alone has no sound merge (max underestimates disjoint key
+    * ranges by the partition count; sum overestimates shared ones),
+    * and a merged-ndv error feeds straight into CBO's join
+    * cardinalities. Absent on legacy sidecar lines → the merge
+    * falls back to max (conservative for broadcasts). */
   private[graft] case class ColStat(ndv: Long, nulls: Long,
       min: Option[String], max: Option[String],
       avgLen: Long, maxLen: Long,
       hist: Option[(Double, Seq[(Double, Double, Long)])] = None,
-      smin: Option[String] = None, smax: Option[String] = None)
+      smin: Option[String] = None, smax: Option[String] = None,
+      sketch: Option[String] = None)
 
   /** One partition's commit-time stats: rows, bytes, per-column. */
   private[graft] case class PartStats(rows: Long, bytes: Long,
@@ -2284,7 +2387,7 @@ object Tables {
       partCols: Seq[String]): Map[String, PartStats] = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions.{approx_count_distinct, avg,
-      base64, concat_ws, expr, length}
+      concat_ws, expr, length}
     val df = spark.read.option("basePath", dir).parquet(dir)
     val statable = df.schema.fields.toSeq
       .filterNot(f => partCols.contains(f.name))
@@ -2318,19 +2421,28 @@ object Tables {
           case t => lit(t.defaultSize.toLong)
         }).as(s"len|${f.name}"),
         (f.dataType match {
-          // string BOUNDS, base64-coded so arbitrary content
-          // survives the sidecar's field separators
-          case StringType => base64(min(c).cast("binary"))
-          case _ => lit(null).cast("string")
+          // string BOUNDS as BINARY, base64-coded DRIVER-SIDE below:
+          // Spark's base64() SQL function line-wraps long output
+          // (MIME chunking), which would inject newlines into the
+          // sidecar's line format; java.util.Base64 never wraps
+          case StringType => min(c).cast("binary")
+          case _ => lit(null).cast("binary")
         }).as(s"smn|${f.name}"),
         (f.dataType match {
-          case StringType => base64(max(c).cast("binary"))
-          case _ => lit(null).cast("string")
+          case StringType => max(c).cast("binary")
+          case _ => lit(null).cast("binary")
         }).as(s"smx|${f.name}"),
         (if (numeric)
           expr(s"approx_percentile(cast(`${f.name}` as double), " +
             s"$pctArray, 10000)")
-         else lit(null).cast("array<double>")).as(s"pct|${f.name}"))
+         else lit(null).cast("array<double>")).as(s"pct|${f.name}"),
+        // the HLL sketch itself (cast to string: one sketch shape
+        // for every statable type, distinctness preserved) — the
+        // mergeable form of ndv; null when the partition has no
+        // non-null values; kept BINARY here (driver-side base64 —
+        // the SQL base64() would chunk a multi-KB sketch)
+        expr(s"hll_sketch_agg(cast(`${f.name}` as string))")
+          .as(s"hsk|${f.name}"))
     }
     if (aggs.isEmpty) return Map.empty
     val grouped = df.groupBy(partCols.map(col): _*)
@@ -2408,8 +2520,12 @@ object Tables {
             math.ceil(r.getAs[Double](s"avg|${f.name}")).toLong,
             r.getAs[Long](s"len|${f.name}"),
             hist,
-            Option(r.getAs[String](s"smn|${f.name}")),
-            Option(r.getAs[String](s"smx|${f.name}")))
+            Option(r.getAs[Array[Byte]](s"smn|${f.name}"))
+              .map(java.util.Base64.getEncoder.encodeToString),
+            Option(r.getAs[Array[Byte]](s"smx|${f.name}"))
+              .map(java.util.Base64.getEncoder.encodeToString),
+            Option(r.getAs[Array[Byte]](s"hsk|${f.name}"))
+              .map(java.util.Base64.getEncoder.encodeToString))
         }.toMap
         part -> PartStats(rows, pBytes, cols)
       }
@@ -2425,17 +2541,34 @@ object Tables {
         }.getOrElse("")
         Seq(n, c.ndv.toString, c.nulls.toString, c.min.getOrElse(""),
           c.max.getOrElse(""), c.avgLen.toString, c.maxLen.toString,
-          histBlob, c.smin.getOrElse(""), c.smax.getOrElse(""))
+          histBlob, c.smin.getOrElse(""), c.smax.getOrElse(""),
+          c.sketch.getOrElse(""))
           .mkString("|")
       }.mkString(";")
       s"$part\t${st.rows}\t${st.bytes}\t$cols"
     }.mkString("\n")
 
+  /** Union per-partition HLL sketches into one ndv estimate — the
+    * only SOUND cross-partition ndv merge (DataSketches HLL, the
+    * library behind Spark's own hll_sketch_agg, so the sketch bytes
+    * are the standard serialized form). Any decode/union failure
+    * degrades to None and the caller's max fallback — a sidecar
+    * line from a future format must never fail a read. */
+  private def sketchUnionNdv(sketches: Seq[String]): Option[Long] =
+    try {
+      val u = new org.apache.datasketches.hll.Union(12)
+      sketches.foreach { s64 =>
+        u.update(org.apache.datasketches.hll.HllSketch.heapify(
+          java.util.Base64.getDecoder.decode(s64)))
+      }
+      Some(math.max(1L, math.round(u.getEstimate)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private def decodeStats(body: String): Map[String, PartStats] =
     body.split("\n").filter(_.nonEmpty).map { line =>
       val Array(part, rows, bytes, colBlob) = line.split("\t", 4)
       val cols = colBlob.split(";").filter(_.nonEmpty).map { cb =>
-        val f = cb.split("\\|", 10)
+        val f = cb.split("\\|", 11)
         val hist =
           if (f.length < 8 || f(7).isEmpty) None
           else f(7).split("~", 2) match {
@@ -2450,7 +2583,8 @@ object Tables {
           Some(f(3)).filter(_.nonEmpty), Some(f(4)).filter(_.nonEmpty),
           f(5).toLong, f(6).toLong, hist,
           if (f.length > 8) Some(f(8)).filter(_.nonEmpty) else None,
-          if (f.length > 9) Some(f(9)).filter(_.nonEmpty) else None)
+          if (f.length > 9) Some(f(9)).filter(_.nonEmpty) else None,
+          if (f.length > 10) Some(f(10)).filter(_.nonEmpty) else None)
       }.toMap
       part -> PartStats(rows.toLong, bytes.toLong, cols)
     }.toMap
@@ -2511,9 +2645,14 @@ object Tables {
     * Best-effort AFTER the manifest commit — a crash in between
     * leaves a version without stats, which reads as "no estimate",
     * never as wrong rows. */
+  /** `combine = false` (replace-or-add commits): a partition's fresh
+    * line REPLACES its carried one — the fresh dir is the whole
+    * partition. `combine = true` (append commits): fresh and carried
+    * lines cover DISJOINT row sets of the same partition, so the
+    * line is their merge ([[mergePartStats]]). */
   private def publishCommitStats(spark: SparkSession, path: String,
       v: Long, liveParts: Map[String, String], freshDir: String,
-      partCols: Seq[String]): Unit = {
+      partCols: Seq[String], combine: Boolean = false): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsFor(spark, root)
     val fresh = freshPartStats(spark, freshDir, partCols)
@@ -2523,12 +2662,81 @@ object Tables {
         decodeStats(readSmallFile(fs, prevFile))
       else Map.empty[String, PartStats]
     val lines = liveParts.keys.toSeq.flatMap { part =>
-      fresh.get(part).orElse(prev.get(part)).map(part -> _)
+      ((fresh.get(part), prev.get(part)) match {
+        case (Some(f), Some(p)) if combine =>
+          Some(mergePartStats(p, f))
+        case (f, p) => f.orElse(p)
+      }).map(part -> _)
     }.toMap
     val out = fs.create(statsFilePath(root, v), true)
     try out.write(encodeStats(lines).getBytes("UTF-8"))
     finally out.close()
   }
+
+  /** Merge two stats lines covering DISJOINT row sets of one
+    * partition (an append's carried + fresh halves): counts sum,
+    * bounds widen, histograms mass-merge, avg lengths row-weight,
+    * and ndv unions exactly via the HLL sketches when both sides
+    * carry one (falling back to max — conservative — when either is
+    * a legacy line). A column present on only one side has no sound
+    * merge and is dropped from the line. */
+  private def mergePartStats(a: PartStats, b: PartStats): PartStats = {
+    val cols = (a.cols.keySet intersect b.cols.keySet).map { c =>
+      c -> mergeColStat(a.cols(c), b.cols(c), a.rows, b.rows)
+    }.toMap
+    PartStats(a.rows + b.rows, a.bytes + b.bytes, cols)
+  }
+
+  private def mergeColStat(x: ColStat, y: ColStat,
+                           xRows: Long, yRows: Long): ColStat = {
+    def widen(a: Option[String], b: Option[String],
+              pick: (BigDecimal, BigDecimal) => BigDecimal) =
+      (a, b) match {
+        case (Some(u), Some(v)) =>
+          Some(pick(BigDecimal(u), BigDecimal(v)).toString)
+        case _ => None
+      }
+    val sketch = (x.sketch, y.sketch) match {
+      case (Some(u), Some(v)) => unionSketches(Seq(u, v))
+      case _ => None
+    }
+    val ndv = sketch.flatMap(s => sketchUnionNdv(Seq(s)))
+      .getOrElse(math.max(x.ndv, y.ndv))
+    val hist = (x.hist, y.hist) match {
+      case (Some(h1), Some(h2)) => mergeHists(Seq(h1, h2))
+      case _ => None
+    }
+    def b64d(s: String) = new String(
+      java.util.Base64.getDecoder.decode(s), "UTF-8")
+    def pickStr(a: Option[String], b: Option[String],
+                keepFirst: (String, String) => Boolean) =
+      (a, b) match {
+        case (Some(u), Some(v)) =>
+          Some(if (keepFirst(b64d(u), b64d(v))) u else v)
+        case _ => None
+      }
+    val tot = math.max(1L, xRows + yRows)
+    val avgLen = math.ceil(
+      (x.avgLen.toDouble * xRows + y.avgLen.toDouble * yRows) / tot)
+      .toLong
+    ColStat(ndv, x.nulls + y.nulls,
+      widen(x.min, y.min, _ min _), widen(x.max, y.max, _ max _),
+      avgLen, math.max(x.maxLen, y.maxLen), hist,
+      pickStr(x.smin, y.smin, _ <= _), pickStr(x.smax, y.smax, _ >= _),
+      sketch)
+  }
+
+  /** Union serialized HLL sketches into one serialized sketch. */
+  private def unionSketches(sketches: Seq[String]): Option[String] =
+    try {
+      val u = new org.apache.datasketches.hll.Union(12)
+      sketches.foreach { s64 =>
+        u.update(org.apache.datasketches.hll.HllSketch.heapify(
+          java.util.Base64.getDecoder.decode(s64)))
+      }
+      Some(java.util.Base64.getEncoder
+        .encodeToString(u.getResult.toCompactByteArray))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The merged commit-time stats restricted to the partitions whose
     * entry dirs the caller scans (`dirs`, absolute URI paths) —
@@ -2596,7 +2804,17 @@ object Tables {
             (None, None)
           else (Some(enc(smins.flatten.map(b64).min)),
             Some(enc(smaxs.flatten.map(b64).max)))
-        Some(c -> ColStat(vs.map(_.ndv).max, vs.map(_.nulls).sum,
+        // ndv: sketch UNION when every selected partition carries
+        // one (exact merge — disjoint key ranges sum, shared keys
+        // dedup); a single partition's scalar estimate is already
+        // exact-scope; otherwise fall back to max (conservative)
+        val ndv =
+          if (vs.size == 1) vs.head.ndv
+          else if (vs.forall(_.sketch.isDefined))
+            sketchUnionNdv(vs.map(_.sketch.get))
+              .getOrElse(vs.map(_.ndv).max)
+          else vs.map(_.ndv).max
+        Some(c -> ColStat(ndv, vs.map(_.nulls).sum,
           mn, mx, vs.map(_.avgLen).max, vs.map(_.maxLen).max,
           hist, smn, smx))
       }

@@ -1489,6 +1489,105 @@ object ScaleOps {
         |ORDER BY doc_id""".stripMargin)
   }
 
+  /** [[qSqlLive]]'s archive: ONLY the even half of the corpus at
+    * registration time — the odd half lands inside the query, AFTER
+    * the live registration, so the gate can only pass if the SQL
+    * name tracks the commit. */
+  private def sqlLiveRoot(s: SparkSession, dir: String): String =
+    healthMemo.computeIfAbsent(dir + "#sqllive", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sqllive").toString
+      healthDirs.add(root)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Tables.writeManifested(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .withColumn("ingest_epoch", lit(0L)),
+        s"$root/arch", Seq("ingest_epoch"))
+      root
+    })
+
+  /** Gated: LIVE SQL relations ([[graft.io.Tables
+    * .registerManifestedLiveSql]] + [[graft.plans
+    * .ResolveLiveArchives]]) — the always-current sibling of
+    * [[qSqlArchive]]'s snapshot view. The odd half of the corpus is
+    * committed AFTER the registration and the SQL aggregate still
+    * answers over the WHOLE corpus: the name re-resolves the
+    * manifest at analysis time of each query, which a snapshot view
+    * cannot do (it would answer evens-only and hash-mismatch this
+    * oracle). LiveArchiveSpec pins the mechanics — currency without
+    * re-registration, temp-view shadowing, AutoFileSkip pruning
+    * through the live path, the masked live state, unregistration,
+    * and version-pinned registrations. */
+  def qSqlLive(s: SparkSession, dir: String): DataFrame = {
+    val root = sqlLiveRoot(s, dir)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Tables.registerManifestedLiveSql(s, "graft_sql_live", s"$root/arch")
+    // the commit the live relation must see (idempotent re-land on
+    // bench re-runs: the upsert replaces the whole odd partition)
+    Tables.upsertManifested(
+      docs.where(pmod(col("doc_id"), lit(2)) === 1)
+        .withColumn("ingest_epoch", lit(1L)),
+      s"$root/arch", Seq("ingest_epoch"), _ == "ingest_epoch=1")
+    s.sql(
+      """SELECT lang, count(*) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM graft_sql_live GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val qSqlLiveOracle: String =
+    """SELECT lang, count(*) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+      |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
+
+  /** [[qAppendManifested]]'s archive: the even half of the corpus
+    * written lang-partitioned, then the odd half FAST-APPENDED into
+    * the SAME lang partitions ([[graft.io.Tables.appendManifested]])
+    * — multi-path manifest entries, zero pre-existing bytes
+    * rewritten. Memoized: the lifecycle runs once; the gate reads
+    * the final state. */
+  private def appendRoot(s: SparkSession, dir: String): String =
+    healthMemo.computeIfAbsent(dir + "#append", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-append").toString
+      healthDirs.add(root)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Tables.writeManifested(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        s"$root/arch", Seq("lang"))
+      Tables.appendManifested(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        s"$root/arch", Seq("lang"))
+      root
+    })
+
+  /** Gated: the FAST-APPEND commit — appending the odd half of a
+    * lang-partitioned corpus into partitions that already hold the
+    * even half, by manifest reference only (no partition rewrite),
+    * then reading the merged state back through the multi-path
+    * entries. The gate is the ANSWER (per-lang counts and sums over
+    * the union equal the whole-corpus oracle, so both halves of
+    * every fragmented entry are read, exactly once); AppendSpec pins
+    * the mechanics — pre-existing files byte-identical after the
+    * append, `||` entries, reader isolation across the commit,
+    * merged stats lines with sketch-union ndv, vacuum keeping both
+    * referenced dirs, and compaction collapsing the fragmentation. */
+  def qAppendManifested(s: SparkSession, dir: String): DataFrame = {
+    val root = appendRoot(s, dir)
+    Tables.readManifested(s, s"$root/arch")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("long").as("chars_sum"))
+      .orderBy("lang")
+  }
+
+  val qAppendManifestedOracle: String =
+    """SELECT lang, count(*) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+      |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
+
   // ---------- Zero-copy clone (gated construction) ----------
 
   /** [[qCloneDiverge]]'s fixture: a documents archive partitioned by
@@ -2071,6 +2170,8 @@ object ScaleOps {
     "q_bloom_skip" -> qBloomSkip,
     "q_skipping_auto" -> qSkippingAuto,
     "q_sql_archive" -> qSqlArchive,
+    "q_sql_live" -> qSqlLive,
+    "q_append_manifested" -> qAppendManifested,
     "q_merge_cow" -> qMergeCow,
     "q_clone_diverge" -> qCloneDiverge,
     "q_table_history" -> qTableHistory,
@@ -2104,6 +2205,8 @@ object ScaleOps {
     "q_bloom_skip" -> qBloomSkipOracle,
     "q_skipping_auto" -> qBloomSkipOracle,
     "q_sql_archive" -> qBloomSkipOracle,
+    "q_sql_live" -> qSqlLiveOracle,
+    "q_append_manifested" -> qAppendManifestedOracle,
     "q_merge_cow" -> qMergeCowOracle,
     "q_clone_diverge" -> qCloneDivergeOracle,
     "q_table_history" -> qTableHistoryOracle,

@@ -500,6 +500,54 @@ class PlanSpec extends SparkSpec {
       .fullyDelete(new java.io.File(root))
   }
 
+  test("commit-time ndv merges by HLL sketch UNION across partitions: " +
+    "disjoint epochs sum, repeated keys dedup — never the max/sum " +
+    "scalar guesses") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mstats-ndv").toString
+    val dim = s"$root/dim"
+    def scanDirs: Set[String] = Tables.readManifested(spark, dim)
+      .queryExecution.analyzed.collect {
+        case l: LogicalRelation =>
+          l.relation.asInstanceOf[HadoopFsRelation]
+            .location.rootPaths.map(_.toUri.getPath)
+      }.flatten.toSet
+    def idNdv: Long = {
+      val (_, _, cols) =
+        Tables.manifestStatsFor(spark, dim, scanDirs).get
+      cols("id").ndv
+    }
+    try {
+      Tables.enableCommitStats(spark, dim)
+      Tables.writeManifested(
+        (0L until 1000L).map(i => (i, s"v$i")).toDF("id", "s")
+          .withColumn("ingest_epoch", lit(0L)),
+        dim, Seq("ingest_epoch"))
+      Tables.upsertManifested(
+        (1000L until 2000L).map(i => (i, s"v$i")).toDF("id", "s")
+          .withColumn("ingest_epoch", lit(1L)),
+        dim, Seq("ingest_epoch"), _ == "ingest_epoch=1")
+      // disjoint ranges: per-partition ndv ≈ 1000 each; the max
+      // merge would answer ~1000, the truth is 2000 — the sketch
+      // union gets it (HLL at lgK=12: ±~2%, wide bars below)
+      val disjoint = idNdv
+      assert(disjoint > 1700L && disjoint < 2300L,
+        s"sketch union must see ~2000 distinct ids, got $disjoint")
+      // a third epoch REPEATS 0-999: a sum-style merge would answer
+      // ~3000; the union dedups shared keys and stays ~2000
+      Tables.upsertManifested(
+        (0L until 1000L).map(i => (i, s"w$i")).toDF("id", "s")
+          .withColumn("ingest_epoch", lit(2L)),
+        dim, Seq("ingest_epoch"), _ == "ingest_epoch=2")
+      val shared = idNdv
+      assert(shared > 1700L && shared < 2600L,
+        s"sketch union must dedup repeated keys (~2000), got $shared")
+    } finally org.apache.hadoop.fs.FileUtil
+      .fullyDelete(new java.io.File(root))
+  }
+
   test("explicit bloom join: might_contain prunes the fact side of a " +
     "shuffled join") {
     val plan = planString(ops.ScaleOps.qJoinBloom(spark, sf))

@@ -233,8 +233,10 @@ class DeleteVectorSpec extends SparkSpec {
     val coveredPlan = plan(covered)
     assert(!coveredPlan.contains("LeftAnti"),
       s"covered read still plans a key anti-join:\n$coveredPlan")
-    assert(coveredPlan.contains("array_contains"),
-      s"covered read lost the positional mask:\n$coveredPlan")
+    // the positional probe is the BINARY-SEARCH expression — an
+    // array_contains here would be the O(rows × deletes) linear scan
+    assert(coveredPlan.contains("sortedarraycontains"),
+      s"covered read lost the positional binary-search mask:\n$coveredPlan")
     assert(snap(covered) == snap(keyView),
       "positional mask diverged from the key mask")
     assert(!snap(covered).exists(_.head == 120L))
@@ -247,7 +249,7 @@ class DeleteVectorSpec extends SparkSpec {
     val mixed = dvView
     val mixedPlan = plan(mixed)
     assert(mixedPlan.contains("LeftAnti") &&
-      mixedPlan.contains("array_contains"),
+      mixedPlan.contains("sortedarraycontains"),
       s"post-build deletes need mask + residual join:\n$mixedPlan")
     assert(snap(mixed) == snap(keyView),
       "residual masking diverged from the key mask")
@@ -259,7 +261,7 @@ class DeleteVectorSpec extends SparkSpec {
         .withColumn("ingest_epoch", lit(2L)),
       p, Seq("ingest_epoch"), _ == "ingest_epoch=2")
     val stale = dvView
-    assert(!plan(stale).contains("array_contains"),
+    assert(!plan(stale).contains("sortedarraycontains"),
       "a version-stale sidecar must not positionally mask")
     assert(snap(stale) == snap(keyView))
 

@@ -1,0 +1,182 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.io.Tables
+
+/** Pins for LIVE SQL relations ([[ResolveLiveArchives]] +
+  * [[graft.io.Tables.registerManifestedLiveSql]]):
+  *
+  *  - CURRENCY: a commit after registration is visible to the next
+  *    SQL query with NO re-registration — the defining contrast with
+  *    the snapshot view, which is pinned stale on the same commit;
+  *  - OPTIMIZER CARRY-OVER: AutoFileSkip's sidecar pruning fires
+  *    through the live path exactly as it does on the API read;
+  *  - PRECEDENCE: a same-name temp view shadows the registration
+  *    (Spark's own resolution runs first), and dropping it un-shadows;
+  *  - MASKED LIVE STATE: a tombstone landed after registration is
+  *    masked at the next query;
+  *  - LIFECYCLE: unregistration makes the name unresolvable again;
+  *    names match case-insensitively; misuse is rejected loudly;
+  *  - PINNED VERSION: an `asOf` registration keeps answering the
+  *    pinned snapshot while the table moves on.
+  */
+class LiveArchiveSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmpRoot(prefix: String): String = {
+    val root = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    root.toString
+  }
+
+  private def docsDf(lo: Long, hi: Long) =
+    (lo until hi).map(i => (i, s"d$i", i % 7))
+      .toDF("id", "body", "grp")
+
+  private def freshArch(tag: String): String = {
+    val p = s"${tmpRoot(s"graft-live-$tag")}/arch"
+    Tables.writeManifested(
+      docsDf(0L, 100L).withColumn("ingest_epoch", lit(0L)),
+      p, Seq("ingest_epoch"))
+    p
+  }
+
+  private def landEpoch(p: String, e: Long, lo: Long, hi: Long): Unit =
+    Tables.upsertManifested(
+      docsDf(lo, hi).withColumn("ingest_epoch", lit(e)),
+      p, Seq("ingest_epoch"), _ == s"ingest_epoch=$e")
+
+  test("currency: a commit after registration is visible with no " +
+    "re-registration; the snapshot view on the same archive is stale") {
+    val p = freshArch("currency")
+    Tables.registerManifestedLiveSql(spark, "live_cur", p)
+    Tables.registerManifestedSql(spark, "snap_cur", p)
+    assert(spark.sql("SELECT count(*) AS n FROM live_cur")
+      .head().getLong(0) === 100L)
+    landEpoch(p, 1L, 1000L, 1050L)
+    assert(spark.sql("SELECT count(*) AS n FROM live_cur")
+      .head().getLong(0) === 150L,
+      "live relation must resolve the post-commit manifest")
+    assert(spark.sql("SELECT count(*) AS n FROM snap_cur")
+      .head().getLong(0) === 100L,
+      "snapshot view must hold its registration-time manifest")
+    // each query is still ONE consistent snapshot: a second epoch
+    // lands and both aggregates of one query see the same manifest
+    landEpoch(p, 2L, 2000L, 2020L)
+    val both = spark.sql(
+      """SELECT count(*) AS n, count(DISTINCT ingest_epoch) AS e
+        |FROM live_cur""".stripMargin).head()
+    assert(both.getLong(0) === 170L && both.getLong(1) === 3L)
+  }
+
+  test("optimizer carry-over: AutoFileSkip prunes a Bloom-analyzed " +
+    "archive through the live SQL path") {
+    val p = s"${tmpRoot("graft-live-skip")}/arch"
+    // hash-scattered layout so only the Bloom sidecar can prune
+    Tables.writeManifested(
+      docsDf(0L, 200L).repartition(8, col("id"))
+        .withColumn("ingest_epoch", lit(0L)),
+      p, Seq("ingest_epoch"))
+    Tables.computeFileBlooms(spark, p, "id",
+      expectedItemsPerFile = 64L, fpp = 0.01)
+    Tables.registerManifestedLiveSql(spark, "live_skip", p)
+    def q: DataFrame = spark.sql(
+      "SELECT id, body FROM live_skip WHERE id IN (7, 42, 199, 5555)")
+    val prunedIdx = q.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation
+        if l.relation.isInstanceOf[HadoopFsRelation] &&
+          l.relation.asInstanceOf[HadoopFsRelation]
+            .location.isInstanceOf[GraftPrunedFileIndex] => l
+    }
+    assert(prunedIdx.nonEmpty,
+      "live SQL path lost the sidecar file pruning")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(7L, 42L, 199L))
+  }
+
+  test("precedence: a same-name temp view shadows the live " +
+    "registration; dropping it un-shadows") {
+    val p = freshArch("shadow")
+    Tables.registerManifestedLiveSql(spark, "live_shadow", p)
+    Seq((-1L, "tempview")).toDF("id", "src")
+      .createOrReplaceTempView("live_shadow")
+    assert(spark.sql("SELECT count(*) FROM live_shadow")
+      .head().getLong(0) === 1L,
+      "temp view must win over a live registration")
+    spark.catalog.dropTempView("live_shadow")
+    assert(spark.sql("SELECT count(*) FROM live_shadow")
+      .head().getLong(0) === 100L,
+      "dropping the temp view must un-shadow the live relation")
+  }
+
+  test("masked live state: a tombstone landed after registration is " +
+    "gone from the next query") {
+    val root = tmpRoot("graft-live-mask")
+    val p = s"$root/arch"
+    val tomb = s"$root/tomb"
+    Tables.writeManifested(
+      docsDf(0L, 100L).withColumn("ingest_epoch", lit(0L)),
+      p, Seq("ingest_epoch"))
+    Tables.registerManifestedLiveSql(spark, "live_masked", p,
+      tombPath = Some(tomb), keyCol = Some("id"))
+    assert(spark.sql("SELECT count(*) FROM live_masked")
+      .head().getLong(0) === 100L)
+    Tables.ingestTombstones(Seq(5L, 6L, 7L).toDF("id"), tomb,
+      epoch = 1L)
+    val after = spark.sql(
+      "SELECT count(*) AS n FROM live_masked").head().getLong(0)
+    assert(after === 97L,
+      s"post-registration tombstones must mask the live state ($after)")
+    assert(spark.sql("SELECT count(*) FROM live_masked WHERE id = 5")
+      .head().getLong(0) === 0L)
+  }
+
+  test("lifecycle: unregistration makes the name unresolvable; " +
+    "names match case-insensitively; misuse is loud") {
+    val p = freshArch("cycle")
+    Tables.registerManifestedLiveSql(spark, "Live_Cycle", p)
+    assert(spark.sql("SELECT count(*) FROM LIVE_CYCLE")
+      .head().getLong(0) === 100L,
+      "live names must match case-insensitively")
+    Tables.unregisterManifestedLiveSql(spark, "live_cycle")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT count(*) FROM live_cycle").collect()
+    }
+    intercept[IllegalArgumentException] {
+      Tables.registerManifestedLiveSql(spark, "a.b", p)
+    }
+    intercept[IllegalArgumentException] {
+      Tables.registerManifestedLiveSql(spark, "x", p,
+        tombPath = Some("t"))
+    }
+    intercept[IllegalArgumentException] {
+      Tables.registerManifestedLiveSql(spark, "x", p,
+        tombPath = Some("t"), keyCol = Some("id"), asOf = Some(1L))
+    }
+  }
+
+  test("asOf: a version-pinned registration keeps answering the " +
+    "pinned snapshot while the table moves on") {
+    val p = freshArch("asof")
+    landEpoch(p, 1L, 500L, 540L) // v2: 140 rows
+    Tables.registerManifestedLiveSql(spark, "live_asof", p,
+      asOf = Some(2L))
+    Tables.registerManifestedLiveSql(spark, "live_head", p)
+    landEpoch(p, 2L, 700L, 710L) // v3: 150 rows
+    assert(spark.sql("SELECT count(*) FROM live_asof")
+      .head().getLong(0) === 140L,
+      "asOf registration must stay at its pinned manifest version")
+    assert(spark.sql("SELECT count(*) FROM live_head")
+      .head().getLong(0) === 150L)
+  }
+}
