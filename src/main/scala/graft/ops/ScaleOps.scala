@@ -1588,6 +1588,52 @@ object ScaleOps {
       |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
       |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
 
+  /** [[qSqlInsert]]'s archive: seeded with ONLY the even half, so the
+    * SQL write inside the query is what completes the corpus. */
+  private def sqlInsertRoot(s: SparkSession, dir: String): String =
+    healthMemo.computeIfAbsent(dir + "#sqlinsert", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sqlins").toString
+      healthDirs.add(root)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Tables.writeManifested(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        s"$root/arch", Seq("lang"))
+      root
+    })
+
+  /** Gated: the SQL WRITE path — `INSERT OVERWRITE` on a live
+    * archive name executes the engine's dynamic-partition-overwrite
+    * commit ([[graft.plans.WriteArchiveCommand]] →
+    * `upsertManifested`), and the subsequent SQL read over the same
+    * live name sees the committed state. The archive is seeded with
+    * the even half only; the INSERT lands the whole corpus (BY NAME —
+    * the SELECT order differs from the archive's read order), so the
+    * aggregate can match the whole-corpus oracle only if the write
+    * actually committed and the live name re-resolved past it.
+    * Idempotent under bench re-runs: each run overwrites every lang
+    * partition with the same rows. LiveArchiveSpec pins the
+    * mechanics — INSERT INTO = fast-append (multi-path entries, old
+    * files untouched), OVERWRITE replacing exactly the touched
+    * partitions, positional/BY NAME/column-list alignment, and the
+    * loud refusals (static PARTITION, pinned asOf, temp-view
+    * shadow). */
+  def qSqlInsert(s: SparkSession, dir: String): DataFrame = {
+    val root = sqlInsertRoot(s, dir)
+    Tables.registerManifestedLiveSql(s, "graft_sql_ins", s"$root/arch")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("graft_ins_src")
+    s.sql(
+      """INSERT OVERWRITE graft_sql_ins BY NAME
+        |SELECT doc_id, lang, n_chars FROM graft_ins_src""".stripMargin)
+    s.sql(
+      """SELECT lang, count(*) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM graft_sql_ins GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
   // ---------- Zero-copy clone (gated construction) ----------
 
   /** [[qCloneDiverge]]'s fixture: a documents archive partitioned by
@@ -2171,6 +2217,7 @@ object ScaleOps {
     "q_skipping_auto" -> qSkippingAuto,
     "q_sql_archive" -> qSqlArchive,
     "q_sql_live" -> qSqlLive,
+    "q_sql_insert" -> qSqlInsert,
     "q_append_manifested" -> qAppendManifested,
     "q_merge_cow" -> qMergeCow,
     "q_clone_diverge" -> qCloneDiverge,
@@ -2206,6 +2253,7 @@ object ScaleOps {
     "q_skipping_auto" -> qBloomSkipOracle,
     "q_sql_archive" -> qBloomSkipOracle,
     "q_sql_live" -> qSqlLiveOracle,
+    "q_sql_insert" -> qSqlLiveOracle,
     "q_append_manifested" -> qAppendManifestedOracle,
     "q_merge_cow" -> qMergeCowOracle,
     "q_clone_diverge" -> qCloneDivergeOracle,

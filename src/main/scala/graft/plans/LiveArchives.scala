@@ -1,9 +1,12 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.QueryPlan
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.col
 
 import graft.io.Tables
 
@@ -93,7 +96,9 @@ object LiveArchives {
 
 /** The analyzer rule: a single-part relation name with a live
   * registration in THIS session resolves to the archive's
-  * current-read plan. Runs at the end of the resolution fixpoint —
+  * current-read plan, and an INSERT over such a name becomes a
+  * [[WriteArchiveCommand]] — the SQL write path onto the engine's
+  * commit verbs. Runs at the end of the resolution fixpoint —
   * anything Spark's own resolution already claimed (temp views,
   * catalog tables) never reaches it. */
 case class ResolveLiveArchives(session: SparkSession)
@@ -106,5 +111,89 @@ case class ResolveLiveArchives(session: SparkSession)
         val name = u.multipartIdentifier.head
         val reg = LiveArchives.lookup(session, name).get
         SubqueryAlias(name, LiveArchives.resolve(session, reg))
+
+      // the INSERT target is an ARGUMENT of InsertIntoStatement, not
+      // a child — tree traversals never descend into it (Spark's own
+      // ResolveRelations handles it with an explicit case, and so
+      // must this rule). Matching the STILL-UNRESOLVED relation also
+      // settles precedence for free: a same-name temp view or
+      // catalog table is resolved by Spark's rules earlier in the
+      // batch, so this case only ever sees names nothing else
+      // claimed — a write can never hijack past a shadow.
+      case i @ InsertIntoStatement(u: UnresolvedRelation, partSpec,
+          cols, q, overwrite, ifPartitionNotExists, byName)
+          if u.multipartIdentifier.size == 1 && q.resolved &&
+            LiveArchives.lookup(session, u.multipartIdentifier.head)
+              .isDefined =>
+        val name = u.multipartIdentifier.head
+        val reg = LiveArchives.lookup(session, name).get
+        if (partSpec.nonEmpty) throw new IllegalArgumentException(
+          s"INSERT into live archive '$name': static PARTITION " +
+            "specs are not supported — partition values come from " +
+            "the rows (dynamic), like every engine commit verb")
+        if (ifPartitionNotExists) throw new IllegalArgumentException(
+          s"INSERT into live archive '$name': IF NOT EXISTS has no " +
+            "manifested-commit equivalent")
+        if (reg.asOf.isDefined) throw new IllegalArgumentException(
+          s"live archive '$name' is pinned asOf v${reg.asOf.get} — " +
+            "a pinned snapshot is read-only")
+        WriteArchiveCommand(name, reg.path, cols, q, overwrite, byName)
     }
+}
+
+/** `INSERT INTO <live archive>` → the FAST-APPEND commit
+  * ([[Tables.appendManifested]] — bytes landed are the inserted
+  * rows'); `INSERT OVERWRITE` → dynamic partition overwrite
+  * ([[Tables.upsertManifested]] replacing exactly the partitions the
+  * inserted rows contain, carrying the rest — the
+  * `partitionOverwriteMode=dynamic` semantics, which is the only
+  * overwrite a manifested archive's commit model expresses). The
+  * source query aligns to the archive's schema by position (or by
+  * name under `BY NAME` / an explicit column list covering the
+  * schema exactly), with types cast to the archive's. Partition
+  * columns are read off the live manifest's entry keys — the archive
+  * itself is the one source of truth for its layout. */
+case class WriteArchiveCommand(name: String, path: String,
+    userCols: Seq[String], query: LogicalPlan,
+    overwrite: Boolean, byName: Boolean) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(query)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.GraftColumnBridge.ofRows(session, query)
+    val target = Tables.readManifested(session, path).schema
+    val (_, parts) = Tables.resolveManifest(session, path)
+    require(parts.nonEmpty,
+      s"live archive '$name' at $path lists no partitions — nothing " +
+        "was ever written, so its partition layout is unknown; seed " +
+        "it with writeManifested first")
+    val partCols = parts.keys.head.split("/").toSeq
+      .map(_.split("=", 2)(0))
+    val named =
+      if (userCols.nonEmpty) {
+        require(userCols.size == src.schema.size,
+          s"INSERT column list names ${userCols.size} columns but the " +
+            s"query produces ${src.schema.size}")
+        val want = target.fields.map(_.name.toLowerCase).toSet
+        require(userCols.map(_.toLowerCase).toSet == want,
+          s"INSERT column list must cover the archive's columns " +
+            s"exactly (${target.fields.map(_.name).mkString(", ")}) — " +
+            "a partial insert would need null partition keys")
+        src.toDF(userCols: _*)
+      } else if (byName) src
+      else {
+        require(src.schema.size == target.size,
+          s"INSERT by position into '$name' needs ${target.size} " +
+            s"columns (${target.fields.map(_.name).mkString(", ")}), " +
+            s"got ${src.schema.size}")
+        src.toDF(target.fields.map(_.name).toIndexedSeq: _*)
+      }
+    val aligned = named.select(target.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    if (overwrite)
+      Tables.upsertManifested(aligned, path, partCols, _ => false)
+    else
+      Tables.appendManifested(aligned, path, partCols)
+    Seq.empty
+  }
 }

@@ -13,6 +13,14 @@ object GraftColumnBridge extends org.apache.spark.internal.Logging {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** A DataFrame over an already-analyzed logical plan
+    * (`Dataset.ofRows` is `private[sql]`) — the SQL WRITE path uses
+    * this to execute an INSERT's source query through the engine's
+    * commit verbs. */
+  def ofRows(s: SparkSession,
+             plan: catalyst.plans.logical.LogicalPlan): Dataset[Row] =
+    classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
+
   /** Test support: drain the async listener bus so a metrics
     * SparkListener has seen every completed task before a spec reads
     * its counters (`listenerBus` is `private[spark]` — same

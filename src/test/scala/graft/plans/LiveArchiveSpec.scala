@@ -165,6 +165,85 @@ class LiveArchiveSpec extends SparkSpec {
     }
   }
 
+  test("SQL writes: INSERT INTO is the fast-append commit — entries " +
+    "go multi-path, counts sum; INSERT OVERWRITE replaces exactly " +
+    "the partitions the rows touch") {
+    val p = freshArch("insert") // ids 0-99 in partition ingest_epoch=0
+    Tables.registerManifestedLiveSql(spark, "live_ins", p)
+    // source rows for the SQL to read
+    docsDf(1000L, 1060L).withColumn("ingest_epoch", lit(0L))
+      .createOrReplaceTempView("ins_src")
+    spark.sql("INSERT INTO live_ins SELECT * FROM ins_src")
+    assert(spark.sql("SELECT count(*) FROM live_ins")
+      .head().getLong(0) === 160L)
+    // the shared epoch-0 partition merged by reference, not rewrite
+    val (_, parts) = Tables.resolveManifest(spark, p)
+    assert(parts("ingest_epoch=0").contains("||"),
+      s"INSERT INTO must fast-append, got ${parts("ingest_epoch=0")}")
+    // OVERWRITE lands only epoch 1: epoch 0 (160 rows by now) is
+    // carried untouched, epoch 1 is exactly the inserted rows
+    docsDf(5000L, 5010L).withColumn("ingest_epoch", lit(1L))
+      .createOrReplaceTempView("ins_ow_src")
+    spark.sql("INSERT OVERWRITE live_ins SELECT * FROM ins_ow_src")
+    assert(spark.sql(
+      "SELECT count(*) FROM live_ins WHERE ingest_epoch = 0")
+      .head().getLong(0) === 160L,
+      "dynamic overwrite must carry untouched partitions")
+    assert(spark.sql(
+      "SELECT count(*) FROM live_ins WHERE ingest_epoch = 1")
+      .head().getLong(0) === 10L)
+    // a second OVERWRITE of epoch 1 replaces it, never accumulates
+    spark.sql("INSERT OVERWRITE live_ins SELECT * FROM ins_ow_src")
+    assert(spark.sql("SELECT count(*) FROM live_ins")
+      .head().getLong(0) === 170L)
+  }
+
+  test("SQL writes: BY NAME reorders, positional arity and column " +
+    "lists are checked, pinned/shadowed/static-partition writes " +
+    "refuse loudly") {
+    val p = freshArch("insguard")
+    Tables.registerManifestedLiveSql(spark, "live_guard", p)
+    // BY NAME: source column order differs from the archive's read
+    // order (data cols then partition col) — names win
+    spark.sql("SELECT 'x9' AS body, 0L AS ingest_epoch, 3L AS grp, " +
+        "7777L AS id").createOrReplaceTempView("guard_src")
+    spark.sql("INSERT INTO live_guard BY NAME SELECT * FROM guard_src")
+    assert(spark.sql(
+      "SELECT body FROM live_guard WHERE id = 7777")
+      .head().getString(0) === "x9")
+    // positional arity mismatch is loud
+    intercept[Exception] {
+      spark.sql("INSERT INTO live_guard SELECT 1L, 'b'")
+    }
+    // a column list must cover the schema exactly
+    intercept[Exception] {
+      spark.sql("INSERT INTO live_guard (id, body) SELECT 1L, 'b'")
+    }
+    // static PARTITION specs have no commit-verb equivalent
+    intercept[Exception] {
+      spark.sql("INSERT INTO live_guard PARTITION (ingest_epoch=9) " +
+        "SELECT 1L AS id, 'b' AS body, 2L AS grp")
+    }
+    // a pinned registration is read-only
+    Tables.registerManifestedLiveSql(spark, "live_pinned", p,
+      asOf = Some(1L))
+    intercept[Exception] {
+      spark.sql("INSERT INTO live_pinned SELECT * FROM guard_src")
+    }
+    // a temp-view shadow blocks the write (Spark's own view error),
+    // and the archive is untouched
+    val before = spark.sql("SELECT count(*) FROM live_guard")
+      .head().getLong(0)
+    Seq((1L, "shadow")).toDF("id", "src")
+      .createOrReplaceTempView("live_guard")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("INSERT INTO live_guard SELECT 2L, 'y'")
+    }
+    spark.catalog.dropTempView("live_guard")
+    assert(spark.sql("SELECT count(*) FROM live_guard")
+      .head().getLong(0) === before)
+  }
+
   test("asOf: a version-pinned registration keeps answering the " +
     "pinned snapshot while the table moves on") {
     val p = freshArch("asof")
