@@ -642,8 +642,19 @@ object Tables {
   // ever served for the version the caller just resolved, and that
   // version's files cannot change. Bounded; cross-session entries
   // die with their key's session component.
-  private val snapshotMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // LRU, not clear-all: a full nightly run touches hundreds of
+  // (archive, version) keys, and wiping the whole memo at the cap
+  // forces every OTHER archive's next read to re-resolve — measured
+  // as uniform constant-cost inflation across a long run. Evicting
+  // only the least-recently-used entry keeps the hot serve paths
+  // resident. Synchronized LinkedHashMap: accesses are driver-side
+  // plan construction, never a hot loop.
+  private val snapshotMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, DataFrame](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean =
+        size() > 256
+    })
 
   private def readPartsCached(spark: SparkSession, path: String,
       version: Long, parts: Map[String, String]): DataFrame = {
@@ -653,7 +664,6 @@ object Tables {
     if (hit != null) hit
     else {
       val df = readFromParts(spark, path, parts)
-      if (snapshotMemo.size > 256) snapshotMemo.clear()
       snapshotMemo.put(key, df)
       df
     }
@@ -684,7 +694,6 @@ object Tables {
     if (hit != null) hit
     else {
       val df = spark.read.parquet(dir)
-      if (snapshotMemo.size > 256) snapshotMemo.clear()
       snapshotMemo.put(key, df)
       df
     }
