@@ -1541,6 +1541,48 @@ object ScaleOps {
       |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
       |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
 
+  /** [[qSqlDelete]]'s archive: the whole corpus plus its tombstone
+    * store — the SQL DELETE inside the query is what removes the
+    * masked tenth. */
+  private def sqlDeleteRoot(s: SparkSession, dir: String): String =
+    healthMemo.computeIfAbsent(dir + "#sqldelete", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sqldel").toString
+      healthDirs.add(root)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Tables.writeManifested(docs.withColumn("ingest_epoch", lit(0L)),
+        s"$root/arch", Seq("ingest_epoch"))
+      root
+    })
+
+  /** Gated: the SQL DELETE path — `DELETE FROM <live name> WHERE …`
+    * executes the RTBF lifecycle ([[graft.plans.DeleteArchiveCommand]]
+    * → tombstone epoch on the DELETE lane + deletion-vector rebuild
+    * at delete time), and the subsequent SQL read over the same live
+    * name serves the masked state. Idempotent under bench re-runs:
+    * re-deleting the same predicate re-lands the same keys; the
+    * masked answer never moves. The aggregate matches the
+    * everything-but-the-tenth oracle only if the DELETE actually
+    * masked — a no-op DELETE would hash-mismatch on every lang row. */
+  def qSqlDelete(s: SparkSession, dir: String): DataFrame = {
+    val root = sqlDeleteRoot(s, dir)
+    Tables.registerManifestedLiveSql(s, "graft_sql_del",
+      s"$root/arch", tombPath = Some(s"$root/tomb"),
+      keyCol = Some("doc_id"))
+    s.sql("DELETE FROM graft_sql_del WHERE doc_id % 10 = 3")
+    s.sql(
+      """SELECT lang, count(*) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM graft_sql_del GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val qSqlDeleteOracle: String =
+    """SELECT lang, count(*) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+      |FROM documents WHERE doc_id % 10 <> 3
+      |GROUP BY 1 ORDER BY lang""".stripMargin
+
   /** [[qAppendManifested]]'s archive: the even half of the corpus
     * written lang-partitioned, then the odd half FAST-APPENDED into
     * the SAME lang partitions ([[graft.io.Tables.appendManifested]])
@@ -2218,6 +2260,7 @@ object ScaleOps {
     "q_sql_archive" -> qSqlArchive,
     "q_sql_live" -> qSqlLive,
     "q_sql_insert" -> qSqlInsert,
+    "q_sql_delete" -> qSqlDelete,
     "q_append_manifested" -> qAppendManifested,
     "q_merge_cow" -> qMergeCow,
     "q_clone_diverge" -> qCloneDiverge,
@@ -2254,6 +2297,7 @@ object ScaleOps {
     "q_sql_archive" -> qBloomSkipOracle,
     "q_sql_live" -> qSqlLiveOracle,
     "q_sql_insert" -> qSqlLiveOracle,
+    "q_sql_delete" -> qSqlDeleteOracle,
     "q_append_manifested" -> qAppendManifestedOracle,
     "q_merge_cow" -> qMergeCowOracle,
     "q_clone_diverge" -> qCloneDivergeOracle,

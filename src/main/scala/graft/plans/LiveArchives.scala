@@ -2,8 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.QueryPlan
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, Filter, InsertIntoStatement, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.col
@@ -138,6 +139,33 @@ case class ResolveLiveArchives(session: SparkSession)
           s"live archive '$name' is pinned asOf v${reg.asOf.get} — " +
             "a pinned snapshot is read-only")
         WriteArchiveCommand(name, reg.path, cols, q, overwrite, byName)
+
+      // DELETE FROM <live name> WHERE … — the SQL face of the RTBF
+      // lifecycle. The table IS a child of DeleteFromTable, so by
+      // this point the read case has substituted it; the temp-view
+      // check keeps a shadowing view's DELETE on Spark's own error
+      // path (a view resolves to the same SubqueryAlias-by-name
+      // shape, and a write must never hijack past a shadow).
+      case DeleteFromTable(a: SubqueryAlias, cond)
+          if a.identifier.qualifier.isEmpty && cond.resolved &&
+            a.child.resolved &&
+            LiveArchives.lookup(session, a.identifier.name).isDefined &&
+            session.sessionState.catalog
+              .getTempView(a.identifier.name).isEmpty &&
+            session.sessionState.catalog
+              .getGlobalTempView(a.identifier.name).isEmpty =>
+        val name = a.identifier.name
+        val reg = LiveArchives.lookup(session, name).get
+        if (reg.asOf.isDefined) throw new IllegalArgumentException(
+          s"live archive '$name' is pinned asOf v${reg.asOf.get} — " +
+            "a pinned snapshot is read-only")
+        if (reg.tombPath.isEmpty || reg.keyCol.isEmpty)
+          throw new IllegalArgumentException(
+            s"live archive '$name' was registered without " +
+              "tombPath/keyCol — DELETE needs the tombstone store " +
+              "and the row-identity column; re-register with both")
+        DeleteArchiveCommand(name, reg.path, reg.tombPath.get,
+          reg.keyCol.get, cond, a.child)
     }
 }
 
@@ -194,6 +222,39 @@ case class WriteArchiveCommand(name: String, path: String,
       Tables.upsertManifested(aligned, path, partCols, _ => false)
     else
       Tables.appendManifested(aligned, path, partCols)
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM <live archive> WHERE …` → the RTBF lifecycle: the
+  * victim KEYS (the masked live rows matching the predicate,
+  * projected to the registration's `keyCol`) land as a tombstone
+  * epoch on the DELETE lane (≥ `DeleteEpochBase`, next free), and
+  * the deletion-vector sidecar is rebuilt at delete time — exactly
+  * the discipline [[Tables.computeDeletionVectors]] documents — so
+  * subsequent masked reads stay on the positional fast path and the
+  * eventual physical retirement knows its victim files without a
+  * scan. Rows disappear from every masked view immediately; bytes
+  * are not rewritten until a fold retires them (mask semantics, the
+  * only delete a 100 TB store can afford per-statement). Idempotent:
+  * re-deleting the same predicate re-lands the same keys at a new
+  * epoch — the masked state is unchanged. */
+case class DeleteArchiveCommand(name: String, path: String,
+    tombPath: String, keyCol: String, condition: Expression,
+    source: LogicalPlan) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val victims = org.apache.spark.sql.GraftColumnBridge
+      .ofRows(session, Filter(condition, source))
+      .select(col(keyCol))
+    if (victims.isEmpty) return Seq.empty // nothing matched: no epoch
+    val (_, delMax) = Tables.readTombstonesWithEpochs(session, tombPath)
+      .map(Tables.laneMaxes).getOrElse((-1L, -1L))
+    val epoch = math.max(Tables.DeleteEpochBase, delMax + 1)
+    Tables.ingestTombstones(victims, tombPath, epoch)
+    Tables.computeDeletionVectors(session, path, tombPath, keyCol)
     Seq.empty
   }
 }

@@ -244,6 +244,71 @@ class LiveArchiveSpec extends SparkSpec {
       .head().getLong(0) === before)
   }
 
+  test("SQL DELETE: victims vanish from the masked view, files stay, " +
+    "the DV rebuilds at delete time, re-delete is a no-op, and " +
+    "unmasked/pinned/shadowed registrations refuse") {
+    val root = tmpRoot("graft-live-del")
+    val p = s"$root/arch"
+    val tomb = s"$root/tomb"
+    Tables.writeManifested(
+      docsDf(0L, 100L).withColumn("ingest_epoch", lit(0L)),
+      p, Seq("ingest_epoch"))
+    Tables.registerManifestedLiveSql(spark, "live_del", p,
+      tombPath = Some(tomb), keyCol = Some("id"))
+    val filesBefore = new org.apache.hadoop.fs.Path(s"$p/data")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .listFiles(new org.apache.hadoop.fs.Path(s"$p/data"), true)
+    spark.sql("DELETE FROM live_del WHERE id % 10 = 3")
+    assert(spark.sql("SELECT count(*) FROM live_del")
+      .head().getLong(0) === 90L)
+    assert(spark.sql("SELECT count(*) FROM live_del WHERE id = 13")
+      .head().getLong(0) === 0L)
+    // mask semantics: no data file was rewritten or removed
+    val fs = new org.apache.hadoop.fs.Path(s"$p/data")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    while (filesBefore.hasNext) {
+      val f = filesBefore.next()
+      if (f.isFile) assert(fs.exists(f.getPath),
+        s"DELETE must mask, not rewrite: ${f.getPath} vanished")
+    }
+    // the DV rebuilt at delete time against the current manifest —
+    // the masked read stays positional (no key anti-join)
+    val dv = Tables.deletionVectors(spark, p)
+    assert(dv.isDefined && dv.get.version ===
+      Tables.resolveManifest(spark, p)._1,
+      "DELETE must rebuild the deletion-vector sidecar")
+    // idempotent: same predicate again, same answer
+    spark.sql("DELETE FROM live_del WHERE id % 10 = 3")
+    assert(spark.sql("SELECT count(*) FROM live_del")
+      .head().getLong(0) === 90L)
+    // no-match DELETE lands no epoch (version is a cheap proxy:
+    // the tombstone store's manifest must not move)
+    val tombV = Tables.resolveManifest(spark, tomb)._1
+    spark.sql("DELETE FROM live_del WHERE id = 999999")
+    assert(Tables.resolveManifest(spark, tomb)._1 === tombV,
+      "a no-match DELETE must not commit an empty tombstone epoch")
+    // an unmasked registration has nowhere to record deletes
+    Tables.registerManifestedLiveSql(spark, "live_del_plain", p)
+    intercept[Exception] {
+      spark.sql("DELETE FROM live_del_plain WHERE id = 1")
+    }
+    // pinned snapshots are read-only
+    Tables.registerManifestedLiveSql(spark, "live_del_pin", p,
+      asOf = Some(1L))
+    intercept[Exception] {
+      spark.sql("DELETE FROM live_del_pin WHERE id = 1")
+    }
+    // a temp-view shadow blocks the delete and the archive holds
+    Seq((1L, "v")).toDF("id", "src")
+      .createOrReplaceTempView("live_del")
+    intercept[Exception] { // Spark's own error, not our command
+      spark.sql("DELETE FROM live_del WHERE id = 5")
+    }
+    spark.catalog.dropTempView("live_del")
+    assert(spark.sql("SELECT count(*) FROM live_del")
+      .head().getLong(0) === 90L)
+  }
+
   test("asOf: a version-pinned registration keeps answering the " +
     "pinned snapshot while the table moves on") {
     val p = freshArch("asof")
