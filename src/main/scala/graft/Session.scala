@@ -56,6 +56,12 @@ object Session {
           "it (or run in a fresh JVM) before an A/B or extension " +
           "toggle, or the comparison silently measures the old conf")
     s.sparkContext.setLogLevel("WARN")
+    // durable SQL catalog: when SPARK_GRAFT_REGISTRY names a
+    // warehouse root, load its persisted live-SQL registrations so
+    // this fresh JVM resolves the same names the registering session
+    // did (graft.io.Tables.loadLiveSqlRegistry for the on-disk shape)
+    sys.env.get("SPARK_GRAFT_REGISTRY")
+      .foreach(r => graft.io.Tables.loadLiveSqlRegistry(s, r))
     s
   }
 

@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{array_contains, broadcast,
   coalesce, col, collect_list, count, expr, greatest, hash,
   input_file_name, least, lit, max, min, pmod, sort_array, sum, when,
@@ -980,6 +980,27 @@ object Tables {
         .filter(st => !live.contains(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, true))
     }
+    // Bloom-sidecar dead mass: same retained-until-vacuum grace —
+    // every _file_blooms subdir except the current pointer's
+    sweepBloomDirs(spark, path)
+  }
+
+  /** Reclaim superseded Bloom-sidecar dirs: every `_file_blooms`
+    * subdir except the one the current pointer names. The builders
+    * ([[computeFileBlooms]], [[refreshBucketedBlooms]]) retain the
+    * superseded dir at publish time so a reader holding the old
+    * pointer never loses its files mid-scan — this sweep is where
+    * the dead mass goes, called from both layouts' vacuum verbs. */
+  private def sweepBloomDirs(spark: SparkSession, path: String): Unit = {
+    val bRoot = new org.apache.hadoop.fs.Path(
+      s"${path.stripSuffix("/")}/_file_blooms")
+    val fs = fsFor(spark, bRoot)
+    if (!fs.exists(bRoot)) return
+    val live = fileBlooms(spark, path)
+      .map(p => new org.apache.hadoop.fs.Path(p._1).getName).toSet
+    fs.listStatus(bRoot)
+      .filter(st => !live.contains(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, true))
   }
 
   // ---------- Ingest expectations (declared data-quality gates) ----------
@@ -1834,6 +1855,11 @@ object Tables {
     * NULLABLE: -1 for an archive with no live rows (every fold here
     * treats that as a no-op instead of NPEing on `max() = NULL`). */
   private[graft] def maxIngestEpoch(df: DataFrame): Long = {
+    // archives without an epoch column (lang/grp-partitioned stores
+    // under the DV lifecycle) have no ingest high-water: -1, the
+    // same value as an empty epoch-partitioned archive
+    if (!df.schema.fieldNames.exists(_.equalsIgnoreCase("ingest_epoch")))
+      return -1L
     val row = df.agg(
       org.apache.spark.sql.functions.max(col("ingest_epoch"))
         .cast("long")).head()
@@ -1921,6 +1947,19 @@ object Tables {
       val spec = bucketSpecPath(path)
       if (dead.nonEmpty || fs.exists(spec)) fs.delete(spec, false)
       dead.size
+    }
+    // superseded Bloom-sidecar dirs get the same grace-then-reclaim
+    sweepBloomDirs(spark, path)
+    // superseded bucketed deletion-vector dirs: everything except
+    // the current pointer's
+    val dvbRoot = new org.apache.hadoop.fs.Path(
+      s"${path.stripSuffix("/")}/_dvb")
+    if (fs.exists(dvbRoot)) {
+      val live = bucketedDeletionVectors(spark, path)
+        .map(p => new org.apache.hadoop.fs.Path(p.dir).getName).toSet
+      fs.listStatus(dvbRoot)
+        .filter(st => !live.contains(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, true))
     }
     scratch + versions + legacy
   }
@@ -2087,15 +2126,21 @@ object Tables {
           .getOrElse(return 0L)
         val dir = s"${path.stripSuffix("/")}/_file_blooms/" +
           s"b${java.util.UUID.randomUUID.toString.take(8)}"
-        all.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+        // no coalesce(1): at 100 TB file counts the union of carried
+        // + fresh blooms is GBs of bitsets — funneling them through
+        // one task is the bottleneck the DV sidecar already shed;
+        // the fresh side is hash-partitioned by its groupBy and the
+        // probe reads the whole dir regardless of file count
+        all.write.mode(SaveMode.Overwrite).parquet(dir)
         val n = spark.read.parquet(dir).count()
         val ptr = fileBloomsPtr(path)
         val pfs = fsFor(spark, ptr)
         val out = pfs.create(ptr, true)
         try out.write(s"$dir\n$key\n$k".getBytes("UTF-8"))
         finally out.close()
-        prev.foreach { case (d, _, _) =>
-          pfs.delete(new org.apache.hadoop.fs.Path(d), true) }
+        // the superseded sidecar dir stays as dead mass for readers
+        // that resolved the old pointer (the overlay discipline every
+        // other sidecar follows); the vacuum sweep reclaims it
         graft.plans.AutoFileSkip.invalidateMisses()
         n
     }
@@ -2293,14 +2338,98 @@ object Tables {
     * first. Session-scoped, metadata-only. */
   def registerManifestedLiveSql(spark: SparkSession, name: String,
       path: String, tombPath: Option[String] = None,
-      keyCol: Option[String] = None, asOf: Option[Long] = None): Unit =
+      keyCol: Option[String] = None, asOf: Option[Long] = None,
+      consistentRoots: Seq[String] = Nil,
+      registry: Option[String] = None): Unit = {
     graft.plans.LiveArchives.register(spark, name,
-      graft.plans.LiveArchives.LiveReg(path, tombPath, keyCol, asOf))
+      graft.plans.LiveArchives.LiveReg(path, tombPath, keyCol, asOf,
+        consistentRoots))
+    registry.foreach(r => persistLiveSqlName(spark, r, name,
+      graft.plans.LiveArchives.LiveReg(path, tombPath, keyCol, asOf,
+        consistentRoots)))
+  }
 
-  /** Drop a live SQL registration; the name stops resolving. */
-  def unregisterManifestedLiveSql(spark: SparkSession,
-                                  name: String): Unit =
+  /** Drop a live SQL registration; the name stops resolving. With
+    * `registry`, also remove the persisted entry so future sessions
+    * loading that registry stop seeing the name. */
+  def unregisterManifestedLiveSql(spark: SparkSession, name: String,
+      registry: Option[String] = None): Unit = {
     graft.plans.LiveArchives.unregister(spark, name)
+    registry.foreach { r =>
+      val f = liveSqlRegFile(r, name)
+      val fs = fsFor(spark, f)
+      if (fs.exists(f)) fs.delete(f, false)
+    }
+  }
+
+  // ---------- Persistent live-SQL registry ----------
+  // Live registrations are session-scoped metadata: every new JVM
+  // would have to re-register every name by path. The registry makes
+  // the SQL catalog DURABLE the way `_graft_bucketspec` makes bucket
+  // layouts durable: a warehouse-root `_graft_livesql/` directory
+  // holds ONE small file per name (add/replace/delete per name —
+  // no read-merge-write race between concurrent registrars of
+  // DIFFERENT names; same-name racers last-write-win, which is the
+  // temp-view semantic too), and any session loads the whole set
+  // with one listing. [[graft.Session]] auto-loads the directory
+  // named by `SPARK_GRAFT_REGISTRY`, so a fresh JVM resolves the
+  // same SQL names the registering one did — AutoFileSkip pruning,
+  // ManifestStats CBO and DV masking intact, because loading just
+  // re-registers and the resolution rule does the rest.
+
+  private def liveSqlRegFile(registryDir: String, name: String) =
+    new org.apache.hadoop.fs.Path(
+      s"${registryDir.stripSuffix("/")}/_graft_livesql",
+      name.toLowerCase(java.util.Locale.ROOT))
+
+  private def persistLiveSqlName(spark: SparkSession,
+      registryDir: String, name: String,
+      reg: graft.plans.LiveArchives.LiveReg): Unit = {
+    val f = liveSqlRegFile(registryDir, name)
+    val fs = fsFor(spark, f)
+    def opt(v: Option[String]) = v.getOrElse("-")
+    val body = Seq(
+      reg.path,
+      opt(reg.tombPath),
+      opt(reg.keyCol),
+      opt(reg.asOf.map(_.toString)),
+      if (reg.consistentRoots.isEmpty) "-"
+      else reg.consistentRoots.mkString("\t")
+    ).mkString("\n")
+    val out = fs.create(f, true)
+    try out.write(body.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Register every name persisted in `registryDir`'s live-SQL
+    * registry into THIS session. Returns the loaded names. A fresh
+    * JVM (or a second concurrent tool) calls this once — or sets
+    * `SPARK_GRAFT_REGISTRY` and lets [[graft.Session]] do it — and
+    * resolves the same live names the registering session did. */
+  def loadLiveSqlRegistry(spark: SparkSession,
+                          registryDir: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(
+      s"${registryDir.stripSuffix("/")}/_graft_livesql")
+    val fs = fsFor(spark, dir)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.filter(_.isFile)
+      .map(_.getPath).sortBy(_.getName).map { f =>
+        val name = f.getName
+        readSmallFile(fs, f).split("\n", -1) match {
+          case Array(p, tomb, key, asOf, roots) =>
+            def opt(s: String) = if (s == "-") None else Some(s)
+            graft.plans.LiveArchives.register(spark, name,
+              graft.plans.LiveArchives.LiveReg(p, opt(tomb), opt(key),
+                opt(asOf).map(_.toLong),
+                if (roots == "-") Nil
+                else roots.split("\t").toSeq))
+            name
+          case other => throw new IllegalStateException(
+            s"garbled live-SQL registry entry at $f " +
+              s"(${other.length} lines) — delete it and re-register")
+        }
+      }
+  }
 
   /** Empty an archive's auxiliary table in ONE pointer flip — used by
     * physical folds to retire tombstones they just applied. Data dirs
@@ -2661,7 +2790,13 @@ object Tables {
     * line is their merge ([[mergePartStats]]). */
   private def publishCommitStats(spark: SparkSession, path: String,
       v: Long, liveParts: Map[String, String], freshDir: String,
-      partCols: Seq[String], combine: Boolean = false): Unit = {
+      partCols: Seq[String], combine: Boolean = false): Unit =
+  // best-effort BY CONTRACT: the manifest commit has already
+  // succeeded when this runs, so a stats failure (a non-finite bound
+  // a legacy line slipped past widen's guard, a transient FS error)
+  // must degrade to "this version has no estimate" — never fail a
+  // commit that actually landed
+  try {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsFor(spark, root)
     val fresh = freshPartStats(spark, freshDir, partCols)
@@ -2674,12 +2809,25 @@ object Tables {
       ((fresh.get(part), prev.get(part)) match {
         case (Some(f), Some(p)) if combine =>
           Some(mergePartStats(p, f))
+        // append commit whose carried line is MISSING (a prior
+        // publish crashed, or stats were enabled mid-life): when the
+        // committed entry is multi-path the fresh line covers only
+        // the appended rows of a partition that holds more — a wrong
+        // estimate (undercounted rows, narrow bounds), worse than no
+        // estimate. Omit the line so manifestStatsFor degrades.
+        case (Some(_), None) if combine &&
+            entryPaths(liveParts(part)).size > 1 => None
         case (f, p) => f.orElse(p)
       }).map(part -> _)
     }.toMap
     val out = fs.create(statsFilePath(root, v), true)
     try out.write(encodeStats(lines).getBytes("UTF-8"))
     finally out.close()
+  } catch {
+    case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft] commit-time stats publish for " +
+        s"$path v$v failed (best-effort; version reads as " +
+        s"no-estimate): $e")
   }
 
   /** Merge two stats lines covering DISJOINT row sets of one
@@ -2698,13 +2846,16 @@ object Tables {
 
   private def mergeColStat(x: ColStat, y: ColStat,
                            xRows: Long, yRows: Long): ColStat = {
+    // NaN/Infinity bounds (a double column holding non-finite values
+    // stringifies them) have no BigDecimal form — a merged line can't
+    // bound such a column, so drop the bound rather than throw inside
+    // a best-effort publish
+    def num(s: String): Option[BigDecimal] =
+      try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
     def widen(a: Option[String], b: Option[String],
               pick: (BigDecimal, BigDecimal) => BigDecimal) =
-      (a, b) match {
-        case (Some(u), Some(v)) =>
-          Some(pick(BigDecimal(u), BigDecimal(v)).toString)
-        case _ => None
-      }
+      for { u <- a.flatMap(num); v <- b.flatMap(num) }
+        yield pick(u, v).toString
     val sketch = (x.sketch, y.sketch) match {
       case (Some(u), Some(v)) => unionSketches(Seq(u, v))
       case _ => None
@@ -2977,6 +3128,154 @@ object Tables {
     // pointer only: the mask dir stays for concurrent readers that
     // already resolved it; vacuumManifested sweeps unreferenced dirs
     if (fs.exists(ptr)) fs.delete(ptr, false)
+  }
+
+  // ---------- Deletion vectors for BUCKETED archives ----------
+  // The bucketed layout (token/shingle postings, labels, assignment
+  // archives — the tables that are LARGEST at 100 TB) masked
+  // tombstones by broadcast key anti-join only: the same
+  // growing-build-side argument that motivated readManifestedMasked
+  // applies, so the positional machinery extends here. One
+  // difference: a bucketed archive has no manifest version to stamp
+  // coverage with — epoch ingests replace partition subtrees INSIDE
+  // the current version dir — so the pointer records a DIGEST of the
+  // live file listing instead. Any file change (epoch ingest, replay,
+  // fold, evolution rewrite) changes the digest and the masked read
+  // degrades to the key mask: staleness costs the positional fast
+  // path, never rows. Every part file is uniquely named (UUID per
+  // write job), so same-name replacement cannot fool the digest.
+
+  private def bucketedDvPtrPath(path: String) =
+    new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "/_dvb_ptr")
+
+  /** Digest of a bucketed archive's live file listing — the
+    * coverage stamp bucketed deletion vectors use in place of a
+    * manifest version. One recursive listing; md5 over the sorted
+    * relative paths. */
+  private[graft] def bucketedLiveDigest(spark: SparkSession,
+                                        path: String): String = {
+    val liveDir = new org.apache.hadoop.fs.Path(
+      bucketedLiveDir(spark, path))
+    val fs = fsFor(spark, liveDir)
+    def walk(d: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(d).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && !n.startsWith(".") && !n.startsWith("_"))
+          walk(st.getPath)
+        else if (st.isFile && !n.startsWith(".") && !n.startsWith("_"))
+          Seq(st.getPath.toUri.getPath)
+        else Nil
+      }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    walk(liveDir).sorted.foreach(p => md.update((p + "\n").getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** A bucketed deletion-vector pointer: the mask dir, the tombstone
+    * lane maxes it covers, and the live-file digest it was computed
+    * against. */
+  final case class BucketedDvPointer(dir: String, insCovered: Long,
+      delCovered: Long, digest: String)
+
+  /** The current bucketed deletion-vector pointer, or None. */
+  def bucketedDeletionVectors(spark: SparkSession, path: String)
+      : Option[BucketedDvPointer] = {
+    val ptr = bucketedDvPtrPath(path)
+    val fs = fsFor(spark, ptr)
+    if (!fs.exists(ptr)) None
+    else readSmallFile(fs, ptr).split("\n") match {
+      case Array(dir, i, d, g) =>
+        Some(BucketedDvPointer(dir, i.toLong, d.toLong, g))
+      case other => throw new IllegalStateException(
+        s"garbled bucketed deletion-vector pointer at $ptr " +
+          s"(${other.length} lines) — delete it and re-run " +
+          "computeBucketedDeletionVectors")
+    }
+  }
+
+  /** [[computeDeletionVectors]] for the bucketed layout: one row per
+    * victim-carrying live file, `positions` the sorted
+    * `_metadata.row_index` values of the tombstoned rows. Call right
+    * after the tombstone commit (delete time), so every
+    * [[readBucketedArchiveMasked]] between the delete and the next
+    * fold stays on the positional fast path. Same overlay
+    * discipline: fresh uniquely-named dir, pointer flips last,
+    * superseded dirs retained until [[sweepBucketedScratch]]. */
+  def computeBucketedDeletionVectors(spark: SparkSession, path: String,
+      tombPath: String, keyCol: String): Long =
+    readTombstones(spark, tombPath, keyCol) match {
+      case None => 0L
+      case Some(tomb) =>
+        val (insTombMax, delTombMax) =
+          readTombstonesWithEpochs(spark, tombPath)
+            .map(laneMaxes).getOrElse((-1L, -1L))
+        val digest = bucketedLiveDigest(spark, path)
+        val dv = readBucketedArchive(spark, path)
+          .select(col(keyCol),
+            col("_metadata.file_path").as("file"),
+            col("_metadata.row_index").as("pos"))
+          .join(broadcast(tomb), Seq(keyCol), "left_semi")
+          .groupBy(col("file"))
+          .agg(sort_array(collect_list(col("pos"))).as("positions"),
+            count(lit(1)).as("n_victims"))
+        val dir = s"${path.stripSuffix("/")}/_dvb/" +
+          java.util.UUID.randomUUID.toString.take(8)
+        // distributed like the manifested DV sidecar: the groupBy
+        // already hash-partitioned the mask by file
+        dv.write.mode(SaveMode.Overwrite).parquet(dir)
+        val ptr = bucketedDvPtrPath(path)
+        val fs = fsFor(spark, ptr)
+        val out = fs.create(ptr, true)
+        try out.write(s"$dir\n$insTombMax\n$delTombMax\n$digest"
+          .getBytes("UTF-8"))
+        finally out.close()
+        spark.read.parquet(dir).count()
+    }
+
+  /** The tombstone-masked bucketed read that CONSUMES the bucketed
+    * deletion-vector sidecar — [[readManifestedMasked]] for the
+    * bucketed layout. Coverage check order is cheapest-first: no
+    * tombstones → plain read; no pointer → key mask (one small-file
+    * probe — archives that never built a DV pay nothing new); digest
+    * mismatch (any file changed since the build) or vanished mask
+    * dir → key mask; otherwise the positional broadcast mask, with a
+    * key anti-join ONLY for tombstones landed after the recorded
+    * lane coverage — skipped outright in the covered steady state. */
+  def readBucketedArchiveMasked(spark: SparkSession, path: String,
+      tombPath: String, keyCol: String): DataFrame = {
+    val tombE = readTombstonesWithEpochs(spark, tombPath)
+    if (tombE.isEmpty) return readBucketedArchive(spark, path)
+    def keyMasked = minusTombstones(
+      readBucketedArchive(spark, path), tombPath, keyCol)
+    val dvOpt = bucketedDeletionVectors(spark, path)
+      .filter(_.digest == bucketedLiveDigest(spark, path))
+    if (dvOpt.isEmpty) return keyMasked
+    val dvp = dvOpt.get
+    val dv = try
+      spark.read.parquet(dvp.dir)
+        .select(col("file").as("_dv_file"),
+          col("positions").as("_dv_positions"))
+    catch {
+      case scala.util.control.NonFatal(_) => return keyMasked
+    }
+    val base = readBucketedArchive(spark, path)
+      .withColumn("_file", col("_metadata.file_path"))
+      .withColumn("_pos", col("_metadata.row_index"))
+    val masked = base
+      .join(broadcast(dv), base("_file") === col("_dv_file"),
+        "left_outer")
+      .where(col("_dv_positions").isNull ||
+        !graft.expr.SortedSearch.sortedArrayContains(
+          col("_dv_positions"), col("_pos")))
+      .drop("_file", "_pos", "_dv_file", "_dv_positions")
+    val e = col("ingest_epoch").cast("long")
+    val fresh = tombE.get.where(
+      (e < lit(DeleteEpochBase) && e > lit(dvp.insCovered)) ||
+        (e >= lit(DeleteEpochBase) && e > lit(dvp.delCovered)))
+      .select(col(keyCol)).distinct()
+    val (fi, fd) = laneMaxes(tombE.get)
+    if (fi <= dvp.insCovered && fd <= dvp.delCovered) masked
+    else masked.join(broadcast(fresh), Seq(keyCol), "left_anti")
   }
 
   /** FILE-LOCAL physical tombstone retirement — the deletion-vector
@@ -4166,13 +4465,15 @@ object Tables {
       s"b${java.util.UUID.randomUUID.toString.take(8)}"
     blooms.write.mode(SaveMode.Overwrite).parquet(dir)
     val n = spark.read.parquet(dir).count()
-    val prev = fileBlooms(spark, path).map(_._1)
     val ptr = fileBloomsPtr(path)
     val fs = fsFor(spark, ptr)
     val out = fs.create(ptr, true)
     try out.write(s"$dir\n$keyCol\n$k".getBytes("UTF-8"))
     finally out.close()
-    prev.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    // superseded sidecar dirs are retained until vacuum (the overlay
+    // discipline): a reader holding the old pointer keeps its files
+    // mid-scan; [[vacuumManifested]] reclaims everything the current
+    // pointer doesn't name
     graft.plans.AutoFileSkip.invalidateMisses()
     n
   }
@@ -4188,8 +4489,15 @@ object Tables {
     fileBlooms(spark, path) match {
       case None => (liveFiles, 0L, 0L)
       case Some((dir, _, k)) =>
-        val rows = spark.read.parquet(dir)
+        // the sidecar dir can vanish under a racing vacuum after this
+        // read already resolved the pointer — degrade to the full
+        // (correct) read, the overlay contract every sidecar keeps
+        val rows = try spark.read.parquet(dir)
           .select(col("file"), col("bloom")).collect()
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            return (liveFiles, 0L, 0L)
+        }
         val keep = rows.iterator.filter { r =>
           val b = r.getAs[Array[Byte]]("bloom")
           b == null || keyHashes.exists(
@@ -4376,6 +4684,82 @@ object Tables {
     // deterministic block release (unpersist is a no-op for
     // localCheckpoint'd frames); covers the no-touch early return too
     } finally graft.ops.Ckpt.release(chg)
+  }
+
+  /** Row-level UPDATE on a manifested archive — copy-on-write at
+    * partition granularity, the keyless sibling of
+    * [[mergeIntoManifested]]: rewrite exactly the partitions that
+    * CONTAIN a row matching `condition` or RECEIVE one (an update to
+    * a partition column MOVES rows — the destination partition is in
+    * the touched set by construction); every other partition is
+    * carried into the new manifest by reference. No row-identity
+    * column needed: within a touched partition the non-matching rows
+    * are kept verbatim and the matching rows land with `sets`
+    * applied (each value cast to its column's type), so a small
+    * predicate against a 100 TB archive rewrites a handful of
+    * partitions, not the table.
+    *
+    * `view` overrides the rows read/rewritten (default: the raw
+    * snapshot) — the SQL UPDATE path passes the tombstone-MASKED
+    * live state, which physically folds the touched partitions'
+    * masked rows as a side effect (they were already invisible; the
+    * tombstone keys keep masking the untouched partitions).
+    * Same NULL-partition-value refusal and reader isolation as the
+    * merge: data lands first, one manifest CAS flips. */
+  def updateManifested(spark: SparkSession, path: String,
+                       condition: Column, sets: Map[String, Column],
+                       partCols: Seq[String],
+                       view: Option[DataFrame] = None): MergeReport = {
+    require(partCols.nonEmpty, "updateManifested needs partition columns")
+    require(sets.nonEmpty, "updateManifested needs SET assignments")
+    val src = view.getOrElse(readManifested(spark, path))
+    val schema = src.schema
+    sets.keys.foreach(k => require(
+      schema.fieldNames.exists(_.equalsIgnoreCase(k)),
+      s"UPDATE at $path: SET names unknown column '$k' " +
+        s"(have ${schema.fieldNames.mkString(", ")})"))
+    val cond = coalesce(condition, lit(false))
+    val matching = src.where(cond)
+    // the changed rows, updates applied — small by the same argument
+    // as a merge's change batch, so checkpoint once and reuse for
+    // destination discovery and the rewrite union
+    val updated = matching.select(schema.fields.toSeq.map { f =>
+      sets.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(f.name) => v.cast(f.dataType)
+      }.getOrElse(col(f.name)).as(f.name)
+    }: _*).localCheckpoint()
+    try {
+      val partColsStr = partCols.map(c => col(c).cast("string"))
+      val srcParts = matching.select(partColsStr: _*).distinct().collect()
+      val (liveVersion, liveParts) = resolveManifest(spark, path)
+      if (srcParts.isEmpty)
+        return MergeReport(0L, liveParts.size.toLong, liveVersion)
+      val dstParts = updated.select(partColsStr: _*).distinct().collect()
+      (srcParts ++ dstParts).foreach { r =>
+        partCols.indices.foreach(i => require(!r.isNullAt(i),
+          s"updateManifested at $path: NULL value in partition column " +
+            s"'${partCols(i)}' — null partition values do not survive " +
+            "the copy-on-write rewrite; coalesce to a sentinel first"))
+      }
+      val touched: Set[Seq[String]] = (srcParts ++ dstParts)
+        .map(r => partCols.indices.map(r.getString)).toSet
+      val touchedKeys: Set[String] = touched.map(vs =>
+        partCols.zip(vs).map { case (c, v) => s"$c=$v" }.mkString("/"))
+      val touchedPred = touched.toSeq.map(vs =>
+          partCols.zip(vs)
+            .map { case (c, v) => col(c).cast("string") === lit(v) }
+            .reduce(_ && _))
+        .reduce(_ || _)
+      // partition-pruned rewrite: kept rows are the touched
+      // partitions' NON-matching rows, verbatim
+      val keep = src.where(touchedPred && !cond)
+      val newContent = keep.unionByName(updated)
+      val version = upsertManifested(newContent, path, partCols,
+        dropPart = touchedKeys.contains)
+      MergeReport(touchedKeys.size.toLong,
+        (liveParts.size - liveParts.keys.count(touchedKeys)).toLong,
+        version)
+    } finally graft.ops.Ckpt.release(updated)
   }
 
   // ---------- Topology commit watermark (cross-store consistency) ----------

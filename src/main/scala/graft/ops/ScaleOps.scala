@@ -1041,6 +1041,40 @@ object ScaleOps {
       .orderBy("phase", "store")
   }
 
+  /** Gated: the consistent view THROUGH THE SQL SURFACE —
+    * [[qConsistentView]]'s exact contract, but every count is a
+    * plain `spark.sql` aggregate over a registered live name: the
+    * plain registration sees the half-landed epoch where it landed,
+    * the `consistentRoots`-gated registration holds at the
+    * topology's committed watermark on every store until the replay
+    * completes and the marker appears. Shares [[qConsistentView]]'s
+    * closed-form oracle, so the SQL gate can only pass if the
+    * registration-level gate filters exactly the watermark the API
+    * filter does. LiveArchiveSpec pins the mechanics (mid-land kill
+    * visible plain / invisible gated, abort masking, read-only
+    * refusals on gated names). */
+  def qSqlConsistent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = consistencyRoot(s, dir)
+    (for {
+      phase <- Seq("partial", "replayed")
+      store <- Seq("alpha", "beta")
+    } yield {
+      val r = s"$root/$phase"
+      val plain = s"graft_sqlc_${phase}_${store}_p"
+      val gated = s"graft_sqlc_${phase}_${store}_g"
+      Tables.registerManifestedLiveSql(s, plain, s"$r/$store")
+      Tables.registerManifestedLiveSql(s, gated, s"$r/$store",
+        consistentRoots = Seq(r))
+      (phase, store,
+        s.sql(s"SELECT count(*) FROM $plain").head().getLong(0),
+        s.sql(s"SELECT count(*) FROM $gated").head().getLong(0),
+        Tables.committedWatermark(s, r).getOrElse(-1L))
+    }).toDF("phase", "store", "plain_rows", "consistent_rows",
+      "watermark")
+      .orderBy("phase", "store")
+  }
+
   val qConsistentViewOracle: String =
     """WITH n AS (
       |  SELECT count(*) FILTER (WHERE doc_id % 10 >= 2) AS n0,
@@ -1583,6 +1617,57 @@ object ScaleOps {
       |FROM documents WHERE doc_id % 10 <> 3
       |GROUP BY 1 ORDER BY lang""".stripMargin
 
+  /** [[qDvBucketed]]'s archive: the corpus as a doc_id-bucketed,
+    * epoch-partitioned archive (evens at epoch 0, odds ingested at
+    * epoch 1 — multi-epoch, multi-file), the 3-tenth tombstoned on
+    * the delete lane, and the BUCKETED deletion-vector sidecar built
+    * at delete time. */
+  private def dvBucketedRoot(s: SparkSession, dir: String): String =
+    healthMemo.computeIfAbsent(dir + "#dvbucketed", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-dvb").toString
+      healthDirs.add(root)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Tables.writeBucketedArchive(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .withColumn("ingest_epoch", lit(0L)),
+        s"$root/arch", "doc_id", buckets = 8)
+      Tables.ingestBucketedArchive(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        s"$root/arch", epoch = 1L)
+      Tables.ingestTombstones(
+        docs.where(pmod(col("doc_id"), lit(10)) === 3)
+          .select(col("doc_id")),
+        s"$root/tomb", epoch = Tables.DeleteEpochBase)
+      Tables.computeBucketedDeletionVectors(s, s"$root/arch",
+        s"$root/tomb", "doc_id")
+      root
+    })
+
+  /** Gated: POSITIONAL deletion-vector masking on the BUCKETED
+    * layout ([[graft.io.Tables.readBucketedArchiveMasked]] consuming
+    * [[graft.io.Tables.computeBucketedDeletionVectors]]) — the
+    * postings/labels/assignment archives are the LARGEST tables at
+    * 100 TB, and until this verb their tombstone mask was a key
+    * anti-join whose broadcast build side grows with every RTBF
+    * delete until the next fold. The aggregate matches the
+    * everything-but-the-tenth oracle only if the positional mask
+    * drops exactly the tombstoned rows across both epochs' files.
+    * BucketedDvSpec pins the mechanics: covered steady-state plan
+    * free of LeftAnti, digest staleness (epoch ingest, fold)
+    * degrading to the key mask, fresh-tombstone overlay, vacuum
+    * sweep. */
+  def qDvBucketed(s: SparkSession, dir: String): DataFrame = {
+    val root = dvBucketedRoot(s, dir)
+    Tables.readBucketedArchiveMasked(s, s"$root/arch",
+      s"$root/tomb", "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("long").as("chars_sum"))
+      .orderBy("lang")
+  }
+
   /** [[qAppendManifested]]'s archive: the even half of the corpus
     * written lang-partitioned, then the odd half FAST-APPENDED into
     * the SAME lang partitions ([[graft.io.Tables.appendManifested]])
@@ -1675,6 +1760,127 @@ object ScaleOps {
         |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
         |FROM graft_sql_ins GROUP BY lang ORDER BY lang""".stripMargin)
   }
+
+  /** [[qSqlUpdate]]'s archive: the whole corpus lang-partitioned —
+    * the SQL UPDATE inside the query re-langs the masked tenth,
+    * which MOVES those rows across partitions (the COW touched-set
+    * includes source and destination partitions). */
+  private def sqlUpdateRoot(s: SparkSession, dir: String): String =
+    healthMemo.computeIfAbsent(dir + "#sqlupdate", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sqlupd").toString
+      healthDirs.add(root)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Tables.writeManifested(docs, s"$root/arch", Seq("lang"))
+      root
+    })
+
+  /** Gated: the SQL UPDATE path — `UPDATE <live name> SET … WHERE …`
+    * executes the partition-granular copy-on-write rewrite
+    * ([[graft.plans.UpdateArchiveCommand]] →
+    * [[graft.io.Tables.updateManifested]]): the tenth's rows take
+    * `lang = 'xx'` — a PARTITION-COLUMN assignment, so the rewrite
+    * moves rows out of every source lang partition into the 'xx'
+    * destination — and the subsequent SQL aggregate over the same
+    * live name can match the CASE-folded oracle only if exactly the
+    * matching rows moved and every other row survived verbatim.
+    * Idempotent under bench re-runs: the assignment is absolute
+    * (re-running re-lands the same state). LiveArchiveSpec pins the
+    * mechanics (untouched partitions carry by reference, identity /
+    * no-match UPDATEs commit nothing, pinned/shadowed refuse). */
+  def qSqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    val root = sqlUpdateRoot(s, dir)
+    Tables.registerManifestedLiveSql(s, "graft_sql_upd", s"$root/arch")
+    s.sql("UPDATE graft_sql_upd SET lang = 'xx' WHERE doc_id % 10 = 3")
+    s.sql(
+      """SELECT lang, count(*) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM graft_sql_upd GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val qSqlUpdateOracle: String =
+    """SELECT CASE WHEN doc_id % 10 = 3 THEN 'xx' ELSE lang END AS lang,
+      |       count(*) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+      |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
+
+  /** [[qSqlMerge]]'s archive: the whole corpus lang-partitioned; the
+    * MERGE inside the query deletes the 3-tenth, rewrites the
+    * 4-tenth's n_chars, and inserts a 'zz' shadow row per %100==7
+    * doc. */
+  private def sqlMergeRoot(s: SparkSession, dir: String): String =
+    healthMemo.computeIfAbsent(dir + "#sqlmerge", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sqlmrg").toString
+      healthDirs.add(root)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Tables.writeManifested(docs, s"$root/arch", Seq("lang"))
+      root
+    })
+
+  /** Gated: the SQL MERGE path — `MERGE INTO <live name> USING …`
+    * executes the row-level COW merge ([[graft.plans
+    * .MergeArchiveCommand]] → [[graft.io.Tables.mergeIntoManifested]])
+    * with all three clause families in one statement: matched DELETE
+    * (the 3-tenth), matched UPDATE with an absolute assignment (the
+    * 4-tenth's n_chars := doc_id % 997), and a conditioned
+    * not-matched INSERT ('zz' rows keyed above the corpus). The
+    * aggregate matches the three-branch oracle only if each clause
+    * touched exactly its rows. Idempotent under bench re-runs:
+    * deleted keys stop matching (and the INSERT action's condition
+    * excludes them), the update re-lands the same absolute value,
+    * and the inserted keys MATCH on re-run but satisfy no matched
+    * action — every run converges to the same state. */
+  def qSqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val root = sqlMergeRoot(s, dir)
+    Tables.registerManifestedLiveSql(s, "graft_sql_mrg",
+      s"$root/arch", keyCol = Some("doc_id"))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.where(pmod(col("doc_id"), lit(10)) === 3)
+      .select(col("doc_id"), lit("del").as("op"),
+        lit(null).cast("long").as("new_chars"),
+        lit(null).cast("string").as("new_lang"))
+      .unionByName(docs.where(pmod(col("doc_id"), lit(10)) === 4)
+        .select(col("doc_id"), lit("upd").as("op"),
+          pmod(col("doc_id"), lit(997)).cast("long").as("new_chars"),
+          lit(null).cast("string").as("new_lang")))
+      .unionByName(docs.where(pmod(col("doc_id"), lit(100)) === 7)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          lit("ins").as("op"),
+          (col("n_chars") + 5L).cast("long").as("new_chars"),
+          lit("zz").as("new_lang")))
+      .createOrReplaceTempView("graft_mrg_src")
+    s.sql(
+      """MERGE INTO graft_sql_mrg t USING graft_mrg_src s
+        |ON t.doc_id = s.doc_id
+        |WHEN MATCHED AND s.op = 'del' THEN DELETE
+        |WHEN MATCHED AND s.op = 'upd' THEN
+        |  UPDATE SET n_chars = s.new_chars
+        |WHEN NOT MATCHED AND s.op = 'ins' THEN
+        |  INSERT (doc_id, lang, n_chars)
+        |  VALUES (s.doc_id, s.new_lang, s.new_chars)
+        |""".stripMargin)
+    s.sql(
+      """SELECT lang, count(*) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM graft_sql_mrg GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val qSqlMergeOracle: String =
+    """SELECT lang, count(*) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+      |FROM (
+      |  SELECT lang,
+      |         CASE WHEN doc_id % 10 = 4 THEN doc_id % 997
+      |              ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 10 <> 3
+      |  UNION ALL
+      |  SELECT 'zz' AS lang, n_chars + 5 AS n_chars
+      |  FROM documents WHERE doc_id % 100 = 7
+      |) GROUP BY 1 ORDER BY lang""".stripMargin
 
   // ---------- Zero-copy clone (gated construction) ----------
 
@@ -2247,9 +2453,11 @@ object ScaleOps {
     "q_maintenance_due" -> qMaintenanceDue,
     "q_delete_vectors" -> qDeleteVectors,
     "q_dv_masked_read" -> qDvMaskedRead,
+    "q_dv_bucketed" -> qDvBucketed,
     "q_bloom_skip_bucketed" -> qBloomSkipBucketed,
     "q_consistent_view" -> qConsistentView,
     "q_consistent_cross" -> qConsistentCross,
+    "q_sql_consistent" -> qSqlConsistent,
     "q_changes_since" -> qChangesSince,
     "q_schema_evolution" -> qSchemaEvolution,
     "q_mirror_sync" -> qMirrorSync,
@@ -2261,6 +2469,8 @@ object ScaleOps {
     "q_sql_live" -> qSqlLive,
     "q_sql_insert" -> qSqlInsert,
     "q_sql_delete" -> qSqlDelete,
+    "q_sql_update" -> qSqlUpdate,
+    "q_sql_merge" -> qSqlMerge,
     "q_append_manifested" -> qAppendManifested,
     "q_merge_cow" -> qMergeCow,
     "q_clone_diverge" -> qCloneDiverge,
@@ -2284,9 +2494,11 @@ object ScaleOps {
     "q_maintenance_due" -> qMaintenanceDueOracle,
     "q_delete_vectors" -> qDeleteVectorsOracle,
     "q_dv_masked_read" -> qDvMaskedReadOracle,
+    "q_dv_bucketed" -> qSqlDeleteOracle,
     "q_bloom_skip_bucketed" -> qBloomSkipBucketedOracle,
     "q_consistent_view" -> qConsistentViewOracle,
     "q_consistent_cross" -> qConsistentCrossOracle,
+    "q_sql_consistent" -> qConsistentViewOracle,
     "q_changes_since" -> qChangesSinceOracle,
     "q_schema_evolution" -> qSchemaEvolutionOracle,
     "q_mirror_sync" -> qMirrorSyncOracle,
@@ -2298,6 +2510,8 @@ object ScaleOps {
     "q_sql_live" -> qSqlLiveOracle,
     "q_sql_insert" -> qSqlLiveOracle,
     "q_sql_delete" -> qSqlDeleteOracle,
+    "q_sql_update" -> qSqlUpdateOracle,
+    "q_sql_merge" -> qSqlMergeOracle,
     "q_append_manifested" -> qAppendManifestedOracle,
     "q_merge_cow" -> qMergeCowOracle,
     "q_clone_diverge" -> qCloneDivergeOracle,

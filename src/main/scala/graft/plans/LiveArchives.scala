@@ -2,9 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
 import org.apache.spark.sql.catalyst.plans.QueryPlan
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, Filter, InsertIntoStatement, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertIntoStatement, LogicalPlan, MergeAction, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.col
@@ -55,24 +55,44 @@ object LiveArchives {
     * `asOf` pins a manifest version (reproducible-dashboard shape —
     * re-resolved per query, so it survives session cache clears and
     * keeps answering after further commits, unlike a snapshot view
-    * it never advances). */
+    * it never advances); `consistentRoots` gates an epoch-partitioned
+    * topology store at the commit watermark / abort mask
+    * ([[Tables.consistentViewAcross]]) so a SQL consumer can never
+    * read a half-landed front-door epoch — the registration is then
+    * READ-ONLY (mutations go through the front door, which is what
+    * writes the epochs and markers the gate trusts). */
   final case class LiveReg(path: String, tombPath: Option[String],
-      keyCol: Option[String], asOf: Option[Long])
+      keyCol: Option[String], asOf: Option[Long],
+      consistentRoots: Seq[String] = Nil)
 
   private val regs =
     new java.util.concurrent.ConcurrentHashMap[String, LiveReg]()
 
+  /** Session component of a registration key: the session's UUID —
+    * unique for the session's lifetime and never reused, unlike
+    * `System.identityHashCode` (which can collide between two live
+    * sessions and, worse, lets a dead session's entry resolve for a
+    * future session that lands on the same hash). */
+  private def sessionKey(spark: SparkSession): String =
+    org.apache.spark.sql.GraftColumnBridge.sessionUUID(spark)
+
   private def key(spark: SparkSession, name: String): String =
-    s"${System.identityHashCode(spark)}#${name.toLowerCase(java.util.Locale.ROOT)}"
+    s"${sessionKey(spark)}#${name.toLowerCase(java.util.Locale.ROOT)}"
 
   def register(spark: SparkSession, name: String, reg: LiveReg): Unit = {
     require(name.nonEmpty && !name.contains("."),
       s"live archive names are single-part, got '$name'")
-    require(reg.tombPath.isDefined == reg.keyCol.isDefined,
-      "tombPath and keyCol come together (both or neither)")
+    // keyCol ALONE is legal: it is the row-identity column SQL MERGE
+    // needs, with or without a tombstone store. tombPath still
+    // requires it (the masking anti-join is keyed).
+    require(reg.tombPath.isEmpty || reg.keyCol.isDefined,
+      "tombPath needs keyCol (the masking anti-join is keyed)")
     require(reg.asOf.isEmpty || reg.tombPath.isEmpty,
       "asOf pins a physical snapshot — tombstone masking applies to " +
         "the live state only")
+    require(reg.asOf.isEmpty || reg.consistentRoots.isEmpty,
+      "asOf pins a physical snapshot — the consistent-view gate " +
+        "tracks the LIVE watermark; pick one")
     regs.put(key(spark, name), reg)
   }
 
@@ -83,6 +103,37 @@ object LiveArchives {
                             name: String): Option[LiveReg] =
     Option(regs.get(key(spark, name)))
 
+  /** The live registration for a name, UNLESS a temp view shadows it
+    * — a shadowing view resolves to the same SubqueryAlias-by-name
+    * shape a substituted live read does, and a DML statement must
+    * never hijack past a shadow onto the archive. */
+  private[plans] def unshadowed(spark: SparkSession,
+                                name: String): Option[LiveReg] =
+    lookup(spark, name).filter(_ =>
+      spark.sessionState.catalog.getTempView(name).isEmpty &&
+        spark.sessionState.catalog.getGlobalTempView(name).isEmpty)
+
+  /** Peel alias layers off a DML target to find an unshadowed live
+    * registration: `MERGE INTO name t` / `UPDATE name AS x` wrap the
+    * substituted `SubqueryAlias(name, …)` in a further user-alias
+    * layer, so the registered name may sit one (or more) aliases
+    * down. Stops at the first non-alias node — a temp view's
+    * expansion (a `View` child) is never walked into, so a shadowing
+    * view still routes to Spark's own error path. */
+  private[plans] def liveTarget(spark: SparkSession,
+                                plan: LogicalPlan)
+      : Option[(String, LiveReg)] = plan match {
+    case a: SubqueryAlias =>
+      val name = a.identifier.name
+      if (a.identifier.qualifier.isEmpty)
+        unshadowed(spark, name) match {
+          case Some(reg) => Some(name -> reg)
+          case None => liveTarget(spark, a.child)
+        }
+      else liveTarget(spark, a.child)
+    case _ => None
+  }
+
   private[plans] def resolve(spark: SparkSession,
                              reg: LiveReg): LogicalPlan = {
     val df = (reg.asOf, reg.tombPath, reg.keyCol) match {
@@ -91,7 +142,14 @@ object LiveArchives {
         Tables.readManifestedMasked(spark, reg.path, t, k)
       case _ => Tables.readManifested(spark, reg.path)
     }
-    df.queryExecution.analyzed
+    // the consistent-view gate composes OVER the (possibly masked)
+    // live read: epochs above any root's committed watermark — or
+    // aborted in any root — are invisible to the SQL name, exactly
+    // as the API's consistentViewAcross consumer sees the store
+    val gated =
+      if (reg.consistentRoots.isEmpty) df
+      else Tables.consistentViewAcross(df, reg.consistentRoots)
+    gated.queryExecution.analyzed
   }
 }
 
@@ -112,6 +170,32 @@ case class ResolveLiveArchives(session: SparkSession)
         val name = u.multipartIdentifier.head
         val reg = LiveArchives.lookup(session, name).get
         SubqueryAlias(name, LiveArchives.resolve(session, reg))
+
+      // SQL time travel in query text: `FROM <live name> VERSION AS
+      // OF n` resolves through readManifestedAt — a reproducible read
+      // without a dedicated pinned registration. Temp-view shadows
+      // stay on Spark's own error path (unshadowed check); TIMESTAMP
+      // AS OF has no manifest equivalent and refuses loudly.
+      case org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+          u: UnresolvedRelation, ts, ver)
+          if u.multipartIdentifier.size == 1 &&
+            LiveArchives.unshadowed(session, u.multipartIdentifier.head)
+              .isDefined =>
+        val name = u.multipartIdentifier.head
+        val reg = LiveArchives.unshadowed(session, name).get
+        if (ts.isDefined || ver.isEmpty)
+          throw new IllegalArgumentException(
+            s"live archive '$name': TIMESTAMP AS OF is not supported " +
+              "— archives version by manifest; use VERSION AS OF <n>")
+        val v = try ver.get.toLong catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"live archive '$name': VERSION AS OF takes a manifest " +
+                s"version number, got '${ver.get}'")
+        }
+        SubqueryAlias(name,
+          Tables.readManifestedAt(session, reg.path, v)
+            .queryExecution.analyzed)
 
       // the INSERT target is an ARGUMENT of InsertIntoStatement, not
       // a child — tree traversals never descend into it (Spark's own
@@ -138,34 +222,92 @@ case class ResolveLiveArchives(session: SparkSession)
         if (reg.asOf.isDefined) throw new IllegalArgumentException(
           s"live archive '$name' is pinned asOf v${reg.asOf.get} — " +
             "a pinned snapshot is read-only")
+        if (reg.consistentRoots.nonEmpty)
+          throw new IllegalArgumentException(
+            s"live archive '$name' sits behind the consistent-view " +
+              "gate — read-only; mutate through the front door that " +
+              "commits its epochs and markers")
         WriteArchiveCommand(name, reg.path, cols, q, overwrite, byName)
 
       // DELETE FROM <live name> WHERE … — the SQL face of the RTBF
       // lifecycle. The table IS a child of DeleteFromTable, so by
-      // this point the read case has substituted it; the temp-view
-      // check keeps a shadowing view's DELETE on Spark's own error
-      // path (a view resolves to the same SubqueryAlias-by-name
-      // shape, and a write must never hijack past a shadow).
+      // this point the read case has substituted it; the liveTarget
+      // walk peels user aliases (`DELETE FROM name t`) and keeps a
+      // shadowing view's DELETE on Spark's own error path (a write
+      // must never hijack past a shadow).
       case DeleteFromTable(a: SubqueryAlias, cond)
-          if a.identifier.qualifier.isEmpty && cond.resolved &&
-            a.child.resolved &&
-            LiveArchives.lookup(session, a.identifier.name).isDefined &&
-            session.sessionState.catalog
-              .getTempView(a.identifier.name).isEmpty &&
-            session.sessionState.catalog
-              .getGlobalTempView(a.identifier.name).isEmpty =>
-        val name = a.identifier.name
-        val reg = LiveArchives.lookup(session, name).get
+          if cond.resolved && a.child.resolved &&
+            LiveArchives.liveTarget(session, a).isDefined =>
+        val (name, reg) = LiveArchives.liveTarget(session, a).get
         if (reg.asOf.isDefined) throw new IllegalArgumentException(
           s"live archive '$name' is pinned asOf v${reg.asOf.get} — " +
             "a pinned snapshot is read-only")
+        if (reg.consistentRoots.nonEmpty)
+          throw new IllegalArgumentException(
+            s"live archive '$name' sits behind the consistent-view " +
+              "gate — read-only; mutate through the front door that " +
+              "commits its epochs and markers")
         if (reg.tombPath.isEmpty || reg.keyCol.isEmpty)
           throw new IllegalArgumentException(
             s"live archive '$name' was registered without " +
               "tombPath/keyCol — DELETE needs the tombstone store " +
               "and the row-identity column; re-register with both")
         DeleteArchiveCommand(name, reg.path, reg.tombPath.get,
-          reg.keyCol.get, cond, a.child)
+          reg.keyCol.get, cond, a)
+
+      // UPDATE <live name> SET … [WHERE …] — the SQL face of the
+      // partition-granular copy-on-write rewrite
+      // ([[graft.io.Tables.updateManifested]]): only partitions
+      // containing or receiving an updated row are rewritten, the
+      // rest carry by manifest reference. Same shadow/asOf discipline
+      // as DELETE; no row-identity column needed (keyless COW).
+      case UpdateTable(a: SubqueryAlias, assignments, cond)
+          if a.child.resolved &&
+            assignments.forall(_.resolved) && cond.forall(_.resolved) &&
+            LiveArchives.liveTarget(session, a).isDefined =>
+        val (name, reg) = LiveArchives.liveTarget(session, a).get
+        if (reg.asOf.isDefined) throw new IllegalArgumentException(
+          s"live archive '$name' is pinned asOf v${reg.asOf.get} — " +
+            "a pinned snapshot is read-only")
+        if (reg.consistentRoots.nonEmpty)
+          throw new IllegalArgumentException(
+            s"live archive '$name' sits behind the consistent-view " +
+              "gate — read-only; mutate through the front door that " +
+              "commits its epochs and markers")
+        UpdateArchiveCommand(name, reg.path, reg.tombPath, reg.keyCol,
+          assignments, cond, a)
+
+      // MERGE INTO <live name> USING … — routed onto the row-level
+      // COW merge ([[graft.io.Tables.mergeIntoManifested]]): matched
+      // UPDATE/DELETE, not-matched INSERT, and not-matched-by-source
+      // UPDATE/DELETE all become one change batch keyed by the
+      // registration's row-identity column; only partitions holding
+      // a matched key or receiving a change row are rewritten.
+      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
+          if m.resolved &&
+            LiveArchives.liveTarget(session, m.targetTable).isDefined =>
+        val (name, reg) =
+          LiveArchives.liveTarget(session, m.targetTable).get
+        if (reg.asOf.isDefined) throw new IllegalArgumentException(
+          s"live archive '$name' is pinned asOf v${reg.asOf.get} — " +
+            "a pinned snapshot is read-only")
+        if (reg.consistentRoots.nonEmpty)
+          throw new IllegalArgumentException(
+            s"live archive '$name' sits behind the consistent-view " +
+              "gate — read-only; mutate through the front door that " +
+              "commits its epochs and markers")
+        if (reg.keyCol.isEmpty) throw new IllegalArgumentException(
+          s"live archive '$name' was registered without keyCol — " +
+            "MERGE needs the row-identity column for its change " +
+            "batch; re-register with keyCol")
+        if (m.withSchemaEvolution) throw new IllegalArgumentException(
+          s"MERGE INTO live archive '$name': WITH SCHEMA EVOLUTION " +
+            "is not supported — archive schemas evolve via " +
+            "evolveManifestedSchema, not per-statement")
+        MergeArchiveCommand(name, reg.path, reg.tombPath,
+          reg.keyCol.get, m.targetTable, m.sourceTable,
+          m.mergeCondition, m.matchedActions, m.notMatchedActions,
+          m.notMatchedBySourceActions)
     }
 }
 
@@ -248,13 +390,244 @@ case class DeleteArchiveCommand(name: String, path: String,
   override def run(session: SparkSession): Seq[Row] = {
     val victims = org.apache.spark.sql.GraftColumnBridge
       .ofRows(session, Filter(condition, source))
-      .select(col(keyCol))
-    if (victims.isEmpty) return Seq.empty // nothing matched: no epoch
-    val (_, delMax) = Tables.readTombstonesWithEpochs(session, tombPath)
-      .map(Tables.laneMaxes).getOrElse((-1L, -1L))
-    val epoch = math.max(Tables.DeleteEpochBase, delMax + 1)
-    Tables.ingestTombstones(victims, tombPath, epoch)
-    Tables.computeDeletionVectors(session, path, tombPath, keyCol)
+      .select(col(keyCol)).distinct().localCheckpoint()
+    try {
+      if (victims.isEmpty) return Seq.empty // nothing matched: no epoch
+      // Epoch choice is read-then-commit: two concurrent DELETEs can
+      // pick the SAME epoch, and ingestTombstones is replace-per-epoch
+      // — the manifest CAS protects the pointer flip, not the epoch
+      // choice, so the loser's retry would REPLACE the winner's epoch
+      // partition and silently drop its keys (resurrecting rows the
+      // winner deleted). Verify-after-commit closes it: re-read the
+      // epoch's landed keys, and if any victim is missing (a racer's
+      // replace won the partition), retry at a fresh epoch — both
+      // racers' keys end up landed, each under its own epoch.
+      var attempts = 0
+      var done = false
+      while (!done) {
+        attempts += 1
+        require(attempts <= 20,
+          s"SQL DELETE on '$name': tombstone epoch still contended " +
+            s"after $attempts attempts at $tombPath")
+        val (_, delMax) = Tables.readTombstonesWithEpochs(session, tombPath)
+          .map(Tables.laneMaxes).getOrElse((-1L, -1L))
+        val epoch = math.max(Tables.DeleteEpochBase, delMax + 1)
+        Tables.ingestTombstones(victims, tombPath, epoch)
+        val landed = Tables.readTombstonesWithEpochs(session, tombPath)
+          .map(_.where(col("ingest_epoch") === epoch).select(col(keyCol)))
+        done = landed.exists(l =>
+          victims.join(l, Seq(keyCol), "left_anti").isEmpty)
+      }
+      Tables.computeDeletionVectors(session, path, tombPath, keyCol)
+      Seq.empty
+    } finally graft.ops.Ckpt.release(victims)
+  }
+}
+
+/** `UPDATE <live archive> SET … [WHERE …]` → the partition-granular
+  * copy-on-write rewrite ([[Tables.updateManifested]]): partitions
+  * containing a matching row — or receiving one, when an assignment
+  * moves rows across partitions — are rewritten with the assignments
+  * applied; every other partition carries by manifest reference. The
+  * rewrite reads the registration's OWN view (the tombstone-masked
+  * live state when `tombPath` is registered — which physically folds
+  * the touched partitions' masked rows as a side effect), and when a
+  * tombstone store exists the deletion-vector sidecar is rebuilt
+  * after the commit so masked reads return to the positional fast
+  * path immediately. */
+case class UpdateArchiveCommand(name: String, path: String,
+    tombPath: Option[String], keyCol: Option[String],
+    assignments: Seq[Assignment], condition: Option[Expression],
+    source: LogicalPlan) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    val src = bridge.ofRows(session, source)
+    val (_, parts) = Tables.resolveManifest(session, path)
+    require(parts.nonEmpty,
+      s"live archive '$name' at $path lists no partitions — nothing " +
+        "was ever written, so its partition layout is unknown")
+    val partCols = parts.keys.head.split("/").toSeq
+      .map(_.split("=", 2)(0))
+    val srcNames = src.schema.fieldNames.map(_.toLowerCase).toSet
+    val sets: Map[String, org.apache.spark.sql.Column] =
+      assignments.flatMap { asg =>
+        val colName = asg.key match {
+          case a: Attribute => a.name
+          case other => throw new IllegalArgumentException(
+            s"UPDATE on live archive '$name': only top-level column " +
+              s"assignments are supported, got '${other.sql}'")
+        }
+        // the generic alignment pass expands a partial SET list to
+        // one assignment per column (unassigned columns keep their
+        // own value) — identity assignments are dropped here so the
+        // touched-partition discovery sees only REAL changes
+        asg.value match {
+          case v: Attribute if v.name.equalsIgnoreCase(colName) => None
+          case v => Some(colName -> bridge.column(v))
+        }
+      }.toMap
+    sets.keys.foreach(k => require(srcNames.contains(k.toLowerCase),
+      s"UPDATE on live archive '$name': unknown column '$k'"))
+    if (sets.isEmpty) return Seq.empty // SET x = x — nothing changes
+    val cond = condition.map(bridge.column)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    Tables.updateManifested(session, path, cond, sets, partCols,
+      view = Some(src))
+    // the rewrite made a new manifest version: rebuild the DV
+    // sidecar so masked reads stay positional (stale-version
+    // degrade would key-anti-join until the next delete)
+    (tombPath, keyCol) match {
+      case (Some(t), Some(k)) =>
+        Tables.computeDeletionVectors(session, path, t, k)
+      case _ =>
+    }
     Seq.empty
+  }
+}
+
+/** `MERGE INTO <live archive> t USING src ON … WHEN …` → one change
+  * batch for the row-level COW merge ([[Tables.mergeIntoManifested]]).
+  * Matched target rows take the FIRST matched action whose condition
+  * holds (UPDATE → assignments applied; DELETE → flagged); source
+  * rows matching no target row take the first holding not-matched
+  * INSERT action; target rows matching no source row take the first
+  * holding not-matched-by-source action. Rows matching no action are
+  * untouched. ANSI cardinality: a target row matched by more than
+  * one source row is refused loudly (a nondeterministic update), as
+  * is a change batch that lands two non-insert rows on one key. */
+case class MergeArchiveCommand(name: String, path: String,
+    tombPath: Option[String], keyCol: String,
+    target: LogicalPlan, sourcePlan: LogicalPlan,
+    mergeCondition: Expression,
+    matchedActions: Seq[MergeAction],
+    notMatchedActions: Seq[MergeAction],
+    notMatchedBySourceActions: Seq[MergeAction])
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[QueryPlan[_]] =
+    Seq(target, sourcePlan)
+
+  private val bridge = org.apache.spark.sql.GraftColumnBridge
+
+  /** First-matching-action dispatch over `base`: `_graft_act` is the
+    * 1-based index of the first action whose condition holds (0 =
+    * none — the row is untouched and excluded), each archive column
+    * takes its assigned value under the winning action (its own
+    * value under a DELETE or an unassigned column; NULL for an
+    * INSERT action that does not assign it), and `_graft_deleted`
+    * flags DELETE winners. */
+  private def applyActions(base: org.apache.spark.sql.DataFrame,
+      actions: Seq[MergeAction],
+      schema: org.apache.spark.sql.types.StructType,
+      current: String => Option[org.apache.spark.sql.Column])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, lit, when}
+    def condOf(a: MergeAction): org.apache.spark.sql.Column =
+      a.condition.map(e => coalesce(bridge.column(e), lit(false)))
+        .getOrElse(lit(true))
+    val act = actions.zipWithIndex.reverse
+      .foldLeft(lit(0)) { case (els, (a, i)) =>
+        when(condOf(a), lit(i + 1)).otherwise(els)
+      }
+    def assignedValue(a: MergeAction, f: org.apache.spark.sql.types
+        .StructField): Option[org.apache.spark.sql.Column] = {
+      val asgs = a match {
+        case u: UpdateAction => u.assignments
+        case i: InsertAction => i.assignments
+        case _: DeleteAction => Nil
+        case other => throw new IllegalArgumentException(
+          s"MERGE INTO live archive '$name': unsupported action " +
+            s"shape ${other.getClass.getSimpleName}")
+      }
+      asgs.collectFirst {
+        case Assignment(k: Attribute, v)
+            if k.name.equalsIgnoreCase(f.name) => bridge.column(v)
+      }
+    }
+    val deleteIdx = actions.zipWithIndex.collect {
+      case (_: DeleteAction, i) => i + 1 }
+    val outCols = schema.fields.toSeq.map { f =>
+      val fallback = current(f.name)
+        .getOrElse(lit(null))
+      actions.zipWithIndex.reverse.foldLeft(fallback) {
+        case (els, (a, i)) => assignedValue(a, f) match {
+          case Some(v) => when(act === lit(i + 1), v).otherwise(els)
+          case None => els
+        }
+      }.cast(f.dataType).as(f.name)
+    }
+    val deleted =
+      if (deleteIdx.isEmpty) lit(false)
+      else act.isin(deleteIdx.map(Integer.valueOf): _*)
+    // deleted/act are computed in the SAME projection as the output
+    // columns: both reference the base's (target/source) attributes,
+    // which the projection drops
+    base.select(outCols ++ Seq(act.as("_graft_act"),
+        deleted.as("_graft_deleted")): _*)
+      .where(org.apache.spark.sql.functions.col("_graft_act") > 0)
+      .drop("_graft_act")
+  }
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val tgt = bridge.ofRows(session, target)
+    val srcDf = bridge.ofRows(session, sourcePlan)
+    val onC = bridge.column(mergeCondition)
+    val schema = tgt.schema
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(keyCol)),
+      s"MERGE INTO live archive '$name': registered keyCol " +
+        s"'$keyCol' is not a column of the archive")
+    val (_, parts) = Tables.resolveManifest(session, path)
+    require(parts.nonEmpty,
+      s"live archive '$name' at $path lists no partitions — nothing " +
+        "was ever written, so its partition layout is unknown")
+    val partCols = parts.keys.head.split("/").toSeq
+      .map(_.split("=", 2)(0))
+    val tgtCol: String => Option[org.apache.spark.sql.Column] = n =>
+      target.output.find(_.name.equalsIgnoreCase(n))
+        .map(a => bridge.column(a))
+    val none: String => Option[org.apache.spark.sql.Column] =
+      _ => None
+    val parcels = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+    if (matchedActions.nonEmpty)
+      parcels += applyActions(tgt.join(srcDf, onC, "inner"),
+        matchedActions, schema, tgtCol)
+        .withColumn("_graft_matched", lit(true))
+    if (notMatchedBySourceActions.nonEmpty)
+      parcels += applyActions(tgt.join(srcDf, onC, "left_anti"),
+        notMatchedBySourceActions, schema, tgtCol)
+        .withColumn("_graft_matched", lit(true))
+    if (notMatchedActions.nonEmpty)
+      parcels += applyActions(srcDf.join(tgt, onC, "left_anti"),
+        notMatchedActions, schema, none)
+        .withColumn("_graft_matched", lit(false))
+    val parcelSeq = parcels.result()
+    if (parcelSeq.isEmpty) return Seq.empty
+    val changes = parcelSeq.reduce(_.unionByName(_)).localCheckpoint()
+    try {
+      // ANSI cardinality: >1 non-insert change row on one key means a
+      // target row was matched by several source rows (or a matched
+      // and a by-source action collided) — a nondeterministic update
+      val dup = changes.where(col("_graft_matched"))
+        .groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
+        .where(col("_n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"MERGE INTO live archive '$name': cardinality violation — " +
+          s"key '${dup.headOption.map(_.get(0)).orNull}' receives " +
+          "more than one matched change row (a target row matched " +
+          "several source rows)")
+      Tables.mergeIntoManifested(session, path,
+        changes.drop("_graft_matched"), keyCol, partCols,
+        deletedCol = Some("_graft_deleted"))
+      (tombPath, Some(keyCol)) match {
+        case (Some(t), Some(k)) =>
+          Tables.computeDeletionVectors(session, path, t, k)
+        case _ =>
+      }
+      Seq.empty
+    } finally graft.ops.Ckpt.release(changes)
   }
 }

@@ -21,6 +21,14 @@ object GraftColumnBridge extends org.apache.spark.internal.Logging {
              plan: catalyst.plans.logical.LogicalPlan): Dataset[Row] =
     classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
 
+  /** The session's UUID — unique for the session's lifetime, never
+    * reused (unlike an identity hash). `private[sql]` on the classic
+    * session; re-exported for session-scoped registries. */
+  def sessionUUID(s: SparkSession): String = s match {
+    case c: classic.SparkSession => c.sessionUUID
+    case other => s"id${System.identityHashCode(other)}"
+  }
+
   /** Test support: drain the async listener bus so a metrics
     * SparkListener has seen every completed task before a spec reads
     * its counters (`listenerBus` is `private[spark]` — same

@@ -309,6 +309,245 @@ class LiveArchiveSpec extends SparkSpec {
       .head().getLong(0) === 90L)
   }
 
+  test("SQL UPDATE: assignments land, non-matching rows are " +
+    "verbatim, untouched partitions carry by reference, and a " +
+    "partition-column assignment moves rows") {
+    val p = s"${tmpRoot("graft-live-upd")}/arch"
+    Tables.writeManifested(docsDf(0L, 100L), p, Seq("grp"))
+    Tables.registerManifestedLiveSql(spark, "live_upd", p)
+    val (v1, parts1) = Tables.resolveManifest(spark, p)
+    spark.sql(
+      "UPDATE live_upd SET body = concat(body, '!') WHERE grp = 3")
+    // matching rows updated, the rest untouched
+    assert(spark.sql(
+      "SELECT count(*) FROM live_upd WHERE grp = 3 AND body NOT LIKE '%!'")
+      .head().getLong(0) === 0L)
+    assert(spark.sql(
+      "SELECT count(*) FROM live_upd WHERE grp <> 3 AND body LIKE '%!'")
+      .head().getLong(0) === 0L)
+    assert(spark.sql("SELECT count(*) FROM live_upd")
+      .head().getLong(0) === 100L)
+    // COW at partition granularity: only grp=3 was rewritten — every
+    // other partition's manifest entry is byte-identical
+    val (v2, parts2) = Tables.resolveManifest(spark, p)
+    assert(v2 === v1 + 1)
+    parts1.keys.filterNot(_ == "grp=3").foreach(k =>
+      assert(parts2(k) === parts1(k),
+        s"untouched partition $k must carry by reference"))
+    assert(parts2("grp=3") !== parts1("grp=3"))
+    // a partition-column assignment MOVES rows: source and
+    // destination partitions are both in the touched set
+    spark.sql("UPDATE live_upd SET grp = 0 WHERE id = 10") // grp 3 → 0
+    assert(spark.sql(
+      "SELECT CAST(grp AS BIGINT) FROM live_upd WHERE id = 10")
+      .head().getLong(0) === 0L)
+    assert(spark.sql("SELECT count(*) FROM live_upd")
+      .head().getLong(0) === 100L)
+    val (_, parts3) = Tables.resolveManifest(spark, p)
+    assert(parts3("grp=1") === parts2("grp=1"),
+      "a move must not touch third-party partitions")
+    // identity SET (after alignment every column assigns to itself)
+    // commits nothing
+    val (v3, _) = Tables.resolveManifest(spark, p)
+    spark.sql("UPDATE live_upd SET id = id WHERE grp = 5")
+    assert(Tables.resolveManifest(spark, p)._1 === v3,
+      "an identity UPDATE must not commit a new version")
+    // no-match predicate commits nothing
+    spark.sql("UPDATE live_upd SET body = 'z' WHERE id = 99999")
+    assert(Tables.resolveManifest(spark, p)._1 === v3)
+  }
+
+  test("SQL UPDATE: masked registrations update the live state " +
+    "without resurrecting masked rows; pinned and shadowed refuse") {
+    val root = tmpRoot("graft-live-updm")
+    val p = s"$root/arch"
+    val tomb = s"$root/tomb"
+    Tables.writeManifested(docsDf(0L, 100L), p, Seq("grp"))
+    Tables.registerManifestedLiveSql(spark, "live_updm", p,
+      tombPath = Some(tomb), keyCol = Some("id"))
+    spark.sql("DELETE FROM live_updm WHERE id = 17") // grp 3
+    assert(spark.sql("SELECT count(*) FROM live_updm")
+      .head().getLong(0) === 99L)
+    // update the victim's partition: the masked row must stay gone
+    spark.sql("UPDATE live_updm SET body = 'u' WHERE grp = 3")
+    assert(spark.sql("SELECT count(*) FROM live_updm")
+      .head().getLong(0) === 99L,
+      "an UPDATE over a masked partition must not resurrect victims")
+    assert(spark.sql("SELECT count(*) FROM live_updm WHERE id = 17")
+      .head().getLong(0) === 0L)
+    // the DV rebuilt against the post-update manifest: masked reads
+    // stay positional
+    val dv = Tables.deletionVectors(spark, p)
+    assert(dv.isDefined &&
+      dv.get.version === Tables.resolveManifest(spark, p)._1,
+      "UPDATE on a masked registration must rebuild the DV sidecar")
+    // refusals
+    Tables.registerManifestedLiveSql(spark, "live_updm_pin", p,
+      asOf = Some(1L))
+    intercept[Exception] {
+      spark.sql("UPDATE live_updm_pin SET body = 'x' WHERE id = 1")
+    }
+    Seq((1L, "v")).toDF("id", "src")
+      .createOrReplaceTempView("live_updm")
+    intercept[Exception] { // Spark's own error path, not our command
+      spark.sql("UPDATE live_updm SET src = 'y' WHERE id = 1")
+    }
+    spark.catalog.dropTempView("live_updm")
+    assert(spark.sql("SELECT count(*) FROM live_updm")
+      .head().getLong(0) === 99L)
+  }
+
+  test("SQL MERGE INTO: matched UPDATE/DELETE, not-matched INSERT, " +
+    "not-matched-by-source, action order, and COW partition carry") {
+    val p = s"${tmpRoot("graft-live-mrg")}/arch"
+    Tables.writeManifested(docsDf(0L, 100L), p, Seq("grp"))
+    Tables.registerManifestedLiveSql(spark, "live_mrg", p,
+      keyCol = Some("id"))
+    // source: updates id 3 (grp 3), deletes id 10 (grp 3), inserts
+    // id 1000 (grp 6); id 500 matches no action condition
+    Seq((3L, "newbody", 3L, "upd"), (10L, "x", 3L, "del"),
+      (1000L, "fresh", 6L, "ins"), (5L, "y", 5L, "noop"))
+      .toDF("sid", "sbody", "sgrp", "op")
+      .createOrReplaceTempView("mrg_src")
+    val (v1, parts1) = Tables.resolveManifest(spark, p)
+    spark.sql(
+      """MERGE INTO live_mrg t USING mrg_src s ON t.id = s.sid
+        |WHEN MATCHED AND s.op = 'upd' THEN
+        |  UPDATE SET body = s.sbody
+        |WHEN MATCHED AND s.op = 'del' THEN DELETE
+        |WHEN NOT MATCHED AND s.op = 'ins' THEN
+        |  INSERT (id, body, grp) VALUES (s.sid, s.sbody, s.sgrp)
+        |""".stripMargin)
+    assert(spark.sql("SELECT body FROM live_mrg WHERE id = 3")
+      .head().getString(0) === "newbody")
+    assert(spark.sql("SELECT count(*) FROM live_mrg WHERE id = 10")
+      .head().getLong(0) === 0L, "matched DELETE must remove the row")
+    assert(spark.sql(
+      "SELECT body, CAST(grp AS BIGINT) FROM live_mrg WHERE id = 1000")
+      .head().toSeq === Seq("fresh", 6L))
+    assert(spark.sql("SELECT body FROM live_mrg WHERE id = 5")
+      .head().getString(0) === "d5",
+      "a matched row satisfying no action must be untouched")
+    assert(spark.sql("SELECT count(*) FROM live_mrg")
+      .head().getLong(0) === 100L) // -1 delete +1 insert
+    // COW: only grp=3 (update+delete) and grp=6 (insert) rewritten
+    val (v2, parts2) = Tables.resolveManifest(spark, p)
+    assert(v2 === v1 + 1)
+    parts1.keys.filterNot(Set("grp=3", "grp=6")).foreach(k =>
+      assert(parts2(k) === parts1(k),
+        s"partition $k held no change and must carry by reference"))
+    // NOT MATCHED BY SOURCE: flag every target row the source does
+    // not name (100 - 3 named survivors = 97 rows)
+    spark.sql(
+      """MERGE INTO live_mrg t USING mrg_src s ON t.id = s.sid
+        |WHEN NOT MATCHED BY SOURCE AND t.id < 2 THEN
+        |  UPDATE SET body = 'unnamed'
+        |""".stripMargin)
+    assert(spark.sql(
+      "SELECT count(*) FROM live_mrg WHERE body = 'unnamed'")
+      .head().getLong(0) === 2L) // ids 0, 1
+  }
+
+  test("SQL MERGE INTO: cardinality violations and misuse refuse " +
+    "loudly; the archive is untouched after a refused merge") {
+    val p = s"${tmpRoot("graft-live-mrgg")}/arch"
+    Tables.writeManifested(docsDf(0L, 50L), p, Seq("grp"))
+    Tables.registerManifestedLiveSql(spark, "live_mrgg", p,
+      keyCol = Some("id"))
+    // two source rows match target id 3: nondeterministic update
+    Seq((3L, "a"), (3L, "b")).toDF("sid", "sbody")
+      .createOrReplaceTempView("mrgg_dup")
+    val vBefore = Tables.resolveManifest(spark, p)._1
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO live_mrgg t USING mrgg_dup s ON t.id = s.sid
+          |WHEN MATCHED THEN UPDATE SET body = s.sbody""".stripMargin)
+    }
+    assert(e.getMessage.contains("cardinality"),
+      s"expected a cardinality refusal, got: ${e.getMessage}")
+    assert(Tables.resolveManifest(spark, p)._1 === vBefore,
+      "a refused MERGE must not commit")
+    // a registration without keyCol cannot merge
+    Tables.registerManifestedLiveSql(spark, "live_mrgg_nokey", p)
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO live_mrgg_nokey t USING mrgg_dup s
+          |ON t.id = s.sid
+          |WHEN MATCHED THEN UPDATE SET body = s.sbody""".stripMargin)
+    }
+    // pinned snapshots are read-only
+    Tables.registerManifestedLiveSql(spark, "live_mrgg_pin", p,
+      asOf = Some(1L))
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO live_mrgg_pin t USING mrgg_dup s
+          |ON t.id = s.sid
+          |WHEN MATCHED THEN UPDATE SET body = s.sbody""".stripMargin)
+    }
+  }
+
+  test("consistent-view gate: a gated SQL name holds at the topology " +
+    "watermark while the plain name sees the half-landed epoch, " +
+    "aborts stay masked after the watermark passes, and gated names " +
+    "are read-only") {
+    val root = tmpRoot("graft-live-cons")
+    def land(st: String, e: Long, lo: Long, hi: Long): Unit =
+      Tables.upsertManifested(
+        docsDf(lo, hi).withColumn("ingest_epoch", lit(e)),
+        s"$root/$st", Seq("ingest_epoch"), _ == s"ingest_epoch=$e")
+    Seq("alpha", "beta").foreach { st =>
+      Tables.writeManifested(
+        docsDf(0L, 50L).withColumn("ingest_epoch", lit(0L)),
+        s"$root/$st", Seq("ingest_epoch"))
+      land(st, 1L, 100L, 130L)
+    }
+    Tables.commitEpochMarker(spark, root, 0L)
+    Tables.commitEpochMarker(spark, root, 1L)
+    // epoch 2 lands in alpha, then the crash — no beta, no marker
+    land("alpha", 2L, 200L, 220L)
+    Tables.registerManifestedLiveSql(spark, "cons_plain",
+      s"$root/alpha")
+    Tables.registerManifestedLiveSql(spark, "cons_gated",
+      s"$root/alpha", consistentRoots = Seq(root))
+    assert(spark.sql("SELECT count(*) FROM cons_plain")
+      .head().getLong(0) === 100L,
+      "the plain name must see the half-landed epoch")
+    assert(spark.sql("SELECT count(*) FROM cons_gated")
+      .head().getLong(0) === 80L,
+      "the gated name must hold at the committed watermark")
+    // the replay completes: beta lands, the marker appears — the
+    // SAME gated name advances with no re-registration
+    land("beta", 2L, 200L, 220L)
+    Tables.commitEpochMarker(spark, root, 2L)
+    assert(spark.sql("SELECT count(*) FROM cons_gated")
+      .head().getLong(0) === 100L)
+    // an aborted epoch stays masked even after the watermark passes
+    land("alpha", 3L, 300L, 310L) // dies mid-topology
+    Tables.abortEpoch(spark, root, 3L)
+    Seq("alpha", "beta").foreach(land(_, 4L, 400L, 405L))
+    Tables.commitEpochMarker(spark, root, 4L)
+    assert(spark.sql("SELECT count(*) FROM cons_gated")
+      .head().getLong(0) === 105L,
+      "an aborted epoch must stay invisible behind the gate")
+    assert(spark.sql("SELECT count(*) FROM cons_plain")
+      .head().getLong(0) === 115L)
+    // gated registrations are read-only: every DML verb refuses
+    intercept[Exception] {
+      spark.sql("UPDATE cons_gated SET body = 'x' WHERE id = 1")
+    }
+    intercept[Exception] {
+      spark.sql("INSERT INTO cons_gated SELECT * FROM cons_plain")
+    }
+    intercept[Exception] {
+      spark.sql("DELETE FROM cons_gated WHERE id = 1")
+    }
+    // registration misuse: a pinned snapshot cannot take the gate
+    intercept[IllegalArgumentException] {
+      Tables.registerManifestedLiveSql(spark, "cons_bad",
+        s"$root/alpha", asOf = Some(1L), consistentRoots = Seq(root))
+    }
+  }
+
   test("asOf: a version-pinned registration keeps answering the " +
     "pinned snapshot while the table moves on") {
     val p = freshArch("asof")
@@ -322,5 +561,33 @@ class LiveArchiveSpec extends SparkSpec {
       "asOf registration must stay at its pinned manifest version")
     assert(spark.sql("SELECT count(*) FROM live_head")
       .head().getLong(0) === 150L)
+  }
+
+  test("SQL time travel: VERSION AS OF in query text answers the " +
+    "retained snapshot while the head moves; TIMESTAMP AS OF and " +
+    "garbage versions refuse loudly") {
+    val p = freshArch("tt") // v1: 100 rows
+    Tables.registerManifestedLiveSql(spark, "live_tt", p)
+    landEpoch(p, 1L, 500L, 540L) // v2: 140 rows
+    landEpoch(p, 2L, 700L, 710L) // v3: 150 rows
+    assert(spark.sql("SELECT count(*) FROM live_tt")
+      .head().getLong(0) === 150L)
+    assert(spark.sql("SELECT count(*) FROM live_tt VERSION AS OF 1")
+      .head().getLong(0) === 100L,
+      "VERSION AS OF must answer the retained snapshot")
+    assert(spark.sql("SELECT count(*) FROM live_tt VERSION AS OF 2")
+      .head().getLong(0) === 140L)
+    // the pinned read keeps answering after FURTHER commits
+    landEpoch(p, 3L, 800L, 802L) // v4: 153 rows
+    assert(spark.sql("SELECT count(*) FROM live_tt VERSION AS OF 2")
+      .head().getLong(0) === 140L)
+    intercept[Exception] { // no manifest-time mapping
+      spark.sql("SELECT count(*) FROM live_tt " +
+        "TIMESTAMP AS OF '2026-01-01'").collect()
+    }
+    intercept[Exception] { // never-written version
+      spark.sql("SELECT count(*) FROM live_tt VERSION AS OF 99")
+        .collect()
+    }
   }
 }
