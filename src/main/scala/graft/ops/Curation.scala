@@ -477,12 +477,11 @@ object Curation {
     // epoch (a crash-replay must not read its own previous partial
     // commit) — so yesterday's merge commits are consumed today, and
     // a fold ([[compactLabelEpochs]]) changes nothing a reader sees
-    val archive = Tables.minusTombstones(
-      Tables.readBucketedArchive(s, s"$idx/labels")
-        .where(col("ingest_epoch") =!= epoch)
-        .groupBy(col("doc_id"))
-        .agg(max_by(col("label"), col("ingest_epoch")).as("label")),
-      s"$idx/tombstones", "doc_id")
+    val archive = Tables.readBucketedArchiveMasked(s, s"$idx/labels",
+        s"$idx/tombstones", "doc_id")
+      .where(col("ingest_epoch") =!= epoch)
+      .groupBy(col("doc_id"))
+      .agg(max_by(col("label"), col("ingest_epoch")).as("label"))
     // affected components: any archived label a new edge's corpus
     // endpoint carries; everything else is untouched by construction.
     // Corpus endpoints are classified by batch MEMBERSHIP (anti-join
@@ -711,6 +710,17 @@ object Curation {
     Tables.ingestBucketedArchive(
       relabeled.withColumn("ingest_epoch", lit(epoch)),
       s"$idx/labels", epoch)
+    // deletion-vector builds at DELETE time, after the repair commit
+    // (the digest must stamp the post-commit file set): every masked
+    // read of labels/postings/sizes between this delete and the next
+    // fold stays on the positional fast path instead of growing a
+    // key anti-join build side with the RTBF volume
+    Tables.computeBucketedDeletionVectors(s, s"$idx/labels",
+      s"$idx/tombstones", "doc_id")
+    Tables.computeBucketedDeletionVectors(s, s"$idx/postings",
+      s"$idx/tombstones", "doc_id")
+    Tables.computeDeletionVectors(s, s"$idx/sizes",
+      s"$idx/tombstones", "doc_id")
     merged
       .select(col("doc_id"), col("label").as("cluster_id"),
         (col("doc_id") === col("label")).as("keep"))
@@ -723,11 +733,17 @@ object Curation {
     * physical. */
   private[graft] def readClusterLabels(s: SparkSession,
                                      idx: String): DataFrame =
-    Tables.minusTombstones(
-      Tables.readBucketedArchive(s, s"$idx/labels")
-        .groupBy(col("doc_id"))
-        .agg(max_by(col("label"), col("ingest_epoch")).as("label")),
-      s"$idx/tombstones", "doc_id")
+    // mask BEFORE the latest-per-doc aggregate (row-identical: a
+    // deleted doc loses every label row, so it loses its group) —
+    // this is what lets the positional DV sidecar serve the read;
+    // with no current sidecar the verb degrades to the same
+    // broadcast key anti-join as before. Both mask shapes preserve
+    // the bucketed scan's partitioning, so the aggregate stays
+    // Exchange-free either way (plan-pinned in CurationSpec).
+    Tables.readBucketedArchiveMasked(s, s"$idx/labels",
+        s"$idx/tombstones", "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(max_by(col("label"), col("ingest_epoch")).as("label"))
 
   /** Full lifecycle fold for the cluster archive: labels fold to
     * their latest-per-doc view MINUS tombstones as the sole base

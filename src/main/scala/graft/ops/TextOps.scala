@@ -974,20 +974,21 @@ object TextOps {
     * [[graft.ops.Curation.compactClusterArchive]]'s job). */
   private[ops] def readShinglePostings(s: SparkSession, idx: String,
                                        excludeEpoch: Long): DataFrame =
-    Tables.minusTombstones(
-        Tables.readBucketedArchive(s, s"$idx/postings")
-          .where(col("ingest_epoch") =!= excludeEpoch),
+    // DV-consuming masked read: with a current sidecar (built by the
+    // delete flows) the tombstone mask is positional; without one
+    // this is exactly the old broadcast key anti-join
+    Tables.readBucketedArchiveMasked(s, s"$idx/postings",
         s"$idx/tombstones", "doc_id")
+      .where(col("ingest_epoch") =!= excludeEpoch)
       .select(col("doc_id"), col("shingle"))
 
   /** Per-doc shingle-set sizes with the same self-exclusion and
     * tombstone mask. */
   private[ops] def readShingleSizes(s: SparkSession, idx: String,
                                     excludeEpoch: Long): DataFrame =
-    Tables.minusTombstones(
-        Tables.readManifested(s, s"$idx/sizes")
-          .where(col("ingest_epoch") =!= excludeEpoch),
+    Tables.readManifestedMasked(s, s"$idx/sizes",
         s"$idx/tombstones", "doc_id")
+      .where(col("ingest_epoch") =!= excludeEpoch)
       .select(col("doc_id"), col("n_sh"))
 
   // ---------- Exact dedup ----------

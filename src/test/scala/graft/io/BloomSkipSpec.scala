@@ -176,4 +176,47 @@ class BloomSkipSpec extends SparkSpec {
     assert(Tables.fileBlooms(spark, p).get._1 == dirBefore,
       "no-op refresh rewrote the sidecar")
   }
+
+  test("overlay discipline: a re-analyze retains the superseded " +
+    "sidecar dir for in-flight readers; vacuum reclaims exactly the " +
+    "unreferenced dirs; a vanished dir degrades to a full read") {
+    val (p, df) = mkArchive(8)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Tables.computeFileBlooms(spark, p, "k",
+      expectedItemsPerFile = 256L, fpp = 0.01)
+    val dir1 = Tables.fileBlooms(spark, p).get._1
+    // a reader that resolved the first pointer keeps a live plan
+    val inFlight = spark.read.parquet(dir1)
+      .select(col("file"), col("bloom"))
+    // re-analyze: pointer flips, superseded dir RETAINED
+    Tables.computeFileBlooms(spark, p, "k",
+      expectedItemsPerFile = 256L, fpp = 0.01)
+    val dir2 = Tables.fileBlooms(spark, p).get._1
+    assert(dir2 !== dir1)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir1)),
+      "the superseded sidecar dir must survive the pointer flip")
+    assert(inFlight.count() > 0L,
+      "an in-flight reader of the old pointer must keep its files")
+    // the sidecar is written distributed (no one-task funnel): more
+    // than one part file is legal and the probe reads the dir whole
+    assert(Tables.bloomSurvivors(spark, p,
+      hashesOf(Seq(10L, 20L)))._3 > 0L)
+    // vacuum reclaims exactly the unreferenced dir
+    Tables.vacuumManifested(spark, p)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir1)),
+      "vacuum must reclaim the superseded sidecar dir")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir2)),
+      "vacuum must keep the current pointer's dir")
+    // a vanished dir (pointer held, dir reclaimed under it) degrades
+    // to the full — correct — read
+    fs.delete(new org.apache.hadoop.fs.Path(dir2), true)
+    graft.plans.AutoFileSkip.invalidateMisses()
+    val ids = Seq(10L, 20L, 30L)
+    assertSame(
+      Tables.readManifestedPointLookup(spark, p, keysDf(ids))
+        .where(col("k").isin(ids: _*)),
+      df.where(col("k").isin(ids: _*)),
+      "a vanished sidecar dir must cost pruning, never rows")
+  }
 }
