@@ -2349,6 +2349,26 @@ object Tables {
         consistentRoots)))
   }
 
+  /** [[registerManifestedLiveSql]] for a BUCKETED archive: the live
+    * name resolves to [[readBucketedArchive]] (or the DV-consuming
+    * [[readBucketedArchiveMasked]] with `tombPath`/`keyCol`, a
+    * bucket-version pin with `asOf`, the watermark gate with
+    * `consistentRoots`), tracking epoch ingests and folds with no
+    * re-registration. SQL DELETE drives the tombstone + bucketed-DV
+    * lifecycle; INSERT/UPDATE/MERGE refuse — rows land through the
+    * claim-guarded epoch front door, and the bucket layout is a
+    * physical contract with no row-level COW rewrite. */
+  def registerBucketedLiveSql(spark: SparkSession, name: String,
+      path: String, tombPath: Option[String] = None,
+      keyCol: Option[String] = None, asOf: Option[Long] = None,
+      consistentRoots: Seq[String] = Nil,
+      registry: Option[String] = None): Unit = {
+    val reg = graft.plans.LiveArchives.LiveReg(path, tombPath, keyCol,
+      asOf, consistentRoots, bucketed = true)
+    graft.plans.LiveArchives.register(spark, name, reg)
+    registry.foreach(r => persistLiveSqlName(spark, r, name, reg))
+  }
+
   /** Drop a live SQL registration; the name stops resolving. With
     * `registry`, also remove the persisted entry so future sessions
     * loading that registry stop seeing the name. */
@@ -2394,7 +2414,8 @@ object Tables {
       opt(reg.keyCol),
       opt(reg.asOf.map(_.toString)),
       if (reg.consistentRoots.isEmpty) "-"
-      else reg.consistentRoots.mkString("\t")
+      else reg.consistentRoots.mkString("\t"),
+      if (reg.bucketed) "bucketed" else "manifested"
     ).mkString("\n")
     val out = fs.create(f, true)
     try out.write(body.getBytes("UTF-8"))
@@ -2415,15 +2436,25 @@ object Tables {
     fs.listStatus(dir).toSeq.filter(_.isFile)
       .map(_.getPath).sortBy(_.getName).map { f =>
         val name = f.getName
+        def parse(p: String, tomb: String, key: String, asOf: String,
+                  roots: String, layout: String): String = {
+          def opt(s: String) = if (s == "-") None else Some(s)
+          require(layout == "manifested" || layout == "bucketed",
+            s"live-SQL registry entry $f names unknown layout " +
+              s"'$layout'")
+          graft.plans.LiveArchives.register(spark, name,
+            graft.plans.LiveArchives.LiveReg(p, opt(tomb), opt(key),
+              opt(asOf).map(_.toLong),
+              if (roots == "-") Nil else roots.split("\t").toSeq,
+              bucketed = layout == "bucketed"))
+          name
+        }
         readSmallFile(fs, f).split("\n", -1) match {
+          case Array(p, tomb, key, asOf, roots, layout) =>
+            parse(p, tomb, key, asOf, roots, layout)
+          // legacy 5-line entries predate the layout field
           case Array(p, tomb, key, asOf, roots) =>
-            def opt(s: String) = if (s == "-") None else Some(s)
-            graft.plans.LiveArchives.register(spark, name,
-              graft.plans.LiveArchives.LiveReg(p, opt(tomb), opt(key),
-                opt(asOf).map(_.toLong),
-                if (roots == "-") Nil
-                else roots.split("\t").toSeq))
-            name
+            parse(p, tomb, key, asOf, roots, "manifested")
           case other => throw new IllegalStateException(
             s"garbled live-SQL registry entry at $f " +
               s"(${other.length} lines) — delete it and re-register")

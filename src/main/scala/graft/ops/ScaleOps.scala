@@ -1668,6 +1668,50 @@ object ScaleOps {
       .orderBy("lang")
   }
 
+  /** [[qSqlBucketed]]'s archive: the corpus as a doc_id-bucketed,
+    * epoch-partitioned archive with NO tombstones — the SQL DELETE
+    * inside the query is what removes the masked tenth. */
+  private def sqlBucketedRoot(s: SparkSession, dir: String): String =
+    healthMemo.computeIfAbsent(dir + "#sqlbucketed", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sqlbkt").toString
+      healthDirs.add(root)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Tables.writeBucketedArchive(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0)
+          .withColumn("ingest_epoch", lit(0L)),
+        s"$root/arch", "doc_id", buckets = 8)
+      Tables.ingestBucketedArchive(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        s"$root/arch", epoch = 1L)
+      root
+    })
+
+  /** Gated: the LIVE SQL surface for BUCKETED archives
+    * ([[graft.io.Tables.registerBucketedLiveSql]]) — the friendly
+    * SQL name over the epoch-ingested bucketed layout, with SQL
+    * DELETE driving the tombstone + BUCKETED deletion-vector
+    * lifecycle ([[graft.plans.DeleteArchiveCommand]] →
+    * `computeBucketedDeletionVectors` at delete time) and the
+    * subsequent SQL read serving the DV-masked state. The aggregate
+    * matches the everything-but-the-tenth oracle only if the DELETE
+    * masked exactly its predicate's rows across both epochs'
+    * buckets. Idempotent under bench re-runs (re-deleting the same
+    * predicate re-lands the same keys; the masked answer never
+    * moves). LiveArchiveSpec pins the refusals (INSERT/UPDATE/MERGE
+    * on bucketed names route to the epoch front door / COW verbs). */
+  def qSqlBucketed(s: SparkSession, dir: String): DataFrame = {
+    val root = sqlBucketedRoot(s, dir)
+    Tables.registerBucketedLiveSql(s, "graft_sql_bkt", s"$root/arch",
+      tombPath = Some(s"$root/tomb"), keyCol = Some("doc_id"))
+    s.sql("DELETE FROM graft_sql_bkt WHERE doc_id % 10 = 3")
+    s.sql(
+      """SELECT lang, count(*) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM graft_sql_bkt GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
   /** [[qAppendManifested]]'s archive: the even half of the corpus
     * written lang-partitioned, then the odd half FAST-APPENDED into
     * the SAME lang partitions ([[graft.io.Tables.appendManifested]])
@@ -2454,6 +2498,7 @@ object ScaleOps {
     "q_delete_vectors" -> qDeleteVectors,
     "q_dv_masked_read" -> qDvMaskedRead,
     "q_dv_bucketed" -> qDvBucketed,
+    "q_sql_bucketed" -> qSqlBucketed,
     "q_bloom_skip_bucketed" -> qBloomSkipBucketed,
     "q_consistent_view" -> qConsistentView,
     "q_consistent_cross" -> qConsistentCross,
@@ -2495,6 +2540,7 @@ object ScaleOps {
     "q_delete_vectors" -> qDeleteVectorsOracle,
     "q_dv_masked_read" -> qDvMaskedReadOracle,
     "q_dv_bucketed" -> qSqlDeleteOracle,
+    "q_sql_bucketed" -> qSqlDeleteOracle,
     "q_bloom_skip_bucketed" -> qBloomSkipBucketedOracle,
     "q_consistent_view" -> qConsistentViewOracle,
     "q_consistent_cross" -> qConsistentCrossOracle,

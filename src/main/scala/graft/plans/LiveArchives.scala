@@ -63,7 +63,8 @@ object LiveArchives {
     * writes the epochs and markers the gate trusts). */
   final case class LiveReg(path: String, tombPath: Option[String],
       keyCol: Option[String], asOf: Option[Long],
-      consistentRoots: Seq[String] = Nil)
+      consistentRoots: Seq[String] = Nil,
+      bucketed: Boolean = false)
 
   private val regs =
     new java.util.concurrent.ConcurrentHashMap[String, LiveReg]()
@@ -137,10 +138,16 @@ object LiveArchives {
   private[plans] def resolve(spark: SparkSession,
                              reg: LiveReg): LogicalPlan = {
     val df = (reg.asOf, reg.tombPath, reg.keyCol) match {
-      case (Some(v), _, _) => Tables.readManifestedAt(spark, reg.path, v)
+      case (Some(v), _, _) =>
+        if (reg.bucketed) Tables.readBucketedArchiveAt(spark, reg.path, v)
+        else Tables.readManifestedAt(spark, reg.path, v)
       case (_, Some(t), Some(k)) =>
-        Tables.readManifestedMasked(spark, reg.path, t, k)
-      case _ => Tables.readManifested(spark, reg.path)
+        if (reg.bucketed)
+          Tables.readBucketedArchiveMasked(spark, reg.path, t, k)
+        else Tables.readManifestedMasked(spark, reg.path, t, k)
+      case _ =>
+        if (reg.bucketed) Tables.readBucketedArchive(spark, reg.path)
+        else Tables.readManifested(spark, reg.path)
     }
     // the consistent-view gate composes OVER the (possibly masked)
     // live read: epochs above any root's committed watermark — or
@@ -194,7 +201,8 @@ case class ResolveLiveArchives(session: SparkSession)
                 s"version number, got '${ver.get}'")
         }
         SubqueryAlias(name,
-          Tables.readManifestedAt(session, reg.path, v)
+          (if (reg.bucketed) Tables.readBucketedArchiveAt(session, reg.path, v)
+           else Tables.readManifestedAt(session, reg.path, v))
             .queryExecution.analyzed)
 
       // the INSERT target is an ARGUMENT of InsertIntoStatement, not
@@ -227,6 +235,10 @@ case class ResolveLiveArchives(session: SparkSession)
             s"live archive '$name' sits behind the consistent-view " +
               "gate — read-only; mutate through the front door that " +
               "commits its epochs and markers")
+        if (reg.bucketed) throw new IllegalArgumentException(
+          s"'$name' is a BUCKETED archive — rows land through the " +
+            "claim-guarded epoch front door (ingestBucketedArchive), " +
+            "not SQL INSERT; SQL DELETE is supported")
         WriteArchiveCommand(name, reg.path, cols, q, overwrite, byName)
 
       // DELETE FROM <live name> WHERE … — the SQL face of the RTBF
@@ -253,7 +265,7 @@ case class ResolveLiveArchives(session: SparkSession)
               "tombPath/keyCol — DELETE needs the tombstone store " +
               "and the row-identity column; re-register with both")
         DeleteArchiveCommand(name, reg.path, reg.tombPath.get,
-          reg.keyCol.get, cond, a)
+          reg.keyCol.get, cond, a, reg.bucketed)
 
       // UPDATE <live name> SET … [WHERE …] — the SQL face of the
       // partition-granular copy-on-write rewrite
@@ -274,6 +286,11 @@ case class ResolveLiveArchives(session: SparkSession)
             s"live archive '$name' sits behind the consistent-view " +
               "gate — read-only; mutate through the front door that " +
               "commits its epochs and markers")
+        if (reg.bucketed) throw new IllegalArgumentException(
+          s"'$name' is a BUCKETED archive — its schema and bucket " +
+            "layout are a physical contract with no row-level COW " +
+            "rewrite; UPDATE applies to manifested archives (DELETE " +
+            "is supported on both)")
         UpdateArchiveCommand(name, reg.path, reg.tombPath, reg.keyCol,
           assignments, cond, a)
 
@@ -296,6 +313,11 @@ case class ResolveLiveArchives(session: SparkSession)
             s"live archive '$name' sits behind the consistent-view " +
               "gate — read-only; mutate through the front door that " +
               "commits its epochs and markers")
+        if (reg.bucketed) throw new IllegalArgumentException(
+          s"'$name' is a BUCKETED archive — its schema and bucket " +
+            "layout are a physical contract with no row-level COW " +
+            "rewrite; MERGE applies to manifested archives (DELETE " +
+            "is supported on both)")
         if (reg.keyCol.isEmpty) throw new IllegalArgumentException(
           s"live archive '$name' was registered without keyCol — " +
             "MERGE needs the row-identity column for its change " +
@@ -383,7 +405,8 @@ case class WriteArchiveCommand(name: String, path: String,
   * epoch — the masked state is unchanged. */
 case class DeleteArchiveCommand(name: String, path: String,
     tombPath: String, keyCol: String, condition: Expression,
-    source: LogicalPlan) extends LeafRunnableCommand {
+    source: LogicalPlan, bucketed: Boolean = false)
+    extends LeafRunnableCommand {
 
   override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
 
@@ -418,7 +441,10 @@ case class DeleteArchiveCommand(name: String, path: String,
         done = landed.exists(l =>
           victims.join(l, Seq(keyCol), "left_anti").isEmpty)
       }
-      Tables.computeDeletionVectors(session, path, tombPath, keyCol)
+      if (bucketed)
+        Tables.computeBucketedDeletionVectors(session, path, tombPath,
+          keyCol)
+      else Tables.computeDeletionVectors(session, path, tombPath, keyCol)
       Seq.empty
     } finally graft.ops.Ckpt.release(victims)
   }

@@ -563,6 +563,60 @@ class LiveArchiveSpec extends SparkSpec {
       .head().getLong(0) === 150L)
   }
 
+  test("bucketed live names: currency across epoch ingests and " +
+    "folds, SQL DELETE drives the bucketed DV lifecycle, " +
+    "INSERT/UPDATE/MERGE refuse, VERSION AS OF reads a retained " +
+    "bucket version") {
+    val root = tmpRoot("graft-live-bkt")
+    val p = s"$root/arch"
+    val tomb = s"$root/tomb"
+    Tables.writeBucketedArchive(
+      docsDf(0L, 100L).withColumn("ingest_epoch", lit(0L)),
+      p, "id", buckets = 4)
+    Tables.registerBucketedLiveSql(spark, "live_bkt", p,
+      tombPath = Some(tomb), keyCol = Some("id"))
+    assert(spark.sql("SELECT count(*) FROM live_bkt")
+      .head().getLong(0) === 100L)
+    // currency: an epoch ingest after registration is visible with
+    // no re-registration
+    Tables.ingestBucketedArchive(docsDf(1000L, 1050L), p, epoch = 1L)
+    assert(spark.sql("SELECT count(*) FROM live_bkt")
+      .head().getLong(0) === 150L,
+      "bucketed live name must track epoch ingests")
+    // SQL DELETE: tombstone epoch + BUCKETED DV at delete time
+    spark.sql("DELETE FROM live_bkt WHERE id % 10 = 3")
+    assert(spark.sql("SELECT count(*) FROM live_bkt")
+      .head().getLong(0) === 135L)
+    val dvb = Tables.bucketedDeletionVectors(spark, p)
+    assert(dvb.isDefined &&
+      dvb.get.digest === Tables.bucketedLiveDigest(spark, p),
+      "SQL DELETE on a bucketed name must build a CURRENT bucketed DV")
+    // the covered read through SQL is positional: no key anti-join
+    assert(!spark.sql("SELECT count(*) FROM live_bkt")
+      .queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "the DV-covered bucketed SQL read must not key-anti-join")
+    // a fold is tracked too (and physically retires the tombstones)
+    Tables.foldBucketedEpochs(spark, p, tomb, "id")
+    assert(spark.sql("SELECT count(*) FROM live_bkt")
+      .head().getLong(0) === 135L)
+    // writes refuse with the front-door / COW guidance
+    intercept[Exception] {
+      spark.sql("INSERT INTO live_bkt SELECT * FROM live_bkt LIMIT 1")
+    }
+    intercept[Exception] {
+      spark.sql("UPDATE live_bkt SET body = 'x' WHERE id = 1")
+    }
+    intercept[Exception] {
+      spark.sql("MERGE INTO live_bkt t USING live_bkt s " +
+        "ON t.id = s.id WHEN MATCHED THEN DELETE")
+    }
+    // VERSION AS OF reads a retained bucket version: v1 predates the
+    // fold (v2), so it still holds the pre-fold 150 rows
+    assert(spark.sql("SELECT count(*) FROM live_bkt VERSION AS OF 1")
+      .head().getLong(0) === 150L,
+      "bucketed VERSION AS OF must read the retained version")
+  }
+
   test("SQL time travel: VERSION AS OF in query text answers the " +
     "retained snapshot while the head moves; TIMESTAMP AS OF and " +
     "garbage versions refuse loudly") {
