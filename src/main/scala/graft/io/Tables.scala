@@ -659,7 +659,7 @@ object Tables {
   private def readPartsCached(spark: SparkSession, path: String,
       version: Long, parts: Map[String, String]): DataFrame = {
     val key =
-      s"${System.identityHashCode(spark)}#$path@$version"
+      s"${org.apache.spark.sql.GraftColumnBridge.sessionUUID(spark)}#$path@$version"
     val hit = snapshotMemo.get(key)
     if (hit != null) hit
     else {
@@ -689,7 +689,7 @@ object Tables {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = fsFor(spark, p)
     val stamp = fs.getFileStatus(p).getModificationTime
-    val key = s"${System.identityHashCode(spark)}#art#$dir@$stamp"
+    val key = s"${org.apache.spark.sql.GraftColumnBridge.sessionUUID(spark)}#art#$dir@$stamp"
     val hit = snapshotMemo.get(key)
     if (hit != null) hit
     else {
@@ -2249,14 +2249,18 @@ object Tables {
     val tombE = readTombstonesWithEpochs(spark, tombPath)
     if (tombE.isEmpty) return readManifested(spark, path)
     val (version, parts) = resolveManifest(spark, path)
+    // both branch bases go through the snapshot memo (a version's
+    // file set is immutable) — the masked read sits on serve paths
+    // (shingle sizes, SQL live names), where per-query footer/listing
+    // re-resolution is exactly the constant the memo exists to kill
     def keyMasked = minusTombstones(
-      readFromParts(spark, path, parts), tombPath, keyCol)
+      readPartsCached(spark, path, version, parts), tombPath, keyCol)
     val dvOpt = deletionVectors(spark, path)
       .filter(_.version == version)
     if (dvOpt.isEmpty) return keyMasked
     val dvp = dvOpt.get
     val dv = try
-      spark.read.parquet(dvp.dir)
+      readArtifactCached(spark, dvp.dir)
         .select(col("file").as("_dv_file"),
           col("positions").as("_dv_positions"))
     catch {
@@ -2264,7 +2268,7 @@ object Tables {
       // retirement dropped the pointer this read already resolved
       case scala.util.control.NonFatal(_) => return keyMasked
     }
-    val base = readWithLineage(spark, path, parts)
+    val base = readWithLineageCached(spark, path, version, parts)
     // binary-search probe ([[graft.expr.SortedArrayContains]]): the
     // positions array is ascending-sorted by construction
     // ([[computeDeletionVectors]]'s sort_array), and a heavily-
@@ -3068,6 +3072,22 @@ object Tables {
             col("_metadata.row_index").as("_pos"))
       }
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** [[readWithLineage]] through the snapshot memo — the lineage
+    * projection is a different plan shape than the plain read, so it
+    * memoizes under its own key suffix. Same correctness argument: a
+    * manifest version's file set is immutable. */
+  private def readWithLineageCached(spark: SparkSession, path: String,
+      version: Long, parts: Map[String, String]): DataFrame = {
+    val key = s"${org.apache.spark.sql.GraftColumnBridge.sessionUUID(spark)}#$path@$version#lin"
+    val hit = snapshotMemo.get(key)
+    if (hit != null) hit
+    else {
+      val df = readWithLineage(spark, path, parts)
+      snapshotMemo.put(key, df)
+      df
+    }
   }
 
   /** Build the archive's DELETION-VECTOR sidecar for the CURRENT

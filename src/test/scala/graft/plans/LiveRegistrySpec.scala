@@ -120,4 +120,29 @@ class LiveRegistrySpec extends SparkSpec {
       Tables.loadLiveSqlRegistry(spark.newSession(), root)
     }
   }
+
+  test("bucketed registrations round-trip the registry: a fresh " +
+    "session resolves the bucketed layout, masked, with SQL DELETE " +
+    "still routed to the bucketed DV lifecycle") {
+    val root = tmpRoot("graft-reg-bkt")
+    val p = s"$root/arch"
+    val tomb = s"$root/tomb"
+    Tables.writeBucketedArchive(
+      docsDf(0L, 100L).withColumn("ingest_epoch", lit(0L)),
+      p, "id", buckets = 4)
+    Tables.registerBucketedLiveSql(spark, "reg_bkt", p,
+      tombPath = Some(tomb), keyCol = Some("id"),
+      registry = Some(root))
+    val s2 = spark.newSession()
+    assert(Tables.loadLiveSqlRegistry(s2, root) === Seq("reg_bkt"))
+    assert(s2.sql("SELECT count(*) FROM reg_bkt")
+      .head().getLong(0) === 100L)
+    // the layout survived: DELETE through the re-loaded name builds
+    // the BUCKETED sidecar, and the masked read serves it
+    s2.sql("DELETE FROM reg_bkt WHERE id < 5")
+    assert(s2.sql("SELECT count(*) FROM reg_bkt")
+      .head().getLong(0) === 95L)
+    assert(Tables.bucketedDeletionVectors(s2, p).isDefined,
+      "a registry-loaded bucketed name must keep its layout routing")
+  }
 }
