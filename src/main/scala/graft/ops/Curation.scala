@@ -710,16 +710,17 @@ object Curation {
     Tables.ingestBucketedArchive(
       relabeled.withColumn("ingest_epoch", lit(epoch)),
       s"$idx/labels", epoch)
-    // deletion-vector builds at DELETE time, after the repair commit
-    // (the digest must stamp the post-commit file set): every masked
-    // read of labels/postings/sizes between this delete and the next
-    // fold stays on the positional fast path instead of growing a
-    // key anti-join build side with the RTBF volume
+    // deletion-vector build at DELETE time, after the repair commit
+    // (the digest must stamp the post-commit file set) — for the
+    // LABELS archive only: readClusterLabels is the steady-state hot
+    // consumer between deletes and folds, so its mask must stay
+    // positional instead of growing a key anti-join build side with
+    // the RTBF volume. The postings/sizes masked reads run almost
+    // exclusively INSIDE delete/incremental flows, where new
+    // tombstones have just landed and a sidecar would be stale (and
+    // key-masked) anyway — building theirs here measured 2-5× on the
+    // delete gate for masks that were never consumed covered
     Tables.computeBucketedDeletionVectors(s, s"$idx/labels",
-      s"$idx/tombstones", "doc_id")
-    Tables.computeBucketedDeletionVectors(s, s"$idx/postings",
-      s"$idx/tombstones", "doc_id")
-    Tables.computeDeletionVectors(s, s"$idx/sizes",
       s"$idx/tombstones", "doc_id")
     merged
       .select(col("doc_id"), col("label").as("cluster_id"),
