@@ -491,21 +491,31 @@ object Tables {
     writeManifested(df, path, Seq(partCol))
 
   /** Multi-level variant: partitions nest (`a=1/b=2`), manifest keys
-    * are the full relative leaf paths. */
+    * are the full relative leaf paths. The bootstrap lands in a
+    * UNIQUELY-NAMED attempt dir (the [[upsertManifested]] discipline)
+    * — two uncoordinated bootstrappers otherwise share `data/v1`,
+    * where the loser's SaveMode.Overwrite TRUNCATES files the
+    * winner's already-committed manifest references. The loser's CAS
+    * throws [[ManifestConflictException]] and its orphan attempt dir
+    * is vacuum fodder; callers that can merge (e.g.
+    * [[ingestTombstones]]) catch it and re-land through the CAS
+    * path. */
   def writeManifested(df: DataFrame, path: String,
                       partCols: Seq[String]): Unit = {
     require(partCols.nonEmpty, "writeManifested needs a partition column")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = fsFor(df.sparkSession, root)
+    val attempt = s"v1w${java.util.UUID.randomUUID.toString.take(8)}"
     df.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
-      .parquet(s"$path/data/v1")
+      .parquet(s"$path/data/$attempt")
     val parts = listPartDirs(fs,
-      new org.apache.hadoop.fs.Path(s"$path/data/v1"), partCols.length)
-      .map(p => p -> s"data/v1/$p").toMap
+      new org.apache.hadoop.fs.Path(s"$path/data/$attempt"),
+      partCols.length)
+      .map(p => p -> s"data/$attempt/$p").toMap
     commitManifest(fs, root, 1L, parts)
     if (commitStatsEnabled(df.sparkSession, path))
       publishCommitStats(df.sparkSession, path, 1L, parts,
-        s"$path/data/v1", partCols)
+        s"$path/data/$attempt", partCols)
   }
 
   /** Replace-or-add commit: write `df` (partitioned by `partCols`)
@@ -2170,7 +2180,18 @@ object Tables {
       upsertManifested(df, path, Seq("ingest_epoch"),
         _ == s"ingest_epoch=$epoch")
     else
-      writeManifested(df, path, Seq("ingest_epoch"))
+      try writeManifested(df, path, Seq("ingest_epoch"))
+      catch {
+        // two FIRST deletes raced the bootstrap: the winner's
+        // manifest v1 exists now, so the loser re-lands its epoch
+        // through the CAS path (its orphan attempt dir is vacuum
+        // fodder) — without this, a concurrent first-delete threw
+        // and its keys were lost
+        case _: ManifestConflictException =>
+          upsertManifested(df, path, Seq("ingest_epoch"),
+            _ == s"ingest_epoch=$epoch")
+          ()
+      }
   }
 
   /** All live tombstoned keys of an archive, as a one-column frame

@@ -186,11 +186,16 @@ class LayoutSpec extends SparkSpec {
       s"idempotent re-run advanced the pointer: v$v2 → v$v3")
 
     // vacuum: v1 dirs + manifest reclaimed, reads still complete
-    Tables.vacuumManifested(spark, out)
+    // (the bootstrap dir is uniquely named `v1w<uuid>` — find it by
+    // prefix rather than assuming a fixed name)
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/data/v1")),
-      "vacuum left the superseded version's data")
+    val v1Dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/data"))
+      .map(_.getPath).filter(_.getName.startsWith("v1"))
+    assert(v1Dirs.nonEmpty, "expected a bootstrap version dir")
+    Tables.vacuumManifested(spark, out)
+    v1Dirs.foreach(d => assert(!fs.exists(d),
+      s"vacuum left the superseded version's data: $d"))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(
       s"$out/${"_manifest-%09d".format(1)}")), "vacuum left the old manifest")
     val afterVacuum = Tables.readManifested(spark, out).collect()

@@ -486,6 +486,43 @@ class LiveArchiveSpec extends SparkSpec {
     }
   }
 
+  test("concurrent SQL DELETEs: two racing statements both land " +
+    "their keys — the loser of the epoch race retries at a fresh " +
+    "epoch instead of silently clobbering the winner's partition") {
+    val root = tmpRoot("graft-live-race")
+    val p = s"$root/arch"
+    val tomb = s"$root/tomb"
+    Tables.writeManifested(
+      docsDf(0L, 200L).withColumn("ingest_epoch", lit(0L)),
+      p, Seq("ingest_epoch"))
+    Tables.registerManifestedLiveSql(spark, "live_race", p,
+      tombPath = Some(tomb), keyCol = Some("id"))
+    // two disjoint predicates deleted CONCURRENTLY: both pick their
+    // epoch read-then-commit, so they can collide on the same epoch
+    // number — ingestTombstones is replace-per-epoch, and without
+    // the verify-after-commit loop the CAS loser's retry would
+    // REPLACE the winner's keys (resurrecting its deletes)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = Seq("id % 10 = 3", "id % 10 = 7").map(pred => Future {
+      spark.sql(s"DELETE FROM live_race WHERE $pred")
+    })
+    Await.result(Future.sequence(fs), 5.minutes)
+    assert(spark.sql("SELECT count(*) FROM live_race")
+      .head().getLong(0) === 160L,
+      "both racers' deletes must survive")
+    assert(spark.sql(
+      "SELECT count(*) FROM live_race WHERE id % 10 IN (3, 7)")
+      .head().getLong(0) === 0L,
+      "no racer's keys may be silently dropped")
+    // every victim key is present in the tombstone store
+    val tombKeys = Tables.readTombstones(spark, tomb, "id")
+      .get.count()
+    assert(tombKeys === 40L,
+      s"expected all 40 victim keys landed, got $tombKeys")
+  }
+
   test("consistent-view gate: a gated SQL name holds at the topology " +
     "watermark while the plain name sees the half-landed epoch, " +
     "aborts stay masked after the watermark passes, and gated names " +
@@ -546,6 +583,56 @@ class LiveArchiveSpec extends SparkSpec {
       Tables.registerManifestedLiveSql(spark, "cons_bad",
         s"$root/alpha", asOf = Some(1L), consistentRoots = Seq(root))
     }
+  }
+
+  test("cross-topology consistent gate: a SQL name gated on TWO " +
+    "roots holds at the MUTUAL watermark — an epoch committed in " +
+    "one topology but half-landed in the other stays invisible") {
+    val base = tmpRoot("graft-live-cross")
+    val rootA = s"$base/topoA"
+    val rootB = s"$base/topoB"
+    val p = s"$rootA/store"
+    Tables.writeManifested(
+      docsDf(0L, 60L).withColumn("ingest_epoch", lit(0L)),
+      p, Seq("ingest_epoch"))
+    Tables.upsertManifested(
+      docsDf(100L, 120L).withColumn("ingest_epoch", lit(1L)),
+      p, Seq("ingest_epoch"), _ == "ingest_epoch=1")
+    // epoch 0 committed in BOTH topologies; epoch 1 committed in A
+    // only — B's replay never finished
+    Seq(rootA, rootB).foreach(Tables.commitEpochMarker(spark, _, 0L))
+    Tables.commitEpochMarker(spark, rootA, 1L)
+    Tables.registerManifestedLiveSql(spark, "cross_own", p,
+      consistentRoots = Seq(rootA))
+    Tables.registerManifestedLiveSql(spark, "cross_pair", p,
+      consistentRoots = Seq(rootA, rootB))
+    assert(spark.sql("SELECT count(*) FROM cross_own")
+      .head().getLong(0) === 80L,
+      "the single-topology gate sees its own committed epoch 1")
+    assert(spark.sql("SELECT count(*) FROM cross_pair")
+      .head().getLong(0) === 60L,
+      "the pair gate must hold at the MUTUAL watermark (epoch 0)")
+    // B's replay completes: the same pair name advances
+    Tables.commitEpochMarker(spark, rootB, 1L)
+    assert(spark.sql("SELECT count(*) FROM cross_pair")
+      .head().getLong(0) === 80L)
+    // an epoch aborted in EITHER root is dead for the pair even
+    // where the other committed it
+    Tables.upsertManifested(
+      docsDf(200L, 210L).withColumn("ingest_epoch", lit(2L)),
+      p, Seq("ingest_epoch"), _ == "ingest_epoch=2")
+    Tables.commitEpochMarker(spark, rootA, 2L)
+    Tables.abortEpoch(spark, rootB, 2L)
+    Tables.upsertManifested(
+      docsDf(300L, 305L).withColumn("ingest_epoch", lit(3L)),
+      p, Seq("ingest_epoch"), _ == "ingest_epoch=3")
+    Seq(rootA, rootB).foreach(Tables.commitEpochMarker(spark, _, 3L))
+    assert(spark.sql("SELECT count(*) FROM cross_pair")
+      .head().getLong(0) === 85L,
+      "an epoch aborted in one root must stay dead for the pair")
+    assert(spark.sql("SELECT count(*) FROM cross_own")
+      .head().getLong(0) === 95L,
+      "the single-topology consumer keeps its own committed epoch 2")
   }
 
   test("asOf: a version-pinned registration keeps answering the " +

@@ -145,4 +145,37 @@ class LiveRegistrySpec extends SparkSpec {
     assert(Tables.bucketedDeletionVectors(s2, p).isDefined,
       "a registry-loaded bucketed name must keep its layout routing")
   }
+
+  test("the full DML surface works through registry-loaded names in " +
+    "a fresh session: UPDATE, MERGE, DELETE") {
+    val root = tmpRoot("graft-reg-dml")
+    val p = s"$root/arch"
+    val tomb = s"$root/tomb"
+    Tables.writeManifested(docsDf(0L, 100L), p, Seq("grp"))
+    Tables.registerManifestedLiveSql(spark, "reg_dml", p,
+      tombPath = Some(tomb), keyCol = Some("id"),
+      registry = Some(root))
+    val s2 = spark.newSession()
+    Tables.loadLiveSqlRegistry(s2, root)
+    s2.sql("UPDATE reg_dml SET body = 'u' WHERE id = 7")
+    assert(s2.sql("SELECT body FROM reg_dml WHERE id = 7")
+      .head().getString(0) === "u")
+    import s2.implicits._
+    Seq((3L, "m"), (1000L, "new"))
+      .toDF("sid", "sbody").createOrReplaceTempView("reg_dml_src")
+    s2.sql(
+      """MERGE INTO reg_dml t USING reg_dml_src s ON t.id = s.sid
+        |WHEN MATCHED THEN UPDATE SET body = s.sbody
+        |WHEN NOT MATCHED THEN
+        |  INSERT (id, body, grp) VALUES (s.sid, s.sbody, 0)
+        |""".stripMargin)
+    assert(s2.sql("SELECT body FROM reg_dml WHERE id = 3")
+      .head().getString(0) === "m")
+    assert(s2.sql("SELECT count(*) FROM reg_dml")
+      .head().getLong(0) === 101L)
+    s2.sql("DELETE FROM reg_dml WHERE id = 1000")
+    assert(s2.sql("SELECT count(*) FROM reg_dml")
+      .head().getLong(0) === 100L,
+      "DELETE through a registry-loaded name must mask")
+  }
 }
