@@ -340,6 +340,28 @@ object Tables {
       s"manifest v$version at $path was committed by another writer — " +
         "re-read the current manifest and retry the commit")
 
+  /** Thrown when a copy-on-write commit (UPDATE / MERGE) finds that a
+    * partition it REWRITES was changed by another writer after the
+    * statement's snapshot — committing anyway would have this
+    * statement's rewrite (computed without the other writer's rows)
+    * REPLACE the partition, silently losing the other commit. This
+    * is the write-conflict refusal of the transactional formats:
+    * loud, naming the partitions, and safe to resolve by re-running
+    * the statement (a re-run snapshots the merged state). Commits
+    * that touched only OTHER partitions never trigger it — disjoint
+    * concurrent writers all land. */
+  final class ConcurrentWriteException(path: String,
+                                       partitions: Seq[String],
+                                       baseVersion: Long,
+                                       liveVersion: Long)
+    extends RuntimeException(
+      s"concurrent write conflict at $path: partition(s) " +
+        s"[${partitions.mkString(", ")}] changed between this " +
+        s"statement's snapshot v$baseVersion and commit time " +
+        s"(live v$liveVersion) — committing would silently drop the " +
+        "other writer's rows; re-run the statement against the " +
+        "current state")
+
   /** Schemes whose rename refuses an existing destination — the
     * property the non-local [[publishExclusive]] branch stands on.
     * Object-store connectors (s3a, gs, abfs…) emulate rename as
@@ -468,6 +490,19 @@ object Tables {
     (v, readManifestFile(fs, latest.getPath))
   }
 
+  /** A RETAINED version's (partition → relative dir) entries — the
+    * snapshot the copy-on-write conflict check compares against.
+    * Loud when `v` was never written or already vacuumed. */
+  private[graft] def manifestPartsAt(spark: SparkSession, path: String,
+                                     v: Long): Map[String, String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, root)
+    val mf = new org.apache.hadoop.fs.Path(root, manifestName(v))
+    require(fs.exists(mf),
+      s"manifest v$v at $path does not exist (never written, or vacuumed)")
+    readManifestFile(fs, mf)
+  }
+
   /** Leaf partition directories `levels` deep under `base`, as
     * relative keys like `ingest_epoch=0/cell=3` — the manifest's
     * partition identifiers for (possibly nested) partition layouts. */
@@ -537,7 +572,23 @@ object Tables {
     * entries on top, and retries ([[commitManifest]]'s conflict
     * detection). Returns the committed version. */
   def upsertManifested(df: DataFrame, path: String, partCols: Seq[String],
-                       dropPart: String => Boolean): Long = {
+                       dropPart: String => Boolean): Long =
+    upsertManifested(df, path, partCols, dropPart, None)
+
+  /** [[upsertManifested]] with copy-on-write conflict DETECTION:
+    * `expectedBase` is the (version, entries) snapshot the caller
+    * computed its rewrite from. Before every commit attempt
+    * (including CAS-loser retries), any partition the rewrite
+    * REPLACES (`dropPart`) whose live entry differs from the base's
+    * — changed, appeared, or vanished — raises
+    * [[ConcurrentWriteException]] instead of committing: the rewrite
+    * was computed without that change, so replacing the entry would
+    * silently drop it. Partitions the rewrite does NOT touch merge
+    * exactly as before — concurrent writers on disjoint partitions
+    * all land through the plain CAS retry. */
+  private[graft] def upsertManifested(df: DataFrame, path: String,
+      partCols: Seq[String], dropPart: String => Boolean,
+      expectedBase: Option[(Long, Map[String, String])]): Long = {
     require(partCols.nonEmpty, "upsertManifested needs a partition column")
     val spark = df.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
@@ -554,6 +605,16 @@ object Tables {
     while (true) {
       attempts += 1
       try {
+        expectedBase.foreach { case (bv, bp) =>
+          if (version != bv) {
+            val drifted = (live.keySet ++ bp.keySet).toSeq
+              .filter(k => dropPart(k) && bp.get(k) != live.get(k))
+              .sorted
+            if (drifted.nonEmpty)
+              throw new ConcurrentWriteException(path, drifted, bv,
+                version)
+          }
+        }
         val committed = live.filterNot { case (p, _) => dropPart(p) } ++
           added
         commitManifest(fs, root, version + 1, committed)
@@ -1661,6 +1722,40 @@ object Tables {
         throw new ArchiveConflictException(path, epoch, holder)
       // our own previous (crashed) attempt — re-enter the window
     }
+  }
+
+  /** Atomically allocate the next free DELETE-lane tombstone epoch
+    * for an archive's tombstone store — the non-racy half of the SQL
+    * DELETE commit. Epoch CHOICE (not just the manifest pointer) is
+    * what two concurrent DELETEs can collide on: [[ingestTombstones]]
+    * is replace-per-epoch, so two statements sharing one epoch number
+    * would have the CAS loser's retry REPLACE the winner's partition,
+    * silently resurrecting its deleted rows. This claims the epoch
+    * under [[publishExclusive]] (of two racers exactly one wins each
+    * number) and walks UP on conflict, so concurrent statements are
+    * guaranteed disjoint epochs — the loss is impossible by
+    * construction, not narrowed by verification. Claims are never
+    * released: a released claim would reopen the race for a third
+    * statement whose lane-max read predates both commits. A claim
+    * whose writer crashed pre-commit leaves a harmless skipped
+    * number (later statements walk past it); the files are
+    * metadata-sized and the vacuum's fold horizon bounds them. */
+  private[graft] def claimDeleteEpoch(spark: SparkSession,
+                                      tombPath: String): Long = {
+    val fs = fsFor(spark, new org.apache.hadoop.fs.Path(tombPath))
+    val writerId = "sqldelete-" + java.util.UUID.randomUUID.toString
+    val delMax = readTombstonesWithEpochs(spark, tombPath)
+      .map(df => laneMaxes(df)._2).getOrElse(-1L)
+    var epoch = math.max(DeleteEpochBase, delMax + 1)
+    var attempts = 0
+    while (attempts < 10000) {
+      attempts += 1
+      try { claimEpoch(fs, tombPath, epoch, writerId); return epoch }
+      catch { case _: ArchiveConflictException => epoch += 1 }
+    }
+    throw new IllegalStateException(
+      s"claimDeleteEpoch at $tombPath: no free epoch in 10000 " +
+        s"attempts above ${math.max(DeleteEpochBase, delMax + 1)}")
   }
 
   /** Clear a crashed writer's epoch claim. OPERATOR/RUNTIME action
@@ -4681,20 +4776,30 @@ object Tables {
                           changes: DataFrame, key: String,
                           partCols: Seq[String],
                           deletedCol: Option[String] = None,
-                          bloomProbeMaxKeys: Long = 100000L): MergeReport = {
+                          bloomProbeMaxKeys: Long = 100000L,
+                          expectedBase: Option[Long] = None): MergeReport = {
     require(partCols.nonEmpty, "mergeIntoManifested needs partition columns")
+    // the statement's snapshot — one version for discovery, rewrite,
+    // and the commit-time conflict check (see [[updateManifested]])
+    val (baseVersion, baseParts) = expectedBase match {
+      case Some(bv) => (bv, manifestPartsAt(spark, path, bv))
+      case None => resolveManifest(spark, path)
+    }
     val chg = changes.localCheckpoint()
     try {
     val changeKeys = chg.select(col(key)).distinct()
     // the archive side of partition discovery: Bloom-prune the scan
     // to candidate files when the sidecar covers the merge key and
-    // the batch is small enough to probe with
+    // the batch is small enough to probe with. The Bloom path may
+    // resolve a NEWER version than the snapshot — harmless: it only
+    // widens the candidate TOUCHED set, and a genuinely-drifted
+    // touched partition is refused at commit
     val scanSide = fileBlooms(spark, path) match {
       case Some((_, c, _)) if c == key &&
           changeKeys.limit((bloomProbeMaxKeys + 1).toInt).count()
             <= bloomProbeMaxKeys =>
         readManifestedPointLookup(spark, path, changeKeys)
-      case _ => readManifested(spark, path)
+      case _ => readManifestedAt(spark, path, baseVersion)
     }
     val partColsStr = partCols.map(c => col(c).cast("string"))
     // partitions holding a matched key (update AND delete targets)…
@@ -4716,22 +4821,26 @@ object Tables {
     // matches), so a merge touching one would silently drop the null
     // partition's pre-existing rows — refuse loudly instead
     (matchedParts ++ receiveParts).foreach { r =>
-      partCols.indices.foreach(i => require(!r.isNullAt(i),
-        s"mergeIntoManifested at $path: NULL value in partition " +
+      partCols.indices.foreach(i => require(
+        !r.isNullAt(i) && r.getString(i).nonEmpty,
+        s"mergeIntoManifested at $path: NULL/empty value in partition " +
           s"column '${partCols(i)}' (in the archive or the change " +
-          "batch) — null partition values do not survive the " +
+          "batch) — such values do not survive the " +
           "copy-on-write rewrite; coalesce the partition column to a " +
           "sentinel before merging"))
     }
     val touched: Set[Seq[String]] =
       (matchedParts ++ receiveParts)
         .map(r => partCols.indices.map(r.getString)).toSet
-    val (liveVersion, liveParts) = resolveManifest(spark, path)
     if (touched.isEmpty)
-      return MergeReport(0L, liveParts.size.toLong, liveVersion)
+      return MergeReport(0L, baseParts.size.toLong, baseVersion)
+    // escaped directory-name form — see [[updateManifested]]
     val touchedKeys: Set[String] =
       touched.map(vs => partCols.zip(vs)
-        .map { case (c, v) => s"$c=$v" }.mkString("/"))
+        .map { case (c, v) =>
+          s"$c=${org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.escapePathName(v)}"
+        }.mkString("/"))
     // rewrite = touched partitions' live rows minus matched keys,
     // plus the surviving change rows (latest-wins by construction:
     // the anti-join removes every matched key's old copy). The
@@ -4743,15 +4852,17 @@ object Tables {
           .map { case (c, v) => col(c).cast("string") === lit(v) }
           .reduce(_ && _))
       .reduce(_ || _)
-    val keep = readManifested(spark, path).where(touchedPred)
+    val keep = readManifestedAt(spark, path, baseVersion)
+      .where(touchedPred)
       .join(changeKeys, Seq(key), "left_anti")
     val newContent = keep.unionByName(
       liveChanges.select(keep.columns.toIndexedSeq.map(col): _*),
       allowMissingColumns = true)
     val version = upsertManifested(newContent, path, partCols,
-      dropPart = touchedKeys.contains)
+      dropPart = touchedKeys.contains,
+      expectedBase = Some(baseVersion -> baseParts))
     MergeReport(touchedKeys.size.toLong,
-      (liveParts.size - liveParts.keys.count(touchedKeys)).toLong,
+      (baseParts.size - baseParts.keys.count(touchedKeys)).toLong,
       version)
     // deterministic block release (unpersist is a no-op for
     // localCheckpoint'd frames); covers the no-touch early return too
@@ -4781,10 +4892,20 @@ object Tables {
   def updateManifested(spark: SparkSession, path: String,
                        condition: Column, sets: Map[String, Column],
                        partCols: Seq[String],
-                       view: Option[DataFrame] = None): MergeReport = {
+                       view: Option[DataFrame] = None,
+                       expectedBase: Option[Long] = None): MergeReport = {
     require(partCols.nonEmpty, "updateManifested needs partition columns")
     require(sets.nonEmpty, "updateManifested needs SET assignments")
-    val src = view.getOrElse(readManifested(spark, path))
+    // the statement's snapshot: captured FIRST (before any scan is
+    // planned) so every read below — and the commit-time conflict
+    // check — sees one version. `expectedBase` lets the SQL command
+    // pass the version its analysis-time view resolved, closing the
+    // analyze-to-run window.
+    val (baseVersion, baseParts) = expectedBase match {
+      case Some(bv) => (bv, manifestPartsAt(spark, path, bv))
+      case None => resolveManifest(spark, path)
+    }
+    val src = view.getOrElse(readManifestedAt(spark, path, baseVersion))
     val schema = src.schema
     sets.keys.foreach(k => require(
       schema.fieldNames.exists(_.equalsIgnoreCase(k)),
@@ -4803,20 +4924,27 @@ object Tables {
     try {
       val partColsStr = partCols.map(c => col(c).cast("string"))
       val srcParts = matching.select(partColsStr: _*).distinct().collect()
-      val (liveVersion, liveParts) = resolveManifest(spark, path)
       if (srcParts.isEmpty)
-        return MergeReport(0L, liveParts.size.toLong, liveVersion)
+        return MergeReport(0L, baseParts.size.toLong, baseVersion)
       val dstParts = updated.select(partColsStr: _*).distinct().collect()
       (srcParts ++ dstParts).foreach { r =>
-        partCols.indices.foreach(i => require(!r.isNullAt(i),
-          s"updateManifested at $path: NULL value in partition column " +
-            s"'${partCols(i)}' — null partition values do not survive " +
+        partCols.indices.foreach(i => require(
+          !r.isNullAt(i) && r.getString(i).nonEmpty,
+          s"updateManifested at $path: NULL/empty value in partition " +
+            s"column '${partCols(i)}' — such values do not survive " +
             "the copy-on-write rewrite; coalesce to a sentinel first"))
       }
       val touched: Set[Seq[String]] = (srcParts ++ dstParts)
         .map(r => partCols.indices.map(r.getString)).toSet
+      // manifest keys come from ESCAPED directory names — a raw
+      // value with a path-special char (space, '%', ':') would never
+      // match its entry, so the rewrite would carry the old dir by
+      // reference and resurrect the pre-update rows as duplicates
       val touchedKeys: Set[String] = touched.map(vs =>
-        partCols.zip(vs).map { case (c, v) => s"$c=$v" }.mkString("/"))
+        partCols.zip(vs).map { case (c, v) =>
+          s"$c=${org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.escapePathName(v)}"
+        }.mkString("/"))
       val touchedPred = touched.toSeq.map(vs =>
           partCols.zip(vs)
             .map { case (c, v) => col(c).cast("string") === lit(v) }
@@ -4827,9 +4955,10 @@ object Tables {
       val keep = src.where(touchedPred && !cond)
       val newContent = keep.unionByName(updated)
       val version = upsertManifested(newContent, path, partCols,
-        dropPart = touchedKeys.contains)
+        dropPart = touchedKeys.contains,
+        expectedBase = Some(baseVersion -> baseParts))
       MergeReport(touchedKeys.size.toLong,
-        (liveParts.size - liveParts.keys.count(touchedKeys)).toLong,
+        (baseParts.size - baseParts.keys.count(touchedKeys)).toLong,
         version)
     } finally graft.ops.Ckpt.release(updated)
   }

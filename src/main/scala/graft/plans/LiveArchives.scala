@@ -114,24 +114,55 @@ object LiveArchives {
       spark.sessionState.catalog.getTempView(name).isEmpty &&
         spark.sessionState.catalog.getGlobalTempView(name).isEmpty)
 
-  /** Peel alias layers off a DML target to find an unshadowed live
-    * registration: `MERGE INTO name t` / `UPDATE name AS x` wrap the
+  /** Stamped on the `SubqueryAlias` a live-read substitution places
+    * (value = the registered name), so the DML walk matches ONLY the
+    * node this rule created — never a coincidentally-named user
+    * alias. Tags survive analyzer plan copies (`mapChildren` /
+    * `makeCopy` copy tags), so the stamp is still on the node when
+    * the DML case fires later in the same fixpoint. */
+  private[plans] val SubstitutedTag =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[String](
+      "graft_live_substituted")
+
+  /** The manifest version the substituted read resolved (manifested,
+    * unpinned regs only) — the DML snapshot for the copy-on-write
+    * conflict check. Captured BEFORE the read plan is built, so it
+    * is ≤ the version the plan actually reads: a commit landing
+    * between the two at worst refuses SPURIOUSLY (loud, re-runnable),
+    * never silently. */
+  private[plans] val BaseVersionTag =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[Long](
+      "graft_live_base_version")
+
+  /** The stamped snapshot version of the DML target's substituted
+    * alias, if any. */
+  private[plans] def liveTargetBase(plan: LogicalPlan): Option[Long] =
+    plan match {
+      case a: SubqueryAlias =>
+        a.getTagValue(BaseVersionTag)
+          .orElse(liveTargetBase(a.child))
+      case _ => None
+    }
+
+  /** Peel alias layers off a DML target to find the SUBSTITUTED live
+    * read: `MERGE INTO name t` / `UPDATE name AS x` wrap the
     * substituted `SubqueryAlias(name, …)` in a further user-alias
     * layer, so the registered name may sit one (or more) aliases
-    * down. Stops at the first non-alias node — a temp view's
-    * expansion (a `View` child) is never walked into, so a shadowing
-    * view still routes to Spark's own error path. */
+    * down. Only an alias carrying [[SubstitutedTag]] matches —
+    * matching by NAME would let `DELETE FROM events t` hijack onto a
+    * registration that happens to be called `t` (tombstones landing
+    * on the wrong archive), and a temp view's expansion never
+    * carries the tag, so a shadowing view still routes to Spark's
+    * own error path. */
   private[plans] def liveTarget(spark: SparkSession,
                                 plan: LogicalPlan)
       : Option[(String, LiveReg)] = plan match {
     case a: SubqueryAlias =>
-      val name = a.identifier.name
-      if (a.identifier.qualifier.isEmpty)
-        unshadowed(spark, name) match {
-          case Some(reg) => Some(name -> reg)
-          case None => liveTarget(spark, a.child)
-        }
-      else liveTarget(spark, a.child)
+      a.getTagValue(SubstitutedTag) match {
+        case Some(n) if a.identifier.name == n =>
+          unshadowed(spark, n).map(n -> _)
+        case _ => liveTarget(spark, a.child)
+      }
     case _ => None
   }
 
@@ -176,7 +207,18 @@ case class ResolveLiveArchives(session: SparkSession)
             .isDefined =>
         val name = u.multipartIdentifier.head
         val reg = LiveArchives.lookup(session, name).get
-        SubqueryAlias(name, LiveArchives.resolve(session, reg))
+        // snapshot version FIRST, then the plan — see BaseVersionTag
+        val baseV: Option[Long] =
+          if (!reg.bucketed && reg.asOf.isEmpty &&
+              Tables.manifestExists(session, reg.path))
+            Some(Tables.resolveManifest(session, reg.path)._1)
+          else None
+        val alias =
+          SubqueryAlias(name, LiveArchives.resolve(session, reg))
+        alias.setTagValue(LiveArchives.SubstitutedTag, name)
+        baseV.foreach(v =>
+          alias.setTagValue(LiveArchives.BaseVersionTag, v))
+        alias
 
       // SQL time travel in query text: `FROM <live name> VERSION AS
       // OF n` resolves through readManifestedAt — a reproducible read
@@ -292,7 +334,7 @@ case class ResolveLiveArchives(session: SparkSession)
             "rewrite; UPDATE applies to manifested archives (DELETE " +
             "is supported on both)")
         UpdateArchiveCommand(name, reg.path, reg.tombPath, reg.keyCol,
-          assignments, cond, a)
+          assignments, cond, a, LiveArchives.liveTargetBase(a))
 
       // MERGE INTO <live name> USING … — routed onto the row-level
       // COW merge ([[graft.io.Tables.mergeIntoManifested]]): matched
@@ -329,7 +371,8 @@ case class ResolveLiveArchives(session: SparkSession)
         MergeArchiveCommand(name, reg.path, reg.tombPath,
           reg.keyCol.get, m.targetTable, m.sourceTable,
           m.mergeCondition, m.matchedActions, m.notMatchedActions,
-          m.notMatchedBySourceActions)
+          m.notMatchedBySourceActions,
+          LiveArchives.liveTargetBase(m.targetTable))
     }
 }
 
@@ -416,31 +459,18 @@ case class DeleteArchiveCommand(name: String, path: String,
       .select(col(keyCol)).distinct().localCheckpoint()
     try {
       if (victims.isEmpty) return Seq.empty // nothing matched: no epoch
-      // Epoch choice is read-then-commit: two concurrent DELETEs can
-      // pick the SAME epoch, and ingestTombstones is replace-per-epoch
-      // — the manifest CAS protects the pointer flip, not the epoch
-      // choice, so the loser's retry would REPLACE the winner's epoch
-      // partition and silently drop its keys (resurrecting rows the
-      // winner deleted). Verify-after-commit closes it: re-read the
-      // epoch's landed keys, and if any victim is missing (a racer's
-      // replace won the partition), retry at a fresh epoch — both
-      // racers' keys end up landed, each under its own epoch.
-      var attempts = 0
-      var done = false
-      while (!done) {
-        attempts += 1
-        require(attempts <= 20,
-          s"SQL DELETE on '$name': tombstone epoch still contended " +
-            s"after $attempts attempts at $tombPath")
-        val (_, delMax) = Tables.readTombstonesWithEpochs(session, tombPath)
-          .map(Tables.laneMaxes).getOrElse((-1L, -1L))
-        val epoch = math.max(Tables.DeleteEpochBase, delMax + 1)
-        Tables.ingestTombstones(victims, tombPath, epoch)
-        val landed = Tables.readTombstonesWithEpochs(session, tombPath)
-          .map(_.where(col("ingest_epoch") === epoch).select(col(keyCol)))
-        done = landed.exists(l =>
-          victims.join(l, Seq(keyCol), "left_anti").isEmpty)
-      }
+      // Epoch choice is the race, not the manifest pointer: two
+      // concurrent DELETEs picking the SAME epoch would have the CAS
+      // loser's replace-per-epoch retry REPLACE the winner's epoch
+      // partition (resurrecting its deleted rows). The epoch is
+      // therefore ALLOCATED under an exclusive claim
+      // ([[Tables.claimDeleteEpoch]] — publishExclusive per number,
+      // bump-on-conflict): concurrent statements get disjoint epochs
+      // by construction, so the entry-merging CAS retry inside
+      // ingestTombstones is conflict-free — each racer only ever
+      // replaces its OWN epoch's entry.
+      val epoch = Tables.claimDeleteEpoch(session, tombPath)
+      Tables.ingestTombstones(victims, tombPath, epoch)
       if (bucketed)
         Tables.computeBucketedDeletionVectors(session, path, tombPath,
           keyCol)
@@ -464,7 +494,8 @@ case class DeleteArchiveCommand(name: String, path: String,
 case class UpdateArchiveCommand(name: String, path: String,
     tombPath: Option[String], keyCol: Option[String],
     assignments: Seq[Assignment], condition: Option[Expression],
-    source: LogicalPlan) extends LeafRunnableCommand {
+    source: LogicalPlan,
+    baseVersion: Option[Long] = None) extends LeafRunnableCommand {
 
   override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
 
@@ -501,7 +532,7 @@ case class UpdateArchiveCommand(name: String, path: String,
     val cond = condition.map(bridge.column)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     Tables.updateManifested(session, path, cond, sets, partCols,
-      view = Some(src))
+      view = Some(src), expectedBase = baseVersion)
     // the rewrite made a new manifest version: rebuild the DV
     // sidecar so masked reads stay positional (stale-version
     // degrade would key-anti-join until the next delete)
@@ -530,7 +561,8 @@ case class MergeArchiveCommand(name: String, path: String,
     mergeCondition: Expression,
     matchedActions: Seq[MergeAction],
     notMatchedActions: Seq[MergeAction],
-    notMatchedBySourceActions: Seq[MergeAction])
+    notMatchedBySourceActions: Seq[MergeAction],
+    baseVersion: Option[Long] = None)
     extends LeafRunnableCommand {
 
   override def innerChildren: Seq[QueryPlan[_]] =
@@ -647,7 +679,8 @@ case class MergeArchiveCommand(name: String, path: String,
           "several source rows)")
       Tables.mergeIntoManifested(session, path,
         changes.drop("_graft_matched"), keyCol, partCols,
-        deletedCol = Some("_graft_deleted"))
+        deletedCol = Some("_graft_deleted"),
+        expectedBase = baseVersion)
       (tombPath, Some(keyCol)) match {
         case (Some(t), Some(k)) =>
           Tables.computeDeletionVectors(session, path, t, k)

@@ -235,7 +235,10 @@ class LayoutSpec extends SparkSpec {
     val v1Files = Tables.readManifestedAt(spark, out, 1L)
       .select(input_file_name()).distinct()
       .collect().map(_.getString(0))
-    assert(v1Files.forall(_.contains("/data/v1/")),
+    // the bootstrap attempt dir is uniquely named (`v1w<uuid>`), so
+    // match the version PREFIX, not a literal dir name — v1's files
+    // live under some `data/v1…` dir, v2's (compacted) under `data/v2…`
+    assert(v1Files.forall(_.contains("/data/v1")),
       s"time travel to v1 read new files: ${v1Files.mkString(",")}")
     Tables.vacuumManifested(spark, out)
     intercept[IllegalArgumentException] {

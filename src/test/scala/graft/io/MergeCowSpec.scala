@@ -118,4 +118,78 @@ class MergeCowSpec extends SparkSpec {
       "bloom-assisted merge diverges from plain merge")
     assert(b.exceptAll(norm(expected(base))).isEmpty)
   }
+
+  test("write-conflict detection: a COW commit from a stale snapshot " +
+    "refuses loudly when a partition it rewrites drifted; writers on " +
+    "disjoint partitions both land") {
+    import spark.implicits._
+    val (p, _) = mkArchive() // v1
+    // writer A lands v2, rewriting g0
+    Tables.mergeIntoManifested(spark, p,
+      Seq((0L, 999L, "g0", false)).toDF("k", "v", "g", "_deleted"),
+      "k", Seq("g"), deletedCol = Some("_deleted"))
+    assert(Tables.resolveManifest(spark, p)._1 == 2L)
+    // writer B computed from v1 and ALSO rewrites g0 — committing
+    // would replace A's entry with a rewrite that never saw A's row
+    intercept[Tables.ConcurrentWriteException] {
+      Tables.mergeIntoManifested(spark, p,
+        Seq((8L, 111L, "g0", false)).toDF("k", "v", "g", "_deleted"),
+        "k", Seq("g"), deletedCol = Some("_deleted"),
+        expectedBase = Some(1L))
+    }
+    intercept[Tables.ConcurrentWriteException] {
+      Tables.updateManifested(spark, p,
+        col("k") === 8L, Map("v" -> lit(111L)), Seq("g"),
+        expectedBase = Some(1L))
+    }
+    // A's change must have survived both refusals
+    assert(Tables.readManifested(spark, p)
+      .where(col("k") === 0L && col("v") === 999L).count() == 1L)
+    // a writer from the SAME stale snapshot touching only g3 is
+    // disjoint from A's commit — it lands, and A's change survives
+    Tables.updateManifested(spark, p,
+      col("k") === 3L, Map("v" -> lit(-3L)), Seq("g"),
+      expectedBase = Some(1L))
+    val live = Tables.readManifested(spark, p)
+    assert(live.where(col("k") === 3L && col("v") === -3L).count() == 1L)
+    assert(live.where(col("k") === 0L && col("v") === 999L).count() == 1L)
+    // re-running the refused statement WITHOUT the stale base (a
+    // fresh snapshot) succeeds — the documented resolution
+    Tables.updateManifested(spark, p,
+      col("k") === 8L, Map("v" -> lit(111L)), Seq("g"))
+    assert(Tables.readManifested(spark, p)
+      .where(col("k") === 8L && col("v") === 111L).count() == 1L)
+  }
+
+  test("path-escaped partition values round-trip through the COW " +
+    "rewrite: a ':' in the partition value neither duplicates nor " +
+    "resurrects rows") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mergecow-esc").toString
+    val p = s"$root/arch"
+    // 'a:b' path-escapes to 'a%3Ab' in the directory name — a raw
+    // touched-key ('g=a:b') would never match the manifest entry, so
+    // the pre-update dir would carry by reference and its rows
+    // resurrect as duplicates
+    val df = (0L until 20L).map(i =>
+      (i, i, if (i < 10) "a:b" else "plain")).toDF("k", "v", "g")
+    Tables.writeManifested(df, p, Seq("g"))
+    Tables.updateManifested(spark, p,
+      col("g") === "a:b", Map("v" -> lit(-1L)), Seq("g"))
+    val got = Tables.readManifested(spark, p)
+    assert(got.count() == 20L,
+      s"COW rewrite of an escaped partition duplicated rows: " +
+        s"${got.count()}")
+    assert(got.where(col("g") === "a:b" && col("v") =!= -1L)
+      .count() == 0L, "pre-update rows resurrected")
+    // and through a MERGE change batch landing in the escaped part
+    Tables.mergeIntoManifested(spark, p,
+      Seq((100L, 100L, "a:b")).toDF("k", "v", "g"), "k", Seq("g"))
+    val after = Tables.readManifested(spark, p)
+    assert(after.count() == 21L && after.where(col("k") === 100L)
+      .count() == 1L)
+    assert(after.where(col("g") === "a:b" && col("v") =!= -1L &&
+      col("k") =!= 100L).count() == 0L)
+  }
 }

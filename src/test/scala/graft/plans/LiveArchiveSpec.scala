@@ -731,4 +731,88 @@ class LiveArchiveSpec extends SparkSpec {
         .collect()
     }
   }
+
+  test("concurrent SQL UPDATEs: same-partition racers never lose an " +
+    "update silently (both land, or the loser refuses loudly); " +
+    "disjoint-partition racers both commit") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def isConflict(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[Tables.ConcurrentWriteException] ||
+        isConflict(t.getCause))
+    // --- same partition (all rows in ingest_epoch=0) ---
+    val p1 = freshArch("updrace1")
+    Tables.registerManifestedLiveSql(spark, "live_updrace1", p1)
+    val race = Seq(
+      ("aa", 1L, "UPDATE live_updrace1 SET body = 'aa' WHERE id = 1"),
+      ("bb", 2L, "UPDATE live_updrace1 SET body = 'bb' WHERE id = 2"))
+    val tries = Await.result(Future.sequence(race.map { case (_, _, s) =>
+      Future(scala.util.Try(spark.sql(s))) }), 5.minutes)
+    assert(tries.count(_.isFailure) <= 1,
+      s"at most one racer may refuse: $tries")
+    tries.zip(race).foreach { case (t, (b, id, _)) =>
+      val n = spark.sql("SELECT count(*) FROM live_updrace1 " +
+        s"WHERE body = '$b' AND id = $id").head().getLong(0)
+      t match {
+        case scala.util.Success(_) => assert(n === 1L,
+          s"statement reported success but '$b' is missing — " +
+            "SILENT LOST UPDATE")
+        case scala.util.Failure(e) => assert(isConflict(e),
+          s"refusal must be the loud write conflict, got: $e")
+      }
+    }
+    // --- disjoint partitions: both must land ---
+    val p2 = freshArch("updrace2")
+    landEpoch(p2, 1L, 1000L, 1050L)
+    Tables.registerManifestedLiveSql(spark, "live_updrace2", p2)
+    val disj = Seq(
+      "UPDATE live_updrace2 SET body = 'cc' WHERE id = 1",
+      "UPDATE live_updrace2 SET body = 'dd' WHERE id = 1001")
+    val tr2 = Await.result(Future.sequence(disj.map(s =>
+      Future(scala.util.Try(spark.sql(s))))), 5.minutes)
+    assert(tr2.forall(_.isSuccess),
+      s"disjoint-partition updates must both commit: $tr2")
+    assert(spark.sql("SELECT count(*) FROM live_updrace2 WHERE " +
+      "body IN ('cc','dd')").head().getLong(0) === 2L,
+      "both disjoint assignments must be visible")
+    Seq("live_updrace1", "live_updrace2")
+      .foreach(Tables.unregisterManifestedLiveSql(spark, _))
+  }
+
+  test("DML alias hijack: a user alias that collides with ANOTHER " +
+    "registered live name still mutates the statement's OWN target " +
+    "— tombstones land on the FROM archive, never on the alias's " +
+    "namesake") {
+    val root = tmpRoot("graft-live-hijack")
+    val (pEvents, pT) = (s"$root/events_arch", s"$root/t_arch")
+    Seq(pEvents, pT).foreach(p => Tables.writeManifested(
+      docsDf(0L, 100L).withColumn("ingest_epoch", lit(0L)),
+      p, Seq("ingest_epoch")))
+    Tables.registerManifestedLiveSql(spark, "hj_events", pEvents,
+      tombPath = Some(s"$root/events_tomb"), keyCol = Some("id"))
+    // the trap: a registration literally named 't', with its own
+    // tombstone store — a name-based walk would land the DELETE here
+    Tables.registerManifestedLiveSql(spark, "t", pT,
+      tombPath = Some(s"$root/t_tomb"), keyCol = Some("id"))
+    spark.sql("DELETE FROM hj_events t WHERE t.id < 10")
+    assert(spark.sql("SELECT count(*) FROM hj_events")
+      .head().getLong(0) === 90L,
+      "the aliased DELETE must mutate its own target")
+    assert(spark.sql("SELECT count(*) FROM t")
+      .head().getLong(0) === 100L,
+      "the alias's namesake archive must be untouched")
+    assert(Tables.readTombstones(spark, s"$root/t_tomb", "id").isEmpty,
+      "no tombstones may land on the hijack victim")
+    // UPDATE through the same colliding alias: the COW rewrite lands
+    // on the statement's own target too
+    spark.sql("UPDATE hj_events t SET body = 'redone' WHERE t.id = 50")
+    assert(spark.sql(
+      "SELECT count(*) FROM hj_events WHERE body = 'redone'")
+      .head().getLong(0) === 1L)
+    assert(spark.sql("SELECT count(*) FROM t WHERE body = 'redone'")
+      .head().getLong(0) === 0L)
+    Seq("hj_events", "t")
+      .foreach(Tables.unregisterManifestedLiveSql(spark, _))
+  }
 }
