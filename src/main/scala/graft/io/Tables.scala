@@ -1047,8 +1047,10 @@ object Tables {
     if (fs.exists(dvRoot)) {
       val live = deletionVectors(spark, path)
         .map(p => new org.apache.hadoop.fs.Path(p.dir).getName).toSet
+      val cutoff = System.currentTimeMillis - sidecarSweepGraceMs(spark)
       fs.listStatus(dvRoot)
-        .filter(st => !live.contains(st.getPath.getName))
+        .filter(st => !live.contains(st.getPath.getName) &&
+          st.getModificationTime < cutoff)
         .foreach(st => fs.delete(st.getPath, true))
     }
     // Bloom-sidecar dead mass: same retained-until-vacuum grace —
@@ -1062,6 +1064,17 @@ object Tables {
     * superseded dir at publish time so a reader holding the old
     * pointer never loses its files mid-scan — this sweep is where
     * the dead mass goes, called from both layouts' vacuum verbs. */
+  /** Sidecar dirs younger than this are SKIPPED by the sweeps: a
+    * concurrent Bloom/DV build writes its dir BEFORE flipping the
+    * pointer, and a racing vacuum would otherwise delete the
+    * freshly-written dir in that window — readers degrade safely,
+    * but the just-paid build is lost. Matches the retained-until-
+    * vacuum grace the data dirs get; 0 for tests that assert
+    * immediate reclaim. */
+  private def sidecarSweepGraceMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.sweep.sidecarGraceMs")
+      .map(_.toLong).getOrElse(900000L)
+
   private def sweepBloomDirs(spark: SparkSession, path: String): Unit = {
     val bRoot = new org.apache.hadoop.fs.Path(
       s"${path.stripSuffix("/")}/_file_blooms")
@@ -1069,8 +1082,10 @@ object Tables {
     if (!fs.exists(bRoot)) return
     val live = fileBlooms(spark, path)
       .map(p => new org.apache.hadoop.fs.Path(p._1).getName).toSet
+    val cutoff = System.currentTimeMillis - sidecarSweepGraceMs(spark)
     fs.listStatus(bRoot)
-      .filter(st => !live.contains(st.getPath.getName))
+      .filter(st => !live.contains(st.getPath.getName) &&
+        st.getModificationTime < cutoff)
       .foreach(st => fs.delete(st.getPath, true))
   }
 
@@ -1865,6 +1880,10 @@ object Tables {
     val fs = fsFor(spark, live)
     claimEpoch(fs, path, epoch,
       writerId.getOrElse(java.util.UUID.randomUUID.toString))
+    // the epoch commit mutates the live tree in place: declare it to
+    // the DV staleness protocol (begin before the first change, seal
+    // in the finally — a failed commit may have half-landed changes)
+    val mut = beginBucketedMutation(spark, path)
     try {
       // targeted drop of exactly the epoch's OWN partitions — one
       // listing of the epoch subtree, never a full-table MSCK (at
@@ -1896,7 +1915,10 @@ object Tables {
         .format("parquet").saveAsTable(name)
       refreshBucketedBlooms(spark, path)
       ()
-    } finally recoverEpochClaim(spark, path, epoch)
+    } finally {
+      endBucketedMutation(spark, path, mut)
+      recoverEpochClaim(spark, path, epoch)
+    }
   }
 
   /** Conform an ingest frame to the archive's sidecar schema:
@@ -2056,16 +2078,41 @@ object Tables {
     // superseded Bloom-sidecar dirs get the same grace-then-reclaim
     sweepBloomDirs(spark, path)
     // superseded bucketed deletion-vector dirs: everything except
-    // the current pointer's
+    // the current pointer's (same build-in-flight grace as blooms)
     val dvbRoot = new org.apache.hadoop.fs.Path(
       s"${path.stripSuffix("/")}/_dvb")
+    val cutoff = System.currentTimeMillis - sidecarSweepGraceMs(spark)
     if (fs.exists(dvbRoot)) {
       val live = bucketedDeletionVectors(spark, path)
         .map(p => new org.apache.hadoop.fs.Path(p.dir).getName).toSet
       fs.listStatus(dvbRoot)
-        .filter(st => !live.contains(st.getPath.getName))
+        .filter(st => !live.contains(st.getPath.getName) &&
+          st.getModificationTime < cutoff)
         .foreach(st => fs.delete(st.getPath, true))
     }
+    // crashed mutations' in-flight markers: until cleared, every
+    // masked read degrades to the key mask. Clearing one implies its
+    // tree changes may have landed WITHOUT a seq bump — bump first,
+    // so any DV stamped before the crash stops validating
+    val staleMuts =
+      try fs.listStatus(root).toSeq.filter(st =>
+        st.getPath.getName.startsWith("_dvbmut_") &&
+          st.getModificationTime < cutoff)
+      catch { case _: java.io.FileNotFoundException => Nil }
+    if (staleMuts.nonEmpty) {
+      bumpBucketedSeq(spark, path)
+      staleMuts.foreach(st => fs.delete(st.getPath, false))
+    }
+    // seq markers below the max are crash leftovers (the bump
+    // removes its predecessor; only a crash between publish and
+    // delete leaves one) — the max alone carries the protocol
+    val seqs =
+      try fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("_dvbseq-"))
+        .map(_.stripPrefix("_dvbseq-").toLong).sorted
+      catch { case _: java.io.FileNotFoundException => Nil }
+    seqs.dropRight(1).foreach(v =>
+      fs.delete(dvbSeqMarker(root, v), false))
     scratch + versions + legacy
   }
 
@@ -2116,7 +2163,12 @@ object Tables {
     // checkpoint, because the stage writes into a NEW dir while the
     // source version's files stay untouched until the sweep
     writeBucketedVersionDir(df, path, next, key, buckets, partCols)
-    commitBucketVersion(spark, path, next)
+    // the stage is invisible until the marker flips — only the FLIP
+    // mutates what readers resolve, so the staleness protocol wraps
+    // exactly it
+    val mut = beginBucketedMutation(spark, path)
+    try commitBucketVersion(spark, path, next)
+    finally endBucketedMutation(spark, path, mut)
     if (cur.isEmpty) {
       // legacy migration: drop only the legacy CATALOG entry now.
       // The root-level partition dirs + sidecar stay as dead mass —
@@ -3315,22 +3367,117 @@ object Tables {
   private def bucketedDvPtrPath(path: String) =
     new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "/_dvb_ptr")
 
-  /** Digest of a bucketed archive's live file listing — the
-    * coverage stamp bucketed deletion vectors use in place of a
-    * manifest version. One recursive listing; md5 over the sorted
-    * relative paths. */
+  // ---------- Bucketed mutation protocol (O(1) coverage stamp) ----------
+  // The DV coverage stamp was a digest of the full recursive
+  // live-file listing — O(data files) at PLAN time on EVERY masked
+  // read once a pointer exists. The protocol replaces that walk with
+  // root-level metadata, read in ONE small listing:
+  //  * `_dvbseq-%019d` markers: a monotonic COMMIT SEQUENCE, bumped
+  //    via [[publishExclusive]] (two concurrent mutators can never
+  //    share a number — the lost-increment of a rewritten counter
+  //    file would hide one mutation from the staleness check) AFTER
+  //    every live-tree mutation;
+  //  * `_dvbmut_<uuid>` in-flight markers: created BEFORE a
+  //    mutation's first tree change, removed after its bump, so a
+  //    reader or DV builder can tell "quiet" from "mid-mutation"
+  //    without walking the data tree — files added mid-mutation
+  //    would otherwise be servable under an unmoved seq.
+  // Masked-read fast path iff: no in-flight marker AND pointer seq ==
+  // current seq. A crashed mutation leaves its marker — permanent
+  // degrade to the key mask (safe, never wrong rows) until
+  // [[sweepBucketedScratch]] clears markers older than the sidecar
+  // grace AND bumps the seq for them (their tree changes may have
+  // landed without one). Legacy pointers carrying a listing digest
+  // keep validating by digest until their next rebuild.
+
+  private def dvbSeqMarker(root: org.apache.hadoop.fs.Path, v: Long) =
+    new org.apache.hadoop.fs.Path(root, f"_dvbseq-$v%019d")
+
+  /** (current commit seq, a mutation is in flight) — ONE root
+    * listing; (0, false) for an absent root. */
+  private[graft] def bucketedRootState(spark: SparkSession,
+                                       path: String): (Long, Boolean) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, root)
+    val names =
+      try fs.listStatus(root).toSeq.map(_.getPath.getName)
+      catch { case _: java.io.FileNotFoundException => Nil }
+    val seq = names.filter(_.startsWith("_dvbseq-"))
+      .map(_.stripPrefix("_dvbseq-").toLong)
+      .maxOption.getOrElse(0L)
+    (seq, names.exists(_.startsWith("_dvbmut_")))
+  }
+
+  /** Advance the commit seq by exactly one fresh number (exclusive
+    * publish; collisions walk up). The superseded marker is removed
+    * after the new one is visible, so the observed max only grows. */
+  private def bumpBucketedSeq(spark: SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, root)
+    var attempts = 0
+    while (attempts < 10000) {
+      attempts += 1
+      val (cur, _) = bucketedRootState(spark, path)
+      val tmp = new org.apache.hadoop.fs.Path(root,
+        s"._dvbseq_tmp_${java.util.UUID.randomUUID.toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write((cur + 1).toString.getBytes("UTF-8"))
+      finally out.close()
+      if (publishExclusive(fs, tmp, dvbSeqMarker(root, cur + 1))) {
+        if (cur > 0L) fs.delete(dvbSeqMarker(root, cur), false)
+        return
+      }
+    }
+    throw new IllegalStateException(
+      s"bumpBucketedSeq at $path: still colliding after 10000 attempts")
+  }
+
+  /** Declare a live-tree mutation in flight — call BEFORE the first
+    * tree change; pass the returned marker to
+    * [[endBucketedMutation]] when done (in a finally: a failed
+    * mutation may have half-landed changes, so the bump must still
+    * happen). */
+  private def beginBucketedMutation(spark: SparkSession,
+      path: String): org.apache.hadoop.fs.Path = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, root)
+    val m = new org.apache.hadoop.fs.Path(root,
+      s"_dvbmut_${java.util.UUID.randomUUID.toString.take(8)}")
+    fs.create(m, true).close()
+    m
+  }
+
+  /** Seal a live-tree mutation: bump the commit seq (any DV stamped
+    * before this mutation stops validating), then clear the
+    * in-flight marker. */
+  private def endBucketedMutation(spark: SparkSession, path: String,
+      marker: org.apache.hadoop.fs.Path): Unit = {
+    bumpBucketedSeq(spark, path)
+    fsFor(spark, marker).delete(marker, false)
+    ()
+  }
+
+  /** Digest of a bucketed archive's live file listing — the LEGACY
+    * coverage stamp (superseded by the commit-seq protocol; still
+    * the fallback stamp for a build that observed a mutation in
+    * flight, and the validator for pointers written before the
+    * protocol). One recursive listing; md5 over the sorted paths
+    * RELATIVE to the live dir, so the digest is location-independent
+    * — a builder and a reader reaching the archive via different
+    * path prefixes/mounts still agree. */
   private[graft] def bucketedLiveDigest(spark: SparkSession,
                                         path: String): String = {
     val liveDir = new org.apache.hadoop.fs.Path(
       bucketedLiveDir(spark, path))
     val fs = fsFor(spark, liveDir)
+    val base = liveDir.toUri.getPath.stripSuffix("/") + "/"
     def walk(d: org.apache.hadoop.fs.Path): Seq[String] =
       fs.listStatus(d).toSeq.flatMap { st =>
         val n = st.getPath.getName
         if (st.isDirectory && !n.startsWith(".") && !n.startsWith("_"))
           walk(st.getPath)
         else if (st.isFile && !n.startsWith(".") && !n.startsWith("_"))
-          Seq(st.getPath.toUri.getPath)
+          Seq(st.getPath.toUri.getPath.stripPrefix(base))
         else Nil
       }
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -3376,6 +3523,13 @@ object Tables {
         val (insTombMax, delTombMax) =
           readTombstonesWithEpochs(spark, tombPath)
             .map(laneMaxes).getOrElse((-1L, -1L))
+        // coverage stamp: the commit seq when the build's whole
+        // window is QUIET (checked before and after the scan — a
+        // mutation whose start-bump predates the window would leave
+        // its in-flight marker visible at one of the two probes);
+        // otherwise fall back to the pre-scan listing digest, which
+        // self-validates against whatever tree the mutation leaves
+        val (seq0, busy0) = bucketedRootState(spark, path)
         val digest = bucketedLiveDigest(spark, path)
         val dv = readBucketedArchive(spark, path)
           .select(col(keyCol),
@@ -3390,10 +3544,14 @@ object Tables {
         // distributed like the manifested DV sidecar: the groupBy
         // already hash-partitioned the mask by file
         dv.write.mode(SaveMode.Overwrite).parquet(dir)
+        val (seq1, busy1) = bucketedRootState(spark, path)
+        val stamp =
+          if (!busy0 && !busy1 && seq0 == seq1) s"seq:$seq0"
+          else digest
         val ptr = bucketedDvPtrPath(path)
         val fs = fsFor(spark, ptr)
         val out = fs.create(ptr, true)
-        try out.write(s"$dir\n$insTombMax\n$delTombMax\n$digest"
+        try out.write(s"$dir\n$insTombMax\n$delTombMax\n$stamp"
           .getBytes("UTF-8"))
         finally out.close()
         spark.read.parquet(dir).count()
@@ -3403,19 +3561,26 @@ object Tables {
     * deletion-vector sidecar — [[readManifestedMasked]] for the
     * bucketed layout. Coverage check order is cheapest-first: no
     * tombstones → plain read; no pointer → key mask (one small-file
-    * probe — archives that never built a DV pay nothing new); digest
-    * mismatch (any file changed since the build) or vanished mask
-    * dir → key mask; otherwise the positional broadcast mask, with a
-    * key anti-join ONLY for tombstones landed after the recorded
-    * lane coverage — skipped outright in the covered steady state. */
+    * probe — archives that never built a DV pay nothing new); stale
+    * stamp (a mutation committed — or is IN FLIGHT — since the
+    * build; one root listing, O(metadata), never the data tree) or
+    * vanished mask dir → key mask; otherwise the positional
+    * broadcast mask, with a key anti-join ONLY for tombstones landed
+    * after the recorded lane coverage — skipped outright in the
+    * covered steady state. */
   def readBucketedArchiveMasked(spark: SparkSession, path: String,
       tombPath: String, keyCol: String): DataFrame = {
     val tombE = readTombstonesWithEpochs(spark, tombPath)
     if (tombE.isEmpty) return readBucketedArchive(spark, path)
     def keyMasked = minusTombstones(
       readBucketedArchive(spark, path), tombPath, keyCol)
-    val dvOpt = bucketedDeletionVectors(spark, path)
-      .filter(_.digest == bucketedLiveDigest(spark, path))
+    val dvOpt = bucketedDeletionVectors(spark, path).filter { p =>
+      if (p.digest.startsWith("seq:")) {
+        val (seq, busy) = bucketedRootState(spark, path)
+        !busy && p.digest == s"seq:$seq"
+      } else // pre-protocol pointer: validate by listing digest
+        p.digest == bucketedLiveDigest(spark, path)
+    }
     if (dvOpt.isEmpty) return keyMasked
     val dvp = dvOpt.get
     val dv = try

@@ -202,8 +202,13 @@ class BloomSkipSpec extends SparkSpec {
     // than one part file is legal and the probe reads the dir whole
     assert(Tables.bloomSurvivors(spark, p,
       hashesOf(Seq(10L, 20L)))._3 > 0L)
-    // vacuum reclaims exactly the unreferenced dir
-    Tables.vacuumManifested(spark, p)
+    // vacuum reclaims exactly the unreferenced dir (grace zeroed —
+    // the default protects freshly-superseded dirs from a racing
+    // build's pre-flip window)
+    try {
+      spark.conf.set("spark.graft.sweep.sidecarGraceMs", "0")
+      Tables.vacuumManifested(spark, p)
+    } finally spark.conf.unset("spark.graft.sweep.sidecarGraceMs")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir1)),
       "vacuum must reclaim the superseded sidecar dir")
     assert(fs.exists(new org.apache.hadoop.fs.Path(dir2)),

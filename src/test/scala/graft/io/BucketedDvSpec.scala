@@ -19,10 +19,13 @@ import graft.SparkSpec
   *  - FRESH-TOMBSTONE OVERLAY: tombstones landed after the build are
   *    key-masked on top (correctness first), and the plan shows the
   *    anti-join again;
-  *  - DIGEST STALENESS: ANY file change — an epoch ingest, a fold's
-  *    staged swap — changes the live-file digest and the masked read
-  *    degrades to the key mask (staleness costs the fast path, never
-  *    rows); a rebuild restores it;
+  *  - STALENESS: ANY live-tree mutation — an epoch ingest, a fold's
+  *    staged swap — bumps the commit seq (or, mid-mutation, shows an
+  *    in-flight marker) and the masked read degrades to the key mask
+  *    (staleness costs the fast path, never rows); a rebuild
+  *    restores it. The check is ONE root listing — O(metadata),
+  *    never the recursive data-tree walk the legacy digest paid;
+  *    pre-protocol digest pointers keep validating by digest;
   *  - VACUUM: superseded `_dvb` dirs are retained until
   *    [[Tables.sweepBucketedScratch]], which keeps exactly the
   *    current pointer's dir.
@@ -124,6 +127,45 @@ class BucketedDvSpec extends SparkSpec {
     assert(cnt(Tables.readBucketedArchive(spark, p)) === 499L)
   }
 
+  test("commit-seq protocol: a quiet build stamps the O(1) seq form; " +
+    "an in-flight mutation marker degrades the read; a legacy " +
+    "digest pointer keeps validating") {
+    val (p, tomb) = mkFixture("seq")
+    Tables.ingestTombstones(Seq(4L).toDF("k"), tomb,
+      Tables.DeleteEpochBase)
+    Tables.computeBucketedDeletionVectors(spark, p, tomb, "k")
+    val ptr = Tables.bucketedDeletionVectors(spark, p).get
+    assert(ptr.digest.startsWith("seq:"),
+      s"a quiet-window build must stamp the commit seq, got " +
+        s"'${ptr.digest}' — the legacy digest re-walks the data " +
+        "tree on every masked read")
+    assert(!hasLeftAnti(
+      Tables.readBucketedArchiveMasked(spark, p, tomb, "k")))
+    // a mutation IN FLIGHT (marker present, seq not yet bumped) must
+    // degrade: its files may be half-landed under an unmoved seq
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(p, "_dvbmut_testcrash")
+    fs.create(marker, true).close()
+    val during = Tables.readBucketedArchiveMasked(spark, p, tomb, "k")
+    assert(hasLeftAnti(during) && cnt(during) === 499L,
+      "an in-flight mutation must degrade the read to the key mask")
+    fs.delete(marker, false)
+    assert(!hasLeftAnti(
+      Tables.readBucketedArchiveMasked(spark, p, tomb, "k")),
+      "clearing the marker must restore the fast path")
+    // a PRE-PROTOCOL pointer (listing digest in the stamp field)
+    // still validates — old archives fast-path until their rebuild
+    val ptrPath = new org.apache.hadoop.fs.Path(p + "/_dvb_ptr")
+    val legacy = s"${ptr.dir}\n${ptr.insCovered}\n${ptr.delCovered}\n" +
+      Tables.bucketedLiveDigest(spark, p)
+    val out = fs.create(ptrPath, true)
+    try out.write(legacy.getBytes("UTF-8")) finally out.close()
+    val viaDigest = Tables.readBucketedArchiveMasked(spark, p, tomb, "k")
+    assert(!hasLeftAnti(viaDigest) && cnt(viaDigest) === 499L,
+      "a legacy digest pointer must keep serving the fast path")
+  }
+
   test("vacuum: superseded _dvb dirs retained until the sweep, which " +
     "keeps exactly the current pointer's dir") {
     val (p, tomb) = mkFixture("vac")
@@ -138,9 +180,18 @@ class BucketedDvSpec extends SparkSpec {
     assert(dir2 !== dir1)
     assert(fs.exists(new org.apache.hadoop.fs.Path(dir1)),
       "the superseded mask dir must survive the pointer flip")
+    // under the default grace a JUST-superseded dir is protected —
+    // a vacuum racing a concurrent build must not eat a freshly
+    // written dir in its pre-pointer-flip window
     Tables.sweepBucketedScratch(spark, p)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir1)),
+      "the sweep must skip sidecar dirs younger than the grace")
+    try {
+      spark.conf.set("spark.graft.sweep.sidecarGraceMs", "0")
+      Tables.sweepBucketedScratch(spark, p)
+    } finally spark.conf.unset("spark.graft.sweep.sidecarGraceMs")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir1)),
-      "the sweep must reclaim the superseded mask dir")
+      "the sweep must reclaim the superseded mask dir past the grace")
     assert(fs.exists(new org.apache.hadoop.fs.Path(dir2)),
       "the sweep must keep the current pointer's dir")
   }

@@ -314,7 +314,10 @@ class DeleteVectorSpec extends SparkSpec {
       assert(fs.exists(new org.apache.hadoop.fs.Path(dv1.dir)),
         "superseded mask dir deleted before vacuum — a reader " +
           "holding the old pointer loses its files mid-scan")
-      Tables.vacuumManifested(spark, p)
+      try {
+        spark.conf.set("spark.graft.sweep.sidecarGraceMs", "0")
+        Tables.vacuumManifested(spark, p)
+      } finally spark.conf.unset("spark.graft.sweep.sidecarGraceMs")
       assert(!fs.exists(new org.apache.hadoop.fs.Path(dv1.dir)),
         "vacuum left the superseded mask dir as permanent dead mass")
       assert(fs.exists(new org.apache.hadoop.fs.Path(dv2.dir)),
