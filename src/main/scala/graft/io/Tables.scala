@@ -1238,20 +1238,141 @@ object Tables {
     require(manifests.nonEmpty, s"no manifest at $path")
     val versions = manifests.toSeq.map { m =>
       (m.getPath.getName.stripPrefix("_manifest-").toLong,
-        readManifestFile(fs, m.getPath))
+        readManifestFile(fs, m.getPath), m.getModificationTime)
     }
-    val rows = versions.zip(Map.empty[String, String] +: versions.map(_._2))
-      .map { case ((v, parts), prev) =>
+    val rows = versions.zip(
+        Map.empty[String, String] +: versions.map(_._2))
+      .map { case ((v, parts, ts), prev) =>
         val added = parts.keySet.diff(prev.keySet).size.toLong
         val removed = prev.keySet.diff(parts.keySet).size.toLong
         val changed = parts.keySet.intersect(prev.keySet)
           .count(k => parts(k) != prev(k)).toLong
-        (v, parts.size.toLong, added, removed, changed,
+        (v, new java.sql.Timestamp(ts), parts.size.toLong, added,
+          removed, changed,
           parts.values.count(_.contains("::")).toLong)
       }
-    spark.createDataFrame(rows).toDF("version", "n_partitions",
-      "n_added", "n_removed", "n_changed", "n_external")
+    spark.createDataFrame(rows).toDF("version", "commit_ts",
+      "n_partitions", "n_added", "n_removed", "n_changed",
+      "n_external")
   }
+
+  /** Latest committed version whose commit instant ≤ `tsMillis` —
+    * the `TIMESTAMP AS OF` resolution. The commit instant IS the
+    * manifest pointer file's creation time (the publish makes the
+    * version visible in that same operation), so no extra metadata
+    * write is needed and history older than vacuum's retention
+    * refuses exactly like [[readManifestedAt]] would. Loud when the
+    * timestamp predates the oldest RETAINED commit. */
+  private[graft] def manifestVersionAsOf(spark: SparkSession,
+      path: String, tsMillis: Long): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, root)
+    val manifests = fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith("_manifest-"))
+    require(manifests.nonEmpty, s"no manifest at $path")
+    val eligible = manifests
+      .filter(_.getModificationTime <= tsMillis)
+      .map(_.getPath.getName.stripPrefix("_manifest-").toLong)
+    require(eligible.nonEmpty,
+      s"TIMESTAMP AS OF at $path: ${new java.sql.Timestamp(tsMillis)} " +
+        "predates the oldest retained commit " +
+        "(never written that early, or vacuumed)")
+    eligible.max
+  }
+
+  /** [[manifestVersionAsOf]] for the bucketed layout — over the
+    * `_bucketv-` marker mtimes. */
+  private[graft] def bucketedVersionAsOf(spark: SparkSession,
+      path: String, tsMillis: Long): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, root)
+    val markers = fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith("_bucketv-"))
+    require(markers.nonEmpty, s"no versioned bucketed archive at $path")
+    val eligible = markers
+      .filter(_.getModificationTime <= tsMillis)
+      .map(_.getPath.getName.stripPrefix("_bucketv-").toLong)
+    require(eligible.nonEmpty,
+      s"TIMESTAMP AS OF at $path: ${new java.sql.Timestamp(tsMillis)} " +
+        "predates the oldest retained bucket version")
+    eligible.max
+  }
+
+  /** Commit history for a versioned bucketed archive — one row per
+    * RETAINED-or-committed version marker with its commit instant
+    * (the sweep reclaims superseded DIRS but keeps markers only for
+    * the current version, so rows here are the readable history). */
+  def bucketedHistory(spark: SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = fsFor(spark, root)
+    val markers = fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith("_bucketv-"))
+      .sortBy(_.getPath.getName)
+    require(markers.nonEmpty, s"no versioned bucketed archive at $path")
+    val rows = markers.toSeq.map(m =>
+      (m.getPath.getName.stripPrefix("_bucketv-").toLong,
+        new java.sql.Timestamp(m.getModificationTime)))
+    spark.createDataFrame(rows).toDF("version", "commit_ts")
+  }
+
+  // ---------- Declared additive columns (SQL schema evolution) ----------
+
+  private def declaredColsPath(path: String) =
+    new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "/_graft_added_cols")
+
+  /** Declare ADDITIVE columns on a manifested archive — the storage
+    * half of `ALTER TABLE <live name> ADD COLUMNS`. The manifested
+    * layout evolves implicitly (reads merge file schemas by name),
+    * so no data is rewritten: the declaration makes the columns
+    * VISIBLE to the SQL face immediately (reads null-fill them until
+    * data carries them; INSERT alignment accepts them). Add-a-column
+    * only: an existing name — live or already declared — refuses,
+    * never retypes. Persisted as one sidecar (full list, DDL form)
+    * so the declaration survives the JVM like the archive itself. */
+  def declareManifestedColumns(spark: SparkSession, path: String,
+                               newCols: StructType): Unit = {
+    require(newCols.fields.nonEmpty, "no columns to add")
+    val existing = readManifested(spark, path).schema.fieldNames
+      .map(_.toLowerCase).toSet
+    val declared = declaredManifestedColumns(spark, path)
+      .map(_.fields.toSeq).getOrElse(Nil)
+    val known = existing ++ declared.map(_.name.toLowerCase)
+    val clash = newCols.fieldNames
+      .filter(n => known.contains(n.toLowerCase))
+    require(clash.isEmpty,
+      s"columns [${clash.mkString(",")}] already exist at $path — " +
+        "evolution is add-a-column, never change-a-column")
+    val all = StructType(declared ++ newCols.fields)
+    val p = declaredColsPath(path)
+    val out = fsFor(spark, p).create(p, true)
+    try out.write(all.toDDL.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Columns declared via [[declareManifestedColumns]], or None. */
+  def declaredManifestedColumns(spark: SparkSession,
+                                path: String): Option[StructType] = {
+    val p = declaredColsPath(path)
+    val fs = fsFor(spark, p)
+    if (!fs.exists(p)) None
+    else Some(StructType.fromDDL(readSmallFile(fs, p)))
+  }
+
+  /** Widen `df` with any DECLARED columns it does not carry yet,
+    * null-filled — the read half of SQL schema evolution. Columns
+    * the data already carries (post-evolution commits) pass through
+    * untouched; partially-carrying file sets already merged by name
+    * upstream. */
+  private[graft] def withDeclaredColumns(spark: SparkSession,
+      path: String, df: DataFrame): DataFrame =
+    declaredManifestedColumns(spark, path) match {
+      case None => df
+      case Some(decl) =>
+        val have = df.schema.fieldNames.map(_.toLowerCase).toSet
+        decl.fields.foldLeft(df)((d, f) =>
+          if (have.contains(f.name.toLowerCase)) d
+          else d.withColumn(f.name, lit(null).cast(f.dataType)))
+    }
 
   // ---------- Zero-copy clone (manifest-reference snapshots) ----------
 

@@ -1926,6 +1926,132 @@ object ScaleOps {
       |  FROM documents WHERE doc_id % 100 = 7
       |) GROUP BY 1 ORDER BY lang""".stripMargin
 
+  /** [[qSqlAlter]]'s archive: the corpus lang-partitioned; the query
+    * evolves it (`ALTER TABLE … ADD COLUMNS`) and inserts scored
+    * 'zz' shadow rows carrying the new column. */
+  private def sqlAlterRoot(s: SparkSession, dir: String): String =
+    healthMemo.computeIfAbsent(dir + "#sqlalter", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sqlalt").toString
+      healthDirs.add(root)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Tables.writeManifested(docs, s"$root/arch", Seq("lang"))
+      root
+    })
+
+  /** Gated: SQL schema evolution — `ALTER TABLE <live name> ADD
+    * COLUMNS` ([[graft.plans.EvolveArchiveCommand]] →
+    * [[graft.io.Tables.declareManifestedColumns]]) makes the column
+    * visible (null) at once, then an INSERT carries it: the per-lang
+    * aggregate matches the oracle only if old rows null-filled, the
+    * inserted rows landed with their scores, and the declaration
+    * widened the INSERT alignment. Idempotent under re-runs: the
+    * ALTER is skipped once declared, and the INSERT's NOT EXISTS
+    * guard lands each shadow row exactly once. */
+  def qSqlAlter(s: SparkSession, dir: String): DataFrame = {
+    val root = sqlAlterRoot(s, dir)
+    Tables.registerManifestedLiveSql(s, "graft_sql_alt",
+      s"$root/arch")
+    if (!s.sql("SELECT * FROM graft_sql_alt").columns
+        .contains("score"))
+      s.sql("ALTER TABLE graft_sql_alt ADD COLUMNS (score DOUBLE)")
+    s.sql(
+      """INSERT INTO graft_sql_alt BY NAME
+        |SELECT d.doc_id + 20000000 AS doc_id, 'zz' AS lang,
+        |       d.n_chars AS n_chars,
+        |       CAST(d.doc_id % 7 AS DOUBLE) AS score
+        |FROM graft_sql_alt d
+        |WHERE d.doc_id % 100 = 9 AND d.doc_id < 20000000
+        |  AND NOT EXISTS (SELECT 1 FROM graft_sql_alt t
+        |                  WHERE t.doc_id = d.doc_id + 20000000)
+        |""".stripMargin)
+    s.sql(
+      """SELECT lang, count(*) AS n,
+        |       coalesce(CAST(sum(score) AS BIGINT), -1) AS score_sum
+        |FROM graft_sql_alt GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val qSqlAlterOracle: String =
+    """SELECT lang, count(*) AS n,
+      |       coalesce(CAST(sum(score) AS BIGINT), -1) AS score_sum
+      |FROM (
+      |  SELECT lang, CAST(NULL AS DOUBLE) AS score FROM documents
+      |  UNION ALL
+      |  SELECT 'zz' AS lang, CAST(doc_id % 7 AS DOUBLE) AS score
+      |  FROM documents WHERE doc_id % 100 = 9
+      |) GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** [[qSqlTimeTravel]]'s archive: v1 holds the non-tenth docs, v2
+    * adds the tenth — with the wall-clock instant BETWEEN the two
+    * commits memoized alongside the root, so `TIMESTAMP AS OF` has a
+    * deterministic target at every re-run. */
+  private def sqlTimeTravelRoot(s: SparkSession, dir: String)
+      : (String, String) = {
+    val v = healthMemo.computeIfAbsent(dir + "#sqltt", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-sqltt").toString
+      healthDirs.add(root)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Tables.writeManifested(docs.where(pmod(col("doc_id"),
+        lit(10)) =!= 0), s"$root/arch", Seq("lang"))          // v1
+      Thread.sleep(1100) // mtime separation across coarse filesystems
+      val between = new java.sql.Timestamp(System.currentTimeMillis)
+      Thread.sleep(1100)
+      Tables.appendManifested(docs.where(pmod(col("doc_id"),
+        lit(10)) === 0), s"$root/arch", Seq("lang"))          // v2
+      s"$root\t$between"
+    })
+    val Array(root, ts) = v.split("\t", 2)
+    (root, ts)
+  }
+
+  /** Gated: SQL time travel by WALL CLOCK — `TIMESTAMP AS OF`
+    * resolves through the commit instants the manifest pointers
+    * already carry (their publish mtime; no extra metadata write) to
+    * the latest version ≤ ts. One row: the as-of-ts count (v1), the
+    * as-of-version count (the carried `VERSION AS OF` pin), and the
+    * live count (v2) — matching the oracle's three closed-form
+    * counts only if the timestamp resolved to v1 and the live read
+    * sees v2. */
+  def qSqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val (root, ts) = sqlTimeTravelRoot(s, dir)
+    Tables.registerManifestedLiveSql(s, "graft_sql_tt", s"$root/arch")
+    s.sql(
+      s"""SELECT
+         |  (SELECT count(*) FROM graft_sql_tt
+         |     TIMESTAMP AS OF '$ts') AS n_asof_ts,
+         |  (SELECT count(*) FROM graft_sql_tt
+         |     VERSION AS OF 1) AS n_asof_v1,
+         |  (SELECT count(*) FROM graft_sql_tt) AS n_live
+         |""".stripMargin)
+  }
+
+  val qSqlTimeTravelOracle: String =
+    """SELECT
+      |  (SELECT count(*) FROM documents WHERE doc_id % 10 <> 0)
+      |    AS n_asof_ts,
+      |  (SELECT count(*) FROM documents WHERE doc_id % 10 <> 0)
+      |    AS n_asof_v1,
+      |  (SELECT count(*) FROM documents) AS n_live""".stripMargin
+
+  /** Gated: the SQL-visible commit history — `<name>$history`
+    * resolves to one row per retained manifest version with its
+    * structural diff ([[graft.io.Tables.manifestHistory]] as a
+    * relation). Reuses [[qTableHistory]]'s three-commit fixture and
+    * oracle; `commit_ts` is projected out (wall clock — real but not
+    * oracle-able). */
+  def qSqlHistory(s: SparkSession, dir: String): DataFrame = {
+    val root = historyRoot(s, dir)
+    Tables.registerManifestedLiveSql(s, "graft_sql_hist",
+      s"$root/arch")
+    s.sql(
+      """SELECT version, n_partitions, n_added, n_removed,
+        |       n_changed, n_external
+        |FROM `graft_sql_hist$history` ORDER BY version""".stripMargin)
+  }
+
   // ---------- Zero-copy clone (gated construction) ----------
 
   /** [[qCloneDiverge]]'s fixture: a documents archive partitioned by
@@ -2118,6 +2244,7 @@ object ScaleOps {
   def qTableHistory(s: SparkSession, dir: String): DataFrame = {
     val root = historyRoot(s, dir)
     Tables.manifestHistory(s, s"$root/arch")
+      .drop("commit_ts") // wall-clock: real but not oracle-able
       .orderBy("version")
   }
 
@@ -2516,6 +2643,9 @@ object ScaleOps {
     "q_sql_delete" -> qSqlDelete,
     "q_sql_update" -> qSqlUpdate,
     "q_sql_merge" -> qSqlMerge,
+    "q_sql_alter" -> qSqlAlter,
+    "q_sql_timetravel" -> qSqlTimeTravel,
+    "q_sql_history" -> qSqlHistory,
     "q_append_manifested" -> qAppendManifested,
     "q_merge_cow" -> qMergeCow,
     "q_clone_diverge" -> qCloneDiverge,
@@ -2558,6 +2688,9 @@ object ScaleOps {
     "q_sql_delete" -> qSqlDeleteOracle,
     "q_sql_update" -> qSqlUpdateOracle,
     "q_sql_merge" -> qSqlMergeOracle,
+    "q_sql_alter" -> qSqlAlterOracle,
+    "q_sql_timetravel" -> qSqlTimeTravelOracle,
+    "q_sql_history" -> qTableHistoryOracle,
     "q_append_manifested" -> qAppendManifestedOracle,
     "q_merge_cow" -> qMergeCowOracle,
     "q_clone_diverge" -> qCloneDivergeOracle,

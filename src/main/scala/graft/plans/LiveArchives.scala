@@ -134,6 +134,31 @@ object LiveArchives {
     new org.apache.spark.sql.catalyst.trees.TreeNodeTag[Long](
       "graft_live_base_version")
 
+  /** Evaluate a `TIMESTAMP AS OF` expression to epoch millis: any
+    * foldable expression castable to timestamp (string literals take
+    * the session timezone, exactly like a CAST in query text). */
+  private[plans] def evalTsMillis(spark: SparkSession, name: String,
+                                  e: Expression): Long = {
+    require(e.resolved && e.foldable,
+      s"live archive '$name': TIMESTAMP AS OF takes a literal " +
+        s"timestamp, got '${e.sql}'")
+    val micros =
+      try org.apache.spark.sql.catalyst.expressions.Cast(e,
+          org.apache.spark.sql.types.TimestampType,
+          Some(spark.sessionState.conf.sessionLocalTimeZone))
+        .eval(null)
+      catch {
+        case scala.util.control.NonFatal(ex) =>
+          throw new IllegalArgumentException(
+            s"live archive '$name': TIMESTAMP AS OF could not parse " +
+              s"'${e.sql}' as a timestamp", ex)
+      }
+    require(micros != null,
+      s"live archive '$name': TIMESTAMP AS OF could not parse " +
+        s"'${e.sql}' as a timestamp")
+    micros.asInstanceOf[Long] / 1000L
+  }
+
   /** The stamped snapshot version of the DML target's substituted
     * alias, if any. */
   private[plans] def liveTargetBase(plan: LogicalPlan): Option[Long] =
@@ -187,7 +212,14 @@ object LiveArchives {
     val gated =
       if (reg.consistentRoots.isEmpty) df
       else Tables.consistentViewAcross(df, reg.consistentRoots)
-    gated.queryExecution.analyzed
+    // SQL schema evolution: declared-but-not-yet-carried columns
+    // read as null — the manifested layout's implicit merge, made
+    // visible the moment the ALTER lands (bucketed archives evolve
+    // physically, so nothing to widen there)
+    val widened =
+      if (reg.bucketed) gated
+      else Tables.withDeclaredColumns(spark, reg.path, gated)
+    widened.queryExecution.analyzed
   }
 }
 
@@ -221,10 +253,14 @@ case class ResolveLiveArchives(session: SparkSession)
         alias
 
       // SQL time travel in query text: `FROM <live name> VERSION AS
-      // OF n` resolves through readManifestedAt — a reproducible read
-      // without a dedicated pinned registration. Temp-view shadows
-      // stay on Spark's own error path (unshadowed check); TIMESTAMP
-      // AS OF has no manifest equivalent and refuses loudly.
+      // OF n` resolves through readManifestedAt, and `TIMESTAMP AS
+      // OF ts` through the commit instants the version pointers
+      // already carry (their publish mtime — no extra metadata
+      // write), resolving to the latest version committed ≤ ts —
+      // reproducible reads without a dedicated pinned registration.
+      // Temp-view shadows stay on Spark's own error path (unshadowed
+      // check); a timestamp predating the oldest RETAINED commit
+      // refuses loudly (vacuum prunes history).
       case org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
           u: UnresolvedRelation, ts, ver)
           if u.multipartIdentifier.size == 1 &&
@@ -232,20 +268,86 @@ case class ResolveLiveArchives(session: SparkSession)
               .isDefined =>
         val name = u.multipartIdentifier.head
         val reg = LiveArchives.unshadowed(session, name).get
-        if (ts.isDefined || ver.isEmpty)
-          throw new IllegalArgumentException(
-            s"live archive '$name': TIMESTAMP AS OF is not supported " +
-              "— archives version by manifest; use VERSION AS OF <n>")
-        val v = try ver.get.toLong catch {
-          case _: NumberFormatException =>
-            throw new IllegalArgumentException(
-              s"live archive '$name': VERSION AS OF takes a manifest " +
-                s"version number, got '${ver.get}'")
+        val v: Long = (ts, ver) match {
+          case (Some(tsExpr), None) =>
+            val millis = LiveArchives.evalTsMillis(session, name, tsExpr)
+            if (reg.bucketed)
+              Tables.bucketedVersionAsOf(session, reg.path, millis)
+            else Tables.manifestVersionAsOf(session, reg.path, millis)
+          case (None, Some(verStr)) =>
+            try verStr.toLong catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"live archive '$name': VERSION AS OF takes a " +
+                    s"manifest version number, got '$verStr'")
+            }
+          case _ => throw new IllegalArgumentException(
+            s"live archive '$name': time travel takes VERSION AS OF " +
+              "<n> or TIMESTAMP AS OF <ts>")
         }
         SubqueryAlias(name,
           (if (reg.bucketed) Tables.readBucketedArchiveAt(session, reg.path, v)
            else Tables.readManifestedAt(session, reg.path, v))
             .queryExecution.analyzed)
+
+      // SQL-visible history: `<name>$history` (backticked in query
+      // text) reads one row per retained commit with its instant —
+      // DESCRIBE HISTORY as a relation, so it joins/filters like any
+      // table. Driver-side over the pointer files alone; no data IO
+      // at any table size.
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.size == 1 &&
+            u.multipartIdentifier.head.endsWith("$history") &&
+            LiveArchives.unshadowed(session, u.multipartIdentifier
+              .head.stripSuffix("$history")).isDefined =>
+        val full = u.multipartIdentifier.head
+        val reg = LiveArchives
+          .unshadowed(session, full.stripSuffix("$history")).get
+        val hist =
+          if (reg.bucketed) Tables.bucketedHistory(session, reg.path)
+          else Tables.manifestHistory(session, reg.path)
+        SubqueryAlias(full, hist.queryExecution.analyzed)
+
+      // SQL schema evolution: `ALTER TABLE <live name> ADD COLUMNS`
+      // routes onto the engine's evolution verbs — a physical staged
+      // swap for bucketed archives (schema is part of the layout
+      // contract), a persisted declaration for manifested ones
+      // (reads merge by name; the new columns are visible — null —
+      // immediately and INSERTs may carry them). Add-a-column only;
+      // anything else refuses with the reason.
+      case org.apache.spark.sql.catalyst.plans.logical.AddColumns(
+          u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable,
+          colsToAdd)
+          if u.multipartIdentifier.size == 1 &&
+            LiveArchives.unshadowed(session, u.multipartIdentifier.head)
+              .isDefined =>
+        val name = u.multipartIdentifier.head
+        val reg = LiveArchives.unshadowed(session, name).get
+        if (reg.asOf.isDefined) throw new IllegalArgumentException(
+          s"live archive '$name' is pinned asOf v${reg.asOf.get} — " +
+            "a pinned snapshot is read-only")
+        if (reg.consistentRoots.nonEmpty)
+          throw new IllegalArgumentException(
+            s"live archive '$name' sits behind the consistent-view " +
+              "gate — read-only; evolve through the front door")
+        val fields = colsToAdd.map { c =>
+          require(c.path.isEmpty,
+            s"ALTER TABLE '$name': nested column additions are not " +
+              "supported — top-level columns only")
+          require(c.position.isEmpty,
+            s"ALTER TABLE '$name': FIRST/AFTER is not supported — " +
+              "added columns append (reads merge by name)")
+          require(c.default.isEmpty,
+            s"ALTER TABLE '$name': DEFAULT is not supported — a new " +
+              "column reads null until data carries it")
+          require(c.nullable,
+            s"ALTER TABLE '$name': NOT NULL cannot backfill " +
+              "existing rows — add the column nullable")
+          org.apache.spark.sql.types.StructField(c.colName,
+            c.dataType, nullable = true)
+        }
+        EvolveArchiveCommand(name, reg.path, reg.bucketed,
+          org.apache.spark.sql.types.StructType(fields))
 
       // the INSERT target is an ARGUMENT of InsertIntoStatement, not
       // a child — tree traversals never descend into it (Spark's own
@@ -376,6 +478,22 @@ case class ResolveLiveArchives(session: SparkSession)
     }
 }
 
+/** `ALTER TABLE <live archive> ADD COLUMNS` → the engine's additive
+  * evolution: [[Tables.evolveBucketedArchive]] (staged physical
+  * swap) for bucketed archives, [[Tables.declareManifestedColumns]]
+  * (persisted declaration; implicit merge-by-name does the rest)
+  * for manifested ones. Existing names refuse in the verbs. */
+case class EvolveArchiveCommand(name: String, path: String,
+    bucketed: Boolean,
+    newCols: org.apache.spark.sql.types.StructType)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    if (bucketed) Tables.evolveBucketedArchive(session, path, newCols)
+    else Tables.declareManifestedColumns(session, path, newCols)
+    Seq.empty
+  }
+}
+
 /** `INSERT INTO <live archive>` → the FAST-APPEND commit
   * ([[Tables.appendManifested]] — bytes landed are the inserted
   * rows'); `INSERT OVERWRITE` → dynamic partition overwrite
@@ -396,7 +514,12 @@ case class WriteArchiveCommand(name: String, path: String,
 
   override def run(session: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.GraftColumnBridge.ofRows(session, query)
-    val target = Tables.readManifested(session, path).schema
+    // the target schema INCLUDES declared-but-not-yet-carried
+    // columns (SQL ALTER TABLE ADD COLUMNS): an INSERT may carry
+    // them; one that omits them null-fills — old writers keep
+    // committing across an evolution, the engine-wide contract
+    val target = Tables.withDeclaredColumns(session, path,
+      Tables.readManifested(session, path)).schema
     val (_, parts) = Tables.resolveManifest(session, path)
     require(parts.nonEmpty,
       s"live archive '$name' at $path lists no partitions — nothing " +
@@ -404,27 +527,42 @@ case class WriteArchiveCommand(name: String, path: String,
         "it with writeManifested first")
     val partCols = parts.keys.head.split("/").toSeq
       .map(_.split("=", 2)(0))
+    val tnames = target.fields.map(_.name.toLowerCase).toSet
+    def requireKnownAndPartitioned(cols: Seq[String]): Unit = {
+      val unknown = cols.filterNot(c => tnames.contains(c.toLowerCase))
+      require(unknown.isEmpty,
+        s"INSERT into '$name' names unknown columns " +
+          s"[${unknown.mkString(", ")}] — the archive has " +
+          s"(${target.fields.map(_.name).mkString(", ")}); evolve " +
+          "the schema first (ALTER TABLE ADD COLUMNS)")
+      partCols.foreach(pc => require(
+        cols.exists(_.equalsIgnoreCase(pc)),
+        s"INSERT into '$name' must supply partition column '$pc' — " +
+          "a partial insert would need null partition keys"))
+    }
     val named =
       if (userCols.nonEmpty) {
         require(userCols.size == src.schema.size,
           s"INSERT column list names ${userCols.size} columns but the " +
             s"query produces ${src.schema.size}")
-        val want = target.fields.map(_.name.toLowerCase).toSet
-        require(userCols.map(_.toLowerCase).toSet == want,
-          s"INSERT column list must cover the archive's columns " +
-            s"exactly (${target.fields.map(_.name).mkString(", ")}) — " +
-            "a partial insert would need null partition keys")
+        requireKnownAndPartitioned(userCols)
         src.toDF(userCols: _*)
-      } else if (byName) src
-      else {
+      } else if (byName) {
+        requireKnownAndPartitioned(src.schema.fieldNames.toSeq)
+        src
+      } else {
         require(src.schema.size == target.size,
           s"INSERT by position into '$name' needs ${target.size} " +
             s"columns (${target.fields.map(_.name).mkString(", ")}), " +
             s"got ${src.schema.size}")
         src.toDF(target.fields.map(_.name).toIndexedSeq: _*)
       }
-    val aligned = named.select(target.fields.toSeq.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)): _*)
+    val aligned = named.select(target.fields.toSeq.map { f =>
+      val have = named.columns.exists(_.equalsIgnoreCase(f.name))
+      (if (have) col(f.name)
+       else org.apache.spark.sql.functions.lit(null))
+        .cast(f.dataType).as(f.name)
+    }: _*)
     if (overwrite)
       Tables.upsertManifested(aligned, path, partCols, _ => false)
     else

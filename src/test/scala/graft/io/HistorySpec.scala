@@ -24,7 +24,10 @@ class HistorySpec extends SparkSpec {
       Seq((0L, 999L, "g0", false), (1L, 999L, "g1", false))
         .toDF("k", "v", "g", "_d"),
       "k", Seq("g"), deletedCol = Some("_d"))
-    val h = Tables.manifestHistory(spark, p)
+    val hist = Tables.manifestHistory(spark, p)
+    assert(hist.columns.contains("commit_ts"),
+      "history must carry the commit instant (TIMESTAMP AS OF's map)")
+    val h = hist.drop("commit_ts")
       .orderBy("version").collect()
     assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
     // v1: 4 partitions, all added
@@ -39,7 +42,8 @@ class HistorySpec extends SparkSpec {
     // a clone's history starts all-external
     val dst = s"$root/dst"
     val pin = Tables.cloneManifested(spark, p, dst)
-    val hc = Tables.manifestHistory(spark, dst).collect()
+    val hc = Tables.manifestHistory(spark, dst)
+      .drop("commit_ts").collect()
     assert(hc.length == 1 && hc(0).getLong(5) == hc(0).getLong(1),
       s"clone v1 must be all-external: ${hc.toSeq}")
 

@@ -732,6 +732,113 @@ class LiveArchiveSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP AS OF: resolves to the latest commit at-or-before " +
+    "the timestamp; refuses before history; VERSION AS OF pins hold") {
+    val p = freshArch("tsasof") // v1
+    Tables.registerManifestedLiveSql(spark, "live_tsasof", p)
+    Thread.sleep(1200)
+    val between = new java.sql.Timestamp(System.currentTimeMillis)
+    Thread.sleep(1200)
+    landEpoch(p, 1L, 1000L, 1040L) // v2: 140 rows
+    assert(spark.sql("SELECT count(*) FROM live_tsasof " +
+      s"TIMESTAMP AS OF '$between'").head().getLong(0) === 100L,
+      "a timestamp between commits must read the earlier snapshot")
+    val after = new java.sql.Timestamp(System.currentTimeMillis)
+    assert(spark.sql("SELECT count(*) FROM live_tsasof " +
+      s"TIMESTAMP AS OF '$after'").head().getLong(0) === 140L)
+    // an expression, not just a string literal
+    assert(spark.sql("SELECT count(*) FROM live_tsasof " +
+      s"TIMESTAMP AS OF current_timestamp()").head().getLong(0) === 140L)
+    intercept[Exception] { // predates the first commit
+      spark.sql("SELECT count(*) FROM live_tsasof " +
+        "TIMESTAMP AS OF '2020-01-01'").collect()
+    }
+    assert(spark.sql("SELECT count(*) FROM live_tsasof VERSION AS OF 1")
+      .head().getLong(0) === 100L, "VERSION AS OF must still pin")
+    Tables.unregisterManifestedLiveSql(spark, "live_tsasof")
+  }
+
+  test("ALTER TABLE ADD COLUMNS: a manifested live name widens " +
+    "immediately (nulls), INSERTs may carry or omit the column, old " +
+    "rows null-fill; misuse refuses loudly") {
+    val p = freshArch("alter")
+    Tables.registerManifestedLiveSql(spark, "live_alter", p)
+    spark.sql("ALTER TABLE live_alter ADD COLUMNS (score DOUBLE)")
+    val widened = spark.sql("SELECT * FROM live_alter")
+    assert(widened.columns.contains("score"),
+      "the added column must be visible immediately")
+    assert(widened.where(col("score").isNotNull).count() === 0L,
+      "pre-evolution rows read the added column as null")
+    // an INSERT carrying the new column
+    spark.sql("INSERT INTO live_alter BY NAME " +
+      "SELECT 9001L AS id, 'x' AS body, 1L AS grp, " +
+      "7L AS ingest_epoch, 0.5D AS score")
+    assert(spark.sql("SELECT count(*) FROM live_alter " +
+      "WHERE score = 0.5").head().getLong(0) === 1L)
+    // an OLD writer omitting it still commits (nulls)
+    spark.sql("INSERT INTO live_alter BY NAME " +
+      "SELECT 9002L AS id, 'y' AS body, 1L AS grp, 7L AS ingest_epoch")
+    assert(spark.sql("SELECT count(*) FROM live_alter " +
+      "WHERE id = 9002 AND score IS NULL").head().getLong(0) === 1L)
+    // the declaration survives a fresh read and names refuse to clash
+    intercept[Exception] {
+      spark.sql("ALTER TABLE live_alter ADD COLUMNS (score INT)")
+    }
+    intercept[Exception] { // NOT NULL cannot backfill
+      spark.sql("ALTER TABLE live_alter ADD COLUMNS (z INT NOT NULL)")
+    }
+    intercept[Exception] { // unknown column still refuses on INSERT
+      spark.sql("INSERT INTO live_alter BY NAME " +
+        "SELECT 1L AS id, 'b' AS body, 1L AS grp, " +
+        "7L AS ingest_epoch, 'v' AS never_declared")
+    }
+    Tables.unregisterManifestedLiveSql(spark, "live_alter")
+  }
+
+  test("ALTER TABLE ADD COLUMNS on a bucketed live name evolves " +
+    "through the staged swap: old rows null-fill, layout survives") {
+    val root = tmpRoot("graft-live-alterbkt")
+    val p = s"$root/arch"
+    Tables.writeBucketedArchive(
+      docsDf(0L, 80L).withColumn("ingest_epoch", lit(0L)),
+      p, "id", buckets = 4)
+    Tables.registerBucketedLiveSql(spark, "live_alterbkt", p)
+    spark.sql("ALTER TABLE live_alterbkt ADD COLUMNS (tag STRING)")
+    val out = spark.sql("SELECT * FROM live_alterbkt")
+    assert(out.columns.contains("tag") && out.count() === 80L)
+    assert(out.where(col("tag").isNotNull).count() === 0L)
+    Tables.unregisterManifestedLiveSql(spark, "live_alterbkt")
+  }
+
+  test("$history relation: one row per retained commit with its " +
+    "instant, on manifested and bucketed names") {
+    val p = freshArch("hist") // v1
+    landEpoch(p, 1L, 1000L, 1010L) // v2
+    Tables.registerManifestedLiveSql(spark, "live_hist", p)
+    val h = spark.sql(
+      "SELECT version, commit_ts, n_partitions FROM `live_hist$history` " +
+        "ORDER BY version")
+    val rows = h.collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L),
+      "one history row per retained manifest version")
+    assert(rows.forall(!_.isNullAt(1)), "commit_ts must be stamped")
+    // joins like any relation: the current version's row
+    assert(spark.sql(
+      """SELECT max(version) FROM `live_hist$history`""")
+      .head().getLong(0) === 2L)
+    val rootB = tmpRoot("graft-live-histbkt")
+    val pb = s"$rootB/arch"
+    Tables.writeBucketedArchive(
+      docsDf(0L, 40L).withColumn("ingest_epoch", lit(0L)),
+      pb, "id", buckets = 4)
+    Tables.registerBucketedLiveSql(spark, "live_histbkt", pb)
+    assert(spark.sql("SELECT version, commit_ts FROM " +
+      "`live_histbkt$history`").collect().map(_.getLong(0)).toSeq
+      === Seq(1L))
+    Seq("live_hist", "live_histbkt")
+      .foreach(Tables.unregisterManifestedLiveSql(spark, _))
+  }
+
   test("concurrent SQL UPDATEs: same-partition racers never lose an " +
     "update silently (both land, or the loser refuses loudly); " +
     "disjoint-partition racers both commit") {
