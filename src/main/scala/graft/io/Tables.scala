@@ -784,7 +784,10 @@ object Tables {
     val mf = new org.apache.hadoop.fs.Path(root, manifestName(asOf))
     require(fs.exists(mf),
       s"manifest v$asOf at $path does not exist (never written, or vacuumed)")
-    readFromParts(spark, path, readManifestFile(fs, mf))
+    // same snapshot memo as the live read — a version's file set is
+    // immutable, and the COW verbs resolve their pinned snapshot
+    // several times per statement
+    readPartsCached(spark, path, asOf, readManifestFile(fs, mf))
   }
 
   /** Resolve one manifest entry to its absolute (dir, version base).
