@@ -1887,9 +1887,14 @@ object Tables {
       .map(df => laneMaxes(df)._2).getOrElse(-1L)
     var epoch = math.max(DeleteEpochBase, delMax + 1)
     var attempts = 0
+    // claims live in a SUBDIR, not the store root: one tiny file per
+    // DELETE statement forever (released claims would reopen the
+    // race) must not grow the root listing every manifest resolve
+    // pays — the subdir is one root entry at any statement count
+    val claimRoot = s"${tombPath.stripSuffix("/")}/_claims"
     while (attempts < 10000) {
       attempts += 1
-      try { claimEpoch(fs, tombPath, epoch, writerId); return epoch }
+      try { claimEpoch(fs, claimRoot, epoch, writerId); return epoch }
       catch { case _: ArchiveConflictException => epoch += 1 }
     }
     throw new IllegalStateException(

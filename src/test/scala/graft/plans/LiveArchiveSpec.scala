@@ -887,6 +887,43 @@ class LiveArchiveSpec extends SparkSpec {
       .foreach(Tables.unregisterManifestedLiveSql(spark, _))
   }
 
+  test("UPDATE racing MERGE on one partition: the cross-verb pair " +
+    "never loses a change silently — both land, or the loser names " +
+    "the conflicting partition") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def isConflict(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[Tables.ConcurrentWriteException] ||
+        isConflict(t.getCause))
+    val p = freshArch("updmrg")
+    Tables.registerManifestedLiveSql(spark, "live_updmrg", p,
+      keyCol = Some("id"))
+    Seq((3L, "merged")).toDF("sid", "sbody")
+      .createOrReplaceTempView("updmrg_src")
+    val stmts = Seq(
+      "UPDATE live_updmrg SET body = 'updated' WHERE id = 4",
+      """MERGE INTO live_updmrg t USING updmrg_src s ON t.id = s.sid
+        |WHEN MATCHED THEN UPDATE SET body = s.sbody""".stripMargin)
+    val tries = Await.result(Future.sequence(stmts.map(s =>
+      Future(scala.util.Try(spark.sql(s))))), 5.minutes)
+    assert(tries.count(_.isFailure) <= 1,
+      s"at most one racer may refuse: $tries")
+    val checks = Seq(("updated", 4L), ("merged", 3L))
+    tries.zip(checks).foreach { case (t, (b, id)) =>
+      val n = spark.sql("SELECT count(*) FROM live_updmrg " +
+        s"WHERE body = '$b' AND id = $id").head().getLong(0)
+      t match {
+        case scala.util.Success(_) => assert(n === 1L,
+          s"statement reported success but '$b' is missing — " +
+            "SILENT LOST UPDATE across verbs")
+        case scala.util.Failure(e) => assert(isConflict(e),
+          s"refusal must be the loud write conflict, got: $e")
+      }
+    }
+    Tables.unregisterManifestedLiveSql(spark, "live_updmrg")
+  }
+
   test("DML alias hijack: a user alias that collides with ANOTHER " +
     "registered live name still mutates the statement's OWN target " +
     "— tombstones land on the FROM archive, never on the alias's " +
