@@ -1239,9 +1239,12 @@ object Tables {
       .filter(_.getPath.getName.startsWith("_manifest-"))
       .sortBy(_.getPath.getName)
     require(manifests.nonEmpty, s"no manifest at $path")
+    val mtimes = monotoneMtimes(manifests.toSeq.map(m =>
+      m.getPath.getName.stripPrefix("_manifest-").toLong ->
+        m.getModificationTime))
     val versions = manifests.toSeq.map { m =>
-      (m.getPath.getName.stripPrefix("_manifest-").toLong,
-        readManifestFile(fs, m.getPath), m.getModificationTime)
+      val v = m.getPath.getName.stripPrefix("_manifest-").toLong
+      (v, readManifestFile(fs, m.getPath), mtimes(v))
     }
     val rows = versions.zip(
         Map.empty[String, String] +: versions.map(_._2))
@@ -1259,10 +1262,27 @@ object Tables {
       "n_external")
   }
 
+  /** Pointer mtimes clamped MONOTONE in version order (each commit
+    * instant ≥ its predecessor's): publishExclusive's hard-link /
+    * rename preserves the temp file's creation mtime, which predates
+    * visibility, and multi-host clock skew can further disorder raw
+    * mtimes — version order is the truth, so TIMESTAMP AS OF and
+    * history must never resolve two close commits non-monotonically.
+    * The resolution stays approximate (documented); what the clamp
+    * guarantees is that timestamp order and version order AGREE. */
+  private def monotoneMtimes(raw: Seq[(Long, Long)]): Map[Long, Long] = {
+    var run = Long.MinValue
+    raw.sortBy(_._1).map { case (v, ts) =>
+      run = math.max(run, ts)
+      v -> run
+    }.toMap
+  }
+
   /** Latest committed version whose commit instant ≤ `tsMillis` —
     * the `TIMESTAMP AS OF` resolution. The commit instant IS the
     * manifest pointer file's creation time (the publish makes the
-    * version visible in that same operation), so no extra metadata
+    * version visible in that same operation), clamped monotone in
+    * version order ([[monotoneMtimes]]), so no extra metadata
     * write is needed and history older than vacuum's retention
     * refuses exactly like [[readManifestedAt]] would. Loud when the
     * timestamp predates the oldest RETAINED commit. */
@@ -1273,9 +1293,10 @@ object Tables {
     val manifests = fs.listStatus(root)
       .filter(_.getPath.getName.startsWith("_manifest-"))
     require(manifests.nonEmpty, s"no manifest at $path")
-    val eligible = manifests
-      .filter(_.getModificationTime <= tsMillis)
-      .map(_.getPath.getName.stripPrefix("_manifest-").toLong)
+    val mtimes = monotoneMtimes(manifests.toSeq.map(m =>
+      m.getPath.getName.stripPrefix("_manifest-").toLong ->
+        m.getModificationTime))
+    val eligible = mtimes.filter(_._2 <= tsMillis).keys
     require(eligible.nonEmpty,
       s"TIMESTAMP AS OF at $path: ${new java.sql.Timestamp(tsMillis)} " +
         "predates the oldest retained commit " +
@@ -1292,9 +1313,10 @@ object Tables {
     val markers = fs.listStatus(root)
       .filter(_.getPath.getName.startsWith("_bucketv-"))
     require(markers.nonEmpty, s"no versioned bucketed archive at $path")
-    val eligible = markers
-      .filter(_.getModificationTime <= tsMillis)
-      .map(_.getPath.getName.stripPrefix("_bucketv-").toLong)
+    val mtimes = monotoneMtimes(markers.toSeq.map(m =>
+      m.getPath.getName.stripPrefix("_bucketv-").toLong ->
+        m.getModificationTime))
+    val eligible = mtimes.filter(_._2 <= tsMillis).keys
     require(eligible.nonEmpty,
       s"TIMESTAMP AS OF at $path: ${new java.sql.Timestamp(tsMillis)} " +
         "predates the oldest retained bucket version")
@@ -1312,17 +1334,39 @@ object Tables {
       .filter(_.getPath.getName.startsWith("_bucketv-"))
       .sortBy(_.getPath.getName)
     require(markers.nonEmpty, s"no versioned bucketed archive at $path")
-    val rows = markers.toSeq.map(m =>
-      (m.getPath.getName.stripPrefix("_bucketv-").toLong,
-        new java.sql.Timestamp(m.getModificationTime)))
+    val mtimes = monotoneMtimes(markers.toSeq.map(m =>
+      m.getPath.getName.stripPrefix("_bucketv-").toLong ->
+        m.getModificationTime))
+    val rows = markers.toSeq.map { m =>
+      val v = m.getPath.getName.stripPrefix("_bucketv-").toLong
+      (v, new java.sql.Timestamp(mtimes(v)))
+    }
     spark.createDataFrame(rows).toDF("version", "commit_ts")
   }
 
   // ---------- Declared additive columns (SQL schema evolution) ----------
 
-  private def declaredColsPath(path: String) =
-    new org.apache.hadoop.fs.Path(
-      path.stripSuffix("/") + "/_graft_added_cols")
+  private val DeclaredColsName = "_graft_added_cols"
+
+  /** The declaration files at `root`, (version, path), version order.
+    * The legacy un-versioned sidecar (written by pre-r16 ALTERs, one
+    * in-place-overwritten file) reads as version 0; CAS-published
+    * declarations are `_graft_added_cols-%09d` from 1 up. */
+  private def declaredColsFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path)
+      : Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(DeclaredColsName))
+      .flatMap { p =>
+        p.getName.stripPrefix(DeclaredColsName) match {
+          case "" => Some(0L -> p)
+          case s if s.startsWith("-") && s.drop(1).forall(_.isDigit) =>
+            Some(s.drop(1).toLong -> p)
+          case _ => None // a writer's dot-tmp never matches (dot prefix)
+        }
+      }.sortBy(_._1)
+  }
 
   /** Declare ADDITIVE columns on a manifested archive — the storage
     * half of `ALTER TABLE <live name> ADD COLUMNS`. The manifested
@@ -1331,34 +1375,64 @@ object Tables {
     * VISIBLE to the SQL face immediately (reads null-fill them until
     * data carries them; INSERT alignment accepts them). Add-a-column
     * only: an existing name — live or already declared — refuses,
-    * never retypes. Persisted as one sidecar (full list, DDL form)
-    * so the declaration survives the JVM like the archive itself. */
+    * never retypes.
+    *
+    * Persisted with the manifest discipline, not an in-place
+    * overwrite: each declaration is the FULL list (DDL form) written
+    * to a dot-tmp and [[publishExclusive]]d as the next
+    * `_graft_added_cols-<v>` — a reader can never observe a torn
+    * file (the old version stays readable until the new one is
+    * fully visible), and two concurrent ALTERs serialize through the
+    * CAS (the loser re-reads the winner's list and retries, so
+    * neither declaration is silently dropped). One tiny file per
+    * ALTER accumulates — the delete-claim tradeoff, and ALTERs are
+    * rare. */
   def declareManifestedColumns(spark: SparkSession, path: String,
                                newCols: StructType): Unit = {
     require(newCols.fields.nonEmpty, "no columns to add")
+    val root = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+    val fs = fsFor(spark, root)
     val existing = readManifested(spark, path).schema.fieldNames
       .map(_.toLowerCase).toSet
-    val declared = declaredManifestedColumns(spark, path)
-      .map(_.fields.toSeq).getOrElse(Nil)
-    val known = existing ++ declared.map(_.name.toLowerCase)
-    val clash = newCols.fieldNames
-      .filter(n => known.contains(n.toLowerCase))
-    require(clash.isEmpty,
-      s"columns [${clash.mkString(",")}] already exist at $path — " +
-        "evolution is add-a-column, never change-a-column")
-    val all = StructType(declared ++ newCols.fields)
-    val p = declaredColsPath(path)
-    val out = fsFor(spark, p).create(p, true)
-    try out.write(all.toDDL.getBytes("UTF-8")) finally out.close()
+    var attempts = 0
+    while (attempts < 32) {
+      attempts += 1
+      val files = declaredColsFiles(fs, root)
+      val version = files.lastOption.map(_._1).getOrElse(-1L)
+      val declared = files.lastOption
+        .map(f => StructType.fromDDL(readSmallFile(fs, f._2)).fields.toSeq)
+        .getOrElse(Nil)
+      val known = existing ++ declared.map(_.name.toLowerCase)
+      val clash = newCols.fieldNames
+        .filter(n => known.contains(n.toLowerCase))
+      require(clash.isEmpty,
+        s"columns [${clash.mkString(",")}] already exist at $path — " +
+          "evolution is add-a-column, never change-a-column")
+      val all = StructType(declared ++ newCols.fields)
+      val tmp = new org.apache.hadoop.fs.Path(root,
+        s".$DeclaredColsName-tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(all.toDDL.getBytes("UTF-8")) finally out.close()
+      val dest = new org.apache.hadoop.fs.Path(root,
+        f"$DeclaredColsName-${version + 1}%09d")
+      if (publishExclusive(fs, tmp, dest)) return
+      // CAS lost: a concurrent ALTER published version+1 first —
+      // loop re-reads ITS list so both declarations survive
+    }
+    throw new IllegalStateException(
+      s"declareManifestedColumns at $path: lost the declaration CAS " +
+        s"$attempts times — a writer is spinning ALTERs on this archive")
   }
 
-  /** Columns declared via [[declareManifestedColumns]], or None. */
+  /** Columns declared via [[declareManifestedColumns]], or None —
+    * the HIGHEST published declaration (each file carries the full
+    * list). */
   def declaredManifestedColumns(spark: SparkSession,
                                 path: String): Option[StructType] = {
-    val p = declaredColsPath(path)
-    val fs = fsFor(spark, p)
-    if (!fs.exists(p)) None
-    else Some(StructType.fromDDL(readSmallFile(fs, p)))
+    val root = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+    val fs = fsFor(spark, root)
+    declaredColsFiles(fs, root).lastOption
+      .map(f => StructType.fromDDL(readSmallFile(fs, f._2)))
   }
 
   /** Widen `df` with any DECLARED columns it does not carry yet,
@@ -2222,11 +2296,22 @@ object Tables {
     // crashed mutations' in-flight markers: until cleared, every
     // masked read degrades to the key mask. Clearing one implies its
     // tree changes may have landed WITHOUT a seq bump — bump first,
-    // so any DV stamped before the crash stops validating
+    // so any DV stamped before the crash stops validating.
+    // SEPARATE, much larger horizon than the sidecar grace: a
+    // sidecar dir outliving its grace only loses a rebuildable
+    // artifact, but a LIVE long mutation (large epoch ingest/fold)
+    // whose marker is swept mid-flight reopens the torn-tree window
+    // the marker exists to close — a DV build in the unmarked tail
+    // would stamp seq over a half-mutated tree. The cost of a large
+    // horizon is only that reads stay on the (correct) key-mask path
+    // longer after a genuine crash.
+    val mutCutoff = System.currentTimeMillis -
+      spark.conf.getOption("spark.graft.sweep.mutationGraceMs")
+        .map(_.toLong).getOrElse(24L * 3600 * 1000)
     val staleMuts =
       try fs.listStatus(root).toSeq.filter(st =>
         st.getPath.getName.startsWith("_dvbmut_") &&
-          st.getModificationTime < cutoff)
+          st.getModificationTime < mutCutoff)
       catch { case _: java.io.FileNotFoundException => Nil }
     if (staleMuts.nonEmpty) {
       bumpBucketedSeq(spark, path)

@@ -550,10 +550,18 @@ object Multimodal {
     * collapse into large perceptual clusters (19k pairs at sf0.01),
     * which is exactly what this operator exists to collapse to one
     * keeper each. HASH-gated against a recursive-CTE reachability
-    * oracle over the same relationally-recomputed pair graph. */
+    * oracle over the same relationally-recomputed pair graph.
+    *
+    * Served from the persisted pHash index, NOT from pixels: the pair
+    * graph is a pure function of the 8-byte hashes, and indexed ≡
+    * from-decode is spec-proven for the pair probe (the shared-oracle
+    * case in MultimodalSpec), so clustering over archive hashes is
+    * byte-identical to clustering over a fresh decode — at a fraction
+    * of the cost (decode-per-query was the top bench line at 11.6 s;
+    * hashes are decoded once at ingest, which is the whole point of
+    * the archive discipline at 100 TB). */
   def mmPhashCluster(s: SparkSession, dir: String): DataFrame = {
-    val hashed = phash64Frame(s, mediaPng(s, dir))
-    val edges = neardupPairsOf(hashed)
+    val edges = neardupIndexedFrom(s, phashIndex(s, dir))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     // vertex set = every document (mediaPng derives a payload per doc)
     // straight from the table — never a second decode pass

@@ -1984,10 +1984,15 @@ object ScaleOps {
 
   /** [[qSqlTimeTravel]]'s archive: v1 holds the non-tenth docs, v2
     * adds the tenth — with the wall-clock instant BETWEEN the two
-    * commits memoized alongside the root, so `TIMESTAMP AS OF` has a
-    * deterministic target at every re-run. */
+    * commits memoized (as EPOCH MILLIS — a formatted literal would
+    * bake in whatever timezone formatted it; the query formats the
+    * literal under the SESSION timezone, which is what
+    * evalTsMillis parses it back with, so the instant round-trips
+    * exactly whatever zone the session runs in) alongside the root,
+    * so `TIMESTAMP AS OF` has a deterministic target at every
+    * re-run. */
   private def sqlTimeTravelRoot(s: SparkSession, dir: String)
-      : (String, String) = {
+      : (String, Long) = {
     val v = healthMemo.computeIfAbsent(dir + "#sqltt", _ => {
       val root = java.nio.file.Files
         .createTempDirectory("graft-sqltt").toString
@@ -1997,15 +2002,27 @@ object ScaleOps {
       Tables.writeManifested(docs.where(pmod(col("doc_id"),
         lit(10)) =!= 0), s"$root/arch", Seq("lang"))          // v1
       Thread.sleep(1100) // mtime separation across coarse filesystems
-      val between = new java.sql.Timestamp(System.currentTimeMillis)
+      val between = System.currentTimeMillis
       Thread.sleep(1100)
       Tables.appendManifested(docs.where(pmod(col("doc_id"),
         lit(10)) === 0), s"$root/arch", Seq("lang"))          // v2
       s"$root\t$between"
     })
     val Array(root, ts) = v.split("\t", 2)
-    (root, ts)
+    (root, ts.toLong)
   }
+
+  /** Format epoch millis as a timestamp literal in the SESSION
+    * timezone — the zone `TIMESTAMP AS OF` string literals are
+    * parsed back with, so the round trip is exact by construction
+    * (a JVM-default-zone `Timestamp.toString` literal reads as a
+    * shifted instant whenever the session zone differs). */
+  private def sessionTsLiteral(s: SparkSession, millis: Long): String =
+    java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneId.of(
+        s.sessionState.conf.sessionLocalTimeZone))
+      .format(java.time.Instant.ofEpochMilli(millis))
 
   /** Gated: SQL time travel by WALL CLOCK — `TIMESTAMP AS OF`
     * resolves through the commit instants the manifest pointers
@@ -2016,7 +2033,8 @@ object ScaleOps {
     * counts only if the timestamp resolved to v1 and the live read
     * sees v2. */
   def qSqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
-    val (root, ts) = sqlTimeTravelRoot(s, dir)
+    val (root, tsMillis) = sqlTimeTravelRoot(s, dir)
+    val ts = sessionTsLiteral(s, tsMillis)
     Tables.registerManifestedLiveSql(s, "graft_sql_tt", s"$root/arch")
     s.sql(
       s"""SELECT

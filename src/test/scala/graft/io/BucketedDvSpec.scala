@@ -195,4 +195,38 @@ class BucketedDvSpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(dir2)),
       "the sweep must keep the current pointer's dir")
   }
+
+  test("mutation markers sweep on their OWN (much larger) horizon: a " +
+    "live long mutation outliving the sidecar grace keeps its marker " +
+    "(reads stay degraded-correct); only past the mutation horizon is " +
+    "it treated as crashed — swept WITH a seq bump") {
+    val (p, _) = mkFixture("mutgrace")
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(p, "_dvbmut_longrun")
+    fs.create(marker, true).close()
+    val seqBefore = Tables.bucketedRootState(spark, p)._1
+    try {
+      // sidecar grace 0 (the aggressive-test setting) must NOT eat a
+      // mutation marker — the mutation may legitimately still run
+      spark.conf.set("spark.graft.sweep.sidecarGraceMs", "0")
+      Tables.sweepBucketedScratch(spark, p)
+      assert(fs.exists(marker),
+        "a mutation marker inside the mutation horizon must survive " +
+          "a sweep whose sidecar grace has elapsed")
+      assert(Tables.bucketedRootState(spark, p)._1 === seqBefore,
+        "a surviving marker must not bump the commit seq")
+      // past the MUTATION horizon it is a crashed writer: swept, and
+      // the seq bumped so pre-crash DV stamps stop validating
+      spark.conf.set("spark.graft.sweep.mutationGraceMs", "0")
+      Tables.sweepBucketedScratch(spark, p)
+      assert(!fs.exists(marker),
+        "a marker past the mutation horizon must be swept")
+      assert(Tables.bucketedRootState(spark, p)._1 !== seqBefore,
+        "sweeping a crashed mutation's marker must bump the seq")
+    } finally {
+      spark.conf.unset("spark.graft.sweep.sidecarGraceMs")
+      spark.conf.unset("spark.graft.sweep.mutationGraceMs")
+    }
+  }
 }

@@ -734,16 +734,26 @@ class LiveArchiveSpec extends SparkSpec {
 
   test("TIMESTAMP AS OF: resolves to the latest commit at-or-before " +
     "the timestamp; refuses before history; VERSION AS OF pins hold") {
+    // format instants in the SESSION timezone — the zone the AS OF
+    // literal is parsed back with (a JVM-default-zone
+    // Timestamp.toString would shift the instant whenever the
+    // session zone differs from the JVM's)
+    def tsLit(millis: Long): String =
+      java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneId.of(
+          spark.sessionState.conf.sessionLocalTimeZone))
+        .format(java.time.Instant.ofEpochMilli(millis))
     val p = freshArch("tsasof") // v1
     Tables.registerManifestedLiveSql(spark, "live_tsasof", p)
     Thread.sleep(1200)
-    val between = new java.sql.Timestamp(System.currentTimeMillis)
+    val between = tsLit(System.currentTimeMillis)
     Thread.sleep(1200)
     landEpoch(p, 1L, 1000L, 1040L) // v2: 140 rows
     assert(spark.sql("SELECT count(*) FROM live_tsasof " +
       s"TIMESTAMP AS OF '$between'").head().getLong(0) === 100L,
       "a timestamp between commits must read the earlier snapshot")
-    val after = new java.sql.Timestamp(System.currentTimeMillis)
+    val after = tsLit(System.currentTimeMillis)
     assert(spark.sql("SELECT count(*) FROM live_tsasof " +
       s"TIMESTAMP AS OF '$after'").head().getLong(0) === 140L)
     // an expression, not just a string literal
