@@ -1376,7 +1376,7 @@ object Curation {
     * k-means superstep).
     */
   private[ops] def pageRank(undirected: DataFrame, iters: Int,
-      damping: Double): DataFrame = {
+      damping: Double, driverCap: Int = DriverGraphEdgeCap): DataFrame = {
     val edges = undirected
       .select(col("name_a").as("src"), col("name_b").as("dst"))
       .union(undirected
@@ -1385,6 +1385,32 @@ object Curation {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val n = deg.count() // |V|: one-row sizing scalar (see scaladoc)
     val base = (1.0 - damping) / n
+    // SIZE-ADAPTIVE execution, the [[pageRankWithRestart]] dispatch
+    // extended to the symmetric variant (it was the one gated
+    // PageRank still paying 10 distributed rounds of pure scheduling
+    // latency on a structurally tiny graph): below the cap the whole
+    // graph is a bounded artifact pull — iterate in the driver with
+    // the IDENTICAL update rule (fixed round count, no dangling term:
+    // symmetric edges give every node out-degree ≥ 1). Past the cap
+    // the distributed loop below runs unchanged; the spec pins path
+    // equality through the cap override.
+    if (n + edges.count() <= driverCap) {
+      val es = edges.collect().map(r => (r.getString(0), r.getString(1)))
+      val nodes = es.map(_._1).distinct.sorted
+      val degM = es.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      var rk = nodes.map(_ -> 1.0 / n).toMap
+      for (_ <- 1 to iters) {
+        val contrib = scala.collection.mutable.Map[String, Double]()
+          .withDefaultValue(0.0)
+        es.foreach { case (u, v) => contrib(v) += rk(u) / degM(u) }
+        rk = nodes.map(u => u -> (base + damping * contrib(u))).toMap
+      }
+      Ckpt.track("q_pagerank", edges)
+      import undirected.sparkSession.implicits._
+      return nodes.toSeq.map { u =>
+        (u, math.floor(rk(u) * 10000 + 0.5) / 10000, degM(u).toInt)
+      }.toDF("name", "pagerank", "degree")
+    }
     var ranks = deg
       .select(col("src").as("name"), lit(1.0 / n).as("rank"))
       .localCheckpoint()

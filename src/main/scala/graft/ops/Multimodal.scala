@@ -154,6 +154,19 @@ object Multimodal {
     * is what production code would run. */
   val DecodeBatchSize = 64
 
+  /** Executor-side codec setup, run once per JVM (object init; every
+    * decode/encode closure calls [[Codec.ensure]] first so the task
+    * JVM is configured wherever the task lands): `javax.imageio`'s
+    * default stream cache is DISK-backed — each ImageIO.read/write
+    * over a plain byte stream creates, fills and deletes a temp FILE,
+    * a per-image syscall tail that dwarfs the actual codec work on
+    * small frames. The in-memory cache produces byte-identical
+    * containers; only the scratch I/O disappears. */
+  private object Codec {
+    javax.imageio.ImageIO.setUseCache(false)
+    def ensure(): Unit = ()
+  }
+
   /** One decoded image: header fields and channel means all read back
     * from REAL pixels via `javax.imageio`. */
   final case class PngDecoded(
@@ -186,25 +199,32 @@ object Multimodal {
         (lit(16) + pmod(col("doc_id"), lit(32))).cast("int").as("width"),
         (lit(16) + pmod(col("doc_id") * 7, lit(24))).cast("int").as("height"))
       .as[(Long, Int, Int)]
-      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.map {
+      .mapPartitions { it =>
+        Codec.ensure()
+        it.grouped(DecodeBatchSize).flatMap(_.map {
         case (id, w, h) =>
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          // fill an int[] and hand it over in ONE bulk setRGB: the
+          // per-pixel call re-enters the color model per invocation
+          val px = new Array[Int](w * h)
           var y = 0
           while (y < h) {
             var x = 0
+            val row = y * w
             while (x < w) {
-              img.setRGB(x, y,
-                (pxR(id, x) << 16) | (pxG(id, y) << 8) | pxB(id, x, y))
+              px(row + x) =
+                (pxR(id, x) << 16) | (pxG(id, y) << 8) | pxB(id, x, y)
               x += 1
             }
             y += 1
           }
+          img.setRGB(0, 0, w, h, px, 0, w)
           val out = new java.io.ByteArrayOutputStream()
           require(javax.imageio.ImageIO.write(img, "png", out),
             "no PNG writer available in this JRE")
           (id, out.toByteArray)
-      }))
+      })}
       .toDF("doc_id", "payload")
   }
 
@@ -218,29 +238,31 @@ object Multimodal {
     import s.implicits._
     png.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.map {
+      .mapPartitions { it =>
+        Codec.ensure()
+        it.grouped(DecodeBatchSize).flatMap(_.map {
         case (id, bytes) =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
           require(img != null, s"doc $id: payload is not a decodable image")
           val w = img.getWidth
           val h = img.getHeight
+          // ONE bulk getRGB: the per-pixel call goes through the
+          // color model per invocation; the bulk path converts the
+          // whole raster in one library loop with identical values
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
           var sr = 0L; var sg = 0L; var sb = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = img.getRGB(x, y)
-              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-              x += 1
-            }
-            y += 1
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            i += 1
           }
           val n = (w.toLong * h).toDouble
           def mean(sum: Long): Double =
             math.floor(sum / n * 10000 + 0.5) / 10000
           PngDecoded(id, w, h, mean(sr), mean(sg), mean(sb))
-      }))
+      })}
   }
 
   def mmDecode(s: SparkSession, dir: String): DataFrame = {
@@ -279,16 +301,29 @@ object Multimodal {
     * cross-multiplied in integers (s_c·N ≥ S·n_c), so there is no
     * float threshold to straddle. Factored out so the spec can drive
     * constructed images through the exact production hash. */
-  private[ops] def aHashOf(img: java.awt.image.BufferedImage): Long = {
-    val w = img.getWidth; val h = img.getHeight
-    val sums = new Array[Long](16); val cnts = new Array[Long](16)
+  private[ops] def aHashOf(img: java.awt.image.BufferedImage): Long =
+    aHashOfPixels(
+      img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth),
+      img.getWidth, img.getHeight, grid = 4)
+
+  /** The pooled-threshold core over a bulk-extracted default-RGB
+    * raster (one library conversion loop instead of a color-model
+    * round trip per pixel — identical values): `grid`×`grid` luma
+    * cells, bit c set iff the cell's luma mass clears the global mean
+    * (integer cross-multiplied — no float threshold). */
+  private def aHashOfPixels(px: Array[Int], w: Int, h: Int,
+                            grid: Int): Long = {
+    val cells = grid * grid
+    val sums = new Array[Long](cells); val cnts = new Array[Long](cells)
     var y = 0
     while (y < h) {
       var x = 0
+      val row = y * w
+      val gy = grid * y / h * grid
       while (x < w) {
-        val p = img.getRGB(x, y)
+        val p = px(row + x)
         val luma = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-        val c = (4 * y / h) * 4 + 4 * x / w
+        val c = gy + grid * x / w
         sums(c) += luma; cnts(c) += 1
         x += 1
       }
@@ -296,7 +331,7 @@ object Multimodal {
     }
     val n = w.toLong * h; val s = sums.sum
     var hash = 0L; var c = 0
-    while (c < 16) {
+    while (c < cells) {
       if (sums(c) * n >= s * cnts(c)) hash |= 1L << c
       c += 1
     }
@@ -325,13 +360,15 @@ object Multimodal {
     import s.implicits._
     val hashed = mediaPng(s, dir).select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.map {
+      .mapPartitions { it =>
+        Codec.ensure()
+        it.grouped(DecodeBatchSize).flatMap(_.map {
         case (id, bytes) =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
           require(img != null, s"doc $id: payload is not a decodable image")
           (id, aHashOf(img))
-      }))
+      })}
       .toDF("doc_id", "phash")
     hashed
       .withColumn("n_same",
@@ -346,29 +383,10 @@ object Multimodal {
     * the 64-bit hash gives [[neardupPairsOf]] wide, selective bands
     * to shuffle on — the (band, bits) discipline of
     * [[graft.ops.TextOps.dedupSimhash]]. */
-  private[ops] def aHash64Of(img: java.awt.image.BufferedImage): Long = {
-    val w = img.getWidth; val h = img.getHeight
-    val sums = new Array[Long](64); val cnts = new Array[Long](64)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val p = img.getRGB(x, y)
-        val luma = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-        val c = (8 * y / h) * 8 + 8 * x / w
-        sums(c) += luma; cnts(c) += 1
-        x += 1
-      }
-      y += 1
-    }
-    val n = w.toLong * h; val s = sums.sum
-    var hash = 0L; var c = 0
-    while (c < 64) {
-      if (sums(c) * n >= s * cnts(c)) hash |= 1L << c
-      c += 1
-    }
-    hash
-  }
+  private[ops] def aHash64Of(img: java.awt.image.BufferedImage): Long =
+    aHashOfPixels(
+      img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth),
+      img.getWidth, img.getHeight, grid = 8)
 
   /** Image near-duplicate pairs — the image-side sibling of
     * [[graft.ops.TextOps.dedupSimhash]]: decode each PNG to its
@@ -402,13 +420,15 @@ object Multimodal {
     import s.implicits._
     media.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.grouped(DecodeBatchSize).flatMap(_.map {
+      .mapPartitions { it =>
+        Codec.ensure()
+        it.grouped(DecodeBatchSize).flatMap(_.map {
         case (id, bytes) =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
           require(img != null, s"doc $id: payload is not a decodable image")
           (id, aHash64Of(img))
-      }))
+      })}
       .toDF("doc_id", "ph")
   }
 
@@ -443,23 +463,64 @@ object Multimodal {
     * distinct-then-filter set. */
   private[ops] def bandedHammingPairs(hashed: DataFrame, hashCol: String,
       bandMasks: Seq[(Long, Int)], hamMax: Int): DataFrame = {
+    val docs = hashed.select(col("doc_id"), col(hashCol).as("__h"))
+    val hp = bandedHammingHashPairs(docs, bandMasks, hamMax)
+    // expand hash pairs back to doc pairs — EXACTLY the rows the old
+    // doc-level join emitted, built by joins that materialize only
+    // output rows: cross-hash pairs carry their hash pair's Hamming;
+    // same-hash docs are the Hamming-0 pairs the banded join found
+    // via their identical band values
+    val a = docs.select(col("doc_id").as("ida"), col("__h").as("ha"))
+    val b = docs.select(col("doc_id").as("idb"), col("__h").as("hb"))
+    val cross = hp.join(a, "ha").join(b, "hb")
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))
+    val same = a.join(b,
+        col("ha") === col("hb") && col("ida") < col("idb"))
+      .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
+        lit(0).cast("integer").as("hamming"))
+    cross.unionByName(same)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The banded-Hamming join at the DISTINCT-HASH level — the guide-§8
+    * move that makes the degenerate corpus tractable: the synthetic
+    * sf0.1 images collapse 5 000 docs onto 159 distinct 64-bit hashes,
+    * so the doc-level banded self-join paid Σ|bucket|² over buckets of
+    * THOUSANDS of same-hash members (≈1.9 M qualifying doc pairs, tens
+    * of millions of candidates — the single most expensive plan in the
+    * bench), when every one of those pairs is decided by its two
+    * hashes alone. Banding over distinct hashes caps candidate mass at
+    * distinct-hash counts (≤159² here); doc multiplicity re-enters
+    * only in the final expansion join, which materializes exactly the
+    * output rows. On a corpus with no hash collisions this is the old
+    * join minus the dedup exchange (the hash-level distinct dedups
+    * multi-band matches on far fewer rows). Completeness argument
+    * unchanged: ≥ hamMax+1 bands tile the hash, d ≤ hamMax flips dirty
+    * ≤ d bands, so some band matches verbatim — at hash level exactly
+    * as at doc level.
+    *
+    * @return (ha, hb, hamming), ha < hb (signed long order —
+    *         orientation only; both orders expand identically) */
+  private[ops] def bandedHammingHashPairs(docs: DataFrame,
+      bandMasks: Seq[(Long, Int)], hamMax: Int): DataFrame = {
     require(bandMasks.size > hamMax,
       s"${bandMasks.size} bands cannot be complete for Hamming <= $hamMax")
-    val banded = hashed.select(col("doc_id"), col(hashCol).as("__h"),
+    val hs = docs.select(col("__h")).distinct()
+    val banded = hs.select(col("__h"),
       explode(array(bandMasks.zipWithIndex.map { case ((sh, wd), i) =>
         struct(lit(i).as("band"),
-          col(hashCol).bitwiseAND(lit(((1L << wd) - 1L) << sh)).as("bits"))
+          col("__h").bitwiseAND(lit(((1L << wd) - 1L) << sh)).as("bits"))
       }: _*)).as("bb"))
-      .select(col("doc_id"), col("__h"), col("bb.band").as("band"),
+      .select(col("__h"), col("bb.band").as("band"),
         col("bb.bits").as("bits"))
     banded.alias("x").join(banded.alias("y"),
       col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.__h") < col("y.__h"))
+      .select(col("x.__h").as("ha"), col("y.__h").as("hb"),
         bit_count(col("x.__h").bitwiseXOR(col("y.__h"))).as("hamming"))
       .where(col("hamming") <= hamMax)
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
 
   // ---------- Persisted perceptual-hash index ----------
@@ -561,16 +622,39 @@ object Multimodal {
     * hashes are decoded once at ingest, which is the whole point of
     * the archive discipline at 100 TB). */
   def mmPhashCluster(s: SparkSession, dir: String): DataFrame = {
-    val edges = neardupIndexedFrom(s, phashIndex(s, dir))
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    // vertex set = every document (mediaPng derives a payload per doc)
-    // straight from the table — never a second decode pass
-    val labels = graft.ops.Curation.connectedComponents(
-        t(s, dir, "documents").select(col("doc_id").as("id")), edges)
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
-    labels
-      .withColumn("n_members",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+    val idx = phashIndex(s, dir)
+    // the §8 move all the way down: doc connectivity is a pure
+    // function of the DISTINCT hashes (same-hash docs are Hamming-0
+    // cliques; every doc pair across two hashes exists iff their
+    // hashes are within the radius), so CC runs over the ≤159-vertex
+    // hash graph and the ~1.9 M-edge doc graph is NEVER materialized
+    // — doc multiplicity re-enters only as a label join at the end.
+    val masked = Tables.minusTombstones(
+        Tables.readManifested(s, s"$idx/hashes"),
+        s"$idx/tombstones", "doc_id")
+      .select(col("doc_id"), col("ph"))
+    val hedges = bandedHammingHashPairs(
+        masked.select(col("doc_id"), col("ph").as("__h")),
+        Seq(0L -> 22, 22L -> 21, 43L -> 21), hamMax = 2)
+      .select(col("ha").as("src"), col("hb").as("dst"))
+    val hcc = graft.ops.Curation.connectedComponents(
+      masked.select(col("ph").as("id")).distinct(), hedges)
+    // vertex set = every document straight from the table (a
+    // tombstone-masked doc keeps its vertex and clusters alone,
+    // exactly as the doc-level CC treated an edgeless vertex); the
+    // component key is namespaced so a null hash label can never
+    // collide with a doc_id
+    val byDoc = t(s, dir, "documents").select(col("doc_id"))
+      .join(masked
+        .join(hcc.select(col("id").as("ph"), col("label").as("hl")), "ph")
+        .select(col("doc_id"), col("hl")), Seq("doc_id"), "left")
+      .withColumn("ck", when(col("hl").isNotNull,
+          struct(lit(0).as("ns"), col("hl").as("k")))
+        .otherwise(struct(lit(1).as("ns"), col("doc_id").as("k"))))
+    val w = Window.partitionBy(col("ck"))
+    byDoc
+      .withColumn("cluster_id", min(col("doc_id")).over(w))
+      .withColumn("n_members", count(lit(1)).over(w))
       .select(col("doc_id"), col("cluster_id"), col("n_members"),
         (col("doc_id") === col("cluster_id")).as("keep"))
       .orderBy("doc_id")

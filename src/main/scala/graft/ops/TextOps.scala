@@ -2127,10 +2127,26 @@ object TextOps {
     * @return one row per learned merge: (rank, left, right, merged,
     *         n) in learning order
     */
-  def bpeMerges(vocab: DataFrame, rounds: Int): Seq[(Int, String, String, String, Long)] = {
+  def bpeMerges(vocab: DataFrame, rounds: Int,
+      driverCap: Int = BpeVocabDriverCap): Seq[(Int, String, String, String, Long)] = {
     def quoted(s: String) = java.util.regex.Pattern.quote(s)
     var cur = vocab // (word_syms: String "t h e </w>", freq: Long)
       .select(col("word_syms"), col("freq")).localCheckpoint()
+    // SIZE-ADAPTIVE execution — the [[graft.ops.Curation]] PageRank
+    // driver-cap dispatch applied to the other bounded-round loop in
+    // the engine: every merge round is vocab-proportional work over
+    // the DISTINCT-WORD vocabulary, so below the cap the whole vocab
+    // is a bounded artifact pull (iteration-control class) and the
+    // K rounds run in the driver with the IDENTICAL algorithm —
+    // 2·K distributed barriers of pure scheduling latency become one
+    // aggregation job. Past the cap the distributed loop below runs
+    // unchanged; BpeSpec pins both paths equal through the cap
+    // override (plus the independent in-memory reference replay).
+    if (cur.count() <= driverCap) {
+      val words = cur.collect().map(r => (r.getString(0), r.getLong(1)))
+      Ckpt.release(cur)
+      return bpeMergesInDriver(words, rounds)
+    }
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     var r = 0
@@ -2169,6 +2185,87 @@ object TextOps {
       }
     }
     Ckpt.release(cur)
+    learned.toSeq
+  }
+
+  /** Below this many distinct-word vocab rows, [[bpeMerges]] iterates
+    * in the driver on the collected vocabulary instead of running K
+    * distributed rounds whose per-round data fits one task — the
+    * [[graft.ops.Curation.DriverGraphEdgeCap]] discipline. ~100 k
+    * words × ~60 chars of symbol string is a few MB, iteration-control
+    * class; real tokenizer vocabularies (even 100 TB corpora prune to
+    * bounded vocabs before BPE) sit well under it, and past the cap
+    * the distributed loop runs unchanged. */
+  private[ops] val BpeVocabDriverCap = 100000
+
+  /** The in-driver merge loop behind the small-vocab path — IDENTICAL
+    * conventions to the distributed loop: overlapping occurrences
+    * count, argmax by (count DESC, pair ASC) in UTF-8 BINARY order
+    * (what the distributed orderBy compares), merges applied leftmost
+    * non-overlapping via the SAME padded-lookaround regex (same Java
+    * regex engine either way). */
+  private def bpeMergesInDriver(vocab0: Array[(String, Long)],
+      rounds: Int): Seq[(Int, String, String, String, Long)] = {
+    def quoted(s: String) = java.util.regex.Pattern.quote(s)
+    // UTF-8 byte order = Spark's UTF8String comparison; Java's
+    // String ordering (UTF-16) diverges above the BMP's surrogate
+    // range, so compare bytes to stay bit-equal to the distributed
+    // path on ANY input
+    def utf8Less(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    // Spark's trim strips SPACES only; Java's String.trim strips every
+    // char ≤ 0x20 and would eat a control-char symbol at a word edge
+    def trimSpaces(s: String): String = {
+      var b = 0; var e = s.length
+      while (b < e && s.charAt(b) == ' ') b += 1
+      while (e > b && s.charAt(e - 1) == ' ') e -= 1
+      s.substring(b, e)
+    }
+    var vocab = vocab0
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var r = 0
+    var continue = true
+    while (r < rounds && continue) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (syms, freq) =>
+        val a = syms.split(" ")
+        var i = 0
+        while (i < a.length - 1) { counts((a(i), a(i + 1))) += freq; i += 1 }
+      }
+      var best: ((String, String), Long) = null
+      counts.foreach { kv =>
+        if (best == null) best = kv
+        else {
+          val ((bl, br), bn) = best
+          val ((l, rr), n) = kv
+          if (n > bn || (n == bn && (utf8Less(l, bl) ||
+              (l == bl && utf8Less(rr, br))))) best = kv
+        }
+      }
+      if (best == null || best._2 < 2) continue = false
+      else {
+        val ((l, rr), n) = best
+        val merged = l + rr
+        val pat = s"(?<= )${quoted(l)} ${quoted(rr)}(?= )"
+        val rep = java.util.regex.Matcher.quoteReplacement(merged)
+        vocab = vocab.map { case (syms, freq) =>
+          (trimSpaces((" " + syms + " ").replaceAll(pat, rep)), freq)
+        }
+        learned += ((r + 1, l, rr, merged, n))
+        r += 1
+      }
+    }
     learned.toSeq
   }
 

@@ -141,6 +141,21 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("size-adaptive execution: the in-driver small-vocab path and " +
+    "the distributed loop learn the identical merge sequence (forced " +
+    "through the cap override), including tie-break and stop rounds") {
+    val vocab = Seq(
+      ("l o w </w>", 5L), ("l o w e r </w>", 2L),
+      ("n e w e s t </w>", 6L), ("w i d e s t </w>", 3L),
+      ("a a a a </w>", 1L), ("b a </w>", 2L)
+    ).toDF("word_syms", "freq")
+    val drv = TextOps.bpeMerges(vocab, 10)
+    val dist = TextOps.bpeMerges(vocab, 10, driverCap = 0)
+    assert(drv == dist,
+      s"paths diverged:\ndriver=$drv\ndistributed=$dist")
+    assert(drv.nonEmpty)
+  }
+
   test("q_bpe_merges is ranked and matches the reference at a second " +
     "SF (different word frequencies → different, equally-verified " +
     "sequence)") {

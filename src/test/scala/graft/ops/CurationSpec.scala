@@ -434,6 +434,15 @@ class CurationSpec extends SparkSpec {
       0.85, 1e-9, ckptKey = "spec_path_dist", driverCap = 0))
     assert(drvP == distP,
       s"personalized paths diverge: driver=$drvP distributed=$distP")
+    // the SYMMETRIC variant (fixed rounds, no dangling term) got the
+    // same dispatch — pin its two paths identical as well
+    def mU(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    val drvU = mU(Curation.pageRank(st, iters = 10, damping = 0.85))
+    val distU = mU(Curation.pageRank(st, iters = 10, damping = 0.85,
+      driverCap = 0))
+    assert(drvU == distU,
+      s"symmetric paths diverge: driver=$drvU distributed=$distU")
   }
 
   test("personalized pagerank: seed-star closed form, mass conserved, " +
