@@ -56,7 +56,9 @@ object Curation {
     */
   private[ops] def connectedComponents(vertices: DataFrame,
                                        edges: DataFrame,
-                                       maxIter: Int = 25): DataFrame = {
+                                       maxIter: Int = 25,
+                                       driverCap: Int = DriverGraphEdgeCap)
+      : DataFrame = {
     // materialize the symmetric edge list ONCE: every round's join
     // would otherwise re-run the whole upstream pair computation (the
     // shingle self-join costs more than all CC rounds together —
@@ -66,8 +68,47 @@ object Curation {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
+    // SIZE-ADAPTIVE execution (the PageRank/BPE driver-cap dispatch):
+    // component labels are CANONICAL — min id of the component — so
+    // ANY correct algorithm emits bit-identical labels, and below the
+    // cap a driver union-find over the collected edge list replaces
+    // rounds × (join + aggregate + checkpoint + count) of scheduling
+    // latency with one bounded pull (the upstream pair computation is
+    // already materialized in the checkpoint either way). Long-id
+    // graphs only (every caller today); anything else, or anything
+    // past the cap, runs the distributed loop below unchanged.
+    // Matching the distributed semantics exactly: labels exist only
+    // for VERTICES, and an edge touching a non-vertex id propagates
+    // nothing (the distributed join drops it) — so such edges are
+    // skipped, not unioned through.
     var checkpointed = vertices.select(col("id"), col("id").as("label"))
       .localCheckpoint()
+    val longIds = vertices.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (longIds && checkpointed.count() + sym.count() <= 2L * driverCap) {
+      // both pulls read the checkpoints just materialized — the
+      // upstream pair/vertex computation is paid exactly once on
+      // either path
+      val vs = checkpointed.select(col("id")).collect().map(_.getLong(0))
+      val vset = vs.toSet
+      val parent = scala.collection.mutable.Map(vs.map(v => v -> v): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      sym.select(col("src"), col("dst")).collect().foreach { r =>
+        val (u, v) = (r.getLong(0), r.getLong(1))
+        if (vset.contains(u) && vset.contains(v)) {
+          val (ru, rv) = (find(u), find(v))
+          if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+        }
+      }
+      Ckpt.release(sym)
+      Ckpt.release(checkpointed)
+      import vertices.sparkSession.implicits._
+      return vs.toSeq.map(v => (v, find(v))).toDF("id", "label")
+    }
     var labels = checkpointed
     var changed = 1L
     var i = 0

@@ -61,14 +61,43 @@ class CurationSpec extends SparkSpec {
       == simple)
   }
 
-  test("connectedComponents refuses to return a partial labeling") {
+  test("connectedComponents refuses to return a partial labeling " +
+    "(distributed loop, forced via the cap override)") {
     val vertices = (0 until 10).map(_.toLong).toDF("id")
     val edges = (0 until 9).map(i => (i.toLong, i + 1L)).toDF("src", "dst")
     // the 10-chain needs 9 min-propagation rounds; 3 must fail LOUDLY
+    // (the guard protects the DISTRIBUTED loop — the in-driver
+    // union-find below the cap has no rounds to run out of)
     val e = intercept[IllegalArgumentException] {
-      Curation.connectedComponents(vertices, edges, maxIter = 3)
+      Curation.connectedComponents(vertices, edges, maxIter = 3,
+        driverCap = 0)
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("connectedComponents size-adaptive execution: the in-driver " +
+    "union-find and the distributed loop emit identical labels " +
+    "(multi-component graph, path graph, edges touching non-vertices)") {
+    // multi-component + singleton + an edge whose endpoint (99) is
+    // NOT a vertex: labels exist only for vertices, and the stray
+    // edge must propagate nothing on either path
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 99L))
+      .toDF("src", "dst")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val drv = m(Curation.connectedComponents(vertices, edges))
+    val dist = m(Curation.connectedComponents(vertices, edges,
+      driverCap = 0))
+    assert(drv == dist, s"paths diverge: driver=$drv distributed=$dist")
+    assert(drv(7L) == 7L, "a stray-edge vertex must label itself")
+    // 20-node path: 19 min-label rounds, inside the distributed
+    // loop's 25-round default budget
+    val n = 20
+    val pv = (0 until n).map(_.toLong).toDF("id")
+    val pe = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("src", "dst")
+    assert(m(Curation.connectedComponents(pv, pe))
+      == m(Curation.connectedComponents(pv, pe, driverCap = 0)))
   }
 
   test("dedup_clusters verdicts: every doc exactly once, one keeper " +
